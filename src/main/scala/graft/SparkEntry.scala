@@ -1,13 +1,252 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Relational, Sampling, Stats}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every (query, oracle) pair:
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are summed as DECIMAL(30,2) then cast back to
+  *    double — order-independent and bit-identical across engines, so the
+  *    driver's hash compare needs no tolerance;
+  *  - each query has a deterministic ORDER BY including a tie-break.
+  */
 object SparkEntry {
+
+  private val DEC = "decimal(30,2)"
+  /** Exact (order-independent) sum of a 2-decimal double expression.
+    * DECIMAL(30,2) keeps the scaled integer below 2^53 for any realistic
+    * sum, so the final decimal->double cast is exact in both Spark and
+    * DuckDB (wider scales hit DuckDB's 1-ulp int128->double rounding).
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DEC)).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("vc_returnflag")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #6 value_counts with TOTAL row (utils.py:281-320)
+    "vc_returnflag" -> ((s, dir) => {
+      Relational
+        .valueCounts(t(s, dir, "lineitem"), "l_returnflag", total = true)
+        .select(col("value"), col("cnt"), round(col("fraction"), 6).as("fraction"))
+    }),
+    // #6 value_counts with numeric bins (utils.py:312)
+    "vc_quantity_bins" -> ((s, dir) => {
+      Relational
+        .valueCountsBinned(t(s, dir, "lineitem"), "l_quantity", 10)
+        .select(col("bucket"), col("lo"), col("hi"), col("cnt"),
+          round(col("fraction"), 6).as("fraction"))
+    }),
+    // #12 upsert (utils.py:469-489)
+    "upsert_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val delta = orders
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      Relational
+        .upsert(orders, delta, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // #9 drop_duplicates_by_index keep=first (utils.py:352-372)
+    "dedup_first" -> ((s, dir) => {
+      Relational
+        .dropDuplicatesByKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq("l_linenumber", "l_partkey", "l_suppkey"), Relational.Keep.First)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    }),
+    // #9 keep=none
+    "dedup_none" -> ((s, dir) => {
+      Relational
+        .dropDuplicatesByKey(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq("o_orderkey"), Relational.Keep.None)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    }),
+    // top-k sort+limit (plot.py:495-496 head(n) / sort_values)
+    "topk_orders" -> ((s, dir) => {
+      Relational
+        .topK(t(s, dir, "orders"), 10, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+    }),
+    // #27 weighted_average (algorithm.py:95-115)
+    "weighted_avg" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        (dsum(col("l_extendedprice") * col("l_quantity")) /
+          dsum(col("l_quantity"))).as("weighted_avg"))
+    }),
+    // #17 column_stats (utils.py:760-808)
+    "column_stats_customer" -> ((s, dir) => {
+      Stats.columnStats(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    }),
+    // reindex/aligned-concat as left join (utils.py:245,432-435)
+    "reindex_join" -> ((s, dir) => {
+      val agg = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      t(s, dir, "customer")
+        .join(agg, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+    // pivot/unstack (plot.py:485, sparse.py:129)
+    "pivot_status" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_returnflag"), col("F").cast("double").as("qty_f"),
+          col("O").cast("double").as("qty_o"))
+        .orderBy("l_returnflag")
+    }),
+    // #7 dfdiag on long-form COO (utils.py:323-338)
+    "diag_coo" -> ((s, dir) => {
+      val coo = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("row_key"), col("l_partkey").as("col_key"))
+        .agg(dsum(col("l_quantity")).as("value"))
+      Relational
+        .diag(coo, "row_key", "col_key")
+        .orderBy("row_key", "col_key")
+    }),
+    // #18 unique_row_ids (utils.py:811-841)
+    "unique_row_ids" -> ((s, dir) => {
+      Relational
+        .uniqueRowIds(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("row_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("row_id")
+    }),
+    // #15 IdentitySeries (utils.py:630-723)
+    "identity_series" -> ((s, dir) => {
+      Relational
+        .identitySeries(t(s, dir, "customer"), "c_custkey")
+        .orderBy("c_custkey")
+    }),
+    // #13 alignable (utils.py:492-513)
+    "alignable" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ordCust = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      val ab = Relational.alignable(cust.select("c_custkey"), ordCust, Seq("c_custkey"))
+      val aa = Relational.alignable(cust.select("c_custkey"), cust.select("c_custkey"), Seq("c_custkey"))
+      s.range(1).select(lit(ab).as("align_ab"), lit(aa).as("align_aa"))
+    }),
+    // #5 exact stratified sampling (utils.py:198-278) — no SQL oracle (RNG)
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.sampleWithDistribution(
+        t(s, dir, "customer"), "c_mktsegment",
+        nRows = None, // auto-max n: feasible at every scale factor
+        distribution = Some(Map(
+          "AUTOMOBILE" -> 0.2, "BUILDING" -> 0.2, "FURNITURE" -> 0.2,
+          "HOUSEHOLD" -> 0.2, "MACHINERY" -> 0.2)),
+        seed = 42L, tieBreak = Seq("c_custkey"))
+    }),
+    // #4 sample_at_most (utils.py:557-608) — no SQL oracle (RNG)
+    "sample_at_most" -> ((s, dir) => {
+      Sampling.sampleNAtMost(t(s, dir, "orders"), 100, seed = 42L,
+        tieBreak = Seq("o_orderkey"))
+    }),
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private def columnStatsSql(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (c, dtype) =>
+      s"""(WITH gc AS (SELECT CAST($c AS VARCHAR) AS value, COUNT(*) AS cnt FROM $table GROUP BY 1),
+          | tp AS (SELECT value, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rk FROM gc WHERE value IS NOT NULL)
+          |SELECT '$c' AS "column", '$dtype' AS dtype,
+          | (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_unique,
+          | (SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) FROM gc WHERE value IS NULL) AS n_null,
+          | (SELECT value FROM tp WHERE rk = 1) AS top_value,
+          | (SELECT CAST(cnt AS BIGINT) FROM tp WHERE rk = 1) AS top_count,
+          | (SELECT value FROM tp WHERE rk = 2) AS second_value,
+          | (SELECT CAST(cnt AS BIGINT) FROM tp WHERE rk = 2) AS second_count)""".stripMargin
+    }.mkString("", " UNION ALL ", " ORDER BY \"column\"")
+
+  def oracleSql: Map[String, String] = Map(
+    "vc_returnflag" ->
+      """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS value, COUNT(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1),
+        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM c),
+        | u AS (SELECT value, cnt, ROUND(CAST(cnt AS DOUBLE) / g, 6) AS fraction FROM c, t
+        |       UNION ALL SELECT 'TOTAL', g, 1.0 FROM t)
+        |SELECT value, cnt, fraction FROM u ORDER BY (value = 'TOTAL'), cnt DESC, value""".stripMargin,
+    "vc_quantity_bins" ->
+      """WITH mm AS (SELECT CAST(MIN(l_quantity) AS DOUBLE) AS gmin, CAST(MAX(l_quantity) AS DOUBLE) AS gmax FROM lineitem),
+        | b AS (SELECT CAST(LEAST(FLOOR((l_quantity - gmin) / (gmax - gmin) * 10), 9) AS INT) AS bucket, gmin, gmax FROM lineitem, mm WHERE l_quantity IS NOT NULL),
+        | c AS (SELECT bucket, gmin, gmax, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
+        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM c)
+        |SELECT bucket, gmin + (gmax - gmin) / 10 * bucket AS lo, gmin + (gmax - gmin) / 10 * (bucket + 1) AS hi, cnt, ROUND(CAST(cnt AS DOUBLE) / g, 6) AS fraction
+        |FROM c, t ORDER BY bucket""".stripMargin,
+    "upsert_orders" ->
+      """WITH delta AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM delta
+        |ORDER BY o_orderkey""".stripMargin,
+    "dedup_first" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "dedup_none" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders) WHERE n = 1 ORDER BY o_custkey""".stripMargin,
+    "topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "weighted_avg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+        |     / CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS weighted_avg
+        |FROM lineitem""".stripMargin,
+    "column_stats_customer" -> columnStatsSql("customer", Seq(
+      "c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_mktsegment" -> "string")),
+    "reindex_join" ->
+      """WITH agg AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(total_spent, 0.0) AS total_spent
+        |FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "pivot_status" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS qty_f,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "diag_coo" ->
+      """SELECT l_suppkey AS row_key, l_partkey AS col_key,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS value
+        |FROM lineitem WHERE l_suppkey = l_partkey GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "unique_row_ids" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(DENSE_RANK() OVER (ORDER BY l_returnflag, l_linestatus) AS BIGINT) AS row_id,
+        | n
+        |FROM (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2)
+        |ORDER BY row_id""".stripMargin,
+    "identity_series" ->
+      "SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS value FROM customer ORDER BY c_custkey",
+    "alignable" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer), b AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT ((SELECT COUNT(*) FROM a) = (SELECT COUNT(DISTINCT k) FROM a))
+        |   AND ((SELECT COUNT(*) FROM b) = (SELECT COUNT(DISTINCT k) FROM b))
+        |   AND ((SELECT COUNT(*) FROM a) = (SELECT COUNT(*) FROM b))
+        |   AND NOT EXISTS (SELECT 1 FROM a WHERE k NOT IN (SELECT k FROM b))
+        |   AND NOT EXISTS (SELECT 1 FROM b WHERE k NOT IN (SELECT k FROM a)) AS align_ab,
+        | TRUE AS align_aa""".stripMargin,
+  )
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed-table relational operators re-expressing the reference's
+  * index-algebra surface (epic-pandas `utils.py`) Spark-first.
+  *
+  * Scale notes (100 TB rule): no operator here collects row data to the
+  * driver; the only driver-side actions are O(#strata)/O(#labels) metadata
+  * lookups that the reference itself treats as small. Totals are computed
+  * as 1-row aggregates joined back via broadcast, never via an
+  * all-rows-to-one-partition window.
+  */
+object Relational {
+
+  /** Histogram of a column -> (value, cnt, fraction[, TOTAL row]).
+    * Reference: `utils.py:281-320` (value_counts). The synthetic TOTAL row
+    * label escalates (`TOTAL` -> `=TOTAL=` -> `==TOTAL==` ...) when the
+    * data itself contains the label (`utils.py:316-319`).
+    *
+    * Values are cast to string so the TOTAL label can share the column.
+    * fraction sums to 1.0 over the non-TOTAL rows.
+    */
+  def valueCounts(
+      df: DataFrame,
+      c: String,
+      sort: Boolean = true,
+      ascending: Boolean = false,
+      dropna: Boolean = true,
+      total: Boolean = false): DataFrame = {
+    val base = if (dropna) df.filter(col(c).isNotNull) else df
+    val counts = base
+      .groupBy(col(c).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    // total = 1-row aggregate, broadcast back (no Window.over() single-
+    // partition collapse; this survives any input size).
+    val tot = counts.agg(sum("cnt").as("_grand"))
+    val withFrac = counts
+      .crossJoin(broadcast(tot))
+      .withColumn("fraction", col("cnt").cast("double") / col("_grand"))
+      .select(col("value"), col("cnt"), col("fraction"))
+    val out =
+      if (!total) withFrac
+      else {
+        // Label-clash probe: tiny driver action over the aggregated (small)
+        // counts, mirroring the reference's in-memory index check.
+        val taken = counts
+          .filter(col("value").rlike("^=*TOTAL=*$"))
+          .select("value")
+          .collect()
+          .map(_.getString(0))
+          .toSet
+        val label = Iterator
+          .iterate("TOTAL")(l => s"=$l=")
+          .dropWhile(taken.contains)
+          .next()
+        val totalRow = tot.select(
+          lit(label).as("value"),
+          col("_grand").as("cnt"),
+          lit(1.0).as("fraction"))
+        withFrac.unionByName(totalRow)
+      }
+    if (!sort) out
+    else {
+      val cnt = if (ascending) col("cnt").asc else col("cnt").desc
+      // TOTAL row pinned last regardless of direction.
+      out.orderBy(col("value").rlike("^=*TOTAL=*$").asc, cnt, col("value"))
+    }
+  }
+
+  /** Numeric value_counts with equi-width bins (`utils.py:312`,
+    * `pd.value_counts(bins=k)`): global [min,max] split into k buckets,
+    * output one row per bucket with bounds + count + fraction.
+    * Two-pass plan: 1-row min/max aggregate broadcast into the bucketing
+    * expression, then a single hash aggregation — the same shape holds at
+    * any scale.
+    */
+  def valueCountsBinned(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val mm = df.agg(
+      min(col(c)).cast("double").as("_lo"),
+      max(col(c)).cast("double").as("_hi"))
+    val bucket = least(
+      floor((col(c).cast("double") - col("_lo")) / (col("_hi") - col("_lo")) * bins),
+      lit(bins - 1)).cast("int")
+    val binned = df
+      .filter(col(c).isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("bucket", bucket)
+    val counts = binned
+      .groupBy(col("bucket"), col("_lo"), col("_hi"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", col("_lo") + (col("_hi") - col("_lo")) / bins * col("bucket"))
+      .withColumn("hi", col("_lo") + (col("_hi") - col("_lo")) / bins * (col("bucket") + 1))
+    val tot = counts.agg(sum("cnt").as("_grand"))
+    counts
+      .crossJoin(broadcast(tot))
+      .withColumn("fraction", col("cnt").cast("double") / col("_grand"))
+      .select("bucket", "lo", "hi", "cnt", "fraction")
+      .orderBy("bucket")
+  }
+
+  /** Insert-or-update by key (`utils.py:469-489`): rows of `orig` whose key
+    * is absent from `updates`, plus all of `updates`. Order not guaranteed
+    * (the reference documents the same, `utils.py:487`). The anti-join
+    * broadcasts automatically when `updates` is small (AQE/stats); both
+    * sides shuffle on the key otherwise — the minimal possible movement.
+    */
+  def upsert(orig: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    orig
+      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
+
+  sealed trait Keep
+  object Keep {
+    case object First extends Keep
+    case object Last extends Keep
+    case object None extends Keep
+    case object Any extends Keep
+  }
+
+  /** Key-dedup with keep in {first,last,none,any} (`utils.py:352-372`).
+    * first/last/none need an explicit ordering (Spark has no row order);
+    * pass enough columns to make it total or ties resolve arbitrarily.
+    * `Any` maps to the cheaper `dropDuplicates`. One shuffle on the key
+    * either way.
+    */
+  def dropDuplicatesByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[String],
+      keep: Keep): DataFrame = keep match {
+    case Keep.Any => df.dropDuplicates(keys)
+    case _ =>
+      val w = Window.partitionBy(keys.map(col): _*)
+      val tagged = keep match {
+        case Keep.First =>
+          df.withColumn("_rn", row_number().over(w.orderBy(order.map(col(_).asc): _*)))
+            .filter(col("_rn") === 1)
+        case Keep.Last =>
+          df.withColumn("_rn", row_number().over(w.orderBy(order.map(col(_).desc): _*)))
+            .filter(col("_rn") === 1)
+        case Keep.None => df.withColumn("_n", count(lit(1)).over(w)).filter(col("_n") === 1)
+        case Keep.Any => throw new IllegalStateException("unreachable")
+      }
+      tagged.drop("_rn", "_n")
+  }
+
+  /** Diagonal of a long-form (row, col, value) matrix: entries whose row
+    * key equals the column key (`utils.py:323-338`). A pushed-down filter —
+    * no shuffle at all.
+    */
+  def diag(coo: DataFrame, rowCol: String, colCol: String): DataFrame =
+    coo.filter(col(rowCol) === col(colCol))
+
+  /** Can two keyed frames be exactly aligned (`utils.py:492-513`)?
+    * Both key sets unique and set-equal. Returns a Boolean (driver-side
+    * scalar, like the reference). Cost: two distinct-count aggs + two
+    * anti-join emptiness probes.
+    */
+  def alignable(a: DataFrame, b: DataFrame, keys: Seq[String]): Boolean = {
+    val ka = a.select(keys.map(col): _*)
+    val kb = b.select(keys.map(col): _*)
+    val Array(ca, da) =
+      ka.agg(count(lit(1)), count_distinct(col(keys.head), keys.tail.map(col): _*)).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val Array(cb, db) =
+      kb.agg(count(lit(1)), count_distinct(col(keys.head), keys.tail.map(col): _*)).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    ca == da && cb == db && ca == cb &&
+    ka.exceptAll(kb).isEmpty && kb.exceptAll(ka).isEmpty
+  }
+
+  /** Assign each distinct combination of `cols` a dense Long id
+    * (`utils.py:811-841` unique_row_ids). Scale shape: distinct first
+    * (shuffle that shrinks the data), rank only the distinct set, then join
+    * the ids back (broadcast when the distinct set is small — the common
+    * case the reference optimizes with factorize). For very-high-cardinality
+    * keys use [[uniqueRowIdsHashed]].
+    */
+  def uniqueRowIds(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val distinctRows = df.select(cols.map(col): _*).distinct()
+    val ids = distinctRows.withColumn(
+      "row_id",
+      dense_rank().over(Window.orderBy(cols.map(col): _*)).cast("long"))
+    df.join(broadcast(ids), cols, "left")
+  }
+
+  /** Collision-tolerant O(1) variant: 64-bit xxhash of the row tuple.
+    * Not dense, not rank-ordered; documented divergence for the 100 TB
+    * path where a global rank is unaffordable.
+    */
+  def uniqueRowIdsHashed(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumn("row_id", xxhash64(cols.map(col): _*))
+
+  /** IdentitySeries (`utils.py:630-723`): a keyed frame whose value IS the
+    * key — a pure projection, zero cost.
+    */
+  def identitySeries(df: DataFrame, key: String, castTo: String = "string"): DataFrame =
+    df.select(col(key), col(key).cast(castTo).as("value"))
+
+  /** Zip several key columns into one struct key (`utils.py:611-627`
+    * stack_indices / MultiIndex construction).
+    */
+  def stackIndices(df: DataFrame, keys: Seq[String], as: String = "key"): DataFrame =
+    df.withColumn(as, struct(keys.map(col): _*))
+
+  /** Deterministic top-k: sort + limit (never a driver-side collect-sort).
+    * `tieBreak` makes the result stable under ties.
+    */
+  def topK(df: DataFrame, k: Int, by: Column, tieBreak: Column): DataFrame =
+    df.orderBy(by, tieBreak).limit(k)
+}

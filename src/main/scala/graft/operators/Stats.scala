@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column profiling & scalar statistics (reference `utils.py:760-808`
+  * column_stats, `algorithm.py:95-115` weighted_average, `utils.py:375-448`
+  * fillna family).
+  */
+object Stats {
+
+  /** Per-column profile: dtype, non-null distinct count, null count, top
+    * two values with their counts (`utils.py:760-808`).
+    *
+    * The reference fans out one pandas job per column (`papply`); here all
+    * requested columns are profiled in ONE shuffle: rows are exploded to
+    * (column, value-as-string) pairs via `stack`, grouped once, and the
+    * per-column rollups (null count, distinct count, top-2 by
+    * (count desc, value asc) — deterministic under ties) are derived from
+    * the grouped counts. At 100 TB this is a single map-side-combined
+    * aggregation instead of #cols full scans.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val dtypes = cols.map(c => c -> schema(c).dataType.simpleString).toMap
+    val stackArgs = cols
+      .map(c => s"'$c', cast(`$c` as string)")
+      .mkString(s"stack(${cols.size}, ", ", ", ") as (column, value)")
+    val pairs = df.selectExpr(stackArgs)
+    val grouped = pairs.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+    val perCol = grouped
+      .groupBy("column")
+      .agg(
+        sum(when(col("value").isNull, col("cnt")).otherwise(lit(0L))).as("n_null"),
+        sum(when(col("value").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+    val w = Window
+      .partitionBy("column")
+      .orderBy(col("cnt").desc, col("value").asc)
+    val top2 = grouped
+      .filter(col("value").isNotNull)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 2)
+      .groupBy("column")
+      .agg(
+        max(when(col("_rk") === 1, col("value"))).as("top_value"),
+        max(when(col("_rk") === 1, col("cnt"))).as("top_count"),
+        max(when(col("_rk") === 2, col("value"))).as("second_value"),
+        max(when(col("_rk") === 2, col("cnt"))).as("second_count"))
+    val dtypeCol = dtypes.foldLeft(lit(null).cast("string")) { case (acc, (c, t)) =>
+      when(col("column") === lit(c), lit(t)).otherwise(acc)
+    }
+    perCol
+      .join(top2, Seq("column"), "left")
+      .withColumn("dtype", dtypeCol)
+      .select("column", "dtype", "n_unique", "n_null",
+        "top_value", "top_count", "second_value", "second_count")
+      .orderBy("column")
+  }
+
+  /** Σ(x·w)/Σw (`algorithm.py:95-115`). Pure expression — single partial+
+    * final aggregation, no custom class needed (SURVEY §4.3).
+    */
+  def weightedAverage(df: DataFrame, x: String, w: String): Column =
+    sum(col(x) * col(w)) / sum(col(w))
+
+  def weightedAverageDf(df: DataFrame, x: String, w: String): DataFrame =
+    df.agg((sum(col(x) * col(w)) / sum(col(w))).as("weighted_avg"))
+
+  /** Robust fill (`utils.py:375-448`): scalar or per-column fill values via
+    * coalesce. The reference's callable-per-NA and dtype-widening behaviors
+    * don't map to typed Spark columns (SURVEY §7.4.2/.5): fill values must
+    * cast to the column type; a per-NA fresh mutable object is meaningless
+    * when every generated value is independent.
+    */
+  def fillna(df: DataFrame, values: Map[String, Any]): DataFrame =
+    values.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(c), lit(v).cast(acc.schema(c).dataType)))
+    }
+
+  /** Pearson correlation as a 1-row frame (`plot.py:333`). */
+  def corrDf(df: DataFrame, x: String, y: String): DataFrame =
+    df.agg(corr(col(x), col(y)).as("corr"))
+}
