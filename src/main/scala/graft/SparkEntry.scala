@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Relational, Sampling, Stats}
+import graft.functions.{ByteFunctions, TextFunctions}
+import graft.operators.{Ann, Dedup, Relational, Sampling, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,14 +40,14 @@ object SparkEntry {
     "vc_returnflag" -> ((s, dir) => {
       Relational
         .valueCounts(t(s, dir, "lineitem"), "l_returnflag", total = true)
-        .select(col("value"), col("cnt"), round(col("fraction"), 6).as("fraction"))
+        .select(col("value"), col("cnt"), col("fraction"))
     }),
     // #6 value_counts with numeric bins (utils.py:312)
     "vc_quantity_bins" -> ((s, dir) => {
       Relational
         .valueCountsBinned(t(s, dir, "lineitem"), "l_quantity", 10)
         .select(col("bucket"), col("lo"), col("hi"), col("cnt"),
-          round(col("fraction"), 6).as("fraction"))
+          col("fraction"))
     }),
     // #12 upsert (utils.py:469-489)
     "upsert_orders" -> ((s, dir) => {
@@ -161,6 +162,98 @@ object SparkEntry {
       Sampling.sampleNAtMost(t(s, dir, "orders"), 100, seed = 42L,
         tieBreak = Seq("o_orderkey"))
     }),
+    // #24 shannon_entropy per doc (algorithm.py:30-44)
+    "entropy_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(ByteFunctions.shannon_entropy(col("text").cast("binary")), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+    // #25 KL divergence between en/de corpus byte distributions (algorithm.py:47-68)
+    "kl_en_de" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val histAgg = udaf(new ByteFunctions.ByteHistogramAgg,
+        org.apache.spark.sql.Encoders.BINARY)
+      val hEn = docs.filter(col("lang") === "en")
+        .agg(histAgg(col("text").cast("binary")).as("h1"))
+      val hDe = docs.filter(col("lang") === "de")
+        .agg(histAgg(col("text").cast("binary")).as("h2"))
+      hEn.crossJoin(hDe)
+        .select(round(ByteFunctions.kl_divergence(col("h1"), col("h2")), 6).as("kl"))
+    }),
+    // EXT text analysis: token count, punctuation, stopwords, lang id, quality
+    "text_profile" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(txt).as("token_cnt"),
+          TextFunctions.punctCount(txt).as("punct_cnt"),
+          TextFunctions.stopwordCount(txt, TextFunctions.EnStops).as("stop_en"),
+          TextFunctions.langId(txt).as("lang_pred"),
+          TextFunctions.qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // EXT document fingerprinting (portable md5 variant)
+    "fingerprint_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // EXT exact dedup over a corpus with injected duplicates
+    "dedup_exact_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.exactGroups(docs.unionByName(dups), "text", "doc_id")
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+    // EXT n-gram Jaccard near-dup pairs (shingle self-join, no cross product)
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.ngramJaccardPairs(docs.unionByName(dups), "doc_id", "text", 3, 0.9)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // EXT embedding near-duplicate pairs (cosine >= 0.3)
+    "embedding_near_dup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+    // EXT brute-force cosine top-k (exact ANN baseline)
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // EXT MinHash-LSH near-dup (xxhash64-based — rows-only oracle)
+    "minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(dups)
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 16, 3)
+      val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+      Dedup.jaccardForPairs(cands, corpus, "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // EXT SimHash per doc (xxhash64-based — rows-only oracle)
+    "simhash_docs" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    }),
+    // EXT LSH-bucketed approximate ANN (rows-only oracle; recall tested in specs)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -178,11 +271,44 @@ object SparkEntry {
           | (SELECT CAST(cnt AS BIGINT) FROM tp WHERE rk = 2) AS second_count)""".stripMargin
     }.mkString("", " UNION ALL ", " ORDER BY \"column\"")
 
+  /** SQL mirror of TextFunctions (stopword lists injected so both sides
+    * stay in sync by construction).
+    */
+  private def textProfileSql: String = {
+    def occ(w: String) =
+      s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS INT)"
+    def stops(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
+    s"""WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+       | c AS (SELECT doc_id, text,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END AS token_cnt,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_cnt,
+       |  ${stops(TextFunctions.EnStops)} AS stop_en,
+       |  ${stops(TextFunctions.DeStops)} AS stop_de,
+       |  ${stops(TextFunctions.EsStops)} AS stop_es,
+       |  ${stops(TextFunctions.FrStops)} AS stop_fr,
+       |  CAST(length(text) AS DOUBLE) AS chars,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace
+       | FROM base)
+       |SELECT doc_id, token_cnt, punct_cnt, stop_en,
+       | CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       |      WHEN stop_en = 0 AND stop_de = 0 AND stop_es = 0 AND stop_fr = 0 THEN 'unknown'
+       |      WHEN stop_en >= stop_de AND stop_en >= stop_es AND stop_en >= stop_fr THEN 'en'
+       |      WHEN stop_de >= stop_es AND stop_de >= stop_fr THEN 'de'
+       |      WHEN stop_es >= stop_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+       | (
+       |   0.25 * LEAST(CAST(token_cnt AS DOUBLE) / 100.0, 1.0) +
+       |   0.25 * LEAST((CASE WHEN token_cnt > 0 THEN nonspace / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0) +
+       |   0.25 * (1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct_cnt AS DOUBLE) / chars ELSE 1.0 END) * 10.0, 1.0)) +
+       |   0.25 * LEAST((CASE WHEN token_cnt > 0 THEN CAST(stop_en AS DOUBLE) / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+       | ) AS quality
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "vc_returnflag" ->
       """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS value, COUNT(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1),
         | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM c),
-        | u AS (SELECT value, cnt, ROUND(CAST(cnt AS DOUBLE) / g, 6) AS fraction FROM c, t
+        | u AS (SELECT value, cnt, CAST(cnt AS DOUBLE) / g AS fraction FROM c, t
         |       UNION ALL SELECT 'TOTAL', g, 1.0 FROM t)
         |SELECT value, cnt, fraction FROM u ORDER BY (value = 'TOTAL'), cnt DESC, value""".stripMargin,
     "vc_quantity_bins" ->
@@ -190,7 +316,7 @@ object SparkEntry {
         | b AS (SELECT CAST(LEAST(FLOOR((l_quantity - gmin) / (gmax - gmin) * 10), 9) AS INT) AS bucket, gmin, gmax FROM lineitem, mm WHERE l_quantity IS NOT NULL),
         | c AS (SELECT bucket, gmin, gmax, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
         | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM c)
-        |SELECT bucket, gmin + (gmax - gmin) / 10 * bucket AS lo, gmin + (gmax - gmin) / 10 * (bucket + 1) AS hi, cnt, ROUND(CAST(cnt AS DOUBLE) / g, 6) AS fraction
+        |SELECT bucket, gmin + (gmax - gmin) / 10 * bucket AS lo, gmin + (gmax - gmin) / 10 * (bucket + 1) AS hi, cnt, CAST(cnt AS DOUBLE) / g AS fraction
         |FROM c, t ORDER BY bucket""".stripMargin,
     "upsert_orders" ->
       """WITH delta AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
@@ -240,6 +366,69 @@ object SparkEntry {
         |ORDER BY row_id""".stripMargin,
     "identity_series" ->
       "SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS value FROM customer ORDER BY c_custkey",
+    // ascending-code ordered summation mirrors the expression's byte loop
+    "entropy_docs" ->
+      """WITH ch AS (SELECT doc_id, ascii(c) AS code, COUNT(*) AS cnt
+        |            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |            GROUP BY 1, 2),
+        | tot AS (SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS n FROM ch GROUP BY 1),
+        | terms AS (SELECT ch.doc_id, ch.code, -(cnt / n) * log2(cnt / n) AS term
+        |           FROM ch JOIN tot USING (doc_id))
+        |SELECT doc_id, ROUND(list_sum(list(term ORDER BY code)), 6) AS entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "kl_en_de" ->
+      """WITH b1 AS (SELECT ascii(c) AS code, COUNT(*) AS cnt
+        |            FROM (SELECT unnest(string_split(text, '')) AS c FROM documents WHERE lang = 'en') GROUP BY 1),
+        | b2 AS (SELECT ascii(c) AS code, COUNT(*) AS cnt
+        |        FROM (SELECT unnest(string_split(text, '')) AS c FROM documents WHERE lang = 'de') GROUP BY 1),
+        | n1 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM b1),
+        | n2 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM b2),
+        | terms AS (SELECT b1.code,
+        |   (b1.cnt / n1.n) * log2((b1.cnt / n1.n) / (COALESCE(b2.cnt, 0) / n2.n + 1e-7)) AS term
+        |   FROM b1 LEFT JOIN b2 USING (code), n1, n2)
+        |SELECT ROUND(list_sum(list(term ORDER BY code)), 6) AS kl FROM terms""".stripMargin,
+    "text_profile" -> textProfileSql,
+    "fingerprint_docs" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "dedup_exact_docs" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+        | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM u),
+        | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |        FROM w WHERE len(ws) >= 3),
+        | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
+        | inter AS (SELECT x.jid AS id_a, y.jid AS id_b, COUNT(*) AS i
+        |           FROM sh x JOIN sh y ON x.sh = y.sh AND x.jid < y.jid GROUP BY 1, 2),
+        | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "embedding_near_dup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
+        |   FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | q AS (SELECT * FROM e WHERE vec_id < 5),
+        | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) /
+        |   (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+        |   FROM q, e c WHERE c.vec_id <> q.vec_id),
+        | r AS (SELECT query_id, neighbor_id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |        FROM s)
+        |SELECT query_id, neighbor_id, cos, rank FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "alignable" ->
       """WITH a AS (SELECT c_custkey AS k FROM customer), b AS (SELECT DISTINCT o_custkey AS k FROM orders)
         |SELECT ((SELECT COUNT(*) FROM a) = (SELECT COUNT(DISTINCT k) FROM a))

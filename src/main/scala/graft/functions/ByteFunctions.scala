@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types._
+
+/** Byte-level statistics (reference `algorithm.py:13-68`): per-blob byte
+  * histogram, Shannon entropy (base 2, range [0,8] — `algorithm.py:42`),
+  * and KL divergence with the reference's 1e-7 smoothing
+  * (`algorithm.py:64-68`).
+  *
+  * Implemented as native Catalyst expressions (single pass over the bytes,
+  * no UDF serialization); histogram aggregation across rows is a typed
+  * `Aggregator` whose merge is a 256-slot vector add — partial aggregation
+  * happens map-side, so the shuffle carries one 256-vector per partition,
+  * not per row.
+  */
+object ByteFunctions {
+
+  /** 256-bin histogram of a binary column (`algorithm.py:13-27`). */
+  case class ByteHistogram(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      val h = new Array[Long](256)
+      var i = 0
+      while (i < bytes.length) { h(bytes(i) & 0xff) += 1L; i += 1 }
+      new GenericArrayData(h)
+    }
+    override protected def withNewChildInternal(c: Expression): ByteHistogram = copy(c)
+  }
+
+  /** Shannon entropy (base 2) of the byte distribution of a blob
+    * (`algorithm.py:30-44`). Terms accumulate in ascending byte order —
+    * the documented summation order for oracle parity.
+    */
+  case class ShannonEntropy(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      if (bytes.isEmpty) 0.0
+      else {
+        val h = new Array[Long](256)
+        var i = 0
+        while (i < bytes.length) { h(bytes(i) & 0xff) += 1L; i += 1 }
+        val n = bytes.length.toDouble
+        var ent = 0.0
+        var b = 0
+        while (b < 256) {
+          if (h(b) > 0L) {
+            val p = h(b) / n
+            ent += -p * (math.log(p) / math.log(2.0))
+          }
+          b += 1
+        }
+        ent
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): ShannonEntropy = copy(c)
+  }
+
+  /** KL(p‖q) base 2 between two 256-bin histograms, with the reference's
+    * +1e-7 smoothing on q's normalized bins (`algorithm.py:47-68`).
+    * Ascending-bin summation order.
+    */
+  case class KlDivergence(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val h1 = l.asInstanceOf[ArrayData].toLongArray()
+      val h2 = r.asInstanceOf[ArrayData].toLongArray()
+      require(h1.length == h2.length, "histogram lengths differ")
+      val n1 = h1.sum.toDouble
+      val n2 = h2.sum.toDouble
+      var kl = 0.0
+      var i = 0
+      while (i < h1.length) {
+        if (h1(i) > 0L && n1 > 0) {
+          val p = h1(i) / n1
+          val q = (if (n2 > 0) h2(i) / n2 else 0.0) + 1e-7
+          kl += p * (math.log(p / q) / math.log(2.0))
+        }
+        i += 1
+      }
+      kl
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): KlDivergence =
+      copy(left = l, right = r)
+  }
+
+  import graft.functions.ColumnOps.toColumn
+
+  def byte_histogram(c: Column): Column = toColumn(ByteHistogram(_))(c)
+  def shannon_entropy(c: Column): Column = toColumn(ShannonEntropy(_))(c)
+  def kl_divergence(a: Column, b: Column): Column =
+    ColumnOps.toColumn2(KlDivergence(_, _))(a, b)
+
+  /** Corpus-level byte histogram: sums per-blob histograms across rows.
+    * Buffer merge = vector add (map-side partial aggregation). Register
+    * with `functions.udaf` / `spark.udf.register`.
+    */
+  class ByteHistogramAgg extends Aggregator[Array[Byte], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](256)
+    override def reduce(buf: Array[Long], bytes: Array[Byte]): Array[Long] = {
+      if (bytes != null) {
+        var i = 0
+        while (i < bytes.length) { buf(bytes(i) & 0xff) += 1L; i += 1 }
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 256) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+}

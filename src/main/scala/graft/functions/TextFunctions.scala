@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the training-data pipeline surface
+  * (EXT per SURVEY north star; `documents` table). All built from codegen'd
+  * builtins — no UDFs — and every formula is chosen to be expressible
+  * identically in ANSI SQL for the oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace token count; 0 for empty/blank strings. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Count of punctuation chars (.,!?;:). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
+
+  /** Non-overlapping occurrences of a literal substring, via the
+    * length-difference-of-replace trick (portable to any SQL engine).
+    */
+  def occurrences(c: Column, lit0: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(lit0), ""))) /
+      lit(lit0.length)).cast("int")
+
+  private def padded(c: Column): Column = concat(lit(" "), lower(c), lit(" "))
+
+  /** Stopword hit count for a padded-space word list. */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    words.map(w => occurrences(padded(c), s" $w ")).reduce(_ + _)
+
+  val EnStops = Seq("the", "and", "of", "a")
+  val DeStops = Seq("der", "und", "die", "das")
+  val EsStops = Seq("el", "la", "los", "las")
+  val FrStops = Seq("le", "les", "des", "et")
+
+  /** n-gram-free heuristic language id: CJK chars dominate -> zh; else
+    * argmax of per-language stopword counts with fixed preference order
+    * en > de > es > fr; all-zero -> 'unknown'. Deterministic and
+    * SQL-portable (the CASE order IS the tie-break).
+    */
+  def langId(c: Column): Column = {
+    val en = stopwordCount(c, EnStops)
+    val de = stopwordCount(c, DeStops)
+    val es = stopwordCount(c, EsStops)
+    val fr = stopwordCount(c, FrStops)
+    when(c.rlike("[一-鿿]"), lit("zh"))
+      .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("unknown"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite quality score in [0,1]: length, token-length, punctuation
+    * and stopword components, equally weighted. The exact formula is the
+    * contract (oracle-tested); weights follow common quality-filter
+    * practice (length + fluency signals).
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c).cast("double")
+    val chars = length(c).cast("double")
+    val nonSpace = length(regexp_replace(c, "\\s", "")).cast("double")
+    val avgTokLen = when(toks > 0, nonSpace / toks).otherwise(lit(0.0))
+    val punctRatio = when(chars > 0, punctCount(c).cast("double") / chars).otherwise(lit(1.0))
+    val stopRatio = when(toks > 0, stopwordCount(c, EnStops).cast("double") / toks).otherwise(lit(0.0))
+    lit(0.25) * least(toks / 100.0, lit(1.0)) +
+      lit(0.25) * least(avgTokLen / 8.0, lit(1.0)) +
+      lit(0.25) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) +
+      lit(0.25) * least(stopRatio * 5.0, lit(1.0))
+  }
+
+  /** Exact content fingerprint (md5 hex) — engine-portable. */
+  def fingerprintMd5(c: Column): Column = md5(c.cast("binary"))
+
+  /** 64-bit polynomial rolling-hash fingerprint (xxhash64-based) — the
+    * scalable non-cryptographic variant; not SQL-portable (rows-only
+    * oracle).
+    */
+  def fingerprint64(c: Column): Column = xxhash64(c)
+
+  /** Word k-shingles: contiguous k-word windows joined by single spaces.
+    * Built from split + transform(sequence) — no UDF, no explode until the
+    * caller asks for one. Guarded: Spark's `sequence(1, 0)` would count
+    * DOWN, so short inputs return an empty array explicitly.
+    */
+  def wordShingles(c: Column, k: Int): Column = {
+    val words = split(trim(c), "\\s+")
+    val n = size(words)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i => array_join(slice(words, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-grams of a string column (same short-input guard). */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector math over `array<double>` embedding columns (EXT: similarity
+  * search per SURVEY §7.11 north star; no reference analog).
+  *
+  * Two tiers:
+  *  - [[CosineSimilarity]]: a native Catalyst expression — one fused loop
+  *    over both arrays, no intermediate array allocation. Summation is
+  *    sequential in element order and the result is
+  *    dot / (sqrt(na) * sqrt(nb)), the documented formula for oracle
+  *    parity.
+  *  - builder-function equivalents composed from higher-order builtins
+  *    (`zip_with`/`aggregate`) for plans that must stay expression-only.
+  */
+object VectorFunctions {
+
+  /** cosine(a, b) with sequential accumulation; null if either side is
+    * null; 0.0 for zero-norm inputs.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toDoubleArray()
+      val b = r.asInstanceOf[ArrayData].toDoubleArray()
+      require(a.length == b.length, s"vector lengths differ: ${a.length} vs ${b.length}")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+      copy(left = l, right = r)
+  }
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnOps.toColumn2(CosineSimilarity(_, _))(
+      a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
+
+  /** Builtin-HOF dot product: `aggregate(zip_with(a,b,*), 0d, +)`. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def normHof(a: Column): Column = sqrt(dotHof(a, a))
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (normHof(a) * normHof(b))
+
+  /** Deterministic random hyperplanes for sign-bit LSH: `nPlanes` x `dim`
+    * weights from a seeded RNG (driver-side constant, broadcast as a
+    * literal into the plan — no data movement).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Pack sign bits of `v . plane_j` into a Long bucket id. One fused
+    * expression per plane; works on any `array<double>` column.
+    */
+  def signBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val dot = p.zipWithIndex.map { case (w, d) =>
+        element_at(v, d + 1) * lit(w)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

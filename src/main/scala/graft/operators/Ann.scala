@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column (EXT per
+  * SURVEY north star; `embeddings` table).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one scan of the corpus, per-query top-k via window. This is the exact
+  * oracle-checkable path and also the right plan whenever |queries| is
+  * small: no shuffle of the corpus at all, only of the (|queries| x k)
+  * result.
+  *
+  * Scale path: sign-bit LSH bucketing — corpus is pre-bucketed by the sign
+  * pattern of `nPlanes` random hyperplane projections (a deterministic,
+  * seeded, data-independent partitioner), queries probe only their own
+  * bucket. Recall/cost is tuned by nPlanes; a multi-probe variant would
+  * flip low-margin bits.
+  */
+object Ann {
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Output: (query_id, neighbor_id, cos), rank-ordered with (cos desc,
+    * neighbor_id asc) tie-break.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's sign
+    * bucket; exact cosine re-rank within the bucket. Returns the same
+    * schema as [[bruteForceTopK]]; recall < 1 by design.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = VectorFunctions.hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", VectorFunctions.signBucket(col("cv"), planes))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", VectorFunctions.signBucket(col("qv"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the training-data pipeline (EXT per SURVEY
+  * north star): exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup.
+  *
+  * Scale shapes:
+  *  - exact: one hash-groupBy on the content key (or its md5/xxhash64 to
+  *    avoid shuffling long texts);
+  *  - MinHash LSH: explode shingles once, aggregate k mins per doc
+  *    (map-side combine), band the signatures, and self-join on
+  *    (band, band-hash) — candidate pairs only, never the O(n^2) cross
+  *    product;
+  *  - SimHash: one custom Aggregator pass per doc, then bucket by
+  *    hamming-prefix;
+  *  - verification joins (exact Jaccard) run only over candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one representative (min id) + multiplicity per
+    * distinct content value. Groups by a 64-bit content hash first so the
+    * shuffle carries 8-byte keys, not full documents; the (vanishingly
+    * rare) hash-collision case is re-checked on the content itself.
+    */
+  def exactGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("content_hash"), col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "content_hash")
+
+  /** Drop exact duplicates, keeping the lowest id per content value. */
+  def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature per doc: k independent 64-bit min-hashes over the
+    * distinct word `shingleK`-shingles. One explode + one groupBy with k
+    * `min` aggregates (all map-side combinable).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleK: Int = 3): DataFrame = {
+    val shingled = df
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures: `bands` bands of
+    * `k/bands` rows; docs sharing any band hash become a candidate pair.
+    * Self-join is on the (band, hash) key — shuffle proportional to
+    * bucket sizes, not n^2.
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val banded = (0 until bands).map { b =>
+      val hs = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      sigs.select(col(idCol), lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+    }.reduce(_ unionByName _)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs (verification stage): joins each
+    * side's distinct shingle set, counts intersections, and derives
+    * |A∪B| = |A| + |B| − |A∩B|.
+    */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("jid"), explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("jid", "id_a_j").withColumnRenamed("sh", "sh_a"),
+        col("id_a") === col("id_a_j"))
+      .join(sh.withColumnRenamed("jid", "id_b_j").withColumnRenamed("sh", "sh_b"),
+        col("id_b") === col("id_b_j") && col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold, computed WITHOUT a cross
+    * product: explode distinct shingles, self-join on the shingle, count
+    * intersections per pair (only pairs sharing >=1 shingle ever
+    * materialize), then filter on the derived Jaccard.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("jid"), explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.jid") < col("y.jid"))
+      .groupBy(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over token hashes: bit j of the result is the sign of
+    * Σ_tokens (bit j set ? +1 : −1). Single-pass Aggregator (64-int
+    * buffer; map-side combinable).
+    */
+  class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(buf: Array[Int], tokenHash: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) {
+        if (((tokenHash >>> j) & 1L) == 1L) buf(j) += 1 else buf(j) -= 1
+        j += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    override def finish(buf: Array[Int]): Long = {
+      var h = 0L
+      var j = 0
+      while (j < 64) { if (buf(j) > 0) h |= (1L << j); j += 1 }
+      h
+    }
+    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Per-doc SimHash: explode tokens -> hash -> SimHashAgg. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simhashUdaf = udaf(new SimHashAgg, org.apache.spark.sql.Encoders.scalaLong)
+    df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("th"))
+      .groupBy(col(idCol))
+      .agg(simhashUdaf(col("th")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: equal 16-bit prefix blocks (any of 4)
+    * — the standard "hamming distance <= 3 implies some block equal"
+    * pigeonhole bucketing.
+    */
+  def simhashCandidates(sims: DataFrame, idCol: String): DataFrame = {
+    val blocks = (0 until 4).map { b =>
+      sims.select(col(idCol), lit(b).as("blk"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+    }.reduce(_ unionByName _)
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. Brute force within
+    * sign-LSH buckets (see [[graft.operators.Ann]]) — here the exact
+    * verification for candidate pairs.
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
