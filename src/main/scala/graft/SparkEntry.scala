@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{ByteFunctions, TextFunctions}
-import graft.operators.{Ann, Dedup, Relational, Sampling, Stats}
+import graft.operators.{Ann, Coo, Dedup, Relational, Sampling, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -254,6 +254,92 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // #26 gaussian smoothing over an ordered daily series (algorithm.py:71-92)
+    "smooth_gaussian" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Windows.gaussianSmooth(daily, Seq("day"), "cnt", 2.0)
+        .select(col("day"), col("cnt"), col("smoothed"))
+        .orderBy("day")
+    }),
+    // #33 split_with_overlap (numpy.py:185-241), long-form segments
+    "split_overlap" -> ((s, dir) => {
+      Windows.splitWithOverlap(
+          t(s, dir, "events").select("event_id"), Seq("event_id"), 100, 50)
+        .select(col("seg"), col("pos"), col("event_id"))
+        .orderBy("seg", "pos")
+    }),
+    // running totals (pandas cumsum; utils.py:267-271 uses the same shape)
+    "running_total_user" -> ((s, dir) => {
+      Windows.runningTotal(t(s, dir, "events"), Seq("ts", "event_id"), "value",
+          partitionBy = Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("running"))
+        .orderBy("user_id", "event_id")
+    }),
+    // #38 pie threshold->Others collapse (plot.py:115-124)
+    "pie_log10_orders" -> ((s, dir) => {
+      VizPrep.pieOthers(t(s, dir, "orders"),
+          floor(log10(col("o_totalprice"))).cast("int").cast("string"), 0.05)
+        .orderBy("slice")
+    }),
+    // #39 two-level pie prep (plot.py:140-242)
+    "two_level_pie" -> ((s, dir) => {
+      val joined = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      VizPrep.twoLevelPie(joined, col("r_name"), col("n_name"), None, 0.1)
+    }),
+    // #41 shared-bin grouped histogram (plot.py:337-424)
+    "group_hist_price" -> ((s, dir) => {
+      VizPrep.groupHist(t(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_extendedprice"), 20)
+    }),
+    // #42 pivoted normalized bar table (plot.py:427-501)
+    "group_bar_hist" -> ((s, dir) => {
+      VizPrep.groupBarHist(t(s, dir, "orders"), col("o_orderstatus"),
+        col("o_orderpriority"), Seq("F", "O", "P"), 4)
+    }),
+    // #40 Pearson correlation (plot.py:333)
+    "corr_qty_price" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr"))
+    }),
+    // #40 2-D histogram prep (plot.py:278-334)
+    "hist2d_qty_price" -> ((s, dir) => {
+      VizPrep.hist2d(t(s, dir, "lineitem"), col("l_quantity"), col("l_extendedprice"), 8)
+    }),
+    // #35 COO density (sparse.py:65-75), dims = observed label domains
+    "coo_density" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val coo = Coo.fromDf(li, "l_suppkey", "l_partkey", "l_quantity")
+      val dims = li.agg(
+        count_distinct(col("l_suppkey")).as("_nr"),
+        count_distinct(col("l_partkey")).as("_nc"))
+      coo.agg(count(lit(1)).as("_nnz"))
+        .crossJoin(broadcast(dims))
+        .select((col("_nnz").cast("double") / (col("_nr") * col("_nc"))).as("density"))
+    }),
+    // #35 COO todense pivot (sparse.py:106-129)
+    "coo_todense" -> ((s, dir) => {
+      val coo = Coo.fromDf(t(s, dir, "lineitem"), "l_suppkey", "l_returnflag", "l_quantity")
+      Coo.todense(coo, Seq("A", "N", "R")).orderBy("row_key")
+    }),
+    // JSON extraction over events.props (EXT; driver data only)
+    "json_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+        .orderBy("event_type")
+    }),
+    // tumbling daily window aggregation (EXT streaming analogue, batch form)
+    "time_window_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("value_sum"))
+        .orderBy("day")
+    }),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -304,7 +390,112 @@ object SparkEntry {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Gaussian-smoothing oracle: the weights are computed once in Scala and
+    * injected as full-precision literals, so both engines run the exact
+    * same tap/weight arithmetic in the same order.
+    */
+  private def smoothGaussianSql: String = {
+    val w = Windows.gaussianWeights(2.0)
+    val r = w.length / 2
+    def wl(d: Double) = "%.17e".formatLocal(java.util.Locale.ROOT, d)
+    def tap(i: Int) =
+      if (i < 0) s"LAG(CAST(cnt AS DOUBLE), ${-i}) OVER w"
+      else if (i > 0) s"LEAD(CAST(cnt AS DOUBLE), $i) OVER w"
+      else "CAST(cnt AS DOUBLE)"
+    val num = (-r to r).map(i => s"${wl(w(i + r))} * COALESCE(${tap(i)}, 0.0)").mkString(" + ")
+    val den = (-r to r)
+      .map(i => s"${wl(w(i + r))} * (CASE WHEN ${tap(i)} IS NOT NULL THEN 1.0 ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1)
+       |SELECT day, cnt, ($num) / ($den) AS smoothed
+       |FROM daily WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "smooth_gaussian" -> smoothGaussianSql,
+    "split_overlap" ->
+      """WITH r AS (SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events),
+        | e AS (SELECT event_id, rn,
+        |        unnest(generate_series(CASE WHEN rn <= 100 THEN 0 ELSE (rn - 100 + 49) // 50 END,
+        |                               (rn - 1) // 50)) AS seg
+        |        FROM r)
+        |SELECT seg, rn - 1 - seg * 50 AS pos, event_id FROM e ORDER BY seg, pos""".stripMargin,
+    "running_total_user" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "pie_log10_orders" ->
+      """WITH counts AS (SELECT CAST(CAST(FLOOR(LOG10(o_totalprice)) AS INT) AS VARCHAR) AS category,
+        |                       CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM counts),
+        | s AS (SELECT CASE WHEN CAST(cnt AS DOUBLE) / g <= 0.05 THEN 'Others' ELSE category END AS slice, cnt FROM counts, t),
+        | a AS (SELECT slice, CAST(SUM(cnt) AS BIGINT) AS cnt FROM s GROUP BY 1)
+        |SELECT slice, cnt, CAST(cnt AS DOUBLE) / g AS fraction FROM a, t ORDER BY slice""".stripMargin,
+    "two_level_pie" ->
+      """WITH counts AS (SELECT r_name AS category, n_name AS subcategory, CAST(COUNT(*) AS BIGINT) AS weight
+        |   FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |   GROUP BY 1, 2),
+        | tagged AS (SELECT category, subcategory, weight,
+        |            SUM(weight) OVER (PARTITION BY category) AS cat_total0
+        |            FROM counts WHERE weight > 0),
+        | wedges AS (SELECT category,
+        |            CASE WHEN CAST(weight AS DOUBLE) / cat_total0 < 0.1 THEN '=OTHERS=' ELSE subcategory END AS wedge,
+        |            weight FROM tagged),
+        | g AS (SELECT category, wedge, CAST(SUM(weight) AS BIGINT) AS weight FROM wedges GROUP BY 1, 2),
+        | f AS (SELECT category, wedge, weight,
+        |       CAST(SUM(weight) OVER (PARTITION BY category) AS BIGINT) AS cat_total FROM g)
+        |SELECT category, wedge, weight, cat_total, CAST(weight AS DOUBLE) / cat_total AS ratio FROM f
+        |ORDER BY cat_total DESC, category, weight DESC, wedge""".stripMargin,
+    "group_hist_price" ->
+      """WITH mm AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS glo, CAST(MAX(l_extendedprice) AS DOUBLE) AS ghi FROM lineitem),
+        | c AS (SELECT l_returnflag AS grp,
+        |        CAST(LEAST(FLOOR((l_extendedprice - glo) / (ghi - glo) * 20), 19) AS INT) AS bucket,
+        |        glo, ghi, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM lineitem, mm WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2, 3, 4),
+        | w AS (SELECT grp, bucket, glo, ghi, cnt, SUM(cnt) OVER (PARTITION BY grp) AS gtotal FROM c)
+        |SELECT grp, bucket, glo + (ghi - glo) / 20 * bucket AS lo,
+        |       glo + (ghi - glo) / 20 * (bucket + 1) AS hi, cnt,
+        |       CAST(cnt AS DOUBLE) / (gtotal * ((ghi - glo) / 20)) AS density
+        |FROM w ORDER BY grp, bucket""".stripMargin,
+    "group_bar_hist" ->
+      """WITH counts AS (SELECT o_orderpriority AS value, o_orderstatus AS grp, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2),
+        | pct AS (SELECT value, grp, CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY grp) * 100.0 AS pct FROM counts),
+        | wide AS (SELECT value,
+        |   COALESCE(MAX(CASE WHEN grp = 'F' THEN pct END), 0.0) AS "F",
+        |   COALESCE(MAX(CASE WHEN grp = 'O' THEN pct END), 0.0) AS "O",
+        |   COALESCE(MAX(CASE WHEN grp = 'P' THEN pct END), 0.0) AS "P"
+        |  FROM pct GROUP BY 1)
+        |SELECT value, "F", "O", "P" FROM wide ORDER BY ("F" + "O" + "P") / 3 DESC, value LIMIT 4""".stripMargin,
+    "corr_qty_price" ->
+      "SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem",
+    "hist2d_qty_price" ->
+      """WITH mm AS (SELECT CAST(MIN(l_quantity) AS DOUBLE) AS xlo, CAST(MAX(l_quantity) AS DOUBLE) AS xhi,
+        |                   CAST(MIN(l_extendedprice) AS DOUBLE) AS ylo, CAST(MAX(l_extendedprice) AS DOUBLE) AS yhi FROM lineitem)
+        |SELECT CAST(LEAST(FLOOR((l_quantity - xlo) / (xhi - xlo) * 8), 7) AS INT) AS bucket_x,
+        |       CAST(LEAST(FLOOR((l_extendedprice - ylo) / (yhi - ylo) * 8), 7) AS INT) AS bucket_y,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem, mm WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "coo_density" ->
+      """WITH coo AS (SELECT l_suppkey, l_partkey FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST((SELECT COUNT(*) FROM coo) AS DOUBLE) /
+        |       ((SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)) AS density""".stripMargin,
+    "coo_todense" ->
+      """WITH coo AS (SELECT l_suppkey AS row_key, l_returnflag AS col_key, SUM(l_quantity) AS value FROM lineitem GROUP BY 1, 2)
+        |SELECT row_key,
+        | COALESCE(CAST(MAX(CASE WHEN col_key = 'A' THEN value END) AS DOUBLE), 0.0) AS "A",
+        | COALESCE(CAST(MAX(CASE WHEN col_key = 'N' THEN value END) AS DOUBLE), 0.0) AS "N",
+        | COALESCE(CAST(MAX(CASE WHEN col_key = 'R' THEN value END) AS DOUBLE), 0.0) AS "R"
+        |FROM coo GROUP BY row_key ORDER BY row_key""".stripMargin,
+    "json_events" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "time_window_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "vc_returnflag" ->
       """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS value, COUNT(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1),
         | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM c),
