@@ -39,24 +39,34 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the query's sign
-    * bucket; exact cosine re-rank within the bucket. Returns the same
-    * schema as [[bruteForceTopK]]; recall < 1 by design.
+  /** Multi-table sign-LSH approximate top-k: `nTables` independent hash
+    * tables of `planesPerTable` hyperplanes each; a corpus vector is a
+    * candidate if it shares the query's bucket in ANY table (standard
+    * OR-of-ANDs amplification — a single wide bucket has vanishing recall
+    * on near-orthogonal data). Exact cosine re-rank over the candidate
+    * union. Cost scales with nTables x bucket occupancy, never n^2.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = VectorFunctions.hyperplanes(nPlanes, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", VectorFunctions.signBucket(col("cv"), planes))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", VectorFunctions.signBucket(col("qv"), planes))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      vecCol: String, k: Int, nTables: Int = 8, planesPerTable: Int = 4,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tables = (0 until nTables)
+      .map(t => VectorFunctions.hyperplanes(planesPerTable, dim, seed + t))
+    def withBuckets(df: DataFrame, id: String, vec: String) = {
+      val buckets = array(tables.map(p => VectorFunctions.signBucket(col(vec), p)): _*)
+      df.select(col(id), col(vec), posexplode(buckets).as(Seq("tbl", "bucket")))
+    }
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv")),
+      "neighbor_id", "cv")
+    val q = withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")),
+      "query_id", "qv")
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** Extension-dispatched I/O (reference `utils.py:41-195` pdload/pddump
+  * + autoload): the format is chosen from the file extension, remote
+  * paths ride on Hadoop FS URIs (s3a://, hdfs://, file:// all work
+  * unchanged), and existence/type validation is eager like the
+  * reference's (`utils.py:91-93`) even though the scan itself stays lazy.
+  *
+  * Reference formats without a Spark-side meaning (pickle, npy/npz) are
+  * out of scope by design — vectors travel as parquet arrays (SURVEY #1/#2
+  * mapping).
+  */
+object LoadDump {
+
+  /** extension -> (reader format, default options) */
+  val formats: Map[String, (String, Map[String, String])] = Map(
+    "parquet" -> ("parquet", Map()),
+    "orc" -> ("orc", Map()),
+    "csv" -> ("csv", Map("header" -> "true", "inferSchema" -> "true")),
+    "tsv" -> ("csv", Map("header" -> "true", "inferSchema" -> "true", "sep" -> "\t")),
+    "json" -> ("json", Map()),
+    "jsonl" -> ("json", Map()),
+    "txt" -> ("text", Map()),
+    // the reference's `.idx` = newline-separated index values (utils.py:156-165)
+    "idx" -> ("text", Map()),
+    // raw files as (path, modificationTime, length, content:binary)
+    "bin" -> ("binaryFile", Map()),
+  )
+
+  def extensionOf(path: String): String = {
+    val name = path.split('/').last
+    val dot = name.lastIndexOf('.')
+    require(dot > 0 && dot < name.length - 1, s"no extension on path: $path")
+    name.substring(dot + 1).toLowerCase
+  }
+
+  /** pdload (`utils.py:59-106`): read with the format dispatched on
+    * extension; `expectedColumns` plays the role of `check_instanceof`
+    * (eager schema assert).
+    */
+  def load(spark: SparkSession, path: String,
+      options: Map[String, String] = Map(),
+      expectedColumns: Seq[String] = Nil): DataFrame = {
+    val (fmt, defaults) = formats.getOrElse(extensionOf(path),
+      throw new IllegalArgumentException(s"unsupported extension: ${extensionOf(path)}"))
+    val reader: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)
+    val df = reader.load(path)
+    if (expectedColumns.nonEmpty) {
+      val missing = expectedColumns.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"loaded frame missing expected columns: $missing")
+    }
+    df
+  }
+
+  /** pddump (`utils.py:108-150`): write with the format dispatched on
+    * extension. `.idx` writes a single string column as raw lines
+    * (`utils.py:160-165`).
+    */
+  def dump(df: DataFrame, path: String, options: Map[String, String] = Map(),
+      mode: String = "overwrite"): Unit = {
+    val ext = extensionOf(path)
+    val (fmt, defaults) = formats.getOrElse(ext,
+      throw new IllegalArgumentException(s"unsupported extension: $ext"))
+    val out = if (ext == "idx" || ext == "txt") {
+      require(df.columns.length == 1, s".$ext dump needs exactly one column")
+      df.select(df.col(df.columns.head).cast("string"))
+    } else df
+    out.write.format(fmt).options(defaults ++ options).mode(mode).save(path)
+  }
+
+  /** autoload (`utils.py:516-554`): accept a frame or a path. */
+  def resolve(spark: SparkSession, src: Either[DataFrame, String]): DataFrame =
+    src match {
+      case Left(df) => df
+      case Right(path) => load(spark, path)
+    }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ByteFunctions, TextFunctions, VectorFunctions}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shannon_entropy bounds and known values (algorithm.py:42)") {
+    val df = Seq(
+      Array.fill(100)('a'.toByte),                        // single symbol -> 0
+      (0 until 256).map(_.toByte).toArray,                // uniform bytes -> 8
+      "aabb".getBytes("UTF-8")                            // two symbols -> 1
+    ).toDF("b")
+    val e = df.select(ByteFunctions.shannon_entropy(col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(e(0) - 0.0) < 1e-12)
+    assert(math.abs(e(1) - 8.0) < 1e-12)
+    assert(math.abs(e(2) - 1.0) < 1e-12)
+  }
+
+  test("entropy stays in [0,8] for arbitrary byte arrays (property, 25 seeds)") {
+    val cases = (1 to 25).map { seed =>
+      val rng = new scala.util.Random(seed)
+      Array.fill(1 + rng.nextInt(500))(rng.nextInt(256).toByte)
+    }
+    val es = cases.toDF("b")
+      .select(ByteFunctions.shannon_entropy(col("b"))).collect().map(_.getDouble(0))
+    assert(es.forall(e => e >= 0.0 && e <= 8.0 + 1e-12))
+  }
+
+  test("byte_histogram sums to blob length; KL(p,p) = 0 after smoothing noise") {
+    val df = Seq("hello world".getBytes("UTF-8")).toDF("b")
+    val h = df.select(ByteFunctions.byte_histogram(col("b"))).head().getSeq[Long](0)
+    assert(h.sum == 11 && h.length == 256)
+    val kl = df.select(ByteFunctions.kl_divergence(
+      ByteFunctions.byte_histogram(col("b")),
+      ByteFunctions.byte_histogram(col("b")))).head().getDouble(0)
+    assert(math.abs(kl) < 1e-4) // only the 1e-7 smoothing term remains
+  }
+
+  test("tokenCount edge cases") {
+    val df = Seq("", "   ", "one", " a  b\tc ").toDF("t")
+    val c = df.select(TextFunctions.tokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(c.toSeq == Seq(0, 0, 1, 3))
+  }
+
+  test("wordShingles / charNgrams counts and short-input guard") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val sh = df.select(TextFunctions.wordShingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1).isEmpty && sh(2).isEmpty)
+    val ng = df.select(TextFunctions.charNgrams(col("t"), 2)).head().getSeq[String](0)
+    assert(ng.head == "a " && ng.length == 6)
+  }
+
+  test("langId picks stopword-majority language; CJK wins") {
+    val df = Seq(
+      "the cat and the dog of a house",
+      "der hund und die katze und das haus",
+      "el gato la casa los perros",
+      "le chat et les maisons des gens",
+      "数据 处理 引擎",
+      "xyzzy plugh").toDF("t")
+    val l = df.select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
+    assert(l.toSeq == Seq("en", "de", "es", "fr", "zh", "unknown"))
+  }
+
+  test("qualityScore in [0,1]") {
+    val df = Seq("", "the quick brown fox jumps over the lazy dog", "!!!!....;;;;").toDF("t")
+    val q = df.select(TextFunctions.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("cosine: identical=1, orthogonal=0, HOF variant agrees with expression") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("c1"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("c2")).collect()
+    assert(math.abs(both(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(both(1).getDouble(0)) < 1e-12)
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("signBucket deterministic and within [0, 2^planes)") {
+    val planes = VectorFunctions.hyperplanes(4, 3, seed = 42L)
+    val df = Seq(Array(1.0, -2.0, 0.5), Array(1.0, -2.0, 0.5), Array(-1.0, 2.0, -0.5)).toDF("v")
+    val b = df.select(VectorFunctions.signBucket(col("v"), planes)).collect().map(_.getLong(0))
+    assert(b(0) == b(1))
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+}

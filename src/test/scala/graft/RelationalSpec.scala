@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("valueCounts: fractions sum to 1, counts correct") {
+    val df = Seq("a", "a", "b", "c", "a").toDF("x")
+    val vc = Relational.valueCounts(df, "x").collect()
+    assert(vc.map(_.getLong(1)).sum == 5)
+    assert(math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    assert(vc.head.getString(0) == "a" && vc.head.getLong(1) == 3)
+  }
+
+  test("valueCounts: TOTAL label escalates on clash (utils.py:316-319)") {
+    val df = Seq("TOTAL", "x").toDF("c")
+    val vc = Relational.valueCounts(df, "c", total = true).collect()
+    val labels = vc.map(_.getString(0)).toSet
+    assert(labels.contains("=TOTAL="))
+    assert(vc.filter(_.getString(0) == "=TOTAL=").head.getLong(1) == 2)
+  }
+
+  test("valueCounts: dropna drops nulls from counts") {
+    val df = Seq(Some("a"), None, Some("a")).toDF("x")
+    val vc = Relational.valueCounts(df, "x").collect()
+    assert(vc.map(_.getLong(1)).sum == 2)
+  }
+
+  test("upsert: keys = orig ∪ new, new wins (utils.py:469-489)") {
+    val orig = Seq((1, "old1"), (2, "old2")).toDF("k", "v")
+    val upd = Seq((2, "new2"), (3, "new3")).toDF("k", "v")
+    val out = Relational.upsert(orig, upd, Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "old1", 2 -> "new2", 3 -> "new3"))
+  }
+
+  test("dropDuplicatesByKey keep laws (utils.py:352-372)") {
+    val df = Seq((1, 10, "a"), (1, 20, "b"), (2, 30, "c")).toDF("k", "ord", "v")
+    def vals(keep: Relational.Keep) =
+      Relational.dropDuplicatesByKey(df, Seq("k"), Seq("ord"), keep)
+        .collect().map(_.getString(2)).toSet
+    assert(vals(Relational.Keep.First) == Set("a", "c"))
+    assert(vals(Relational.Keep.Last) == Set("b", "c"))
+    assert(vals(Relational.Keep.None) == Set("c"))
+    assert(Relational.dropDuplicatesByKey(df, Seq("k"), Seq("ord"),
+      Relational.Keep.Any).count() == 2)
+  }
+
+  test("alignable: reflexive, detects size and key mismatch (utils.py:492-513)") {
+    val a = Seq(1, 2, 3).toDF("k")
+    val b = Seq(2, 3, 4).toDF("k")
+    val dup = Seq(1, 1, 2).toDF("k")
+    assert(Relational.alignable(a, a, Seq("k")))
+    assert(!Relational.alignable(a, b, Seq("k")))       // same size, diff keys
+    assert(!Relational.alignable(a, dup, Seq("k")))     // non-unique side
+    assert(!Relational.alignable(a, a.limit(2), Seq("k")))
+  }
+
+  test("uniqueRowIds: dense 1..n, stable under permutation (utils.py:811-841)") {
+    val df = Seq(("x", 1), ("y", 2), ("x", 1), ("z", 1)).toDF("a", "b")
+    val ids = Relational.uniqueRowIds(df, Seq("a", "b")).collect()
+    val byRow = ids.groupBy(r => (r.getString(0), r.getInt(1))).view.mapValues(_.map(_.getLong(2)).toSet)
+    assert(byRow.values.forall(_.size == 1)) // same row -> same id
+    assert(ids.map(_.getLong(2)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("diag: row==col entries only (utils.py:323-338)") {
+    val coo = Seq((1, 1, 5.0), (1, 2, 6.0), (2, 2, 7.0)).toDF("r", "c", "v")
+    val d = Relational.diag(coo, "r", "c").collect()
+    assert(d.map(_.getDouble(2)).sorted.toSeq == Seq(5.0, 7.0))
+  }
+
+  test("identitySeries: values are the keys cast (utils.py:630-723)") {
+    val df = Seq(1, 2).toDF("k")
+    val out = Relational.identitySeries(df, "k").collect()
+    assert(out.forall(r => r.getInt(0).toString == r.getString(1)))
+  }
+
+  test("valueCountsBinned: bins partition the range, fractions sum to 1") {
+    val df = (1 to 100).toDF("x")
+    val b = Relational.valueCountsBinned(df, "x", 10).collect()
+    assert(b.length == 10)
+    assert(b.map(_.getLong(3)).sum == 100)
+    assert(math.abs(b.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+  }
+}

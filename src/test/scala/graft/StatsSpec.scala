@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A2 fixture (FIXTURES.md): 3x4 ints 0..11, row 1 entirely null
+  private def a2 = {
+    val schema = StructType(Seq("A", "B", "C", "D").map(StructField(_, IntegerType, true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0, 1, 2, 3),
+        Row(null, null, null, null),
+        Row(8, 9, 10, 11)),
+      schema)
+  }
+
+  test("fillna scalar: non-null untouched, nulls filled (tests/test_utils.py:32-36)") {
+    val out = Stats.fillna(a2, Map("A" -> -1, "B" -> -1, "C" -> -1, "D" -> -1))
+      .collect().map(r => (0 until 4).map(r.getInt))
+    assert(out.exists(_ == Seq(0, 1, 2, 3)))
+    assert(out.exists(_ == Seq(-1, -1, -1, -1)))
+    assert(out.exists(_ == Seq(8, 9, 10, 11)))
+  }
+
+  test("fillna per-column map: unfilled columns stay null (tests/test_utils.py:45-51)") {
+    val out = Stats.fillna(a2, Map("D" -> -1)).collect()
+    val filled = out.find(r => !r.isNullAt(3) && r.getInt(3) == -1).get
+    assert(filled.isNullAt(0) && filled.isNullAt(1) && filled.isNullAt(2))
+  }
+
+  test("columnStats: n_unique/n_null/top-2 with deterministic tie-break") {
+    val df = Seq(Some("x"), Some("x"), Some("y"), Some("z"), None).toDF("c")
+    val st = Stats.columnStats(df, Seq("c")).collect().head
+    assert(st.getString(0) == "c")
+    assert(st.getString(1) == "string")
+    assert(st.getLong(2) == 3)   // n_unique (ex-null)
+    assert(st.getLong(3) == 1)   // n_null
+    assert(st.getString(4) == "x" && st.getLong(5) == 2) // top
+    assert(st.getString(6) == "y" && st.getLong(7) == 1) // second: tie y/z -> value asc
+  }
+
+  test("weightedAverage: Σxw/Σw (algorithm.py:95-115)") {
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("x", "w")
+    val v = Stats.weightedAverageDf(df, "x", "w").collect().head.getDouble(0)
+    assert(math.abs(v - 17.5) < 1e-12)
+  }
+
+  test("corrDf: perfect correlation = 1") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1)).toDF("x", "y")
+    assert(math.abs(Stats.corrDf(df, "x", "y").collect().head.getDouble(0) - 1.0) < 1e-9)
+  }
+}

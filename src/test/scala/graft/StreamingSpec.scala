@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evs: Seq[Ev] = (0 until 120).map { i =>
+    Ev(Timestamp.valueOf(f"2024-01-01 00:${i / 2}%02d:${(i % 2) * 30}%02d"),
+      if (i % 3 == 0) "click" else "view", i.toDouble)
+  }
+
+  test("windowedCounts: streaming result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamOps.windowedCounts(mem.toDF(), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_out")
+      .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+    val batch = StreamOps.windowedCounts(evs.toDF(), "ts", "10 minutes")
+      .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("windowedCounts: sliding windows produce overlapping assignment") {
+    val out = StreamOps.windowedCounts(evs.toDF(), "ts", "10 minutes", Some("5 minutes"))
+    val perRowWindows = out.agg(sum("cnt")).head().getLong(0)
+    assert(perRowWindows == 2L * evs.size) // each event in exactly 2 windows
+  }
+
+  test("dedupStream: state-backed exact dedup equals batch dropDuplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dup = evs ++ evs.take(10)
+    val mem = MemoryStream[Ev]
+    mem.addData(dup: _*)
+    val q = StreamOps.dedupStream(mem.toDF(), "ts", Seq("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == evs.size)
+  }
+
+  test("runningValueCounts on a stream (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamOps.runningValueCounts(mem.toDF(), "event_type")
+      .writeStream.format("memory").queryName("vc_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val m = spark.table("vc_out").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("click") == evs.count(_.event_type == "click"))
+    assert(m.values.sum == evs.size)
+  }
+}
