@@ -236,8 +236,11 @@ object SparkEntry {
       val dups = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
       val corpus = docs.unionByName(dups)
+      // 2 bands x 8 rows: LSH threshold (1/2)^(1/8) ~ 0.92 — steep cutoff
+      // for the >=0.8 verification below; 4x4 banding drowned in ~0.3-
+      // Jaccard candidate pairs on this shared-vocabulary corpus.
       val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 16, 3)
-      val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+      val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 2)
       Dedup.jaccardForPairs(cands, corpus, "doc_id", "text", 3)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -20,10 +20,11 @@ object TextFunctions {
     length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
 
   /** Non-overlapping occurrences of a literal substring, via the
-    * length-difference-of-replace trick (portable to any SQL engine).
+    * length-difference-of-replace trick (portable to any SQL engine —
+    * literal `replace`, not a regex, on both sides).
     */
   def occurrences(c: Column, lit0: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(lit0), ""))) /
+    ((length(c) - length(replace(c, lit(lit0), lit("")))) /
       lit(lit0.length)).cast("int")
 
   private def padded(c: Column): Column = concat(lit(" "), lower(c), lit(" "))

@@ -66,16 +66,44 @@ object VectorFunctions {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
-  /** Pack sign bits of `v . plane_j` into a Long bucket id. One fused
-    * expression per plane; works on any `array<double>` column.
+  /** All per-table sign buckets in ONE fused loop: for `nTables` tables
+    * of `planesPerTable` hyperplanes each, returns `array<long>` of
+    * bucket ids. A builtin-composed version of this is a ~2000-node
+    * expression tree (element_at x planes x dims) that took 25s on 5k
+    * rows; this expression is a tight triple loop.
     */
-  def signBucket(v: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val dot = p.zipWithIndex.map { case (w, d) =>
-        element_at(v, d + 1) * lit(w)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+  case class SignBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData].toDoubleArray()
+      val out = new Array[Long](planes.length)
+      var t = 0
+      while (t < planes.length) {
+        var bucket = 0L
+        val tbl = planes(t)
+        var j = 0
+        while (j < tbl.length) {
+          val p = tbl(j)
+          var dot = 0.0
+          var d = 0
+          val n = math.min(p.length, arr.length)
+          while (d < n) { dot += arr(d) * p(d); d += 1 }
+          if (dot >= 0) bucket |= (1L << j)
+          j += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    override protected def withNewChildInternal(c: Expression): SignBuckets = copy(child = c)
   }
+
+  def signBuckets(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    ColumnOps.toColumn(SignBuckets(_, planes))(v.cast(ArrayType(DoubleType)))
+
+  /** Single-table convenience wrapper over [[signBuckets]]. */
+  def signBucket(v: Column, planes: Array[Array[Double]]): Column =
+    element_at(signBuckets(v, Array(planes)), 1)
 }

@@ -50,9 +50,9 @@ object Ann {
       vecCol: String, k: Int, nTables: Int = 8, planesPerTable: Int = 4,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val tables = (0 until nTables)
-      .map(t => VectorFunctions.hyperplanes(planesPerTable, dim, seed + t))
+      .map(t => VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray
     def withBuckets(df: DataFrame, id: String, vec: String) = {
-      val buckets = array(tables.map(p => VectorFunctions.signBucket(col(vec), p)): _*)
+      val buckets = VectorFunctions.signBuckets(col(vec), tables)
       df.select(col(id), col(vec), posexplode(buckets).as(Seq("tbl", "bucket")))
     }
     val c = withBuckets(

@@ -31,9 +31,14 @@ object Relational {
       dropna: Boolean = true,
       total: Boolean = false): DataFrame = {
     val base = if (dropna) df.filter(col(c).isNotNull) else df
+    // The aggregated counts frame (|distinct values| rows — small by
+    // construction) is reused by the fraction, TOTAL and label-probe
+    // branches; persisting it keeps the raw input at ONE scan instead of
+    // one per branch (the 100 TB rule).
     val counts = base
       .groupBy(col(c).cast("string").as("value"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // total = 1-row aggregate, broadcast back (no Window.over() single-
     // partition collapse; this survives any input size).
     val tot = counts.agg(sum("cnt").as("_grand"))
@@ -92,6 +97,7 @@ object Relational {
     val counts = binned
       .groupBy(col("bucket"), col("_lo"), col("_hi"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .withColumn("lo", col("_lo") + (col("_hi") - col("_lo")) / bins * col("bucket"))
       .withColumn("hi", col("_lo") + (col("_hi") - col("_lo")) / bins * (col("bucket") + 1))
     val tot = counts.agg(sum("cnt").as("_grand"))
@@ -156,23 +162,23 @@ object Relational {
     coo.filter(col(rowCol) === col(colCol))
 
   /** Can two keyed frames be exactly aligned (`utils.py:492-513`)?
-    * Both key sets unique and set-equal. Returns a Boolean (driver-side
-    * scalar, like the reference). Cost: two distinct-count aggs + two
+    * Both key sets unique and set-equal — equivalently: in the union
+    * tagged by side, EVERY key group contains exactly one row from each
+    * side. That reformulation makes it ONE aggregation job (single
+    * shuffle on the key) instead of two distinct-counts plus two
     * anti-join emptiness probes.
     */
   def alignable(a: DataFrame, b: DataFrame, keys: Seq[String]): Boolean = {
-    val ka = a.select(keys.map(col): _*)
-    val kb = b.select(keys.map(col): _*)
-    val Array(ca, da) =
-      ka.agg(count(lit(1)), count_distinct(col(keys.head), keys.tail.map(col): _*)).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
-    val Array(cb, db) =
-      kb.agg(count(lit(1)), count_distinct(col(keys.head), keys.tail.map(col): _*)).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
-    ca == da && cb == db && ca == cb &&
-    ka.exceptAll(kb).isEmpty && kb.exceptAll(ka).isEmpty
+    val ka = a.select(keys.map(col): _*).withColumn("_side", lit(1))
+    val kb = b.select(keys.map(col): _*).withColumn("_side", lit(2))
+    val row = ka.unionByName(kb)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("_side") === 1, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_side") === 2, 1L).otherwise(0L)).as("cb"))
+      .agg(max(when(col("ca") =!= 1L || col("cb") =!= 1L, 1L).otherwise(0L)).as("bad"))
+      .collect()(0)
+    row.isNullAt(0) || row.getLong(0) == 0L // empty frames align trivially
   }
 
   /** Assign each distinct combination of `cols` a dense Long id

@@ -18,6 +18,7 @@ object VizPrep {
   def pieOthers(df: DataFrame, cat: Column, threshold: Double,
       othersLabel: String = "Others"): DataFrame = {
     val counts = df.groupBy(cat.as("category")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum("cnt").as("_g"))
     counts.crossJoin(broadcast(tot))
       .withColumn("_frac", col("cnt").cast("double") / col("_g"))
