@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{ByteFunctions, TextFunctions}
-import graft.operators.{Ann, Coo, Dedup, Relational, Sampling, Stats, VizPrep, Windows}
+import graft.functions.{ByteFunctions, Formatting, TextFunctions}
+import graft.operators.{Ann, Coo, Dedup, Graph, Relational, Sampling, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -343,6 +343,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("value_sum"))
         .orderBy("day")
     }),
+    // #36 graph prep: degree table over the customer->order edge list
+    "graph_degrees" -> ((s, dir) => {
+      Graph.degrees(t(s, dir, "orders"), "o_custkey", "o_orderkey")
+        .orderBy("id")
+    }),
+    // #36 graph prep: color groups (nodes grouped by a color attribute)
+    "graph_color_groups" -> ((s, dir) => {
+      Graph.colorGroups(t(s, dir, "customer"), "c_custkey", "c_mktsegment")
+        .select("color", "n_nodes")
+    }),
+    // #47 human_readable: engine side = (mantissa, suffix); string assembly
+    // is driver-side (format.py renders only at display time)
+    "human_readable" -> ((s, dir) => {
+      val v = col("o_totalprice")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Formatting.mantissa(v).as("mantissa"),
+          Formatting.suffix(v).as("suffix"))
+        .orderBy("o_orderkey")
+    }),
+    // #16 canonize + aligned concat (multi-frame join after align check)
+    "concat_aligned" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val f1 = cust.select("c_custkey", "c_mktsegment")
+      val f2 = cust.select(col("c_custkey"), col("c_acctbal"))
+      val agg = t(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val f3 = cust.select("c_custkey")
+        .join(agg, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      Relational.concatAligned(Seq(f1, f2, f3), Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+    // EXT BPE-ish regex token counting (ASCII class pattern, RE2/Java-portable)
+    "bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"))
+            .as("bpe_cnt"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -499,6 +540,36 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt,
         | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_degrees" ->
+      """WITH o AS (SELECT o_custkey AS id, CAST(COUNT(*) AS BIGINT) AS out_degree FROM orders GROUP BY 1),
+        | i AS (SELECT o_orderkey AS id, CAST(COUNT(*) AS BIGINT) AS in_degree FROM orders GROUP BY 1)
+        |SELECT COALESCE(o.id, i.id) AS id,
+        |       COALESCE(out_degree, 0) AS out_degree,
+        |       COALESCE(in_degree, 0) AS in_degree,
+        |       COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+        |FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""".stripMargin,
+    "graph_color_groups" ->
+      """SELECT c_mktsegment AS color, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM customer GROUP BY 1 ORDER BY color""".stripMargin,
+    "human_readable" -> {
+      def tierSql(v: String) =
+        s"""(CASE WHEN ABS($v) >= 1e15 THEN 5 WHEN ABS($v) >= 1e12 THEN 4
+           | WHEN ABS($v) >= 1e9 THEN 3 WHEN ABS($v) >= 1e6 THEN 2
+           | WHEN ABS($v) >= 1e3 THEN 1 ELSE 0 END)""".stripMargin
+      s"""SELECT o_orderkey,
+         | o_totalprice / POWER(1000.0, CAST(${tierSql("o_totalprice")} AS DOUBLE)) AS mantissa,
+         | (CASE ${tierSql("o_totalprice")} WHEN 5 THEN 'P' WHEN 4 THEN 'T' WHEN 3 THEN 'G'
+         |  WHEN 2 THEN 'M' WHEN 1 THEN 'K' ELSE '' END) AS suffix
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    },
+    "concat_aligned" ->
+      """WITH agg AS (SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, COALESCE(agg.n_orders, 0) AS n_orders
+        |FROM customer c LEFT JOIN agg ON c.c_custkey = agg.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "bpe_tokens" ->
+      """SELECT doc_id, CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) AS INT) AS bpe_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "vc_returnflag" ->
       """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS value, COUNT(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1),
         | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM c),

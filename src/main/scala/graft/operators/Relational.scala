@@ -220,4 +220,22 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, by: Column, tieBreak: Column): DataFrame =
     df.orderBy(by, tieBreak).limit(k)
+
+  /** Aligned column concat (`utils.py:726-757` canonize_df_and_cols series
+    * path + `concat(axis=1)` at `utils.py:432-435`): validate pairwise
+    * alignability against the first frame, then multi-way equi-join on the
+    * key. With `strict=false` skips the validation jobs and inner-joins
+    * directly (the reference's trusting `concat`).
+    */
+  def concatAligned(frames: Seq[DataFrame], keys: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    require(frames.nonEmpty, "need at least one frame")
+    if (strict) {
+      frames.tail.foreach { f =>
+        require(alignable(frames.head, f, keys),
+          "frames are not alignable on " + keys.mkString(","))
+      }
+    }
+    frames.reduce((a, b) => a.join(b, keys, "inner"))
+  }
 }

@@ -58,6 +58,29 @@ object VizPrep {
       .orderBy(col("cat_total").desc, col("category"), col("weight").desc, col("wedge"))
   }
 
+  /** Bin-count strategies for [[groupHist]] (numpy
+    * `histogram_bin_edges` strategies used at `plot.py:410`): computed
+    * from one global aggregation — 'sturges' needs n; 'doane' adds the
+    * skewness correction term (the reference explicitly supports it).
+    */
+  def binCount(df: DataFrame, value: Column, strategy: String): Int = strategy match {
+    case "sturges" =>
+      val n = df.filter(value.isNotNull).count()
+      math.max(1, math.ceil(math.log(n.toDouble) / math.log(2.0) + 1).toInt)
+    case "doane" =>
+      val row = df.filter(value.isNotNull)
+        .agg(count(lit(1)).as("n"), skewness(value.cast("double")).as("g1"))
+        .collect()(0)
+      val n = row.getLong(0).toDouble
+      val g1 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+      val sigmaG1 = math.sqrt(6.0 * (n - 2) / ((n + 1) * (n + 3)))
+      math.max(1, math.ceil(
+        1 + math.log(n) / math.log(2.0) +
+          math.log(1 + math.abs(g1) / sigmaG1) / math.log(2.0)).toInt)
+    case other =>
+      throw new IllegalArgumentException(s"unknown bin strategy: $other")
+  }
+
   /** Grouped continuous histogram on SHARED bin edges (`plot.py:337-424`):
     * one global min/max pass broadcast into the bucketing expression, then
     * a single (group, bucket) aggregation; per-group density normalization

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Util
+import graft.functions.Formatting
+import graft.operators.{Graph, Parallel, Relational, VizPrep}
+import graft.viz.{Colors, GridUtils}
+
+class LongTailSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Graph.degrees: in/out/total per node (networkx prep)") {
+    val edges = Seq((1, 2), (1, 3), (2, 3)).toDF("src", "dst")
+    val d = Graph.degrees(edges, "src", "dst").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d(1) == (2L, 0L, 2L))
+    assert(d(2) == (1L, 1L, 2L))
+    assert(d(3) == (0L, 2L, 2L))
+  }
+
+  test("Graph.colorGroups + edgeLabels (networkx.py:95-149)") {
+    val v = Seq((1, "red"), (2, "red"), (3, "blue")).toDF("id", "color")
+    val g = Graph.colorGroups(v, "id", "color").collect()
+    assert(g.map(r => r.getString(0) -> r.getLong(1)).toMap == Map("red" -> 2L, "blue" -> 1L))
+    assert(g.find(_.getString(0) == "red").get.getSeq[Int](2) == Seq(1, 2))
+    val e = Seq((1, 2, "a"), (2, 3, null)).toDF("src", "dst", "lbl")
+    assert(Graph.edgeLabels(e, "src", "dst", "lbl").count() == 1)
+  }
+
+  test("Formatting: tier/mantissa/suffix and driver-side format (format.py)") {
+    val df = Seq(0.5, 999.0, 1000.0, 1234567.0, 2.5e9).toDF("v")
+    val out = df.select(Formatting.mantissa(col("v")).as("m"),
+      Formatting.suffix(col("v")).as("s")).collect()
+    assert(out(0).getDouble(0) == 0.5 && out(0).getString(1) == "")
+    assert(out(1).getDouble(0) == 999.0 && out(1).getString(1) == "")
+    assert(out(2).getDouble(0) == 1.0 && out(2).getString(1) == "K")
+    assert(math.abs(out(3).getDouble(0) - 1.234567) < 1e-12 && out(3).getString(1) == "M")
+    assert(out(4).getString(1) == "G")
+    assert(Formatting.format(1234567.0) == "1.2M")
+    assert(Formatting.format(2048.0, binary = true) == "2.0Ki")
+  }
+
+  test("concatAligned: joins aligned frames, rejects misaligned (utils.py:726-757)") {
+    val f1 = Seq((1, "a"), (2, "b")).toDF("k", "x")
+    val f2 = Seq((1, 10.0), (2, 20.0)).toDF("k", "y")
+    val out = Relational.concatAligned(Seq(f1, f2), Seq("k")).collect()
+    assert(out.length == 2 && out.head.schema.fieldNames.toSeq == Seq("k", "x", "y"))
+    val bad = Seq((1, 1.0)).toDF("k", "y")
+    intercept[IllegalArgumentException] {
+      Relational.concatAligned(Seq(f1, bad), Seq("k"))
+    }
+  }
+
+  test("Parallel.papplyRows: mapPartitions apply with ordered concat (parallel.py)") {
+    val ds = spark.range(100).as[Long]
+    val out = Parallel.papplyRows(ds, (it: Iterator[Long]) => it.map(_ * 2), 8)
+    assert(out.collect().sorted.toSeq == (0L until 100L).map(_ * 2))
+  }
+
+  test("Parallel.papplyColumns: concurrent per-column jobs in input order") {
+    val df = Seq((1, 10), (2, 20)).toDF("a", "b")
+    val sums = Parallel.papplyColumns(df, Seq("a", "b"),
+      (d, c) => d.agg(sum(col(c))).head().getLong(0))
+    assert(sums == Seq(3L, 30L))
+  }
+
+  test("Util.iterrows: sized streaming iterator (utils.py:844-875)") {
+    val (n, it) = Util.iterrows(Seq(1, 2, 3).toDF("x"))
+    assert(n == 3 && it.map(_.getInt(0)).sum == 6)
+  }
+
+  test("Util.sizeof positive; dropna row/column modes (numpy.py:127-166)") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (None, None))
+      .toDF("x", "y")
+    assert(Util.sizeof(df) > 0)
+    assert(Util.dropna(df, "any").count() == 1)
+    assert(Util.dropna(df, "all").count() == 2)
+    val pruned = Util.dropnaColumns(df, maxNullFrac = 0.5)
+    assert(pruned.columns.toSeq == Seq("y"))
+  }
+
+  test("VizPrep.binCount: sturges and doane strategies (plot.py:410)") {
+    val uniform = (1 to 1024).map(_.toDouble).toDF("v")
+    assert(VizPrep.binCount(uniform, col("v"), "sturges") == 11)
+    val doane = VizPrep.binCount(uniform, col("v"), "doane")
+    assert(doane >= 11) // symmetric data: doane ~ sturges
+    val skewed = ((1 to 1000).map(_ => 1.0) ++ Seq(1e6)).toDF("v")
+    assert(VizPrep.binCount(skewed, col("v"), "doane") > VizPrep.binCount(uniform, col("v"), "doane") - 2)
+    intercept[IllegalArgumentException](VizPrep.binCount(uniform, col("v"), "nope"))
+  }
+
+  test("Colors: to_hls/lighten/sequential_cmap round-trips (colors.py)") {
+    val (h, l, s) = Colors.toHls(1.0, 0.0, 0.0) // pure red
+    assert(math.abs(h - 0.0) < 1e-12 && math.abs(l - 0.5) < 1e-12 && math.abs(s - 1.0) < 1e-12)
+    val (r2, g2, b2) = Colors.hlsToRgb(h, l, s)
+    assert(math.abs(r2 - 1.0) < 1e-12 && math.abs(g2) < 1e-12 && math.abs(b2) < 1e-12)
+    val (lr, lg, lb) = Colors.lighten(1.0, 0.0, 0.0, 0.5)
+    assert(lr == 1.0 && lg > 0.4 && lb > 0.4) // toward white
+    val ramp = Colors.sequentialCmap(0.0, 0.0, 1.0, 5)
+    assert(ramp.length == 5)
+    assert(ramp.head._1 > ramp.last._1 || ramp.head._2 > ramp.last._2) // light -> dark
+  }
+
+  test("GridUtils: near-square grids (matplotlib/utils.py:12-34)") {
+    assert(GridUtils.gridSize(1) == (1, 1))
+    assert(GridUtils.gridSize(4) == (2, 2))
+    assert(GridUtils.gridSize(5) == (2, 3))
+    assert(GridUtils.gridSize(7, maxCols = 2) == (4, 2))
+    assert(GridUtils.gridPositions(5).toSet.size == 5)
+  }
+}
