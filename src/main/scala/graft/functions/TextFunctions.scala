@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis scalar functions for the training-data pipeline surface
   * (EXT per SURVEY north star; `documents` table). All built from codegen'd
@@ -29,8 +34,50 @@ object TextFunctions {
 
   private def padded(c: Column): Column = concat(lit(" "), lower(c), lit(" "))
 
-  /** Stopword hit count for a padded-space word list. */
+  /** One-pass multi-pattern occurrence counter: lowercases+pads the text
+    * ONCE and counts non-overlapping occurrences of each ` word ` pattern
+    * by indexOf stepping — exactly the counts the replace-trick produces,
+    * in a single scan instead of one replace pass per word (16 passes ->
+    * 1 for langId). Composed builtins remain the SQL-oracle mirror.
+    */
+  case class MultiOccurrences(child: Expression, patterns: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private val pats = patterns.map(p => s" $p ").toArray
+    override def nullSafeEval(v: Any): Any = {
+      val s = " " + v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT) + " "
+      val out = new Array[Int](pats.length)
+      var i = 0
+      while (i < pats.length) {
+        val p = pats(i)
+        var from = 0
+        var n = 0
+        var idx = s.indexOf(p, from)
+        while (idx >= 0) {
+          n += 1
+          from = idx + p.length // non-overlapping, like replace()
+          idx = s.indexOf(p, from)
+        }
+        out(i) = n
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MultiOccurrences = copy(child = c)
+  }
+
+  def multiOccurrences(c: Column, words: Seq[String]): Column =
+    ColumnOps.toColumn(MultiOccurrences(_, words))(c)
+
+  /** Stopword hit count for a padded-space word list (single text scan). */
   def stopwordCount(c: Column, words: Seq[String]): Column =
+    aggregate(multiOccurrences(c, words), lit(0), (acc, v) => acc + v)
+
+  /** Replace-trick variant kept as the SQL-portable reference semantics
+    * (the oracle mirrors this form; [[stopwordCount]] computes the same
+    * counts in one pass).
+    */
+  def stopwordCountComposed(c: Column, words: Seq[String]): Column =
     words.map(w => occurrences(padded(c), s" $w ")).reduce(_ + _)
 
   val EnStops = Seq("the", "and", "of", "a")

@@ -31,6 +31,21 @@ object Sampling {
     df.orderBy(ord: _*).limit(n.toInt)
   }
 
+  /** Weighted exact-n sampling without replacement (the reference's
+    * `weights=` parameter, `utils.py:557-608`): distributed A-Res
+    * (Efraimidis–Spirakis) — key each row by rand(seed)^(1/w) and take
+    * the top n. One pass + a distributed top-n; inclusion probability is
+    * proportional to weight, matching pandas' weighted sample semantics.
+    * Rows with weight <= 0 are never sampled (pandas drops them too).
+    */
+  def sampleWeighted(df: DataFrame, n: Long, weightCol: String,
+      seed: Long = 42L): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("_key", pow(rand(seed), lit(1.0) / col(weightCol)))
+      .orderBy(col("_key").desc)
+      .limit(n.toInt)
+      .drop("_key")
+
   /** Exact stratified sampling (`utils.py:198-278` sample_with_distribution):
     * draw rows so that a population column matches a target distribution.
     *

@@ -76,4 +76,12 @@ object LoadDump {
       case Left(df) => df
       case Right(path) => load(spark, path)
     }
+
+  /** Accreting-schema load (SURVEY §1.4): union-merge the StructTypes of
+    * every file under `path` (`mergeSchema`) so files written against
+    * different schema versions read as one frame with null backfill —
+    * the distributed analogue of df_from_iterable's column accretion.
+    */
+  def loadAccreting(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }
