@@ -76,8 +76,12 @@ object Dedup {
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3): DataFrame = {
+    // shingles hashed to 64-bit BEFORE the shuffle: distinct/join keys are
+    // 8 bytes instead of multi-word strings (collision odds ~ n^2/2^65).
     val sh = docs
-      .select(col(idCol).as("jid"), explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .select(col(idCol).as("jid"),
+        explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
+          sh => xxhash64(sh))).as("sh"))
       .distinct()
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
     val inter = pairs
@@ -104,8 +108,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // 64-bit hashed shingles: same counts as string shingles up to a
+    // ~n^2/2^65 collision probability, at a fraction of the shuffle bytes.
     val sh = docs
-      .select(col(idCol).as("jid"), explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .select(col(idCol).as("jid"),
+        explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
+          sh => xxhash64(sh))).as("sh"))
       .distinct()
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
