@@ -230,20 +230,23 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // EXT MinHash-LSH near-dup (xxhash64-based — rows-only oracle)
+    // EXT MinHash-LSH near-dup (xxhash64-based — rows-only oracle).
+    // 2 bands x 8 rows: LSH threshold (1/2)^(1/8) ~ 0.92 — steep cutoff
+    // for the >=0.8 verification; 4x4 banding drowned in ~0.3-Jaccard
+    // candidate pairs on this shared-vocabulary corpus. The pipeline
+    // entry point shares ONE persisted shingle frame across signature,
+    // banding and verification stages.
     "minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val dups = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      val corpus = docs.unionByName(dups)
-      // 2 bands x 8 rows: LSH threshold (1/2)^(1/8) ~ 0.92 — steep cutoff
-      // for the >=0.8 verification below; 4x4 banding drowned in ~0.3-
-      // Jaccard candidate pairs on this shared-vocabulary corpus.
-      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 16, 3)
-      val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 2)
-      Dedup.jaccardForPairs(cands, corpus, "doc_id", "text", 3)
-        .filter(col("jaccard") >= 0.8)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+      Dedup.minhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
+          k = 16, bands = 2, shingleK = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    // EXT embedding near-dup, LSH-prefiltered scale variant (rows-only)
+    "embedding_near_dup_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
         .orderBy("id_a", "id_b")
     }),
     // EXT SimHash per doc (xxhash64-based — rows-only oracle)
@@ -384,6 +387,32 @@ object SparkEntry {
             .as("bpe_cnt"))
         .orderBy("doc_id")
     }),
+    // #9 keep=last (utils.py:352-372)
+    "dedup_last" -> ((s, dir) => {
+      Relational
+        .dropDuplicatesByKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq("l_linenumber", "l_partkey", "l_suppkey"), Relational.Keep.Last)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    }),
+    // EXT streaming code path on a batch frame: 10-minute tumbling windows
+    // (the identical function runs under readStream; see StreamingSpec)
+    "stream_window_counts" -> ((s, dir) => {
+      graft.streaming.StreamOps.windowedCounts(t(s, dir, "events"), "ts", "10 minutes")
+        .orderBy("win_start", "event_type")
+    }),
+    // EXT end-to-end corpus cleaning: quality-score -> exact dedup (keep
+    // lowest id) -> top 100 by quality — the composed pipeline shape a
+    // training-data run uses, fully oracle-checkable
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val deduped = Dedup.exactDedup(docs.unionByName(dups), "text", "doc_id")
+      val scored = deduped.withColumn("quality", TextFunctions.qualityScore(col("text")))
+      Relational.topK(scored, 100, col("quality").desc, col("doc_id").asc)
+        .select("doc_id", "quality")
+    }),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -401,13 +430,28 @@ object SparkEntry {
           | (SELECT CAST(cnt AS BIGINT) FROM tp WHERE rk = 2) AS second_count)""".stripMargin
     }.mkString("", " UNION ALL ", " ORDER BY \"column\"")
 
-  /** SQL mirror of TextFunctions (stopword lists injected so both sides
-    * stay in sync by construction).
+  /** SQL mirrors of TextFunctions (stopword lists injected so both sides
+    * stay in sync by construction). `occ`/`stops` assume a column `p` =
+    * ' ' || lower(text) || ' ' in scope; `qualityExprSql` assumes
+    * token_cnt/punct_cnt/stop_en/chars/nonspace.
     */
+  private def occ(w: String) =
+    s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS INT)"
+  private def stops(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
+  private val qualityComponentsSql =
+    """CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS token_cnt,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_cnt,
+      |  CAST(length(text) AS DOUBLE) AS chars,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace""".stripMargin
+  private val qualityExprSql =
+    """(
+      |   0.25 * LEAST(CAST(token_cnt AS DOUBLE) / 100.0, 1.0) +
+      |   0.25 * LEAST((CASE WHEN token_cnt > 0 THEN nonspace / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0) +
+      |   0.25 * (1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct_cnt AS DOUBLE) / chars ELSE 1.0 END) * 10.0, 1.0)) +
+      |   0.25 * LEAST((CASE WHEN token_cnt > 0 THEN CAST(stop_en AS DOUBLE) / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+      | )""".stripMargin
+
   private def textProfileSql: String = {
-    def occ(w: String) =
-      s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS INT)"
-    def stops(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
     s"""WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
        | c AS (SELECT doc_id, text,
        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END AS token_cnt,
@@ -570,6 +614,31 @@ object SparkEntry {
     "bpe_tokens" ->
       """SELECT doc_id, CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) AS INT) AS bpe_cnt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_last" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "stream_window_counts" ->
+      """WITH w AS (SELECT event_type, value,
+        |  make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600) * 1000000) AS win_start
+        |  FROM events)
+        |SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+        |FROM w GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+         | d AS (SELECT doc_id, text FROM (
+         |         SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM u)
+         |       WHERE rn = 1),
+         | base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM d),
+         | c AS (SELECT doc_id, $qualityComponentsSql,
+         |  ${stops(TextFunctions.EnStops)} AS stop_en
+         | FROM base)
+         |SELECT doc_id, $qualityExprSql AS quality
+         |FROM c ORDER BY quality DESC, doc_id LIMIT 100""".stripMargin,
     "vc_returnflag" ->
       """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS value, COUNT(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1),
         | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g FROM c),

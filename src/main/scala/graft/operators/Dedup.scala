@@ -129,6 +129,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Full MinHash near-dup pipeline with a SHARED shingle frame: the
+    * (id, shingle-hash) table is computed once and persisted, then feeds
+    * signatures, banded LSH candidates, AND the exact-Jaccard verification
+    * — one corpus scan instead of three. This is the entry point a
+    * pipeline should use; the pieces remain public for composition.
+    */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 2, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("jid"),
+        explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
+          s => xxhash64(s))).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sigs = sh.groupBy(col("jid").as(idCol)).agg(mins.head, mins.tail: _*)
+    val cands = minhashCandidates(sigs, idCol, k, bands)
+    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup at scale: multi-table sign-LSH candidate
+    * generation (never O(n^2)), exact cosine check on candidates only.
+    * The exact all-pairs [[embeddingNearDup]] stays as the oracle
+    * baseline.
+    */
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nTables: Int = 8, planesPerTable: Int = 4,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tables = (0 until nTables)
+      .map(t => graft.functions.VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray
+    val e = emb.select(col(idCol).as("jid"), col(vecCol).cast("array<double>").as("v"),
+      graft.functions.VectorFunctions.signBuckets(col(vecCol).cast("array<double>"), tables).as("bks"))
+    val banded = e.select(col("jid"), col("v"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.jid") < col("b.jid"))
+      .select(col("a.jid").as("id_a"), col("b.jid").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of
     * Σ_tokens (bit j set ? +1 : −1). Single-pass Aggregator (64-int
     * buffer; map-side combinable).

@@ -27,7 +27,9 @@ object StreamOps {
     }
     withWm
       .groupBy(win.as("win"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("cnt"),
+        // exact decimal accumulate -> order-independent double
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("value_sum"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("cnt"), col("value_sum"))
   }
