@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.Windows
+import graft.sources.Ingest
+import graft.viz.{Colors, GridUtils}
+import graft.functions.Formatting
+
+/** ScalaCheck properties for the driver-side pure functions (sbt runs
+  * `Properties` natively). Spark-backed operators get their property-style
+  * coverage in the ScalaTest specs; these laws need no session.
+  */
+object PureProperties extends Properties("graft.pure") {
+
+  private val unit = Gen.chooseNum(0.0, 1.0)
+
+  property("colors: rgb->hls->rgb round-trips") =
+    forAll(unit, unit, unit) { (r, g, b) =>
+      val (h, l, s) = Colors.toHls(r, g, b)
+      val (r2, g2, b2) = Colors.hlsToRgb(h, l, s)
+      math.abs(r - r2) < 1e-9 && math.abs(g - g2) < 1e-9 && math.abs(b - b2) < 1e-9
+    }
+
+  property("colors: lighten moves lightness monotonically toward white") =
+    forAll(unit, unit, unit, unit) { (r, g, b, amt) =>
+      val l0 = Colors.toHls(r, g, b)._2
+      val (lr, lg, lb) = Colors.lighten(r, g, b, amt)
+      Colors.toHls(lr, lg, lb)._2 >= l0 - 1e-9
+    }
+
+  property("gaussianWeights: normalized, symmetric, positive") =
+    forAll(Gen.chooseNum(0.1, 10.0)) { sigma =>
+      val w = Windows.gaussianWeights(sigma)
+      math.abs(w.sum - 1.0) < 1e-9 &&
+        w.indices.forall(i => math.abs(w(i) - w(w.length - 1 - i)) < 1e-12) &&
+        w.forall(_ > 0)
+    }
+
+  property("gridSize: fits n and stays near-square") =
+    forAll(Gen.chooseNum(1, 2000)) { n =>
+      val (rows, cols) = GridUtils.gridSize(n)
+      rows * cols >= n && (rows - 1) * cols < n && cols - rows <= 1
+    }
+
+  property("formatting: mantissa in [1,1000) for v >= 1, suffix consistent") =
+    forAll(Gen.chooseNum(1.0, 1e17)) { v =>
+      val s = Formatting.format(v, precision = 3)
+      val mant = s.takeWhile(c => c.isDigit || c == '.').toDouble
+      mant >= 0.999 && mant < 1000.0005
+    }
+
+  property("ingest.flatten: no nested maps survive, nulls dropped") = {
+    val leafGen: Gen[Any] = Gen.oneOf(Gen.alphaStr, Gen.long, Gen.const(null))
+    val datumGen: Gen[Map[String, Any]] = for {
+      flat <- Gen.mapOf(Gen.zip(Gen.identifier, leafGen))
+      sub <- Gen.mapOf(Gen.zip(Gen.identifier, leafGen))
+      hasSub <- Gen.oneOf(true, false)
+    } yield if (hasSub) flat + ("sub" -> sub) else flat
+    forAll(datumGen) { d =>
+      val f = Ingest.flatten(d)
+      f.values.forall(v => v != null && !v.isInstanceOf[Map[_, _]])
+    }
+  }
+
+  property("splitWithOverlap formulas: coverage and stride laws (scalar model)") =
+    forAll(Gen.chooseNum(2, 200), Gen.chooseNum(1, 400)) { (len0, rows) =>
+      val len = len0
+      val overlap = len / 2
+      val stride = len - overlap
+      // scalar mirror of the operator's lo/hi formulas
+      def segsOf(rn: Int): Range = {
+        val hi = (rn - 1) / stride
+        val lo = if (rn <= len) 0 else (rn - len + stride - 1) / stride
+        lo to hi
+      }
+      (1 to rows).forall { rn =>
+        val segs = segsOf(rn)
+        segs.nonEmpty && segs.forall { s =>
+          val pos = rn - 1 - s * stride
+          pos >= 0 && pos < len
+        }
+      }
+    }
+}
