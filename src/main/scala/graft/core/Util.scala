@@ -36,8 +36,9 @@ object Util {
     val aggs = df.columns.map(c =>
       (sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)) / count(lit(1))).as(c))
     val fracs = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // empty frame -> null fractions -> no nulls exist -> keep everything
     val keep = df.columns.zipWithIndex.collect {
-      case (c, i) if !fracs.isNullAt(i) && fracs.getDouble(i) <= maxNullFrac => c
+      case (c, i) if fracs.isNullAt(i) || fracs.getDouble(i) <= maxNullFrac => c
     }
     df.select(keep.map(c => col(s"`$c`")): _*)
   }

@@ -23,12 +23,22 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact dedup groups: one representative (min id) + multiplicity per
-    * distinct content value. Groups by a 64-bit content hash first so the
-    * shuffle carries 8-byte keys, not full documents; the (vanishingly
-    * rare) hash-collision case is re-checked on the content itself.
+    * distinct content value. Exact — groups by the content itself (the
+    * shuffle carries the documents; that is the price of exactness).
     */
   def exactGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =
-    df.groupBy(xxhash64(col(contentCol)).as("content_hash"), col(contentCol))
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        first(xxhash64(col(contentCol))).as("content_hash"))
+      .select("keep_id", "n_copies", "content_hash")
+
+  /** Hash-keyed variant for the 100 TB path: groups by xxhash64(content)
+    * ONLY, so the shuffle carries 8-byte keys instead of documents.
+    * Distinct contents colliding on the hash (odds ~ n^2/2^65) merge —
+    * same collision-tolerance contract as [[graft.operators.Relational.uniqueRowIdsHashed]].
+    */
+  def exactGroupsHashed(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies", "content_hash")
 
@@ -57,6 +67,8 @@ object Dedup {
     * bucket sizes, not n^2.
     */
   def minhashCandidates(sigs: DataFrame, idCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k) — a remainder would silently shrink the signature")
     val rows = k / bands
     val banded = (0 until bands).map { b =>
       val hs = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
@@ -91,13 +103,18 @@ object Dedup {
         col("id_b") === col("id_b_j") && col("sh_a") === col("sh_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+    // left joins + fills so a doc too short to shingle still answers the
+    // requested pair (empty shingle set -> jaccard 0) instead of the pair
+    // silently vanishing from the output.
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"), "left")
+      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"), "left")
+      .na.fill(0L, Seq("inter", "sz_a", "sz_b"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        when(col("sz_a") + col("sz_b") - col("inter") > 0,
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .otherwise(lit(0.0)))
       .select("id_a", "id_b", "jaccard")
   }
 

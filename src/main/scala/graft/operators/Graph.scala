@@ -23,13 +23,22 @@ object Graph {
     * plus member count and the (sorted) member sample the renderer needs.
     */
   def colorGroups(vertices: DataFrame, idCol: String, colorCol: String,
-      sampleSize: Int = 100): DataFrame =
-    vertices
+      sampleSize: Int = 100): DataFrame = {
+    // counts over ALL nodes, but collect_list only over the first
+    // `sampleSize` ids per color (window-ranked) — aggregation state stays
+    // bounded even when one color dominates a billion-vertex graph.
+    val counts = vertices
       .groupBy(col(colorCol).as("color"))
-      .agg(
-        count(lit(1)).as("n_nodes"),
-        slice(sort_array(collect_list(col(idCol))), 1, sampleSize).as("node_sample"))
-      .orderBy("color")
+      .agg(count(lit(1)).as("n_nodes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(colorCol)).orderBy(col(idCol).asc)
+    val sample = vertices
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= sampleSize)
+      .groupBy(col(colorCol).as("color"))
+      .agg(sort_array(collect_list(col(idCol))).as("node_sample"))
+    counts.join(sample, Seq("color"), "left").orderBy("color")
+  }
 
   /** Degree table: in/out/total degree per vertex from the edge list —
     * two hash aggregations + one outer join, no vertex-side shuffle of

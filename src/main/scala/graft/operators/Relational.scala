@@ -34,7 +34,10 @@ object Relational {
     // The aggregated counts frame (|distinct values| rows — small by
     // construction) is reused by the fraction, TOTAL and label-probe
     // branches; persisting it keeps the raw input at ONE scan instead of
-    // one per branch (the 100 TB rule).
+    // one per branch (the 100 TB rule). Lifecycle note: operator-internal
+    // persists here and in VizPrep/Dedup are MEMORY_AND_DISK and LRU-
+    // evictable; a long-lived session looping over many operators can
+    // reclaim eagerly with spark.catalog.clearCache().
     val counts = base
       .groupBy(col(c).cast("string").as("value"))
       .agg(count(lit(1)).as("cnt"))
@@ -46,8 +49,8 @@ object Relational {
       .crossJoin(broadcast(tot))
       .withColumn("fraction", col("cnt").cast("double") / col("_grand"))
       .select(col("value"), col("cnt"), col("fraction"))
-    val out =
-      if (!total) withFrac
+    val (out, totalLabel) =
+      if (!total) (withFrac, None)
       else {
         // Label-clash probe: tiny driver action over the aggregated (small)
         // counts, mirroring the reference's in-memory index check.
@@ -65,13 +68,17 @@ object Relational {
           lit(label).as("value"),
           col("_grand").as("cnt"),
           lit(1.0).as("fraction"))
-        withFrac.unionByName(totalRow)
+        (withFrac.unionByName(totalRow), Some(label))
       }
     if (!sort) out
     else {
       val cnt = if (ascending) col("cnt").asc else col("cnt").desc
-      // TOTAL row pinned last regardless of direction.
-      out.orderBy(col("value").rlike("^=*TOTAL=*$").asc, cnt, col("value"))
+      totalLabel match {
+        // only the synthetic row is pinned last — a DATA value that merely
+        // looks like "TOTAL" sorts like any other value
+        case Some(l) => out.orderBy((col("value") === lit(l)).asc, cnt, col("value"))
+        case None => out.orderBy(cnt, col("value"))
+      }
     }
   }
 
@@ -193,7 +200,12 @@ object Relational {
     val ids = distinctRows.withColumn(
       "row_id",
       dense_rank().over(Window.orderBy(cols.map(col): _*)).cast("long"))
-    df.join(broadcast(ids), cols, "left")
+    // null-SAFE join back: distinct() treats null tuples as a group and
+    // they carry an id too — a plain equi-join would never match them.
+    val renamed = cols.foldLeft(ids)((acc, c) => acc.withColumnRenamed(c, s"_r_$c"))
+    val cond = cols.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond, "left")
+      .drop(cols.map(c => s"_r_$c"): _*)
   }
 
   /** Collision-tolerant O(1) variant: 64-bit xxhash of the row tuple.

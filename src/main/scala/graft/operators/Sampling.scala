@@ -26,6 +26,9 @@ object Sampling {
   }
 
   def sampleNAtMost(df: DataFrame, n: Long, seed: Long = 42L, tieBreak: Seq[String] = Nil): DataFrame = {
+    // limit() takes an Int — an exact-n sample beyond 2^31 rows should be
+    // a fraction sample instead; fail loudly rather than overflow.
+    require(n <= Int.MaxValue, s"exact-n sample capped at Int.MaxValue rows, got $n; use sampleFractionAtMost")
     // limit(n) never exceeds the row count -> the clamp is free.
     val ord = rand(seed) +: tieBreak.map(col)
     df.orderBy(ord: _*).limit(n.toInt)
@@ -39,12 +42,14 @@ object Sampling {
     * Rows with weight <= 0 are never sampled (pandas drops them too).
     */
   def sampleWeighted(df: DataFrame, n: Long, weightCol: String,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L): DataFrame = {
+    require(n <= Int.MaxValue, s"exact-n sample capped at Int.MaxValue rows, got $n")
     df.filter(col(weightCol) > 0)
       .withColumn("_key", pow(rand(seed), lit(1.0) / col(weightCol)))
       .orderBy(col("_key").desc)
       .limit(n.toInt)
       .drop("_key")
+  }
 
   /** Exact stratified sampling (`utils.py:198-278` sample_with_distribution):
     * draw rows so that a population column matches a target distribution.

@@ -77,6 +77,8 @@ object Multimodal {
     * of a frame sampler (explode + slice), with the codec stubbed.
     */
   def sampleFrames(df: DataFrame, mediaCol: String, frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0,
+      s"frameSize ($frameSize) and stride ($stride) must be positive — i % 0 would silently drop every frame")
     val nFrames = floor(length(col(mediaCol)) / frameSize).cast("int")
     df.withColumn("frame_idx",
         explode(when(col(mediaCol).isNotNull && nFrames > 0,
