@@ -401,6 +401,43 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedCounts(t(s, dir, "events"), "ts", "10 minutes")
         .orderBy("win_start", "event_type")
     }),
+    // EXT normalization + PII redaction over synthetic emails/ids
+    "redact_docs" -> ((s, dir) => {
+      val doctored = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com id 1234567"), col("doc_id")).as("text"))
+      doctored.select(col("doc_id"),
+          TextFunctions.normalize(TextFunctions.redactPii(col("text"))).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // EXT repetition-ratio quality signal (bigram dup fraction)
+    "repetition_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+    // EXT per-language length quartiles (exact interpolated percentiles)
+    "doc_length_quartiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          percentile(col("n_chars"), lit(0.25)).as("q1"),
+          percentile(col("n_chars"), lit(0.5)).as("median"),
+          percentile(col("n_chars"), lit(0.75)).as("q3"))
+        .orderBy("lang")
+    }),
+    // EXT train/test decontamination shape: source pairs sharing any exact
+    // normalized document prefix (8 words) — candidate-overlap counting
+    "contamination_sources" -> ((s, dir) => {
+      val pref = t(s, dir, "documents").select(col("source"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("prefix"))
+        .distinct()
+      pref.as("a").join(pref.as("b"),
+          col("a.prefix") === col("b.prefix") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
     // EXT end-to-end corpus cleaning: quality-score -> exact dedup (keep
     // lowest id) -> top 100 by quality — the composed pipeline shape a
     // training-data run uses, fully oracle-checkable
@@ -627,6 +664,36 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
         |FROM w GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+    "redact_docs" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(lower(
+        |   regexp_replace(
+        |     regexp_replace(text || ' contact user' || doc_id || '@example.com id 1234567' || doc_id,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '[0-9]{7,}', '<NUM>', 'g')), '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "repetition_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | g AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+        |        THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |        ELSE [] END AS grams FROM w)
+        |SELECT doc_id, CASE WHEN len(grams) > 0
+        |  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "doc_length_quartiles" ->
+      """SELECT lang,
+        | quantile_cont(n_chars, 0.25) AS q1,
+        | quantile_cont(n_chars, 0.5) AS median,
+        | quantile_cont(n_chars, 0.75) AS q3
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "contamination_sources" ->
+      """WITH pref AS (SELECT DISTINCT source,
+        |   array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') AS prefix
+        |   FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
          |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),

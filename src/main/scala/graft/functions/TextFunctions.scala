@@ -121,6 +121,34 @@ object TextFunctions {
       lit(0.25) * least(stopRatio * 5.0, lit(1.0))
   }
 
+  /** Text normalization for dedup/fingerprint keys: lowercase + collapse
+    * whitespace runs + trim. (Unicode NFC is a JVM-side `Normalizer` call
+    * when needed; ASCII corpora are unaffected.)
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** PII-ish redaction: emails then standalone long digit runs replaced
+    * with fixed tags. Patterns are ASCII-class only — identical under
+    * Java regex and RE2 (the oracle engine).
+    */
+  def redactPii(c: Column): Column = {
+    val emails = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(emails, "[0-9]{7,}", "<NUM>")
+  }
+
+  /** n-gram repetition ratio in [0,1]: 1 - distinct_ngrams/total_ngrams
+    * over word n-grams; 0 for texts too short to produce one. The
+    * standard boilerplate/looping-text quality signal.
+    */
+  def repetitionRatio(c: Column, n: Int = 2): Column = {
+    val grams = wordShingles(c, n)
+    val total = size(grams)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Exact content fingerprint (md5 hex) — engine-portable. */
   def fingerprintMd5(c: Column): Column = md5(c.cast("binary"))
 

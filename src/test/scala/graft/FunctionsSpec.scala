@@ -65,6 +65,21 @@ class FunctionsSpec extends SparkSpec {
     assert(l.toSeq == Seq("en", "de", "es", "fr", "zh", "unknown"))
   }
 
+  test("normalize + redactPii: emails/digit runs tagged, whitespace collapsed") {
+    val df = Seq("  Contact John.Doe+x@Sub.Example.COM  ref 123456789  ok 123 ").toDF("t")
+    val out = df.select(TextFunctions.normalize(TextFunctions.redactPii(col("t"))))
+      .head().getString(0)
+    assert(out == "contact <email> ref <num> ok 123")
+  }
+
+  test("repetitionRatio: 0 for unique/short text, rises with repetition") {
+    val df = Seq("a b c d e", "spam spam spam spam spam", "x").toDF("t")
+    val r = df.select(TextFunctions.repetitionRatio(col("t"), 2)).collect().map(_.getDouble(0))
+    assert(r(0) == 0.0)
+    assert(r(1) == 0.75) // 4 bigrams, 1 distinct
+    assert(r(2) == 0.0)  // too short
+  }
+
   test("qualityScore in [0,1]") {
     val df = Seq("", "the quick brown fox jumps over the lazy dog", "!!!!....;;;;").toDF("t")
     val q = df.select(TextFunctions.qualityScore(col("t"))).collect().map(_.getDouble(0))
