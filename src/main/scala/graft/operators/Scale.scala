@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join machinery (no reference analog — the reference is
+  * single-machine; these are the tools that make its operators hold at
+  * 100 TB, per the build brief's partitioning/skew rules).
+  */
+object Scale {
+
+  /** Write a frame bucketed+sorted by the join key. Two tables bucketed
+    * the same way equi-join with ZERO shuffle (SortMergeJoin reads
+    * co-located buckets) — the plan-level proof lives in ScaleSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketing tables on their bucket keys — shuffle-free
+    * when both sides were written with [[writeBucketed]] and
+    * spark.sql.sources.bucketing.enabled (default true).
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+
+  /** Skew-safe equi-join: salt the skewed (big) side's key with a random
+    * 0..salt-1 suffix and explode the small side across every salt value,
+    * so one hot key fans out over `salt` reducers instead of one. Result
+    * is row-identical to the plain join (verified in ScaleSpec); AQE's
+    * skew handling covers moderate skew — this is the explicit tool for
+    * the pathological key.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salt: Int = 16, seed: Long = 42L, joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val saltedBig = big.withColumn("_salt", (rand(seed) * salt).cast("int"))
+    val saltedSmall = small.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig
+      .join(saltedSmall, keys :+ "_salt", joinType)
+      .drop("_salt")
+  }
+}
