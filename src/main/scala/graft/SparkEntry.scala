@@ -410,10 +410,13 @@ object SparkEntry {
           TextFunctions.normalize(TextFunctions.redactPii(col("text"))).as("clean"))
         .orderBy("doc_id")
     }),
-    // EXT repetition-ratio quality signal (bigram dup fraction)
+    // EXT repetition-ratio quality signal (bigram dup fraction); grams
+    // materialized once in their own projection (see repetitionRatio perf note)
     "repetition_docs" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 2).as("_grams"))
+        .select(col("doc_id"),
+          TextFunctions.repetitionRatioFromGrams(col("_grams")).as("rep_ratio"))
         .orderBy("doc_id")
     }),
     // EXT per-language length quartiles (exact interpolated percentiles)

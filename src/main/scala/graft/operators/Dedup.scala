@@ -190,15 +190,22 @@ object Dedup {
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val tables = (0 until nTables)
       .map(t => graft.functions.VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray
-    val e = emb.select(col(idCol).as("jid"), col(vecCol).cast("array<double>").as("v"),
-      graft.functions.VectorFunctions.signBuckets(col(vecCol).cast("array<double>"), tables).as("bks"))
-    val banded = e.select(col("jid"), col("v"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    banded.as("a").join(banded.as("b"),
+    // candidates shuffle as BARE ID PAIRS; the 64-double vectors join back
+    // only after distinct (carrying them through dropDuplicates was a
+    // multi-GB shuffle at 5k vectors — 16s vs 3s for the exact all-pairs).
+    val e = emb.select(col(idCol).as("jid"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = e.select(col("jid"),
+        posexplode(graft.functions.VectorFunctions.signBuckets(col("v"), tables))
+          .as(Seq("tbl", "bucket")))
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.jid") < col("b.jid"))
-      .select(col("a.jid").as("id_a"), col("b.jid").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.jid").as("id_a"), col("b.jid").as("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("jid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("jid").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)

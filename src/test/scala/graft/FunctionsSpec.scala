@@ -49,6 +49,11 @@ class FunctionsSpec extends SparkSpec {
     val sh = df.select(TextFunctions.wordShingles(col("t"), 3)).collect().map(_.getSeq[String](0))
     assert(sh(0) == Seq("a b c", "b c d"))
     assert(sh(1).isEmpty && sh(2).isEmpty)
+    // fused expression == builtin-composed variant on messy input
+    val messy = Seq("  a  b\tc   d ", "x y", "one two three four five").toDF("t")
+    val fused = messy.select(TextFunctions.wordShingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    val comp = messy.select(TextFunctions.wordShinglesComposed(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(fused.toSeq == comp.toSeq)
     val ng = df.select(TextFunctions.charNgrams(col("t"), 2)).head().getSeq[String](0)
     assert(ng.head == "a " && ng.length == 6)
   }
