@@ -108,12 +108,24 @@ object VizPrep {
       .orderBy("grp", "bucket")
   }
 
+  /** Sort policies for [[groupBarHist]] (`plot.py:488-496`): explicit
+    * value order, cross-group mean (the reference's argsort-by-mean),
+    * or a single named group's column.
+    */
+  sealed trait BarSort
+  object BarSort {
+    case object CrossGroupMean extends BarSort
+    final case class ByGroup(group: String) extends BarSort
+    final case class Explicit(order: Seq[String]) extends BarSort
+  }
+
   /** Discrete grouped histogram pivoted groups→columns, per-group
     * normalized to percent (`plot.py:427-501`): value rows, one column per
-    * group, sorted by cross-group mean desc, top-k.
+    * group, sorted per [[BarSort]], top-k.
     */
   def groupBarHist(df: DataFrame, grp: Column, value: Column,
-      groups: Seq[String], topK: Int = Int.MaxValue): DataFrame = {
+      groups: Seq[String], topK: Int = Int.MaxValue,
+      sort: BarSort = BarSort.CrossGroupMean): DataFrame = {
     val counts = df.groupBy(value.as("value"), grp.as("grp")).agg(count(lit(1)).as("cnt"))
     val gw = Window.partitionBy("grp")
     val pct = counts
@@ -121,12 +133,42 @@ object VizPrep {
     val wide = pct.groupBy("value").pivot("grp", groups).agg(first(col("pct")))
     val filled = groups.foldLeft(wide)((acc, g) =>
       acc.withColumn(g, coalesce(col(s"`$g`"), lit(0.0))))
-    val mean = groups.map(g => col(s"`$g`")).reduce(_ + _) / groups.size
+    val sortKey = sort match {
+      case BarSort.CrossGroupMean =>
+        groups.map(g => col(s"`$g`")).reduce(_ + _) / groups.size
+      case BarSort.ByGroup(g) =>
+        require(groups.contains(g), s"unknown group '$g'")
+        col(s"`$g`")
+      case BarSort.Explicit(order) =>
+        // position in the explicit list; unlisted values sort last
+        order.zipWithIndex.foldLeft(lit(order.size)) { case (acc, (v, i)) =>
+          when(col("value") === v, lit(i)).otherwise(acc)
+        } * -1 // align with the desc sort below
+    }
     filled
-      .withColumn("_mean", mean)
-      .orderBy(col("_mean").desc, col("value"))
+      .withColumn("_sk", sortKey)
+      .orderBy(col("_sk").desc, col("value"))
       .limit(topK)
-      .drop("_mean")
+      .drop("_sk")
+  }
+
+  /** Zigzag permutation of scores (`plot.py:222-237`): order wedges so
+    * sizes alternate large/small around the pie — largest, smallest,
+    * second-largest, second-smallest, … Driver-side over ≤ dozens of
+    * groups, exactly like the reference.
+    */
+  def zigzagOrder[T](items: Seq[T], score: T => Double): Seq[T] = {
+    val sorted = items.sortBy(score).reverse.toVector // descending
+    val out = scala.collection.mutable.ArrayBuffer.empty[T]
+    var lo = 0
+    var hi = sorted.length - 1
+    var takeBig = true
+    while (lo <= hi) {
+      if (takeBig) { out += sorted(lo); lo += 1 }
+      else { out += sorted(hi); hi -= 1 }
+      takeBig = !takeBig
+    }
+    out.toSeq
   }
 
   /** 2-D histogram prep + Pearson correlation (`plot.py:278-334`):

@@ -89,6 +89,19 @@ class LongTailSpec extends SparkSpec {
     intercept[IllegalArgumentException](VizPrep.binCount(uniform, col("v"), "nope"))
   }
 
+  test("groupBarHist sort variants + zigzag order (plot.py:222-237, 488-496)") {
+    val df = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")
+    val frame = df.map(v => (v, "g1")).toDF("v", "g")
+    def firstValue(s: VizPrep.BarSort) =
+      VizPrep.groupBarHist(frame, col("g"), col("v"), Seq("g1"), sort = s)
+        .select("value").head().getString(0)
+    assert(firstValue(VizPrep.BarSort.CrossGroupMean) == "a")
+    assert(firstValue(VizPrep.BarSort.ByGroup("g1")) == "a")
+    assert(firstValue(VizPrep.BarSort.Explicit(Seq("c", "b", "a"))) == "c")
+    val zz = VizPrep.zigzagOrder(Seq(1.0, 5.0, 3.0, 4.0, 2.0), identity[Double])
+    assert(zz == Seq(5.0, 1.0, 4.0, 2.0, 3.0))
+  }
+
   test("Colors: to_hls/lighten/sequential_cmap round-trips (colors.py)") {
     val (h, l, s) = Colors.toHls(1.0, 0.0, 0.0) // pure red
     assert(math.abs(h - 0.0) < 1e-12 && math.abs(l - 0.5) < 1e-12 && math.abs(s - 1.0) < 1e-12)
