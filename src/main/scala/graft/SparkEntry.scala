@@ -441,6 +441,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("source_a", "source_b")
     }),
+    // EXT gap-based sessionization (batch twin of the stateful streaming
+    // flatMapGroupsWithState path — equality tested in StreamingSpec)
+    "sessions_user" -> ((s, dir) => {
+      graft.streaming.StreamOps.sessionizeBatch(
+          t(s, dir, "events"), "user_id", "ts", "event_id", 30)
+        .orderBy("user_id", "event_id")
+    }),
     // EXT end-to-end corpus cleaning: quality-score -> exact dedup (keep
     // lowest id) -> top 100 by quality — the composed pipeline shape a
     // training-data run uses, fully oracle-checkable
@@ -697,6 +704,15 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "sessions_user" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
          |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),

@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
+case class SessionState(lastTsMicros: Long, sessionId: Long)
 
 /** Structured-Streaming transforms (EXT: the reference has no streams —
   * SURVEY §2.2 "Streaming" — so these are the streaming analogues of its
@@ -48,5 +55,53 @@ object StreamOps {
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     withWm.dropDuplicates(keys)
+  }
+
+  /** Batch sessionization: gap-based session ids per user — a session
+    * boundary wherever the inter-event gap exceeds `gapMinutes`. One
+    * window shuffle on the user key; ids are 1-based per user in
+    * (ts, event_id) order.
+    */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+      eventIdCol: String, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
+    val micros = unix_micros(col(tsCol))
+    val prev = lag(micros, 1).over(w)
+    val newSession = when(prev.isNull || micros - prev > gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_id", sum(newSession).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(userCol).as("user_id"), col(eventIdCol).as("event_id"),
+        col("session_id"))
+  }
+
+  /** Stateful-streaming sessionization via `flatMapGroupsWithState`: the
+    * per-user state carries (last event time, current session id) across
+    * micro-batches, so session ids keep counting as batches arrive. Runs
+    * on a batch Dataset too (state starts empty per group) — the equality
+    * with [[sessionizeBatch]] is the StreamingSpec contract. Events
+    * within a micro-batch are sorted per user in memory; per-user batch
+    * volumes are the bound (the same assumption groupByKey state ops
+    * always make).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionAssignment] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionAssignment]
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val isNew = st.sessionId == 0L || e.tsMicros - st.lastTsMicros > gapMicros
+            st = SessionState(e.tsMicros, if (isNew) st.sessionId + 1 else st.sessionId)
+            SessionAssignment(user, e.event_id, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+        })
   }
 }

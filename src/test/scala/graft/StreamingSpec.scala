@@ -49,6 +49,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == evs.size)
   }
 
+  test("sessionization: stateful stream result equals the batch window twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SessionEvent, StreamOps}
+    val sessEvents = evs.zipWithIndex.map { case (e, i) =>
+      SessionEvent(1000L + (i % 3), i.toLong, e.ts.getTime * 1000L)
+    }
+    // batch twin over the equivalent frame
+    val batchDf = sessEvents
+      .map(e => (e.user_id, e.event_id, new java.sql.Timestamp(e.tsMicros / 1000L)))
+      .toDF("user_id", "event_id", "ts")
+    val batch = StreamOps.sessionizeBatch(batchDf, "user_id", "ts", "event_id", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // streaming path, two micro-batches to exercise carried state
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionizeStream(mem.toDS(), 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    val (first, second) = sessEvents.sortBy(e => (e.tsMicros, e.event_id)).splitAt(60)
+    mem.addData(first: _*); q.processAllAvailable()
+    mem.addData(second: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(batch.values.max >= 1L)
+  }
+
   test("runningValueCounts on a stream (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
