@@ -55,18 +55,22 @@ object Ann {
       val buckets = VectorFunctions.signBuckets(col(vec), tables)
       df.select(col(id), col(vec), posexplode(buckets).as(Seq("tbl", "bucket")))
     }
-    val c = withBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv")),
-      "neighbor_id", "cv")
-    val q = withBuckets(
-      queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")),
-      "query_id", "qv")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = withBuckets(cv, "neighbor_id", "cv").drop("cv")
+    val q = withBuckets(qv, "query_id", "qv").drop("qv")
+    // candidate dedup on BARE id pairs; vectors join back afterwards (the
+    // array-carrying dropDuplicates shuffle is the measured 5x mistake —
+    // see Dedup.embeddingNearDupLsh)
     val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    val scored = cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))

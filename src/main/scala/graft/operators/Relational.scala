@@ -202,9 +202,12 @@ object Relational {
       dense_rank().over(Window.orderBy(cols.map(col): _*)).cast("long"))
     // null-SAFE join back: distinct() treats null tuples as a group and
     // they carry an id too — a plain equi-join would never match them.
+    // No broadcast hint: AQE picks broadcast when the distinct set is
+    // small and falls back to a shuffle join when it is not (a forced
+    // hint would be a >8GB-broadcast failure point on high-cardinality keys).
     val renamed = cols.foldLeft(ids)((acc, c) => acc.withColumnRenamed(c, s"_r_$c"))
     val cond = cols.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
-    df.join(broadcast(renamed), cond, "left")
+    df.join(renamed, cond, "left")
       .drop(cols.map(c => s"_r_$c"): _*)
   }
 

@@ -97,13 +97,16 @@ object Sampling {
     val n: Long = nRows.getOrElse {
       dist.map { case (k, p) => math.floor(counts(k) / p).toLong }.min
     }
-    // rounded-cumsum allocation in a fixed (sorted-key) order
+    // rounded-cumsum allocation in a fixed (sorted-key) order; rint =
+    // round-half-to-EVEN, matching the numpy np.round the reference's
+    // allocation uses (math.round's half-up would swap counts whenever a
+    // cumulative n*p lands exactly on .5)
     val ordered = dist.toSeq.sortBy(_._1)
     var cum = 0.0
     var prevRound = 0L
     val targets: Seq[(String, Long)] = ordered.map { case (k, p) =>
       cum += n * p
-      val r = math.round(cum)
+      val r = math.rint(cum).toLong
       val t = r - prevRound
       prevRound = r
       k -> t

@@ -40,6 +40,12 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int = 16, seed: Long = 42L, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full outer would emit `salt` copies of unmatched small-side
+    // rows (the exploded copies all miss) — only big-side-preserving
+    // join types keep the row-identical contract.
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports big-side-preserving join types only, got '$joinType'")
     val saltedBig = big.withColumn("_salt", (rand(seed) * salt).cast("int"))
     val saltedSmall = small.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedBig

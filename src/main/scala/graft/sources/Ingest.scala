@@ -61,9 +61,12 @@ object Ingest {
       numSlices: Int = 0): DataFrame = {
     val sc = spark.sparkContext
     val slices = if (numSlices > 0) numSlices else sc.defaultParallelism
+    // No cache: the source Iterable is driver-held, so re-running the
+    // flatten for pass 2 is a cheap map (a cache here would leak block
+    // storage for the app lifetime with no unpersist hook). `transform`
+    // therefore runs once per pass and must be side-effect-free.
     val rdd = sc.parallelize(data.toSeq, math.max(1, math.min(slices, data.size)))
       .flatMap(d => transform(d).map(flatten(_)))
-    rdd.cache()
     // pass 1: per-partition schema merge, reduced driver-side (small)
     val fields = rdd
       .mapPartitions { it =>
@@ -96,6 +99,9 @@ object Ingest {
     case (x: Int, DoubleType) => x.toDouble
     case (x: Long, DoubleType) => x.toDouble
     case (x: Float, DoubleType) => x.toDouble
+    // bytes merged into a string column: content-deterministic base64,
+    // never Array.toString (a JVM identity string)
+    case (x: Array[Byte], StringType) => java.util.Base64.getEncoder.encodeToString(x)
     case (x, StringType) => x.toString
     case (x: Int, IntegerType) => x
     case (x: Long, IntegerType) => x.toInt

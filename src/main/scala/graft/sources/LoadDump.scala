@@ -61,6 +61,7 @@ object LoadDump {
   def dump(df: DataFrame, path: String, options: Map[String, String] = Map(),
       mode: String = "overwrite"): Unit = {
     val ext = extensionOf(path)
+    require(ext != "bin", "binaryFile is a read-only Spark format; write blobs as parquet binary columns")
     val (fmt, defaults) = formats.getOrElse(ext,
       throw new IllegalArgumentException(s"unsupported extension: $ext"))
     val out = if (ext == "idx" || ext == "txt") {

@@ -59,6 +59,8 @@ object Multimodal {
     * (stands in for an embedding model; deterministic, columnar output).
     */
   def byteFeatures(c: Column, dims: Int = 8): Column = {
+    require(256 % dims == 0,
+      s"dims ($dims) must divide 256 — a remainder would silently drop the top byte range")
     val hist = graft.functions.ByteFunctions.byte_histogram(c)
     // dims equal-width byte-range sums, normalized by blob length
     val total = greatest(functions_length(c), lit(1)).cast("double")
