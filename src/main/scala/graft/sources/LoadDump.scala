@@ -23,6 +23,8 @@ object LoadDump {
     "json" -> ("json", Map()),
     "jsonl" -> ("json", Map()),
     "txt" -> ("text", Map()),
+    // Spark 4 native XML source
+    "xml" -> ("xml", Map("rowTag" -> "row")),
     // the reference's `.idx` = newline-separated index values (utils.py:156-165)
     "idx" -> ("text", Map()),
     // raw files as (path, modificationTime, length, content:binary)

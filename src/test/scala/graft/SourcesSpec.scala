@@ -11,7 +11,7 @@ class SourcesSpec extends SparkSpec {
   test("LoadDump: extension round-trips parquet/csv/json, idx lines") {
     val tmp = Files.createTempDirectory("graft_io").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
-    for (ext <- Seq("parquet", "csv", "json")) {
+    for (ext <- Seq("parquet", "orc", "csv", "tsv", "json", "xml")) {
       LoadDump.dump(df, s"$tmp/t.$ext")
       val back = LoadDump.load(spark, s"$tmp/t.$ext")
       assert(back.count() == 2, ext)
