@@ -441,6 +441,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("source_a", "source_b")
     }),
+    // EXT unigram log-probability doc score (CCNet-style LM-filter proxy):
+    // corpus unigram distribution -> per-doc mean token log-prob. Two
+    // aggregations + one broadcastable join on the vocab.
+    "unigram_logprob" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = freqs.agg(sum("cnt").as("_total"))
+      toks
+        .join(broadcast(freqs.crossJoin(broadcast(total))), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("cnt").cast("double") / col("_total"))), 6).as("logprob"))
+        .orderBy("doc_id")
+    }),
     // EXT gap-based sessionization (batch twin of the stateful streaming
     // flatMapGroupsWithState path — equality tested in StreamingSpec)
     "sessions_user" -> ((s, dir) => {
@@ -704,6 +718,13 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        | freqs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freqs)
+        |SELECT doc_id, ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
+        |FROM toks JOIN freqs USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sessions_user" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
