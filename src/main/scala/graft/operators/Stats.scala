@@ -81,4 +81,19 @@ object Stats {
   /** Pearson correlation as a 1-row frame (`plot.py:333`). */
   def corrDf(df: DataFrame, x: String, y: String): DataFrame =
     df.agg(corr(col(x), col(y)).as("corr"))
+
+  /** Sketch-based profile for the 100 TB path (Spark-native per SURVEY
+    * §2.3 — the reference keeps all counts exact; these are the scale
+    * substitutes, one pass, fixed memory): HLL distinct counts and
+    * approximate quantiles per numeric column.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        approx_count_distinct(col(c), rsd).as(s"${c}_approx_distinct"),
+        percentile_approx(col(c).cast("double"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as(s"${c}_quartiles"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

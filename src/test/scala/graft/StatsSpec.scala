@@ -49,6 +49,16 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(v - 17.5) < 1e-12)
   }
 
+  test("approxProfile: sketch counts within rsd, quartiles ordered") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val row = Stats.approxProfile(df, Seq("v")).head()
+    val distinct = row.getLong(0)
+    assert(math.abs(distinct - 10000) < 10000 * 0.15, s"approx distinct $distinct")
+    val q = row.getSeq[Double](1)
+    assert(q.length == 3 && q(0) <= q(1) && q(1) <= q(2))
+    assert(math.abs(q(1) - 5000) < 200)
+  }
+
   test("corrDf: perfect correlation = 1") {
     val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1)).toDF("x", "y")
     assert(math.abs(Stats.corrDf(df, "x", "y").collect().head.getDouble(0) - 1.0) < 1e-9)
