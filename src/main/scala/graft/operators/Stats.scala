@@ -78,6 +78,16 @@ object Stats {
       acc.withColumn(c, coalesce(col(c), lit(v).cast(acc.schema(c).dataType)))
     }
 
+  /** fillna with arbitrary Column fill values — the reference's
+    * `fillna(df, {'B': list, 'C': dict})` container fills
+    * (`tests/test_utils.py:45-51`) map to typed empty arrays/maps here
+    * (e.g. `typedlit(Seq.empty[Int])`); any expression works.
+    */
+  def fillnaCols(df: DataFrame, values: Map[String, Column]): DataFrame =
+    values.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(c), v))
+    }
+
   /** Pearson correlation as a 1-row frame (`plot.py:333`). */
   def corrDf(df: DataFrame, x: String, y: String): DataFrame =
     df.agg(corr(col(x), col(y)).as("corr"))

@@ -189,6 +189,16 @@ object VizPrep {
       .orderBy("bucket_x", "bucket_y")
   }
 
+  /** imagesc MultiIndex gridlines (`plot.py:656-664`): positions where
+    * the first-level key changes in a sorted two-level key sequence —
+    * the boundaries the renderer draws between level-0 blocks.
+    * Driver-side over the (pivoted, display-sized) axis labels.
+    */
+  def gridlineBoundaries(sortedKeys: Seq[(String, String)]): Seq[Int] =
+    sortedKeys.zip(sortedKeys.drop(1)).zipWithIndex.collect {
+      case (((l0a, _), (l0b, _)), i) if l0a != l0b => i + 1
+    }
+
   /** log-x plot prep (`plot.py:22-43`): prepend a 0 point. */
   def logxPrep(df: DataFrame, x: Column, y: Column): DataFrame = {
     val base = df.select(x.cast("double").as("x"), y.cast("double").as("y"))

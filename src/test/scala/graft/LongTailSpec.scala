@@ -114,6 +114,23 @@ class LongTailSpec extends SparkSpec {
     assert(ramp.head._1 > ramp.last._1 || ramp.head._2 > ramp.last._2) // light -> dark
   }
 
+  test("twoLevelPie: weighted aggregation and per-cat Others collapse") {
+    val df = Seq(
+      ("A", "x", 10.0), ("A", "y", 0.5), ("A", "z", 9.5), ("B", "w", 5.0))
+      .toDF("cat", "sub", "wt")
+    val out = VizPrep.twoLevelPie(df, col("cat"), col("sub"),
+      Some(col("wt")), othersFrac = 0.1).collect()
+    val aWedges = out.filter(_.getString(0) == "A").map(_.getString(1)).toSet
+    assert(aWedges == Set("x", "z", "=OTHERS=")) // y = 0.5/20 < 10% collapses
+    assert(out.filter(_.getString(0) == "A").map(_.getDouble(4)).sum - 1.0 < 1e-9)
+  }
+
+  test("gridlineBoundaries: level-0 change positions (plot.py:656-664)") {
+    val keys = Seq(("r1", "a"), ("r1", "b"), ("r2", "a"), ("r3", "a"), ("r3", "b"))
+    assert(VizPrep.gridlineBoundaries(keys) == Seq(2, 3))
+    assert(VizPrep.gridlineBoundaries(Nil).isEmpty)
+  }
+
   test("GridUtils: near-square grids (matplotlib/utils.py:12-34)") {
     assert(GridUtils.gridSize(1) == (1, 1))
     assert(GridUtils.gridSize(4) == (2, 2))

@@ -32,6 +32,21 @@ class StatsSpec extends SparkSpec {
     assert(filled.isNullAt(0) && filled.isNullAt(1) && filled.isNullAt(2))
   }
 
+  test("fillnaCols: container fills (A2 B->list, C->dict analogue)") {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    val df = Seq(
+      (Some(Seq(1, 2)), Some(Map("a" -> 1))),
+      (None, None)).toDF("B", "C")
+    val out = Stats.fillnaCols(df, Map(
+      "B" -> typedlit(Seq.empty[Int]),
+      "C" -> typedlit(Map.empty[String, Int])))
+    val rows = out.collect()
+    assert(rows.forall(!_.isNullAt(0)) && rows.forall(!_.isNullAt(1)))
+    assert(rows.exists(_.getSeq[Int](0) == Seq(1, 2)))
+    assert(rows.exists(_.getSeq[Int](0).isEmpty))
+    assert(rows.exists(r => r.getMap[String, Int](1).isEmpty))
+  }
+
   test("columnStats: n_unique/n_null/top-2 with deterministic tie-break") {
     val df = Seq(Some("x"), Some("x"), Some("y"), Some("z"), None).toDF("c")
     val st = Stats.columnStats(df, Seq("c")).collect().head
