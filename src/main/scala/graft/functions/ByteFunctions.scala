@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.types._
@@ -20,17 +20,62 @@ import org.apache.spark.sql.types._
   */
 object ByteFunctions {
 
-  /** 256-bin histogram of a binary column (`algorithm.py:13-27`). */
-  case class ByteHistogram(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val bytes = v.asInstanceOf[Array[Byte]]
-      val h = new Array[Long](256)
-      var i = 0
-      while (i < bytes.length) { h(bytes(i) & 0xff) += 1L; i += 1 }
-      new GenericArrayData(h)
+  /** Static kernels — called both from interpreted eval and from the
+    * generated Java (Scala top-level objects emit static forwarders), so
+    * these expressions participate in whole-stage codegen instead of
+    * forcing a CodegenFallback boundary.
+    */
+  def histogramOf(bytes: Array[Byte]): ArrayData = {
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { h(bytes(i) & 0xff) += 1L; i += 1 }
+    new GenericArrayData(h)
+  }
+
+  def entropyOf(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { h(bytes(i) & 0xff) += 1L; i += 1 }
+    val n = bytes.length.toDouble
+    var ent = 0.0
+    var b = 0
+    while (b < 256) {
+      if (h(b) > 0L) {
+        val p = h(b) / n
+        ent += -p * (math.log(p) / math.log(2.0))
+      }
+      b += 1
     }
+    ent
+  }
+
+  def klOf(l: ArrayData, r: ArrayData): Double = {
+    val h1 = l.toLongArray()
+    val h2 = r.toLongArray()
+    require(h1.length == h2.length, "histogram lengths differ")
+    val n1 = h1.sum.toDouble
+    val n2 = h2.sum.toDouble
+    var kl = 0.0
+    var i = 0
+    while (i < h1.length) {
+      if (h1(i) > 0L && n1 > 0) {
+        val p = h1(i) / n1
+        val q = (if (n2 > 0) h2(i) / n2 else 0.0) + 1e-7
+        kl += p * (math.log(p / q) / math.log(2.0))
+      }
+      i += 1
+    }
+    kl
+  }
+
+  /** 256-bin histogram of a binary column (`algorithm.py:13-27`). */
+  case class ByteHistogram(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      histogramOf(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ByteFunctions.histogramOf($c)")
     override protected def withNewChildInternal(c: Expression): ByteHistogram = copy(c)
   }
 
@@ -38,29 +83,12 @@ object ByteFunctions {
     * (`algorithm.py:30-44`). Terms accumulate in ascending byte order —
     * the documented summation order for oracle parity.
     */
-  case class ShannonEntropy(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class ShannonEntropy(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(v: Any): Any = {
-      val bytes = v.asInstanceOf[Array[Byte]]
-      if (bytes.isEmpty) 0.0
-      else {
-        val h = new Array[Long](256)
-        var i = 0
-        while (i < bytes.length) { h(bytes(i) & 0xff) += 1L; i += 1 }
-        val n = bytes.length.toDouble
-        var ent = 0.0
-        var b = 0
-        while (b < 256) {
-          if (h(b) > 0L) {
-            val p = h(b) / n
-            ent += -p * (math.log(p) / math.log(2.0))
-          }
-          b += 1
-        }
-        ent
-      }
-    }
+    override def nullSafeEval(v: Any): Any =
+      entropyOf(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.ByteFunctions.entropyOf($c)")
     override protected def withNewChildInternal(c: Expression): ShannonEntropy = copy(c)
   }
 
@@ -69,26 +97,12 @@ object ByteFunctions {
     * Ascending-bin summation order.
     */
   case class KlDivergence(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val h1 = l.asInstanceOf[ArrayData].toLongArray()
-      val h2 = r.asInstanceOf[ArrayData].toLongArray()
-      require(h1.length == h2.length, "histogram lengths differ")
-      val n1 = h1.sum.toDouble
-      val n2 = h2.sum.toDouble
-      var kl = 0.0
-      var i = 0
-      while (i < h1.length) {
-        if (h1(i) > 0L && n1 > 0) {
-          val p = h1(i) / n1
-          val q = (if (n2 > 0) h2(i) / n2 else 0.0) + 1e-7
-          kl += p * (math.log(p / q) / math.log(2.0))
-        }
-        i += 1
-      }
-      kl
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      klOf(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ByteFunctions.klOf($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): KlDivergence =
       copy(left = l, right = r)
   }

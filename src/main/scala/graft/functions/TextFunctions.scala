@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
@@ -40,28 +40,36 @@ object TextFunctions {
     * in a single scan instead of one replace pass per word (16 passes ->
     * 1 for langId). Composed builtins remain the SQL-oracle mirror.
     */
+  /** Static kernel: padded-lowercase multi-pattern occurrence counts. */
+  def multiOccurrencesOf(v: UTF8String, pats: Array[String]): GenericArrayData = {
+    val s = " " + v.toString.toLowerCase(java.util.Locale.ROOT) + " "
+    val out = new Array[Int](pats.length)
+    var i = 0
+    while (i < pats.length) {
+      val p = pats(i)
+      var from = 0
+      var n = 0
+      var idx = s.indexOf(p, from)
+      while (idx >= 0) {
+        n += 1
+        from = idx + p.length // non-overlapping, like replace()
+        idx = s.indexOf(p, from)
+      }
+      out(i) = n
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   case class MultiOccurrences(child: Expression, patterns: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     private val pats = patterns.map(p => s" $p ").toArray
-    override def nullSafeEval(v: Any): Any = {
-      val s = " " + v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT) + " "
-      val out = new Array[Int](pats.length)
-      var i = 0
-      while (i < pats.length) {
-        val p = pats(i)
-        var from = 0
-        var n = 0
-        var idx = s.indexOf(p, from)
-        while (idx >= 0) {
-          n += 1
-          from = idx + p.length // non-overlapping, like replace()
-          idx = s.indexOf(p, from)
-        }
-        out(i) = n
-        i += 1
-      }
-      new GenericArrayData(out)
+    override def nullSafeEval(v: Any): Any =
+      multiOccurrencesOf(v.asInstanceOf[UTF8String], pats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pats", pats, "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.multiOccurrencesOf($c, $ref)")
     }
     override protected def withNewChildInternal(c: Expression): MultiOccurrences = copy(child = c)
   }
@@ -171,30 +179,32 @@ object TextFunctions {
     * expression tokenizes once. Semantics identical: trim, split on \s+,
     * fewer than k words -> empty array.
     */
+  /** Static kernel: one-pass tokenization + k-shingling. */
+  def wordShinglesOf(v: UTF8String, k: Int): GenericArrayData = {
+    val s = v.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = s.split("\\s+")
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - k + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   case class WordShingles(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString.trim
-      if (s.isEmpty) new GenericArrayData(Array.empty[Any])
-      else {
-        val words = s.split("\\s+")
-        if (words.length < k) new GenericArrayData(Array.empty[Any])
-        else {
-          val out = new Array[Any](words.length - k + 1)
-          var i = 0
-          while (i < out.length) {
-            val sb = new java.lang.StringBuilder(words(i))
-            var j = 1
-            while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
-            out(i) = UTF8String.fromString(sb.toString)
-            i += 1
-          }
-          new GenericArrayData(out)
-        }
-      }
-    }
+    override def nullSafeEval(v: Any): Any =
+      wordShinglesOf(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.wordShinglesOf($c, $k)")
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -24,22 +24,28 @@ object VectorFunctions {
   /** cosine(a, b) with sequential accumulation; null if either side is
     * null; 0.0 for zero-norm inputs.
     */
-  case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toDoubleArray()
-      val b = r.asInstanceOf[ArrayData].toDoubleArray()
-      require(a.length == b.length, s"vector lengths differ: ${a.length} vs ${b.length}")
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
-        i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0
-      else dot / (math.sqrt(na) * math.sqrt(nb))
+  /** Static kernel shared by interpreted eval and generated Java. */
+  def cosineOf(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toDoubleArray()
+    val b = r.toDoubleArray()
+    require(a.length == b.length, s"vector lengths differ: ${a.length} vs ${b.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
     }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      cosineOf(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorFunctions.cosineOf($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
       copy(left = l, right = r)
   }
@@ -72,30 +78,38 @@ object VectorFunctions {
     * expression tree (element_at x planes x dims) that took 25s on 5k
     * rows; this expression is a tight triple loop.
     */
-  case class SignBuckets(child: Expression, planes: Array[Array[Array[Double]]])
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData].toDoubleArray()
-      val out = new Array[Long](planes.length)
-      var t = 0
-      while (t < planes.length) {
-        var bucket = 0L
-        val tbl = planes(t)
-        var j = 0
-        while (j < tbl.length) {
-          val p = tbl(j)
-          var dot = 0.0
-          var d = 0
-          val n = math.min(p.length, arr.length)
-          while (d < n) { dot += arr(d) * p(d); d += 1 }
-          if (dot >= 0) bucket |= (1L << j)
-          j += 1
-        }
-        out(t) = bucket
-        t += 1
+  /** Static kernel for [[SignBuckets]]. */
+  def signBucketsOf(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val arr = v.toDoubleArray()
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      var bucket = 0L
+      val tbl = planes(t)
+      var j = 0
+      while (j < tbl.length) {
+        val p = tbl(j)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(p.length, arr.length)
+        while (d < n) { dot += arr(d) * p(d); d += 1 }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
       }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class SignBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      signBucketsOf(v.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorFunctions.signBucketsOf($c, $ref)")
     }
     override protected def withNewChildInternal(c: Expression): SignBuckets = copy(child = c)
   }
