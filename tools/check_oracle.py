@@ -34,6 +34,12 @@ for name in sorted(os.listdir(outdir)):
         print(f"[SCHEMA] {name}: spark={gc} oracle={ec}")
         fail += 1
         continue
+    # dtype-kind comparison (driver may check schema strictly)
+    kinds = lambda df: {c: df[c].dtype.kind for c in gc}
+    gk, ek = kinds(got), kinds(exp)
+    if gk != ek:
+        diff = {c: (gk[c], ek[c]) for c in gc if gk[c] != ek[c]}
+        print(f"[DTYPE] {name}: {diff}")
     g = got[gc].sort_values(gc).reset_index(drop=True)
     e = exp[gc].sort_values(gc).reset_index(drop=True)
     if len(g) != len(e):
