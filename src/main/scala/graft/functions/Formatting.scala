@@ -31,9 +31,11 @@ object Formatting {
   def suffix(v: Column, binary: Boolean = false): Column = {
     val step = if (binary) 1024.0 else 1000.0
     val names = if (binary) binSuffixes else siSuffixes
-    names.zipWithIndex.foldLeft(lit(names.head)) { case (acc, (s, k)) =>
+    val sel = names.zipWithIndex.foldLeft(lit(names.head)) { case (acc, (s, k)) =>
       when(tier(v, step) === k, lit(s)).otherwise(acc)
     }
+    // null value -> null suffix, matching mantissa's null propagation
+    when(v.isNull, lit(null).cast("string")).otherwise(sel)
   }
 
   /** Driver-side string assembly (render-time only, like format.py:24). */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
@@ -103,7 +103,8 @@ object TextFunctions {
     val de = stopwordCount(c, DeStops)
     val es = stopwordCount(c, EsStops)
     val fr = stopwordCount(c, FrStops)
-    when(c.rlike("[一-鿿]"), lit("zh"))
+    when(c.isNull, lit(null).cast("string"))
+      .when(c.rlike("[一-鿿]"), lit("zh"))
       .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("unknown"))
       .when(en >= de && en >= es && en >= fr, lit("en"))
       .when(de >= es && de >= fr, lit("de"))

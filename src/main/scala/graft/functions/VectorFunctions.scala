@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -86,13 +86,17 @@ object VectorFunctions {
     while (t < planes.length) {
       var bucket = 0L
       val tbl = planes(t)
+      require(tbl.length <= 63, s"at most 63 planes per table (got ${tbl.length}) — 1L<<j wraps past 63")
       var j = 0
       while (j < tbl.length) {
         val p = tbl(j)
+        // same strictness as cosineOf: a silent partial dot would put
+        // ragged embeddings in arbitrary buckets
+        require(p.length == arr.length,
+          s"vector dim ${arr.length} != plane dim ${p.length}")
         var dot = 0.0
         var d = 0
-        val n = math.min(p.length, arr.length)
-        while (d < n) { dot += arr(d) * p(d); d += 1 }
+        while (d < p.length) { dot += arr(d) * p(d); d += 1 }
         if (dot >= 0) bucket |= (1L << j)
         j += 1
       }

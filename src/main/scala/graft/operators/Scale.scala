@@ -14,13 +14,15 @@ object Scale {
     * co-located buckets) — the plan-level proof lives in ScaleSpec.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      numBuckets: Int, mode: String = "overwrite"): Unit =
+      numBuckets: Int, mode: String = "overwrite"): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
     df.write
       .mode(mode)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketing tables on their bucket keys — shuffle-free
     * when both sides were written with [[writeBucketed]] and
@@ -46,10 +48,14 @@ object Scale {
     val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
     require(ok.contains(joinType.toLowerCase),
       s"saltedJoin supports big-side-preserving join types only, got '$joinType'")
-    val saltedBig = big.withColumn("_salt", (rand(seed) * salt).cast("int"))
-    val saltedSmall = small.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    require(keys.nonEmpty, "need at least one join key")
+    val sc = "__graft_salt" // collision-proof temp name
+    require(!big.columns.contains(sc) && !small.columns.contains(sc),
+      s"input already has a $sc column")
+    val saltedBig = big.withColumn(sc, (rand(seed) * salt).cast("int"))
+    val saltedSmall = small.withColumn(sc, explode(sequence(lit(0), lit(salt - 1))))
     saltedBig
-      .join(saltedSmall, keys :+ "_salt", joinType)
-      .drop("_salt")
+      .join(saltedSmall, keys :+ sc, joinType)
+      .drop(sc)
   }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.sql.Timestamp
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -25,7 +24,8 @@ object StreamOps {
     * (late data beyond `watermark` is dropped in streaming mode).
     */
   def windowedCounts(events: DataFrame, tsCol: String, windowDur: String,
-      slideDur: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
+      slideDur: Option[String] = None, watermark: String = "1 hour",
+      groupCol: String = "event_type", valueCol: String = "value"): DataFrame = {
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     val win = slideDur match {
@@ -33,10 +33,10 @@ object StreamOps {
       case None => window(col(tsCol), windowDur)
     }
     withWm
-      .groupBy(win.as("win"), col("event_type"))
+      .groupBy(win.as("win"), col(groupCol).as("event_type"))
       .agg(count(lit(1)).as("cnt"),
         // exact decimal accumulate -> order-independent double
-        sum(col("value").cast("decimal(30,2)")).cast("double").as("value_sum"))
+        sum(col(valueCol).cast("decimal(30,2)")).cast("double").as("value_sum"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("cnt"), col("value_sum"))
   }
@@ -48,14 +48,17 @@ object StreamOps {
     events.groupBy(col(keyCol).as("value")).agg(count(lit(1)).as("cnt"))
 
   /** Streaming dedup analogue of drop_duplicates_by_index keep='first':
-    * state-backed exact dedup on a key within the watermark horizon.
+    * state-backed exact dedup on a key. In streaming mode this uses
+    * `dropDuplicatesWithinWatermark`, whose state is EVICTED once the
+    * watermark passes — a plain dropDuplicates only bounds state when the
+    * event-time column happens to be part of the key, and grows without
+    * bound otherwise.
     */
   def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
-      watermark: String = "1 hour"): DataFrame = {
-    val withWm =
-      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
-    withWm.dropDuplicates(keys)
-  }
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
 
   /** Batch sessionization: gap-based session ids per user — a session
     * boundary wherever the inter-event gap exceeds `gapMinutes`. One
@@ -80,10 +83,16 @@ object StreamOps {
     * per-user state carries (last event time, current session id) across
     * micro-batches, so session ids keep counting as batches arrive. Runs
     * on a batch Dataset too (state starts empty per group) — the equality
-    * with [[sessionizeBatch]] is the StreamingSpec contract. Events
-    * within a micro-batch are sorted per user in memory; per-user batch
-    * volumes are the bound (the same assumption groupByKey state ops
-    * always make).
+    * with [[sessionizeBatch]] is the StreamingSpec contract for in-order
+    * arrival. Events within a micro-batch are sorted per user in memory;
+    * per-user batch volumes are the bound (the same assumption groupByKey
+    * state ops always make).
+    *
+    * Documented divergences inherent to streaming: an event arriving in a
+    * LATER micro-batch with an EARLIER timestamp joins the current
+    * session (the batch twin would re-sort globally); state is 16
+    * bytes/user and is kept for the query lifetime (add a timeout policy
+    * if user cardinality is unbounded).
     */
   def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionAssignment] = {
     implicit val stateEnc = Encoders.product[SessionState]
