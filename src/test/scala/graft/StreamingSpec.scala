@@ -75,6 +75,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.max >= 1L)
   }
 
+  test("dedupStream: watermark-evictable state path (keys WITHOUT the ts column)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dup = evs ++ evs.take(5)
+    val mem = MemoryStream[Ev]
+    mem.addData(dup: _*)
+    // event_type+value identify an event here; ts deliberately NOT a key
+    val q = StreamOps.dedupStream(mem.toDF(), "ts", Seq("event_type", "value"))
+      .writeStream.format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_wm_out").count() == evs.size)
+  }
+
   test("runningValueCounts on a stream (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
