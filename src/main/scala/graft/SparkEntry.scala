@@ -441,6 +441,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("source_a", "source_b")
     }),
+    // EXT per-source dedup-rate report: docs vs distinct texts per source
+    "dup_rate_by_source" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("text")).as("n_unique"),
+          (lit(1.0) - count_distinct(col("text")).cast("double") / count(lit(1)))
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
     // EXT unigram log-probability doc score (CCNet-style LM-filter proxy):
     // corpus unigram distribution -> per-doc mean token log-prob. Two
     // aggregations + one broadcastable join on the vocab.
@@ -718,6 +728,11 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "dup_rate_by_source" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+        | 1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | freqs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
