@@ -147,7 +147,10 @@ object SparkEntry {
       val aa = Relational.alignable(cust.select("c_custkey"), cust.select("c_custkey"), Seq("c_custkey"))
       s.range(1).select(lit(ab).as("align_ab"), lit(aa).as("align_aa"))
     }),
-    // #5 exact stratified sampling (utils.py:198-278) — no SQL oracle (RNG)
+    // #5 exact stratified sampling (utils.py:198-278), reproducible-draw
+    // variant: allocation is the reference's rounded-cumsum; the row
+    // choice within each stratum is the md5(seed:key) order, so the
+    // oracle replicates rows exactly (the RNG path stays spec-tested).
     "sample_stratified" -> ((s, dir) => {
       Sampling.sampleWithDistribution(
         t(s, dir, "customer"), "c_mktsegment",
@@ -155,12 +158,25 @@ object SparkEntry {
         distribution = Some(Map(
           "AUTOMOBILE" -> 0.2, "BUILDING" -> 0.2, "FURNITURE" -> 0.2,
           "HOUSEHOLD" -> 0.2, "MACHINERY" -> 0.2)),
-        seed = 42L, tieBreak = Seq("c_custkey"))
+        seed = 42L, tieBreak = Seq("c_custkey"),
+        orderCol = Some(md5(concat_ws(":", lit("42"), col("c_custkey").cast("string")))))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_mktsegment", "c_custkey")
     }),
-    // #4 sample_at_most (utils.py:557-608) — no SQL oracle (RNG)
+    // #4 sample_at_most (utils.py:557-608), reproducible md5-key variant
     "sample_at_most" -> ((s, dir) => {
-      Sampling.sampleNAtMost(t(s, dir, "orders"), 100, seed = 42L,
-        tieBreak = Seq("o_orderkey"))
+      Sampling.sampleNAtMostHash(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          100, "42", Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // #4 with replacement + weights (utils.py:557-608 replace=True):
+    // exact integer-cent interval arithmetic, two-phase bucketed cumsum
+    "sample_weighted_replace" -> ((s, dir) => {
+      Sampling.sampleWeightedWithReplacement(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          100, "o_totalprice", "o_orderkey")
+        .orderBy("j")
     }),
     // #24 shannon_entropy per doc (algorithm.py:30-44)
     "entropy_docs" -> ((s, dir) => {
@@ -217,9 +233,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
-    // EXT embedding near-duplicate pairs (cosine >= 0.3)
+    // EXT embedding near-duplicate pairs (cosine >= 0.3): deterministic
+    // sign-LSH candidates + exact-cosine verify. The O(n^2) all-pairs
+    // baseline (Dedup.embeddingNearDup) is spec-only — it measures this
+    // query's recall at small SF but never ships in a declared plan.
     "embedding_near_dup" -> ((s, dir) => {
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.3, planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 4, 64)))
         .select(col("id_a"), col("id_b"), col("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -230,33 +250,37 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // EXT MinHash-LSH near-dup (xxhash64-based — rows-only oracle).
-    // 2 bands x 8 rows: LSH threshold (1/2)^(1/8) ~ 0.92 — steep cutoff
-    // for the >=0.8 verification; 4x4 banding drowned in ~0.3-Jaccard
-    // candidate pairs on this shared-vocabulary corpus. The pipeline
-    // entry point shares ONE persisted shingle frame across signature,
-    // banding and verification stages.
+    // EXT MinHash-LSH near-dup, engine-portable md5 variant (hash-checked
+    // oracle — DuckDB reruns the identical signature/band/verify
+    // pipeline). 2 bands x 8 rows: LSH threshold (1/2)^(1/8) ~ 0.92 —
+    // steep cutoff for the >=0.8 verification; 4x4 banding drowned in
+    // ~0.3-Jaccard candidate pairs on this shared-vocabulary corpus.
+    // ONE persisted shingle frame feeds signature, banding and verify.
     "minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val dups = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.minhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
+      Dedup.minhashNearDupPairsMd5(docs.unionByName(dups), "doc_id", "text",
           k = 16, bands = 2, shingleK = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
-    // EXT embedding near-dup, LSH-prefiltered scale variant (rows-only)
+    // EXT embedding near-dup, precision-lean LSH config (16 tables x 6
+    // planes — narrower buckets, fewer candidates than the 8x4 headline)
     "embedding_near_dup_lsh" -> ((s, dir) => {
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.3, planes = Some(graft.functions.VectorFunctions.md5SignPlanes(16, 6, 64)))
         .orderBy("id_a", "id_b")
     }),
-    // EXT SimHash per doc (xxhash64-based — rows-only oracle)
+    // EXT SimHash per doc, engine-portable md5 variant (hash-checked)
     "simhash_docs" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+      Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     }),
-    // EXT LSH-bucketed approximate ANN (rows-only oracle; recall tested in specs)
+    // EXT LSH-bucketed approximate ANN (deterministic md5 planes —
+    // hash-checked; recall vs brute force tested in specs)
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
+          planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 4, 64)))
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -269,12 +293,15 @@ object SparkEntry {
         .select(col("day"), col("cnt"), col("smoothed"))
         .orderBy("day")
     }),
-    // #33 split_with_overlap (numpy.py:185-241), long-form segments
+    // #33 split_with_overlap (numpy.py:185-241), long-form segments —
+    // partitioned per user (the million-series shape a 100 TB pipeline
+    // runs; the bare single-sequence form is driver-bounded and spec-only)
     "split_overlap" -> ((s, dir) => {
       Windows.splitWithOverlap(
-          t(s, dir, "events").select("event_id"), Seq("event_id"), 100, 50)
-        .select(col("seg"), col("pos"), col("event_id"))
-        .orderBy("seg", "pos")
+          t(s, dir, "events").select("user_id", "event_id"), Seq("event_id"),
+          100, 50, partitionBy = Seq("user_id"))
+        .select(col("user_id"), col("seg"), col("pos"), col("event_id"))
+        .orderBy("user_id", "seg", "pos")
     }),
     // running totals (pandas cumsum; utils.py:267-271 uses the same shape)
     "running_total_user" -> ((s, dir) => {
@@ -570,15 +597,121 @@ object SparkEntry {
        |FROM daily WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin
   }
 
+  /** Shared CTE prefix for the deterministic sign-LSH oracles: `e`
+    * (vectors as doubles), `pl` (md5-parity +-1 plane components), `dots`
+    * (per-plane projections summed in ascending dim order — the same
+    * sequential order as `VectorFunctions.signBucketsOf`), `bk` (bucket
+    * bitmask per vector x table, bit p set iff dot >= 0).
+    */
+  private def lshBucketCtes(nTables: Int, planesPerTable: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | pl AS (SELECT t.t AS t, p.p AS p, i.i AS i,
+       |   CASE WHEN (instr('0123456789abcdef', substr(md5(t.t || ':' || p.p || ':' || i.i), 1, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+       |  FROM (SELECT unnest(range(0, $nTables)) AS t) t,
+       |       (SELECT unnest(range(0, $planesPerTable)) AS p) p,
+       |       (SELECT unnest(range(0, 64)) AS i) i),
+       | dots AS (SELECT e.vec_id, pl.t, pl.p, list_sum(list(e.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
+       |          FROM e, pl GROUP BY 1, 2, 3),
+       | bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       |        FROM dots GROUP BY 1, 2)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])) /
+       | (sqrt(list_sum(list_transform(range(1, 65), i -> $a.v[i] * $a.v[i]))) *
+       |  sqrt(list_sum(list_transform(range(1, 65), i -> $b.v[i] * $b.v[i]))))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "smooth_gaussian" -> smoothGaussianSql,
     "split_overlap" ->
-      """WITH r AS (SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events),
-        | e AS (SELECT event_id, rn,
+      """WITH r AS (SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events),
+        | e AS (SELECT user_id, event_id, rn,
         |        unnest(generate_series(CASE WHEN rn <= 100 THEN 0 ELSE (rn - 100 + 49) // 50 END,
         |                               (rn - 1) // 50)) AS seg
         |        FROM r)
-        |SELECT seg, rn - 1 - seg * 50 AS pos, event_id FROM e ORDER BY seg, pos""".stripMargin,
+        |SELECT user_id, seg, rn - 1 - seg * 50 AS pos, event_id FROM e ORDER BY user_id, seg, pos""".stripMargin,
+    "sample_at_most" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  ORDER BY md5('42:' || o_orderkey), o_orderkey LIMIT 100)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sample_stratified" ->
+      """WITH c AS (SELECT c_mktsegment AS k, COUNT(*) AS cnt FROM customer GROUP BY 1),
+        | m AS (SELECT MIN(cnt) AS t FROM c),
+        | r AS (SELECT c_custkey, c_mktsegment,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY md5('42:' || c_custkey), c_custkey) AS rn
+        |       FROM customer)
+        |SELECT c_custkey, c_mktsegment FROM r, m WHERE rn <= m.t
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "sample_weighted_replace" ->
+      """WITH w AS (SELECT o_orderkey, o_totalprice,
+        |       CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS wc,
+        |       (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) AS b
+        |     FROM orders WHERE o_totalprice > 0),
+        | c AS (SELECT *, SUM(wc) OVER (ORDER BY b, o_orderkey) AS hi FROM w),
+        | tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS tw FROM w),
+        | d AS (SELECT j.j AS j,
+        |       CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || j.j), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT) % tw AS u
+        |     FROM (SELECT unnest(range(0, 100)) AS j) j, tot)
+        |SELECT d.j, c.o_orderkey, c.o_totalprice
+        |FROM d JOIN c ON d.u >= c.hi - c.wc AND d.u < c.hi ORDER BY d.j""".stripMargin,
+    "simhash_docs" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        | h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+        | bits AS (SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((instr('0123456789abcdef', substr(m, 16 - (j.j // 4), 1)) - 1) & (1 << (j.j % 4))) > 0 THEN 1 ELSE -1 END AS contrib
+        |  FROM h, (SELECT unnest(range(0, 64)) AS j) j),
+        | s AS (SELECT doc_id, j, SUM(contrib) AS s FROM bits GROUP BY 1, 2),
+        | nib AS (SELECT doc_id, j // 4 AS nb, SUM(CASE WHEN s > 0 THEN (1 << (j % 4)) ELSE 0 END) AS nv FROM s GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY nb DESC) AS simhash
+        |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "minhash_pairs" -> {
+      val minCols = (0 until 16)
+        .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+        .mkString(", ")
+      val sig0 = (0 until 8).map(i => s"h$i").mkString(" || ")
+      val sig1 = (8 until 16).map(i => s"h$i").mkString(" || ")
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+         | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM u),
+         | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |        FROM w WHERE len(ws) >= 3),
+         | mh AS (SELECT jid, $minCols FROM sh GROUP BY jid),
+         | banded AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mh
+         |            UNION ALL SELECT jid, 1 AS band, $sig1 AS bsig FROM mh),
+         | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM banded a JOIN banded b
+         |          ON a.band = b.band AND a.bsig = b.bsig AND a.jid < b.jid),
+         | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
+         | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
+         |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
+         | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
+    "embedding_near_dup" ->
+      s"""WITH ${lshBucketCtes(8, 4)},
+         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         | s AS (SELECT id_a, id_b, ${cosSql("ea", "eb")} AS cos
+         |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "embedding_near_dup_lsh" ->
+      s"""WITH ${lshBucketCtes(16, 6)},
+         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         | s AS (SELECT id_a, id_b, ${cosSql("ea", "eb")} AS cos
+         |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH ${lshBucketCtes(8, 4)},
+         | cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |          FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         | s AS (SELECT query_id, neighbor_id, ${cosSql("eq", "ec")} AS cos
+         |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
+         | r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |        FROM s)
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "running_total_user" ->
       """SELECT user_id, event_id,
         | CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -864,14 +997,6 @@ object SparkEntry {
         |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)
         |SELECT id_a, id_b, jaccard FROM j
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
-    "embedding_near_dup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        | s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |   list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
-        |   (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
-        |    sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
-        |   FROM e a, e b WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         | q AS (SELECT * FROM e WHERE vec_id < 5),

@@ -167,6 +167,35 @@ object TextFunctions {
   /** Exact content fingerprint (md5 hex) — engine-portable. */
   def fingerprintMd5(c: Column): Column = md5(c.cast("binary"))
 
+  /** First 8 bytes of MD5(utf8(s)) as a big-endian signed long — the
+    * engine-portable 64-bit hash (any engine with an `md5()` builtin
+    * reproduces it bit-for-bit from the hex prefix). Used by the
+    * deterministic SimHash; xxhash64 stays the fast non-portable path.
+    */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static kernel for [[Md5Bits64]]. */
+  def md5Bits64Of(v: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(v.getBytes)
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+
+  case class Md5Bits64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(v: Any): Any =
+      md5Bits64Of(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.md5Bits64Of($c)")
+    override protected def withNewChildInternal(c: Expression): Md5Bits64 = copy(c)
+  }
+
+  def md5Bits64(c: Column): Column = ColumnOps.toColumn(Md5Bits64(_))(c)
+
   /** 64-bit polynomial rolling-hash fingerprint (xxhash64-based) — the
     * scalable non-cryptographic variant; not SQL-portable (rows-only
     * oracle).

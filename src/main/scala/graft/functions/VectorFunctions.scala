@@ -72,6 +72,23 @@ object VectorFunctions {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
+  /** Engine-portable sign-LSH planes: component (t,p,d) is +1.0 when the
+    * first hex nibble of md5("t:p:d") is even, else -1.0 — Rademacher
+    * (+-1) hyperplanes, which for sign-LSH are as good as Gaussian ones
+    * (only the projection's sign matters) and make every bucket id
+    * reproducible by any engine with an `md5()` builtin. Generated
+    * driver-side once and shipped as a plan literal, like
+    * [[hyperplanes]].
+    */
+  def md5SignPlanes(nTables: Int, planesPerTable: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nTables, planesPerTable, dim) { (t, p, d) =>
+      md.reset()
+      val h = md.digest(s"$t:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
   /** All per-table sign buckets in ONE fused loop: for `nTables` tables
     * of `planesPerTable` hyperplanes each, returns `array<long>` of
     * bucket ids. A builtin-composed version of this is a ~2000-node

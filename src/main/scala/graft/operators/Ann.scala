@@ -48,9 +48,10 @@ object Ann {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nTables: Int = 8, planesPerTable: Int = 4,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val tables = (0 until nTables)
-      .map(t => VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray
+      dim: Int = 64, seed: Long = 42L,
+      planes: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val tables = planes.getOrElse((0 until nTables)
+      .map(t => VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray)
     def withBuckets(df: DataFrame, id: String, vec: String) = {
       val buckets = VectorFunctions.signBuckets(col(vec), tables)
       df.select(col(id), col(vec), posexplode(buckets).as(Seq("tbl", "bucket")))

@@ -66,7 +66,8 @@ object Dedup {
     * Self-join is on the (band, hash) key — shuffle proportional to
     * bucket sizes, not n^2.
     */
-  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int = 16, bands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide k ($k) — a remainder would silently shrink the signature")
     val rows = k / bands
@@ -74,10 +75,30 @@ object Dedup {
       val hs = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
       sigs.select(col(idCol), lit(b).as("band"), xxhash64(hs: _*).as("bh"))
     }.reduce(_ unionByName _)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
+    selfJoinBuckets(banded, idCol, Seq("band", "bh"), maxBucket)
+  }
+
+  /** Bucket self-join with an optional skew guard: buckets holding more
+    * than `maxBucket` members are DROPPED before the join (a bucket of m
+    * docs costs m^2/2 pairs — one pathological band hash shared by 10^6
+    * docs would otherwise quadratic inside the bucket even though the
+    * overall plan is bucketed). Dropping, not sampling, keeps the output
+    * deterministic; near-dup recall for members of a dropped mega-bucket
+    * comes from their OTHER bands (MinHash) / tables (LSH), which is the
+    * standard LSH skew posture.
+    */
+  def selfJoinBuckets(banded: DataFrame, idCol: String,
+      keys: Seq[String], maxBucket: Option[Int]): DataFrame = {
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val ok = banded.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap).drop("_n")
+        banded.join(ok, keys, "left_semi")
+      case None => banded
+    }
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    capped.as("a").join(capped.as("b"), cond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
@@ -180,6 +201,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Engine-portable MinHash near-dup pipeline: the k min-hashes are
+    * 8-hex-char slices of `md5(seed:shingle)` (k/4 md5 calls per shingle,
+    * 4 slices each; min over fixed-width hex strings == min over the
+    * 32-bit values), and a band's LSH key is the concatenation of its row
+    * minima. Bit-for-bit reproducible by any engine with `md5()` — the
+    * oracle-checked variant of [[minhashNearDupPairs]] (which keeps
+    * xxhash64 keys for cheaper in-cluster shuffles). Same plan: ONE
+    * persisted shingle frame feeds signatures, banding, and the exact-
+    * Jaccard verification; candidates come from a bucketed band self-join
+    * (with the [[selfJoinBuckets]] skew cap available), never O(n^2).
+    */
+  def minhashNearDupPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 2, shingleK: Int = 3,
+      threshold: Double = 0.8, maxBucket: Option[Int] = None): DataFrame = {
+    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val sh = docs
+      .select(col(idCol).as("jid"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one projection materializes the k/4 md5s; the k min-aggregates
+    // slice them (recomputing md5 inside each aggregate would do 4x the
+    // digest work)
+    val withMd5 = sh.select(
+      col("jid") +: col("sh") +:
+        (0 until k / 4).map(s => md5(concat(lit(s"$s:"), col("sh"))).as(s"m$s")): _*)
+    val mins = (0 until k).map { i =>
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    val sigs = withMd5.groupBy(col("jid")).agg(mins.head, mins.tail: _*)
+    val rows = k / bands
+    val banded = (0 until bands).map { b =>
+      sigs.select(col("jid"), lit(b).as("band"),
+        concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
+    }.reduce(_ unionByName _)
+    val cands = selfJoinBuckets(banded, "jid", Seq("band", "bsig"), maxBucket)
+    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Embedding near-dup at scale: multi-table sign-LSH candidate
     * generation (never O(n^2)), exact cosine check on candidates only.
     * The exact all-pairs [[embeddingNearDup]] stays as the oracle
@@ -187,9 +261,10 @@ object Dedup {
     */
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 8, planesPerTable: Int = 4,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val tables = (0 until nTables)
-      .map(t => graft.functions.VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray
+      dim: Int = 64, seed: Long = 42L,
+      planes: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val tables = planes.getOrElse((0 until nTables)
+      .map(t => graft.functions.VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray)
     // candidates shuffle as BARE ID PAIRS; the 64-double vectors join back
     // only after distinct (carrying them through dropDuplicates was a
     // multi-GB shuffle at 5k vectors — 16s vs 3s for the exact all-pairs).
@@ -247,6 +322,22 @@ object Dedup {
       .select(col(idCol), xxhash64(col("tok")).as("th"))
       .groupBy(col(idCol))
       .agg(simhashUdaf(col("th")).as("simhash"))
+  }
+
+  /** Engine-portable SimHash: token hash = first 64 bits of md5 (see
+    * [[graft.functions.TextFunctions.md5Bits64]]), result rendered as a
+    * 16-char lowercase hex string. Bit-for-bit reproducible by any engine
+    * with an `md5()` builtin — this is the oracle-checked variant; the
+    * xxhash64 [[simhash]] is the cheaper in-cluster path. Same plan shape:
+    * explode + one map-side-combinable Aggregator pass.
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simhashUdaf = udaf(new SimHashAgg, org.apache.spark.sql.Encoders.scalaLong)
+    df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .select(col(idCol), TextFunctions.md5Bits64(col("tok")).as("th"))
+      .groupBy(col(idCol))
+      .agg(simhashUdaf(col("th")).as("sim"))
+      .select(col(idCol), lower(lpad(hex(col("sim")), 16, "0")).as("simhash"))
   }
 
   /** SimHash near-dup candidates: equal 16-bit prefix blocks (any of 4)

@@ -31,10 +31,17 @@ object Parallel {
     * and collect the (small) per-column results in input order. `f`
     * returns a driver-side value (the reference's per-column Series
     * results were also driver-held before the final concat).
+    *
+    * `timeout` bounds the driver block — a hung column job (e.g. a
+    * starved scheduler pool) fails the whole call with a
+    * `TimeoutException` instead of wedging the driver forever. The
+    * default is deliberately finite; pass `Duration.Inf` only when the
+    * caller owns its own watchdog.
     */
-  def papplyColumns[R](df: DataFrame, cols: Seq[String], f: (DataFrame, String) => R)
+  def papplyColumns[R](df: DataFrame, cols: Seq[String], f: (DataFrame, String) => R,
+      timeout: Duration = Duration("1h"))
       (implicit ec: ExecutionContext = ExecutionContext.global): Seq[R] = {
     val futures = cols.map(c => Future(f(df, c)))
-    Await.result(Future.sequence(futures), Duration.Inf)
+    Await.result(Future.sequence(futures), timeout)
   }
 }

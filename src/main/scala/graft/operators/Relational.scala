@@ -192,8 +192,16 @@ object Relational {
     * (`utils.py:811-841` unique_row_ids). Scale shape: distinct first
     * (shuffle that shrinks the data), rank only the distinct set, then join
     * the ids back (broadcast when the distinct set is small — the common
-    * case the reference optimizes with factorize). For very-high-cardinality
-    * keys use [[uniqueRowIdsHashed]].
+    * case the reference optimizes with factorize).
+    *
+    * SCALE WARNING — [[uniqueRowIdsHashed]] is the documented DEFAULT
+    * above ~10^6 distinct tuples: the dense rank here is a
+    * `Window.orderBy` with no partition, i.e. a single-partition sort of
+    * the whole distinct set. That is fine for the low-cardinality
+    * dimension-key case it exists for (the declared query ranks 6
+    * combos) and catastrophic when mis-applied to a high-cardinality
+    * key; the hashed variant is one scan, no shuffle, and its only cost
+    * is ids that are neither dense nor rank-ordered.
     */
   def uniqueRowIds(df: DataFrame, cols: Seq[String]): DataFrame = {
     val distinctRows = df.select(cols.map(col): _*).distinct()

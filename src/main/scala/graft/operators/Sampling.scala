@@ -34,6 +34,21 @@ object Sampling {
     df.orderBy(ord: _*).limit(n.toInt)
   }
 
+  /** Reproducible `sample_at_most`: same clamp semantics as
+    * [[sampleNAtMost]], but the random key is `md5(seed:key)` instead of a
+    * session RNG — the sample is a pure function of (data, seed), stable
+    * across reruns, engines, and cluster sizes (the property a training-
+    * data pipeline needs for auditable corpus snapshots). Still a
+    * distributed top-n (sort+limit = TakeOrdered), never a global sort.
+    */
+  def sampleNAtMostHash(df: DataFrame, n: Long, seed: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(n <= Int.MaxValue, s"exact-n sample capped at Int.MaxValue rows, got $n; use sampleFractionAtMost")
+    require(keyCols.nonEmpty, "hash sampling needs at least one key column")
+    val key = md5(concat_ws(":", lit(seed) +: keyCols.map(c => col(c).cast("string")): _*))
+    df.orderBy(key +: keyCols.map(col): _*).limit(n.toInt)
+  }
+
   /** Weighted exact-n sampling without replacement (the reference's
     * `weights=` parameter, `utils.py:557-608`): distributed A-Res
     * (Efraimidis–Spirakis) — key each row by rand(seed)^(1/w) and take
@@ -69,13 +84,18 @@ object Sampling {
     * the draw itself is one window shuffle partitioned by stratum. Skewed
     * strata are handled by AQE; there is no global sort.
     */
+  /** `orderCol`, when given, replaces the RNG draw order with a caller-
+    * supplied deterministic key (e.g. `md5(seed:id)`) — same allocation,
+    * reproducible row choice (see [[sampleNAtMostHash]]).
+    */
   def sampleWithDistribution(
       df: DataFrame,
       popCol: String,
       nRows: Option[Long] = None,
       distribution: Option[Map[String, Double]] = None,
       seed: Long = 42L,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      orderCol: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val base = df.filter(col(popCol).isNotNull)
     val countsRows: Array[Row] =
       base.groupBy(col(popCol).cast("string").as("k")).agg(count(lit(1)).as("c")).collect()
@@ -123,12 +143,65 @@ object Sampling {
     }
     val w = Window
       .partitionBy(col(popCol))
-      .orderBy(rand(seed) +: tieBreak.map(col): _*)
+      .orderBy(orderCol.getOrElse(rand(seed)) +: tieBreak.map(col): _*)
     base
       .filter(col(popCol).cast("string").isin(targetMap.keys.toSeq: _*))
       .withColumn("_target", targetCol)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= col("_target"))
       .drop("_rn", "_target")
+  }
+
+  /** Weighted sampling WITH replacement (`utils.py:557-608` replace=True):
+    * `n` independent draws with probability proportional to `weightCol`.
+    * Deterministic given `seed`: draw j picks the row whose cumulative-
+    * weight interval contains u_j = md5_48bit(seed:j) mod totalWeight.
+    * Weights are read as DECIMAL(30,2) cents — exact integers — so every
+    * interval comparison is exact and engine-portable (no float cumsum).
+    *
+    * Scale shape: the global prefix sum is TWO-PHASE, never a single-
+    * partition sort. Rows land in 16 md5-nibble buckets of the key;
+    * per-bucket totals (16 rows) are collected and turned into broadcast
+    * offsets; the within-bucket cumsum is a window partitioned by bucket.
+    * Draws route through the broadcast 16-row bucket-interval table, then
+    * equi-join on the bucket id, so the final range probe is bucket-local
+    * (draws-in-bucket x rows-in-bucket, distributed across buckets).
+    * The output key order is (bucket, key) — a total order, independent
+    * of physical partitioning.
+    */
+  def sampleWeightedWithReplacement(df: DataFrame, n: Int, weightCol: String,
+      keyCol: String, seed: String = "42"): DataFrame = {
+    require(n > 0, "need n > 0 draws")
+    val spark = df.sparkSession
+    val base = df.filter(col(weightCol) > 0)
+      .withColumn("_wc", (col(weightCol).cast("decimal(30,2)") * 100).cast("long"))
+      .withColumn("_b",
+        (instr(lit("0123456789abcdef"), substring(md5(col(keyCol).cast("string")), 1, 1)) - 1)
+          .cast("int"))
+    val bucketTotals: Map[Int, Long] = base.groupBy("_b").agg(sum("_wc").as("_bt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val order = (0 until 16).filter(bucketTotals.contains)
+    val offsets = order.scanLeft(0L)((acc, b) => acc + bucketTotals(b)).init
+    val offsetMap = order.zip(offsets).toMap
+    val totalW = bucketTotals.values.sum
+    require(totalW > 0, "total weight must be positive")
+    val w = Window.partitionBy(col("_b")).orderBy(col(keyCol))
+    val offCol = offsetMap.foldLeft(lit(0L)) { case (acc, (b, o)) =>
+      when(col("_b") === b, lit(o)).otherwise(acc)
+    }
+    val cum = base
+      .withColumn("_hi", sum(col("_wc")).over(w) + offCol)
+      .withColumn("_lo", col("_hi") - col("_wc"))
+    val draws = spark.range(n.toLong).select(col("id").as("j"),
+      (conv(substring(md5(concat(lit(seed + ":"), col("id").cast("string"))), 1, 12), 16, 10)
+        .cast("long") % totalW).as("_u"))
+    val bdf = spark
+      .createDataFrame(order.map(b => (b, offsetMap(b), offsetMap(b) + bucketTotals(b))))
+      .toDF("_b", "_blo", "_bhi")
+    val routed = draws.join(broadcast(bdf),
+      col("_u") >= col("_blo") && col("_u") < col("_bhi"))
+    routed.join(cum, Seq("_b"))
+      .filter(col("_u") >= col("_lo") && col("_u") < col("_hi"))
+      .select(col("j") +: df.columns.map(col): _*)
   }
 }

@@ -51,6 +51,60 @@ class DedupAnnSpec extends SparkSpec {
     assert(cands.contains((0L, 3L)))
   }
 
+  test("simhashMd5: matches a direct MessageDigest reimplementation") {
+    val out = Dedup.simhashMd5(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reimplement: first 8 md5 bytes per token -> bit-majority -> hex
+    def expected(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      text.trim.split("\\s+").foreach { tok =>
+        md.reset()
+        val h = java.nio.ByteBuffer.wrap(md.digest(tok.getBytes("UTF-8"))).getLong
+        (0 until 64).foreach(j => counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+      }
+      val v = (0 until 64).foldLeft(0L)((acc, j) => if (counts(j) > 0) acc | (1L << j) else acc)
+      f"$v%016x"
+    }
+    docs.collect().foreach { r =>
+      assert(out(r.getLong(0)) == expected(r.getString(1)), s"doc ${r.getLong(0)}")
+    }
+    assert(out(0L) == out(3L))
+  }
+
+  test("minhashNearDupPairsMd5: exact dup survives with jaccard 1.0, deterministic") {
+    val pairs = Dedup.minhashNearDupPairsMd5(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L).get
+    assert(math.abs(exact._3 - 1.0) < 1e-12)
+    val again = Dedup.minhashNearDupPairsMd5(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("selfJoinBuckets maxBucket cap drops mega-buckets only") {
+    // 5 docs share band-sig "big"; 2 share "small" -> cap 3 keeps only small
+    val banded = Seq(
+      (0L, 0, "big"), (1L, 0, "big"), (2L, 0, "big"), (3L, 0, "big"), (4L, 0, "big"),
+      (5L, 0, "small"), (6L, 0, "small")
+    ).toDF("id", "band", "bsig")
+    val capped = Dedup.selfJoinBuckets(banded, "id", Seq("band", "bsig"), Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((5L, 6L)))
+    val uncapped = Dedup.selfJoinBuckets(banded, "id", Seq("band", "bsig"), None).count()
+    assert(uncapped == 10 + 1) // C(5,2) + C(2,2)
+  }
+
+  test("md5SignPlanes: deterministic +-1 components, stable across calls") {
+    val a = graft.functions.VectorFunctions.md5SignPlanes(2, 3, 8)
+    val b = graft.functions.VectorFunctions.md5SignPlanes(2, 3, 8)
+    assert(a.flatten.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+    assert(a.flatten.flatten.toSet.size == 2) // both signs occur
+  }
+
   test("ANN brute force: self-similar corpus ranks exact copy first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -51,4 +51,47 @@ class SamplingSpec extends SparkSpec {
   test("sampleFractionAtMost clamps frac to 1.0 without replacement") {
     assert(Sampling.sampleFractionAtMost(a1, 5.0).count() == 10)
   }
+
+  test("sampleNAtMostHash: deterministic across reruns, clamps, n respected") {
+    val s1 = Sampling.sampleNAtMostHash(a1, 4, "seed", Seq("rid")).collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.sampleNAtMostHash(a1, 4, "seed", Seq("rid")).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.length == 4)
+    // different seed -> (almost surely) different sample
+    val s3 = Sampling.sampleNAtMostHash(a1, 4, "other", Seq("rid")).collect().map(_.getLong(0)).toSeq
+    assert(s1 != s3)
+    assert(Sampling.sampleNAtMostHash(a1, 100, "seed", Seq("rid")).count() == 10)
+  }
+
+  test("stratified with orderCol: rows are the md5-order prefix per stratum") {
+    import org.apache.spark.sql.functions._
+    val key = md5(concat_ws(":", lit("42"), col("rid").cast("string")))
+    val out = Sampling.sampleWithDistribution(a1, "A", Some(6L),
+      Some(Map("0" -> 4.0 / 6, "1" -> 2.0 / 6)), tieBreak = Seq("rid"),
+      orderCol = Some(key)).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val again = Sampling.sampleWithDistribution(a1, "A", Some(6L),
+      Some(Map("0" -> 4.0 / 6, "1" -> 2.0 / 6)), tieBreak = Seq("rid"),
+      orderCol = Some(key)).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == again && out.count(_._2 == 0) == 4 && out.count(_._2 == 1) == 2)
+  }
+
+  test("sampleWeightedWithReplacement: n draws, deterministic, heavy row dominates") {
+    val df = Seq((1L, 1000.0), (2L, 1.0), (3L, 1.0), (4L, 0.0)).toDF("id", "w")
+    val out = Sampling.sampleWeightedWithReplacement(df, 50, "w", "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 50)
+    assert(out.map(_._1).toSet == (0L until 50L).toSet) // every draw answered once
+    val picks = out.map(_._2)
+    assert(!picks.contains(4L)) // zero weight never drawn
+    assert(picks.count(_ == 1L) > 40) // ~1000/1002 of the mass
+    val again = Sampling.sampleWeightedWithReplacement(df, 50, "w", "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("sampleWeightedWithReplacement: with-replacement can repeat a row (n > population)") {
+    val df = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "w")
+    val picks = Sampling.sampleWeightedWithReplacement(df, 10, "w", "id")
+      .collect().map(_.getLong(1))
+    assert(picks.length == 10) // 10 draws from 2 rows -> repeats by pigeonhole
+  }
 }

@@ -86,4 +86,46 @@ class SourcesSpec extends SparkSpec {
     val feats = df.select(Multimodal.byteFeatures(col("media"), 8)).head().getSeq[Double](0)
     assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
   }
+
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("Multimodal: REAL codec — PNG/JPEG/GIF header parse matches encoded size") {
+    for ((fmt, w, h) <- Seq(("png", 37, 23), ("jpg", 64, 48), ("gif", 12, 9))) {
+      val bytes = encodeImage(fmt, w, h)
+      val Some((f, mw, mh, _)) = Multimodal.imageMeta(bytes)
+      assert((mw, mh) == (w, h), s"$fmt header dims")
+      assert(f == (if (fmt == "jpg") "jpeg" else fmt))
+      // header parse and full ImageIO decode agree
+      // GIF rasters are palette-indexed (1 band); PNG/JPEG decode to RGB
+      val Some((_, dw, dh, bands)) = Multimodal.decodeImage(bytes)
+      assert((dw, dh) == (w, h) && (if (fmt == "gif") bands >= 1 else bands == 3),
+        s"$fmt pixel decode")
+    }
+    assert(Multimodal.imageMeta("not an image at all".getBytes).isEmpty)
+  }
+
+  test("Multimodal: decode meta picks real header path for images, stub for raw") {
+    val png = encodeImage("png", 20, 10)
+    val df = Seq((1L, png), (2L, "rawbytesnotimage".getBytes)).toDF("id", "media")
+    val m = Multimodal.withDecodedMeta(df, "media").select("id", "meta.*")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m(1L) == (("png", 20, 10)))
+    assert(m(2L)._1 == "fake/raw") // non-image falls back to the marked stub
+  }
+
+  test("Multimodal: resize re-encodes at target size, null for junk") {
+    val png = encodeImage("png", 40, 30)
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    val out = Multimodal.withResized(df, "media", 8, 6).select("id", "resized")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out(2L) == null)
+    val Some((f, w, h, _)) = Multimodal.imageMeta(out(1L))
+    assert((f, w, h) == (("png", 8, 6)))
+  }
 }
