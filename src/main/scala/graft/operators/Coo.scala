@@ -31,6 +31,32 @@ object Coo {
     if (cols.isEmpty) afterRows else afterRows.filter(col("col_key").isin(cols: _*))
   }
 
+  /** Positional (iloc-style) slice (`sparse.py:94-104` also accepts
+    * integer positions): position = rank of the key in its sorted label
+    * domain. The label domains are TWO SMALL DISTINCT SETS (matrix axis
+    * labels, like the reference's in-memory index arrays) — ranked with a
+    * dense_rank window and joined back broadcast-style; the data frame
+    * itself never sorts globally. Positions are 0-based, half-open
+    * ranges, like iloc.
+    */
+  def sliceAt(coo: DataFrame, rowRange: Option[(Long, Long)] = None,
+      colRange: Option[(Long, Long)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(keyCol: String): DataFrame =
+      coo.select(col(keyCol)).distinct()
+        .withColumn("_pos", dense_rank().over(Window.orderBy(col(keyCol))).cast("long") - 1)
+    def bound(df: DataFrame, keyCol: String, range: Option[(Long, Long)]): DataFrame =
+      range match {
+        case None => df
+        case Some((lo, hi)) =>
+          val r = ranked(keyCol).filter(col("_pos") >= lo && col("_pos") < hi).drop("_pos")
+          df.join(broadcast(r), Seq(keyCol), "left_semi")
+      }
+    // joins reorder columns (key first); restore the input order
+    bound(bound(coo, "row_key", rowRange), "col_key", colRange)
+      .select(coo.columns.map(col): _*)
+  }
+
   /** Dense pivot (`sparse.py:106-129` todense): one row per row_key, one
     * column per col_key value. `colValues` pins the output schema (and
     * avoids Spark's extra distinct-scan job); missing entries fill with

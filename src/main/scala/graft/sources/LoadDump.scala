@@ -8,9 +8,9 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * unchanged), and existence/type validation is eager like the
   * reference's (`utils.py:91-93`) even though the scan itself stays lazy.
   *
-  * Reference formats without a Spark-side meaning (pickle, npy/npz) are
-  * out of scope by design — vectors travel as parquet arrays (SURVEY #1/#2
-  * mapping).
+  * `.npy` dispatches to [[Npy]] (distributed seek-based reader); pickle
+  * and npz stay out of scope by design — vectors travel as parquet
+  * arrays (SURVEY #1/#2 mapping).
   */
 object LoadDump {
 
@@ -45,6 +45,9 @@ object LoadDump {
   def load(spark: SparkSession, path: String,
       options: Map[String, String] = Map(),
       expectedColumns: Seq[String] = Nil): DataFrame = {
+    // npy has no DataSource registration — it dispatches to the
+    // seek-based distributed reader (utils.py:46-57 npload)
+    if (extensionOf(path) == "npy") return Npy.load(spark, path)
     val (fmt, defaults) = formats.getOrElse(extensionOf(path),
       throw new IllegalArgumentException(s"unsupported extension: ${extensionOf(path)}"))
     val reader: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)

@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** numpy `.npy` I/O (reference `utils.py:46-57,167-191` npload/npdump):
+  * 1-D and 2-D arrays of f4/f8/i4/i8, C order, format versions 1.0/2.0.
+  *
+  * Scale shape: the header is parsed once driver-side (a few hundred
+  * bytes), then rows are read DISTRIBUTED — `spark.range(nRows)` is
+  * range-partitioned, and each task opens the file via the Hadoop
+  * FileSystem API, seeks to `dataOffset + firstRow * rowBytes`, and
+  * streams its contiguous slice. A 100 GB .npy therefore splits across
+  * executors like any columnar scan (works on file://, hdfs://, s3a://
+  * alike); nothing is ever materialized on the driver.
+  *
+  * Out of scope like the reference's pickle path: object dtypes,
+  * fortran_order=True (raises), >2-D (raises) — parquet arrays are the
+  * interchange for those (SURVEY #1/#2 mapping).
+  */
+object Npy {
+
+  final case class Header(descr: String, fortranOrder: Boolean,
+      shape: Seq[Long], dataOffset: Long) {
+    def itemSize: Int = descr.drop(2).toInt
+    def rowLength: Int = if (shape.length == 1) 1 else shape(1).toInt
+    def rowBytes: Int = rowLength * itemSize
+  }
+
+  private val Magic = Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y')
+  private val SupportedDtypes = Set("<f4", "<f8", "<i4", "<i8")
+
+  /** Parse the npy preamble from the first `bytes` of the file. */
+  private[graft] def parseHeader(bytes: Array[Byte]): Header = {
+    require(bytes.length >= 10 && bytes.take(6).sameElements(Magic),
+      "not an npy file (bad magic)")
+    val major = bytes(6)
+    val (headerLen, headerStart) =
+      if (major == 1) (((bytes(9) & 0xff) << 8) | (bytes(8) & 0xff), 10)
+      else {
+        val b = ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN)
+        (b.getInt, 12)
+      }
+    val header = new String(bytes, headerStart, headerLen, StandardCharsets.ISO_8859_1)
+    def extract(re: scala.util.matching.Regex, what: String): String =
+      re.findFirstMatchIn(header)
+        .getOrElse(throw new IllegalArgumentException(s"npy header missing $what: $header"))
+        .group(1)
+    val descr = extract("'descr':\\s*'([^']+)'".r, "descr")
+    require(SupportedDtypes.contains(descr),
+      s"unsupported npy dtype '$descr' (supported: ${SupportedDtypes.mkString(", ")})")
+    val fortran = extract("'fortran_order':\\s*(\\w+)".r, "fortran_order") == "True"
+    require(!fortran, "fortran_order=True not supported (transpose before dumping)")
+    val shape = "'shape':\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header)
+      .getOrElse(throw new IllegalArgumentException(s"npy header missing shape: $header"))
+      .group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    require(shape.length == 1 || shape.length == 2,
+      s"only 1-D/2-D npy supported, got shape (${shape.mkString(",")})")
+    Header(descr, fortran, shape, headerStart + headerLen)
+  }
+
+  /** Load a .npy as a DataFrame: 1-D -> (idx, value); 2-D -> (idx, values)
+    * with one array per row. Floats widen to double, ints to long —
+    * Spark's native numeric widths. (`<i8` values beyond 2^53 would lose
+    * precision through the double staging buffer — npy interchange here
+    * is for float vectors and small-int labels, like the reference's.)
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val header = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf.value)
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](4096)
+        var off = 0
+        var read = in.read(buf, 0, buf.length)
+        while (read > 0 && off + read < buf.length) { off += read; read = in.read(buf, off, buf.length - off) }
+        parseHeader(buf)
+      } finally in.close()
+    }
+    val nRows = header.shape.head
+    val (descr, rowLen, rowBytes, dataOffset, is2d) =
+      (header.descr, header.rowLength, header.rowBytes, header.dataOffset,
+        header.shape.length == 2)
+    import spark.implicits._
+    val rows = spark.range(nRows).mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        // ids in a range partition are contiguous: one seek, one stream
+        val ids = it.map(Long2long).toArray
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        try {
+          in.seek(dataOffset + ids.head * rowBytes)
+          val raw = new Array[Byte](ids.length * rowBytes)
+          in.readFully(raw)
+          val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          ids.iterator.map { id =>
+            val vals = new Array[Double](rowLen)
+            var i = 0
+            while (i < rowLen) {
+              vals(i) = descr match {
+                case "<f4" => bb.getFloat.toDouble
+                case "<f8" => bb.getDouble
+                case "<i4" => bb.getInt.toDouble
+                case "<i8" => bb.getLong.toDouble
+              }
+              i += 1
+            }
+            (id, vals)
+          }.toArray.iterator // materialize before closing the stream
+        } finally in.close()
+      }
+    }.toDF("idx", "values")
+    val isInt = descr.startsWith("<i")
+    if (is2d) {
+      if (isInt) rows.select(col("idx"),
+        transform(col("values"), v => v.cast("long")).as("values"))
+      else rows
+    } else {
+      val v = element_at(col("values"), 1)
+      rows.select(col("idx"), (if (isInt) v.cast("long") else v).as("value"))
+    }
+  }
+
+  /** Dump a numeric or array column to one .npy file (C order, v1.0).
+    * Rows stream through `toLocalIterator` — driver memory holds one
+    * partition, not the dataset; row order is the DataFrame's order, so
+    * sort first for a deterministic file. A multi-file distributed dump
+    * is out of scope: .npy is a single contiguous buffer by definition
+    * (use parquet for sharded vectors).
+    */
+  def dump(df: DataFrame, column: String, path: String, dtype: String = "<f8"): Unit = {
+    require(SupportedDtypes.contains(dtype), s"unsupported dtype $dtype")
+    val spark = df.sparkSession
+    val dt = df.schema(column).dataType
+    val is2d = dt.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val itemSize = dtype.drop(2).toInt
+    val prepared =
+      if (is2d) df.select(col(column).cast("array<double>").as("v"))
+      else df.select(array(col(column).cast("double")).as("v"))
+    val n = prepared.count()
+    require(n > 0, "refusing to dump an empty DataFrame to npy (no row width)")
+    val rowLen =
+      if (is2d) prepared.select(size(col("v"))).head().getInt(0)
+      else 1
+    val shape = if (is2d) s"($n, $rowLen)" else s"($n,)"
+    var headerTxt = s"{'descr': '$dtype', 'fortran_order': False, 'shape': $shape, }"
+    // pad so that data starts 64-byte aligned (numpy convention), ending \n
+    val base = 10 + headerTxt.length + 1
+    headerTxt += " " * ((64 - base % 64) % 64)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write(Magic)
+      out.write(Array[Byte](1, 0))
+      val hl = headerTxt.length + 1
+      out.write(Array[Byte]((hl & 0xff).toByte, ((hl >> 8) & 0xff).toByte))
+      out.write((headerTxt + "\n").getBytes(StandardCharsets.ISO_8859_1))
+      val it = prepared.toLocalIterator()
+      val bb = ByteBuffer.allocate(rowLen * itemSize).order(ByteOrder.LITTLE_ENDIAN)
+      while (it.hasNext) {
+        val vals = it.next().getSeq[Double](0)
+        require(vals.length == rowLen,
+          s"ragged array row: ${vals.length} != $rowLen elements")
+        bb.clear()
+        vals.foreach { d =>
+          dtype match {
+            case "<f4" => bb.putFloat(d.toFloat)
+            case "<f8" => bb.putDouble(d)
+            case "<i4" => bb.putInt(d.toInt)
+            case "<i8" => bb.putLong(d.toLong)
+          }
+        }
+        out.write(bb.array(), 0, bb.position())
+      }
+    } finally out.close()
+  }
+}

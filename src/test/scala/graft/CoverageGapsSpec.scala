@@ -58,6 +58,17 @@ class CoverageGapsSpec extends SparkSpec {
     assert(Coo.stack(coo).collect().length == 3)
   }
 
+  test("Coo.sliceAt: positional half-open ranges over sorted label domains") {
+    val coo = Seq((10, "a", 1.0), (20, "b", 2.0), (30, "a", 3.0), (30, "c", 4.0))
+      .toDF("row_key", "col_key", "value")
+    // row positions: 10->0, 20->1, 30->2; col: a->0, b->1, c->2
+    assert(Coo.sliceAt(coo, rowRange = Some((0L, 2L))).count() == 2) // rows 10,20
+    val cells = Coo.sliceAt(coo, rowRange = Some((1L, 3L)), colRange = Some((0L, 2L)))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(cells == Set((20, "b"), (30, "a")))
+    assert(Coo.sliceAt(coo).count() == 4) // no bounds = identity
+  }
+
   test("logxPrep: prepends the (0,0) point (plot.py:22-43)") {
     val df = Seq((1.0, 10.0), (2.0, 20.0)).toDF("a", "b")
     val out = VizPrep.logxPrep(df, col("a"), col("b")).orderBy("x").collect()

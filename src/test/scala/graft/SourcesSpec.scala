@@ -119,6 +119,64 @@ class SourcesSpec extends SparkSpec {
     assert(m(2L)._1 == "fake/raw") // non-image falls back to the marked stub
   }
 
+  test("Npy: reads a numpy-written 2-D f4 file (hand-crafted v1.0 bytes)") {
+    // exactly what numpy writes for np.arange(6, dtype='<f4').reshape(2,3)
+    val headerTxt = {
+      val base = "{'descr': '<f4', 'fortran_order': False, 'shape': (2, 3), }"
+      base + " " * ((64 - (10 + base.length + 1) % 64) % 64) + "\n"
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+    bos.write(Array[Byte]((headerTxt.length & 0xff).toByte, (headerTxt.length >> 8).toByte))
+    bos.write(headerTxt.getBytes("ISO-8859-1"))
+    val bb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 6).foreach(i => bb.putFloat(i.toFloat))
+    bos.write(bb.array())
+    val f = java.io.File.createTempFile("graft", ".npy")
+    java.nio.file.Files.write(f.toPath, bos.toByteArray)
+    val df = graft.sources.Npy.load(spark, f.getAbsolutePath).orderBy("idx")
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    assert(rows(0)._2 == Seq(0.0, 1.0, 2.0) && rows(1)._2 == Seq(3.0, 4.0, 5.0))
+    f.delete()
+  }
+
+  test("Npy: dump/load roundtrip for 2-D f4 and 1-D i8") {
+    val emb = Seq((0L, Array(1.5f, -2.25f)), (1L, Array(0.0f, 42.0f)))
+      .toDF("id", "v").orderBy("id")
+    val f2 = java.io.File.createTempFile("graft2d", ".npy")
+    graft.sources.Npy.dump(emb, "v", f2.getAbsolutePath, "<f4")
+    val back = graft.sources.Npy.load(spark, f2.getAbsolutePath).orderBy("idx").collect()
+    assert(back.map(_.getSeq[Double](1)).toSeq == Seq(Seq(1.5, -2.25), Seq(0.0, 42.0)))
+    f2.delete()
+    val ints = Seq(7L, -3L, 11L).toDF("x")
+    val f1 = java.io.File.createTempFile("graft1d", ".npy")
+    graft.sources.Npy.dump(ints, "x", f1.getAbsolutePath, "<i8")
+    val back1 = graft.sources.Npy.load(spark, f1.getAbsolutePath).orderBy("idx").collect()
+    assert(back1.map(_.getLong(1)).toSeq == Seq(7L, -3L, 11L))
+    f1.delete()
+  }
+
+  test("Npy: unsupported dtype / fortran order / 3-D raise") {
+    def headerOf(dict: String): Array[Byte] = {
+      val txt = dict + "\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+      bos.write(Array[Byte]((txt.length & 0xff).toByte, (txt.length >> 8).toByte))
+      bos.write(txt.getBytes("ISO-8859-1"))
+      bos.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Npy.parseHeader(headerOf("{'descr': '|O', 'fortran_order': False, 'shape': (2,), }"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Npy.parseHeader(headerOf("{'descr': '<f4', 'fortran_order': True, 'shape': (2,), }"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Npy.parseHeader(headerOf("{'descr': '<f4', 'fortran_order': False, 'shape': (2, 2, 2), }"))
+    }
+  }
+
   test("Multimodal: resize re-encodes at target size, null for junk") {
     val png = encodeImage("png", 40, 30)
     val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("id", "media")
