@@ -284,6 +284,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // EXT IVF-ANN: deterministic md5-sampled centroids, nProbe=2 cells,
+    // exact rerank (the clustering complement to sign-LSH; hash-checked)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
+          nCentroids = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // #26 gaussian smoothing over an ordered daily series (algorithm.py:71-92)
     "smooth_gaussian" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -615,10 +624,11 @@ object SparkEntry {
        | bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
        |        FROM dots GROUP BY 1, 2)""".stripMargin
 
+  /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])) /
-       | (sqrt(list_sum(list_transform(range(1, 65), i -> $a.v[i] * $a.v[i]))) *
-       |  sqrt(list_sum(list_transform(range(1, 65), i -> $b.v[i] * $b.v[i]))))""".stripMargin
+    s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+       | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
+       |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "smooth_gaussian" -> smoothGaussianSql,
@@ -691,22 +701,36 @@ object SparkEntry {
       s"""WITH ${lshBucketCtes(8, 4)},
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         | s AS (SELECT id_a, id_b, ${cosSql("ea", "eb")} AS cos
+         | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
          |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "embedding_near_dup_lsh" ->
       s"""WITH ${lshBucketCtes(16, 6)},
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         | s AS (SELECT id_a, id_b, ${cosSql("ea", "eb")} AS cos
+         | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
          |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
+         | ca AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cvec")} AS ccos FROM e, cents c),
+         | assign AS (SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca) WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca WHERE vec_id < 5) WHERE rn <= 2),
+         | cand AS (SELECT DISTINCT query_id, neighbor_id FROM probe JOIN assign USING (cid) WHERE neighbor_id <> query_id),
+         | s AS (SELECT query_id, neighbor_id, ${cosSql("eq.v", "ec.v")} AS cos
+         |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
+         | r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH ${lshBucketCtes(8, 4)},
          | cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |          FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
          |          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
-         | s AS (SELECT query_id, neighbor_id, ${cosSql("eq", "ec")} AS cos
+         | s AS (SELECT query_id, neighbor_id, ${cosSql("eq.v", "ec.v")} AS cos
          |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
          | r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank

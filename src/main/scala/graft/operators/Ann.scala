@@ -76,4 +76,53 @@ object Ann {
     scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
   }
+
+  /** IVF (inverted-file) approximate top-k — the clustering complement to
+    * sign-LSH: partition the corpus into `nCentroids` cells, probe the
+    * `nProbe` cells nearest each query, exact-rerank inside them.
+    *
+    * Centroids are a DETERMINISTIC sample — the `nCentroids` corpus rows
+    * with the smallest md5(seed:id) (a reproducible stand-in for a
+    * k-means codebook; same engine-portable discipline as the md5 LSH
+    * planes, so the whole operator is oracle-checkable). Assignment =
+    * argmax cosine against the broadcast centroid table; ties break on
+    * centroid id.
+    *
+    * Scale shape: centroid table is tiny and broadcast (the only
+    * nested-loop join in the plan); the corpus shuffles once on its
+    * assigned cell id; probe cost is |queries| x nProbe cells, never
+    * n^2. Recall/cost tunes with (nCentroids, nProbe) exactly like an
+    * IVF index.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
+      seed: String = "42"): DataFrame = {
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val cents = cv
+      .orderBy(md5(concat(lit(seed + ":"), col("neighbor_id").cast("string"))), col("neighbor_id"))
+      .limit(nCentroids)
+      .select(col("neighbor_id").as("cid"), col("cv").as("cvec"))
+    def nearestCells(df: DataFrame, id: String, vec: String, take: Int) = {
+      val scored = df.crossJoin(broadcast(cents))
+        .select(col(id), col("cid"),
+          VectorFunctions.cosine(col(vec), col("cvec")).as("ccos"))
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= take)
+        .select(col(id), col("cid"))
+    }
+    val assigned = nearestCells(cv, "neighbor_id", "cv", 1)
+    val probed = nearestCells(qv, "query_id", "qv", nProbe)
+    val cands = probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
+  }
 }

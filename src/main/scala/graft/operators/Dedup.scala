@@ -144,8 +144,37 @@ object Dedup {
     * intersections per pair (only pairs sharing >=1 shingle ever
     * materialize), then filter on the derived Jaccard.
     */
+  /** `maxShingleDf`, when set, is the skew guard for shared-vocabulary
+    * corpora: a shingle present in m documents contributes m^2/2 join
+    * rows, so one boilerplate phrase shared by 10^6 docs would quadratic
+    * the self-join on its own. Shingles with document frequency > cap are
+    * dropped from CANDIDATE GENERATION only — surviving pairs are then
+    * re-verified with exact Jaccard over the FULL shingle sets
+    * ([[jaccardForPairs]]), so reported scores are unchanged; only pairs
+    * whose entire overlap is ultra-common shingles can be missed, the
+    * standard df-pruning trade.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    maxShingleDf match {
+      case Some(cap) =>
+        val shAll = docs
+          .select(col(idCol).as("jid"),
+            explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
+              sh => xxhash64(sh))).as("sh"))
+          .distinct()
+        val rare = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).drop("_df")
+        val shCap = shAll.join(rare, Seq("sh"), "left_semi")
+        val cands = shCap.as("x").join(shCap.as("y"),
+            col("x.sh") === col("y.sh") && col("x.jid") < col("y.jid"))
+          .select(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
+          .distinct()
+        return jaccardForPairs(cands, docs, idCol, textCol, shingleK)
+          .filter(col("jaccard") >= threshold)
+      case None => // exact single-stage path below
+    }
     // 64-bit hashed shingles: same counts as string shingles up to a
     // ~n^2/2^65 collision probability, at a fraction of the shuffle bytes.
     val sh = docs

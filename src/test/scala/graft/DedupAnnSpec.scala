@@ -105,6 +105,35 @@ class DedupAnnSpec extends SparkSpec {
     assert(a.flatten.flatten.toSet.size == 2) // both signs occur
   }
 
+  test("ngramJaccardPairs with maxShingleDf: capped candidates, exact scores") {
+    // doc 0 and 3 are exact dups; their shingles have df >= 2, so a cap of
+    // 1 would kill the pair — cap 3 keeps it and the score stays exact 1.0
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDf = Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L).get
+    assert(math.abs(exact._3 - 1.0) < 1e-12)
+    // uncapped and capped agree on this small corpus (no df > 3 shingles)
+    val un = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(pairs.sorted.toSeq == un.toSeq)
+  }
+
+  test("ivfTopK: deterministic, recall vs brute force on clustered corpus") {
+    val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = sfEmb.filter(col("vec_id") < 5)
+    val ivf = Ann.ivfTopK(sfEmb, q, "vec_id", "embedding", 3, nCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    val again = Ann.ivfTopK(sfEmb, q, "vec_id", "embedding", 3, nCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    assert(ivf.toSeq == again.toSeq)
+    assert(ivf.map(_._1).distinct.length == 5) // every query answered
+    val brute = Ann.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = ivf.map(t => (t._1, t._3)).count(brute.contains)
+    assert(hit >= ivf.length / 2, s"IVF recall collapsed: $hit/${ivf.length}")
+  }
+
   test("ANN brute force: self-similar corpus ranks exact copy first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -52,4 +52,31 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
+
+  test("split_overlap: the segmenting window is partitioned, never global") {
+    val plan = planOf("split_overlap")
+    // a bare Window.orderBy prints "Window [...], [order]" with no
+    // partition spec and funnels everything into one partition; the
+    // per-user form must hash-partition on user_id before the window
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(1200))
+  }
+
+  test("sample_weighted_replace: range probe is bucket-local, BNLJ only vs 16-row table") {
+    val plan = planOf("sample_weighted_replace")
+    // the only nested-loop join is draws x broadcast bucket-interval table
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"expected at most one (broadcast, 16-row) BNLJ, plan:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"), "row probe must be the bucket equi-join")
+  }
+
+  test("sample_at_most: md5 top-n compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = planOf("sample_at_most")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("embedding_near_dup: LSH candidate join is an equi-join on (table, bucket)") {
+    val plan = planOf("embedding_near_dup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "all-pairs BNLJ must not ship in the declared near-dup query")
+  }
 }
