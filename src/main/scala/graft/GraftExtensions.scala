@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.udaf
 
-import graft.functions.{ByteFunctions, VectorFunctions}
+import graft.functions.{ByteFunctions, TextFunctions, VectorFunctions}
 
 /** SQL surface for the custom Catalyst expressions: after
   * `GraftFunctions.registerAll(spark)` (or building the session with
@@ -28,6 +28,11 @@ object GraftFunctions {
       es => ByteFunctions.KlDivergence(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_similarity",
       es => VectorFunctions.CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("md5_bits64",
+      es => TextFunctions.Md5Bits64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => TextFunctions.WordShingles(es.head,
+        es(1).eval().asInstanceOf[Int]), "built-in")
     spark.udf.register("byte_histogram_agg",
       udaf(new ByteFunctions.ByteHistogramAgg, org.apache.spark.sql.Encoders.BINARY))
   }

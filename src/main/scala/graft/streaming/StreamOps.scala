@@ -9,6 +9,13 @@ case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
 case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
 case class SessionState(lastTsMicros: Long, sessionId: Long)
 
+case class DocSig(doc_id: Long, simhash: Long)
+/** matched_id = the smallest earlier doc within hamming range, -1 if the
+  * doc is novel in this bucket.
+  */
+case class NearDupDecision(doc_id: Long, simhash: Long, blk: Int, matched_id: Long)
+case class BucketState(members: List[DocSig])
+
 /** Structured-Streaming transforms (EXT: the reference has no streams —
   * SURVEY §2.2 "Streaming" — so these are the streaming analogues of its
   * bounded operators over the `events` table shape).
@@ -94,6 +101,54 @@ object StreamOps {
     * bytes/user and is kept for the query lifetime (add a timeout policy
     * if user cardinality is unbounded).
     */
+  /** Streaming NEAR-duplicate detection — the ingestion-time analogue of
+    * [[graft.operators.Dedup.simhashCandidates]]: as documents arrive,
+    * each is checked against previously seen SimHash signatures and
+    * flagged with the earliest matching doc id (hamming <= `maxHamming`)
+    * or -1 when novel.
+    *
+    * State layout = the batch pigeonhole: a 64-bit signature splits into
+    * four 16-bit blocks; docs sharing ANY block value land in the same
+    * state bucket (hamming <= 3 guarantees at least one shared block).
+    * Each incoming doc emits one decision PER BLOCK (4 rows); the
+    * per-doc verdict is the max matched_id over its 4 rows — a plain
+    * groupBy for a batch caller, a `foreachBatch` reduction in streaming
+    * (appending a second stateful agg behind flatMapGroupsWithState is
+    * restricted by Structured Streaming's output-mode rules).
+    *
+    * Scale: state is bounded by `maxPerBucket` signatures per 16-bit
+    * bucket (16 bytes each) — a full table is 4 x 65536 x maxPerBucket x
+    * 16B; overflow buckets stop ACCRETING but keep matching (recall from
+    * the other three blocks, the same posture as the batch skew cap in
+    * `Dedup.selfJoinBuckets`). Within a micro-batch, docs are processed
+    * in doc_id order, so matches are deterministic under replay.
+    */
+  def simhashNearDupStream(docs: Dataset[DocSig], maxHamming: Int = 3,
+      maxPerBucket: Int = 1024): Dataset[NearDupDecision] = {
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    implicit val rowEnc = Encoders.product[(Int, Int, DocSig)]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[NearDupDecision]
+    docs
+      .flatMap(d => (0 until 4).map(b =>
+        (b, ((d.simhash >>> (b * 16)) & 0xffffL).toInt, d)))
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: (Int, Int), it: Iterator[(Int, Int, DocSig)], state: GroupState[BucketState]) => {
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = it.toSeq.sortBy(_._3.doc_id).map { case (blk, _, d) =>
+            val m = members.iterator
+              .filter(s => java.lang.Long.bitCount(s.simhash ^ d.simhash) <= maxHamming)
+              .map(_.doc_id)
+              .foldLeft(-1L)((acc, id) => if (acc < 0 || id < acc) id else acc)
+            if (members.length < maxPerBucket) members = DocSig(d.doc_id, d.simhash) :: members
+            NearDupDecision(d.doc_id, d.simhash, blk, m)
+          }
+          state.update(BucketState(members))
+          out.iterator
+        })
+  }
+
   def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionAssignment] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[SessionAssignment]

@@ -23,6 +23,13 @@ class ExtensionsSpec extends SparkSpec {
     val agg = spark.sql("SELECT byte_histogram_agg(CAST(t AS BINARY)) FROM ext_t")
       .head().getSeq[Long](0)
     assert(agg.sum == 4L)
+    // md5_bits64 == big-endian long of the md5 hex prefix; word_shingles n=2
+    val r2 = spark.sql(
+      "SELECT md5_bits64('abc') AS m, word_shingles('a b c', 2) AS sh FROM ext_t").head()
+    val expected = java.lang.Long.parseUnsignedLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("abc").take(16), 16)
+    assert(r2.getLong(0) == expected)
+    assert(r2.getSeq[String](1) == Seq("a b", "b c"))
   }
 
   test("multiOccurrences one-pass counter == replace-trick composed variant") {

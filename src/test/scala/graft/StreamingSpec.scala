@@ -49,6 +49,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == evs.size)
   }
 
+  test("simhashNearDupStream: exact dup flagged across micro-batches, novel docs -1") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocSig
+    // 0 and 2 identical signatures; 1 within hamming 2 of 0; 3 far away
+    val near = java.lang.Long.parseLong("11", 2) // flips 2 low bits of 0L
+    val sigs = Seq(DocSig(0L, 0L), DocSig(1L, near), DocSig(3L, -1L))
+    val late = Seq(DocSig(2L, 0L)) // second micro-batch: exact dup of 0
+    val mem = MemoryStream[DocSig]
+    mem.addData(sigs: _*)
+    val q = StreamOps.simhashNearDupStream(mem.toDS(), maxHamming = 3)
+      .writeStream.format("memory").queryName("near_out").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(late: _*)
+    q.processAllAvailable()
+    q.stop()
+    // per-doc verdict: max matched_id over the doc's 4 block rows
+    val verdicts = spark.table("near_out")
+      .groupBy("doc_id").agg(max("matched_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(verdicts(0L) == -1L) // first arrival is novel
+    assert(verdicts(1L) == 0L) // hamming 2 from doc 0
+    assert(verdicts(2L) == 0L) // exact dup matched across micro-batches
+    assert(verdicts(3L) == -1L) // all-ones signature matches nothing
+    // batch twin: same operator on a bounded Dataset, same verdicts
+    // except cross-batch state (doc 2 arrives with empty state per run)
+    val batch = StreamOps.simhashNearDupStream((sigs ++ late).toDS())
+      .groupBy("doc_id").agg(max("matched_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == verdicts) // doc_id-ordered processing makes them agree
+  }
+
   test("sessionization: stateful stream result equals the batch window twin") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{SessionEvent, StreamOps}
