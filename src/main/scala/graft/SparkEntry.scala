@@ -284,6 +284,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // EXT multi-probe LSH ANN: queries also probe the lowest-margin
+    // flipped bucket per table — recall of ~2x the tables at one corpus
+    // hashing cost (hash-checked like ann_lsh_topk)
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
+          planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 4, 64)),
+          multiProbe = true)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // EXT IVF-ANN: deterministic md5-sampled centroids, nProbe=2 cells,
     // exact rerank (the clustering complement to sign-LSH; hash-checked)
     "ann_ivf_topk" -> ((s, dir) => {
@@ -724,6 +735,24 @@ object SparkEntry {
          |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
          | r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      s"""WITH ${lshBucketCtes(8, 4)},
+         | am AS (SELECT vec_id, t, p FROM (
+         |    SELECT vec_id, t, p, ROW_NUMBER() OVER (PARTITION BY vec_id, t ORDER BY abs(dot), p) AS rn
+         |    FROM dots WHERE vec_id < 5) WHERE rn = 1),
+         | qp AS (SELECT vec_id, t, bucket FROM bk WHERE vec_id < 5
+         |        UNION ALL
+         |        SELECT b.vec_id, b.t, xor(b.bucket, (1 << am.p)) AS bucket
+         |        FROM bk b JOIN am ON b.vec_id = am.vec_id AND b.t = am.t),
+         | cand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+         |          FROM qp JOIN bk c ON qp.t = c.t AND qp.bucket = c.bucket
+         |          WHERE c.vec_id <> qp.vec_id),
+         | s AS (SELECT query_id, neighbor_id, ${cosSql("eq.v", "ec.v")} AS cos
+         |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
+         | r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |        FROM s)
          |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH ${lshBucketCtes(8, 4)},

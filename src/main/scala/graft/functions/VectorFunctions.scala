@@ -123,6 +123,58 @@ object VectorFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Multi-probe kernel: for each table emit the main bucket AND the
+    * bucket with the LOWEST-MARGIN plane bit flipped (the standard
+    * probing order truncated at depth 1) — output layout
+    * [t0_main, t0_flip, t1_main, t1_flip, ...]. Ties on |dot| break to
+    * the lowest plane index, so the probe sequence is deterministic and
+    * engine-portable.
+    */
+  def signBucketsMultiProbeOf(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val arr = v.toDoubleArray()
+    val out = new Array[Long](planes.length * 2)
+    var t = 0
+    while (t < planes.length) {
+      val tbl = planes(t)
+      require(tbl.length <= 63, s"at most 63 planes per table (got ${tbl.length})")
+      var bucket = 0L
+      var minMargin = Double.PositiveInfinity
+      var minP = 0
+      var j = 0
+      while (j < tbl.length) {
+        val p = tbl(j)
+        require(p.length == arr.length,
+          s"vector dim ${arr.length} != plane dim ${p.length}")
+        var dot = 0.0
+        var d = 0
+        while (d < p.length) { dot += arr(d) * p(d); d += 1 }
+        if (dot >= 0) bucket |= (1L << j)
+        val m = math.abs(dot)
+        if (m < minMargin) { minMargin = m; minP = j }
+        j += 1
+      }
+      out(2 * t) = bucket
+      out(2 * t + 1) = bucket ^ (1L << minP)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class SignBucketsMultiProbe(child: Expression, planes: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      signBucketsMultiProbeOf(v.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorFunctions.signBucketsMultiProbeOf($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): SignBucketsMultiProbe = copy(child = c)
+  }
+
+  def signBucketsMultiProbe(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    ColumnOps.toColumn(SignBucketsMultiProbe(_, planes))(v.cast(ArrayType(DoubleType)))
+
   case class SignBuckets(child: Expression, planes: Array[Array[Array[Double]]])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -46,20 +46,35 @@ object Ann {
     * on near-orthogonal data). Exact cosine re-rank over the candidate
     * union. Cost scales with nTables x bucket occupancy, never n^2.
     */
+  /** `multiProbe`: the QUERY side also probes, per table, the bucket with
+    * its lowest-margin plane bit flipped (probing depth 1) — recall rises
+    * like adding tables but without re-hashing the corpus, the classic
+    * multi-probe trade. The corpus keeps one bucket per table.
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nTables: Int = 8, planesPerTable: Int = 4,
       dim: Int = 64, seed: Long = 42L,
-      planes: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      planes: Option[Array[Array[Array[Double]]]] = None,
+      multiProbe: Boolean = false): DataFrame = {
     val tables = planes.getOrElse((0 until nTables)
       .map(t => VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray)
     def withBuckets(df: DataFrame, id: String, vec: String) = {
       val buckets = VectorFunctions.signBuckets(col(vec), tables)
       df.select(col(id), col(vec), posexplode(buckets).as(Seq("tbl", "bucket")))
     }
+    // probe layout [t0_main, t0_flip, t1_main, ...] -> tbl = pos / 2
+    def withProbeBuckets(df: DataFrame, id: String, vec: String) = {
+      val buckets = VectorFunctions.signBucketsMultiProbe(col(vec), tables)
+      df.select(col(id), posexplode(buckets).as(Seq("pos", "bucket")))
+        .select(col(id), (col("pos") / 2).cast("int").as("tbl"), col("bucket"))
+      // no distinct needed: flip always differs from main (one-bit XOR)
+      // and rows in different tables carry different tbl ids
+    }
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val c = withBuckets(cv, "neighbor_id", "cv").drop("cv")
-    val q = withBuckets(qv, "query_id", "qv").drop("qv")
+    val q = if (multiProbe) withProbeBuckets(qv, "query_id", "qv")
+      else withBuckets(qv, "query_id", "qv").drop("qv")
     // candidate dedup on BARE id pairs; vectors join back afterwards (the
     // array-carrying dropDuplicates shuffle is the measured 5x mistake —
     // see Dedup.embeddingNearDupLsh)

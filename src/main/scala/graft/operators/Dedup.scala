@@ -182,8 +182,18 @@ object Dedup {
         explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
           sh => xxhash64(sh))).as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
+    // result-identical df>=2 pruning: a shingle in exactly one document
+    // matches nothing in the self-join, so it only inflates the join
+    // input. On a real heavy-tailed vocabulary most shingles are unique —
+    // dropping them BEFORE the shuffle is the difference between joining
+    // the corpus and joining its repeated core. (`sizes` above still
+    // counts every shingle; only the intersection stage prunes.)
+    val repeated = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2).drop("_df")
+    val shJoin = sh.join(repeated, Seq("sh"), "left_semi")
+    val inter = shJoin.as("x").join(shJoin.as("y"),
         col("x.sh") === col("y.sh") && col("x.jid") < col("y.jid"))
       .groupBy(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
       .agg(count(lit(1)).as("inter"))

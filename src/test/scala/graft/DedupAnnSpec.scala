@@ -134,6 +134,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(hit >= ivf.length / 2, s"IVF recall collapsed: $hit/${ivf.length}")
   }
 
+  test("lshTopK multiProbe: candidate set is a superset of single-probe's") {
+    val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = sfEmb.filter(col("vec_id") < 5)
+    val planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 4, 64))
+    def resultSet(mp: Boolean) =
+      Ann.lshTopK(sfEmb, q, "vec_id", "embedding", 3, planes = planes, multiProbe = mp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = resultSet(false)
+    val multi = resultSet(true)
+    assert(multi == resultSet(true)) // deterministic
+    // per-query best cosine under multi-probe >= under single-probe
+    val bestS = single.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val bestM = multi.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    bestS.foreach { case (qid, c) => assert(bestM(qid) >= c - 1e-12, s"query $qid lost recall") }
+  }
+
   test("ANN brute force: self-similar corpus ranks exact copy first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
