@@ -130,6 +130,72 @@ object Npy {
     }
   }
 
+  /** numpy `.npz` (a zip of `.npy` members, `utils.py:46-57` npz/npzsp):
+    * one DataFrame of (member, idx, value/values) rows. Zip members are
+    * DEFLATE streams with no random access, so the unit of parallelism
+    * is the MEMBER — each task opens the archive, seeks its member, and
+    * streams it (one task per member, members spread across executors).
+    * That is the best any npz consumer can do without re-materializing;
+    * convert to parquet for intra-member parallelism.
+    */
+  def loadNpz(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val members: Seq[String] = {
+      val p = new Path(path)
+      val zin = new java.util.zip.ZipInputStream(p.getFileSystem(conf.value).open(p))
+      try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .map(_.getName).filter(_.endsWith(".npy")).toList
+      finally zin.close()
+    }
+    import spark.implicits._
+    spark.createDataset(members).repartition(members.length)
+      .mapPartitions { it =>
+        it.flatMap { member =>
+          val p = new Path(path)
+          val zin = new java.util.zip.ZipInputStream(p.getFileSystem(conf.value).open(p))
+          try {
+            var e = zin.getNextEntry
+            while (e != null && e.getName != member) e = zin.getNextEntry
+            require(e != null, s"npz member vanished: $member")
+            // stream the member: header first, then one rowBytes buffer
+            // per row — nothing ever materializes the whole array
+            val din = new java.io.DataInputStream(zin)
+            val pre = new Array[Byte](12)
+            din.readFully(pre, 0, 10)
+            val isV1 = pre(6) == 1
+            if (!isV1) din.readFully(pre, 10, 2)
+            val headerLen =
+              if (isV1) ((pre(9) & 0xff) << 8) | (pre(8) & 0xff)
+              else ByteBuffer.wrap(pre, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+            val headerStart = if (isV1) 10 else 12
+            val full = new Array[Byte](headerStart + headerLen)
+            System.arraycopy(pre, 0, full, 0, headerStart)
+            din.readFully(full, headerStart, headerLen)
+            val h = parseHeader(full)
+            val rowLen = h.rowLength
+            val rowBuf = new Array[Byte](h.rowBytes)
+            (0L until h.shape.head).map { idx =>
+              din.readFully(rowBuf)
+              val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
+              val vals = new Array[Double](rowLen)
+              var i = 0
+              while (i < rowLen) {
+                vals(i) = h.descr match {
+                  case "<f4" => bb.getFloat.toDouble
+                  case "<f8" => bb.getDouble
+                  case "<i4" => bb.getInt.toDouble
+                  case "<i8" => bb.getLong.toDouble
+                }
+                i += 1
+              }
+              (member.stripSuffix(".npy"), idx, vals)
+            }.toList
+          } finally zin.close()
+        }
+      }.toDF("member", "idx", "values")
+  }
+
   /** Dump a numeric or array column to one .npy file (C order, v1.0).
     * Rows stream through `toLocalIterator` — driver memory holds one
     * partition, not the dataset; row order is the DataFrame's order, so

@@ -157,6 +157,37 @@ class SourcesSpec extends SparkSpec {
     f1.delete()
   }
 
+  test("Npz: zip of npy members loads as (member, idx, values)") {
+    def npyBytes(dict: String, data: Array[Byte]): Array[Byte] = {
+      val txt = dict + "\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+      bos.write(Array[Byte]((txt.length & 0xff).toByte, (txt.length >> 8).toByte))
+      bos.write(txt.getBytes("ISO-8859-1"))
+      bos.write(data)
+      bos.toByteArray
+    }
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    val a = java.nio.ByteBuffer.allocate(16).order(le)
+    Seq(1.0, 2.0).foreach(a.putDouble)
+    val b = java.nio.ByteBuffer.allocate(8).order(le)
+    Seq(5.0f, 6.0f).foreach(b.putFloat)
+    val f = java.io.File.createTempFile("graft", ".npz")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xs.npy"))
+    zos.write(npyBytes("{'descr': '<f8', 'fortran_order': False, 'shape': (2,), }", a.array()))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("m.npy"))
+    zos.write(npyBytes("{'descr': '<f4', 'fortran_order': False, 'shape': (1, 2), }", b.array()))
+    zos.closeEntry()
+    zos.close()
+    val out = graft.sources.Npy.loadNpz(spark, f.getAbsolutePath)
+      .orderBy("member", "idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(out.toSeq == Seq(("m", 0L, Seq(5.0, 6.0)), ("xs", 0L, Seq(1.0)), ("xs", 1L, Seq(2.0))))
+    f.delete()
+  }
+
   test("Npy: unsupported dtype / fortran order / 3-D raise") {
     def headerOf(dict: String): Array[Byte] = {
       val txt = dict + "\n"
