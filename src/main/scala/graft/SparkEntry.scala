@@ -284,6 +284,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // EXT leakage-safe train/val/test assignment: split is a pure
+    // function of md5(seed:doc_id) — reproducible across runs/engines
+    "split_assign" -> ((s, dir) => {
+      graft.operators.Corpus.assignSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
     // EXT multi-probe LSH ANN: queries also probe the lowest-margin
     // flipped bucket per table — recall of ~2x the tables at one corpus
     // hashing cost (hash-checked like ann_lsh_topk)
@@ -736,6 +744,21 @@ object SparkEntry {
          | r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "split_assign" -> {
+      // the same left-to-right cumulative boundaries assignSplit builds,
+      // injected at full precision so both engines compare identical doubles
+      val bounds = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        .scanLeft(("", 0.0)) { case ((_, acc), (n, f)) => (n, acc + f) }.tail
+      val cases = bounds.init
+        .map { case (n, hi) => s"WHEN u < ${"%.17e".formatLocal(java.util.Locale.ROOT, hi)} THEN '$n'" }
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || doc_id), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+         |    / 281474976710656.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "ann_lsh_multiprobe" ->
       s"""WITH ${lshBucketCtes(8, 4)},
          | am AS (SELECT vec_id, t, p FROM (

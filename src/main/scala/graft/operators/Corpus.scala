@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for the training-data pipeline (EXT per
+  * SURVEY north star): leakage-safe dataset splits and context-window
+  * sequence packing — the two steps between "clean corpus" and "batches
+  * on the trainer".
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment: each row lands in the split
+    * whose cumulative-fraction interval contains
+    * u = md5_48bit(seed:key) / 2^48 (uniform in [0,1), a pure function of
+    * the KEY — so the assignment is reproducible across runs, engines and
+    * cluster sizes, and keyed rows can never leak across splits between
+    * pipeline versions, the property random splits lose the moment data
+    * is re-partitioned). One projection, no shuffle; boundaries are plain
+    * double literals so any SQL engine replays the assignment.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed: String = "42", as: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = conv(substring(md5(concat(lit(seed + ":"), col(keyCol).cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2, 48))
+    // cumulative boundaries accumulated left-to-right — the same doubles
+    // an oracle computes from the same literals in the same order
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+    val assign = fractions.zip(bounds).reverse
+      .foldLeft(lit(fractions.last._1): org.apache.spark.sql.Column) {
+        case (acc, ((name, _), hi)) => when(u < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(as, assign)
+  }
+
+  /** Pack documents into fixed-token-budget context windows (sequence
+    * packing): greedy first-fit over each partition, emitting
+    * (bin_id, pos_in_bin) per document. Docs longer than the budget get
+    * a bin of their own (truncation is the tokenizer's job, not the
+    * packer's).
+    *
+    * Scale shape: packing is inherently sequential, so the greedy scan
+    * runs PER PARTITION (mapPartitions, zero shuffle beyond the optional
+    * pre-sort) and bin ids are (partition, local-bin) pairs encoded as
+    * one long — the standard distributed compromise: within-partition
+    * packing quality, global parallelism. Sorting by descending length
+    * first (caller's choice) approximates first-fit-decreasing.
+    * Determinism: for a fixed partitioning and row order the output is a
+    * pure function of the input — pin both (e.g. `repartitionByRange` +
+    * `sortWithinPartitions`) for run-to-run stability.
+    */
+  def packSequences(df: DataFrame, idCol: String, lengthCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long").as("doc_id"),
+      col(lengthCol).cast("long").as("n_tokens")).as[(Long, Long)]
+    ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var localBin = -1L
+      var used = 0L
+      var pos = 0
+      it.map { case (id, n) =>
+        // localBin check (not a sentinel `used`) opens the first bin —
+        // a Long sentinel would overflow in `used + n`
+        if (localBin == -1L || used + n > budget) { localBin += 1; used = 0L; pos = 0 }
+        used += n
+        pos += 1
+        (id, n, (pid << 32) | localBin, pos - 1)
+      }
+    }.toDF("doc_id", "n_tokens", "bin_id", "pos_in_bin")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplit: deterministic, fractions approximately honored, keys never move") {
+    val docs = (0L until 1000L).toDF("id")
+    val a = Corpus.assignSplit(docs, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Corpus.assignSplit(docs, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("test") > 50)
+    // subsetting the corpus never reassigns a surviving key (leakage safety)
+    val sub = Corpus.assignSplit(docs.filter(col("id") % 3 === 0), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (k, v) => assert(a(k) == v) }
+  }
+
+  test("assignSplit: invalid fractions raise") {
+    val docs = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(docs, "id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("packSequences: bins respect the budget; oversized docs get their own bin") {
+    val docs = Seq((1L, 40L), (2L, 50L), (3L, 30L), (4L, 250L), (5L, 10L))
+      .toDF("doc_id", "n_tokens").coalesce(1)
+    val out = Corpus.packSequences(docs, "doc_id", "n_tokens", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byBin = out.groupBy(_._3)
+    // every bin except oversized-doc bins stays within budget
+    byBin.foreach { case (_, rows) =>
+      if (rows.length > 1) assert(rows.map(_._2).sum <= 100)
+    }
+    // first-fit in row order on one partition: (40+50) | (30) +... wait 30 fits after 50? 40+50=90, +30 > 100 -> new bin
+    val binOf = out.map(t => t._1 -> t._3).toMap
+    assert(binOf(1L) == binOf(2L)) // 40 + 50 = 90 <= 100
+    assert(binOf(3L) != binOf(1L)) // 90 + 30 > 100
+    assert(byBin(binOf(4L)).length == 1) // 250 alone
+    // positions are consecutive from 0 inside each bin
+    byBin.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (0 until rows.length).toSeq)
+    }
+    assert(out.length == 5)
+  }
+
+  test("packSequences: parallel partitions produce disjoint bin ids") {
+    val docs = (0L until 100L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+      .repartition(4)
+    val out = Corpus.packSequences(docs, "doc_id", "n_tokens", 35)
+    assert(out.count() == 100)
+    val sums = out.groupBy("bin_id").agg(sum("n_tokens").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.forall(_ <= 35))
+  }
+}
