@@ -278,9 +278,15 @@ object Dedup {
     }.reduce(_ unionByName _)
     val cands = selfJoinBuckets(banded, "jid", Seq("band", "bsig"), maxBucket)
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
+    // df>=2 pruning for the INTERSECTION only (see ngramJaccardPairs): a
+    // single-document shingle can never satisfy sh_a == sh_b. Signatures
+    // and sizes above still see every shingle — results are identical.
+    val repeated = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2).drop("_df")
+    val shInter = sh.join(repeated, Seq("sh"), "left_semi")
     val inter = cands
-      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shInter.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shInter.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(col("sh_a") === col("sh_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))

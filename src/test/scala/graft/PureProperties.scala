@@ -83,4 +83,44 @@ object PureProperties extends Properties("graft.pure") {
         }
       }
     }
+
+  property("md5Bits64: equals the md5 hex prefix parsed big-endian") =
+    forAll(Gen.alphaNumStr) { s =>
+      val got = graft.functions.TextFunctions.md5Bits64Of(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString
+      got == java.lang.Long.parseUnsignedLong(hex, 16)
+    }
+
+  private val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0)).map(_.toArray)
+
+  property("signBucketsMultiProbe: flip differs from main in exactly one bit; mains agree") = {
+    import graft.functions.VectorFunctions
+    val planes = VectorFunctions.md5SignPlanes(4, 5, 16)
+    forAll(vecGen) { v =>
+      val data = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any))
+      val main = VectorFunctions.signBucketsOf(data, planes).toLongArray()
+      val probe = VectorFunctions.signBucketsMultiProbeOf(data, planes).toLongArray()
+      (0 until 4).forall { t =>
+        probe(2 * t) == main(t) &&
+          java.lang.Long.bitCount(probe(2 * t) ^ probe(2 * t + 1)) == 1
+      }
+    }
+  }
+
+  property("npy header: dump-format text round-trips through parseHeader") =
+    forAll(Gen.chooseNum(1L, 10000L), Gen.chooseNum(1L, 512L),
+        Gen.oneOf("<f4", "<f8", "<i4", "<i8")) { (n, d, dt) =>
+      val txt = s"{'descr': '$dt', 'fortran_order': False, 'shape': ($n, $d), }\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+      bos.write(Array[Byte]((txt.length & 0xff).toByte, (txt.length >> 8).toByte))
+      bos.write(txt.getBytes("ISO-8859-1"))
+      val h = graft.sources.Npy.parseHeader(bos.toByteArray)
+      h.descr == dt && h.shape == Seq(n, d) &&
+        h.rowBytes == d * dt.drop(2).toInt && h.dataOffset == 10 + txt.length
+    }
 }
