@@ -299,6 +299,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Row-local md5-slice MinHash band signatures — the same scheme as
+    * [[minhashNearDupPairsMd5]] (k 8-hex-char slice minima over word
+    * shingles, concatenated per band) computed as a pure function of one
+    * document, no explode/groupBy. This is the STREAMING building block:
+    * a per-row map needs no shuffle and no stateful aggregation, so it
+    * can feed `flatMapGroupsWithState` directly (Structured Streaming
+    * forbids an aggregation before it). Returns empty for docs too short
+    * to shingle (they belong to no bucket, matching the batch pipeline).
+    */
+  def minhashBandSigs(text: String, k: Int = 16, bands: Int = 2,
+      shingleK: Int = 3): Array[String] = {
+    require(k % 4 == 0 && k % bands == 0, s"need 4 | k and bands | k (k=$k, bands=$bands)")
+    val words = text.trim match {
+      case "" => Array.empty[String]
+      case t => t.split("\\s+")
+    }
+    if (words.length < shingleK) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val mins = Array.fill(k)("g") // any hex string sorts below "g"
+    var i = 0
+    while (i <= words.length - shingleK) {
+      val shingle = words.slice(i, i + shingleK).mkString(" ")
+      var s = 0
+      while (s < k / 4) {
+        val hex = md5Hex(s + ":" + shingle)
+        var j = 0
+        while (j < 4) {
+          val slice = hex.substring(j * 8, j * 8 + 8)
+          val idx = s * 4 + j
+          if (slice < mins(idx)) mins(idx) = slice
+          j += 1
+        }
+        s += 1
+      }
+      i += 1
+    }
+    val rows = k / bands
+    Array.tabulate(bands)(b => mins.slice(b * rows, (b + 1) * rows).mkString)
+  }
+
   /** Embedding near-dup at scale: multi-table sign-LSH candidate
     * generation (never O(n^2)), exact cosine check on candidates only.
     * The exact all-pairs [[embeddingNearDup]] stays as the oracle

@@ -9,6 +9,10 @@ case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
 case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
 case class SessionState(lastTsMicros: Long, sessionId: Long)
 
+case class DocText(doc_id: Long, text: String)
+case class MinhashDupDecision(doc_id: Long, band: Int, matched_id: Long)
+case class BandBucketState(members: List[Long])
+
 case class DocSig(doc_id: Long, simhash: Long)
 /** matched_id = the smallest earlier doc within hamming range, -1 if the
   * doc is novel in this bucket.
@@ -145,6 +149,47 @@ object StreamOps {
             NearDupDecision(d.doc_id, d.simhash, blk, m)
           }
           state.update(BucketState(members))
+          out.iterator
+        })
+  }
+
+  /** Streaming MinHash near-dup candidates — completes the streaming
+    * dedup family (exact: [[dedupStream]]; SimHash:
+    * [[simhashNearDupStream]]): each arriving document computes its
+    * md5-slice band signatures ROW-LOCALLY
+    * ([[graft.operators.Dedup.minhashBandSigs]] — no aggregation, which
+    * Structured Streaming forbids ahead of stateful ops) and is checked
+    * against the documents previously seen in its band buckets. Emits
+    * one row per band with the earliest bucket-mate (-1 = novel); the
+    * per-doc verdict is the max over its bands, reduced downstream
+    * (groupBy in batch, foreachBatch in streaming). Candidates share a
+    * full band signature — the batch pipeline's LSH contract — and exact
+    * Jaccard verification stays a batch concern (state cannot hold
+    * shingle sets).
+    *
+    * State = member doc ids per (band, band-signature) bucket, bounded by
+    * `maxPerBucket` (overflowing buckets keep matching, stop accreting —
+    * the [[graft.operators.Dedup.selfJoinBuckets]] posture).
+    */
+  def minhashNearDupStream(docs: Dataset[DocText], k: Int = 16, bands: Int = 2,
+      shingleK: Int = 3, maxPerBucket: Int = 1024): Dataset[MinhashDupDecision] = {
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val rowEnc = Encoders.product[(Int, String, Long)]
+    implicit val stateEnc = Encoders.product[BandBucketState]
+    implicit val outEnc = Encoders.product[MinhashDupDecision]
+    docs
+      .flatMap(d => graft.operators.Dedup.minhashBandSigs(d.text, k, bands, shingleK)
+        .zipWithIndex.map { case (sig, b) => (b, sig, d.doc_id) })
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: (Int, String), it: Iterator[(Int, String, Long)], state: GroupState[BandBucketState]) => {
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = it.toSeq.sortBy(_._3).map { case (band, _, id) =>
+            val m = members.foldLeft(-1L)((acc, mid) => if (acc < 0 || mid < acc) mid else acc)
+            if (members.length < maxPerBucket) members = id :: members
+            MinhashDupDecision(id, band, m)
+          }
+          state.update(BandBucketState(members))
           out.iterator
         })
   }

@@ -80,6 +80,60 @@ class StreamingSpec extends SparkSpec {
     assert(batch == verdicts) // doc_id-ordered processing makes them agree
   }
 
+  test("minhashNearDupStream: decisions match the pure-signature model across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    import graft.operators.Dedup
+    val batch1 = Seq(
+      DocText(0L, "the quick brown fox jumps over the lazy dog"),
+      DocText(1L, "completely different words entirely here now folks"),
+      DocText(2L, "tiny")) // too short to shingle -> no buckets, no rows
+    val batch2 = Seq(
+      DocText(3L, "the quick brown fox jumps over the lazy dog")) // exact dup of 0
+    val mem = MemoryStream[DocText]
+    mem.addData(batch1: _*)
+    val q = StreamOps.minhashNearDupStream(mem.toDS())
+      .writeStream.format("memory").queryName("mh_out").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.table("mh_out")
+      .groupBy("doc_id").agg(max("matched_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // model: arrival order = doc_id order here, buckets keyed by band sig
+    val sigs = (batch1 ++ batch2).map(d => d.doc_id -> Dedup.minhashBandSigs(d.text))
+    val expected = {
+      val buckets = scala.collection.mutable.Map[(Int, String), List[Long]]()
+      sigs.collect { case (id, bs) if bs.nonEmpty =>
+        val matches = bs.zipWithIndex.map { case (sig, b) =>
+          val mem0 = buckets.getOrElse((b, sig), Nil)
+          buckets((b, sig)) = id :: mem0
+          mem0.sorted.headOption.getOrElse(-1L)
+        }
+        id -> matches.max
+      }.toMap
+    }
+    assert(verdicts == expected)
+    assert(verdicts(3L) == 0L) // exact dup matched across micro-batches
+    assert(verdicts(0L) == -1L && verdicts(1L) == -1L)
+    assert(!verdicts.contains(2L)) // shingle-less doc emits nothing
+  }
+
+  test("minhashBandSigs: parity with the Spark md5-expression pipeline") {
+    import graft.operators.Dedup
+    val text = "one two three four five six seven"
+    val df = Seq((0L, text)).toDF("doc_id", "text")
+    val sh = df.select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+    val mins = (0 until 16).map { i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), col("sh"))), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    val row = sh.agg(mins.head, mins.tail: _*).head()
+    val sparkBands = Seq((0 until 8), (8 until 16))
+      .map(r => r.map(i => row.getString(i)).mkString)
+    assert(Dedup.minhashBandSigs(text).toSeq == sparkBands)
+  }
+
   test("sessionization: stateful stream result equals the batch window twin") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{SessionEvent, StreamOps}
