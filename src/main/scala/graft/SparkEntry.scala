@@ -676,7 +676,7 @@ object SparkEntry {
         |       CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS wc,
         |       (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) AS b
         |     FROM orders WHERE o_totalprice > 0),
-        | c AS (SELECT *, SUM(wc) OVER (ORDER BY b, o_orderkey) AS hi FROM w),
+        | c AS (SELECT *, SUM(wc) OVER (ORDER BY b, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM w),
         | tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS tw FROM w),
         | d AS (SELECT j.j AS j,
         |       CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || j.j), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT) % tw AS u

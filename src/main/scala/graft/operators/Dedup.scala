@@ -224,10 +224,26 @@ object Dedup {
     val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     val sigs = sh.groupBy(col("jid").as(idCol)).agg(mins.head, mins.tail: _*)
     val cands = minhashCandidates(sigs, idCol, k, bands)
+    verifyJaccardOnCandidates(cands, sh, threshold)
+  }
+
+  /** Shared exact-Jaccard verification over candidate pairs against a
+    * (jid, sh) shingle frame — the one implementation behind both MinHash
+    * pipelines. Set sizes count EVERY shingle; the intersection join
+    * prunes document-frequency-1 shingles first (they cannot appear in
+    * both docs of any pair — result-identical, smaller join input; see
+    * [[ngramJaccardPairs]]). Inner joins are correct here because every
+    * candidate doc has shingles by construction (its signature exists).
+    */
+  private def verifyJaccardOnCandidates(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
+    val repeated = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2).drop("_df")
+    val shInter = sh.join(repeated, Seq("sh"), "left_semi")
     val inter = cands
-      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shInter.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shInter.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(col("sh_a") === col("sh_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
@@ -277,26 +293,7 @@ object Dedup {
         concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
     }.reduce(_ unionByName _)
     val cands = selfJoinBuckets(banded, "jid", Seq("band", "bsig"), maxBucket)
-    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
-    // df>=2 pruning for the INTERSECTION only (see ngramJaccardPairs): a
-    // single-document shingle can never satisfy sh_a == sh_b. Signatures
-    // and sizes above still see every shingle — results are identical.
-    val repeated = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= 2).drop("_df")
-    val shInter = sh.join(repeated, Seq("sh"), "left_semi")
-    val inter = cands
-      .join(shInter.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shInter.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccardOnCandidates(cands, sh, threshold)
   }
 
   /** Row-local md5-slice MinHash band signatures — the same scheme as

@@ -185,7 +185,18 @@ object Sampling {
     val offsetMap = order.zip(offsets).toMap
     val totalW = bucketTotals.values.sum
     require(totalW > 0, "total weight must be positive")
+    // draws have 48 bits of entropy: a larger total would leave the
+    // cumulative range beyond 2^48 unreachable — a silently BIASED
+    // sample. Fail loudly; callers rescale weights (they are relative).
+    require(totalW <= (1L << 48),
+      s"total integer-cent weight $totalW exceeds 2^48 — rescale the weight column")
+    // ROWS frame, not the default RANGE: with RANGE, rows tying on
+    // (bucket, key) would share a cumulative sum, making their intervals
+    // overlap (duplicated draws) and leaving a gap below (lost draws).
+    // With ROWS, duplicate keys still yield a valid weighted sample;
+    // byte-reproducibility additionally needs keyCol to be unique.
     val w = Window.partitionBy(col("_b")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offCol = offsetMap.foldLeft(lit(0L)) { case (acc, (b, o)) =>
       when(col("_b") === b, lit(o)).otherwise(acc)
     }

@@ -69,14 +69,18 @@ object Multimodal {
       var i = 2
       while (i + 9 < b.length) {
         if ((b(i) & 0xff) != 0xff) return None // marker desync
-        val m = b(i + 1) & 0xff
+        // the spec allows any number of 0xFF fill bytes before a marker
+        var mi = i + 1
+        while (mi + 8 < b.length && (b(mi) & 0xff) == 0xff) mi += 1
+        if (mi + 8 >= b.length) return None
+        val m = b(mi) & 0xff
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
-          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
-          return Some(("jpeg", w, h, b(i + 9) & 0xff))
+          val h = ((b(mi + 4) & 0xff) << 8) | (b(mi + 5) & 0xff)
+          val w = ((b(mi + 6) & 0xff) << 8) | (b(mi + 7) & 0xff)
+          return Some(("jpeg", w, h, b(mi + 8) & 0xff))
         }
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone marker
-        else i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i = mi + 1 // standalone marker
+        else i = mi + 1 + (((b(mi + 1) & 0xff) << 8) | (b(mi + 2) & 0xff))
       }
       return None
     }
@@ -86,14 +90,10 @@ object Multimodal {
   /** Full pixel decode via ImageIO: (format, width, height, bands). None
     * when no installed reader claims the bytes.
     */
-  private[graft] def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
-    if (bytes == null || bytes.isEmpty) return None
-    val in = new java.io.ByteArrayInputStream(bytes)
-    val img = javax.imageio.ImageIO.read(in)
-    if (img == null) None
-    else Some((imageMeta(bytes).map(_._1).getOrElse("image"),
-      img.getWidth, img.getHeight, img.getRaster.getNumBands))
-  }
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Int)] =
+    decodeImageBuffered(bytes).map(img =>
+      (imageMeta(bytes).map(_._1).getOrElse("image"),
+        img.getWidth, img.getHeight, img.getRaster.getNumBands))
 
   /** Decode + bilinear resize + re-encode (PNG out) — the body of a
     * media-preprocessing `mapPartitions` stage. None for undecodable
@@ -114,9 +114,16 @@ object Multimodal {
     }
   }
 
+  /** ImageIO.read returns null only when NO reader claims the bytes; a
+    * TRUNCATED image whose signature a reader does claim THROWS instead.
+    * On a scraped corpus corrupt images are routine, so both outcomes
+    * must degrade to None, never fail the task.
+    */
   private def decodeImageBuffered(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.isEmpty) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** Metadata decode: real header parse for image formats; the
     * deterministic STUB below only for non-image blobs (audio/video —

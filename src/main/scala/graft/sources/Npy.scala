@@ -92,31 +92,36 @@ object Npy {
     val rows = spark.range(nRows).mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        // ids in a range partition are contiguous: one seek, one stream
-        val ids = it.map(Long2long).toArray
+        // ids in a range partition are contiguous: one seek, then rows
+        // stream through a single reusable row buffer — the task never
+        // holds more than one row (a slice-sized buffer overflows Int
+        // and RAM long before the advertised 100 GB file does). The
+        // stream closes at iterator exhaustion AND on task completion
+        // (early termination, e.g. a LIMIT, must not leak the handle).
         val p = new Path(path)
         val fs = p.getFileSystem(conf.value)
         val in = fs.open(p)
-        try {
-          in.seek(dataOffset + ids.head * rowBytes)
-          val raw = new Array[Byte](ids.length * rowBytes)
-          in.readFully(raw)
-          val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-          ids.iterator.map { id =>
-            val vals = new Array[Double](rowLen)
-            var i = 0
-            while (i < rowLen) {
-              vals(i) = descr match {
-                case "<f4" => bb.getFloat.toDouble
-                case "<f8" => bb.getDouble
-                case "<i4" => bb.getInt.toDouble
-                case "<i8" => bb.getLong.toDouble
-              }
-              i += 1
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val first = it.next()
+        in.seek(dataOffset + Long2long(first) * rowBytes.toLong)
+        val rowBuf = new Array[Byte](rowBytes)
+        (Iterator.single(first) ++ it).map { id =>
+          in.readFully(rowBuf)
+          val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
+          val vals = new Array[Double](rowLen)
+          var i = 0
+          while (i < rowLen) {
+            vals(i) = descr match {
+              case "<f4" => bb.getFloat.toDouble
+              case "<f8" => bb.getDouble
+              case "<i4" => bb.getInt.toDouble
+              case "<i8" => bb.getLong.toDouble
             }
-            (id, vals)
-          }.toArray.iterator // materialize before closing the stream
-        } finally in.close()
+            i += 1
+          }
+          (Long2long(id), vals)
+        }
       }
     }.toDF("idx", "values")
     val isInt = descr.startsWith("<i")
@@ -149,33 +154,49 @@ object Npy {
       finally zin.close()
     }
     import spark.implicits._
+    if (members.isEmpty) {
+      // an archive with no .npy members is an empty frame, not a crash
+      return spark.emptyDataset[(String, Long, Array[Double])]
+        .toDF("member", "idx", "values")
+    }
     spark.createDataset(members).repartition(members.length)
       .mapPartitions { it =>
         it.flatMap { member =>
           val p = new Path(path)
           val zin = new java.util.zip.ZipInputStream(p.getFileSystem(conf.value).open(p))
-          try {
-            var e = zin.getNextEntry
-            while (e != null && e.getName != member) e = zin.getNextEntry
-            require(e != null, s"npz member vanished: $member")
-            // stream the member: header first, then one rowBytes buffer
-            // per row — nothing ever materializes the whole array
-            val din = new java.io.DataInputStream(zin)
-            val pre = new Array[Byte](12)
-            din.readFully(pre, 0, 10)
-            val isV1 = pre(6) == 1
-            if (!isV1) din.readFully(pre, 10, 2)
-            val headerLen =
-              if (isV1) ((pre(9) & 0xff) << 8) | (pre(8) & 0xff)
-              else ByteBuffer.wrap(pre, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-            val headerStart = if (isV1) 10 else 12
-            val full = new Array[Byte](headerStart + headerLen)
-            System.arraycopy(pre, 0, full, 0, headerStart)
-            din.readFully(full, headerStart, headerLen)
-            val h = parseHeader(full)
-            val rowLen = h.rowLength
-            val rowBuf = new Array[Byte](h.rowBytes)
-            (0L until h.shape.head).map { idx =>
+          // close at task end (covers early termination) AND at iterator
+          // exhaustion below — rows are NOT materialized per member (a
+          // multi-GB member must stream through the one row buffer)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => zin.close()))
+          var e = zin.getNextEntry
+          while (e != null && e.getName != member) e = zin.getNextEntry
+          require(e != null, s"npz member vanished: $member")
+          val din = new java.io.DataInputStream(zin)
+          val pre = new Array[Byte](12)
+          din.readFully(pre, 0, 10)
+          val isV1 = pre(6) == 1
+          if (!isV1) din.readFully(pre, 10, 2)
+          val headerLen =
+            if (isV1) ((pre(9) & 0xff) << 8) | (pre(8) & 0xff)
+            else ByteBuffer.wrap(pre, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          val headerStart = if (isV1) 10 else 12
+          val full = new Array[Byte](headerStart + headerLen)
+          System.arraycopy(pre, 0, full, 0, headerStart)
+          din.readFully(full, headerStart, headerLen)
+          val h = parseHeader(full)
+          val rowLen = h.rowLength
+          val rowBuf = new Array[Byte](h.rowBytes)
+          val memberName = member.stripSuffix(".npy")
+          var idx = -1L
+          new Iterator[(String, Long, Array[Double])] {
+            override def hasNext: Boolean = {
+              val more = idx + 1 < h.shape.head
+              if (!more) zin.close() // idempotent; frees the handle early
+              more
+            }
+            override def next(): (String, Long, Array[Double]) = {
+              idx += 1
               din.readFully(rowBuf)
               val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
               val vals = new Array[Double](rowLen)
@@ -189,9 +210,9 @@ object Npy {
                 }
                 i += 1
               }
-              (member.stripSuffix(".npy"), idx, vals)
-            }.toList
-          } finally zin.close()
+              (memberName, idx, vals)
+            }
+          }
         }
       }.toDF("member", "idx", "values")
   }
@@ -209,9 +230,13 @@ object Npy {
     val dt = df.schema(column).dataType
     val is2d = dt.isInstanceOf[org.apache.spark.sql.types.ArrayType]
     val itemSize = dtype.drop(2).toInt
+    // persisted: count, the row-width probe, and the toLocalIterator scan
+    // below would otherwise re-execute the (possibly expensive) upstream
+    // plan three times
     val prepared =
-      if (is2d) df.select(col(column).cast("array<double>").as("v"))
-      else df.select(array(col(column).cast("double")).as("v"))
+      (if (is2d) df.select(col(column).cast("array<double>").as("v"))
+       else df.select(array(col(column).cast("double")).as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = prepared.count()
     require(n > 0, "refusing to dump an empty DataFrame to npy (no row width)")
     val rowLen =
@@ -248,6 +273,9 @@ object Npy {
         }
         out.write(bb.array(), 0, bb.position())
       }
-    } finally out.close()
+    } finally {
+      out.close()
+      prepared.unpersist()
+    }
   }
 }

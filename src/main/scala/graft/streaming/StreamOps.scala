@@ -14,8 +14,11 @@ case class MinhashDupDecision(doc_id: Long, band: Int, matched_id: Long)
 case class BandBucketState(members: List[Long])
 
 case class DocSig(doc_id: Long, simhash: Long)
-/** matched_id = the smallest earlier doc within hamming range, -1 if the
-  * doc is novel in this bucket.
+/** matched_id = the smallest earlier doc within hamming range IN THIS
+  * BUCKET, -1 if the doc is novel here. Per-doc reduction over a doc's
+  * rows: duplicate iff max(matched_id) >= 0; the cluster representative
+  * is min(matched_id) over the rows with matched_id >= 0 (different
+  * buckets can name different mates — max alone is only the dup flag).
   */
 case class NearDupDecision(doc_id: Long, simhash: Long, blk: Int, matched_id: Long)
 case class BucketState(members: List[DocSig])
@@ -90,21 +93,6 @@ object StreamOps {
         col("session_id"))
   }
 
-  /** Stateful-streaming sessionization via `flatMapGroupsWithState`: the
-    * per-user state carries (last event time, current session id) across
-    * micro-batches, so session ids keep counting as batches arrive. Runs
-    * on a batch Dataset too (state starts empty per group) — the equality
-    * with [[sessionizeBatch]] is the StreamingSpec contract for in-order
-    * arrival. Events within a micro-batch are sorted per user in memory;
-    * per-user batch volumes are the bound (the same assumption groupByKey
-    * state ops always make).
-    *
-    * Documented divergences inherent to streaming: an event arriving in a
-    * LATER micro-batch with an EARLIER timestamp joins the current
-    * session (the batch twin would re-sort globally); state is 16
-    * bytes/user and is kept for the query lifetime (add a timeout policy
-    * if user cardinality is unbounded).
-    */
   /** Streaming NEAR-duplicate detection — the ingestion-time analogue of
     * [[graft.operators.Dedup.simhashCandidates]]: as documents arrive,
     * each is checked against previously seen SimHash signatures and
@@ -114,11 +102,13 @@ object StreamOps {
     * State layout = the batch pigeonhole: a 64-bit signature splits into
     * four 16-bit blocks; docs sharing ANY block value land in the same
     * state bucket (hamming <= 3 guarantees at least one shared block).
-    * Each incoming doc emits one decision PER BLOCK (4 rows); the
-    * per-doc verdict is the max matched_id over its 4 rows — a plain
-    * groupBy for a batch caller, a `foreachBatch` reduction in streaming
-    * (appending a second stateful agg behind flatMapGroupsWithState is
-    * restricted by Structured Streaming's output-mode rules).
+    * Each incoming doc emits one decision PER BLOCK (4 rows); reduce
+    * per doc as documented on [[NearDupDecision]] (dup flag =
+    * max >= 0, representative = min of the non-negative matches) — a
+    * plain groupBy for a batch caller, a `foreachBatch` reduction in
+    * streaming (appending a second stateful agg behind
+    * flatMapGroupsWithState is restricted by Structured Streaming's
+    * output-mode rules).
     *
     * Scale: state is bounded by `maxPerBucket` signatures per 16-bit
     * bucket (16 bytes each) — a full table is 4 x 65536 x maxPerBucket x
@@ -160,9 +150,10 @@ object StreamOps {
     * ([[graft.operators.Dedup.minhashBandSigs]] — no aggregation, which
     * Structured Streaming forbids ahead of stateful ops) and is checked
     * against the documents previously seen in its band buckets. Emits
-    * one row per band with the earliest bucket-mate (-1 = novel); the
-    * per-doc verdict is the max over its bands, reduced downstream
-    * (groupBy in batch, foreachBatch in streaming). Candidates share a
+    * one row per band with the earliest bucket-mate (-1 = novel);
+    * reduce per doc like [[NearDupDecision]] documents (dup flag =
+    * max >= 0, representative = min of the non-negative matches),
+    * downstream (groupBy in batch, foreachBatch in streaming). Candidates share a
     * full band signature — the batch pipeline's LSH contract — and exact
     * Jaccard verification stays a batch concern (state cannot hold
     * shingle sets).
@@ -194,6 +185,21 @@ object StreamOps {
         })
   }
 
+  /** Stateful-streaming sessionization via `flatMapGroupsWithState`: the
+    * per-user state carries (last event time, current session id) across
+    * micro-batches, so session ids keep counting as batches arrive. Runs
+    * on a batch Dataset too (state starts empty per group) — the equality
+    * with [[sessionizeBatch]] is the StreamingSpec contract for in-order
+    * arrival. Events within a micro-batch are sorted per user in memory;
+    * per-user batch volumes are the bound (the same assumption groupByKey
+    * state ops always make).
+    *
+    * Documented divergences inherent to streaming: an event arriving in a
+    * LATER micro-batch with an EARLIER timestamp joins the current
+    * session (the batch twin would re-sort globally); state is 16
+    * bytes/user and is kept for the query lifetime (add a timeout policy
+    * if user cardinality is unbounded).
+    */
   def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[SessionAssignment] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[SessionAssignment]
