@@ -94,4 +94,23 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(picks.length == 10) // 10 draws from 2 rows -> repeats by pigeonhole
   }
+
+  test("sampleWeightedWithReplacement: duplicate keys still answer every draw exactly once") {
+    // RANGE-frame cumsum regression: tied keys shared a cumulative sum,
+    // duplicating some draws and dropping others; ROWS frame fixes it
+    val df = Seq((1L, 10.0), (1L, 10.0), (1L, 10.0), (2L, 10.0))
+      .toDF("id", "w")
+    val out = Sampling.sampleWeightedWithReplacement(df, 40, "w", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 40)
+    assert(out.map(_._1).sorted.toSeq == (0L until 40L).toSeq) // each j exactly once
+  }
+
+  test("sampleWeightedWithReplacement: total weight beyond 2^48 cents raises") {
+    val df = Seq((1L, 2.9e12), (2L, 2.9e12)).toDF("id", "w") // ~5.8e14 cents
+    val e = intercept[IllegalArgumentException] {
+      Sampling.sampleWeightedWithReplacement(df, 5, "w", "id")
+    }
+    assert(e.getMessage.contains("2^48"))
+  }
 }

@@ -208,6 +208,38 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Multimodal: truncated image returns None from decode, never throws") {
+    val png = encodeImage("png", 30, 20)
+    val truncated = png.take(png.length / 2) // valid signature, cut body
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+    assert(Multimodal.resizeImage(truncated, 8, 8).isEmpty)
+    // header-only parse still works (IHDR survives the cut)
+    assert(Multimodal.imageMeta(truncated).contains(("png", 30, 20, 3)))
+    // and through the UDF surface: no task failure, null column
+    val df = Seq((1L, truncated)).toDF("id", "media")
+    assert(Multimodal.withResized(df, "media", 4, 4).select("resized").head().isNullAt(0))
+  }
+
+  test("Multimodal: JPEG header parse skips 0xFF fill bytes (spec-conformant)") {
+    val jpg = encodeImage("jpg", 24, 16)
+    // inject a fill byte after SOI: FFD8 | FF | FFE0...
+    val padded = jpg.take(2) ++ Array(0xff.toByte) ++ jpg.drop(2)
+    assert(Multimodal.imageMeta(padded).contains(("jpeg", 24, 16, 3)))
+  }
+
+  test("Npz: archive without npy members loads as an empty frame") {
+    val f = java.io.File.createTempFile("graft_empty", ".npz")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    zos.write("not an array".getBytes)
+    zos.closeEntry()
+    zos.close()
+    val out = graft.sources.Npy.loadNpz(spark, f.getAbsolutePath)
+    assert(out.columns.toSeq == Seq("member", "idx", "values"))
+    assert(out.count() == 0)
+    f.delete()
+  }
+
   test("Multimodal: resize re-encodes at target size, null for junk") {
     val png = encodeImage("png", 40, 30)
     val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("id", "media")
