@@ -162,26 +162,43 @@ object StreamOps {
     * `maxPerBucket` (overflowing buckets keep matching, stop accreting —
     * the [[graft.operators.Dedup.selfJoinBuckets]] posture).
     */
+  /** `stateTtl` (streaming only): unlike SimHash's fixed 4 x 65536 block
+    * space, the band-signature key space is UNBOUNDED — distinct
+    * signatures accrete state forever. A TTL (ProcessingTimeTimeout)
+    * evicts buckets idle longer than the given duration: dedup recall
+    * degrades to "within the TTL window", which is the standard streaming
+    * trade (same posture as `dropDuplicatesWithinWatermark`).
+    */
   def minhashNearDupStream(docs: Dataset[DocText], k: Int = 16, bands: Int = 2,
-      shingleK: Int = 3, maxPerBucket: Int = 1024): Dataset[MinhashDupDecision] = {
+      shingleK: Int = 3, maxPerBucket: Int = 1024,
+      stateTtl: Option[String] = None): Dataset[MinhashDupDecision] = {
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
     implicit val rowEnc = Encoders.product[(Int, String, Long)]
     implicit val stateEnc = Encoders.product[BandBucketState]
     implicit val outEnc = Encoders.product[MinhashDupDecision]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .flatMap(d => graft.operators.Dedup.minhashBandSigs(d.text, k, bands, shingleK)
         .zipWithIndex.map { case (sig, b) => (b, sig, d.doc_id) })
       .groupByKey(t => (t._1, t._2))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (key: (Int, String), it: Iterator[(Int, String, Long)], state: GroupState[BandBucketState]) => {
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = it.toSeq.sortBy(_._3).map { case (band, _, id) =>
-            val m = members.foldLeft(-1L)((acc, mid) => if (acc < 0 || mid < acc) mid else acc)
-            if (members.length < maxPerBucket) members = id :: members
-            MinhashDupDecision(id, band, m)
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket: evict, emit nothing
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = it.toSeq.sortBy(_._3).map { case (band, _, id) =>
+              val m = members.foldLeft(-1L)((acc, mid) => if (acc < 0 || mid < acc) mid else acc)
+              if (members.length < maxPerBucket) members = id :: members
+              MinhashDupDecision(id, band, m)
+            }
+            state.update(BandBucketState(members))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(BandBucketState(members))
-          out.iterator
         })
   }
 

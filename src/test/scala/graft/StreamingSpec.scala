@@ -120,6 +120,25 @@ class StreamingSpec extends SparkSpec {
     assert(!verdicts.contains(2L)) // shingle-less doc emits nothing
   }
 
+  test("minhashNearDupStream with stateTtl: lambda paths agree with the no-TTL run (batch)") {
+    // batch mode exercises the ProcessingTimeTimeout configuration and the
+    // setTimeoutDuration call without the streaming scheduler (whose
+    // timeout-driven empty batches would make processAllAvailable spin in
+    // a unit test); within one run TTL must not change any decision
+    import graft.streaming.DocText
+    val docs = Seq(
+      DocText(0L, "the quick brown fox jumps over the lazy dog"),
+      DocText(1L, "the quick brown fox jumps over the lazy dog"),
+      DocText(2L, "completely different words entirely here now folks")).toDS()
+    def verdicts(ttl: Option[String]) =
+      StreamOps.minhashNearDupStream(docs, stateTtl = ttl)
+        .groupBy("doc_id").agg(max("matched_id").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val withTtl = verdicts(Some("1 hour"))
+    assert(withTtl == verdicts(None))
+    assert(withTtl == Map(0L -> -1L, 1L -> 0L, 2L -> -1L))
+  }
+
   test("minhashBandSigs: parity with the Spark md5-expression pipeline") {
     import graft.operators.Dedup
     val text = "one two three four five six seven"
