@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scale check of the dedup/ANN scale paths on a
+  * SYNTHESIZED corpus 20-40x the sf0.1 tables (no testdata dependency —
+  * rows are generated distributed from `spark.range`, so this probes the
+  * operators' scaling, not parquet I/O). Prints one JSON line of
+  * timings. Usage: runMain graft.ScaleProbe [nDocs] [nVecs]
+  *
+  * This is the "would the plan survive 100x?" experiment from the build
+  * brief, run at the largest size the local container comfortably holds;
+  * results land in BENCH_NOTES.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ~80-word docs over a 50k-word vocabulary, 5% exact dups injected —
+    // the shared-vocabulary shape that stresses shingle self-joins
+    def docs: DataFrame = {
+      val base = spark.range(nDocs.toLong).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(79)),
+          p => concat(lit("w"), pmod(xxhash64(col("id") * 83 + p * 7919), lit(50000)))), " ")
+          .as("text"))
+      val dups = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      base.unionByName(dups)
+    }
+
+    // 64-dim vectors with 5% exact-dup vectors injected
+    def vecs: DataFrame = {
+      val base = spark.range(nVecs.toLong).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => pmod(xxhash64(col("id") * 31 + d), lit(2000)).cast("double") / 1000.0 - 1.0)
+          .as("embedding"))
+      val dups = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      base.unionByName(dups)
+    }
+
+    def time(name: String)(df: => DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[probe] $name%-28s $sec%8.1f s  ($n rows)")
+      (name, sec, n)
+    }
+
+    val results = Seq(
+      time("exact_dedup_groups") {
+        graft.operators.Dedup.exactGroupsHashed(docs, "text", "doc_id")
+          .filter(col("n_copies") > 1)
+      },
+      time("minhash_near_dup_md5") {
+        graft.operators.Dedup.minhashNearDupPairsMd5(docs, "doc_id", "text",
+          k = 16, bands = 2, shingleK = 3, threshold = 0.8, maxBucket = Some(1000))
+      },
+      time("minhash_near_dup_xxhash") {
+        graft.operators.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          k = 16, bands = 2, shingleK = 3, threshold = 0.8)
+      },
+      time("simhash_md5") {
+        graft.operators.Dedup.simhashMd5(docs, "doc_id", "text")
+      },
+      time("embedding_near_dup_lsh") {
+        graft.operators.Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+          0.95, planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 12, 64)))
+      },
+      time("ann_lsh_topk_100q") {
+        graft.operators.Ann.lshTopK(vecs, vecs.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 10,
+          planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 12, 64)))
+      },
+      time("split_assign") {
+        graft.operators.Corpus.assignSplit(docs, "doc_id")
+      })
+
+    val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","n_docs":$nDocs,"n_vecs":$nVecs,"results":$qs}""")
+    spark.stop()
+  }
+}
