@@ -279,7 +279,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one projection materializes the k/4 md5s; the k min-aggregates
     // slice them (recomputing md5 inside each aggregate would do 4x the
-    // digest work)
+    // digest work). A fused all-slices kernel expression was tried and
+    // measured SLOWER (65 s vs 45-58 s at 210k docs) — the builtin md5
+    // over UTF8String bytes plus zero-copy substring views already beats
+    // a hand-rolled digest loop; keep the composed form.
     val withMd5 = sh.select(
       col("jid") +: col("sh") +:
         (0 until k / 4).map(s => md5(concat(lit(s"$s:"), col("sh"))).as(s"m$s")): _*)
