@@ -284,6 +284,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // EXT multimodal plumbing, oracle-checked: documents' bytes ride as
+    // an opaque binary column; frame sampling (explode + byte-slice)
+    // emits every 2nd 64-byte frame, fingerprinted. The ASCII guard
+    // keeps char-substring == byte-substring on both engines.
+    "media_frames" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      graft.sources.Multimodal.sampleFrames(docs, "media", frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // EXT leakage-safe train/val/test assignment: split is a pure
     // function of md5(seed:doc_id) — reproducible across runs/engines
     "split_assign" -> ((s, dir) => {
@@ -744,6 +756,14 @@ object SparkEntry {
          | r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "media_frames" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len FROM documents
+        |           WHERE length(text) = strlen(text)),
+        | f AS (SELECT doc_id, text, unnest(range(0, len // 64)) AS fi FROM m WHERE len >= 64),
+        | k AS (SELECT doc_id, fi, md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        |       FROM f WHERE fi % 2 = 0)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, frame_md5 FROM k
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "split_assign" -> {
       // the same left-to-right cumulative boundaries assignSplit builds,
       // injected at full precision so both engines compare identical doubles
