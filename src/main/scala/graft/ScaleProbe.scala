@@ -24,7 +24,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // NOTE: driver memory cannot be set here — in local mode the JVM
+      // heap is fixed at sbt launch; size it via SBT_OPTS/-Xmx if needed
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -35,8 +36,11 @@ object ScaleProbe {
         array_join(transform(sequence(lit(0), lit(79)),
           p => concat(lit("w"), pmod(xxhash64(col("id") * 83 + p * 7919), lit(50000)))), " ")
           .as("text"))
+      // dup ids offset by nDocs — a fixed offset would collide with base
+      // ids once nDocs exceeds it, silently corrupting the probe's
+      // zero-false-positive invariant
       val dups = base.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + nDocs.toLong).as("doc_id"), col("text"))
       base.unionByName(dups)
     }
 
@@ -47,14 +51,20 @@ object ScaleProbe {
           d => pmod(xxhash64(col("id") * 31 + d), lit(2000)).cast("double") / 1000.0 - 1.0)
           .as("embedding"))
       val dups = base.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + nVecs.toLong).as("vec_id"), col("embedding"))
       base.unionByName(dups)
     }
 
-    def time(name: String)(df: => DataFrame): (String, Double, Long) = {
+    def time(name: String)(dfThunk: => DataFrame): (String, Double, Long) = {
+      val df = dfThunk
+      // noop sink, not count(): a count would let Catalyst prune the very
+      // columns being measured (projection-only ops like assignSplit
+      // would time at ~0) — same rule as Bench.scala. The row count is
+      // taken untimed afterwards for the correctness printout.
       val t0 = System.nanoTime()
-      val n = df.count()
+      df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val n = df.count()
       System.err.println(f"[probe] $name%-28s $sec%8.1f s  ($n rows)")
       (name, sec, n)
     }

@@ -209,21 +209,34 @@ object TextFunctions {
     * expression tokenizes once. Semantics identical: trim, split on \s+,
     * fewer than k words -> empty array.
     */
-  /** Static kernel: one-pass tokenization + k-shingling. */
-  def wordShinglesOf(v: UTF8String, k: Int): GenericArrayData = {
-    val s = v.toString.trim
-    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+  /** Plain-String shingling — the ONE tokenization used by both the
+    * batch expression kernel below and the streaming row-local signature
+    * path ([[graft.operators.Dedup.minhashBandSigs]]); a second copy of
+    * the trim/split/window logic would let the two silently diverge.
+    */
+  def wordShingleStringsOf(text: String, k: Int): Array[String] = {
+    val s = text.trim
+    if (s.isEmpty) return Array.empty
     val words = s.split("\\s+")
-    if (words.length < k) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](words.length - k + 1)
+    if (words.length < k) return Array.empty
+    val out = new Array[String](words.length - k + 1)
     var i = 0
     while (i < out.length) {
       val sb = new java.lang.StringBuilder(words(i))
       var j = 1
       while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = sb.toString
       i += 1
     }
+    out
+  }
+
+  /** Static kernel: one-pass tokenization + k-shingling. */
+  def wordShinglesOf(v: UTF8String, k: Int): GenericArrayData = {
+    val strs = wordShingleStringsOf(v.toString, k)
+    val out = new Array[Any](strs.length)
+    var i = 0
+    while (i < strs.length) { out(i) = UTF8String.fromString(strs(i)); i += 1 }
     new GenericArrayData(out)
   }
 

@@ -308,24 +308,36 @@ object Dedup {
     * forbids an aggregation before it). Returns empty for docs too short
     * to shingle (they belong to no bucket, matching the batch pipeline).
     */
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def minhashBandSigs(text: String, k: Int = 16, bands: Int = 2,
       shingleK: Int = 3): Array[String] = {
     require(k % 4 == 0 && k % bands == 0, s"need 4 | k and bands | k (k=$k, bands=$bands)")
-    val words = text.trim match {
-      case "" => Array.empty[String]
-      case t => t.split("\\s+")
-    }
-    if (words.length < shingleK) return Array.empty
+    // SAME tokenization as the batch expression pipeline — shared kernel,
+    // not a reimplementation (divergent shingling would silently break
+    // the stream<->batch LSH contract)
+    val shingles = TextFunctions.wordShingleStringsOf(text, shingleK)
+    if (shingles.isEmpty) return Array.empty
     val md = java.security.MessageDigest.getInstance("MD5")
+    val hexBuf = new Array[Char](32)
     def md5Hex(s: String): String = {
       md.reset()
-      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"${b & 0xff}%02x").mkString
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // char-table rendering: %02x-per-byte formatting cost more CPU
+      // than the digests themselves on the streaming ingest path
+      var b = 0
+      while (b < 16) {
+        val x = d(b) & 0xff
+        hexBuf(2 * b) = hexChars(x >>> 4)
+        hexBuf(2 * b + 1) = hexChars(x & 0xf)
+        b += 1
+      }
+      new String(hexBuf)
     }
     val mins = Array.fill(k)("g") // any hex string sorts below "g"
     var i = 0
-    while (i <= words.length - shingleK) {
-      val shingle = words.slice(i, i + shingleK).mkString(" ")
+    while (i < shingles.length) {
+      val shingle = shingles(i)
       var s = 0
       while (s < k / 4) {
         val hex = md5Hex(s + ":" + shingle)

@@ -106,21 +106,30 @@ object Npy {
         val first = it.next()
         in.seek(dataOffset + Long2long(first) * rowBytes.toLong)
         val rowBuf = new Array[Byte](rowBytes)
-        (Iterator.single(first) ++ it).map { id =>
-          in.readFully(rowBuf)
-          val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
-          val vals = new Array[Double](rowLen)
-          var i = 0
-          while (i < rowLen) {
-            vals(i) = descr match {
-              case "<f4" => bb.getFloat.toDouble
-              case "<f8" => bb.getDouble
-              case "<i4" => bb.getInt.toDouble
-              case "<i8" => bb.getLong.toDouble
-            }
-            i += 1
+        val ids = Iterator.single(first) ++ it
+        new Iterator[(Long, Array[Double])] {
+          override def hasNext: Boolean = {
+            val more = ids.hasNext
+            if (!more) in.close() // idempotent; frees the handle early
+            more
           }
-          (Long2long(id), vals)
+          override def next(): (Long, Array[Double]) = {
+            val id = ids.next()
+            in.readFully(rowBuf)
+            val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
+            val vals = new Array[Double](rowLen)
+            var i = 0
+            while (i < rowLen) {
+              vals(i) = descr match {
+                case "<f4" => bb.getFloat.toDouble
+                case "<f8" => bb.getDouble
+                case "<i4" => bb.getInt.toDouble
+                case "<i8" => bb.getLong.toDouble
+              }
+              i += 1
+            }
+            (Long2long(id), vals)
+          }
         }
       }
     }.toDF("idx", "values")
@@ -237,45 +246,46 @@ object Npy {
       (if (is2d) df.select(col(column).cast("array<double>").as("v"))
        else df.select(array(col(column).cast("double")).as("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = prepared.count()
-    require(n > 0, "refusing to dump an empty DataFrame to npy (no row width)")
-    val rowLen =
-      if (is2d) prepared.select(size(col("v"))).head().getInt(0)
-      else 1
-    val shape = if (is2d) s"($n, $rowLen)" else s"($n,)"
-    var headerTxt = s"{'descr': '$dtype', 'fortran_order': False, 'shape': $shape, }"
-    // pad so that data starts 64-byte aligned (numpy convention), ending \n
-    val base = 10 + headerTxt.length + 1
-    headerTxt += " " * ((64 - base % 64) % 64)
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // the unpersist must cover EVERY exit — the empty-frame require and
+    // the row-width probe below throw before the write block is entered
     try {
-      out.write(Magic)
-      out.write(Array[Byte](1, 0))
-      val hl = headerTxt.length + 1
-      out.write(Array[Byte]((hl & 0xff).toByte, ((hl >> 8) & 0xff).toByte))
-      out.write((headerTxt + "\n").getBytes(StandardCharsets.ISO_8859_1))
-      val it = prepared.toLocalIterator()
-      val bb = ByteBuffer.allocate(rowLen * itemSize).order(ByteOrder.LITTLE_ENDIAN)
-      while (it.hasNext) {
-        val vals = it.next().getSeq[Double](0)
-        require(vals.length == rowLen,
-          s"ragged array row: ${vals.length} != $rowLen elements")
-        bb.clear()
-        vals.foreach { d =>
-          dtype match {
-            case "<f4" => bb.putFloat(d.toFloat)
-            case "<f8" => bb.putDouble(d)
-            case "<i4" => bb.putInt(d.toInt)
-            case "<i8" => bb.putLong(d.toLong)
+      val n = prepared.count()
+      require(n > 0, "refusing to dump an empty DataFrame to npy (no row width)")
+      val rowLen =
+        if (is2d) prepared.select(size(col("v"))).head().getInt(0)
+        else 1
+      val shape = if (is2d) s"($n, $rowLen)" else s"($n,)"
+      var headerTxt = s"{'descr': '$dtype', 'fortran_order': False, 'shape': $shape, }"
+      // pad so that data starts 64-byte aligned (numpy convention), ending \n
+      val base = 10 + headerTxt.length + 1
+      headerTxt += " " * ((64 - base % 64) % 64)
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try {
+        out.write(Magic)
+        out.write(Array[Byte](1, 0))
+        val hl = headerTxt.length + 1
+        out.write(Array[Byte]((hl & 0xff).toByte, ((hl >> 8) & 0xff).toByte))
+        out.write((headerTxt + "\n").getBytes(StandardCharsets.ISO_8859_1))
+        val it = prepared.toLocalIterator()
+        val bb = ByteBuffer.allocate(rowLen * itemSize).order(ByteOrder.LITTLE_ENDIAN)
+        while (it.hasNext) {
+          val vals = it.next().getSeq[Double](0)
+          require(vals.length == rowLen,
+            s"ragged array row: ${vals.length} != $rowLen elements")
+          bb.clear()
+          vals.foreach { d =>
+            dtype match {
+              case "<f4" => bb.putFloat(d.toFloat)
+              case "<f8" => bb.putDouble(d)
+              case "<i4" => bb.putInt(d.toInt)
+              case "<i8" => bb.putLong(d.toLong)
+            }
           }
+          out.write(bb.array(), 0, bb.position())
         }
-        out.write(bb.array(), 0, bb.position())
-      }
-    } finally {
-      out.close()
-      prepared.unpersist()
-    }
+      } finally out.close()
+    } finally prepared.unpersist()
   }
 }
