@@ -14,9 +14,66 @@ import org.apache.spark.sql.functions._
   * results land in BENCH_NOTES.md.
   */
 object ScaleProbe {
+
+  /** Adversarial skew probe: a boilerplate-heavy corpus with one
+    * `copies`-strong identical-document cluster (the web-crawl worst case
+    * — one page mirrored 10^3+ times puts every copy in the same LSH band
+    * bucket / gives every one of its shingles df=copies). Times the
+    * DECLARED guarded plans (maxBucket=64 / maxShingleDf=128, the same
+    * caps SparkEntry ships) against the unguarded ones. The guarded runs
+    * must stay flat as `copies` grows; the unguarded ones quadratic.
+    * Usage: runMain graft.ScaleProbe adversarial [nDocs] [copies]
+    */
+  private def adversarial(spark: SparkSession, nDocs: Int, copies: Int): Unit = {
+    import graft.operators.Dedup
+    val base = spark.range(nDocs.toLong).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(79)),
+        p => concat(lit("w"), pmod(xxhash64(col("id") * 83 + p * 7919), lit(50000)))), " ")
+        .as("text"))
+    // the mega-cluster: `copies` byte-identical docs (ids above the base)
+    val megaText = (0 until 80).map(p => s"mega$p").mkString(" ")
+    val mega = spark.range(copies.toLong)
+      .select((col("id") + nDocs.toLong).as("doc_id"), lit(megaText).as("text"))
+    val docs = base.unionByName(mega)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // materialize so generation cost stays out of the timings
+
+    def time(name: String)(dfThunk: => DataFrame): (String, Double, Long) = {
+      val df = dfThunk
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = df.count()
+      System.err.println(f"[probe] $name%-28s $sec%8.1f s  ($n rows)")
+      (name, sec, n)
+    }
+
+    val results = Seq(
+      time("minhash_capped64") {
+        Dedup.minhashNearDupPairsMd5(docs, "doc_id", "text",
+          k = 16, bands = 2, shingleK = 3, threshold = 0.8, maxBucket = Some(64))
+      },
+      time("minhash_uncapped") {
+        Dedup.minhashNearDupPairsMd5(docs, "doc_id", "text",
+          k = 16, bands = 2, shingleK = 3, threshold = 0.8)
+      },
+      time("ngram_capped128") {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9,
+          maxShingleDf = Some(128))
+      },
+      time("ngram_uncapped") {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      })
+    val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"adversarial_probe","n_docs":$nDocs,"copies":$copies,"results":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
-    val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
+    val isAdversarial = args.headOption.contains("adversarial")
+    val rest = if (isAdversarial) args.drop(1) else args
+    val nDocs = rest.headOption.map(_.toInt).getOrElse(if (isAdversarial) 20000 else 200000)
+    val nVecs = rest.drop(1).headOption.map(_.toInt).getOrElse(if (isAdversarial) 1000 else 100000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -28,6 +85,12 @@ object ScaleProbe {
       // heap is fixed at sbt launch; size it via SBT_OPTS/-Xmx if needed
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (isAdversarial) {
+      adversarial(spark, nDocs, nVecs) // second arg doubles as `copies`
+      spark.stop()
+      return
+    }
 
     // ~80-word docs over a 50k-word vocabulary, 5% exact dups injected —
     // the shared-vocabulary shape that stresses shingle self-joins

@@ -224,12 +224,19 @@ object SparkEntry {
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     }),
-    // EXT n-gram Jaccard near-dup pairs (shingle self-join, no cross product)
+    // EXT n-gram Jaccard near-dup pairs (shingle self-join, no cross
+    // product). maxShingleDf=128 is the ACTIVE skew guard: a boilerplate
+    // shingle shared by m docs costs m^2/2 join rows, so candidates come
+    // only from shingles in <=128 docs (sf0.1 max df is 31 — no recall
+    // change here; on a crawl it bounds the bucket blowup). Surviving
+    // pairs are re-verified on FULL shingle sets, and the oracle mirrors
+    // the same df cap before its self-join.
     "ngram_jaccard_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val dups = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.ngramJaccardPairs(docs.unionByName(dups), "doc_id", "text", 3, 0.9)
+      Dedup.ngramJaccardPairs(docs.unionByName(dups), "doc_id", "text", 3, 0.9,
+          maxShingleDf = Some(128))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -256,12 +263,19 @@ object SparkEntry {
     // steep cutoff for the >=0.8 verification; 4x4 banding drowned in
     // ~0.3-Jaccard candidate pairs on this shared-vocabulary corpus.
     // ONE persisted shingle frame feeds signature, banding and verify.
+    // maxBucket=64 is the ACTIVE skew guard: a band bucket of m docs is
+    // m^2/2 candidate pairs, so buckets above 64 members are dropped
+    // before the self-join (members keep their OTHER band — standard LSH
+    // skew posture). sf0.1 max bucket is 5, so no recall change here; on
+    // a crawl with 10^6 copies of one page it is the difference between
+    // a bounded join and a 10^12-pair stage. Oracle mirrors the cap.
     "minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val dups = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
       Dedup.minhashNearDupPairsMd5(docs.unionByName(dups), "doc_id", "text",
-          k = 16, bands = 2, shingleK = 3, threshold = 0.8)
+          k = 16, bands = 2, shingleK = 3, threshold = 0.8,
+          maxBucket = Some(64))
         .orderBy("id_a", "id_b")
     }),
     // EXT embedding near-dup, precision-lean LSH config (16 tables x 6
@@ -497,12 +511,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
     // EXT train/test decontamination shape: source pairs sharing any exact
-    // normalized document prefix (8 words) — candidate-overlap counting
+    // normalized document prefix (8 words) — candidate-overlap counting.
+    // Two skew guards, both mirrored in the oracle: (a) docs under 8
+    // tokens are dropped (their short prefixes degenerate into one hot
+    // key — empty/near-empty texts would all collide); (b) a prefix held
+    // by >64 distinct (source, prefix) rows is dropped before the
+    // self-join (a boilerplate header shared by m sources is m^2/2 join
+    // rows). sf0.1: min 10 tokens/doc, max prefix df 4 — no result change.
     "contamination_sources" -> ((s, dir) => {
-      val pref = t(s, dir, "documents").select(col("source"),
-          array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("prefix"))
+      val toks = split(trim(col("text")), "\\s+")
+      val pref = t(s, dir, "documents")
+        .filter(size(toks) >= 8)
+        .select(col("source"), array_join(slice(toks, 1, 8), " ").as("prefix"))
         .distinct()
-      pref.as("a").join(pref.as("b"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cool = pref.groupBy(col("prefix"))
+        .agg(count(lit(1)).as("_df")).filter(col("_df") <= 64).drop("_df")
+      val prefCap = pref.join(cool, Seq("prefix"), "left_semi")
+      prefCap.as("a").join(prefCap.as("b"),
           col("a.prefix") === col("b.prefix") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("n_shared"))
@@ -520,14 +546,18 @@ object SparkEntry {
     }),
     // EXT unigram log-probability doc score (CCNet-style LM-filter proxy):
     // corpus unigram distribution -> per-doc mean token log-prob. Two
-    // aggregations + one broadcastable join on the vocab.
+    // aggregations + a shuffle join on the vocab. The vocab side is NOT
+    // broadcast-hinted: a 100 TB corpus has billions of distinct tokens,
+    // so a forced broadcast is an OOM — AQE picks broadcast at runtime
+    // when the measured vocab is small. Only the 1-row grand total keeps
+    // an explicit broadcast.
     "unigram_logprob" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val total = freqs.agg(sum("cnt").as("_total"))
       toks
-        .join(broadcast(freqs.crossJoin(broadcast(total))), Seq("tok"))
+        .join(freqs.crossJoin(broadcast(total)), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(round(avg(log(col("cnt").cast("double") / col("_total"))), 6).as("logprob"))
         .orderBy("doc_id")
@@ -719,7 +749,9 @@ object SparkEntry {
          | mh AS (SELECT jid, $minCols FROM sh GROUP BY jid),
          | banded AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mh
          |            UNION ALL SELECT jid, 1 AS band, $sig1 AS bsig FROM mh),
-         | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM banded a JOIN banded b
+         | ok AS (SELECT band, bsig FROM banded GROUP BY band, bsig HAVING COUNT(*) <= 64),
+         | bc AS (SELECT banded.* FROM banded JOIN ok USING (band, bsig)),
+         | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM bc a JOIN bc b
          |          ON a.band = b.band AND a.bsig = b.bsig AND a.jid < b.jid),
          | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
          | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
@@ -953,9 +985,12 @@ object SparkEntry {
     "contamination_sources" ->
       """WITH pref AS (SELECT DISTINCT source,
         |   array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') AS prefix
-        |   FROM documents)
+        |   FROM documents
+        |   WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+        | cool AS (SELECT prefix FROM pref GROUP BY prefix HAVING COUNT(*) <= 64),
+        | pc AS (SELECT pref.* FROM pref JOIN cool USING (prefix))
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-        |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.source < b.source
+        |FROM pc a JOIN pc b ON a.prefix = b.prefix AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "dup_rate_by_source" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1087,8 +1122,12 @@ object SparkEntry {
         | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
         |        FROM w WHERE len(ws) >= 3),
         | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
-        | inter AS (SELECT x.jid AS id_a, y.jid AS id_b, COUNT(*) AS i
-        |           FROM sh x JOIN sh y ON x.sh = y.sh AND x.jid < y.jid GROUP BY 1, 2),
+        | rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 128),
+        | shcap AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+        | cand AS (SELECT DISTINCT x.jid AS id_a, y.jid AS id_b
+        |          FROM shcap x JOIN shcap y ON x.sh = y.sh AND x.jid < y.jid),
+        | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
+        |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
         | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
         |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)
         |SELECT id_a, id_b, jaccard FROM j

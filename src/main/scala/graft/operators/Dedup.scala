@@ -159,20 +159,51 @@ object Dedup {
       maxShingleDf: Option[Int] = None): DataFrame = {
     maxShingleDf match {
       case Some(cap) =>
+        // ONE persisted shingle frame feeds candidate generation AND the
+        // exact-Jaccard scoring. Candidates come only from shingles with
+        // 2 <= df <= cap (df-1 shingles match nothing in the self-join;
+        // df > cap is the skew guard), and their capped-shingle
+        // intersection counts fall straight out of the self-join's
+        // groupBy — NO pair-expansion join (a first cut re-joined each
+        // candidate's full 80-shingle set: |pairs| x 80 rows, 9x slower
+        // at sf0.1). Scores are then made exact over FULL sets by adding
+        // the HOT-shingle (df > cap) intersections — hot shingles are by
+        // definition few distinct values, so that join expands each pair
+        // by its hot shingles only (usually zero). Only pairs whose
+        // entire overlap is ultra-common shingles can be missed — the
+        // standard df-prune trade.
         val shAll = docs
           .select(col(idCol).as("jid"),
             explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
               sh => xxhash64(sh))).as("sh"))
           .distinct()
-        val rare = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap).drop("_df")
-        val shCap = shAll.join(rare, Seq("sh"), "left_semi")
-        val cands = shCap.as("x").join(shCap.as("y"),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = shAll.groupBy("jid").agg(count(lit(1)).as("sz"))
+        val dfs = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
+        val shCap = shAll.join(
+          dfs.filter(col("_df") >= 2 && col("_df") <= cap).drop("_df"),
+          Seq("sh"), "left_semi")
+        val interCap = shCap.as("x").join(shCap.as("y"),
             col("x.sh") === col("y.sh") && col("x.jid") < col("y.jid"))
-          .select(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
-          .distinct()
-        return jaccardForPairs(cands, docs, idCol, textCol, shingleK)
+          .groupBy(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
+          .agg(count(lit(1)).as("_icap"))
+        val shHot = shAll.join(dfs.filter(col("_df") > cap).drop("_df"),
+          Seq("sh"), "left_semi")
+        val interHot = interCap.select("id_a", "id_b")
+          .join(shHot.select(col("jid").as("id_a"), col("sh")), Seq("id_a"))
+          .join(shHot.select(col("jid").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("_ihot"))
+        return interCap
+          .join(interHot, Seq("id_a", "id_b"), "left")
+          .na.fill(0L, Seq("_ihot"))
+          .withColumn("inter", col("_icap") + col("_ihot"))
+          .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+          .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
       case None => // exact single-stage path below
     }
     // 64-bit hashed shingles: same counts as string shingles up to a

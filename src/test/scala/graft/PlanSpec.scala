@@ -79,4 +79,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "all-pairs BNLJ must not ship in the declared near-dup query")
   }
+
+  test("no broadcast hint wraps an unbounded grouped aggregate") {
+    // a broadcast() hint is a promise the side stays driver-sized at any
+    // corpus scale. A global aggregate (1 row), a LIMIT, or a literal
+    // local relation keeps that promise; an Aggregate with non-empty
+    // grouping keys over corpus data does NOT — its cardinality grows
+    // with the data (e.g. a unigram vocabulary), so the hint becomes an
+    // OOM at 100 TB. Sweep every declared query's analyzed plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+    def unboundedGroupedAgg(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => false // a limit above bounds everything below
+      case a: Aggregate if a.groupingExpressions.isEmpty => false // 1-row global agg
+      case a: Aggregate => true
+      case other => other.children.exists(unboundedGroupedAgg)
+    }
+    SparkEntry.queries.keys.foreach { name =>
+      val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+          assert(!unboundedGroupedAgg(h.child),
+            s"$name: broadcast hint wraps a grouped (data-sized) aggregate — " +
+              "remove the hint and let AQE decide at runtime")
+        case _ =>
+      }
+    }
+  }
 }
