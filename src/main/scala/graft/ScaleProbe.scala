@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Timed noop-sink run (not count(): a count would let Catalyst prune
+    * the very columns being measured — projection-only ops like
+    * assignSplit would time at ~0; same rule as Bench.scala). The result
+    * is persisted so the correctness row count afterwards reads the cache
+    * instead of RE-EXECUTING the whole plan — on the 165 s uncapped
+    * adversarial run the untimed recount used to double probe wall-clock.
+    * The cache-population cost lands inside the timed window, which is
+    * fine: every probed plan is measured under the same rule.
+    */
+  private def time(name: String)(dfThunk: => DataFrame): (String, Double, Long) = {
+    val df = dfThunk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = df.count()
+      System.err.println(f"[probe] $name%-28s $sec%8.1f s  ($n rows)")
+      (name, sec, n)
+    } finally df.unpersist()
+  }
+
   /** Adversarial skew probe: a boilerplate-heavy corpus with one
     * `copies`-strong identical-document cluster (the web-crawl worst case
     * — one page mirrored 10^3+ times puts every copy in the same LSH band
@@ -37,16 +58,6 @@ object ScaleProbe {
     val docs = base.unionByName(mega)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count() // materialize so generation cost stays out of the timings
-
-    def time(name: String)(dfThunk: => DataFrame): (String, Double, Long) = {
-      val df = dfThunk
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val n = df.count()
-      System.err.println(f"[probe] $name%-28s $sec%8.1f s  ($n rows)")
-      (name, sec, n)
-    }
 
     val results = Seq(
       time("minhash_capped64") {
@@ -116,20 +127,6 @@ object ScaleProbe {
       val dups = base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + nVecs.toLong).as("vec_id"), col("embedding"))
       base.unionByName(dups)
-    }
-
-    def time(name: String)(dfThunk: => DataFrame): (String, Double, Long) = {
-      val df = dfThunk
-      // noop sink, not count(): a count would let Catalyst prune the very
-      // columns being measured (projection-only ops like assignSplit
-      // would time at ~0) — same rule as Bench.scala. The row count is
-      // taken untimed afterwards for the correctness printout.
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val n = df.count()
-      System.err.println(f"[probe] $name%-28s $sec%8.1f s  ($n rows)")
-      (name, sec, n)
     }
 
     val results = Seq(

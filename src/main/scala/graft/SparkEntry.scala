@@ -520,6 +520,10 @@ object SparkEntry {
     // rows). sf0.1: min 10 tokens/doc, max prefix df 4 — no result change.
     "contamination_sources" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
+      // persisted because the df-cap pass and the self-join both read it;
+      // MEMORY_AND_DISK + LRU like every persist in this repo — a caller
+      // chaining many queries reclaims eagerly with
+      // spark.catalog.clearCache() (see Relational.scala convention note)
       val pref = t(s, dir, "documents")
         .filter(size(toks) >= 8)
         .select(col("source"), array_join(slice(toks, 1, 8), " ").as("prefix"))

@@ -123,23 +123,28 @@ object VectorFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Multi-probe kernel: for each table emit the main bucket AND the
-    * bucket with the LOWEST-MARGIN plane bit flipped (the standard
-    * probing order truncated at depth 1) — output layout
-    * [t0_main, t0_flip, t1_main, t1_flip, ...]. Ties on |dot| break to
-    * the lowest plane index, so the probe sequence is deterministic and
-    * engine-portable.
+  /** Multi-probe kernel, probing depth `depth`: for each table emit the
+    * main bucket followed by the `depth` buckets with the 1st, 2nd, ...,
+    * depth-th LOWEST-MARGIN plane bit flipped (the standard single-flip
+    * probing order truncated at `depth`) — output layout
+    * [t0_main, t0_flip1, ..., t0_flipD, t1_main, ...]. Ties on |dot|
+    * break to the lowest plane index, so the probe sequence is
+    * deterministic and engine-portable, and the depth-(T+1) probe set is
+    * a strict superset of depth-T's (recall is monotone in depth at
+    * fixed corpus hashing cost).
     */
-  def signBucketsMultiProbeOf(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+  def signBucketsMultiProbeOf(v: ArrayData, planes: Array[Array[Array[Double]]],
+      depth: Int): ArrayData = {
     val arr = v.toDoubleArray()
-    val out = new Array[Long](planes.length * 2)
+    val out = new Array[Long](planes.length * (depth + 1))
     var t = 0
     while (t < planes.length) {
       val tbl = planes(t)
       require(tbl.length <= 63, s"at most 63 planes per table (got ${tbl.length})")
+      require(depth >= 1 && depth <= tbl.length,
+        s"probe depth $depth out of range 1..${tbl.length}")
       var bucket = 0L
-      var minMargin = Double.PositiveInfinity
-      var minP = 0
+      val margins = new Array[Double](tbl.length)
       var j = 0
       while (j < tbl.length) {
         val p = tbl(j)
@@ -149,31 +154,49 @@ object VectorFunctions {
         var d = 0
         while (d < p.length) { dot += arr(d) * p(d); d += 1 }
         if (dot >= 0) bucket |= (1L << j)
-        val m = math.abs(dot)
-        if (m < minMargin) { minMargin = m; minP = j }
+        margins(j) = math.abs(dot)
         j += 1
       }
-      out(2 * t) = bucket
-      out(2 * t + 1) = bucket ^ (1L << minP)
+      val base = t * (depth + 1)
+      out(base) = bucket
+      // selection over <= 63 margins, `depth` passes — cheaper than a
+      // sort for the depths multi-probe uses (1-4)
+      val used = new Array[Boolean](tbl.length)
+      var rank = 0
+      while (rank < depth) {
+        var best = -1
+        var bm = Double.PositiveInfinity
+        var i = 0
+        while (i < tbl.length) {
+          if (!used(i) && margins(i) < bm) { bm = margins(i); best = i }
+          i += 1
+        }
+        used(best) = true
+        out(base + rank + 1) = bucket ^ (1L << best)
+        rank += 1
+      }
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  case class SignBucketsMultiProbe(child: Expression, planes: Array[Array[Array[Double]]])
+  case class SignBucketsMultiProbe(child: Expression, planes: Array[Array[Array[Double]]],
+      depth: Int = 1)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      signBucketsMultiProbeOf(v.asInstanceOf[ArrayData], planes)
+      signBucketsMultiProbeOf(v.asInstanceOf[ArrayData], planes, depth)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
-      defineCodeGen(ctx, ev, c => s"graft.functions.VectorFunctions.signBucketsMultiProbeOf($c, $ref)")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorFunctions.signBucketsMultiProbeOf($c, $ref, $depth)")
     }
     override protected def withNewChildInternal(c: Expression): SignBucketsMultiProbe = copy(child = c)
   }
 
-  def signBucketsMultiProbe(v: Column, planes: Array[Array[Array[Double]]]): Column =
-    ColumnOps.toColumn(SignBucketsMultiProbe(_, planes))(v.cast(ArrayType(DoubleType)))
+  def signBucketsMultiProbe(v: Column, planes: Array[Array[Array[Double]]],
+      depth: Int = 1): Column =
+    ColumnOps.toColumn(SignBucketsMultiProbe(_, planes, depth))(v.cast(ArrayType(DoubleType)))
 
   case class SignBuckets(child: Expression, planes: Array[Array[Array[Double]]])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

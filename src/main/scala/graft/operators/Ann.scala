@@ -46,29 +46,32 @@ object Ann {
     * on near-orthogonal data). Exact cosine re-rank over the candidate
     * union. Cost scales with nTables x bucket occupancy, never n^2.
     */
-  /** `multiProbe`: the QUERY side also probes, per table, the bucket with
-    * its lowest-margin plane bit flipped (probing depth 1) — recall rises
-    * like adding tables but without re-hashing the corpus, the classic
-    * multi-probe trade. The corpus keeps one bucket per table.
+  /** `multiProbe`: the QUERY side also probes, per table, the buckets
+    * with its `probeDepth` lowest-margin plane bits flipped (one bit per
+    * probe) — recall rises like adding tables but without re-hashing the
+    * corpus, the classic multi-probe trade, and monotonically in
+    * `probeDepth` (each depth's probe set extends the previous). The
+    * corpus keeps one bucket per table.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nTables: Int = 8, planesPerTable: Int = 4,
       dim: Int = 64, seed: Long = 42L,
       planes: Option[Array[Array[Array[Double]]]] = None,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false, probeDepth: Int = 1): DataFrame = {
     val tables = planes.getOrElse((0 until nTables)
       .map(t => VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray)
     def withBuckets(df: DataFrame, id: String, vec: String) = {
       val buckets = VectorFunctions.signBuckets(col(vec), tables)
       df.select(col(id), col(vec), posexplode(buckets).as(Seq("tbl", "bucket")))
     }
-    // probe layout [t0_main, t0_flip, t1_main, ...] -> tbl = pos / 2
+    // probe layout [t0_main, t0_flip1.., t1_main, ...] -> tbl = pos / (depth+1)
     def withProbeBuckets(df: DataFrame, id: String, vec: String) = {
-      val buckets = VectorFunctions.signBucketsMultiProbe(col(vec), tables)
+      val buckets = VectorFunctions.signBucketsMultiProbe(col(vec), tables, probeDepth)
       df.select(col(id), posexplode(buckets).as(Seq("pos", "bucket")))
-        .select(col(id), (col("pos") / 2).cast("int").as("tbl"), col("bucket"))
-      // no distinct needed: flip always differs from main (one-bit XOR)
-      // and rows in different tables carry different tbl ids
+        .select(col(id), (col("pos") / (probeDepth + 1)).cast("int").as("tbl"), col("bucket"))
+      // no distinct needed: each flip differs from main (one-bit XOR) and
+      // from the other flips (different bit); rows in different tables
+      // carry different tbl ids
     }
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
@@ -118,6 +121,48 @@ object Ann {
       .orderBy(md5(concat(lit(seed + ":"), col("neighbor_id").cast("string"))), col("neighbor_id"))
       .limit(nCentroids)
       .select(col("neighbor_id").as("cid"), col("cv").as("cvec"))
+    ivfFromCentroids(cv, qv, cents, k, nProbe)
+  }
+
+  /** IVF with a REAL k-means codebook (MLlib, cosine distance) — the
+    * recall-quality complement to [[ivfTopK]]'s md5-sampled centroids:
+    * sampled centroids can land several-in-one-cluster and split a tight
+    * cluster's members across cells (killing nProbe=1 recall), while
+    * k-means converges one centroid per cluster. The md5 variant stays as
+    * the engine-portable oracle path; this is the variant a production
+    * index build should use.
+    *
+    * Scale shape: `fit` is the standard distributed Lloyd's iteration
+    * (maxIter bounded scans of the corpus — an INDEX BUILD cost, paid
+    * once and amortized over queries); the learned codebook is
+    * `nCentroids` x dim doubles on the driver, shipped back as a tiny
+    * broadcast table; everything after identical to [[ivfTopK]].
+    */
+  def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
+      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine") // cell assignment below is cosine too
+      .setFeaturesCol("features")
+      .fit(cv.select(org.apache.spark.ml.functions.array_to_vector(col("cv")).as("features")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF("cid", "cvec")
+    ivfFromCentroids(cv, qv, cents, k, nProbe)
+  }
+
+  /** Shared IVF probe/rerank: assign corpus rows to their nearest
+    * centroid, probe each query's `nProbe` nearest cells, exact-rerank
+    * the candidates. `cents` is (cid, cvec) and must be tiny (it is
+    * broadcast into the only nested-loop join of the plan).
+    */
+  private def ivfFromCentroids(cv: DataFrame, qv: DataFrame, cents: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     def nearestCells(df: DataFrame, id: String, vec: String, take: Int) = {
       val scored = df.crossJoin(broadcast(cents))
         .select(col(id), col("cid"),

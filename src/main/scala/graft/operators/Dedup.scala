@@ -172,6 +172,10 @@ object Dedup {
         // by its hot shingles only (usually zero). Only pairs whose
         // entire overlap is ultra-common shingles can be missed — the
         // standard df-prune trade.
+        // persist outlives this call by design (the returned plan reads
+        // it lazily); MEMORY_AND_DISK + LRU like every persist here — a
+        // long-lived session reclaims eagerly with
+        // spark.catalog.clearCache() (see Relational.scala convention note)
         val shAll = docs
           .select(col(idCol).as("jid"),
             explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
@@ -341,9 +345,12 @@ object Dedup {
     */
   private val hexChars = "0123456789abcdef".toCharArray
 
-  def minhashBandSigs(text: String, k: Int = 16, bands: Int = 2,
-      shingleK: Int = 3): Array[String] = {
-    require(k % 4 == 0 && k % bands == 0, s"need 4 | k and bands | k (k=$k, bands=$bands)")
+  /** The k md5-slice minima for one document — the row-local signature
+    * kernel behind [[minhashBandSigs]] and the stateful streaming
+    * signature matcher. Empty for docs too short to shingle.
+    */
+  def minhashSliceMins(text: String, k: Int = 16, shingleK: Int = 3): Array[String] = {
+    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
     // SAME tokenization as the batch expression pipeline — shared kernel,
     // not a reimplementation (divergent shingling would silently break
     // the stream<->batch LSH contract)
@@ -383,6 +390,14 @@ object Dedup {
       }
       i += 1
     }
+    mins
+  }
+
+  def minhashBandSigs(text: String, k: Int = 16, bands: Int = 2,
+      shingleK: Int = 3): Array[String] = {
+    require(k % 4 == 0 && k % bands == 0, s"need 4 | k and bands | k (k=$k, bands=$bands)")
+    val mins = minhashSliceMins(text, k, shingleK)
+    if (mins.isEmpty) return Array.empty
     val rows = k / bands
     Array.tabulate(bands)(b => mins.slice(b * rows, (b + 1) * rows).mkString)
   }
@@ -475,12 +490,27 @@ object Dedup {
 
   /** SimHash near-dup candidates: equal 16-bit prefix blocks (any of 4)
     * — the standard "hamming distance <= 3 implies some block equal"
-    * pigeonhole bucketing.
+    * pigeonhole bucketing. Accepts BOTH signature encodings: the numeric
+    * `simhash` of [[simhash]] (LongType; blocks via shift+mask) and the
+    * 16-hex-char `simhash` of [[simhashMd5]] (StringType; a 16-bit block
+    * is exactly 4 hex chars, so blocks slice the string — no lossy
+    * hex->long parse, which would overflow a signed cast for signatures
+    * >= 2^63). Any other type raises loudly instead of mis-bucketing.
     */
   def simhashCandidates(sims: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val blockOf: Int => Column = sims.schema("simhash").dataType match {
+      case LongType => b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).cast("string")
+      case StringType => b =>
+        // hex renders big-endian: chars [1..4] are bits 63..48 = block 3
+        substring(col("simhash"), (3 - b) * 4 + 1, 4)
+      case other => throw new IllegalArgumentException(
+        s"simhash column must be LongType (simhash) or a 16-hex StringType " +
+          s"(simhashMd5), got $other")
+    }
     val blocks = (0 until 4).map { b =>
-      sims.select(col(idCol), lit(b).as("blk"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+      sims.select(col(idCol), lit(b).as("blk"), blockOf(b).as("bh"))
     }.reduce(_ unionByName _)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bh") === col("b.bh") &&

@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * unchanged), and existence/type validation is eager like the
   * reference's (`utils.py:91-93`) even though the scan itself stays lazy.
   *
-  * `.npy` dispatches to [[Npy]] (distributed seek-based reader); pickle
-  * and npz stay out of scope by design — vectors travel as parquet
-  * arrays (SURVEY #1/#2 mapping).
+  * `.npy` dispatches to [[Npy.load]] (distributed seek-based reader),
+  * `.npz` to [[Npy.loadNpz]] (member-parallel zip reader), `.npzsp` to
+  * [[Npy.loadNpzSparse]] (scipy sparse archive as a COO frame). Pickle
+  * stays out of scope by design (Python-specific serialization) —
+  * vectors travel as parquet arrays (SURVEY #1/#2 mapping).
   */
 object LoadDump {
 
@@ -45,9 +47,14 @@ object LoadDump {
   def load(spark: SparkSession, path: String,
       options: Map[String, String] = Map(),
       expectedColumns: Seq[String] = Nil): DataFrame = {
-    // npy has no DataSource registration — it dispatches to the
-    // seek-based distributed reader (utils.py:46-57 npload)
-    if (extensionOf(path) == "npy") return Npy.load(spark, path)
+    // the numpy family has no DataSource registration — it dispatches to
+    // the distributed readers (utils.py:46-57 npload/npz; :56 npzsp)
+    extensionOf(path) match {
+      case "npy" => return Npy.load(spark, path)
+      case "npz" => return Npy.loadNpz(spark, path)
+      case "npzsp" => return Npy.loadNpzSparse(spark, path)
+      case _ =>
+    }
     val (fmt, defaults) = formats.getOrElse(extensionOf(path),
       throw new IllegalArgumentException(s"unsupported extension: ${extensionOf(path)}"))
     val reader: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)

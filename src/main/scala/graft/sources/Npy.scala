@@ -34,8 +34,12 @@ object Npy {
   private val Magic = Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y')
   private val SupportedDtypes = Set("<f4", "<f8", "<i4", "<i8")
 
-  /** Parse the npy preamble from the first `bytes` of the file. */
-  private[graft] def parseHeader(bytes: Array[Byte]): Header = {
+  /** Parse the npy preamble WITHOUT dtype/shape restrictions — the raw
+    * form backs both the numeric readers (via [[parseHeader]]) and the
+    * non-numeric scalar members of scipy sparse archives (`format` is a
+    * `<U3` unicode scalar that the numeric gate must keep rejecting).
+    */
+  private[graft] def parseHeaderRaw(bytes: Array[Byte]): Header = {
     require(bytes.length >= 10 && bytes.take(6).sameElements(Magic),
       "not an npy file (bad magic)")
     val major = bytes(6)
@@ -51,16 +55,24 @@ object Npy {
         .getOrElse(throw new IllegalArgumentException(s"npy header missing $what: $header"))
         .group(1)
     val descr = extract("'descr':\\s*'([^']+)'".r, "descr")
-    require(SupportedDtypes.contains(descr),
-      s"unsupported npy dtype '$descr' (supported: ${SupportedDtypes.mkString(", ")})")
     val fortran = extract("'fortran_order':\\s*(\\w+)".r, "fortran_order") == "True"
     require(!fortran, "fortran_order=True not supported (transpose before dumping)")
     val shape = "'shape':\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header)
       .getOrElse(throw new IllegalArgumentException(s"npy header missing shape: $header"))
       .group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-    require(shape.length == 1 || shape.length == 2,
-      s"only 1-D/2-D npy supported, got shape (${shape.mkString(",")})")
     Header(descr, fortran, shape, headerStart + headerLen)
+  }
+
+  /** Parse the npy preamble from the first `bytes` of the file (numeric
+    * 1-D/2-D gate used by the distributed readers).
+    */
+  private[graft] def parseHeader(bytes: Array[Byte]): Header = {
+    val h = parseHeaderRaw(bytes)
+    require(SupportedDtypes.contains(h.descr),
+      s"unsupported npy dtype '${h.descr}' (supported: ${SupportedDtypes.mkString(", ")})")
+    require(h.shape.length == 1 || h.shape.length == 2,
+      s"only 1-D/2-D npy supported, got shape (${h.shape.mkString(",")})")
+    h
   }
 
   /** Load a .npy as a DataFrame: 1-D -> (idx, value); 2-D -> (idx, values)
@@ -152,14 +164,15 @@ object Npy {
     * That is the best any npz consumer can do without re-materializing;
     * convert to parquet for intra-member parallelism.
     */
-  def loadNpz(spark: SparkSession, path: String): DataFrame = {
+  def loadNpz(spark: SparkSession, path: String,
+      memberFilter: String => Boolean = _ => true): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val members: Seq[String] = {
       val p = new Path(path)
       val zin = new java.util.zip.ZipInputStream(p.getFileSystem(conf.value).open(p))
       try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .map(_.getName).filter(_.endsWith(".npy")).toList
+        .map(_.getName).filter(n => n.endsWith(".npy") && memberFilter(n)).toList
       finally zin.close()
     }
     import spark.implicits._
@@ -224,6 +237,111 @@ object Npy {
           }
         }
       }.toDF("member", "idx", "values")
+  }
+
+  /** Read one zip member's full bytes driver-side (for the tiny scalar
+    * members of a scipy sparse archive — `format` is 3 chars, `shape` is
+    * 2 longs; the data members stay distributed).
+    */
+  private def readMemberBytes(spark: SparkSession, path: String, member: String): Array[Byte] = {
+    val p = new Path(path)
+    val zin = new java.util.zip.ZipInputStream(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p))
+    try {
+      var e = zin.getNextEntry
+      while (e != null && e.getName != member) e = zin.getNextEntry
+      require(e != null, s"npz archive $path has no member '$member'")
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = zin.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = zin.read(buf) }
+      out.toByteArray
+    } finally zin.close()
+  }
+
+  /** The `format` member of a scipy sparse npz: a 0-D unicode (`<U3`) or
+    * bytes (`|S3`) scalar like 'csr'.
+    */
+  private def sparseFormatOf(spark: SparkSession, path: String): String = {
+    val bytes = readMemberBytes(spark, path, "format.npy")
+    val h = parseHeaderRaw(bytes)
+    val payload = bytes.drop(h.dataOffset.toInt)
+    if (h.descr.drop(1).startsWith("U")) // '<U3': UTF-32LE code points
+      new String(payload, java.nio.charset.Charset.forName("UTF-32LE"))
+    else if (h.descr.startsWith("|S")) new String(payload, StandardCharsets.US_ASCII)
+    else throw new IllegalArgumentException(
+      s"unexpected dtype '${h.descr}' for sparse format member")
+  }
+
+  /** (nRows, nCols) from the `shape` member of a scipy sparse npz. */
+  def npzSparseShape(spark: SparkSession, path: String): (Long, Long) = {
+    val bytes = readMemberBytes(spark, path, "shape.npy")
+    val h = parseHeader(bytes)
+    require(h.shape == Seq(2L), s"sparse shape member must be 2 entries, got ${h.shape}")
+    val bb = ByteBuffer.wrap(bytes, h.dataOffset.toInt, 2 * h.itemSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def rd(): Long = h.descr match {
+      case "<i4" => bb.getInt.toLong
+      case "<i8" => bb.getLong
+      case d => throw new IllegalArgumentException(s"unexpected shape dtype $d")
+    }
+    (rd(), rd())
+  }
+
+  /** scipy sparse npz (`utils.py:56,183-191` npzsp: `sp.load_npz` /
+    * `_dump_spmat`) as a long-form COO frame `(row_key, col_key, value)` —
+    * the [[graft.operators.Coo]] shape, so the loaded matrix drops
+    * straight into density/slice/todense.
+    *
+    * Scale shape: the tiny `format`/`shape` members are read driver-side;
+    * `data`/`indices`/`indptr` (or `row`/`col` for COO) stream through the
+    * member-parallel [[loadNpz]] reader. The CSR/CSC expansion is pure
+    * equi-join algebra on 8-byte keys: `indptr` turns into per-major-row
+    * (start, end) via a shifted self-join (NOT a single-partition window),
+    * explodes to one (position, major) row per nonzero, and joins
+    * `indices` and `data` on the position — every stage distributes, and
+    * nothing driver-side ever holds a member. A pathological row with m
+    * nonzeros materializes one m-long sequence array in its task before
+    * exploding; beyond that there is no skew amplification (positions are
+    * unique join keys).
+    */
+  def loadNpzSparse(spark: SparkSession, path: String): DataFrame = {
+    val fmt = sparseFormatOf(spark, path)
+    def member1d(m: DataFrame, name: String, out: String, asLong: Boolean): DataFrame = {
+      val v = element_at(col("values"), 1)
+      m.filter(col("member") === name)
+        .select(col("idx").as("pos"), (if (asLong) v.cast("long") else v).as(out))
+    }
+    fmt match {
+      case "csr" | "csc" =>
+        val m = loadNpz(spark, path,
+          Set("data.npy", "indices.npy", "indptr.npy").contains(_))
+        val data = member1d(m, "data", "value", asLong = false)
+        val minor = member1d(m, "indices", "minor", asLong = true)
+        val starts = m.filter(col("member") === "indptr")
+          .select(col("idx").as("major"), element_at(col("values"), 1).cast("long").as("start"))
+        // indptr[r+1] re-keyed to r — an equi-join, so the shift scales
+        // out instead of funnelling indptr through one window partition
+        val ends = starts
+          .select((col("major") - 1).as("major"), col("start").as("end"))
+          .filter(col("major") >= 0)
+        val majorOfPos = starts.join(ends, Seq("major"))
+          .filter(col("end") > col("start"))
+          .select(col("major"), explode(sequence(col("start"), col("end") - 1)).as("pos"))
+        val joined = majorOfPos.join(minor, Seq("pos")).join(data, Seq("pos"))
+        if (fmt == "csr")
+          joined.select(col("major").as("row_key"), col("minor").as("col_key"), col("value"))
+        else
+          joined.select(col("minor").as("row_key"), col("major").as("col_key"), col("value"))
+      case "coo" =>
+        val m = loadNpz(spark, path, Set("data.npy", "row.npy", "col.npy").contains(_))
+        member1d(m, "row", "row_key", asLong = true)
+          .join(member1d(m, "col", "col_key", asLong = true), Seq("pos"))
+          .join(member1d(m, "data", "value", asLong = false), Seq("pos"))
+          .select("row_key", "col_key", "value")
+      case other => throw new IllegalArgumentException(
+        s"unsupported scipy sparse format '$other' (csr, csc, coo)")
+    }
   }
 
   /** Dump a numeric or array column to one .npy file (C order, v1.0).

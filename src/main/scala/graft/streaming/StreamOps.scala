@@ -13,6 +13,15 @@ case class DocText(doc_id: Long, text: String)
 case class MinhashDupDecision(doc_id: Long, band: Int, matched_id: Long)
 case class BandBucketState(members: List[Long])
 
+/** matched_id = earliest bucket-mate whose FULL signature agrees on >=
+  * the similarity threshold's share of minima (-1 = none); est_jaccard =
+  * that mate's agreement fraction (the unbiased MinHash estimate of
+  * Jaccard), 0.0 when novel.
+  */
+case class MinhashSigDecision(doc_id: Long, band: Int, matched_id: Long, est_jaccard: Double)
+case class SigMember(id: Long, sig: String)
+case class SigBucketState(members: List[SigMember])
+
 case class DocSig(doc_id: Long, simhash: Long)
 /** matched_id = the smallest earlier doc within hamming range IN THIS
   * BUCKET, -1 if the doc is novel here. Per-doc reduction over a doc's
@@ -196,6 +205,87 @@ object StreamOps {
               MinhashDupDecision(id, band, m)
             }
             state.update(BandBucketState(members))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
+  /** Stateful streaming MinHash with SIGNATURES in state — the near-dup
+    * upgrade over [[minhashNearDupStream]] (which keeps only member ids
+    * and can therefore only say "same band signature", i.e. it catches
+    * exact and extremely-close dups): each bucket remembers its members'
+    * FULL k-slice signatures, so an arriving doc is SCORED against its
+    * bucket-mates — agreement fraction over all k minima is the standard
+    * unbiased MinHash estimate of Jaccard — and matched only when the
+    * estimate clears `threshold`. A near-dup pair split across
+    * micro-batches thus gets (matched_id, est_jaccard), not just a
+    * bucket-cohabitation flag; batches/micro-batches see identical
+    * decisions (the StreamingSpec contract).
+    *
+    * State cost: maxPerBucket x (8 + 8k bytes) per live (band, bandsig)
+    * bucket — k=16 is 136 B/member, the same order as
+    * [[simhashNearDupStream]]'s 16 B but carrying full similarity
+    * information; `stateTtl` bounds the unbounded signature key space
+    * exactly as on [[minhashNearDupStream]]. Reduce per doc downstream:
+    * dup flag = max(matched_id) >= 0, representative = min non-negative
+    * matched_id, similarity = max est_jaccard.
+    */
+  def minhashNearDupSigStream(docs: Dataset[DocText], k: Int = 16, bands: Int = 2,
+      shingleK: Int = 3, threshold: Double = 0.8, maxPerBucket: Int = 1024,
+      stateTtl: Option[String] = None): Dataset[MinhashSigDecision] = {
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val rowEnc = Encoders.product[(Int, String, Long, String)]
+    implicit val stateEnc = Encoders.product[SigBucketState]
+    implicit val outEnc = Encoders.product[MinhashSigDecision]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val sliceLen = 8 // md5 slice minima are fixed 8-hex-char strings
+    docs
+      .flatMap { d =>
+        val mins = graft.operators.Dedup.minhashSliceMins(d.text, k, shingleK)
+        if (mins.isEmpty) Iterator.empty
+        else {
+          val full = mins.mkString
+          val rows = k / bands
+          (0 until bands).iterator.map(b =>
+            (b, mins.slice(b * rows, (b + 1) * rows).mkString, d.doc_id, full))
+        }
+      }
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: (Int, String), it: Iterator[(Int, String, Long, String)],
+            state: GroupState[SigBucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            def estJaccard(a: String, b: String): Double = {
+              var agree = 0
+              var i = 0
+              while (i < a.length) {
+                if (a.regionMatches(i, b, i, sliceLen)) agree += 1
+                i += sliceLen
+              }
+              agree.toDouble * sliceLen / a.length
+            }
+            val out = it.toSeq.sortBy(_._3).map { case (band, _, id, sig) =>
+              // earliest member clearing the threshold (scan is bounded by
+              // maxPerBucket); novel docs score (matched=-1, est=0.0)
+              var bestId = -1L
+              var bestEst = 0.0
+              members.foreach { m =>
+                val e = estJaccard(m.sig, sig)
+                if (e >= threshold && (bestId < 0 || m.id < bestId)) {
+                  bestId = m.id; bestEst = e
+                }
+              }
+              if (members.length < maxPerBucket) members = SigMember(id, sig) :: members
+              MinhashSigDecision(id, band, bestId, if (bestId >= 0) bestEst else 0.0)
+            }
+            state.update(SigBucketState(members))
             stateTtl.foreach(state.setTimeoutDuration)
             out.iterator
           }

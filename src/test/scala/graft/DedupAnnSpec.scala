@@ -119,6 +119,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.sorted.toSeq == un.toSeq)
   }
 
+  test("ngramJaccardPairs hot-shingle add-back keeps capped scores exact") {
+    // cap = 2 splits the vocabulary: common1/common2 appear in all 4 docs
+    // (df 4 > cap -> HOT, excluded from candidate generation), rare1 in
+    // exactly 2 (df 2 <= cap -> candidate key). Pair (10,11) must be found
+    // via rare1 and then scored over the FULL sets: inter = 1 capped +
+    // 2 hot = 3, union = 5, jaccard 0.6. A broken interHot join would
+    // score it 1/7 and drop it below the 0.5 threshold entirely.
+    val hotDocs = Seq(
+      (10L, "common1 common2 rare1 ax"),
+      (11L, "common1 common2 rare1 bx"),
+      (12L, "common1 common2 cy dy"),
+      (13L, "common1 common2 ez fz")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 1, 0.5,
+        maxShingleDf = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(capped.toSeq == Seq((10L, 11L, 0.6)))
+    // and the capped score equals the uncapped exact Jaccard
+    val un = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 1, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(capped.toSeq == un.toSeq)
+  }
+
   test("ivfTopK: deterministic, recall vs brute force on clustered corpus") {
     val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = sfEmb.filter(col("vec_id") < 5)
@@ -148,6 +171,86 @@ class DedupAnnSpec extends SparkSpec {
     val bestS = single.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
     val bestM = multi.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
     bestS.foreach { case (qid, c) => assert(bestM(qid) >= c - 1e-12, s"query $qid lost recall") }
+  }
+
+  test("simhashCandidates: accepts both Long and md5-hex signatures, rejects others") {
+    // numeric variant (LongType simhash)
+    val numCands = Dedup.simhashCandidates(
+      Dedup.simhash(docs, "doc_id", "text"), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(numCands.contains((0L, 3L)))
+    // hex variant (simhashMd5's 16-hex StringType) — previously an API
+    // footgun that silently produced garbage buckets
+    val hexCands = Dedup.simhashCandidates(
+      Dedup.simhashMd5(docs, "doc_id", "text"), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hexCands.contains((0L, 3L)))
+    // hex blocks must equal the numeric blocks of the same signature:
+    // cross-check one doc's buckets against a hand-parse of the hex
+    val hexSig = Dedup.simhashMd5(docs, "doc_id", "text")
+      .filter(col("doc_id") === 0L).head().getString(1)
+    val asLong = java.lang.Long.parseUnsignedLong(hexSig, 16)
+    val blocksFromHex = (0 until 4).map(b => hexSig.substring((3 - b) * 4, (3 - b) * 4 + 4))
+    val blocksFromLong = (0 until 4).map(b => f"${(asLong >>> (b * 16)) & 0xffffL}%04x")
+    assert(blocksFromHex == blocksFromLong)
+    // any other signature type raises instead of mis-bucketing
+    import spark.implicits._
+    val bad = Seq((0L, 1.5)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(bad, "doc_id")
+    }
+    assert(e.getMessage.contains("simhash column"))
+  }
+
+  test("lshTopK probeDepth: per-query recall is monotone in probing depth") {
+    val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = sfEmb.filter(col("vec_id") < 8)
+    val planes = Some(graft.functions.VectorFunctions.md5SignPlanes(4, 8, 64))
+    val exact = Ann.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = (1 to 3).map { depth =>
+      val approx = Ann.lshTopK(sfEmb, q, "vec_id", "embedding", 5,
+          planes = planes, multiProbe = true, probeDepth = depth)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    // depth-(T+1) probes a strict superset of depth-T's buckets, so
+    // recall can never decrease (the candidate set only grows)
+    assert(recalls == recalls.sorted, s"recall not monotone in depth: $recalls")
+    assert(recalls.last >= recalls.head)
+    assert(recalls.last > 0.0)
+  }
+
+  test("ivfTopKKMeans: learned codebook beats md5-sampled centroids on clustered data") {
+    // 4 tight, well-separated clusters in 8-dim; md5 "centroids" are a
+    // random SAMPLE (can double up inside one cluster and split its
+    // members across cells), k-means converges one centroid per cluster
+    val pts = for {
+      c <- 0 until 4
+      i <- 0 until 25
+    } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == 2 * c) 1.0 else 0.0) + ((i * 31 + d * 7) % 11 - 5) * 0.01)
+      (c * 25L + i, v)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0) // one per cluster
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val km = recallOf(Ann.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 1))
+    val md5r = recallOf(Ann.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 1))
+    assert(km >= 0.9, s"k-means IVF recall collapsed on clustered data: $km")
+    assert(km >= md5r - 1e-9, s"k-means ($km) should not lose to sampled centroids ($md5r)")
+    // deterministic under the fixed seed
+    val again = recallOf(Ann.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 1))
+    assert(again == km)
   }
 
   test("ANN brute force: self-similar corpus ranks exact copy first") {

@@ -87,11 +87,22 @@ class PlanSpec extends SparkSpec {
     // grouping keys over corpus data does NOT — its cardinality grows
     // with the data (e.g. a unigram vocabulary), so the hint becomes an
     // OOM at 100 TB. Sweep every declared query's analyzed plan.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation, LogicalPlan, OneRowRelation, ResolvedHint}
+    // a relation is BOUNDED (cardinality independent of corpus size) if
+    // every path to a leaf crosses a limit, a global aggregate, or a
+    // literal local relation — a grouped aggregate over a bounded input is
+    // itself bounded (<= input rows), so it must not trip the sweep
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
     def unboundedGroupedAgg(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit => false // a limit above bounds everything below
       case a: Aggregate if a.groupingExpressions.isEmpty => false // 1-row global agg
-      case a: Aggregate => true
+      case a: Aggregate => !bounded(a.child)
       case other => other.children.exists(unboundedGroupedAgg)
     }
     SparkEntry.queries.keys.foreach { name =>

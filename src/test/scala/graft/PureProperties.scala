@@ -103,10 +103,17 @@ object PureProperties extends Properties("graft.pure") {
       val data = new org.apache.spark.sql.catalyst.util.GenericArrayData(
         v.map(x => x: Any))
       val main = VectorFunctions.signBucketsOf(data, planes).toLongArray()
-      val probe = VectorFunctions.signBucketsMultiProbeOf(data, planes).toLongArray()
+      val probe = VectorFunctions.signBucketsMultiProbeOf(data, planes, 1).toLongArray()
+      val deep = VectorFunctions.signBucketsMultiProbeOf(data, planes, 3).toLongArray()
       (0 until 4).forall { t =>
         probe(2 * t) == main(t) &&
-          java.lang.Long.bitCount(probe(2 * t) ^ probe(2 * t + 1)) == 1
+          java.lang.Long.bitCount(probe(2 * t) ^ probe(2 * t + 1)) == 1 &&
+          // depth-T layout: main + T single-bit flips, all bits distinct,
+          // and the first flip equals depth-1's (prefix property)
+          deep(4 * t) == main(t) &&
+          deep(4 * t + 1) == probe(2 * t + 1) &&
+          (1 to 3).forall(r => java.lang.Long.bitCount(deep(4 * t) ^ deep(4 * t + r)) == 1) &&
+          (1 to 3).map(r => deep(4 * t) ^ deep(4 * t + r)).distinct.size == 3
       }
     }
   }

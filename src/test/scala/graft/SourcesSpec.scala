@@ -188,6 +188,101 @@ class SourcesSpec extends SparkSpec {
     f.delete()
   }
 
+  // byte-exact scipy `save_npz` member layout (utils.py:56,183-191 npzsp):
+  // format = 0-D '<U3' scalar, shape = '<i8' pair, index members '<i4'
+  private def writeScipyNpz(fmt: String, shape: (Long, Long),
+      members: Map[String, (String, java.nio.ByteBuffer)]): java.io.File = {
+    def npyBytes(dict: String, data: Array[Byte]): Array[Byte] = {
+      val txt = dict + "\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+      bos.write(Array[Byte]((txt.length & 0xff).toByte, (txt.length >> 8).toByte))
+      bos.write(txt.getBytes("ISO-8859-1"))
+      bos.write(data)
+      bos.toByteArray
+    }
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    val fmtPayload = java.nio.ByteBuffer.allocate(fmt.length * 4).order(le)
+    fmt.foreach(c => fmtPayload.putInt(c.toInt))
+    val shapePayload = java.nio.ByteBuffer.allocate(16).order(le)
+    shapePayload.putLong(shape._1); shapePayload.putLong(shape._2)
+    val f = java.io.File.createTempFile("graft_sp", ".npzsp")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, dict: String, payload: java.nio.ByteBuffer): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(npyBytes(dict, payload.array()))
+      zos.closeEntry()
+    }
+    put("format.npy", s"{'descr': '<U${fmt.length}', 'fortran_order': False, 'shape': (), }", fmtPayload)
+    put("shape.npy", "{'descr': '<i8', 'fortran_order': False, 'shape': (2,), }", shapePayload)
+    members.foreach { case (name, (dict, payload)) => put(name, dict, payload) }
+    zos.close()
+    f
+  }
+
+  private def i4(xs: Int*): (String, java.nio.ByteBuffer) = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putInt)
+    (s"{'descr': '<i4', 'fortran_order': False, 'shape': (${xs.length},), }", bb)
+  }
+
+  private def f8(xs: Double*): (String, java.nio.ByteBuffer) = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putDouble)
+    (s"{'descr': '<f8', 'fortran_order': False, 'shape': (${xs.length},), }", bb)
+  }
+
+  // the 3x4 matrix used by every sparse round-trip below:
+  // (0,0)=1, (0,3)=2, (1,1)=3, (2,2)=4, (2,3)=5
+  private val sparseTriples =
+    Seq((0L, 0L, 1.0), (0L, 3L, 2.0), (1L, 1L, 3.0), (2L, 2L, 4.0), (2L, 3L, 5.0))
+
+  test("NpzSparse: scipy CSR archive round-trips into the Coo frame") {
+    val f = writeScipyNpz("csr", (3L, 4L), Map(
+      "indptr.npy" -> i4(0, 2, 3, 5),
+      "indices.npy" -> i4(0, 3, 1, 2, 3),
+      "data.npy" -> f8(1.0, 2.0, 3.0, 4.0, 5.0)))
+    val coo = graft.sources.Npy.loadNpzSparse(spark, f.getAbsolutePath)
+    assert(coo.columns.toSeq == Seq("row_key", "col_key", "value"))
+    val got = coo.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.toSeq == sparseTriples)
+    assert(graft.sources.Npy.npzSparseShape(spark, f.getAbsolutePath) == ((3L, 4L)))
+    // straight into the Coo operators: density over the declared dims
+    val d = graft.operators.Coo.density(coo, 3L, 4L).head().getDouble(0)
+    assert(math.abs(d - 5.0 / 12.0) < 1e-12)
+    // and through the extension dispatch
+    assert(graft.sources.LoadDump.load(spark, f.getAbsolutePath).count() == 5)
+    f.delete()
+  }
+
+  test("NpzSparse: CSC and COO formats yield the same triples") {
+    val csc = writeScipyNpz("csc", (3L, 4L), Map(
+      "indptr.npy" -> i4(0, 1, 2, 3, 5),
+      "indices.npy" -> i4(0, 1, 2, 0, 2),
+      "data.npy" -> f8(1.0, 3.0, 4.0, 2.0, 5.0)))
+    val gotCsc = graft.sources.Npy.loadNpzSparse(spark, csc.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(gotCsc.toSeq == sparseTriples)
+    csc.delete()
+    val coo = writeScipyNpz("coo", (3L, 4L), Map(
+      "row.npy" -> i4(0, 0, 1, 2, 2),
+      "col.npy" -> i4(0, 3, 1, 2, 3),
+      "data.npy" -> f8(1.0, 2.0, 3.0, 4.0, 5.0)))
+    val gotCoo = graft.sources.Npy.loadNpzSparse(spark, coo.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(gotCoo.toSeq == sparseTriples)
+    coo.delete()
+  }
+
+  test("NpzSparse: unsupported sparse format raises loudly") {
+    val f = writeScipyNpz("dia", (2L, 2L), Map("data.npy" -> f8(1.0)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Npy.loadNpzSparse(spark, f.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("dia"))
+    f.delete()
+  }
+
   test("Npy: unsupported dtype / fortran order / 3-D raise") {
     def headerOf(dict: String): Array[Byte] = {
       val txt = dict + "\n"

@@ -120,6 +120,43 @@ class StreamingSpec extends SparkSpec {
     assert(!verdicts.contains(2L)) // shingle-less doc emits nothing
   }
 
+  test("minhashNearDupSigStream: NEAR-dup (not exact) pair matched across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    // doc 2 rewrites 4 spread-out words of doc 0's 60 — a genuine near-dup
+    // (12 of ~70 union shingles differ), never an exact signature match
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 60).map(i =>
+      if (i % 10 == 0 && i > 0 && i < 50) s"edit$i" else s"tok$i").mkString(" ")
+    val far = (0 until 60).map(i => s"other$i").mkString(" ")
+    val mem = MemoryStream[DocText]
+    mem.addData(DocText(0L, base), DocText(1L, far))
+    // bands=8 (2 rows each): a J~0.66 pair shares a band whp, while the
+    // full-signature estimate still has 16 minima of resolution
+    val q = StreamOps.minhashNearDupSigStream(mem.toDS(), k = 16, bands = 8,
+        shingleK = 3, threshold = 0.4)
+      .writeStream.format("memory").queryName("sig_out").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(DocText(2L, near)) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sig_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val verdict = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._3).max, rs.map(_._4).max)).toMap
+    assert(verdict(0L)._1 == -1L && verdict(1L)._1 == -1L)
+    assert(verdict(2L)._1 == 0L, s"near-dup pair missed across batches: $verdict")
+    val est = verdict(2L)._2
+    // the estimate must witness NEAR-dup, not exact-dup
+    assert(est >= 0.4 && est < 1.0, s"est_jaccard should be in [0.4, 1): $est")
+    // batch twin: identical decisions when all docs arrive in one batch
+    val batch = StreamOps.minhashNearDupSigStream(
+        Seq(DocText(0L, base), DocText(1L, far), DocText(2L, near)).toDS(),
+        k = 16, bands = 8, shingleK = 3, threshold = 0.4)
+      .collect().map(d => (d.doc_id, d.band, d.matched_id, d.est_jaccard)).sorted
+    assert(batch.toSeq == rows.sorted.toSeq)
+  }
+
   test("minhashNearDupStream with stateTtl: lambda paths agree with the no-TTL run (batch)") {
     // batch mode exercises the ProcessingTimeTimeout configuration and the
     // setTimeoutDuration call without the streaming scheduler (whose
