@@ -80,7 +80,62 @@ object ScaleProbe {
     println(s"""{"metric":"adversarial_probe","n_docs":$nDocs,"copies":$copies,"results":$qs}""")
   }
 
+  /** Replicate an sf directory `factor`x into `dst` for one-off
+    * larger-scale bench runs (no sf1 testdata ships in this container).
+    * Each replica is an ISOMORPHIC copy that does not interact with the
+    * others the way raw duplication would:
+    *  - every `*key`/`*_id` column shifts by replica x 10^10, so joins,
+    *    dedup windows and sessionization see `factor`x distinct entities;
+    *  - `text` gets a per-replica suffix on EVERY token, so cross-replica
+    *    shingle sets are disjoint (raw copies would be exact dups and
+    *    near-dup pair counts would grow quadratically in `factor`, which
+    *    a real sf1 corpus does not);
+    *  - `embedding` components multiply by a deterministic per-replica
+    *    +-1 pattern: intra-replica dot products are EXACTLY preserved
+    *    (s_d^2 = 1), cross-replica vectors decorrelate (random signs),
+    *    again matching how a real 10x corpus behaves.
+    * Usage: runMain graft.ScaleProbe replicate <srcDir> <dstDir> [factor]
+    */
+  private def replicate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val offset = 10000000000L
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val reps = (0 until factor).map { r =>
+        df.select(df.schema.fields.toIndexedSeq.map { f =>
+          val c = col(f.name)
+          val isKey = (f.name.endsWith("key") || f.name.endsWith("_id")) &&
+            (f.dataType == LongType || f.dataType == IntegerType)
+          if (isKey) (c.cast(LongType) + lit(r * offset)).as(f.name)
+          else if (f.name == "text" && r > 0)
+            regexp_replace(c, "(\\S+)", s"$$1x$r").as(f.name)
+          else if (f.name == "embedding" && r > 0)
+            transform(c, (v, d) =>
+              v * when(pmod(xxhash64(lit(r), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+              .cast(f.dataType).as(f.name)
+          else c
+        }: _*)
+      }
+      reps.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[replicate] $t x$factor -> $dst/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("replicate")) {
+      require(args.length >= 3, "usage: replicate <srcDir> <dstDir> [factor]")
+      val spark = SparkSession.builder()
+        .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      replicate(spark, args(1), args(2), args.drop(3).headOption.map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
     val isAdversarial = args.headOption.contains("adversarial")
     val rest = if (isAdversarial) args.drop(1) else args
     val nDocs = rest.headOption.map(_.toInt).getOrElse(if (isAdversarial) 20000 else 200000)

@@ -520,18 +520,20 @@ object SparkEntry {
     // rows). sf0.1: min 10 tokens/doc, max prefix df 4 — no result change.
     "contamination_sources" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
-      // persisted because the df-cap pass and the self-join both read it;
-      // MEMORY_AND_DISK + LRU like every persist in this repo — a caller
-      // chaining many queries reclaims eagerly with
+      // the hot-prefix cap is a window count over the prefix (one shuffle,
+      // exchange-reusable by the self-join on the same key), not a
+      // groupBy+semi-join (two extra shuffles, measured +0.3 s at sf0.1);
+      // persisted because the self-join reads both sides — MEMORY_AND_DISK
+      // + LRU like every persist in this repo, reclaim eagerly with
       // spark.catalog.clearCache() (see Relational.scala convention note)
       val pref = t(s, dir, "documents")
         .filter(size(toks) >= 8)
         .select(col("source"), array_join(slice(toks, 1, 8), " ").as("prefix"))
         .distinct()
+        .withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("prefix"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cool = pref.groupBy(col("prefix"))
-        .agg(count(lit(1)).as("_df")).filter(col("_df") <= 64).drop("_df")
-      val prefCap = pref.join(cool, Seq("prefix"), "left_semi")
+      val prefCap = pref.filter(col("_df") <= 64).drop("_df")
       prefCap.as("a").join(prefCap.as("b"),
           col("a.prefix") === col("b.prefix") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

@@ -91,9 +91,15 @@ object Dedup {
       keys: Seq[String], maxBucket: Option[Int]): DataFrame = {
     val capped = maxBucket match {
       case Some(cap) =>
-        val ok = banded.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap).drop("_n")
-        banded.join(ok, keys, "left_semi")
+        // bucket size via a window count, not groupBy+semi-join: one
+        // shuffle on the bucket key instead of two, and the self-join
+        // below joins on the SAME key, so the window's exchange is
+        // reusable. A mega-bucket funnels its m rows through one window
+        // task — linear in m, which is the whole point of the cap (the
+        // join it prevents is quadratic).
+        val w = Window.partitionBy(keys.map(col): _*)
+        banded.withColumn("_n", count(lit(1)).over(w))
+          .filter(col("_n") <= cap).drop("_n")
       case None => banded
     }
     val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
@@ -175,24 +181,25 @@ object Dedup {
         // persist outlives this call by design (the returned plan reads
         // it lazily); MEMORY_AND_DISK + LRU like every persist here — a
         // long-lived session reclaims eagerly with
-        // spark.catalog.clearCache() (see Relational.scala convention note)
+        // spark.catalog.clearCache() (see Relational.scala convention
+        // note). The persisted frame carries the per-shingle document
+        // frequency from ONE window shuffle — the previous
+        // groupBy-df + two semi-joins shape cost two extra shuffles of
+        // the full shingle frame, measured +0.7 s at sf0.1.
         val shAll = docs
           .select(col(idCol).as("jid"),
             explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
               sh => xxhash64(sh))).as("sh"))
           .distinct()
+          .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = shAll.groupBy("jid").agg(count(lit(1)).as("sz"))
-        val dfs = shAll.groupBy("sh").agg(count(lit(1)).as("_df"))
-        val shCap = shAll.join(
-          dfs.filter(col("_df") >= 2 && col("_df") <= cap).drop("_df"),
-          Seq("sh"), "left_semi")
+        val shCap = shAll.filter(col("_df") >= 2 && col("_df") <= cap).drop("_df")
         val interCap = shCap.as("x").join(shCap.as("y"),
             col("x.sh") === col("y.sh") && col("x.jid") < col("y.jid"))
           .groupBy(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
           .agg(count(lit(1)).as("_icap"))
-        val shHot = shAll.join(dfs.filter(col("_df") > cap).drop("_df"),
-          Seq("sh"), "left_semi")
+        val shHot = shAll.filter(col("_df") > cap).drop("_df")
         val interHot = interCap.select("id_a", "id_b")
           .join(shHot.select(col("jid").as("id_a"), col("sh")), Seq("id_a"))
           .join(shHot.select(col("jid").as("id_b"), col("sh")), Seq("id_b", "sh"))
@@ -222,12 +229,13 @@ object Dedup {
     // result-identical df>=2 pruning: a shingle in exactly one document
     // matches nothing in the self-join, so it only inflates the join
     // input. On a real heavy-tailed vocabulary most shingles are unique —
-    // dropping them BEFORE the shuffle is the difference between joining
+    // dropping them BEFORE the self-join is the difference between joining
     // the corpus and joining its repeated core. (`sizes` above still
-    // counts every shingle; only the intersection stage prunes.)
-    val repeated = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    // counts every shingle; only the intersection stage prunes.) The df
+    // comes from a window count — one shuffle, not groupBy+semi-join.
+    val shJoin = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("_df") >= 2).drop("_df")
-    val shJoin = sh.join(repeated, Seq("sh"), "left_semi")
     val inter = shJoin.as("x").join(shJoin.as("y"),
         col("x.sh") === col("y.sh") && col("x.jid") < col("y.jid"))
       .groupBy(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
@@ -273,9 +281,13 @@ object Dedup {
   private def verifyJaccardOnCandidates(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
-    val repeated = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    // df >= 2 via a window count: one shuffle of the shingle frame where
+    // groupBy-df + semi-join was two (and at scale the "repeated" side of
+    // that semi-join is itself corpus-sized, so this is not just a
+    // local-mode stage saving)
+    val shInter = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("_df") >= 2).drop("_df")
-    val shInter = sh.join(repeated, Seq("sh"), "left_semi")
     val inter = cands
       .join(shInter.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shInter.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
