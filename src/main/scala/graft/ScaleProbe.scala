@@ -129,6 +129,10 @@ object ScaleProbe {
       val spark = SparkSession.builder()
         .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
         .config("spark.sql.shuffle.partitions", 32)
+        // events.ts is TIMESTAMP(NANOS): read as long (see core.Tables),
+        // replicas then write plain INT64 nanos, which Tables.load
+        // converts back — lossless, micro-aligned data
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

@@ -568,6 +568,34 @@ object SparkEntry {
         .agg(round(avg(log(col("cnt").cast("double") / col("_total"))), 6).as("logprob"))
         .orderBy("doc_id")
     }),
+    // EXT tf-idf top terms per document (feature-extraction staple; no
+    // reference analog — SURVEY north star). Ranked by the ACTUAL tf-idf
+    // score — round(6)'d BEFORE ranking so both engines rank identical
+    // quantized values (the suite-wide float discipline), with fully
+    // integer tie-breaks (tf desc, df asc, term asc) underneath — a
+    // tf-only ranking is NOT monotone in tf-idf (a boilerplate term with
+    // df=n scores tf*1.0 and loses to any rarer term).
+    // Scale shape: one token explode, tf groupBy, df as a window count
+    // over the term (one shuffle, same posture as the round-5 skew caps),
+    // doc-count as a 1-row broadcast; no collect, no UDF.
+    "tfidf_top_terms" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.withColumn("df", count(lit(1)).over(w.partitionBy(col("tok"))))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      dfc
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * (log((col("n").cast("double") + 1) / (col("df") + 1)) + 1), 6))
+        .withColumn("rank", row_number().over(
+          w.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("tf").desc, col("df").asc, col("tok").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok").as("term"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
     // EXT gap-based sessionization (batch twin of the stateful streaming
     // flatMapGroupsWithState path — equality tested in StreamingSpec)
     "sessions_user" -> ((s, dir) => {
@@ -1010,6 +1038,18 @@ object SparkEntry {
         |SELECT doc_id, ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
         |FROM toks JOIN freqs USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        | dfc AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df FROM tf),
+        | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        | scored AS (SELECT doc_id, tok, tf, df,
+        |   ROUND(tf * (LN((CAST(n AS DOUBLE) + 1) / (df + 1)) + 1), 6) AS tfidf FROM dfc, n),
+        | ranked AS (SELECT doc_id, tok, tfidf,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |     ORDER BY tfidf DESC, tf DESC, df ASC, tok ASC) AS INT) AS rank FROM scored)
+        |SELECT doc_id, tok AS term, tfidf, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "sessions_user" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL

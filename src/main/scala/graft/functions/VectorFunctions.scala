@@ -171,6 +171,13 @@ object VectorFunctions {
           if (!used(i) && margins(i) < bm) { bm = margins(i); best = i }
           i += 1
         }
+        if (best < 0) {
+          // NaN margins (a NaN vector component) compare false against
+          // everything — fall back to the lowest unused plane instead of
+          // indexing used(-1); pre-depth-T code flipped plane 0 here
+          var i2 = 0
+          while (best < 0 && i2 < tbl.length) { if (!used(i2)) best = i2; i2 += 1 }
+        }
         used(best) = true
         out(base + rank + 1) = bucket ^ (1L << best)
         rank += 1
@@ -216,4 +223,17 @@ object VectorFunctions {
   /** Single-table convenience wrapper over [[signBuckets]]. */
   def signBucket(v: Column, planes: Array[Array[Double]]): Column =
     element_at(signBuckets(v, Array(planes)), 1)
+
+  /** planesPerTable for a target MEAN bucket occupancy: with fixed
+    * planes the bucket self-join is Θ(n²/2^planes) — at 10x corpus and
+    * unchanged planes the sf1 probe measured the near-dup joins going
+    * ~100x (BENCH_NOTES round 5), so the plane count must grow with
+    * log2(n). ceil(log2(n / targetBucket)), clamped to [1, 20]
+    * (2^20 buckets ≈ 1M is plenty; bucket ids are longs).
+    */
+  def planesForOccupancy(n: Long, targetBucket: Int): Int = {
+    require(n > 0 && targetBucket > 0, s"need n > 0, targetBucket > 0 (got $n, $targetBucket)")
+    val p = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(1, math.min(20, p))
+  }
 }

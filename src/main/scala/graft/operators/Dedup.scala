@@ -446,6 +446,26 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** [[embeddingNearDupLsh]] with the plane count DERIVED from the
+    * corpus: planesPerTable = log2(n / targetBucket)
+    * ([[graft.functions.VectorFunctions.planesForOccupancy]]), so mean
+    * bucket occupancy — and with it the bucket self-join's cost per
+    * bucket — stays constant as the corpus grows. The two count()/head()
+    * actions are an INDEX-BUILD cost (once per corpus, like fitting IVF
+    * centroids), not per-query work. Fixed-plane configs are Θ(n²/2^p):
+    * correct at one scale, quadratic at 10x (measured — BENCH_NOTES
+    * round 5).
+    */
+  def embeddingNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nTables: Int = 8, targetBucket: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val p = graft.functions.VectorFunctions.planesForOccupancy(n, targetBucket)
+    embeddingNearDupLsh(emb, idCol, vecCol, threshold,
+      nTables = nTables, planesPerTable = p, dim = dim, seed = seed)
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of
     * Σ_tokens (bit j set ? +1 : −1). Single-pass Aggregator (64-int
     * buffer; map-side combinable).
@@ -511,18 +531,31 @@ object Dedup {
     */
   def simhashCandidates(sims: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType}
-    val blockOf: Int => Column = sims.schema("simhash").dataType match {
-      case LongType => b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).cast("string")
-      case StringType => b =>
-        // hex renders big-endian: chars [1..4] are bits 63..48 = block 3
-        substring(col("simhash"), (3 - b) * 4 + 1, 4)
+    val validated = sims.schema("simhash").dataType match {
+      case LongType => sims
+      case StringType =>
+        // enforce the simhashMd5 shape row-side, not just the type: a
+        // 32-hex full md5, uppercase hex, or arbitrary string would
+        // otherwise slice into garbage buckets silently (candidates
+        // quietly empty). raise_error costs nothing on conforming rows.
+        sims.withColumn("simhash",
+          when(col("simhash").rlike("^[0-9a-f]{16}$"), col("simhash"))
+            .otherwise(raise_error(concat(
+              lit("simhash string column must be 16 lowercase hex chars "
+                + "(simhashMd5 output), got: "), col("simhash")))))
       case other => throw new IllegalArgumentException(
         s"simhash column must be LongType (simhash) or a 16-hex StringType " +
           s"(simhashMd5), got $other")
     }
+    val blockOf: Int => Column = sims.schema("simhash").dataType match {
+      case LongType => b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).cast("string")
+      case _ => b =>
+        // hex renders big-endian: chars [1..4] are bits 63..48 = block 3
+        substring(col("simhash"), (3 - b) * 4 + 1, 4)
+    }
     val blocks = (0 until 4).map { b =>
-      sims.select(col(idCol), lit(b).as("blk"), blockOf(b).as("bh"))
+      validated.select(col(idCol), lit(b).as("blk"), blockOf(b).as("bh"))
     }.reduce(_ unionByName _)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bh") === col("b.bh") &&

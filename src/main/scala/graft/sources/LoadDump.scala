@@ -48,17 +48,27 @@ object LoadDump {
       options: Map[String, String] = Map(),
       expectedColumns: Seq[String] = Nil): DataFrame = {
     // the numpy family has no DataSource registration — it dispatches to
-    // the distributed readers (utils.py:46-57 npload/npz; :56 npzsp)
-    extensionOf(path) match {
-      case "npy" => return Npy.load(spark, path)
-      case "npz" => return Npy.loadNpz(spark, path)
-      case "npzsp" => return Npy.loadNpzSparse(spark, path)
-      case _ =>
+    // the distributed readers (utils.py:46-57 npload/npz; :56 npzsp).
+    // The eager expectedColumns assert below applies to these too;
+    // reader options do not (their schemas are fixed by the format), so
+    // passing any is an error rather than a silent drop.
+    val npyFamily: Option[DataFrame] = extensionOf(path) match {
+      case "npy" => Some(Npy.load(spark, path))
+      case "npz" => Some(Npy.loadNpz(spark, path))
+      case "npzsp" => Some(Npy.loadNpzSparse(spark, path))
+      case _ => None
     }
-    val (fmt, defaults) = formats.getOrElse(extensionOf(path),
-      throw new IllegalArgumentException(s"unsupported extension: ${extensionOf(path)}"))
-    val reader: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)
-    val df = reader.load(path)
+    npyFamily.foreach { _ =>
+      require(options.isEmpty,
+        s"reader options are not applicable to .${extensionOf(path)} " +
+          "(fixed schema); got " + options.keys.mkString(", "))
+    }
+    val df = npyFamily.getOrElse {
+      val (fmt, defaults) = formats.getOrElse(extensionOf(path),
+        throw new IllegalArgumentException(s"unsupported extension: ${extensionOf(path)}"))
+      val reader: DataFrameReader = spark.read.format(fmt).options(defaults ++ options)
+      reader.load(path)
+    }
     if (expectedColumns.nonEmpty) {
       val missing = expectedColumns.filterNot(df.columns.contains)
       require(missing.isEmpty, s"loaded frame missing expected columns: $missing")

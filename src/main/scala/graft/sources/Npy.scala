@@ -314,8 +314,14 @@ object Npy {
     }
     fmt match {
       case "csr" | "csc" =>
+        // persisted: the plan references the member frame four times
+        // (data, indices, indptr twice via the starts/ends shift) — each
+        // reference would otherwise re-open the archive and re-inflate
+        // its DEFLATE streams. Same lazily-outliving persist convention
+        // as Dedup's shingle frames; reclaim with spark.catalog.clearCache().
         val m = loadNpz(spark, path,
           Set("data.npy", "indices.npy", "indptr.npy").contains(_))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val data = member1d(m, "data", "value", asLong = false)
         val minor = member1d(m, "indices", "minor", asLong = true)
         val starts = m.filter(col("member") === "indptr")
@@ -335,12 +341,54 @@ object Npy {
           joined.select(col("minor").as("row_key"), col("major").as("col_key"), col("value"))
       case "coo" =>
         val m = loadNpz(spark, path, Set("data.npy", "row.npy", "col.npy").contains(_))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         member1d(m, "row", "row_key", asLong = true)
           .join(member1d(m, "col", "col_key", asLong = true), Seq("pos"))
           .join(member1d(m, "data", "value", asLong = false), Seq("pos"))
           .select("row_key", "col_key", "value")
       case other => throw new IllegalArgumentException(
         s"unsupported scipy sparse format '$other' (csr, csc, coo)")
+    }
+  }
+
+  /** v1.0 npy preamble (magic + padded header dict) for the writers. */
+  private def npyHeaderBytes(descr: String, shape: String): Array[Byte] = {
+    var headerTxt = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shape, }"
+    // pad so that data starts 64-byte aligned (numpy convention), ending \n
+    val base = 10 + headerTxt.length + 1
+    headerTxt += " " * ((64 - base % 64) % 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Magic, 0, Magic.length)
+    bos.write(1); bos.write(0)
+    val hl = headerTxt.length + 1
+    bos.write(hl & 0xff); bos.write((hl >> 8) & 0xff)
+    val txt = (headerTxt + "\n").getBytes(StandardCharsets.ISO_8859_1)
+    bos.write(txt, 0, txt.length)
+    bos.toByteArray
+  }
+
+  /** Stream one column as npy payload bytes into `out` (little-endian,
+    * one reusable row buffer — driver holds one row, not the dataset).
+    */
+  private def writePayload(out: java.io.OutputStream, prepared: DataFrame,
+      rowLen: Int, dtype: String): Unit = {
+    val itemSize = dtype.drop(2).toInt
+    val bb = ByteBuffer.allocate(rowLen * itemSize).order(ByteOrder.LITTLE_ENDIAN)
+    val it = prepared.toLocalIterator()
+    while (it.hasNext) {
+      val vals = it.next().getSeq[Double](0)
+      require(vals.length == rowLen,
+        s"ragged array row: ${vals.length} != $rowLen elements")
+      bb.clear()
+      vals.foreach { d =>
+        dtype match {
+          case "<f4" => bb.putFloat(d.toFloat)
+          case "<f8" => bb.putDouble(d)
+          case "<i4" => bb.putInt(d.toInt)
+          case "<i8" => bb.putLong(d.toLong)
+        }
+      }
+      out.write(bb.array(), 0, bb.position())
     }
   }
 
@@ -373,37 +421,111 @@ object Npy {
         if (is2d) prepared.select(size(col("v"))).head().getInt(0)
         else 1
       val shape = if (is2d) s"($n, $rowLen)" else s"($n,)"
-      var headerTxt = s"{'descr': '$dtype', 'fortran_order': False, 'shape': $shape, }"
-      // pad so that data starts 64-byte aligned (numpy convention), ending \n
-      val base = 10 + headerTxt.length + 1
-      headerTxt += " " * ((64 - base % 64) % 64)
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(p, true)
       try {
-        out.write(Magic)
-        out.write(Array[Byte](1, 0))
-        val hl = headerTxt.length + 1
-        out.write(Array[Byte]((hl & 0xff).toByte, ((hl >> 8) & 0xff).toByte))
-        out.write((headerTxt + "\n").getBytes(StandardCharsets.ISO_8859_1))
-        val it = prepared.toLocalIterator()
-        val bb = ByteBuffer.allocate(rowLen * itemSize).order(ByteOrder.LITTLE_ENDIAN)
-        while (it.hasNext) {
-          val vals = it.next().getSeq[Double](0)
-          require(vals.length == rowLen,
-            s"ragged array row: ${vals.length} != $rowLen elements")
-          bb.clear()
-          vals.foreach { d =>
-            dtype match {
-              case "<f4" => bb.putFloat(d.toFloat)
-              case "<f8" => bb.putDouble(d)
-              case "<i4" => bb.putInt(d.toInt)
-              case "<i8" => bb.putLong(d.toLong)
-            }
-          }
-          out.write(bb.array(), 0, bb.position())
-        }
+        out.write(npyHeaderBytes(dtype, shape))
+        writePayload(out, prepared, rowLen, dtype)
       } finally out.close()
     } finally prepared.unpersist()
+  }
+
+  /** Dump several named columns as one `.npz` archive (the reference's
+    * `_dump_npz`, `utils.py:168-180`: a MAPPING of names to arrays —
+    * member order follows the map's iteration order). Each member is a
+    * complete v1.0 npy stream; 1-D for scalar columns, 2-D for array
+    * columns. Same driver-streaming posture as [[dump]]: one row in
+    * memory per member, sort upstream for determinism.
+    */
+  def dumpNpz(members: Seq[(String, DataFrame, String)], path: String,
+      dtype: String = "<f8"): Unit = {
+    require(members.nonEmpty, "refusing to dump an empty npz (no members)")
+    require(SupportedDtypes.contains(dtype), s"unsupported dtype $dtype")
+    val spark = members.head._2.sparkSession
+    // validate EVERY member before touching the destination — like
+    // [[dump]], the empty-member require must fire before fs.create
+    // truncates a pre-existing archive (a mid-loop throw would otherwise
+    // leave a corrupt, partially-written file behind)
+    val prepared = members.map { case (name, df, column) =>
+      val is2d = df.schema(column).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      val frame =
+        (if (is2d) df.select(col(column).cast("array<double>").as("v"))
+         else df.select(array(col(column).cast("double")).as("v")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (name, frame, is2d)
+    }
+    try {
+      val sized = prepared.map { case (name, frame, is2d) =>
+        val n = frame.count()
+        require(n > 0, s"refusing to dump empty npz member '$name'")
+        val rowLen = if (is2d) frame.select(size(col("v"))).head().getInt(0) else 1
+        (name, frame, n, rowLen, is2d)
+      }
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val zos = new java.util.zip.ZipOutputStream(fs.create(p, true))
+      try {
+        sized.foreach { case (name, frame, n, rowLen, is2d) =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(s"$name.npy"))
+          zos.write(npyHeaderBytes(dtype, if (is2d) s"($n, $rowLen)" else s"($n,)"))
+          writePayload(zos, frame, rowLen, dtype)
+          zos.closeEntry()
+        }
+      } finally zos.close()
+    } finally prepared.foreach(_._2.unpersist())
+  }
+
+  /** Dump a COO frame `(row_key, col_key, value)` as a scipy-loadable
+    * sparse npz (`utils.py:183-191` `_dump_spmat` — `sp.save_npz` member
+    * layout, format 'coo': `row`/`col` as i8, `data` as f8, plus the
+    * `shape` and `<U3` `format` scalars). Rows sort by (row, col) for a
+    * deterministic file; [[loadNpzSparse]] round-trips it, as does
+    * `scipy.sparse.load_npz`.
+    */
+  def dumpNpzSparse(coo: DataFrame, nRows: Long, nCols: Long, path: String): Unit = {
+    val spark = coo.sparkSession
+    val sorted = coo
+      .select(col("row_key").cast("long"), col("col_key").cast("long"),
+        col("value").cast("double"))
+      .orderBy("row_key", "col_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sorted.count()
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val zos = new java.util.zip.ZipOutputStream(fs.create(p, true))
+      try {
+        def put(name: String, header: Array[Byte])(body: => Unit): Unit = {
+          zos.putNextEntry(new java.util.zip.ZipEntry(name))
+          zos.write(header)
+          body
+          zos.closeEntry()
+        }
+        put("format.npy", npyHeaderBytes("<U3", "()")) {
+          "coo".foreach { c => // '<U3' scalar: UTF-32LE code points
+            val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(c.toInt)
+            zos.write(bb.array())
+          }
+        }
+        put("shape.npy", npyHeaderBytes("<i8", "(2,)")) {
+          val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+          bb.putLong(nRows); bb.putLong(nCols)
+          zos.write(bb.array())
+        }
+        // one cached scan per member — npz members are separate DEFLATE
+        // streams, so they cannot interleave in a single pass
+        put("row.npy", npyHeaderBytes("<i8", s"($n,)")) {
+          writePayload(zos, sorted.select(array(col("row_key").cast("double")).as("v")), 1, "<i8")
+        }
+        put("col.npy", npyHeaderBytes("<i8", s"($n,)")) {
+          writePayload(zos, sorted.select(array(col("col_key").cast("double")).as("v")), 1, "<i8")
+        }
+        put("data.npy", npyHeaderBytes("<f8", s"($n,)")) {
+          writePayload(zos, sorted.select(array(col("value")).as("v")), 1, "<f8")
+        }
+      } finally zos.close()
+    } finally sorted.unpersist()
   }
 }

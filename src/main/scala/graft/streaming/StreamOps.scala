@@ -220,8 +220,13 @@ object StreamOps {
     * unbiased MinHash estimate of Jaccard — and matched only when the
     * estimate clears `threshold`. A near-dup pair split across
     * micro-batches thus gets (matched_id, est_jaccard), not just a
-    * bucket-cohabitation flag; batches/micro-batches see identical
-    * decisions (the StreamingSpec contract).
+    * bucket-cohabitation flag. Batch and streaming runs see identical
+    * decisions for IN-ORDER arrival (docs within a micro-batch process
+    * in doc_id order — the StreamingSpec contract); like
+    * [[sessionizeStream]], a doc arriving in a LATER micro-batch than a
+    * higher-id near-dup inverts which of the two is called the
+    * representative — inherent to streaming, the batch twin re-sorts
+    * globally.
     *
     * State cost: maxPerBucket x (8 + 8k bytes) per live (band, bandsig)
     * bucket — k=16 is 136 B/member, the same order as

@@ -200,6 +200,31 @@ class DedupAnnSpec extends SparkSpec {
       Dedup.simhashCandidates(bad, "doc_id")
     }
     assert(e.getMessage.contains("simhash column"))
+    // and a malformed STRING signature (full 32-hex md5, uppercase, junk)
+    // raises at execution instead of silently bucketing garbage
+    val mal = Seq((0L, "a" * 32), (1L, "a" * 32)).toDF("doc_id", "simhash")
+    val ex = intercept[Exception] {
+      Dedup.simhashCandidates(mal, "doc_id").collect()
+    }
+    assert(ex.getMessage.contains("16 lowercase hex")
+      || Option(ex.getCause).exists(_.getMessage.contains("16 lowercase hex")))
+  }
+
+  test("signBucketsMultiProbe: NaN vector components do not crash the probe selection") {
+    val planes = graft.functions.VectorFunctions.md5SignPlanes(2, 4, 4)
+    val nanVec = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1.0, Double.NaN, 0.5, -0.5))
+    // depth 3 forces the selection loop past the all-NaN-margin guard
+    val out = graft.functions.VectorFunctions
+      .signBucketsMultiProbeOf(nanVec, planes, 3).toLongArray()
+    assert(out.length == 2 * 4)
+    // each flip differs from its table's main bucket in exactly one bit
+    (0 until 2).foreach { t =>
+      (1 to 3).foreach { r =>
+        assert(java.lang.Long.bitCount(out(4 * t) ^ out(4 * t + r)) == 1)
+      }
+      assert((1 to 3).map(r => out(4 * t) ^ out(4 * t + r)).distinct.size == 3)
+    }
   }
 
   test("lshTopK probeDepth: per-query recall is monotone in probing depth") {
@@ -251,6 +276,28 @@ class DedupAnnSpec extends SparkSpec {
     val again = recallOf(Ann.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 5,
       nCentroids = 4, nProbe = 1))
     assert(again == km)
+  }
+
+  test("embeddingNearDupLshAuto: plane count tracks corpus size, pairs stay exact-verified") {
+    import graft.functions.VectorFunctions.planesForOccupancy
+    // the scaling law itself: occupancy n/2^p held constant
+    assert(planesForOccupancy(1000, 64) == 4)
+    assert(planesForOccupancy(10000, 64) == 8) // 10x corpus -> +log2(10) planes
+    assert(planesForOccupancy(50000, 50) == 10)
+    assert(planesForOccupancy(10, 64) == 1) // clamped low
+    assert(planesForOccupancy(Long.MaxValue, 1) == 20) // clamped high
+    // end-to-end: auto-sized run still finds the exact-dup pair and every
+    // reported pair carries a verified cosine above threshold
+    val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val withDup = sfEmb.unionByName(
+      sfEmb.filter(col("vec_id") === 0).select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), col("label")))
+    val pairs = graft.operators.Dedup
+      .embeddingNearDupLshAuto(withDup, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1000000L && math.abs(p._3 - 1.0) < 1e-12),
+      s"exact dup lost by auto-sized LSH: ${pairs.take(5).toSeq}")
+    assert(pairs.forall(_._3 >= 0.95))
   }
 
   test("ANN brute force: self-similar corpus ranks exact copy first") {

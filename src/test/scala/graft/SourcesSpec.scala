@@ -274,6 +274,75 @@ class SourcesSpec extends SparkSpec {
     coo.delete()
   }
 
+  test("dumpNpzSparse: COO frame round-trips through the sparse reader") {
+    import spark.implicits._
+    val coo = sparseTriples.toDF("row_key", "col_key", "value")
+    val f = java.io.File.createTempFile("graft_dump", ".npzsp")
+    graft.sources.Npy.dumpNpzSparse(coo, 3L, 4L, f.getAbsolutePath)
+    val back = graft.sources.Npy.loadNpzSparse(spark, f.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(back.toSeq == sparseTriples)
+    assert(graft.sources.Npy.npzSparseShape(spark, f.getAbsolutePath) == ((3L, 4L)))
+    f.delete()
+  }
+
+  test("dumpNpz: an empty member aborts BEFORE truncating an existing archive") {
+    import spark.implicits._
+    val good = Seq((0L, 1.0)).toDF("i", "x")
+    val f = java.io.File.createTempFile("graft_guard", ".npz")
+    graft.sources.Npy.dumpNpz(Seq(("xs", good, "x")), f.getAbsolutePath)
+    val lenBefore = f.length()
+    assert(lenBefore > 0)
+    val empty = good.filter(col("i") < 0)
+    intercept[IllegalArgumentException] {
+      graft.sources.Npy.dumpNpz(
+        Seq(("xs", good, "x"), ("ys", empty, "x")), f.getAbsolutePath)
+    }
+    // the pre-existing archive survives the failed dump untouched
+    assert(f.length() == lenBefore)
+    assert(graft.sources.Npy.loadNpz(spark, f.getAbsolutePath).count() == 1)
+    f.delete()
+  }
+
+  test("LoadDump: numpy-family dispatch honors expectedColumns, rejects options") {
+    import spark.implicits._
+    val coo = sparseTriples.toDF("row_key", "col_key", "value")
+    val f = java.io.File.createTempFile("graft_disp", ".npzsp")
+    graft.sources.Npy.dumpNpzSparse(coo, 3L, 4L, f.getAbsolutePath)
+    // eager schema assert applies to the numpy readers like any format
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LoadDump.load(spark, f.getAbsolutePath,
+        expectedColumns = Seq("row_key", "weight"))
+    }
+    assert(e.getMessage.contains("weight"))
+    assert(graft.sources.LoadDump.load(spark, f.getAbsolutePath,
+      expectedColumns = Seq("row_key", "col_key", "value")).count() == 5)
+    // options would be silently meaningless -> loud error
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.LoadDump.load(spark, f.getAbsolutePath, options = Map("header" -> "true"))
+    }
+    assert(e2.getMessage.contains("not applicable"))
+    f.delete()
+  }
+
+  test("dumpNpz: named members round-trip through loadNpz (1-D and 2-D)") {
+    import spark.implicits._
+    val xs = Seq(1.5, 2.5, 3.5).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "x").orderBy("i")
+    val vs = Seq((0L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0)))
+      .toDF("i", "v").orderBy("i")
+    val f = java.io.File.createTempFile("graft_dumpz", ".npz")
+    graft.sources.Npy.dumpNpz(
+      Seq(("xs", xs, "x"), ("vs", vs, "v")), f.getAbsolutePath)
+    val back = graft.sources.Npy.loadNpz(spark, f.getAbsolutePath)
+      .orderBy("member", "idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+    assert(back.toSeq == Seq(
+      ("vs", 0L, Seq(1.0, 2.0)), ("vs", 1L, Seq(3.0, 4.0)),
+      ("xs", 0L, Seq(1.5)), ("xs", 1L, Seq(2.5)), ("xs", 2L, Seq(3.5))))
+    f.delete()
+  }
+
   test("NpzSparse: unsupported sparse format raises loudly") {
     val f = writeScipyNpz("dia", (2L, 2L), Map("data.npy" -> f8(1.0)))
     val e = intercept[IllegalArgumentException] {
