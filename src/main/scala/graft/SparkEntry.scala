@@ -568,6 +568,30 @@ object SparkEntry {
         .agg(round(avg(log(col("cnt").cast("double") / col("_total"))), 6).as("logprob"))
         .orderBy("doc_id")
     }),
+    // EXT bigram LM score (the perplexity-proxy upgrade over
+    // unigram_logprob): per-doc mean log P(w_i | w_{i-1}) under corpus
+    // MLE bigram counts. Docs under 2 tokens have no bigrams and drop
+    // out, mirrored in SQL. Scale shape: one bigram explode, one
+    // (prev, cur) groupBy, prefix totals as a window SUM over the
+    // grouped counts (not a second scan of the pairs frame), shuffle
+    // join back on the bigram key; AQE picks broadcast when the bigram
+    // table is small — never hinted (vocab² is data-sized).
+    "bigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      val pairs = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+          j => struct(element_at(col("w"), j).as("prev"),
+            element_at(col("w"), j + 1).as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+        .withColumn("cp", sum(col("cb")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+      pairs.join(bc, Seq("prev", "cur"))
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("cb").cast("double") / col("cp"))), 6).as("logprob"))
+        .orderBy("doc_id")
+    }),
     // EXT tf-idf top terms per document (feature-extraction staple; no
     // reference analog — SURVEY north star). Ranked by the ACTUAL tf-idf
     // score — round(6)'d BEFORE ranking so both engines rank identical
@@ -1038,6 +1062,15 @@ object SparkEntry {
         |SELECT doc_id, ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
         |FROM toks JOIN freqs USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "bigram_logprob" ->
+      """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        | pairs AS (SELECT doc_id, w[j] AS prev, w[j + 1] AS cur
+        |           FROM docs, LATERAL unnest(range(1, len(w))) AS t(j)
+        |           WHERE len(w) >= 2),
+        | bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY 1, 2),
+        | bcp AS (SELECT *, CAST(SUM(cb) OVER (PARTITION BY prev) AS BIGINT) AS cp FROM bc)
+        |SELECT doc_id, ROUND(AVG(LN(CAST(cb AS DOUBLE) / cp)), 6) AS logprob
+        |FROM pairs JOIN bcp USING (prev, cur) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),

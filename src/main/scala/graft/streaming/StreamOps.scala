@@ -40,6 +40,15 @@ case class BucketState(members: List[DocSig])
   * frame or a `readStream` frame — that symmetry is the test strategy:
   * specs drive them through a MemoryStream and assert equality with the
   * batch result.
+  *
+  * Cluster deployments: the stateful operators here (sessionization,
+  * the near-dup streams) keep per-key state in the configured state
+  * store. The default in-memory HDFS-backed store holds every live key
+  * on-heap per executor; at corpus-scale key cardinality set
+  * `spark.sql.streaming.stateStore.providerClass=
+  * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+  * so state spills off-heap/disk with incremental checkpoints — no code
+  * change here, the operators are store-agnostic.
   */
 object StreamOps {
 
