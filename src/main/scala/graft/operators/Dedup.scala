@@ -459,8 +459,14 @@ object Dedup {
   def embeddingNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 8, targetBucket: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val n = emb.count()
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // ONE action answers corpus size and dimensionality (count + head
+    // would scan the upstream plan twice), and empty/null-vector inputs
+    // get a clean message instead of a NoSuchElementException from head()
+    val agg = emb.agg(count(lit(1)), first(size(col(vecCol)), ignoreNulls = true)).head()
+    val n = agg.getLong(0)
+    require(n > 0, "embeddingNearDupLshAuto: empty corpus (no vectors to size planes from)")
+    require(!agg.isNullAt(1), s"embeddingNearDupLshAuto: every $vecCol value is null")
+    val dim = agg.getInt(1)
     val p = graft.functions.VectorFunctions.planesForOccupancy(n, targetBucket)
     embeddingNearDupLsh(emb, idCol, vecCol, threshold,
       nTables = nTables, planesPerTable = p, dim = dim, seed = seed)
@@ -538,11 +544,16 @@ object Dedup {
         // 32-hex full md5, uppercase hex, or arbitrary string would
         // otherwise slice into garbage buckets silently (candidates
         // quietly empty). raise_error costs nothing on conforming rows.
+        // null-safe: rlike(NULL) is NULL (branch falls through to
+        // otherwise), and concat with NULL would make raise_error throw
+        // MESSAGE-LESS — coalesce keeps the diagnostic intact
         sims.withColumn("simhash",
-          when(col("simhash").rlike("^[0-9a-f]{16}$"), col("simhash"))
+          when(col("simhash").isNotNull && col("simhash").rlike("^[0-9a-f]{16}$"),
+            col("simhash"))
             .otherwise(raise_error(concat(
               lit("simhash string column must be 16 lowercase hex chars "
-                + "(simhashMd5 output), got: "), col("simhash")))))
+                + "(simhashMd5 output), got: "),
+              coalesce(col("simhash"), lit("NULL"))))))
       case other => throw new IllegalArgumentException(
         s"simhash column must be LongType (simhash) or a 16-hex StringType " +
           s"(simhashMd5), got $other")

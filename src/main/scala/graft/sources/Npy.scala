@@ -392,6 +392,20 @@ object Npy {
     }
   }
 
+  /** Exact 1-D `<i8` payload from a long column — no double staging, so
+    * keys above 2^53 round-trip bit-exactly (the double-staged
+    * [[writePayload]] would silently round them).
+    */
+  private def writeLongPayload(out: java.io.OutputStream, longs: DataFrame): Unit = {
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    val it = longs.toLocalIterator()
+    while (it.hasNext) {
+      bb.clear()
+      bb.putLong(it.next().getLong(0))
+      out.write(bb.array(), 0, 8)
+    }
+  }
+
   /** Dump a numeric or array column to one .npy file (C order, v1.0).
     * Rows stream through `toLocalIterator` — driver memory holds one
     * partition, not the dataset; row order is the DataFrame's order, so
@@ -415,11 +429,15 @@ object Npy {
     // the unpersist must cover EVERY exit — the empty-frame require and
     // the row-width probe below throw before the write block is entered
     try {
-      val n = prepared.count()
+      // count + rectangularity + width in one aggregation, all validated
+      // BEFORE fs.create truncates the destination (a ragged row found
+      // mid-stream by writePayload would leave a corrupt partial file)
+      val agg = prepared.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+      val n = agg.getLong(0)
       require(n > 0, "refusing to dump an empty DataFrame to npy (no row width)")
-      val rowLen =
-        if (is2d) prepared.select(size(col("v"))).head().getInt(0)
-        else 1
+      require(agg.getInt(1) == agg.getInt(2),
+        s"ragged array rows: sizes ${agg.getInt(1)}..${agg.getInt(2)}")
+      val rowLen = if (is2d) agg.getInt(1) else 1
       val shape = if (is2d) s"($n, $rowLen)" else s"($n,)"
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -443,10 +461,14 @@ object Npy {
     require(members.nonEmpty, "refusing to dump an empty npz (no members)")
     require(SupportedDtypes.contains(dtype), s"unsupported dtype $dtype")
     val spark = members.head._2.sparkSession
-    // validate EVERY member before touching the destination — like
-    // [[dump]], the empty-member require must fire before fs.create
-    // truncates a pre-existing archive (a mid-loop throw would otherwise
-    // leave a corrupt, partially-written file behind)
+    // validate EVERYTHING before touching the destination — like
+    // [[dump]], every require below must fire before fs.create truncates
+    // a pre-existing archive (a mid-loop throw would otherwise leave a
+    // corrupt, partially-written file behind): member-name uniqueness,
+    // non-emptiness, AND rectangular rows (a ragged row discovered
+    // mid-stream by writePayload is too late)
+    val dupNames = members.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+    require(dupNames.isEmpty, s"duplicate npz member names: ${dupNames.mkString(", ")}")
     val prepared = members.map { case (name, df, column) =>
       val is2d = df.schema(column).dataType
         .isInstanceOf[org.apache.spark.sql.types.ArrayType]
@@ -458,10 +480,13 @@ object Npy {
     }
     try {
       val sized = prepared.map { case (name, frame, is2d) =>
-        val n = frame.count()
+        // one aggregation answers count + rectangularity + width
+        val agg = frame.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+        val n = agg.getLong(0)
         require(n > 0, s"refusing to dump empty npz member '$name'")
-        val rowLen = if (is2d) frame.select(size(col("v"))).head().getInt(0) else 1
-        (name, frame, n, rowLen, is2d)
+        val (lo, hi) = (agg.getInt(1), agg.getInt(2))
+        require(lo == hi, s"ragged array rows in npz member '$name': sizes $lo..$hi")
+        (name, frame, n, lo, is2d)
       }
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -515,12 +540,14 @@ object Npy {
           zos.write(bb.array())
         }
         // one cached scan per member — npz members are separate DEFLATE
-        // streams, so they cannot interleave in a single pass
+        // streams, so they cannot interleave in a single pass. Keys
+        // stream through the LONG payload writer: double staging would
+        // silently round indices above 2^53.
         put("row.npy", npyHeaderBytes("<i8", s"($n,)")) {
-          writePayload(zos, sorted.select(array(col("row_key").cast("double")).as("v")), 1, "<i8")
+          writeLongPayload(zos, sorted.select(col("row_key")))
         }
         put("col.npy", npyHeaderBytes("<i8", s"($n,)")) {
-          writePayload(zos, sorted.select(array(col("col_key").cast("double")).as("v")), 1, "<i8")
+          writeLongPayload(zos, sorted.select(col("col_key")))
         }
         put("data.npy", npyHeaderBytes("<f8", s"($n,)")) {
           writePayload(zos, sorted.select(array(col("value")).as("v")), 1, "<f8")

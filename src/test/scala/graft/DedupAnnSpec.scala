@@ -208,6 +208,15 @@ class DedupAnnSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("16 lowercase hex")
       || Option(ex.getCause).exists(_.getMessage.contains("16 lowercase hex")))
+    // a NULL signature keeps the diagnostic too (raise_error(NULL) would
+    // otherwise throw a message-less RuntimeException)
+    val withNull = Seq((0L, Option("0123456789abcdef")), (1L, Option.empty[String]))
+      .toDF("doc_id", "simhash")
+    val exN = intercept[Exception] {
+      Dedup.simhashCandidates(withNull, "doc_id").collect()
+    }
+    assert(exN.getMessage.contains("16 lowercase hex")
+      || Option(exN.getCause).exists(_.getMessage.contains("16 lowercase hex")))
   }
 
   test("signBucketsMultiProbe: NaN vector components do not crash the probe selection") {
@@ -286,6 +295,12 @@ class DedupAnnSpec extends SparkSpec {
     assert(planesForOccupancy(50000, 50) == 10)
     assert(planesForOccupancy(10, 64) == 1) // clamped low
     assert(planesForOccupancy(Long.MaxValue, 1) == 20) // clamped high
+    // degenerate inputs fail with clean messages, not head()/NPE noise
+    val empty = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 0)
+    val eEmpty = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.embeddingNearDupLshAuto(empty, "vec_id", "embedding", 0.9)
+    }
+    assert(eEmpty.getMessage.contains("empty corpus"))
     // end-to-end: auto-sized run still finds the exact-dup pair and every
     // reported pair carries a verified cosine above threshold
     val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -325,6 +325,54 @@ class SourcesSpec extends SparkSpec {
     f.delete()
   }
 
+  test("dumpNpz: duplicate names and ragged rows abort before touching the file") {
+    import spark.implicits._
+    val good = Seq((0L, 1.0)).toDF("i", "x")
+    val f = java.io.File.createTempFile("graft_guard2", ".npz")
+    graft.sources.Npy.dumpNpz(Seq(("xs", good, "x")), f.getAbsolutePath)
+    val lenBefore = f.length()
+    val eDup = intercept[IllegalArgumentException] {
+      graft.sources.Npy.dumpNpz(
+        Seq(("xs", good, "x"), ("xs", good, "x")), f.getAbsolutePath)
+    }
+    assert(eDup.getMessage.contains("duplicate"))
+    assert(f.length() == lenBefore)
+    val ragged = Seq((0L, Array(1.0, 2.0)), (1L, Array(3.0))).toDF("i", "v")
+    val eRag = intercept[IllegalArgumentException] {
+      graft.sources.Npy.dumpNpz(Seq(("vs", ragged, "v")), f.getAbsolutePath)
+    }
+    assert(eRag.getMessage.contains("ragged"))
+    assert(f.length() == lenBefore)
+    f.delete()
+  }
+
+  test("dumpNpzSparse: keys above 2^53 are written bit-exactly (no double staging)") {
+    import spark.implicits._
+    val bigKey = (1L << 53) + 1 // rounds to 2^53 if staged through double
+    val coo = Seq((bigKey, 0L, 1.0)).toDF("row_key", "col_key", "value")
+    val f = java.io.File.createTempFile("graft_bigkey", ".npzsp")
+    graft.sources.Npy.dumpNpzSparse(coo, bigKey + 1, 1L, f.getAbsolutePath)
+    // read row.npy's first value from the raw bytes — the Spark reader
+    // documents double staging, so assert on the FILE, which scipy reads
+    val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(f))
+    try {
+      var e = zin.getNextEntry
+      while (e != null && e.getName != "row.npy") e = zin.getNextEntry
+      assert(e != null)
+      val bytes = new java.io.DataInputStream(zin)
+      val all = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = bytes.read(buf)
+      while (n > 0) { all.write(buf, 0, n); n = bytes.read(buf) }
+      val raw = all.toByteArray
+      val h = graft.sources.Npy.parseHeader(raw)
+      val first = java.nio.ByteBuffer.wrap(raw, h.dataOffset.toInt, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      assert(first == bigKey, s"double-staged rounding: $first != $bigKey")
+    } finally zin.close()
+    f.delete()
+  }
+
   test("dumpNpz: named members round-trip through loadNpz (1-D and 2-D)") {
     import spark.implicits._
     val xs = Seq(1.5, 2.5, 3.5).zipWithIndex.map { case (v, i) => (i.toLong, v) }
