@@ -285,6 +285,17 @@ object SparkEntry {
           0.3, planes = Some(graft.functions.VectorFunctions.md5SignPlanes(16, 6, 64)))
         .orderBy("id_a", "id_b")
     }),
+    // EXT scale-ADAPTIVE near-dup: planesPerTable is DERIVED from the
+    // corpus count (integer bit-length of ceil(n/64) — mirrored exactly
+    // by the oracle's LENGTH(bin(cells-1))), so this same declared query
+    // keeps constant bucket occupancy from sf0.001 to 100 TB where the
+    // fixed-plane variants above go Θ(n²/2^p) (measured at sf1,
+    // BENCH_NOTES round 5). The sizing count() is an index-build action.
+    "embedding_near_dup_auto" -> ((s, dir) => {
+      Dedup.embeddingNearDupLshAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.4, nTables = 8, targetBucket = 64)
+        .orderBy("id_a", "id_b")
+    }),
     // EXT SimHash per doc, engine-portable md5 variant (hash-checked)
     "simhash_docs" -> ((s, dir) => {
       Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
@@ -743,6 +754,27 @@ object SparkEntry {
        | bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
        |        FROM dots GROUP BY 1, 2)""".stripMargin
 
+  /** [[lshBucketCtes]] with the plane count computed BY THE SQL from the
+    * corpus count — the mirror of `planesForOccupancy`'s integer
+    * bit-length arithmetic (`LENGTH(bin(cells - 1))` ==
+    * 64 - numberOfLeadingZeros(cells - 1); float LOG2 would risk a
+    * cross-engine off-by-one at exact powers of two).
+    */
+  private def lshBucketCtesAuto(nTables: Int, targetBucket: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | pp AS (SELECT GREATEST(1, LEAST(20,
+       |     CASE WHEN cells <= 1 THEN 1 ELSE LENGTH(bin(cells - 1)) END)) AS p
+       |   FROM (SELECT (COUNT(*) + ${targetBucket - 1}) // $targetBucket AS cells FROM embeddings)),
+       | pl AS (SELECT t.t AS t, p.p AS p, i.i AS i,
+       |   CASE WHEN (instr('0123456789abcdef', substr(md5(t.t || ':' || p.p || ':' || i.i), 1, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+       |  FROM (SELECT unnest(range(0, $nTables)) AS t) t,
+       |       (SELECT unnest(range(0, (SELECT p FROM pp))) AS p) p,
+       |       (SELECT unnest(range(0, 64)) AS i) i),
+       | dots AS (SELECT e.vec_id, pl.t, pl.p, list_sum(list(e.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
+       |          FROM e, pl GROUP BY 1, 2, 3),
+       | bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       |        FROM dots GROUP BY 1, 2)""".stripMargin
+
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
@@ -832,6 +864,13 @@ object SparkEntry {
          | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
          |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "embedding_near_dup_auto" ->
+      s"""WITH ${lshBucketCtesAuto(8, 64)},
+         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
+         |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          | cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),

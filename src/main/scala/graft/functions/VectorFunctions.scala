@@ -228,12 +228,18 @@ object VectorFunctions {
     * planes the bucket self-join is Θ(n²/2^planes) — at 10x corpus and
     * unchanged planes the sf1 probe measured the near-dup joins going
     * ~100x (BENCH_NOTES round 5), so the plane count must grow with
-    * log2(n). ceil(log2(n / targetBucket)), clamped to [1, 20]
-    * (2^20 buckets ≈ 1M is plenty; bucket ids are longs).
+    * log2(n). p = ceil(log2(ceil(n / targetBucket))), clamped to
+    * [1, 20] (2^20 buckets ≈ 1M is plenty; bucket ids are longs).
+    *
+    * INTEGER bit-length arithmetic, not floating log2: the value is
+    * mirrored by the DuckDB oracle (`LENGTH(bin(cells - 1))`), and a
+    * float `ceil(log(x)/log(2))` can land on k ± ulp at exact powers of
+    * two — a cross-engine off-by-one here silently changes every bucket.
     */
   def planesForOccupancy(n: Long, targetBucket: Int): Int = {
     require(n > 0 && targetBucket > 0, s"need n > 0, targetBucket > 0 (got $n, $targetBucket)")
-    val p = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    val cells = (n + targetBucket - 1) / targetBucket
+    val p = if (cells <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
     math.max(1, math.min(20, p))
   }
 }

@@ -447,18 +447,20 @@ object Dedup {
   }
 
   /** [[embeddingNearDupLsh]] with the plane count DERIVED from the
-    * corpus: planesPerTable = log2(n / targetBucket)
+    * corpus: planesPerTable = log2(ceil(n / targetBucket))
     * ([[graft.functions.VectorFunctions.planesForOccupancy]]), so mean
     * bucket occupancy — and with it the bucket self-join's cost per
-    * bucket — stays constant as the corpus grows. The two count()/head()
-    * actions are an INDEX-BUILD cost (once per corpus, like fitting IVF
-    * centroids), not per-query work. Fixed-plane configs are Θ(n²/2^p):
-    * correct at one scale, quadratic at 10x (measured — BENCH_NOTES
-    * round 5).
+    * bucket — stays constant as the corpus grows. The sizing action is
+    * an INDEX-BUILD cost (once per corpus, like fitting IVF centroids),
+    * not per-query work. Fixed-plane configs are Θ(n²/2^p): correct at
+    * one scale, quadratic at 10x (measured — BENCH_NOTES round 5).
+    *
+    * Planes are the deterministic md5 sign planes (as good as Gaussian
+    * for sign-LSH — only the projection's sign matters), so the whole
+    * auto-sized operator stays engine-portable and oracle-checkable.
     */
   def embeddingNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nTables: Int = 8, targetBucket: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      threshold: Double, nTables: Int = 8, targetBucket: Int = 64): DataFrame = {
     // ONE action answers corpus size and dimensionality (count + head
     // would scan the upstream plan twice), and empty/null-vector inputs
     // get a clean message instead of a NoSuchElementException from head()
@@ -469,7 +471,8 @@ object Dedup {
     val dim = agg.getInt(1)
     val p = graft.functions.VectorFunctions.planesForOccupancy(n, targetBucket)
     embeddingNearDupLsh(emb, idCol, vecCol, threshold,
-      nTables = nTables, planesPerTable = p, dim = dim, seed = seed)
+      nTables = nTables, planesPerTable = p, dim = dim,
+      planes = Some(graft.functions.VectorFunctions.md5SignPlanes(nTables, p, dim)))
   }
 
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of
