@@ -194,20 +194,35 @@ object Relational {
     * the ids back (broadcast when the distinct set is small — the common
     * case the reference optimizes with factorize).
     *
-    * SCALE WARNING — [[uniqueRowIdsHashed]] is the documented DEFAULT
-    * above ~10^6 distinct tuples: the dense rank here is a
-    * `Window.orderBy` with no partition, i.e. a single-partition sort of
-    * the whole distinct set. That is fine for the low-cardinality
-    * dimension-key case it exists for (the declared query ranks 6
-    * combos) and catastrophic when mis-applied to a high-cardinality
-    * key; the hashed variant is one scan, no shuffle, and its only cost
-    * is ids that are neither dense nor rank-ordered.
+    * The global rank is TWO-PHASE, never a single-partition sort:
+    * range-repartition the distinct set on the sort key (globally
+    * ordered, non-overlapping ranges), row_number within each partition,
+    * then add per-partition offsets (a prefix sum over ONE count per
+    * partition — driver metadata like the sampling strata collects).
+    * Rank values are identical to a global dense_rank for any range
+    * boundary placement: rows are distinct, so local row_number is the
+    * local dense rank, and ordered ranges make offsets exact.
+    * [[uniqueRowIdsHashed]] remains the O(1) alternative when even a
+    * ranked shuffle of the distinct set is unaffordable — its ids are
+    * neither dense nor rank-ordered (documented divergence).
     */
   def uniqueRowIds(df: DataFrame, cols: Seq[String]): DataFrame = {
     val distinctRows = df.select(cols.map(col): _*).distinct()
-    val ids = distinctRows.withColumn(
-      "row_id",
-      dense_rank().over(Window.orderBy(cols.map(col): _*)).cast("long"))
+    val parted = distinctRows
+      .repartitionByRange(cols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = parted.withColumn("_lrn",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(cols.map(col): _*)))
+    // one row per non-empty partition — O(#shuffle-partitions) metadata
+    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val cum = counts.scanLeft(0L)(_ + _._2) // rows in all earlier partitions
+    val offsets = counts.indices.map(i => (counts(i)._1, cum(i)))
+    val offsetDf = df.sparkSession
+      .createDataFrame(offsets).toDF("_pid", "_off")
+    val ids = local.join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn("row_id", (col("_lrn") + col("_off")).cast("long"))
+      .drop("_pid", "_lrn", "_off")
     // null-SAFE join back: distinct() treats null tuples as a group and
     // they carry an id too — a plain equi-join would never match them.
     // No broadcast hint: AQE picks broadcast when the distinct set is

@@ -66,6 +66,27 @@ class RelationalSpec extends SparkSpec {
     assert(ids.map(_.getLong(2)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("uniqueRowIds: two-phase rank equals a global dense rank at high cardinality") {
+    // enough distinct keys to span many range partitions — ids must still
+    // be the 1..n positions of the sorted key order (the plan funnels
+    // nothing through a single partition-less window; offsets do the
+    // global stitching)
+    val df = spark.range(1000).select((col("id") * 7919 % 1000).as("k")) // permuted keys
+    val ids = Relational.uniqueRowIds(df, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ids.size == 1000)
+    assert(ids.values.toSeq.sorted == (1L to 1000L))
+    // rank order == key order
+    assert(ids(0L) == 1L && ids(999L) == 1000L)
+    assert(ids.toSeq.sortBy(_._1).map(_._2) == (1L to 1000L))
+    // and the executed plan carries no partition-less Window (the
+    // single-task global sort this two-phase shape exists to avoid)
+    val plan = Relational.uniqueRowIds(df, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Window \\[[^\\]]*\\], \\[k.*ASC NULLS FIRST\\]\\s*\\n.*")
+      || plan.contains("_pid"), "window must be partitioned by _pid")
+  }
+
   test("diag: row==col entries only (utils.py:323-338)") {
     val coo = Seq((1, 1, 5.0), (1, 2, 6.0), (2, 2, 7.0)).toDF("r", "c", "v")
     val d = Relational.diag(coo, "r", "c").collect()
