@@ -41,10 +41,12 @@ object Coo {
     */
   def sliceAt(coo: DataFrame, rowRange: Option[(Long, Long)] = None,
       colRange: Option[(Long, Long)] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // two-phase rank, not a partition-less dense_rank window: axis label
+    // domains are usually small, but a COO matrix with corpus-scale axes
+    // must not funnel a whole domain through one task
     def ranked(keyCol: String): DataFrame =
-      coo.select(col(keyCol)).distinct()
-        .withColumn("_pos", dense_rank().over(Window.orderBy(col(keyCol))).cast("long") - 1)
+      Relational.twoPhaseDenseIds(coo.select(col(keyCol)).distinct(), Seq(keyCol), "_pos1")
+        .withColumn("_pos", col("_pos1") - 1).drop("_pos1")
     def bound(df: DataFrame, keyCol: String, range: Option[(Long, Long)]): DataFrame =
       range match {
         case None => df

@@ -206,8 +206,17 @@ object Relational {
     * ranked shuffle of the distinct set is unaffordable — its ids are
     * neither dense nor rank-ordered (documented divergence).
     */
-  def uniqueRowIds(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val distinctRows = df.select(cols.map(col): _*).distinct()
+  /** Dense 1..n ids over an already-DISTINCT frame in `cols` sort order —
+    * the two-phase global rank shared by [[uniqueRowIds]] and
+    * `Coo.sliceAt`: range-repartition (ordered, non-overlapping ranges),
+    * row_number per partition, then per-partition prefix-sum offsets
+    * (O(#partitions) driver metadata). Identical to a global dense_rank
+    * for any boundary placement because the input rows are distinct; the
+    * single-task partition-less Window this replaces is the scale
+    * bottleneck.
+    */
+  def twoPhaseDenseIds(distinctRows: DataFrame, cols: Seq[String],
+      as: String = "row_id"): DataFrame = {
     val parted = distinctRows
       .repartitionByRange(cols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
@@ -218,11 +227,15 @@ object Relational {
       .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
     val cum = counts.scanLeft(0L)(_ + _._2) // rows in all earlier partitions
     val offsets = counts.indices.map(i => (counts(i)._1, cum(i)))
-    val offsetDf = df.sparkSession
+    val offsetDf = distinctRows.sparkSession
       .createDataFrame(offsets).toDF("_pid", "_off")
-    val ids = local.join(broadcast(offsetDf), Seq("_pid"))
-      .withColumn("row_id", (col("_lrn") + col("_off")).cast("long"))
+    local.join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(as, (col("_lrn") + col("_off")).cast("long"))
       .drop("_pid", "_lrn", "_off")
+  }
+
+  def uniqueRowIds(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val ids = twoPhaseDenseIds(df.select(cols.map(col): _*).distinct(), cols)
     // null-SAFE join back: distinct() treats null tuples as a group and
     // they carry an id too — a plain equi-join would never match them.
     // No broadcast hint: AQE picks broadcast when the distinct set is
