@@ -110,7 +110,11 @@ object ScaleProbe {
             (f.dataType == LongType || f.dataType == IntegerType)
           if (isKey) (c.cast(LongType) + lit(r * offset)).as(f.name)
           else if (f.name == "text" && r > 0)
-            regexp_replace(c, "(\\S+)", s"$$1x$r").as(f.name)
+            // '§' (§) never occurs in the generated corpus, so
+            // replica-r tokens cannot collide with original tokens that
+            // happen to end in the suffix (e.g. 'ax1' vs 'a'+x1) —
+            // cross-replica shingle sets stay strictly disjoint
+            regexp_replace(c, "(\\S+)", s"$$1§$r").as(f.name)
           else if (f.name == "embedding" && r > 0)
             transform(c, (v, d) =>
               v * when(pmod(xxhash64(lit(r), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))

@@ -143,11 +143,18 @@ object Ann {
       seed: Long = 42L, maxIter: Int = 20): DataFrame = {
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    // cosine KMeans REQUIRES non-zero-norm vectors (fit throws on one
+    // all-zero embedding). Zero vectors are excluded from the fit only;
+    // they still flow through the cell assignment below, which tolerates
+    // them exactly like the md5-sampled variant does.
+    val fitInput = cv
+      .filter(aggregate(col("cv"), lit(0.0d), (a, x) => a + x * x) > 0d)
+      .select(org.apache.spark.ml.functions.array_to_vector(col("cv")).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
       .setDistanceMeasure("cosine") // cell assignment below is cosine too
       .setFeaturesCol("features")
-      .fit(cv.select(org.apache.spark.ml.functions.array_to_vector(col("cv")).as("features")))
+      .fit(fitInput)
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex.toSeq

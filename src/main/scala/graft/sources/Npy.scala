@@ -4,7 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** numpy `.npy` I/O (reference `utils.py:46-57,167-191` npload/npdump):
@@ -157,12 +157,17 @@ object Npy {
   }
 
   /** numpy `.npz` (a zip of `.npy` members, `utils.py:46-57` npz/npzsp):
-    * one DataFrame of (member, idx, value/values) rows. Zip members are
-    * DEFLATE streams with no random access, so the unit of parallelism
-    * is the MEMBER — each task opens the archive, seeks its member, and
-    * streams it (one task per member, members spread across executors).
-    * That is the best any npz consumer can do without re-materializing;
-    * convert to parquet for intra-member parallelism.
+    * one DataFrame of (member, idx, values, lvalues) rows. Zip members
+    * are DEFLATE streams with no random access, so the unit of
+    * parallelism is the MEMBER — each task opens the archive, seeks its
+    * member, and streams it (one task per member, members spread across
+    * executors). That is the best any npz consumer can do without
+    * re-materializing; convert to parquet for intra-member parallelism.
+    *
+    * `values` is the double view of every member; `lvalues` is the
+    * EXACT long view of integer members (null for float members) — the
+    * sparse-index path must read it, because `<i8` values above 2^53
+    * round silently through the double staging.
     */
   def loadNpz(spark: SparkSession, path: String,
       memberFilter: String => Boolean = _ => true): DataFrame = {
@@ -178,8 +183,8 @@ object Npy {
     import spark.implicits._
     if (members.isEmpty) {
       // an archive with no .npy members is an empty frame, not a crash
-      return spark.emptyDataset[(String, Long, Array[Double])]
-        .toDF("member", "idx", "values")
+      return spark.emptyDataset[(String, Long, Array[Double], Array[Long])]
+        .toDF("member", "idx", "values", "lvalues")
     }
     spark.createDataset(members).repartition(members.length)
       .mapPartitions { it =>
@@ -210,33 +215,35 @@ object Npy {
           val rowLen = h.rowLength
           val rowBuf = new Array[Byte](h.rowBytes)
           val memberName = member.stripSuffix(".npy")
+          val isInt = h.descr.startsWith("<i")
           var idx = -1L
-          new Iterator[(String, Long, Array[Double])] {
+          new Iterator[(String, Long, Array[Double], Array[Long])] {
             override def hasNext: Boolean = {
               val more = idx + 1 < h.shape.head
               if (!more) zin.close() // idempotent; frees the handle early
               more
             }
-            override def next(): (String, Long, Array[Double]) = {
+            override def next(): (String, Long, Array[Double], Array[Long]) = {
               idx += 1
               din.readFully(rowBuf)
               val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
               val vals = new Array[Double](rowLen)
+              val longs = if (isInt) new Array[Long](rowLen) else null
               var i = 0
               while (i < rowLen) {
-                vals(i) = h.descr match {
-                  case "<f4" => bb.getFloat.toDouble
-                  case "<f8" => bb.getDouble
-                  case "<i4" => bb.getInt.toDouble
-                  case "<i8" => bb.getLong.toDouble
+                h.descr match {
+                  case "<f4" => vals(i) = bb.getFloat.toDouble
+                  case "<f8" => vals(i) = bb.getDouble
+                  case "<i4" => val l = bb.getInt.toLong; longs(i) = l; vals(i) = l.toDouble
+                  case "<i8" => val l = bb.getLong; longs(i) = l; vals(i) = l.toDouble
                 }
                 i += 1
               }
-              (memberName, idx, vals)
+              (memberName, idx, vals, longs)
             }
           }
         }
-      }.toDF("member", "idx", "values")
+      }.toDF("member", "idx", "values", "lvalues")
   }
 
   /** Read one zip member's full bytes driver-side (for the tiny scalar
@@ -307,10 +314,17 @@ object Npy {
     */
   def loadNpzSparse(spark: SparkSession, path: String): DataFrame = {
     val fmt = sparseFormatOf(spark, path)
+    // index members read the EXACT long view (lvalues) when the member
+    // dtype is integer — the double view rounds above 2^53, corrupting
+    // exactly the big keys dumpNpzSparse's writeLongPayload preserves.
+    // coalesce keeps a (nonstandard) float-typed index member working.
+    def longView: Column =
+      coalesce(element_at(col("lvalues"), 1),
+        element_at(col("values"), 1).cast("long"))
     def member1d(m: DataFrame, name: String, out: String, asLong: Boolean): DataFrame = {
-      val v = element_at(col("values"), 1)
+      val v = if (asLong) longView else element_at(col("values"), 1)
       m.filter(col("member") === name)
-        .select(col("idx").as("pos"), (if (asLong) v.cast("long") else v).as(out))
+        .select(col("idx").as("pos"), v.as(out))
     }
     fmt match {
       case "csr" | "csc" =>
@@ -325,7 +339,7 @@ object Npy {
         val data = member1d(m, "data", "value", asLong = false)
         val minor = member1d(m, "indices", "minor", asLong = true)
         val starts = m.filter(col("member") === "indptr")
-          .select(col("idx").as("major"), element_at(col("values"), 1).cast("long").as("start"))
+          .select(col("idx").as("major"), longView.as("start"))
         // indptr[r+1] re-keyed to r — an equi-join, so the shift scales
         // out instead of funnelling indptr through one window partition
         val ends = starts

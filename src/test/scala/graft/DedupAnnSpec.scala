@@ -287,6 +287,19 @@ class DedupAnnSpec extends SparkSpec {
     assert(again == km)
   }
 
+  test("ivfTopKKMeans: an all-zero embedding does not crash the cosine fit") {
+    // cosine KMeans throws on zero-norm fit vectors; the zero row must be
+    // excluded from the FIT but still flow through cell assignment
+    val pts = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(4)(d => if (i == 7) 0.0 else (i % 5 + d).toDouble))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0)
+    val out = Ann.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 3,
+      nCentroids = 2, nProbe = 2)
+    assert(out.count() > 0) // fit survived; neighbors produced
+  }
+
   test("embeddingNearDupLshAuto: plane count tracks corpus size, pairs stay exact-verified") {
     import graft.functions.VectorFunctions.planesForOccupancy
     // the scaling law itself: occupancy n/2^p held constant

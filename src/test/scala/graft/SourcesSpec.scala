@@ -370,6 +370,12 @@ class SourcesSpec extends SparkSpec {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
       assert(first == bigKey, s"double-staged rounding: $first != $bigKey")
     } finally zin.close()
+    // and the READ path: loadNpzSparse must hand the key back exactly
+    // via the typed long view (lvalues), not the rounded double view
+    val back = graft.sources.Npy.loadNpzSparse(spark, f.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((bigKey, 0L, 1.0)),
+      s"read path rounded the big key: ${back.toSeq}")
     f.delete()
   }
 
@@ -447,7 +453,7 @@ class SourcesSpec extends SparkSpec {
     zos.closeEntry()
     zos.close()
     val out = graft.sources.Npy.loadNpz(spark, f.getAbsolutePath)
-    assert(out.columns.toSeq == Seq("member", "idx", "values"))
+    assert(out.columns.toSeq == Seq("member", "idx", "values", "lvalues"))
     assert(out.count() == 0)
     f.delete()
   }
