@@ -127,7 +127,47 @@ object ScaleProbe {
     }
   }
 
+  /** k-vs-digest-cost probe: times the declared minhash_pairs corpus
+    * (documents + the %7 dup injection) through minhashNearDupPairsMd5
+    * at k=16 (4 md5s/shingle) and k=12 (3 md5s/shingle), 3 runs each,
+    * same bands/caps as SparkEntry. The shingle frame is k-independent
+    * (and cache-shared across variants), so the delta isolates digest +
+    * aggregate + verify work. Usage: runMain graft.ScaleProbe minhashk <sfDir>
+    */
+  private def minhashK(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val u = docs.unionByName(dups)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    u.count()
+    val results = for (k <- Seq(16, 12, 16, 12); it <- 1 to 3) yield
+      time(s"k${k}_i$it") {
+        Dedup.minhashNearDupPairsMd5(u, "doc_id", "text",
+          k = k, bands = 2, shingleK = 3, threshold = 0.8, maxBucket = Some(64))
+      }
+    val qs = results.map { case (n, v, r) => s""""$n":{"sec":$v,"rows":$r}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"minhashk_probe","results":$qs}""")
+    u.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("minhashk")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      minhashK(spark, args.drop(1).headOption.getOrElse("/root/testdata/sf0.1"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("replicate")) {
       require(args.length >= 3, "usage: replicate <srcDir> <dstDir> [factor]")
       val spark = SparkSession.builder()
