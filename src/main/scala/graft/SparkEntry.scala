@@ -240,6 +240,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    // EXT near-dup CLUSTERS: connected components over the pair graph
+    // above (min-label propagation, O(diameter) joined rounds — near-dup
+    // graphs are LSH-bucket quasi-cliques, diameter 2-4 at any corpus
+    // size). cluster_id = min member id, the canonical doc a dedup
+    // pipeline keeps. Oracle replays the same edges through a DuckDB
+    // recursive CTE to the same min-reachable-id fixpoint.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val pairs = Dedup.ngramJaccardPairs(docs.unionByName(dups), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Dedup.dedupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
     // EXT embedding near-duplicate pairs (cosine >= 0.3): deterministic
     // sign-LSH candidates + exact-cosine verify. The O(n^2) all-pairs
     // baseline (Dedup.embeddingNearDup) is spec-only — it measures this
@@ -781,6 +797,27 @@ object SparkEntry {
        |        FROM dots GROUP BY 1, 2)""".stripMargin
 
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
+  /** The ngram-Jaccard pair pipeline CTEs (documents + %7 dup injection
+    * -> word 3-shingles -> df<=128-capped candidate self-join -> exact
+    * Jaccard in `j`) — shared by `ngram_jaccard_pairs` and the
+    * `dedup_clusters` connected-components oracle built on its edges.
+    */
+  private val ngramPairCtes =
+    """u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+      | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM u),
+      | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+      |        FROM w WHERE len(ws) >= 3),
+      | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
+      | rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 128),
+      | shcap AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+      | cand AS (SELECT DISTINCT x.jid AS id_a, y.jid AS id_b
+      |          FROM shcap x JOIN shcap y ON x.sh = y.sh AND x.jid < y.jid),
+      | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
+      |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
+      | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
        | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
@@ -1239,22 +1276,17 @@ object SparkEntry {
         |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
     "ngram_jaccard_pairs" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
-        | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM u),
-        | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-        |        FROM w WHERE len(ws) >= 3),
-        | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
-        | rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 128),
-        | shcap AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
-        | cand AS (SELECT DISTINCT x.jid AS id_a, y.jid AS id_b
-        |          FROM shcap x JOIN shcap y ON x.sh = y.sh AND x.jid < y.jid),
-        | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
-        |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
-        | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-        |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)
-        |SELECT id_a, id_b, jaccard FROM j
-        |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $ngramPairCtes
+         |SELECT id_a, id_b, jaccard FROM j
+         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         | reach AS (SELECT src AS id, src AS r FROM edges
+         |   UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         | q AS (SELECT * FROM e WHERE vec_id < 5),

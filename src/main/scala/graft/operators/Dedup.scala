@@ -590,4 +590,70 @@ object Dedup {
         graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Connected components over near-dup PAIRS — the step every dedup
+    * pipeline needs after [[minhashNearDupPairsMd5]]/[[ngramJaccardPairs]]:
+    * pairs are edges, a component is one duplicate CLUSTER, and its
+    * canonical id is the minimum member id. Output: one (id, cluster_id)
+    * row per doc that appears in any pair (unpaired docs are their own
+    * singleton cluster by definition and are left out — union them back
+    * with cluster_id = id if needed, see [[canonicalizeClusters]]).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min label among itself and its neighbors — one equi-join
+    * on node id + one groupBy(min), both shuffles on the id key, no
+    * driver-side graph. Rounds needed = graph diameter; near-dup graphs
+    * are unions of LSH-bucket quasi-cliques, so diameter is small (2-4)
+    * regardless of corpus size — the O(log n) large-star/small-star
+    * rewrite is not worth its constant factor here. Each round's labels
+    * are persisted and the previous round's freed, so lineage stays one
+    * round deep and re-execution cannot change results (labels are a
+    * deterministic function of the persisted edge set). Convergence is
+    * one LIMIT-1 probe per round on the changed-labels filter (a
+    * metadata-scale action, like the sampling strata collects).
+    */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dl")).as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("_old"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("cluster_id") =!= col("_old")).limit(1).isEmpty
+      labels.unpersist() // next is materialized by the probe above
+      labels = next.select("id", "cluster_id")
+      i += 1
+    }
+    require(converged, s"dedupClusters did not converge in $maxIter rounds " +
+      "(graph diameter exceeds maxIter — raise it; near-dup graphs are " +
+      "quasi-cliques and converge in a handful)")
+    labels
+  }
+
+  /** Canonical-doc selection from [[dedupClusters]] labels: every doc
+    * keeps its cluster id (its own id when unpaired — the singleton
+    * clusters dedupClusters leaves implicit), and `keep` marks the one
+    * representative (min id) per cluster. `docs.filter(col("keep"))` is
+    * the deduplicated corpus; the rest are the removal candidates with
+    * their cluster provenance.
+    */
+  def canonicalizeClusters(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame =
+    docs
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
 }

@@ -352,4 +352,35 @@ class DedupAnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall") // 8 tables x 4 planes
   }
+
+  test("dedupClusters: components reach the min id across a chain") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 forces >1 propagation round), pair 10-11,
+    // plus a pair whose smaller id arrives via id_b (order must not matter)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupClusters: maxIter too small for the diameter raises loudly") {
+    import spark.implicits._
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("canonicalizeClusters: keep = min id per cluster, singletons keep themselves") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 99L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val clusters = Dedup.dedupClusters(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+    val out = Dedup.canonicalizeClusters(docs, "doc_id", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (99L, 99L, true))) // 99 never paired: its own singleton cluster
+  }
 }
