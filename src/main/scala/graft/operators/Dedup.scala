@@ -614,12 +614,21 @@ object Dedup {
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // no distinct(): every consumer is a min-aggregation, where duplicate
+    // edges cannot change the result — deduping here would cost a full
+    // shuffle of the edge frame for nothing (callers feeding massively
+    // duplicated pair lists should dedup upstream to shrink the joins)
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // initial labels FUSE the first propagation round: min(self, direct
+    // neighbors) falls out of one groupBy over the edge list (every node
+    // appears as src because edges are bidirected) — same shuffle the
+    // node-set distinct() would cost, one fewer join round. Pairs and
+    // cliques converge after a single confirming round from here.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
