@@ -128,22 +128,28 @@ object ScaleProbe {
   }
 
   /** k-vs-digest-cost probe: times the declared minhash_pairs corpus
-    * (documents + the %7 dup injection) through minhashNearDupPairsMd5
-    * at k=16 (4 md5s/shingle) and k=12 (3 md5s/shingle), 3 runs each,
-    * same bands/caps as SparkEntry. The shingle frame is k-independent
-    * (and cache-shared across variants), so the delta isolates digest +
-    * aggregate + verify work. Usage: runMain graft.ScaleProbe minhashk <sfDir>
+    * (documents + the %7 dup injection, same construction as
+    * SparkEntry.injectedDocs) through minhashNearDupPairsMd5 at k=16
+    * (4 md5s/shingle) and k=12 (3 md5s/shingle) — a cold pass then a
+    * warm pass of 3 runs each, same bands/caps as SparkEntry. NOTE each
+    * call persists its OWN shingle frame (persist identity is per
+    * DataFrame object), so nothing is cache-shared between runs: every
+    * run pays the same shingle rebuild, which is k-independent — the
+    * warm-pass delta therefore isolates digest + aggregate + verify
+    * work. Compare the warm passes; the cold pass absorbs first-touch
+    * parquet/codegen costs. Usage: runMain graft.ScaleProbe minhashk <sfDir>
     */
   private def minhashK(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.Dedup
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val dups = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-    val u = docs.unionByName(dups)
+    val u = SparkEntry.injectedDocs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     u.count()
-    val results = for (k <- Seq(16, 12, 16, 12); it <- 1 to 3) yield
-      time(s"k${k}_i$it") {
+    val results = for {
+      pass <- Seq("cold", "warm")
+      k <- Seq(16, 12)
+      it <- 1 to 3
+    } yield
+      time(s"k${k}_${pass}_i$it") {
         Dedup.minhashNearDupPairsMd5(u, "doc_id", "text",
           k = k, bands = 2, shingleK = 3, threshold = 0.8, maxBucket = Some(64))
       }

@@ -29,6 +29,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The dedup-query corpus: documents plus one injected duplicate of
+    * every %7 doc (ids offset by 100000). ONE definition shared by every
+    * dedup/clustering query and the ScaleProbe minhashk probe — the
+    * DuckDB oracles mirror it as the `u` CTE, and a recipe change here
+    * must change those CTEs in lockstep or the hash checks fail.
+    */
+  private[graft] def injectedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.unionByName(dups)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("vc_returnflag")(spark, "/root/testdata/sf0.001")
@@ -217,10 +230,7 @@ object SparkEntry {
     }),
     // EXT exact dedup over a corpus with injected duplicates
     "dedup_exact_docs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val dups = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.exactGroups(docs.unionByName(dups), "text", "doc_id")
+      Dedup.exactGroups(injectedDocs(s, dir), "text", "doc_id")
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     }),
@@ -232,10 +242,7 @@ object SparkEntry {
     // pairs are re-verified on FULL shingle sets, and the oracle mirrors
     // the same df cap before its self-join.
     "ngram_jaccard_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val dups = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.ngramJaccardPairs(docs.unionByName(dups), "doc_id", "text", 3, 0.9,
+      Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id", "text", 3, 0.9,
           maxShingleDf = Some(128))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
@@ -247,10 +254,7 @@ object SparkEntry {
     // pipeline keeps. Oracle replays the same edges through a DuckDB
     // recursive CTE to the same min-reachable-id fixpoint.
     "dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val dups = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      val pairs = Dedup.ngramJaccardPairs(docs.unionByName(dups), "doc_id",
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
         "text", 3, 0.9, maxShingleDf = Some(128))
       Dedup.dedupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
@@ -291,10 +295,7 @@ object SparkEntry {
     // a crawl with 10^6 copies of one page it is the difference between
     // a bounded join and a 10^12-pair stage. Oracle mirrors the cap.
     "minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val dups = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.minhashNearDupPairsMd5(docs.unionByName(dups), "doc_id", "text",
+      Dedup.minhashNearDupPairsMd5(injectedDocs(s, dir), "doc_id", "text",
           k = 12, bands = 2, shingleK = 3, threshold = 0.8,
           maxBucket = Some(64))
         .orderBy("id_a", "id_b")
@@ -663,10 +664,7 @@ object SparkEntry {
     // lowest id) -> top 100 by quality — the composed pipeline shape a
     // training-data run uses, fully oracle-checkable
     "pipeline_clean_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val dups = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      val deduped = Dedup.exactDedup(docs.unionByName(dups), "text", "doc_id")
+      val deduped = Dedup.exactDedup(injectedDocs(s, dir), "text", "doc_id")
       val scored = deduped.withColumn("quality", TextFunctions.qualityScore(col("text")))
       Relational.topK(scored, 100, col("quality").desc, col("doc_id").asc)
         .select("doc_id", "quality")
@@ -796,7 +794,6 @@ object SparkEntry {
        | bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
        |        FROM dots GROUP BY 1, 2)""".stripMargin
 
-  /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   /** The ngram-Jaccard pair pipeline CTEs (documents + %7 dup injection
     * -> word 3-shingles -> df<=128-capped candidate self-join -> exact
     * Jaccard in `j`) — shared by `ngram_jaccard_pairs` and the
@@ -818,6 +815,7 @@ object SparkEntry {
       | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
       |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)""".stripMargin
 
+  /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
        | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *

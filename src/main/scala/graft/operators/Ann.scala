@@ -150,6 +150,13 @@ object Ann {
     val fitInput = cv
       .filter(aggregate(col("cv"), lit(0.0d), (a, x) => a + x * x) > 0d)
       .select(org.apache.spark.ml.functions.array_to_vector(col("cv")).as("features"))
+    // loud guard instead of MLlib's opaque internal error: the fit needs
+    // at least nCentroids non-zero vectors. limit() bounds the probe —
+    // it scans only until nCentroids rows are found, not the corpus.
+    require(fitInput.limit(nCentroids).count() == nCentroids,
+      s"ivfTopKKMeans needs >= $nCentroids non-zero-norm vectors to fit " +
+        s"a $nCentroids-centroid cosine codebook (zero vectors are " +
+        "excluded from the fit)")
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
       .setDistanceMeasure("cosine") // cell assignment below is cosine too

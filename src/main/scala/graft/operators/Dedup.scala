@@ -641,8 +641,13 @@ object Dedup {
         .select(col("id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("cluster_id") =!= col("_old")).limit(1).isEmpty
-      labels.unpersist() // next is materialized by the probe above
+      // count(), NOT a limit(1) short-circuit: the probe must scan EVERY
+      // partition so `next` is fully cached before the previous round is
+      // freed below — a partial probe would leave uncached partitions
+      // whose recompute after unpersist cascades through all prior
+      // rounds' lineage (quadratic in diameter, silently)
+      converged = next.filter(col("cluster_id") =!= col("_old")).count() == 0
+      labels.unpersist() // next is fully materialized by the count above
       labels = next.select("id", "cluster_id")
       i += 1
     }

@@ -220,17 +220,18 @@ object Relational {
     val parted = distinctRows
       .repartitionByRange(cols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-    // persisted BEFORE the counts collect: RangePartitioner boundaries
-    // come from a fresh reservoir sample on every execution (and AQE may
-    // re-coalesce), so an unpersisted plan could assign rows to different
-    // partitions on the second run than the ones the offsets were
-    // computed from — duplicate/non-dense ids. The persist pins ONE
-    // materialized partitioning that both the collect and the returned
-    // join read. MEMORY_AND_DISK + LRU, lazily outliving the call like
-    // every persist in this repo.
+    // localCheckpoint BEFORE the counts collect: RangePartitioner
+    // boundaries come from a fresh reservoir sample on every execution
+    // (and AQE may re-coalesce), so re-executing this plan could assign
+    // rows to different partitions than the ones the offsets were
+    // computed from — duplicate/non-dense ids. A plain persist is not
+    // enough at cluster scale: losing a cached block silently recomputes
+    // it under NEW boundaries. localCheckpoint severs the lineage, so a
+    // lost block fails the job LOUDLY (rerun) instead of corrupting ids
+    // — the right trade for an id-assignment primitive.
     val local = parted.withColumn("_lrn",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(cols.map(col): _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // one row per non-empty partition — O(#shuffle-partitions) metadata
     val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
