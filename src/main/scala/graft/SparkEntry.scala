@@ -300,6 +300,24 @@ object SparkEntry {
           maxBucket = Some(64))
         .orderBy("id_a", "id_b")
     }),
+    // EXT cross-corpus near-dup: incoming batch (exact copies of the %7
+    // docs + %11 docs with one appended token, J ~ 0.97) matched against
+    // the documents corpus WITHOUT a self-join — the incremental
+    // ingestion shape. Corpus band signatures are the reusable index;
+    // maxBucket=64 caps corpus-side buckets (a page mirrored 10^6 times
+    // would otherwise pair with every incoming doc in its bucket).
+    "minhash_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val exactIn = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val nearIn = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      Dedup.minhashNearDupAgainstMd5(docs, exactIn.unionByName(nearIn),
+          "doc_id", "text", k = 12, bands = 2, shingleK = 3,
+          threshold = 0.8, maxBucket = Some(64))
+        .orderBy("id_a", "id_b")
+    }),
     // EXT embedding near-dup, precision-lean LSH config (16 tables x 6
     // planes — narrower buckets, fewer candidates than the 8x4 headline)
     "embedding_near_dup_lsh" -> ((s, dir) => {
@@ -1277,6 +1295,36 @@ object SparkEntry {
       s"""WITH $ngramPairCtes
          |SELECT id_a, id_b, jaccard FROM j
          |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "minhash_against" -> {
+      val minCols = (0 until 12)
+        .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+        .mkString(", ")
+      val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
+      val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
+      s"""WITH c AS (SELECT doc_id, text FROM documents),
+         | inc AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0),
+         | wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM c),
+         | shc AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |         FROM wc WHERE len(ws) >= 3),
+         | wi AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM inc),
+         | shi AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |         FROM wi WHERE len(ws) >= 3),
+         | mhc AS (SELECT jid, $minCols FROM shc GROUP BY jid),
+         | mhi AS (SELECT jid, $minCols FROM shi GROUP BY jid),
+         | bc AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhc UNION ALL SELECT jid, 1, $sig1 FROM mhc),
+         | bi AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhi UNION ALL SELECT jid, 1, $sig1 FROM mhi),
+         | okc AS (SELECT band, bsig FROM bc GROUP BY band, bsig HAVING COUNT(*) <= 64),
+         | bcc AS (SELECT bc.* FROM bc JOIN okc USING (band, bsig)),
+         | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM bcc a JOIN bi b USING (band, bsig)),
+         | szc AS (SELECT jid, COUNT(*) AS sz FROM shc GROUP BY 1),
+         | szi AS (SELECT jid, COUNT(*) AS sz FROM shi GROUP BY 1),
+         | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
+         |           JOIN shc x ON x.jid = id_a JOIN shi y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
+         | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |       FROM inter JOIN szc sa ON sa.jid = id_a JOIN szi sb ON sb.jid = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
     "dedup_clusters" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),

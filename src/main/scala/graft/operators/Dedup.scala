@@ -324,12 +324,21 @@ object Dedup {
         explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one projection materializes the k/4 md5s; the k min-aggregates
-    // slice them (recomputing md5 inside each aggregate would do 4x the
-    // digest work). A fused all-slices kernel expression was tried and
-    // measured SLOWER (65 s vs 45-58 s at 210k docs) — the builtin md5
-    // over UTF8String bytes plus zero-copy substring views already beats
-    // a hand-rolled digest loop; keep the composed form.
+    val banded = md5BandedSigs(sh, k, bands)
+    val cands = selfJoinBuckets(banded, "jid", Seq("band", "bsig"), maxBucket)
+    verifyJaccardOnCandidates(cands, sh, threshold)
+  }
+
+  /** The md5-slice band signatures for a (jid, sh) shingle frame: one
+    * (jid, band, bsig) row per document and band. One projection
+    * materializes the k/4 md5s; the k min-aggregates slice them
+    * (recomputing md5 inside each aggregate would do 4x the digest
+    * work). A fused all-slices kernel expression was tried and measured
+    * SLOWER (65 s vs 45-58 s at 210k docs) — the builtin md5 over
+    * UTF8String bytes plus zero-copy substring views already beats a
+    * hand-rolled digest loop; keep the composed form.
+    */
+  private def md5BandedSigs(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val withMd5 = sh.select(
       col("jid") +: col("sh") +:
         (0 until k / 4).map(s => md5(concat(lit(s"$s:"), col("sh"))).as(s"m$s")): _*)
@@ -338,12 +347,73 @@ object Dedup {
     }
     val sigs = withMd5.groupBy(col("jid")).agg(mins.head, mins.tail: _*)
     val rows = k / bands
-    val banded = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       sigs.select(col("jid"), lit(b).as("band"),
         concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
     }.reduce(_ unionByName _)
-    val cands = selfJoinBuckets(banded, "jid", Seq("band", "bsig"), maxBucket)
-    verifyJaccardOnCandidates(cands, sh, threshold)
+  }
+
+  /** Cross-corpus MinHash near-dup: match INCOMING documents against an
+    * EXISTING corpus without the self-join — the incremental-ingestion
+    * shape (dedup a new crawl against the training set) where
+    * [[minhashNearDupPairsMd5]]'s all-in-one-frame self-join would
+    * wastefully re-pair the corpus against itself. Same md5-slice
+    * signature scheme, engine-portable.
+    *
+    * Scale shape: both sides shingle + signature independently (the
+    * corpus side is an INDEX BUILD — persist or write out its banded
+    * signatures once and reuse across ingestion batches); candidates
+    * come from an equi-join of incoming bands to corpus bands, so cost
+    * is |incoming buckets| x occupancy, never |corpus|^2. `maxBucket`
+    * caps the CORPUS bucket size (window count over (band, bsig), the
+    * same guard shape as the self-join variant): a page mirrored 10^6
+    * times in the corpus would otherwise pair with every incoming doc
+    * that lands in its bucket. Verification is exact Jaccard across the
+    * two shingle frames. Output: (corpus_id, incoming_id, jaccard) —
+    * ids may overlap between the frames (they are distinct keyspaces).
+    */
+  def minhashNearDupAgainstMd5(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int = 12, bands: Int = 2,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("jid"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shC = shingled(corpus)
+    val shI = shingled(incoming)
+    val bandedC = {
+      val b = md5BandedSigs(shC, k, bands)
+      maxBucket match {
+        case Some(cap) => b
+          .withColumn("_bn",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bsig"))))
+          .filter(col("_bn") <= cap).drop("_bn")
+        case None => b
+      }
+    }
+    val bandedI = md5BandedSigs(shI, k, bands)
+    val cands = bandedC.select(col("jid").as("id_a"), col("band"), col("bsig"))
+      .join(bandedI.select(col("jid").as("id_b"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .select("id_a", "id_b").distinct()
+    // exact Jaccard across the two shingle frames (no df-prune here: a
+    // corpus-side df-1 shingle can still intersect an incoming doc)
+    val sizesC = shC.groupBy(col("jid").as("id_a")).agg(count(lit(1)).as("sz_a"))
+    val sizesI = shI.groupBy(col("jid").as("id_b")).agg(count(lit(1)).as("sz_b"))
+    val inter = cands
+      .join(shC.select(col("jid").as("id_a"), col("sh")), Seq("id_a"))
+      .join(shI.select(col("jid").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesC, Seq("id_a")).join(sizesI, Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Row-local md5-slice MinHash band signatures — the same scheme as

@@ -374,6 +374,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("minhashNearDupAgainstMd5: incoming matches corpus, no corpus self-pairs") {
+    import spark.implicits._
+    val mk = (words: Seq[String]) => words.mkString(" ")
+    val base = (0 until 12).map(w => s"w$w")
+    val corpus = Seq(
+      (1L, mk(base)),
+      (2L, mk(base.map(w => w + "x"))), // disjoint shingles from doc 1
+      (3L, mk(base))                    // corpus-internal dup of 1 — must NOT pair
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, mk(base)),                  // exact copy of corpus 1 and 3
+      (11L, mk(base :+ "zq")),          // near copy (1 appended token)
+      (12L, mk((0 until 12).map(w => s"v$w"))) // matches nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupAgainstMd5(corpus, incoming, "doc_id", "text",
+        k = 12, bands = 2, shingleK = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 10L), (1L, 11L), (3L, 11L)))
+    // corpus-side bucket cap: docs 1 and 3 share every band bucket, so
+    // cap=1 drops that bucket entirely — no pairs survive for them
+    val capped = Dedup.minhashNearDupAgainstMd5(corpus, incoming, "doc_id", "text",
+        k = 12, bands = 2, shingleK = 3, threshold = 0.8, maxBucket = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set.empty)
+  }
+
   test("canonicalizeClusters: keep = min id per cluster, singletons keep themselves") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 99L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
