@@ -318,6 +318,27 @@ object SparkEntry {
           threshold = 0.8, maxBucket = Some(64))
         .orderBy("id_a", "id_b")
     }),
+    // EXT stream-ingestion near-dup: the STATELESS stream-static-join
+    // variant of minhash_against — per-row signatures against a prebuilt
+    // corpus band index, scored by signature agreement (the MinHash
+    // Jaccard estimate) instead of exact shingle Jaccard. Same function
+    // the streaming spec drives through a MemoryStream; batch-symmetric
+    // here, like the other declared streaming queries.
+    "minhash_against_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val exactIn = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val nearIn = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      val index = Dedup.minhashBandIndexMd5(docs, "doc_id", "text",
+        k = 12, bands = 2, shingleK = 3, maxBucket = Some(64))
+      graft.streaming.StreamOps.minhashAgainstStream(index,
+          exactIn.unionByName(nearIn), k = 12, bands = 2, shingleK = 3,
+          threshold = 0.8)
+        .select("corpus_id", "doc_id", "est_jaccard").distinct()
+        .orderBy("corpus_id", "doc_id")
+    }),
     // EXT embedding near-dup, precision-lean LSH config (16 tables x 6
     // planes — narrower buckets, fewer candidates than the 8x4 headline)
     "embedding_near_dup_lsh" -> ((s, dir) => {
@@ -1324,6 +1345,36 @@ object SparkEntry {
          | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
          |       FROM inter JOIN szc sa ON sa.jid = id_a JOIN szi sb ON sb.jid = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
+    "minhash_against_stream" -> {
+      val minCols = (0 until 12)
+        .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+        .mkString(", ")
+      val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
+      val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
+      val agree = (0 until 12)
+        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH c AS (SELECT doc_id, text FROM documents),
+         | inc AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+         |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0),
+         | wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM c),
+         | shc AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |         FROM wc WHERE len(ws) >= 3),
+         | wi AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM inc),
+         | shi AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |         FROM wi WHERE len(ws) >= 3),
+         | mhc AS (SELECT jid, $minCols FROM shc GROUP BY jid),
+         | mhi AS (SELECT jid, $minCols FROM shi GROUP BY jid),
+         | bc AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhc UNION ALL SELECT jid, 1, $sig1 FROM mhc),
+         | bi AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhi UNION ALL SELECT jid, 1, $sig1 FROM mhi),
+         | okc AS (SELECT band, bsig FROM bc GROUP BY band, bsig HAVING COUNT(*) <= 64),
+         | bcc AS (SELECT bc.* FROM bc JOIN okc USING (band, bsig)),
+         | cand AS (SELECT DISTINCT a.jid AS ca, b.jid AS ib FROM bcc a JOIN bi b USING (band, bsig)),
+         | est AS (SELECT ca AS corpus_id, ib AS doc_id,
+         |          CAST($agree AS DOUBLE) / 12 AS est_jaccard
+         |         FROM cand JOIN mhc a ON a.jid = ca JOIN mhi b ON b.jid = ib)
+         |SELECT corpus_id, doc_id, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.8 ORDER BY corpus_id, doc_id""".stripMargin
     },
     "dedup_clusters" ->
       s"""WITH RECURSIVE $ngramPairCtes,

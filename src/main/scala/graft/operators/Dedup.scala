@@ -339,18 +339,60 @@ object Dedup {
     * hand-rolled digest loop; keep the composed form.
     */
   private def md5BandedSigs(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val sigs = md5SliceSigFrame(sh, k)
+    val rows = k / bands
+    (0 until bands).map { b =>
+      sigs.select(col("jid"), lit(b).as("band"),
+        concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The (jid, h0..h{k-1}) md5-slice minima frame behind every md5
+    * MinHash variant. */
+  private def md5SliceSigFrame(sh: DataFrame, k: Int): DataFrame = {
     val withMd5 = sh.select(
       col("jid") +: col("sh") +:
         (0 until k / 4).map(s => md5(concat(lit(s"$s:"), col("sh"))).as(s"m$s")): _*)
     val mins = (0 until k).map { i =>
       min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
     }
-    val sigs = withMd5.groupBy(col("jid")).agg(mins.head, mins.tail: _*)
+    withMd5.groupBy(col("jid")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** The REUSABLE corpus-side band index for stream-ingestion matching
+    * ([[graft.streaming.StreamOps.minhashAgainstStream]]): one
+    * (corpus_id, band, bsig, sig) row per document and band, `sig` the
+    * full k-minima array for the agreement estimate. Build once per
+    * corpus (or persist/write it out) and match every ingestion batch
+    * against it — the index build is the only corpus scan. `maxBucket`
+    * is the same skew guard as the join variants: drop buckets a
+    * mirrored-10^6-times page would flood, HERE at build time so every
+    * later batch inherits the bound.
+    */
+  def minhashBandIndexMd5(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 2, shingleK: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val sh = corpus
+      .select(col(idCol).as("jid"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sigs = md5SliceSigFrame(sh, k)
     val rows = k / bands
-    (0 until bands).map { b =>
-      sigs.select(col("jid"), lit(b).as("band"),
-        concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
+    val sigArr = array((0 until k).map(i => col(s"h$i")): _*)
+    val banded = (0 until bands).map { b =>
+      sigs.select(col("jid").as("corpus_id"), lit(b).as("band"),
+        concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"),
+        sigArr.as("sig"))
     }.reduce(_ unionByName _)
+    maxBucket match {
+      case Some(cap) => banded
+        .withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bsig"))))
+        .filter(col("_bn") <= cap).drop("_bn")
+      case None => banded
+    }
   }
 
   /** Cross-corpus MinHash near-dup: match INCOMING documents against an

@@ -220,6 +220,56 @@ object StreamOps {
         })
   }
 
+  /** STATELESS stream-vs-corpus near-dup matching: every arriving doc is
+    * checked against a PREBUILT static corpus band index
+    * ([[graft.operators.Dedup.minhashBandIndexMd5]]) via a stream-static
+    * equi-join — no state store, no watermark, no shuffle of the stream
+    * side beyond the join itself. This is the ingestion-time shape for
+    * "is this new page already in the training set": the corpus index is
+    * built once (and refreshed on the corpus's own cadence), each
+    * micro-batch just joins it.
+    *
+    * Per-row band signatures come from the shared row-local kernel
+    * ([[graft.operators.Dedup.minhashSliceMins]] — the same md5-slice
+    * scheme as the batch index, so stream and batch agree bucket for
+    * bucket). The match score is the full-signature agreement fraction
+    * (the unbiased MinHash Jaccard estimate), computed engine-side with
+    * zip_with — exact verification needs shingle sets and stays a batch
+    * concern ([[graft.operators.Dedup.minhashNearDupAgainstMd5]]).
+    *
+    * Emits one row per (band, corpus-mate) hit; a pair sharing both
+    * bands appears twice with the same estimate — dedup downstream
+    * (distinct in batch, dropDuplicatesWithinWatermark in streaming).
+    * Works unchanged on a batch frame (the spec strategy).
+    */
+  def minhashAgainstStream(index: DataFrame, docs: DataFrame, k: Int = 12,
+      bands: Int = 2, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val minsUdf = udf((text: String) =>
+      graft.operators.Dedup.minhashSliceMins(text, k, shingleK))
+    val rows = k / bands
+    // too-short docs yield an empty minima array: no bucket, no match —
+    // the batch pipeline's posture for unshingleable docs
+    val withMins = docs
+      .withColumn("_mins", minsUdf(col("text")))
+      .filter(size(col("_mins")) === k)
+    val banded = withMins.select(col("doc_id"), col("_mins"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat((b * rows until (b + 1) * rows)
+            .map(i => element_at(col("_mins"), i + 1)): _*).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("_mins"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    banded.join(index, Seq("band", "bsig"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("_mins"), col("sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("corpus_id"), col("doc_id"), col("band"), col("est_jaccard"))
+  }
+
   /** Stateful streaming MinHash with SIGNATURES in state — the near-dup
     * upgrade over [[minhashNearDupStream]] (which keeps only member ids
     * and can therefore only say "same band signature", i.e. it catches

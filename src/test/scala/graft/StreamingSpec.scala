@@ -229,6 +229,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_wm_out").count() == evs.size)
   }
 
+  test("minhashAgainstStream: stream-static join equals batch, exact copy scores 1.0") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val mk = (words: Seq[String]) => words.mkString(" ")
+    val base = (0 until 12).map(w => s"w$w")
+    val corpus = Seq((1L, mk(base)), (2L, mk(base.map(_ + "x"))))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashBandIndexMd5(
+      corpus, "doc_id", "text", k = 12, bands = 2, shingleK = 3)
+    val incoming = Seq(
+      DocText(10L, mk(base)),            // exact copy of corpus 1
+      DocText(11L, mk(base :+ "zq")),    // near copy
+      DocText(12L, mk((0 until 12).map(w => s"v$w"))), // novel
+      DocText(13L, "too short"))         // unshingleable: no bucket
+    val mem = MemoryStream[DocText]
+    mem.addData(incoming: _*)
+    val q = StreamOps.minhashAgainstStream(index, mem.toDF(),
+        k = 12, bands = 2, shingleK = 3, threshold = 0.8)
+      .writeStream.format("memory").queryName("against_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("against_out")
+      .select("corpus_id", "doc_id", "est_jaccard").distinct()
+      .orderBy("corpus_id", "doc_id").collect().map(_.toSeq).toSeq
+    val batch = StreamOps.minhashAgainstStream(index,
+        incoming.toDF().select(col("doc_id"), col("text")),
+        k = 12, bands = 2, shingleK = 3, threshold = 0.8)
+      .select("corpus_id", "doc_id", "est_jaccard").distinct()
+      .orderBy("corpus_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    val byDoc = streamed.map(r => r(1) -> (r(0), r(2))).toMap
+    assert(byDoc(10L) == ((1L, 1.0))) // exact copy: all 12 minima agree
+    assert(byDoc.contains(11L))       // near copy matches corpus 1
+    assert(!byDoc.contains(12L) && !byDoc.contains(13L))
+  }
+
   test("runningValueCounts on a stream (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
