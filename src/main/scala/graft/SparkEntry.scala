@@ -260,6 +260,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
+    // EXT the end-to-end DEDUPLICATED CORPUS: clusters -> min-id
+    // representative per cluster (+ every unpaired doc as its own
+    // singleton) with the cluster size as removal provenance — what a
+    // training run actually materializes after near-dup detection.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = injectedDocs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9,
+        maxShingleDf = Some(128))
+      val clusters = Dedup.dedupClusters(pairs)
+      val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      Dedup.canonicalizeClusters(docs, "doc_id", clusters)
+        .filter(col("keep"))
+        .join(sizes, Seq("cluster_id"), "left")
+        .na.fill(1L, Seq("n_members"))
+        .select(col("doc_id"), col("n_members"))
+        .orderBy("doc_id")
+    }),
     // EXT embedding near-duplicate pairs (cosine >= 0.3): deterministic
     // sign-LSH candidates + exact-cosine verify. The O(n^2) all-pairs
     // baseline (Dedup.embeddingNearDup) is spec-only — it measures this
@@ -1384,6 +1401,18 @@ object SparkEntry {
          |   UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         | reach AS (SELECT src AS id, src AS r FROM edges
+         |   UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         | cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         | sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY 1),
+         | keepers AS (SELECT cluster_id AS doc_id, n_members FROM sz
+         |             UNION ALL
+         |             SELECT doc_id, CAST(1 AS BIGINT) FROM u WHERE doc_id NOT IN (SELECT id FROM cl))
+         |SELECT doc_id, n_members FROM keepers ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         | q AS (SELECT * FROM e WHERE vec_id < 5),
