@@ -265,6 +265,31 @@ class StreamingSpec extends SparkSpec {
     assert(!byDoc.contains(12L) && !byDoc.contains(13L))
   }
 
+  test("minhashAgainstStream: streaming dropDuplicates collapses multi-band hits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val mk = (words: Seq[String]) => words.mkString(" ")
+    val base = (0 until 12).map(w => s"w$w")
+    val corpus = Seq((1L, mk(base))).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashBandIndexMd5(
+      corpus, "doc_id", "text", k = 12, bands = 2, shingleK = 3)
+    val mem = MemoryStream[DocText]
+    mem.addData(DocText(10L, mk(base))) // exact copy: hits BOTH bands
+    // the documented downstream contract: per-band rows dedup to one
+    // row per (corpus_id, doc_id) pair — IN the stream, not post-hoc
+    val q = StreamOps.minhashAgainstStream(index, mem.toDF(),
+        k = 12, bands = 2, shingleK = 3, threshold = 0.8)
+      .drop("band").dropDuplicates("corpus_id", "doc_id")
+      .writeStream.format("memory").queryName("against_dd_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("against_dd_out").collect()
+    assert(rows.length == 1) // both band hits collapsed in-stream
+    assert(rows.head.getAs[Long]("corpus_id") == 1L)
+    assert(rows.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
   test("runningValueCounts on a stream (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
