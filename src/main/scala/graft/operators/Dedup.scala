@@ -711,18 +711,28 @@ object Dedup {
     * singleton cluster by definition and are left out — union them back
     * with cluster_id = id if needed, see [[canonicalizeClusters]]).
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the min label among itself and its neighbors — one equi-join
-    * on node id + one groupBy(min), both shuffles on the id key, no
-    * driver-side graph. Rounds needed = graph diameter; near-dup graphs
-    * are unions of LSH-bucket quasi-cliques, so diameter is small (2-4)
-    * regardless of corpus size — the O(log n) large-star/small-star
-    * rewrite is not worth its constant factor here. Each round's labels
-    * are persisted and the previous round's freed, so lineage stays one
-    * round deep and re-execution cannot change results (labels are a
-    * deterministic function of the persisted edge set). Convergence is
-    * one LIMIT-1 probe per round on the changed-labels filter (a
-    * metadata-scale action, like the sampling strata collects).
+    * Algorithm: min-label propagation WITH POINTER JUMPING. Each round
+    * every node takes the min of (its label, its neighbors' labels, its
+    * label's label) — the neighbor-min is one equi-join + groupBy(min)
+    * on the id key, the jump (label(label(u))) one more equi-join, no
+    * driver-side graph. Neighbor-min alone needs diameter rounds — fine
+    * for LSH-bucket quasi-cliques (diameter 2-4) but a CHAIN of
+    * drifting near-dups (doc i ~ doc i+1) is diameter n; the jump
+    * halves label-path lengths every round, so convergence is
+    * O(log diameter) on any graph (the pointer-doubling half of
+    * classic PRAM connectivity). Correctness invariant: label(u) is
+    * always the id of a node in u's component and only decreases; both
+    * the neighbor-min and the jump preserve it, and the fixpoint of
+    * the combined step is the component minimum.
+    *
+    * Each round's labels are eagerly localCheckpoint'ed: the jump makes
+    * every round reference the previous one THREE times, so a merely
+    * persisted plan (which caches data but keeps the full logical plan)
+    * grows ~3x per round — exponential plan text that OOMs the driver
+    * around round 10. The checkpoint severs the logical plan to a flat
+    * scan each round (and fully materializes it, so convergence counts
+    * read cached blocks); superseded rounds are reclaimed by the
+    * ContextCleaner once unreferenced.
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -741,25 +751,28 @@ object Dedup {
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("dl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("dl")).as("nmin"))
+      // pointer jump: label(label(u)). Every label value IS a node id
+      // (mins over node ids), so the lookup always resolves; left join
+      // + coalesce only defends the self-label base case.
+      val jump = labels
+        .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("jl")),
+          Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("jl"), col("cluster_id")).as("jmin"))
       val next = labels
         .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"))
         .select(col("id"), col("cluster_id").as("_old"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // count(), NOT a limit(1) short-circuit: the probe must scan EVERY
-      // partition so `next` is fully cached before the previous round is
-      // freed below — a partial probe would leave uncached partitions
-      // whose recompute after unpersist cascades through all prior
-      // rounds' lineage (quadratic in diameter, silently)
+          least(col("cluster_id"),
+            least(coalesce(col("nmin"), col("cluster_id")), col("jmin"))).as("cluster_id"))
+        .localCheckpoint(true) // flat plan + full materialization
       converged = next.filter(col("cluster_id") =!= col("_old")).count() == 0
-      labels.unpersist() // next is fully materialized by the count above
       labels = next.select("id", "cluster_id")
       i += 1
     }

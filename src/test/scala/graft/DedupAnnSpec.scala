@@ -365,6 +365,19 @@ class DedupAnnSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedupClusters: a 200-node chain converges within default maxIter (pointer jumping)") {
+    import spark.implicits._
+    // the adversarial near-dup shape: drifting boilerplate where doc i
+    // near-matches only doc i+1 — diameter 199. Pure neighbor-min needs
+    // 199 rounds; the pointer jump makes it O(log n), so the default
+    // maxIter=20 must suffice and every node must reach label 1.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 1L), s"non-min labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("dedupClusters: maxIter too small for the diameter raises loudly") {
     import spark.implicits._
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
