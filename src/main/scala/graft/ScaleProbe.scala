@@ -159,7 +159,59 @@ object ScaleProbe {
     u.unpersist()
   }
 
+  /** Connected-components probe at scale: a pair graph shaped like real
+    * near-dup output — `nCliques` 64-member quasi-cliques (LSH-bucket
+    * shape, ~2016 pairs each) PLUS one `chainLen`-node chain (drifting
+    * boilerplate, the diameter worst case pointer jumping exists for).
+    * Verifies every label reaches its component minimum and times the
+    * whole run. Usage: runMain graft.ScaleProbe components [nCliques] [chainLen]
+    */
+  private def components(spark: SparkSession, nCliques: Int, chainLen: Int): Unit = {
+    import graft.operators.Dedup
+    val cliquePairs = spark.range(nCliques.toLong).select(col("id").as("c"))
+      .select(explode(sequence(lit(0), lit(63))).as("i"), col("c"))
+      .select((col("c") * 1000000L + col("i")).as("m"), col("c"))
+      .as("a").join(spark.range(nCliques.toLong).select(col("id").as("c"))
+        .select(explode(sequence(lit(0), lit(63))).as("i"), col("c"))
+        .select((col("c") * 1000000L + col("i")).as("m"), col("c")).as("b"), "c")
+      .filter(col("a.m") < col("b.m"))
+      .select(col("a.m").as("id_a"), col("b.m").as("id_b"))
+    val chainBase = nCliques.toLong * 1000000L
+    val chainPairs = spark.range(chainLen.toLong - 1)
+      .select((col("id") + chainBase).as("id_a"), (col("id") + chainBase + 1).as("id_b"))
+    val pairs = cliquePairs.unionByName(chainPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val t0 = System.nanoTime()
+    val labels = Dedup.dedupClusters(pairs)
+    val n = labels.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // every label must be its component min: clique min = c*10^6, chain min = chainBase
+    val wrong = labels.filter(
+      col("cluster_id") =!= when(col("id") >= chainBase, lit(chainBase))
+        .otherwise((col("id") / 1000000L).cast("long") * 1000000L)).count()
+    println(s"""{"metric":"components_probe","pairs":$nPairs,"nodes":$n,"sec":$sec,"wrong":$wrong}""")
+    require(wrong == 0, s"$wrong labels did not reach their component minimum")
+    pairs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("components")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      components(spark,
+        args.drop(1).headOption.map(_.toInt).getOrElse(1000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(100000))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("minhashk")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)

@@ -755,22 +755,19 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
+      // pointer jump WITHOUT a second join: label edges (u -> label(u))
+      // union into the edge list, so the one neighbor-min join also
+      // pulls label(label(u)) (label(u) is a node id, so the dst lookup
+      // always resolves). One shuffle join + one groupBy per round.
+      val roundEdges = edges.unionByName(
+        labels.select(col("id").as("src"), col("cluster_id").as("dst")))
+      val nbrMin = roundEdges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("dl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("dl")).as("nmin"))
-      // pointer jump: label(label(u)). Every label value IS a node id
-      // (mins over node ids), so the lookup always resolves; left join
-      // + coalesce only defends the self-label base case.
-      val jump = labels
-        .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("jl")),
-          Seq("cluster_id"), "left")
-        .select(col("id"), coalesce(col("jl"), col("cluster_id")).as("jmin"))
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .join(jump, Seq("id"))
         .select(col("id"), col("cluster_id").as("_old"),
-          least(col("cluster_id"),
-            least(coalesce(col("nmin"), col("cluster_id")), col("jmin"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true) // flat plan + full materialization
       converged = next.filter(col("cluster_id") =!= col("_old")).count() == 0
       labels = next.select("id", "cluster_id")

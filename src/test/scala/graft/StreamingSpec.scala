@@ -265,6 +265,31 @@ class StreamingSpec extends SparkSpec {
     assert(!byDoc.contains(12L) && !byDoc.contains(13L))
   }
 
+  test("minhashAgainstStream: corpus index round-trips through parquet (build once, reuse)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val mk = (words: Seq[String]) => words.mkString(" ")
+    val base = (0 until 12).map(w => s"w$w")
+    val corpus = Seq((1L, mk(base)), (2L, mk(base.map(_ + "x"))))
+      .toDF("doc_id", "text")
+    val fresh = graft.operators.Dedup.minhashBandIndexMd5(
+      corpus, "doc_id", "text", k = 12, bands = 2, shingleK = 3)
+    // the operational shape: the index build is the one corpus scan,
+    // written out once and joined by every later ingestion batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    fresh.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val incoming = Seq(DocText(10L, mk(base)), DocText(11L, mk(base :+ "zq"))).toDF()
+      .select(col("doc_id"), col("text"))
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      StreamOps.minhashAgainstStream(idx, incoming, k = 12, bands = 2,
+          shingleK = 3, threshold = 0.8)
+        .select("corpus_id", "doc_id", "est_jaccard").distinct()
+        .orderBy("corpus_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(run(loaded) == run(fresh))
+    assert(run(loaded).nonEmpty)
+  }
+
   test("minhashAgainstStream: streaming dropDuplicates collapses multi-band hits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocText
