@@ -363,6 +363,26 @@ object SparkEntry {
           0.3, planes = Some(graft.functions.VectorFunctions.md5SignPlanes(16, 6, 64)))
         .orderBy("id_a", "id_b")
     }),
+    // EXT cross-corpus EMBEDDING near-dup (the vector twin of
+    // minhash_against): incoming = exact copies of the %9 vectors plus
+    // %13 vectors with the first component zeroed (cos ~ 0.995-0.999 —
+    // near, not exact). Both sides bucket under the SAME md5 sign
+    // planes; candidates from the asymmetric (table, bucket) join with
+    // a corpus-side cap; exact-cosine verify.
+    "embedding_against" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exactIn = emb.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      val nearIn = emb.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 600000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDupAgainst(emb, exactIn.unionByName(nearIn),
+          "vec_id", "embedding", 0.3,
+          planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 4, 64)),
+          maxBucket = Some(256))
+        .orderBy("id_a", "id_b")
+    }),
     // EXT scale-ADAPTIVE near-dup: planesPerTable is DERIVED from the
     // corpus count (integer bit-length of ceil(n/64) — mirrored exactly
     // by the oracle's LENGTH(bin(cells-1))), so this same declared query
@@ -959,6 +979,32 @@ object SparkEntry {
          |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
          |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "embedding_against" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | ei AS (SELECT vec_id + 500000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings WHERE vec_id % 9 = 0
+         |        UNION ALL
+         |        SELECT vec_id + 600000, [CASE WHEN i = 1 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END for i in range(1, 65)]
+         |        FROM embeddings WHERE vec_id % 13 = 0),
+         | pl AS (SELECT t.t AS t, p.p AS p, i.i AS i,
+         |   CASE WHEN (instr('0123456789abcdef', substr(md5(t.t || ':' || p.p || ':' || i.i), 1, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+         |       (SELECT unnest(range(0, 4)) AS p) p,
+         |       (SELECT unnest(range(0, 64)) AS i) i),
+         | dotsc AS (SELECT e.vec_id, pl.t, pl.p, list_sum(list(e.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
+         |          FROM e, pl GROUP BY 1, 2, 3),
+         | bkc AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+         |        FROM dotsc GROUP BY 1, 2),
+         | dotsi AS (SELECT ei.vec_id, pl.t, pl.p, list_sum(list(ei.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
+         |          FROM ei, pl GROUP BY 1, 2, 3),
+         | bki AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+         |        FROM dotsi GROUP BY 1, 2),
+         | okc AS (SELECT t, bucket FROM bkc GROUP BY t, bucket HAVING COUNT(*) <= 256),
+         | bcc AS (SELECT bkc.* FROM bkc JOIN okc USING (t, bucket)),
+         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bcc a JOIN bki b USING (t, bucket)),
+         | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
+         |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN ei eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "embedding_near_dup_auto" ->
       s"""WITH ${lshBucketCtesAuto(8, 64)},

@@ -571,6 +571,52 @@ object Dedup {
     * for sign-LSH — only the projection's sign matters), so the whole
     * auto-sized operator stays engine-portable and oracle-checkable.
     */
+  /** Cross-corpus embedding near-dup: INCOMING vectors vs an EXISTING
+    * corpus — the embedding-modality twin of
+    * [[minhashNearDupAgainstMd5]]. Both sides bucket under the SAME
+    * hyperplane tables (mandatory: different planes would give disjoint
+    * bucket spaces), candidates come from the asymmetric
+    * (table, bucket) equi-join — cost |incoming| x occupancy, never
+    * |corpus| x |incoming| — and survive an exact-cosine verify.
+    * `maxBucket` caps CORPUS-side buckets (window count, the standard
+    * guard shape). Output: (corpus_id, incoming_id, cos); the two id
+    * spaces may overlap (distinct keyspaces by contract).
+    */
+  def embeddingNearDupAgainst(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+      seed: Long = 42L, planes: Option[Array[Array[Array[Double]]]] = None,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val tables = planes.getOrElse((0 until nTables)
+      .map(t => graft.functions.VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray)
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("jid"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(e: DataFrame) = e.select(col("jid"),
+      posexplode(graft.functions.VectorFunctions.signBuckets(col("v"), tables))
+        .as(Seq("tbl", "bucket")))
+    val ec = prep(corpus)
+    val ei = prep(incoming)
+    val bandedC = maxBucket match {
+      case Some(cap) => banded(ec)
+        .withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+        .filter(col("_bn") <= cap).drop("_bn")
+      case None => banded(ec)
+    }
+    // bare id pairs through the candidate distinct; vectors join back after
+    val cands = bandedC.select(col("jid").as("id_a"), col("tbl"), col("bucket"))
+      .join(banded(ei).select(col("jid").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(ec.select(col("jid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(ei.select(col("jid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def embeddingNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 8, targetBucket: Int = 64): DataFrame = {
     // ONE action answers corpus size and dimensionality (count + head

@@ -413,6 +413,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(capped == Set.empty)
   }
 
+  test("embeddingNearDupAgainst: incoming matches corpus under shared planes, cap drops hot buckets") {
+    val planes = Some(graft.functions.VectorFunctions.md5SignPlanes(4, 3, 8))
+    val mkv = (s: Double) => Array.tabulate(8)(d => (d + 1.0) * s)
+    val corpus = Seq(
+      (1L, mkv(1.0)), (2L, mkv(-1.0)), // opposite direction: never matches
+      (3L, mkv(2.0))                   // same direction as 1 (cos 1.0)
+    ).toDF("vec_id", "embedding")
+    val incoming = Seq((10L, mkv(0.5))).toDF("vec_id", "embedding") // same dir as 1,3
+    val got = Dedup.embeddingNearDupAgainst(corpus, incoming, "vec_id",
+        "embedding", 0.9, dim = 8, planes = planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 10L)))
+    // corpus docs 1 and 3 share every bucket (identical directions):
+    // cap=1 drops those buckets, leaving nothing for the incoming side
+    val capped = Dedup.embeddingNearDupAgainst(corpus, incoming, "vec_id",
+        "embedding", 0.9, dim = 8, planes = planes, maxBucket = Some(1))
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("canonicalizeClusters: keep = min id per cluster, singletons keep themselves") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 99L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
