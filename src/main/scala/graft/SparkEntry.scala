@@ -837,17 +837,29 @@ object SparkEntry {
     * sequential order as `VectorFunctions.signBucketsOf`), `bk` (bucket
     * bitmask per vector x table, bit p set iff dot >= 0).
     */
-  private def lshBucketCtes(nTables: Int, planesPerTable: Int): String =
-    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       | pl AS (SELECT t.t AS t, p.p AS p, i.i AS i,
+  /** The md5 sign-plane CTE (mirrors `VectorFunctions.md5SignPlanes`):
+    * ONE definition of the parity formula for every LSH oracle —
+    * `planesExpr` is a literal plane count or a scalar subquery.
+    */
+  private def signPlanesCte(nTables: Int, planesExpr: String): String =
+    s"""pl AS (SELECT t.t AS t, p.p AS p, i.i AS i,
        |   CASE WHEN (instr('0123456789abcdef', substr(md5(t.t || ':' || p.p || ':' || i.i), 1, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
        |  FROM (SELECT unnest(range(0, $nTables)) AS t) t,
-       |       (SELECT unnest(range(0, $planesPerTable)) AS p) p,
-       |       (SELECT unnest(range(0, 64)) AS i) i),
-       | dots AS (SELECT e.vec_id, pl.t, pl.p, list_sum(list(e.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
-       |          FROM e, pl GROUP BY 1, 2, 3),
-       | bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
-       |        FROM dots GROUP BY 1, 2)""".stripMargin
+       |       (SELECT unnest(range(0, $planesExpr)) AS p) p,
+       |       (SELECT unnest(range(0, 64)) AS i) i)""".stripMargin
+
+  /** Sign-bucket CTEs (`dots$suffix`/`bk$suffix`) for vectors in CTE
+    * `src` (columns vec_id, v), against the shared `pl` planes. */
+  private def signBucketCtes(src: String, suffix: String = ""): String =
+    s"""dots$suffix AS (SELECT $src.vec_id, pl.t, pl.p, list_sum(list($src.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
+       |          FROM $src, pl GROUP BY 1, 2, 3),
+       | bk$suffix AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       |        FROM dots$suffix GROUP BY 1, 2)""".stripMargin
+
+  private def lshBucketCtes(nTables: Int, planesPerTable: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | ${signPlanesCte(nTables, planesPerTable.toString)},
+       | ${signBucketCtes("e")}""".stripMargin
 
   /** [[lshBucketCtes]] with the plane count computed BY THE SQL from the
     * corpus count — the mirror of `planesForOccupancy`'s integer
@@ -860,15 +872,8 @@ object SparkEntry {
        | pp AS (SELECT GREATEST(1, LEAST(20,
        |     CASE WHEN cells <= 1 THEN 1 ELSE LENGTH(bin(cells - 1)) END)) AS p
        |   FROM (SELECT (COUNT(*) + ${targetBucket - 1}) // $targetBucket AS cells FROM embeddings)),
-       | pl AS (SELECT t.t AS t, p.p AS p, i.i AS i,
-       |   CASE WHEN (instr('0123456789abcdef', substr(md5(t.t || ':' || p.p || ':' || i.i), 1, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
-       |  FROM (SELECT unnest(range(0, $nTables)) AS t) t,
-       |       (SELECT unnest(range(0, (SELECT p FROM pp))) AS p) p,
-       |       (SELECT unnest(range(0, 64)) AS i) i),
-       | dots AS (SELECT e.vec_id, pl.t, pl.p, list_sum(list(e.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
-       |          FROM e, pl GROUP BY 1, 2, 3),
-       | bk AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
-       |        FROM dots GROUP BY 1, 2)""".stripMargin
+       | ${signPlanesCte(nTables, "(SELECT p FROM pp)")},
+       | ${signBucketCtes("e")}""".stripMargin
 
   /** The ngram-Jaccard pair pipeline CTEs (documents + %7 dup injection
     * -> word 3-shingles -> df<=128-capped candidate self-join -> exact
@@ -890,6 +895,39 @@ object SparkEntry {
       |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
       | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
       |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)""".stripMargin
+
+  /** Shared scaffold of the two cross-corpus MinHash oracles
+    * (`minhash_against`, `minhash_against_stream`): corpus + injected
+    * incoming docs -> shingles per side -> k=12 md5-slice minima ->
+    * 2x6 band signatures -> capped corpus buckets -> candidate pairs
+    * (id_a = corpus, id_b = incoming). ONE definition — the two final
+    * stages (exact Jaccard vs signature agreement) diverge after
+    * `cand`, and a recipe change here changes both hash checks in
+    * lockstep with the Scala side.
+    */
+  private val minhashAgainstCtes = {
+    val minCols = (0 until 12)
+      .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ")
+    val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
+    val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
+    s"""c AS (SELECT doc_id, text FROM documents),
+       | inc AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+       |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0),
+       | wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM c),
+       | shc AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+       |         FROM wc WHERE len(ws) >= 3),
+       | wi AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM inc),
+       | shi AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+       |         FROM wi WHERE len(ws) >= 3),
+       | mhc AS (SELECT jid, $minCols FROM shc GROUP BY jid),
+       | mhi AS (SELECT jid, $minCols FROM shi GROUP BY jid),
+       | bc AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhc UNION ALL SELECT jid, 1, $sig1 FROM mhc),
+       | bi AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhi UNION ALL SELECT jid, 1, $sig1 FROM mhi),
+       | okc AS (SELECT band, bsig FROM bc GROUP BY band, bsig HAVING COUNT(*) <= 64),
+       | bcc AS (SELECT bc.* FROM bc JOIN okc USING (band, bsig)),
+       | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM bcc a JOIN bi b USING (band, bsig))""".stripMargin
+  }
 
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
@@ -987,19 +1025,9 @@ object SparkEntry {
          |        UNION ALL
          |        SELECT vec_id + 600000, [CASE WHEN i = 1 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END for i in range(1, 65)]
          |        FROM embeddings WHERE vec_id % 13 = 0),
-         | pl AS (SELECT t.t AS t, p.p AS p, i.i AS i,
-         |   CASE WHEN (instr('0123456789abcdef', substr(md5(t.t || ':' || p.p || ':' || i.i), 1, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
-         |  FROM (SELECT unnest(range(0, 8)) AS t) t,
-         |       (SELECT unnest(range(0, 4)) AS p) p,
-         |       (SELECT unnest(range(0, 64)) AS i) i),
-         | dotsc AS (SELECT e.vec_id, pl.t, pl.p, list_sum(list(e.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
-         |          FROM e, pl GROUP BY 1, 2, 3),
-         | bkc AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
-         |        FROM dotsc GROUP BY 1, 2),
-         | dotsi AS (SELECT ei.vec_id, pl.t, pl.p, list_sum(list(ei.v[pl.i + 1] * pl.s ORDER BY pl.i)) AS dot
-         |          FROM ei, pl GROUP BY 1, 2, 3),
-         | bki AS (SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
-         |        FROM dotsi GROUP BY 1, 2),
+         | ${signPlanesCte(8, "4")},
+         | ${signBucketCtes("e", "c")},
+         | ${signBucketCtes("ei", "i")},
          | okc AS (SELECT t, bucket FROM bkc GROUP BY t, bucket HAVING COUNT(*) <= 256),
          | bcc AS (SELECT bkc.* FROM bkc JOIN okc USING (t, bucket)),
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bcc a JOIN bki b USING (t, bucket)),
@@ -1379,63 +1407,22 @@ object SparkEntry {
       s"""WITH $ngramPairCtes
          |SELECT id_a, id_b, jaccard FROM j
          |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
-    "minhash_against" -> {
-      val minCols = (0 until 12)
-        .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
-        .mkString(", ")
-      val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
-      val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
-      s"""WITH c AS (SELECT doc_id, text FROM documents),
-         | inc AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
-         |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0),
-         | wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM c),
-         | shc AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-         |         FROM wc WHERE len(ws) >= 3),
-         | wi AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM inc),
-         | shi AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-         |         FROM wi WHERE len(ws) >= 3),
-         | mhc AS (SELECT jid, $minCols FROM shc GROUP BY jid),
-         | mhi AS (SELECT jid, $minCols FROM shi GROUP BY jid),
-         | bc AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhc UNION ALL SELECT jid, 1, $sig1 FROM mhc),
-         | bi AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhi UNION ALL SELECT jid, 1, $sig1 FROM mhi),
-         | okc AS (SELECT band, bsig FROM bc GROUP BY band, bsig HAVING COUNT(*) <= 64),
-         | bcc AS (SELECT bc.* FROM bc JOIN okc USING (band, bsig)),
-         | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM bcc a JOIN bi b USING (band, bsig)),
+    "minhash_against" ->
+      s"""WITH $minhashAgainstCtes,
          | szc AS (SELECT jid, COUNT(*) AS sz FROM shc GROUP BY 1),
          | szi AS (SELECT jid, COUNT(*) AS sz FROM shi GROUP BY 1),
          | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
          |           JOIN shc x ON x.jid = id_a JOIN shi y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
          | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
          |       FROM inter JOIN szc sa ON sa.jid = id_a JOIN szi sb ON sb.jid = id_b)
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
-    },
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "minhash_against_stream" -> {
-      val minCols = (0 until 12)
-        .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
-        .mkString(", ")
-      val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
-      val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
       val agree = (0 until 12)
         .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH c AS (SELECT doc_id, text FROM documents),
-         | inc AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
-         |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0),
-         | wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM c),
-         | shc AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-         |         FROM wc WHERE len(ws) >= 3),
-         | wi AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM inc),
-         | shi AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-         |         FROM wi WHERE len(ws) >= 3),
-         | mhc AS (SELECT jid, $minCols FROM shc GROUP BY jid),
-         | mhi AS (SELECT jid, $minCols FROM shi GROUP BY jid),
-         | bc AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhc UNION ALL SELECT jid, 1, $sig1 FROM mhc),
-         | bi AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mhi UNION ALL SELECT jid, 1, $sig1 FROM mhi),
-         | okc AS (SELECT band, bsig FROM bc GROUP BY band, bsig HAVING COUNT(*) <= 64),
-         | bcc AS (SELECT bc.* FROM bc JOIN okc USING (band, bsig)),
-         | cand AS (SELECT DISTINCT a.jid AS ca, b.jid AS ib FROM bcc a JOIN bi b USING (band, bsig)),
-         | est AS (SELECT ca AS corpus_id, ib AS doc_id,
+      s"""WITH $minhashAgainstCtes,
+         | est AS (SELECT id_a AS corpus_id, id_b AS doc_id,
          |          CAST($agree AS DOUBLE) / 12 AS est_jaccard
-         |         FROM cand JOIN mhc a ON a.jid = ca JOIN mhi b ON b.jid = ib)
+         |         FROM cand JOIN mhc a ON a.jid = id_a JOIN mhi b ON b.jid = id_b)
          |SELECT corpus_id, doc_id, est_jaccard FROM est
          |WHERE est_jaccard >= 0.8 ORDER BY corpus_id, doc_id""".stripMargin
     },

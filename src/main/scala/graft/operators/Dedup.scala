@@ -386,13 +386,18 @@ object Dedup {
         concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"),
         sigArr.as("sig"))
     }.reduce(_ unionByName _)
-    maxBucket match {
+    // persisted: the index is BUILT ONCE and joined by every ingestion
+    // micro-batch — unpersisted, the whole corpus shingle/minhash/cap
+    // pipeline would re-execute per batch. Same lazily-outliving
+    // MEMORY_AND_DISK convention as the other index frames (write it
+    // out with parquet for cross-session reuse — spec round-trips it).
+    (maxBucket match {
       case Some(cap) => banded
         .withColumn("_bn",
           count(lit(1)).over(Window.partitionBy(col("band"), col("bsig"))))
         .filter(col("_bn") <= cap).drop("_bn")
       case None => banded
-    }
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Cross-corpus MinHash near-dup: match INCOMING documents against an
@@ -771,14 +776,21 @@ object Dedup {
     * the neighbor-min and the jump preserve it, and the fixpoint of
     * the combined step is the component minimum.
     *
-    * Each round's labels are eagerly localCheckpoint'ed: the jump makes
-    * every round reference the previous one THREE times, so a merely
-    * persisted plan (which caches data but keeps the full logical plan)
-    * grows ~3x per round — exponential plan text that OOMs the driver
+    * Each round's labels are eagerly localCheckpoint'ed: the round
+    * references the previous one more than once, so a merely persisted
+    * plan (which caches data but keeps the full logical plan) grows
+    * multiplicatively — exponential plan text that OOMs the driver
     * around round 10. The checkpoint severs the logical plan to a flat
     * scan each round (and fully materializes it, so convergence counts
-    * read cached blocks); superseded rounds are reclaimed by the
-    * ContextCleaner once unreferenced.
+    * read cached blocks). Superseded rounds are reclaimed by the
+    * ContextCleaner once unreferenced (checkpoint blocks live at RDD
+    * level, outside the CacheManager, so a DataFrame unpersist cannot
+    * free them); worst case, rounds x |labels| of (long, long) rows
+    * accumulate in MEMORY_AND_DISK until cleanup — disk-bounded, and
+    * rounds are O(log diameter). Severed lineage trades
+    * recompute-on-block-loss for a LOUD failure: an executor lost
+    * mid-run fails the bounded job for a rerun instead of silently
+    * recomputing — the same posture as `Relational.twoPhaseDenseIds`.
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {

@@ -245,11 +245,14 @@ object StreamOps {
   def minhashAgainstStream(index: DataFrame, docs: DataFrame, k: Int = 12,
       bands: Int = 2, shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // null-guarded: a crawl batch routinely carries null text, and an
+    // NPE inside the UDF would kill the whole streaming query — null
+    // and too-short docs alike yield an empty minima array (no bucket,
+    // no match), the batch pipeline's posture for unshingleable docs
     val minsUdf = udf((text: String) =>
-      graft.operators.Dedup.minhashSliceMins(text, k, shingleK))
+      if (text == null) Array.empty[String]
+      else graft.operators.Dedup.minhashSliceMins(text, k, shingleK))
     val rows = k / bands
-    // too-short docs yield an empty minima array: no bucket, no match —
-    // the batch pipeline's posture for unshingleable docs
     val withMins = docs
       .withColumn("_mins", minsUdf(col("text")))
       .filter(size(col("_mins")) === k)
@@ -262,6 +265,14 @@ object StreamOps {
       .select(col("doc_id"), col("_mins"),
         col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     banded.join(index, Seq("band", "bsig"))
+      // loud guard against an index built with a different k: zip_with
+      // null-padding would silently deflate the estimate (or, on a
+      // bands mismatch, the bsig join would silently match nothing)
+      .withColumn("sig",
+        when(size(col("sig")) === k, col("sig"))
+          .otherwise(raise_error(concat(
+            lit(s"corpus index signature length "), size(col("sig")),
+            lit(s" != k=$k — rebuild the index with matching k/bands")))))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("_mins"), col("sig"),
             (a, b) => when(a === b, 1).otherwise(0)),
