@@ -53,6 +53,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no declared query runs a partition-less window (tiny-aggregate smoothing excepted)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def collectBad(p: SparkPlan): Seq[String] = {
+      val kids = p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      })
+      (p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.simpleStringWithNodeId())
+        case _ => Nil
+      }) ++ kids.flatMap(collectBad)
+    }
+    // smooth_gaussian smooths a per-DAY aggregate (~30 rows at any SF —
+    // the shuffle shrank the data first); a global window there is the
+    // documented total-order contract, not a scale hazard
+    val allow = Set("smooth_gaussian")
+    (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val bad = collectBad(plan)
+      assert(bad.isEmpty,
+        s"$name funnels data through a partition-less window: ${bad.headOption.getOrElse("")}")
+    }
+  }
+
   test("split_overlap: the segmenting window is partitioned, never global") {
     val plan = planOf("split_overlap")
     // a bare Window.orderBy prints "Window [...], [order]" with no
