@@ -195,7 +195,57 @@ object ScaleProbe {
     pairs.unpersist()
   }
 
+  /** Index-reuse probe for the stream-ingestion matcher: build the
+    * corpus band index ONCE (timed), then match several incoming
+    * batches against it (each timed) — the per-batch cost must be a
+    * small fraction of the build, or the "reusable index" claim is
+    * marketing. Usage: runMain graft.ScaleProbe against [nDocs] [batchEvery]
+    */
+  private def against(spark: SparkSession, nDocs: Int, batchEvery: Int): Unit = {
+    import graft.operators.Dedup
+    import graft.streaming.StreamOps
+    val corpus = spark.range(nDocs.toLong).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(79)),
+        p => concat(lit("w"), pmod(xxhash64(col("id") * 83 + p * 7919), lit(50000)))), " ")
+        .as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val t0 = System.nanoTime()
+    val index = Dedup.minhashBandIndexMd5(corpus, "doc_id", "text",
+      k = 12, bands = 2, shingleK = 3, maxBucket = Some(1024))
+    val idxRows = index.count() // materializes the persisted index
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val batches = (0 until 3).map { b =>
+      val incoming = corpus.filter(col("doc_id") % batchEvery === b)
+        .select((col("doc_id") + 10000000L * (b + 1)).as("doc_id"), col("text"))
+      time(s"batch$b") {
+        StreamOps.minhashAgainstStream(index, incoming, k = 12, bands = 2,
+          shingleK = 3, threshold = 0.8)
+      }
+    }
+    val qs = batches.map { case (n, v, r) => s""""$n":{"sec":$v,"rows":$r}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"against_probe","n_docs":$nDocs,"index_rows":$idxRows,"build_sec":$buildSec,"batches":$qs}""")
+    corpus.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("against")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      against(spark,
+        args.drop(1).headOption.map(_.toInt).getOrElse(200000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(40))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("components")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)
