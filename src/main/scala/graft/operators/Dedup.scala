@@ -622,6 +622,32 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** The REUSABLE corpus-side bucket index for stream-ingestion vector
+    * matching ([[graft.streaming.StreamOps.embeddingAgainstStream]]):
+    * one (corpus_id, tbl, bucket, cvec) row per vector and table, built
+    * once per corpus (persisted; write out as parquet for cross-session
+    * reuse). The SAME `planes` array must bucket the incoming side.
+    * `maxBucket` caps corpus buckets at build time — every later batch
+    * inherits the skew bound.
+    */
+  def embeddingBandIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Array[Double]]],
+      maxBucket: Option[Int] = None): DataFrame = {
+    val banded = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cvec"))
+      .select(col("corpus_id"), col("cvec"),
+        posexplode(graft.functions.VectorFunctions.signBuckets(col("cvec"), planes))
+          .as(Seq("tbl", "bucket")))
+      .select("corpus_id", "tbl", "bucket", "cvec")
+    (maxBucket match {
+      case Some(cap) => banded
+        .withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+        .filter(col("_bn") <= cap).drop("_bn")
+      case None => banded
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   def embeddingNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 8, targetBucket: Int = 64): DataFrame = {
     // ONE action answers corpus size and dimensionality (count + head

@@ -281,6 +281,34 @@ object StreamOps {
       .select(col("corpus_id"), col("doc_id"), col("band"), col("est_jaccard"))
   }
 
+  /** STATELESS stream-vs-corpus near-dup for VECTORS — the embedding
+    * twin of [[minhashAgainstStream]], and fully expression-based (the
+    * sign-bucket computation is a codegen'd Catalyst expression, so the
+    * stream side has no UDF at all): each arriving vector buckets under
+    * the SAME planes the index was built with, joins the prebuilt
+    * [[graft.operators.Dedup.embeddingBandIndex]] on (tbl, bucket), and
+    * candidates verify with EXACT cosine right in the join projection —
+    * unlike the MinHash stream (whose exact verify needs shingle sets),
+    * the vector carries everything needed, so stream results match the
+    * batch [[graft.operators.Dedup.embeddingNearDupAgainst]] exactly.
+    * Emits one row per (tbl, corpus-mate) hit; dedup downstream like
+    * the MinHash variant. Works unchanged on a batch frame.
+    */
+  def embeddingAgainstStream(index: DataFrame, vecs: DataFrame,
+      planes: Array[Array[Array[Double]]], idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.3): DataFrame = {
+    val banded = vecs
+      .select(col(idCol).as("doc_id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("doc_id"), col("v"),
+        posexplode(graft.functions.VectorFunctions.signBuckets(col("v"), planes))
+          .as(Seq("tbl", "bucket")))
+    banded.join(index, Seq("tbl", "bucket"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("cvec"), col("v")))
+      .filter(col("cos") >= threshold)
+      .select(col("corpus_id"), col("doc_id"), col("tbl"), col("cos"))
+  }
+
   /** Stateful streaming MinHash with SIGNATURES in state — the near-dup
     * upgrade over [[minhashNearDupStream]] (which keeps only member ids
     * and can therefore only say "same band signature", i.e. it catches

@@ -315,6 +315,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("embeddingAgainstStream: stream hits equal the batch against-operator pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val planes = graft.functions.VectorFunctions.md5SignPlanes(4, 3, 8)
+    val mkv = (s: Double) => Array.tabulate(8)(d => (d + 1.0) * s)
+    val corpus = Seq((1L, mkv(1.0)), (2L, mkv(-1.0))).toDF("vec_id", "embedding")
+    val index = graft.operators.Dedup.embeddingBandIndex(
+      corpus, "vec_id", "embedding", planes)
+    val incoming = Seq((10L, mkv(0.5)), (11L, mkv(-2.0)))
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(incoming: _*)
+    val q = StreamOps.embeddingAgainstStream(index,
+        mem.toDF().toDF("vec_id", "embedding"), planes, threshold = 0.9)
+      .writeStream.format("memory").queryName("eag_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eag_out")
+      .select("corpus_id", "doc_id", "cos").distinct()
+      .orderBy("corpus_id", "doc_id").collect().map(_.toSeq).toSeq
+    // the batch against-operator computes the same candidates + exact
+    // cosine, so pair sets AND scores must agree bit-for-bit
+    val batch = graft.operators.Dedup.embeddingNearDupAgainst(
+        corpus, incoming.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        0.9, dim = 8, planes = Some(planes))
+      .select(col("id_a").as("corpus_id"), col("id_b").as("doc_id"), col("cos"))
+      .orderBy("corpus_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(r => (r(0), r(1))).toSet == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("runningValueCounts on a stream (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
