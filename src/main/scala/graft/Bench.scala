@@ -53,11 +53,25 @@ object Bench {
       s(s.length / 2)
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> median((0 until iters).map(_ => runOnce(n))))
+    // scoped cache lifecycle: a query's operator-internal persists
+    // (shingle frames, band indexes) stay hot across its `iters`
+    // timings — that warm reuse is the thing being measured — then are
+    // dropped, so the suite's storage footprint is bounded by ONE
+    // query's caches. `storage_peak_bytes` (max cached mem+disk across
+    // queries, sampled before each clear) makes the bound observable.
+    def storageBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    var storagePeak = 0L
+    val results = names.map { n =>
+      val r = n -> median((0 until iters).map(_ => runOnce(n)))
+      storagePeak = math.max(storagePeak, storageBytes)
+      spark.catalog.clearCache()
+      r
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"storage_peak_bytes":$storagePeak,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

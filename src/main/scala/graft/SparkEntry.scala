@@ -278,12 +278,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // EXT embedding near-duplicate pairs (cosine >= 0.3): deterministic
-    // sign-LSH candidates + exact-cosine verify. The O(n^2) all-pairs
-    // baseline (Dedup.embeddingNearDup) is spec-only — it measures this
-    // query's recall at small SF but never ships in a declared plan.
+    // sign-LSH candidates + exact-cosine verify. Planes are AUTO-SIZED
+    // from COUNT(*) (planesForOccupancy, targetBucket=128 — the
+    // recall-lean end of the declared occupancy spectrum; _lsh below is
+    // the precision-lean end, _auto the balanced default), so candidate
+    // cost per bucket is constant at any corpus size. Fixed-plane
+    // configs were measured Θ(n²/2^p) at sf1 (99-271x at 10x rows,
+    // BENCH_NOTES r5/r6) and survive only as spec-only recall probes,
+    // like the O(n^2) all-pairs baseline (Dedup.embeddingNearDup).
     "embedding_near_dup" -> ((s, dir) => {
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-          0.3, planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 4, 64)))
+      Dedup.embeddingNearDupLshAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.3, nTables = 8, targetBucket = 128)
         .select(col("id_a"), col("id_b"), col("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -356,11 +361,14 @@ object SparkEntry {
         .select("corpus_id", "doc_id", "est_jaccard").distinct()
         .orderBy("corpus_id", "doc_id")
     }),
-    // EXT embedding near-dup, precision-lean LSH config (16 tables x 6
-    // planes — narrower buckets, fewer candidates than the 8x4 headline)
+    // EXT embedding near-dup, precision-lean AUTO-SIZED config (16
+    // tables, targetBucket=32 — more planes per table than the headline,
+    // so narrower buckets and fewer candidates per table, recovered by
+    // doubling the table count; occupancy still constant at any corpus
+    // size via planesForOccupancy)
     "embedding_near_dup_lsh" -> ((s, dir) => {
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-          0.3, planes = Some(graft.functions.VectorFunctions.md5SignPlanes(16, 6, 64)))
+      Dedup.embeddingNearDupLshAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.3, nTables = 16, targetBucket = 32)
         .orderBy("id_a", "id_b")
     }),
     // EXT cross-corpus EMBEDDING near-dup (the vector twin of
@@ -1005,14 +1013,14 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
     },
     "embedding_near_dup" ->
-      s"""WITH ${lshBucketCtes(8, 4)},
+      s"""WITH ${lshBucketCtesAuto(8, 128)},
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
          |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "embedding_near_dup_lsh" ->
-      s"""WITH ${lshBucketCtes(16, 6)},
+      s"""WITH ${lshBucketCtesAuto(16, 32)},
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos

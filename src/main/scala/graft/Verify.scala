@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // scoped cache lifecycle: operator-internal persists (shingle
+      // frames, band indexes) are only reused WITHIN one query's plan —
+      // drop them once the result is on disk so a 69-query run's
+      // storage footprint is bounded by one query, not the suite
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

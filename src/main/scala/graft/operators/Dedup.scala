@@ -337,14 +337,22 @@ object Dedup {
     * SLOWER (65 s vs 45-58 s at 210k docs) — the builtin md5 over
     * UTF8String bytes plus zero-copy substring views already beats a
     * hand-rolled digest loop; keep the composed form.
+    *
+    * Band rows come from ONE explode over the aggregated signature
+    * frame, not a per-band union: union branches each re-run the final
+    * min-aggregate (exchange reuse shares the shuffle, not the
+    * aggregation above it), so a `bands`-way union does `bands`x the
+    * aggregation work for identical output.
     */
   private def md5BandedSigs(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val sigs = md5SliceSigFrame(sh, k)
     val rows = k / bands
-    (0 until bands).map { b =>
-      sigs.select(col("jid"), lit(b).as("band"),
-        concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
-    }.reduce(_ unionByName _)
+    sigs.select(col("jid"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("jid"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
   }
 
   /** The (jid, h0..h{k-1}) md5-slice minima frame behind every md5
@@ -380,12 +388,17 @@ object Dedup {
       .distinct()
     val sigs = md5SliceSigFrame(sh, k)
     val rows = k / bands
-    val sigArr = array((0 until k).map(i => col(s"h$i")): _*)
-    val banded = (0 until bands).map { b =>
-      sigs.select(col("jid").as("corpus_id"), lit(b).as("band"),
-        concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"),
-        sigArr.as("sig"))
-    }.reduce(_ unionByName _)
+    // ONE explode, not a per-band union — the union's branches would
+    // each re-run the corpus shingle scan and min-aggregate, making the
+    // build `bands` corpus scans instead of the documented one
+    val banded = sigs.select(col("jid").as("corpus_id"),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("corpus_id"), col("bb.band").as("band"),
+        col("bb.bsig").as("bsig"), col("sig"))
     // persisted: the index is BUILT ONCE and joined by every ingestion
     // micro-batch — unpersisted, the whole corpus shingle/minhash/cap
     // pipeline would re-execute per batch. Same lazily-outliving
@@ -425,6 +438,12 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame = {
     require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    // per-call persisted frames under the repo's scoped-cache
+    // convention: each shingle frame feeds banding AND the exact-Jaccard
+    // verify within THIS call's plan, and has no use after the result
+    // materializes — callers running suites drop them via
+    // `spark.catalog.clearCache()` per query (Verify/Bench do), and the
+    // LRU store evicts them under pressure otherwise
     def shingled(df: DataFrame) = df
       .select(col(idCol).as("jid"),
         explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
@@ -594,6 +613,10 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame = {
     val tables = planes.getOrElse((0 until nTables)
       .map(t => graft.functions.VectorFunctions.hyperplanes(planesPerTable, dim, seed + t)).toArray)
+    // per-call persists under the scoped-cache convention (see
+    // minhashNearDupAgainstMd5): each side feeds bucketing AND the
+    // exact-cosine verify in this call's plan only; suite runners clear
+    // per query, the LRU store evicts under pressure otherwise
     def prep(df: DataFrame) = df
       .select(col(idCol).as("jid"), col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

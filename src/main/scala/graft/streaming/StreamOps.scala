@@ -229,13 +229,24 @@ object StreamOps {
     * built once (and refreshed on the corpus's own cadence), each
     * micro-batch just joins it.
     *
-    * Per-row band signatures come from the shared row-local kernel
-    * ([[graft.operators.Dedup.minhashSliceMins]] — the same md5-slice
-    * scheme as the batch index, so stream and batch agree bucket for
-    * bucket). The match score is the full-signature agreement fraction
-    * (the unbiased MinHash Jaccard estimate), computed engine-side with
-    * zip_with — exact verification needs shingle sets and stays a batch
-    * concern ([[graft.operators.Dedup.minhashNearDupAgainstMd5]]).
+    * Per-row band signatures are EXPRESSION-ONLY (no UDF anywhere on
+    * the ingest hot path, matching [[embeddingAgainstStream]]): one
+    * `transform` materializes the k/4 concatenated md5 digests per
+    * shingle — each digest computed ONCE — and k `array_min`s slice
+    * out the minima, the identical md5-slice scheme the batch index
+    * uses ([[graft.operators.Dedup.minhashBandIndexMd5]]), so stream
+    * and batch agree bucket for bucket and the whole per-row stage
+    * stays inside whole-stage codegen. The match score is the
+    * full-signature agreement fraction (the unbiased MinHash Jaccard
+    * estimate), computed engine-side with zip_with — exact
+    * verification needs shingle sets and stays a batch concern
+    * ([[graft.operators.Dedup.minhashNearDupAgainstMd5]]).
+    *
+    * The index's k/bands compatibility is validated EAGERLY at call
+    * time (one action over the persisted index): a mismatched k
+    * changes the bsig width, so the equi-join would silently match
+    * nothing — a post-join guard can never fire on the mismatch it
+    * exists for.
     *
     * Emits one row per (band, corpus-mate) hit; a pair sharing both
     * bands appears twice with the same estimate — dedup downstream
@@ -243,20 +254,44 @@ object StreamOps {
     * Works unchanged on a batch frame (the spec strategy).
     */
   def minhashAgainstStream(index: DataFrame, docs: DataFrame, k: Int = 12,
-      bands: Int = 2, shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    // null-guarded: a crawl batch routinely carries null text, and an
-    // NPE inside the UDF would kill the whole streaming query — null
-    // and too-short docs alike yield an empty minima array (no bucket,
-    // no match), the batch pipeline's posture for unshingleable docs
-    val minsUdf = udf((text: String) =>
-      if (text == null) Array.empty[String]
-      else graft.operators.Dedup.minhashSliceMins(text, k, shingleK))
+      bands: Int = 2, shingleK: Int = 3, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
+    // eager compatibility check — the index frame is static (prebuilt,
+    // persisted), so this is a cheap batch action even under streaming
+    val shape = index.agg(
+      min(size(col("sig"))), max(size(col("sig"))),
+      min(length(col("bsig"))), max(length(col("bsig")))).head()
+    if (!shape.isNullAt(0)) { // empty index: nothing to match, any k is fine
+      require(shape.getInt(0) == k && shape.getInt(1) == k,
+        s"corpus index signature length ${shape.getInt(0)}..${shape.getInt(1)} " +
+          s"!= k=$k — rebuild the index with matching k")
+      require(shape.getInt(2) == rows * 8 && shape.getInt(3) == rows * 8,
+        s"corpus index band-signature width ${shape.getInt(2)}..${shape.getInt(3)} " +
+          s"!= ${rows * 8} (k=$k, bands=$bands) — rebuild the index with matching bands")
+    }
+    // null/too-short guard: wordShingles is null-safe (null text -> null
+    // array) and empty for unshingleable docs; both are dropped by the
+    // size filter BEFORE the minima (array_min over an empty array would
+    // otherwise smuggle nulls into the signature), the batch pipeline's
+    // posture for unshingleable docs
+    val digs = transform(
+      graft.functions.TextFunctions.wordShingles(col(textCol), shingleK),
+      sh => concat((0 until k / 4).map(s => md5(concat(lit(s"$s:"), sh))): _*))
     val withMins = docs
-      .withColumn("_mins", minsUdf(col("text")))
-      .filter(size(col("_mins")) === k)
-    val banded = withMins.select(col("doc_id"), col("_mins"),
+      .withColumn("_digs", digs)
+      .filter(size(col("_digs")) > 0)
+      // _digs is a materialized column here, so the k transforms below
+      // each iterate the SAME computed digest array (CollapseProject
+      // keeps non-cheap multiply-referenced projections separate) —
+      // md5 cost stays k/4 digests per shingle, exactly the batch rate
+      .withColumn("_mins", array((0 until k).map { i =>
+        array_min(transform(col("_digs"),
+          d => substring(d, (i / 4) * 32 + (i % 4) * 8 + 1, 8)))
+      }: _*))
+    val banded = withMins.select(col(idCol).as("doc_id"), col("_mins"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat((b * rows until (b + 1) * rows)
@@ -265,14 +300,6 @@ object StreamOps {
       .select(col("doc_id"), col("_mins"),
         col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     banded.join(index, Seq("band", "bsig"))
-      // loud guard against an index built with a different k: zip_with
-      // null-padding would silently deflate the estimate (or, on a
-      // bands mismatch, the bsig join would silently match nothing)
-      .withColumn("sig",
-        when(size(col("sig")) === k, col("sig"))
-          .otherwise(raise_error(concat(
-            lit(s"corpus index signature length "), size(col("sig")),
-            lit(s" != k=$k — rebuild the index with matching k/bands")))))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("_mins"), col("sig"),
             (a, b) => when(a === b, 1).otherwise(0)),

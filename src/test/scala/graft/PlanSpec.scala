@@ -106,6 +106,17 @@ class PlanSpec extends SparkSpec {
       "all-pairs BNLJ must not ship in the declared near-dup query")
   }
 
+  test("minhash_against_stream: ingest hot path is expression-only (no scalar UDF)") {
+    // the per-row signature stage must stay inside whole-stage codegen:
+    // a scalar UDF on the ingest path costs per-row serialization and
+    // blocks codegen for the hottest streaming stage (the embedding twin
+    // is expression-only by construction — hold the text twin to it too)
+    for (name <- Seq("minhash_against_stream", "minhash_against", "embedding_against")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("UDF"), s"$name plan contains a scalar UDF:\n${plan.take(1200)}")
+    }
+  }
+
   test("no broadcast hint wraps an unbounded grouped aggregate") {
     // a broadcast() hint is a promise the side stays driver-sized at any
     // corpus scale. A global aggregate (1 row), a LIMIT, or a literal
