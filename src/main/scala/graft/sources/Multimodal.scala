@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (EXT per north star): image/audio/video
   * travel as opaque `binary` columns next to a typed metadata struct.
   * The Spark-side machinery — schema, batching, partition-sized decode,
-  * feature extraction signatures — is real and tested; the actual codec
-  * calls are STUBBED with a deterministic fake (this container has no
-  * image/audio libraries), clearly marked below. Swapping in a real codec
-  * changes only the body of `decodeBytes`.
+  * feature extraction signatures — is real and tested. Metadata parses
+  * are REAL for all three modalities (PNG/JPEG/GIF, WAV/RIFF, MP4 box
+  * headers — no pixel/sample decode, a few hundred bytes per record);
+  * only full audio/video SAMPLE decodes are STUBBED with a deterministic
+  * fake (this container has no such codecs), clearly marked below.
+  * Swapping in a real codec changes only the body of `decodeBytes`.
   *
   * Scale notes: decode runs inside `mapPartitions`-equivalent expression
   * evaluation (one task per input split, no driver involvement);
@@ -39,8 +41,9 @@ object Multimodal {
     *    at a target size via `Graphics2D` — the per-record bodies of a
     *    `mapPartitions` media stage.
     *
-    * Audio/video stay STUBBED ([[decodeBytes]] fallback): the container
-    * has no codecs for them; the fallback is deterministic and marked.
+    * Audio/video metadata is equally real ([[wavMeta]], [[mp4Meta]]);
+    * only their SAMPLE decode stays stubbed ([[decodeBytes]] fallback —
+    * deterministic and marked) for blobs no header parser claims.
     */
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -125,24 +128,138 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Metadata decode: real header parse for image formats; the
-    * deterministic STUB below only for non-image blobs (audio/video —
-    * no codecs in this container).
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def beUInt(b: Array[Byte], off: Int): Long = beInt(b, off) & 0xffffffffL
+  private def beLong(b: Array[Byte], off: Int): Long =
+    (beUInt(b, off) << 32) | beUInt(b, off + 4)
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Header-only WAV/RIFF metadata — the audio analogue of [[imageMeta]]:
+    * walk the RIFF chunk list to `fmt ` (channels, sample rate, byte
+    * rate) and `data` (payload size), and derive duration as
+    * dataSize / byteRate. No sample decode, a few hundred bytes read per
+    * record — the 100 TB metadata-pass posture. Returns
+    * Some((format, channels, sampleRate, durationMs)); any structural
+    * corruption (truncated chunk list, zero rates, overflowing sizes)
+    * degrades to None, never throws.
+    */
+  private[graft] def wavMeta(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12L
+    var channels = 0; var sampleRate = 0; var byteRate = 0; var dataSize = -1L
+    while (off + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+      val id = fourCC(b, off.toInt)
+      val sz = leInt(b, off.toInt + 4) & 0xffffffffL
+      if (id == "fmt " && off + 8 + 16 <= b.length) {
+        channels = leShort(b, off.toInt + 10)
+        sampleRate = leInt(b, off.toInt + 12)
+        byteRate = leInt(b, off.toInt + 16)
+      } else if (id == "data") dataSize = sz
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0) None
+    else {
+      val durMs = if (byteRate > 0 && dataSize >= 0) dataSize * 1000L / byteRate else 0L
+      Some(("wav", channels, sampleRate, durMs))
+    }
+  }
+
+  /** Header-only MP4/ISO-BMFF metadata — the video analogue of
+    * [[imageMeta]]: require a leading `ftyp` box (major brand becomes
+    * the format suffix), then walk top-level boxes to `moov` and read
+    * `mvhd` (timescale + duration, version 0 and 1 layouts) and each
+    * `trak`'s `tkhd` (16.16 fixed-point presentation width/height — max
+    * across tracks; audio tracks carry 0x0). No sample data touched.
+    * Returns Some((format, width, height, nTracks, durationMs)); any
+    * malformed box size or truncation degrades to None, never throws.
+    */
+  private[graft] def mp4Meta(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (b == null || b.length < 16 || fourCC(b, 4) != "ftyp") return None
+    val brand = fourCC(b, 8).trim
+    // one box walk per nesting level, each bounded by its parent's extent
+    def boxes(from: Long, until: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var off = from
+        private var dead = false
+        def hasNext: Boolean = !dead && off + 8 <= until
+        def next(): (String, Long, Long) = {
+          val sz0 = beUInt(b, off.toInt)
+          val typ = fourCC(b, off.toInt + 4)
+          val (hdr, sz) =
+            if (sz0 == 1 && off + 16 <= until) (16L, beLong(b, off.toInt + 8))
+            else if (sz0 == 0) (8L, until - off) // box extends to parent end
+            else (8L, sz0)
+          if (sz < hdr || off + sz > until) { dead = true; (typ, -1L, -1L) }
+          else { val r = (typ, off + hdr, off + sz); off += sz; r }
+        }
+      }
+    try {
+      boxes(0L, b.length.toLong)
+        .collectFirst { case ("moov", s, e) if s >= 0 => (s, e) }
+        .flatMap { case (ms, me) =>
+          var timescale = 0L; var duration = 0L
+          var nTracks = 0; var width = 0; var height = 0
+          boxes(ms, me).foreach {
+            case ("mvhd", s, _) if s >= 0 =>
+              val v = b(s.toInt) & 0xff
+              if (v == 1) { timescale = beUInt(b, s.toInt + 20); duration = beLong(b, s.toInt + 24) }
+              else { timescale = beUInt(b, s.toInt + 12); duration = beUInt(b, s.toInt + 16) }
+            case ("trak", s, e) if s >= 0 =>
+              nTracks += 1
+              boxes(s, e).foreach {
+                case ("tkhd", ts, _) if ts >= 0 =>
+                  val v = b(ts.toInt) & 0xff
+                  val wOff = if (v == 1) ts + 88 else ts + 76 // 16.16 fixed
+                  width = math.max(width, (beUInt(b, wOff.toInt) >> 16).toInt)
+                  height = math.max(height, (beUInt(b, wOff.toInt + 4) >> 16).toInt)
+                case _ =>
+              }
+            case _ =>
+          }
+          if (nTracks == 0 && timescale == 0) None
+          else {
+            val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+            Some((s"mp4/$brand", width, height, nTracks, durMs))
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => None } // truncated box offsets
+  }
+
+  /** Metadata decode: real header parse for image (PNG/JPEG/GIF), audio
+    * (WAV/RIFF) and video (MP4) containers; the deterministic STUB below
+    * only for blobs no parser claims (this container has no codec
+    * libraries for full decodes beyond ImageIO).
     */
   private[graft] def decodeBytes(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
     if (bytes == null || bytes.isEmpty) return ("empty", 0, 0, 0, 0L)
     imageMeta(bytes) match {
       case Some((fmt, w, h, c)) => (fmt, w, h, c, bytes.length.toLong)
-      case None =>
-        // ---------------------------------------------------------- STUB
-        // deterministic fake for non-image media
-        var hsh = 1125899906842597L // deterministic FNV-ish fold
-        var i = 0
-        while (i < math.min(bytes.length, 64)) { hsh = 31 * hsh + bytes(i); i += 1 }
-        val w = 64 + math.floorMod(hsh, 448).toInt // 64..511
-        val ht = 64 + math.floorMod(hsh >> 16, 448).toInt
-        ("fake/raw", w, ht, 3, bytes.length.toLong)
-        // --------------------------------------------------------- /STUB
+      case None => wavMeta(bytes) match {
+        // audio: no spatial dims; duration is real (dataSize/byteRate)
+        case Some((fmt, ch, _, durMs)) => (fmt, 0, 0, ch, durMs)
+        case None => mp4Meta(bytes) match {
+          // video: n_channels carries the TRACK count (schema reuse,
+          // documented — a fixed metadata struct, not a union type)
+          case Some((fmt, w, h, tracks, durMs)) => (fmt, w, h, tracks, durMs)
+          case None =>
+            // ------------------------------------------------------ STUB
+            // deterministic fake for unclaimed blobs
+            var hsh = 1125899906842597L // deterministic FNV-ish fold
+            var i = 0
+            while (i < math.min(bytes.length, 64)) { hsh = 31 * hsh + bytes(i); i += 1 }
+            val w = 64 + math.floorMod(hsh, 448).toInt // 64..511
+            val ht = 64 + math.floorMod(hsh >> 16, 448).toInt
+            ("fake/raw", w, ht, 3, bytes.length.toLong)
+            // ----------------------------------------------------- /STUB
+        }
+      }
     }
   }
 

@@ -119,6 +119,85 @@ class SourcesSpec extends SparkSpec {
     assert(m(2L)._1 == "fake/raw") // non-image falls back to the marked stub
   }
 
+  /** Real WAV fixture bytes from the JDK's own encoder (javax.sound) —
+    * the parser is tested against a third-party writer, not a mirror of
+    * its own assumptions. */
+  private def encodeWav(channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    (pcm.indices).foreach(i => pcm(i) = ((i * 37) & 0xff).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def beI(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatMap(_.toSeq).toArray
+    beI(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  test("Multimodal: REAL audio codec — WAV/RIFF header parse (JDK-encoded fixture)") {
+    // 2ch 8kHz 16-bit, 4000 frames = 500 ms exactly (byteRate 32000, data 16000)
+    val wav = encodeWav(channels = 2, sampleRate = 8000, frames = 4000)
+    assert(Multimodal.wavMeta(wav).contains(("wav", 2, 8000, 500L)))
+    assert(Multimodal.wavMeta(encodeWav(1, 44100, 44100)).contains(("wav", 1, 44100, 1000L)))
+    // an unknown chunk BEFORE fmt must be walked over, not choke the
+    // parse (RIFF sizes are little-endian, hence the hand-built chunk)
+    val junk = "junkpayload".getBytes
+    val junkChunk = "LIST".getBytes ++ Array[Byte](
+      (junk.length & 0xff).toByte, 0, 0, 0) ++ junk ++
+      (if (junk.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val shifted = wav.take(12) ++ junkChunk ++ wav.drop(12)
+    assert(Multimodal.wavMeta(shifted).contains(("wav", 2, 8000, 500L)))
+    // corruption degrades to None, never throws
+    assert(Multimodal.wavMeta(wav.take(20)).isEmpty)          // truncated fmt
+    assert(Multimodal.wavMeta("RIFFxxxxAIFF----".getBytes).isEmpty) // not WAVE
+    assert(Multimodal.wavMeta(null).isEmpty)
+  }
+
+  test("Multimodal: REAL video codec — MP4 ftyp/moov box parse, v0 and v1 layouts") {
+    val ftyp = mp4Box("ftyp", "isom".getBytes, beI(0x200), "isomiso2".getBytes)
+    def tkhdV0(w: Int, h: Int) = mp4Box("tkhd",
+      new Array[Byte](76), beI(w << 16), beI(h << 16))
+    val mvhdV0 = mp4Box("mvhd", new Array[Byte](12), beI(1000), beI(2500))
+    val mp4 = ftyp ++ mp4Box("moov", mvhdV0,
+      mp4Box("trak", tkhdV0(320, 240)), mp4Box("trak", tkhdV0(0, 0)))
+    assert(Multimodal.mp4Meta(mp4).contains(("mp4/isom", 320, 240, 2, 2500L)))
+    // version-1 mvhd/tkhd: 64-bit times, timescale at +20, duration 8 bytes
+    val mvhdV1 = mp4Box("mvhd", Array[Byte](1, 0, 0, 0), new Array[Byte](16),
+      beI(600), beI(0), beI(1800))
+    val tkhdV1 = mp4Box("tkhd", Array[Byte](1, 0, 0, 0), new Array[Byte](84),
+      beI(640 << 16), beI(480 << 16))
+    val mp4v1 = ftyp ++ mp4Box("moov", mvhdV1, mp4Box("trak", tkhdV1))
+    assert(Multimodal.mp4Meta(mp4v1).contains(("mp4/isom", 640, 480, 1, 3000L)))
+    // corruption degrades to None: bad box size, missing moov, truncation
+    val badSize = ftyp ++ beI(3) ++ "moov".getBytes
+    assert(Multimodal.mp4Meta(badSize).isEmpty)
+    assert(Multimodal.mp4Meta(ftyp).isEmpty)             // no moov at all
+    assert(Multimodal.mp4Meta(mp4.take(30)).isEmpty)     // truncated mid-box
+    assert(Multimodal.mp4Meta("not a container".getBytes).isEmpty)
+  }
+
+  test("Multimodal: decode meta dispatches wav and mp4 before the stub") {
+    val wav = encodeWav(2, 8000, 4000)
+    val ftyp = mp4Box("ftyp", "mp42".getBytes, beI(0), "mp42".getBytes)
+    val mp4 = ftyp ++ mp4Box("moov",
+      mp4Box("mvhd", new Array[Byte](12), beI(90000), beI(450000)),
+      mp4Box("trak", mp4Box("tkhd", new Array[Byte](76), beI(1280 << 16), beI(720 << 16))))
+    val df = Seq((1L, wav), (2L, mp4), (3L, "neither".getBytes)).toDF("id", "media")
+    val m = Multimodal.withDecodedMeta(df, "media").select("id", "meta.*")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(m(1L) == (("wav", 0, 0, 2, 500L)))
+    assert(m(2L) == (("mp4/mp42", 1280, 720, 1, 5000L)))
+    assert(m(3L)._1 == "fake/raw")
+  }
+
   test("Npy: reads a numpy-written 2-D f4 file (hand-crafted v1.0 bytes)") {
     // exactly what numpy writes for np.arange(6, dtype='<f4').reshape(2,3)
     val headerTxt = {
