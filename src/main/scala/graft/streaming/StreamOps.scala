@@ -48,7 +48,9 @@ case class BucketState(members: List[DocSig])
   * `spark.sql.streaming.stateStore.providerClass=
   * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
   * so state spills off-heap/disk with incremental checkpoints — no code
-  * change here, the operators are store-agnostic.
+  * change here, the operators are store-agnostic (StreamingSpec runs
+  * the signature matcher under the RocksDB provider and asserts
+  * byte-identical decisions).
   */
 object StreamOps {
 

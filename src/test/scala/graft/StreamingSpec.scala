@@ -157,6 +157,54 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq == rows.sorted.toSeq)
   }
 
+  test("minhashNearDupSigStream: identical decisions under RocksDBStateStoreProvider") {
+    // the documented corpus-scale configuration (state off-heap/disk with
+    // incremental checkpoints) actually RUNS: same near-dup-across-
+    // micro-batches scenario as above, state backed by RocksDB instead of
+    // the default in-memory HDFS-backed store, byte-identical decisions
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 60).map(i =>
+      if (i % 10 == 0 && i > 0 && i < 50) s"edit$i" else s"tok$i").mkString(" ")
+    val far = (0 until 60).map(i => s"other$i").mkString(" ")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[DocText]
+      mem.addData(DocText(0L, base), DocText(1L, far))
+      val q = StreamOps.minhashNearDupSigStream(mem.toDS(), k = 16, bands = 8,
+          shingleK = 3, threshold = 0.4)
+        .writeStream.format("memory").queryName("sig_rocks_out")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      mem.addData(DocText(2L, near))
+      q.processAllAvailable()
+      // the provider the query ACTUALLY loaded, not just the conf we
+      // set: RocksDB surfaces its own custom state-store metrics
+      import scala.jdk.CollectionConverters._
+      val metricKeys = q.lastProgress.stateOperators
+        .flatMap(_.customMetrics.keySet().asScala)
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"query did not run on the RocksDB provider; metrics: ${metricKeys.mkString(",")}")
+      q.stop()
+      val rows = spark.table("sig_rocks_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+      val batch = StreamOps.minhashNearDupSigStream(
+          Seq(DocText(0L, base), DocText(1L, far), DocText(2L, near)).toDS(),
+          k = 16, bands = 8, shingleK = 3, threshold = 0.4)
+        .collect().map(d => (d.doc_id, d.band, d.matched_id, d.est_jaccard)).sorted
+      assert(rows.toSeq == batch.toSeq)
+      assert(rows.exists(r => r._1 == 2L && r._3 == 0L),
+        "near-dup across micro-batches must survive the RocksDB store")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("minhashNearDupStream with stateTtl: lambda paths agree with the no-TTL run (batch)") {
     // batch mode exercises the ProcessingTimeTimeout configuration and the
     // setTimeoutDuration call without the streaming scheduler (whose
