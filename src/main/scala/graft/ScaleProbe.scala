@@ -230,6 +230,25 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bpetrain")) {
+      // train the merge table the declared bpe query embeds as a literal:
+      // runMain graft.ScaleProbe bpetrain <sfDir> [nMerges]
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+      val n = args.drop(2).headOption.map(_.toInt).getOrElse(24)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.functions.TextFunctions.learnBpeMerges(docs, "text", n)
+      println(merges.map { case (a, b) => s"""("$a", "$b")""" }.mkString(",\n"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("against")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)

@@ -42,6 +42,24 @@ object SparkEntry {
     docs.unionByName(dups)
   }
 
+  /** The learned BPE merge table the declared `bpe_tokens_learned` query
+    * applies — output of the REAL trainer
+    * ([[graft.functions.TextFunctions.learnBpeMerges]]: greedy
+    * most-frequent-adjacent-pair over the word-frequency dictionary) on
+    * the sf0.01 documents corpus, 24 merges
+    * (`runMain graft.ScaleProbe bpetrain /root/testdata/sf0.01 24`).
+    * A LITERAL, single-sourced: the Spark query folds it through
+    * TextFunctions.bpeCount and the DuckDB oracle SQL is generated from
+    * this same list, so the two engines replay the identical replace
+    * sequence.
+    */
+  private val bpeMergeTable: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("vc_returnflag")(spark, "/root/testdata/sf0.001")
@@ -577,11 +595,27 @@ object SparkEntry {
       Relational.concatAligned(Seq(f1, f2, f3), Seq("c_custkey"))
         .orderBy("c_custkey")
     }),
-    // EXT BPE-ish regex token counting (ASCII class pattern, RE2/Java-portable)
+    // EXT BPE-ish regex token counting (ASCII class pattern, RE2/Java-
+    // portable) — the cheap single-regex budget proxy; the real learned
+    // tokenizer is bpe_tokens_learned below
     "bpe_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
           regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"))
+            .as("bpe_cnt"))
+        .orderBy("doc_id")
+    }),
+    // EXT REAL merge-table BPE token counting: chars -> learned merges
+    // applied in rank order (TextFunctions.bpeCount — all builtin
+    // expressions, codegen'd, shuffle-free). The table is the output of
+    // the real trainer (TextFunctions.learnBpeMerges, greedy most-
+    // frequent-pair over the word-frequency dictionary) on this corpus;
+    // embedded as a literal so the oracle replays the identical replace
+    // fold — both engines' SQL is generated from the SAME Scala list.
+    "bpe_tokens_learned" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.bpeCount(col("text"), bpeMergeTable)
             .as("bpe_cnt"))
         .orderBy("doc_id")
     }),
@@ -1221,6 +1255,20 @@ object SparkEntry {
     "bpe_tokens" ->
       """SELECT doc_id, CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) AS INT) AS bpe_cnt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "bpe_tokens_learned" -> {
+      // the identical replace fold bpeCount applies, generated from the
+      // SAME bpeMergeTable literal (single source — a table edit changes
+      // both engines in lockstep)
+      val sep = "␟"
+      val fold = bpeMergeTable.foldLeft(s"regexp_replace(w, '(.)', '\\1$sep', 'g')") {
+        case (acc, (a, b)) => s"replace($acc, '$a$sep$b', '$a$b')"
+      }
+      s"""SELECT doc_id,
+         | CASE WHEN trim(text) = '' THEN 0 ELSE CAST(list_sum(list_transform(
+         |   regexp_split_to_array(trim(text), '\\s+'),
+         |   w -> len(string_split($fold, '$sep')) - 1)) AS INT) END AS bpe_cnt
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "dedup_last" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

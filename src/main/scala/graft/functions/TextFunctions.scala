@@ -271,4 +271,108 @@ object TextFunctions {
     when(length(c) >= n,
       transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
+
+  // ------------------------------------------------------------------
+  // Merge-table-driven BPE (EXT per north star "token counting"): the
+  // real algorithm a training pipeline budgets with, not a regex proxy.
+  //
+  // Variant implemented (documented contract): a word is split into
+  // characters, then each learned merge (a, b) -> ab is applied in
+  // TABLE ORDER, exhaustively left-to-right (the non-overlapping
+  // leftmost-first semantics every SQL engine's literal `replace`
+  // has). For a table actually produced by BPE training — where a
+  // rule's operands are base characters or products of strictly
+  // earlier rules — this sequential application is the standard greedy
+  // segmentation. Everything is builtin expressions (regexp_replace to
+  // intersperse separators, a fold of literal `replace` calls, split +
+  // size to count), so the whole pipeline is codegen'd, shuffle-free,
+  // and mirrored verbatim by the DuckDB oracle.
+  //
+  // The token separator is U+241F (symbol-for-unit-separator): a space
+  // would collide with... nothing inside a whitespace-split word, but a
+  // non-ASCII sentinel keeps the operator safe for corpora where words
+  // can contain any ASCII punctuation.
+
+  private val SEP = "␟"
+
+  /** Space-free word -> its BPE token string (tokens joined by the
+    * separator), merges applied in table order.
+    */
+  private def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) =>
+      !a.contains(SEP) && !b.contains(SEP) && a.nonEmpty && b.nonEmpty },
+      "merge operands must be non-empty and must not contain the separator")
+    // "hello" -> "h␟e␟l␟l␟o␟" ($1 backref; DuckDB mirrors with \1 and
+    // 'g'). The trailing separator is KEPT — trimming it would force a
+    // second reference to the computed string in one projection (the
+    // repo's materialize-first invariant) — so token count is
+    // split-size minus one and segment arrays drop the final "".
+    val chars = regexp_replace(word, "(.)", "$1" + SEP)
+    merges.foldLeft(chars) { case (acc, (a, b)) =>
+      replace(acc, lit(a + SEP + b), lit(a + b))
+    }
+  }
+
+  /** BPE token count for a whole text column: whitespace words, each
+    * segmented under `merges`, counts summed. 0 for blank/empty text.
+    */
+  def bpeCount(c: Column, merges: Seq[(String, String)]): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(aggregate(
+        transform(split(trim(c), "\\s+"),
+          w => size(split(bpeSegment(w, merges), SEP)) - 1),
+        lit(0), (acc, n) => acc + n))
+
+  /** BPE token ARRAY per word of a text column (the segmentation the
+    * count above collapses — what a pipeline inspecting its tokenizer
+    * looks at). One array of token-arrays per row.
+    */
+  def bpeSegments(c: Column, merges: Seq[(String, String)]): Column =
+    when(length(trim(c)) === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(split(trim(c), "\\s+"),
+        w => array_remove(split(bpeSegment(w, merges), SEP), "")))
+
+  /** REAL BPE training: learn `nMerges` merges from a corpus by the
+    * classic greedy loop — segment the (distinct, frequency-weighted)
+    * word table under the merges so far, count adjacent token pairs
+    * weighted by word frequency, take the most frequent pair
+    * (deterministic tie-break: count desc, then pair lexicographic),
+    * append, repeat. The word-frequency table is ONE corpus scan,
+    * persisted; each iteration is then a small shuffle over distinct
+    * words only — the classic dictionary-based BPE trainer shape, which
+    * is what keeps 100 TB training feasible (corpus scanned once, the
+    * loop touches only the vocabulary).
+    *
+    * The returned table is what [[bpeCount]]/[[bpeSegments]] apply; the
+    * declared query embeds a trained table as a literal so the oracle
+    * can replay the identical replace fold.
+    */
+  def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var merges = Vector.empty[(String, String)]
+      var exhausted = false
+      while (merges.length < nMerges && !exhausted) {
+        val toks = array_remove(split(bpeSegment(col("w"), merges), SEP), "")
+        val best = words
+          .select(col("freq"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("freq"), explode(
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("a"),
+                element_at(col("t"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // every word fully merged
+        else merges :+= ((best(0).getString(0), best(0).getString(1)))
+      }
+      merges
+    } finally { words.unpersist(); () }
+  }
 }

@@ -111,4 +111,45 @@ class FunctionsSpec extends SparkSpec {
     assert(b(0) == b(1))
     assert(b.forall(x => x >= 0 && x < 16))
   }
+
+  test("bpeSegments: merges apply in table order, exhaustively left-to-right") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    val df = Seq("low lower lowest low", "", "x").toDF("t")
+    val segs = df.select(TextFunctions.bpeSegments(col("t"), merges).as("s"))
+      .collect().map(_.getSeq[Seq[String]](0))
+    assert(segs(0) == Seq(Seq("low"), Seq("lower"), Seq("low", "e", "s", "t"), Seq("low")))
+    assert(segs(1) == Seq.empty) // blank text
+    assert(segs(2) == Seq(Seq("x"))) // single char, no merges apply
+    // count collapses the same segmentation
+    val cnts = df.select(TextFunctions.bpeCount(col("t"), merges)).collect().map(_.getInt(0))
+    assert(cnts.toSeq == Seq(1 + 1 + 4 + 1, 0, 1))
+    // no merges = pure character count of the words
+    val raw = df.select(TextFunctions.bpeCount(col("t"), Seq.empty)).collect().map(_.getInt(0))
+    assert(raw.toSeq == Seq("lowlowerlowestlow".length, 0, 1))
+  }
+
+  test("bpeCount: left-to-right non-overlapping pair semantics") {
+    val merges = Seq(("a", "a"))
+    val df = Seq("aaa aaaa").toDF("t")
+    // "aaa" -> [aa, a] (leftmost pair wins), "aaaa" -> [aa, aa]
+    val segs = df.select(TextFunctions.bpeSegments(col("t"), merges)).head().getSeq[Seq[String]](0)
+    assert(segs == Seq(Seq("aa", "a"), Seq("aa", "aa")))
+  }
+
+  test("learnBpeMerges: recovers the dominant pairs of a skewed corpus") {
+    // classic BPE fixture: 'ab' dominates, then 'abc' forms from ab+c
+    val docs = (Seq.fill(20)("abc") ++ Seq.fill(10)("abd") ++ Seq.fill(3)("xy"))
+      .toDF("text")
+    val merges = TextFunctions.learnBpeMerges(docs, "text", 3)
+    // pair (a,b) appears 30x weighted -> first merge; (ab,c) 20x -> second
+    assert(merges.take(2) == Seq(("a", "b"), ("ab", "c")))
+    assert(merges.length == 3)
+    // applying the learned table segments the training words to 1-2 tokens
+    val segs = docs.limit(1).select(TextFunctions.bpeSegments(col("text"), merges))
+      .head().getSeq[Seq[String]](0)
+    assert(segs == Seq(Seq("abc")))
+    // trainer stops when nothing is left to merge
+    val tiny = Seq("ab ab").toDF("text")
+    assert(TextFunctions.learnBpeMerges(tiny, "text", 10).length == 1)
+  }
 }
