@@ -183,16 +183,28 @@ object ScaleProbe {
     val pairs = cliquePairs.unionByName(chainPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
-    val t0 = System.nanoTime()
-    val labels = Dedup.dedupClusters(pairs)
-    val n = labels.count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    // every label must be its component min: clique min = c*10^6, chain min = chainBase
-    val wrong = labels.filter(
-      col("cluster_id") =!= when(col("id") >= chainBase, lit(chainBase))
-        .otherwise((col("id") / 1000000L).cast("long") * 1000000L)).count()
-    println(s"""{"metric":"components_probe","pairs":$nPairs,"nodes":$n,"sec":$sec,"wrong":$wrong}""")
-    require(wrong == 0, s"$wrong labels did not reach their component minimum")
+    // interleaved convergence-probe cadence A/B (round-6 advice item:
+    // "probe every other round — measure first"): probeEvery=2 skips
+    // half the cached-scan counts but overshoots the fixpoint by up to
+    // one full join round when the diameter parity disagrees
+    val results = (1 to 2).flatMap { it =>
+      Seq(1, 2).map { cadence =>
+        val t0 = System.nanoTime()
+        val labels = Dedup.dedupClusters(pairs, probeEvery = cadence)
+        val n = labels.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // every label must be its component min: clique min = c*10^6,
+        // chain min = chainBase
+        val wrong = labels.filter(
+          col("cluster_id") =!= when(col("id") >= chainBase, lit(chainBase))
+            .otherwise((col("id") / 1000000L).cast("long") * 1000000L)).count()
+        require(wrong == 0, s"$wrong labels did not reach their component minimum")
+        (s"probe${cadence}_i$it", sec, n)
+      }
+    }
+    val qs = results.map { case (nm, v, r) => s""""$nm":{"sec":$v,"nodes":$r}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"components_probe","pairs":$nPairs,"results":$qs}""")
     pairs.unpersist()
   }
 

@@ -842,7 +842,8 @@ object Dedup {
     * recomputing — the same posture as `Relational.twoPhaseDenseIds`.
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 20, probeEvery: Int = 1): DataFrame = {
+    require(probeEvery >= 1, s"probeEvery ($probeEvery) must be >= 1")
     // no distinct(): every consumer is a min-aggregation, where duplicate
     // edges cannot change the result — deduping here would cost a full
     // shuffle of the edge frame for nothing (callers feeding massively
@@ -876,9 +877,16 @@ object Dedup {
         .select(col("id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true) // flat plan + full materialization
-      converged = next.filter(col("cluster_id") =!= col("_old")).count() == 0
-      labels = next.select("id", "cluster_id")
       i += 1
+      // convergence probe every `probeEvery` rounds (and always on the
+      // last permitted round): the count re-scans the checkpointed
+      // labels, so skipping it trades a cheap cached scan against up to
+      // probeEvery-1 redundant full rounds after the true fixpoint.
+      // Measured at the components probe scale (BENCH_NOTES r7):
+      // per-round counts WON — the default stays probeEvery=1.
+      if (i % probeEvery == 0 || i == maxIter)
+        converged = next.filter(col("cluster_id") =!= col("_old")).count() == 0
+      labels = next.select("id", "cluster_id")
     }
     require(converged, s"dedupClusters did not converge in $maxIter rounds " +
       "(graph diameter exceeds maxIter — raise it; near-dup graphs are " +
