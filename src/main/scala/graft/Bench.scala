@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at
@@ -10,6 +13,22 @@ import org.apache.spark.sql.SparkSession
   * the full physical plan and discards rows executor-side (no collect).
   * One untimed warmup query amortizes JVM/codegen startup so timings
   * reflect steady-state throughput.
+  *
+  * Crash/stall tolerance (round 8): the round-7 record was lost whole —
+  * a RejectedExecutionException escaped OUTSIDE the per-query try after
+  * 44 minutes of host CPU-steal, zeroing 44 minutes of measurements. Three
+  * defenses, so a degraded host can degrade the record but never erase it:
+  *   1. The entire per-query loop body (including the storage sample) sits
+  *      inside the catch; any per-query failure reports -1 and moves on.
+  *   2. Each timed iteration runs under a wall-clock deadline
+  *      (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 120 s — the slowest
+  *      healthy sf0.1 query is ~4 s, so this only fires on pathology).
+  *      On expiry the query's Spark job group is cancelled, the query
+  *      reports -1, and the suite continues.
+  *   3. Results accumulate as they land (each median also printed to
+  *      stderr immediately) and a JVM shutdown hook emits the partial
+  *      JSON line if the normal path didn't — kill -9 of an executor
+  *      thread mid-suite still yields every completed query's median.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,33 +45,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-      }
-    }
-
-    // warmup: JVM + codegen + parquet footer caches (untimed)
-    runOnce("vc_returnflag")
-
-    // n=1 per query was 10x-noisy run-to-run (GC / first-codegen spikes):
-    // run `iters` timings per query and report the MEDIAN — robust to a
-    // single spike, cheap enough to keep the whole bench under the CI
-    // budget. A query that fails any iteration reports -1.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def median(xs: Seq[Double]): Double = {
-      if (xs.exists(_ < 0)) return -1.0
-      val s = xs.sorted
-      s(s.length / 2)
-    }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "120").toLong
     // cache lifecycle: Bench deliberately keeps the session's cache
     // ACROSS queries — Spark's CacheManager matches persisted plans by
     // logical equality, so the dedup family legitimately shares its
@@ -60,22 +53,106 @@ object Bench {
     // per query was measured +55% on the suite total for no footprint
     // it needed to bound: see storage_peak_bytes). The footprint is
     // instead made OBSERVABLE: `storage_peak_bytes` samples cached
-    // mem+disk after every query, so the suite-wide accumulation the
-    // LRU store must absorb is a reported number, not a guess. Verify
-    // (the untimed correctness gate) clears per query and stays flat.
+    // mem+disk after every query. Verify (the untimed correctness gate)
+    // clears per query and stays flat. SPARK_GRAFT_BENCH_CLEAR_CACHE=1
+    // switches to per-query clearing for A/B'ing the two lifecycles.
+    val clearCache = sys.env.get("SPARK_GRAFT_BENCH_CLEAR_CACHE").contains("1")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+
+    // Queries run on a worker thread so the main thread can enforce the
+    // deadline; on expiry the job group is cancelled so the orphaned
+    // Spark jobs stop burning the cores the NEXT query needs. Each query
+    // gets a FRESH single-use executor: a cancelled task leaves its
+    // thread interrupt-flagged, and a pooled reuse of that thread made
+    // the NEXT query fail spuriously (observed: AQE stage-materialization
+    // failures on the query right after a deadline cancellation).
+    def runOnce(name: String): Double = {
+      val exec = Executors.newSingleThreadExecutor()
+      val task = exec.submit(new java.util.concurrent.Callable[Double] {
+        def call(): Double = {
+          spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+      })
+      try task.get(deadlineSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          System.err.println(s"[bench] $name exceeded ${deadlineSec}s deadline; cancelling")
+          try spark.sparkContext.cancelJobGroup(s"bench-$name") catch { case _: Throwable => () }
+          task.cancel(true)
+          -1.0
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      } finally {
+        // The abandoned thread (if still cancelling) dies with its
+        // executor; never handed to another query.
+        exec.shutdownNow()
+      }
+    }
+
+    // n=1 per query was 10x-noisy run-to-run (GC / first-codegen spikes):
+    // run `iters` timings per query and report the MEDIAN — robust to a
+    // single spike, cheap enough to keep the whole bench under the CI
+    // budget. A query that fails any iteration reports -1, and the
+    // remaining iterations are skipped (a timed-out query must cost one
+    // deadline, not iters of them).
+    def medianOf(name: String): Double = {
+      val xs = Iterator.continually(runOnce(name)).take(iters)
+        .takeWhile(_ >= 0).toSeq
+      if (xs.length < iters) return -1.0
+      val s = xs.sorted
+      s(s.length / 2)
+    }
     def storageBytes: Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
-    var storagePeak = 0L
-    val results = names.map { n =>
-      val r = n -> median((0 until iters).map(_ => runOnce(n)))
-      storagePeak = math.max(storagePeak, storageBytes)
-      r
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    @volatile var storagePeak = 0L
+    val printed = new AtomicBoolean(false)
+
+    // Partial-emission path: the same line the happy path prints, built
+    // from whatever has landed. Ordering matches `names` so a partial
+    // record diffs cleanly against a complete one.
+    def emit(status: String): Unit = if (printed.compareAndSet(false, true)) {
+      val qs = names.flatMap(n => Option(results.get(n)).map(v => "\"" + n + "\":" + v))
+        .mkString("{", ",", "}")
+      val total = names.flatMap(n => Option(results.get(n))).filter(_ >= 0).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"storage_peak_bytes":$storagePeak,"clear_cache":$clearCache,"status":"$status","sf":"$sfDir"}""")
+      System.out.flush()
     }
-    spark.catalog.clearCache()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"storage_peak_bytes":$storagePeak,"sf":"$sfDir"}""")
-    spark.stop()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit("aborted")))
+
+    var status = "complete"
+    try {
+      // warmup: JVM + codegen + parquet footer caches (untimed)
+      runOnce("vc_returnflag")
+      names.foreach { n =>
+        try {
+          val m = medianOf(n)
+          results.put(n, m)
+          storagePeak = math.max(storagePeak, storageBytes)
+          System.err.println(f"[bench] $n%-28s $m%8.3f s")
+          if (clearCache) spark.catalog.clearCache()
+        } catch {
+          // Belt over the runOnce braces: a failure in the storage sample
+          // or cache clear (e.g. a dying SparkContext) must cost one
+          // query, not the suite.
+          case e: Throwable =>
+            results.put(n, -1.0)
+            System.err.println(s"[bench] $n harness failure: ${e.getMessage}")
+        }
+      }
+    } catch {
+      case e: Throwable => status = "aborted: " + e.getClass.getSimpleName
+    } finally {
+      emit(status)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.stop() catch { case _: Throwable => () }
+    }
   }
 }

@@ -40,6 +40,19 @@ object LoadDump {
     name.substring(dot + 1).toLowerCase
   }
 
+  /** The reference's default dump formats (`utils.py:46-57` pkl/pklgz/
+    * pklbz2) are Python pickle — unreadable from the JVM by design, not
+    * by omission. Dispatch them to a pointed error so a user migrating a
+    * `pdload('x.pkl')` call gets the parquet answer, not a generic
+    * "unsupported extension".
+    */
+  private def rejectPickle(ext: String): Nothing =
+    throw new IllegalArgumentException(
+      s".$ext is Python pickle (the reference's pkl/pklgz/pklbz2 family, " +
+        "utils.py:46-57) — a Python-specific serialization with no JVM " +
+        "reader. Re-dump the frame as parquet (vectors travel as parquet " +
+        "array columns) and load the .parquet path instead.")
+
   /** pdload (`utils.py:59-106`): read with the format dispatched on
     * extension; `expectedColumns` plays the role of `check_instanceof`
     * (eager schema assert).
@@ -56,6 +69,7 @@ object LoadDump {
       case "npy" => Some(Npy.load(spark, path))
       case "npz" => Some(Npy.loadNpz(spark, path))
       case "npzsp" => Some(Npy.loadNpzSparse(spark, path))
+      case ext @ ("pkl" | "pklgz" | "pklbz2") => rejectPickle(ext)
       case _ => None
     }
     npyFamily.foreach { _ =>
@@ -83,6 +97,7 @@ object LoadDump {
   def dump(df: DataFrame, path: String, options: Map[String, String] = Map(),
       mode: String = "overwrite"): Unit = {
     val ext = extensionOf(path)
+    if (ext == "pkl" || ext == "pklgz" || ext == "pklbz2") rejectPickle(ext)
     require(ext != "bin", "binaryFile is a read-only Spark format; write blobs as parquet binary columns")
     val (fmt, defaults) = formats.getOrElse(ext,
       throw new IllegalArgumentException(s"unsupported extension: $ext"))

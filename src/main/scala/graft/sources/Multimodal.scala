@@ -157,7 +157,10 @@ object Multimodal {
     while (off + 8 <= b.length && (channels == 0 || dataSize < 0)) {
       val id = fourCC(b, off.toInt)
       val sz = leInt(b, off.toInt + 4) & 0xffffffffL
-      if (id == "fmt " && off + 8 + 16 <= b.length) {
+      // bound the read by the chunk's DECLARED size too: a fmt chunk
+      // claiming sz<16 must degrade to None, not read the next chunk's
+      // bytes as plausible-looking rates
+      if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
         channels = leShort(b, off.toInt + 10)
         sampleRate = leInt(b, off.toInt + 12)
         byteRate = leInt(b, off.toInt + 16)
@@ -207,18 +210,24 @@ object Multimodal {
           var timescale = 0L; var duration = 0L
           var nTracks = 0; var width = 0; var height = 0
           boxes(ms, me).foreach {
-            case ("mvhd", s, _) if s >= 0 =>
+            // every fixed-offset field read is bounded by the BOX's own
+            // end (not just the buffer): a short mvhd/tkhd inside a
+            // larger parent must degrade to "no value", never read the
+            // next box's bytes as plausible-looking metadata
+            case ("mvhd", s, e) if s >= 0 && s + 1 <= e =>
               val v = b(s.toInt) & 0xff
-              if (v == 1) { timescale = beUInt(b, s.toInt + 20); duration = beLong(b, s.toInt + 24) }
-              else { timescale = beUInt(b, s.toInt + 12); duration = beUInt(b, s.toInt + 16) }
+              if (v == 1 && s + 32 <= e) { timescale = beUInt(b, s.toInt + 20); duration = beLong(b, s.toInt + 24) }
+              else if (v == 0 && s + 20 <= e) { timescale = beUInt(b, s.toInt + 12); duration = beUInt(b, s.toInt + 16) }
             case ("trak", s, e) if s >= 0 =>
               nTracks += 1
               boxes(s, e).foreach {
-                case ("tkhd", ts, _) if ts >= 0 =>
+                case ("tkhd", ts, te) if ts >= 0 && ts + 1 <= te =>
                   val v = b(ts.toInt) & 0xff
                   val wOff = if (v == 1) ts + 88 else ts + 76 // 16.16 fixed
-                  width = math.max(width, (beUInt(b, wOff.toInt) >> 16).toInt)
-                  height = math.max(height, (beUInt(b, wOff.toInt + 4) >> 16).toInt)
+                  if (wOff + 8 <= te) {
+                    width = math.max(width, (beUInt(b, wOff.toInt) >> 16).toInt)
+                    height = math.max(height, (beUInt(b, wOff.toInt + 4) >> 16).toInt)
+                  }
                 case _ =>
               }
             case _ =>

@@ -23,6 +23,18 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](LoadDump.load(spark, s"$tmp/zz.xyz"))
   }
 
+  test("LoadDump: pickle family rejected with a pointed parquet message (utils.py:46-57)") {
+    for (ext <- Seq("pkl", "pklgz", "pklbz2")) {
+      val eLoad = intercept[IllegalArgumentException](
+        LoadDump.load(spark, s"/tmp/frame.$ext"))
+      assert(eLoad.getMessage.contains("Python pickle"), ext)
+      assert(eLoad.getMessage.contains("parquet"), ext)
+      val eDump = intercept[IllegalArgumentException](
+        LoadDump.dump(Seq((1, 2)).toDF("a", "b"), s"/tmp/frame.$ext"))
+      assert(eDump.getMessage.contains("Python pickle"), ext)
+    }
+  }
+
   test("LoadDump: expectedColumns assert (pdload check_instanceof analogue)") {
     val tmp = Files.createTempDirectory("graft_io2").toString
     LoadDump.dump(Seq((1, 2)).toDF("a", "b"), s"$tmp/t.parquet")
@@ -181,6 +193,33 @@ class SourcesSpec extends SparkSpec {
     assert(Multimodal.mp4Meta(ftyp).isEmpty)             // no moov at all
     assert(Multimodal.mp4Meta(mp4.take(30)).isEmpty)     // truncated mid-box
     assert(Multimodal.mp4Meta("not a container".getBytes).isEmpty)
+  }
+
+  test("Multimodal: fixed-offset reads are bounded by the DECLARED chunk/box extent") {
+    def leI(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // a fmt chunk CLAIMING 4 bytes, with a data chunk right after whose
+    // bytes would parse as plausible rates if the read overran the
+    // declared extent — must degrade to None, not return garbage
+    val shortFmt = "RIFF".getBytes ++ leI(100) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ leI(4) ++ Array[Byte](1, 0, 2, 0) ++
+      "data".getBytes ++ leI(16) ++ Array.fill[Byte](16)(0x44)
+    assert(Multimodal.wavMeta(shortFmt).isEmpty)
+    // a tkhd box shorter than its v0 dims offset (76+8) inside a larger
+    // moov: its dims must be SKIPPED (0x0), not read from the sibling box
+    val ftyp = mp4Box("ftyp", "isom".getBytes, beI(0x200), "isomiso2".getBytes)
+    val shortTkhd = mp4Box("tkhd", new Array[Byte](40)) // no dims in extent
+    val sibling = mp4Box("free", Array.fill[Byte](64)(0x7f))
+    val mp4 = ftyp ++ mp4Box("moov",
+      mp4Box("mvhd", new Array[Byte](12), beI(1000), beI(2000)),
+      mp4Box("trak", shortTkhd, sibling))
+    assert(Multimodal.mp4Meta(mp4).contains(("mp4/isom", 0, 0, 1, 2000L)))
+    // an mvhd shorter than its v0 field extent: timescale/duration skipped
+    val shortMvhd = mp4Box("mvhd", new Array[Byte](8))
+    val mp4b = ftyp ++ mp4Box("moov", shortMvhd,
+      mp4Box("trak", mp4Box("tkhd", new Array[Byte](76), beI(320 << 16), beI(240 << 16))))
+    assert(Multimodal.mp4Meta(mp4b).contains(("mp4/isom", 320, 240, 1, 0L)))
   }
 
   test("Multimodal: decode meta dispatches wav and mp4 before the stub") {
