@@ -453,6 +453,20 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")
     }),
+    // EXT sequence packing (Corpus.packSequences, next-fit per
+    // partition): the declared query pins ONE partition in doc_id order
+    // so the greedy scan is a deterministic sequence the oracle replays
+    // with a recursive CTE; at scale the operator runs per-partition
+    // with (pid, local) bin ids and zero shuffle (spec-asserted).
+    "pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      graft.operators.Corpus.packSequences(docs, "doc_id", "n_tokens", 256L)
+        .select(col("doc_id"), col("n_tokens"), col("bin_id"), col("pos_in_bin"))
+        .orderBy("doc_id")
+    }),
     // EXT multi-probe LSH ANN: queries also probe the lowest-margin
     // flipped bucket per table — recall of ~2x the tables at one corpus
     // hashing cost (hash-checked like ann_lsh_topk)
@@ -469,6 +483,19 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
+          nCentroids = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // EXT IVF-ANN with a REAL KMeans codebook — the production index
+    // build (Ann.ivfTopKKMeans). Learned centroids depend on float
+    // iteration order, so the result is not oracle-portable: declared
+    // ROWS-ONLY (no oracleSql entry — driver checks rows>0); recall
+    // >= 0.9 vs brute force and run-to-run determinism are
+    // spec-asserted (DedupAnnSpec "learned codebook beats md5").
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopKKMeans(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
           nCentroids = 8, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
@@ -616,6 +643,17 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.TextFunctions.bpeCount(col("text"), bpeMergeTable)
+            .as("bpe_cnt"))
+        .orderBy("doc_id")
+    }),
+    // EXT GPT-2-style PRE-TOKENIZED BPE: class runs (letters/digits/
+    // punct) first, merges applied within runs only — merges can never
+    // cross a class boundary, and punctuation runs are counted
+    // (TextFunctions.bpeCountPretok; same single-sourced merge table)
+    "bpe_tokens_pretok" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.bpeCountPretok(col("text"), bpeMergeTable)
             .as("bpe_cnt"))
         .orderBy("doc_id")
     }),
@@ -1097,6 +1135,43 @@ object SparkEntry {
          | r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "bpe_tokens_pretok" -> {
+      // same single-sourced fold as bpe_tokens_learned, applied to class
+      // runs (regexp_extract_all) instead of whitespace words; empty
+      // match list sums to NULL in DuckDB, hence the coalesce
+      val sep = "␟"
+      val fold = bpeMergeTable.foldLeft(s"regexp_replace(w, '(?s)(.)', '\\1$sep', 'g')") {
+        case (acc, (a, b)) => s"replace($acc, '$a$sep$b', '$a$b')"
+      }
+      s"""SELECT doc_id,
+         | CAST(coalesce(list_sum(list_transform(
+         |   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'),
+         |   w -> len(string_split($fold, '$sep')) - 1)), 0) AS INT) AS bpe_cnt
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // next-fit packing replayed SEQUENTIALLY: the recursive CTE steps
+    // one row per iteration in doc_id order — exactly the single-
+    // partition greedy scan the declared query pins
+    "pack_sequences" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT doc_id, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS bin_id, n_tokens AS used, 0 AS pos_in_bin
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.n_tokens, t.rn,
+        |    CASE WHEN p.used + t.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+        |    CASE WHEN p.used + t.n_tokens > 256 THEN t.n_tokens ELSE p.used + t.n_tokens END,
+        |    CASE WHEN p.used + t.n_tokens > 256 THEN 0 ELSE p.pos_in_bin + 1 END
+        |  FROM toks t JOIN pack p ON t.rn = p.rn + 1
+        |)
+        |SELECT doc_id, n_tokens, bin_id, CAST(pos_in_bin AS INT) AS pos_in_bin
+        |FROM pack ORDER BY doc_id""".stripMargin,
     "media_frames" ->
       """WITH m AS (SELECT doc_id, text, strlen(text) AS len FROM documents
         |           WHERE length(text) = strlen(text)),
@@ -1260,7 +1335,9 @@ object SparkEntry {
       // SAME bpeMergeTable literal (single source — a table edit changes
       // both engines in lockstep)
       val sep = "␟"
-      val fold = bpeMergeTable.foldLeft(s"regexp_replace(w, '(.)', '\\1$sep', 'g')") {
+      // (?s) on BOTH engines: Java dot excludes U+2028/29/NEL, RE2 dot
+      // only \n — DOTALL makes the char interspersion agree everywhere.
+      val fold = bpeMergeTable.foldLeft(s"regexp_replace(w, '(?s)(.)', '\\1$sep', 'g')") {
         case (acc, (a, b)) => s"replace($acc, '$a$sep$b', '$a$b')"
       }
       s"""SELECT doc_id,

@@ -307,7 +307,11 @@ object TextFunctions {
     // second reference to the computed string in one projection (the
     // repo's materialize-first invariant) — so token count is
     // split-size minus one and segment arrays drop the final "".
-    val chars = regexp_replace(word, "(.)", "$1" + SEP)
+    // (?s): Java's dot excludes U+2028/U+2029/NEL while DuckDB's RE2 dot
+    // excludes only \n — DOTALL in BOTH engines makes the interspersion
+    // agree for every character (\s never splits those, so such a char
+    // can reach this regex inside a "word").
+    val chars = regexp_replace(word, "(?s)(.)", "$1" + SEP)
     merges.foldLeft(chars) { case (acc, (a, b)) =>
       replace(acc, lit(a + SEP + b), lit(a + b))
     }
@@ -331,6 +335,45 @@ object TextFunctions {
     when(length(trim(c)) === 0, array().cast("array<array<string>>"))
       .otherwise(transform(split(trim(c), "\\s+"),
         w => array_remove(split(bpeSegment(w, merges), SEP), "")))
+
+  /** GPT-2-style PRE-TOKENIZED BPE count: the text first splits into
+    * class runs — letter runs, digit runs, punctuation runs (the
+    * ASCII-portable analogue of GPT-2's `\p{L}+ | \p{N}+ | other`
+    * pre-tokenizer classes) — and each pre-token segments independently
+    * under `merges`. This stops merges from ever crossing a
+    * letter/digit/punctuation boundary ("x1" can never fuse), the
+    * property real byte-level BPE vocabularies rely on. Unlike
+    * [[bpeCount]]'s whitespace words, punctuation is COUNTED here (its
+    * runs are pre-tokens), matching how real tokenizers bill it.
+    * Empty/blank text yields 0 with no special case (no matches).
+    * Still all codegen'd builtins, mirrored verbatim by the oracle.
+    */
+  def bpeCountPretok(c: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"), lit(0)),
+        w => size(split(bpeSegment(w, merges), SEP)) - 1),
+      lit(0), (acc, n) => acc + n)
+
+  /** VOCAB-SIZE-driven trainer stop: each merge adds exactly one token
+    * to the vocabulary, so the merge budget is `vocabSize` minus the
+    * base-character vocabulary (distinct characters across the corpus's
+    * words — ONE extra aggregate over the persisted word table). Returns
+    * the merges learned under that budget; a `vocabSize` at or below
+    * the base vocab learns none. The standard way a tokenizer build is
+    * specified ("train to 32k") instead of by merge count.
+    */
+  def learnBpeMergesToVocab(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, vocabSize: Int): Seq[(String, String)] = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val baseVocab = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("ch"))
+      .agg(countDistinct(col("ch"))).head().getLong(0)
+    val budget = math.max(0L, vocabSize - baseVocab).toInt
+    if (budget == 0) Seq.empty else learnBpeMerges(docs, textCol, budget)
+  }
 
   /** REAL BPE training: learn `nMerges` merges from a corpus by the
     * classic greedy loop — segment the (distinct, frequency-weighted)

@@ -391,6 +391,13 @@ object Dedup {
     // ONE explode, not a per-band union — the union's branches would
     // each re-run the corpus shingle scan and min-aggregate, making the
     // build `bands` corpus scans instead of the documented one
+    // k/bands ride as FIELD METADATA on `sig` — Spark persists field
+    // metadata through parquet round-trips, so a consumer
+    // (minhashAgainstStream) validates compatibility from the schema
+    // alone instead of paying an eager aggregate over the index
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("minhash_k", k.toLong)
+      .putLong("minhash_bands", bands.toLong).build()
     val banded = sigs.select(col("jid").as("corpus_id"),
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"),
       explode(array((0 until bands).map { b =>
@@ -398,7 +405,7 @@ object Dedup {
           concat((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bsig"))
       }: _*)).as("bb"))
       .select(col("corpus_id"), col("bb.band").as("band"),
-        col("bb.bsig").as("bsig"), col("sig"))
+        col("bb.bsig").as("bsig"), col("sig").as("sig", sigMeta))
     // persisted: the index is BUILT ONCE and joined by every ingestion
     // micro-batch — unpersisted, the whole corpus shingle/minhash/cap
     // pipeline would re-execute per batch. Same lazily-outliving

@@ -244,29 +244,37 @@ object StreamOps {
     * verification needs shingle sets and stays a batch concern
     * ([[graft.operators.Dedup.minhashNearDupAgainstMd5]]).
     *
-    * The index's k/bands compatibility is validated EAGERLY at call
-    * time (one action over the persisted index): a mismatched k
-    * changes the bsig width, so the equi-join would silently match
-    * nothing — a post-join guard can never fire on the mismatch it
-    * exists for.
+    * The index's k/bands compatibility is validated at call time — a
+    * mismatched k changes the bsig width, so the equi-join would
+    * silently match nothing, and a post-join guard can never fire on
+    * the mismatch it exists for. An index built by
+    * [[graft.operators.Dedup.minhashBandIndexMd5]] carries k/bands as
+    * field metadata on `sig` (surviving parquet round-trips), so the
+    * check is METADATA-ONLY — no action inside the caller's timed
+    * window. A foreign index without the metadata falls back to one
+    * eager aggregate over the persisted index (shape + null audit).
     *
     * Emits one row per (band, corpus-mate) hit; a pair sharing both
     * bands appears twice with the same estimate — dedup downstream
     * (distinct in batch, dropDuplicatesWithinWatermark in streaming).
     * Works unchanged on a batch frame (the spec strategy).
     */
-  def minhashAgainstStream(index: DataFrame, docs: DataFrame, k: Int = 12,
-      bands: Int = 2, shingleK: Int = 3, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val rows = k / bands
-    // eager compatibility check — the index frame is static (prebuilt,
-    // persisted), so this is a cheap batch action even under streaming
+  /** Fallback shape check for an index WITHOUT builder metadata: one
+    * eager aggregate over the (static, persisted) frame — uniform sig
+    * length == k, bsig width == rows*8, and NO null sig/bsig (min/max
+    * ignore nulls, so the null audit is an explicit count; a null sig
+    * would otherwise yield a null est_jaccard the threshold filter
+    * silently drops).
+    */
+  private def validateIndexEagerly(index: DataFrame, k: Int, bands: Int,
+      rows: Int): Unit = {
     val shape = index.agg(
       min(size(col("sig"))), max(size(col("sig"))),
-      min(length(col("bsig"))), max(length(col("bsig")))).head()
-    if (!shape.isNullAt(0)) { // empty index: nothing to match, any k is fine
+      min(length(col("bsig"))), max(length(col("bsig"))),
+      count(when(col("sig").isNull || col("bsig").isNull, 1))).head()
+    if (!shape.isNullAt(0) || shape.getLong(4) > 0) { // all-null index must fail the null gate, not skip it
+      require(shape.getLong(4) == 0L,
+        s"corpus index has ${shape.getLong(4)} rows with null sig/bsig — rebuild the index")
       require(shape.getInt(0) == k && shape.getInt(1) == k,
         s"corpus index signature length ${shape.getInt(0)}..${shape.getInt(1)} " +
           s"!= k=$k — rebuild the index with matching k")
@@ -274,6 +282,26 @@ object StreamOps {
         s"corpus index band-signature width ${shape.getInt(2)}..${shape.getInt(3)} " +
           s"!= ${rows * 8} (k=$k, bands=$bands) — rebuild the index with matching bands")
     }
+  }
+
+  def minhashAgainstStream(index: DataFrame, docs: DataFrame, k: Int = 12,
+      bands: Int = 2, shingleK: Int = 3, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val sigMeta = index.schema.fields.find(_.name == "sig").map(_.metadata)
+    if (sigMeta.exists(m => m.contains("minhash_k") && m.contains("minhash_bands"))) {
+      // metadata fast path: the builder stamped k/bands on the sig
+      // field — validate from the schema alone, zero actions
+      val mk = sigMeta.get.getLong("minhash_k")
+      val mb = sigMeta.get.getLong("minhash_bands")
+      require(mk == k, s"corpus index was built with k=$mk, caller asked k=$k " +
+        "— rebuild the index or match its k")
+      require(mb == bands, s"corpus index was built with bands=$mb, caller asked " +
+        s"bands=$bands — rebuild the index or match its bands")
+    } else validateIndexEagerly(index, k, bands, rows)
+    // expression-only ingest path continues below
     // null/too-short guard: wordShingles is null-safe (null text -> null
     // array) and empty for unshingleable docs; both are dropped by the
     // size filter BEFORE the minima (array_min over an empty array would

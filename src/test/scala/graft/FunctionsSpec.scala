@@ -152,4 +152,33 @@ class FunctionsSpec extends SparkSpec {
     val tiny = Seq("ab ab").toDF("text")
     assert(TextFunctions.learnBpeMerges(tiny, "text", 10).length == 1)
   }
+
+  test("bpeCountPretok: class runs pre-tokenize; merges cannot cross class boundaries") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("x", "1")) // (x,1) can NEVER apply
+    val df = Seq("low-cost x1, x1!", "", "  ", "...").toDF("t")
+    val cnts = df.select(TextFunctions.bpeCountPretok(col("t"), merges))
+      .collect().map(_.getInt(0))
+    // pre-tokens: [low][-][cost][x][1][,][x][1][!]
+    // low->1 tok; '-'->1; cost->4; x->1; 1->1; ','->1; x->1; 1->1; '!'->1
+    assert(cnts(0) == 1 + 1 + 4 + 1 + 1 + 1 + 1 + 1 + 1)
+    assert(cnts(1) == 0 && cnts(2) == 0) // blank: no matches, no special case
+    assert(cnts(3) == 3)                 // "..." is ONE pre-token, 3 char tokens (no merges apply)
+    // whitespace-word variant would glue "low-cost" into one word where
+    // (o,w) fuses across the '-'... it cannot here; sanity: the same
+    // input under bpeCount counts punctuation INSIDE words
+    val plain = df.select(TextFunctions.bpeCount(col("t"), merges)).head().getInt(0)
+    assert(plain != cnts(0)) // the two tokenizations genuinely differ
+  }
+
+  test("learnBpeMergesToVocab: merge budget = vocabSize - base chars") {
+    val docs = (Seq.fill(20)("abc") ++ Seq.fill(10)("abd") ++ Seq.fill(3)("xy"))
+      .toDF("text")
+    // base vocab: {a,b,c,d,x,y} = 6 chars
+    assert(TextFunctions.learnBpeMergesToVocab(docs, "text", 6).isEmpty)
+    assert(TextFunctions.learnBpeMergesToVocab(docs, "text", 4).isEmpty)
+    val m8 = TextFunctions.learnBpeMergesToVocab(docs, "text", 8)
+    assert(m8.length == 2 && m8 == Seq(("a", "b"), ("ab", "c")))
+    // budget above what the corpus can yield: trainer exhausts gracefully
+    assert(TextFunctions.learnBpeMergesToVocab(docs, "text", 100).length >= 3)
+  }
 }

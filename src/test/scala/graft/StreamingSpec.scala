@@ -336,6 +336,39 @@ class StreamingSpec extends SparkSpec {
         .orderBy("corpus_id", "doc_id").collect().map(_.toSeq).toSeq
     assert(run(loaded) == run(fresh))
     assert(run(loaded).nonEmpty)
+    // k/bands ride as sig-field metadata THROUGH the parquet round-trip,
+    // so compatibility validation is schema-only (no action in the
+    // caller's timed window) and a mismatched k fails fast
+    for (idx <- Seq(fresh, loaded)) {
+      val m = idx.schema("sig").metadata
+      assert(m.getLong("minhash_k") == 12L && m.getLong("minhash_bands") == 2L)
+      val e = intercept[IllegalArgumentException](
+        StreamOps.minhashAgainstStream(idx, incoming, k = 16, bands = 2))
+      assert(e.getMessage.contains("built with k=12"))
+      val eb = intercept[IllegalArgumentException](
+        StreamOps.minhashAgainstStream(idx, incoming, k = 12, bands = 4))
+      assert(eb.getMessage.contains("built with bands=2"))
+    }
+    // the metadata path runs ZERO Spark jobs at construction time — the
+    // whole point: no action inside the caller's timed window
+    loaded.count() // materialize the scan so the probe below is clean
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    StreamOps.minhashAgainstStream(loaded, incoming, k = 12, bands = 2)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore,
+      s"metadata-validated construction ran ${jobsAfter - jobsBefore} Spark job(s)")
+    // a FOREIGN index (no builder metadata) still hits the eager shape
+    // check: strip the metadata and present a wrong-k index
+    val stripped = loaded.select(
+      col("corpus_id"), col("band"), col("bsig"),
+      // a bare alias of an attribute INHERITS its metadata in Catalyst —
+      // explicitly alias with empty metadata to simulate a foreign index
+      col("sig").as("sig", org.apache.spark.sql.types.Metadata.empty))
+    assert(!stripped.schema("sig").metadata.contains("minhash_k"))
+    assert(run(stripped) == run(fresh)) // right shape: eager check passes
+    val eForeign = intercept[IllegalArgumentException](
+      StreamOps.minhashAgainstStream(stripped, incoming, k = 16, bands = 2))
+    assert(eForeign.getMessage.contains("signature length"))
   }
 
   test("minhashAgainstStream: streaming dropDuplicates collapses multi-band hits") {
