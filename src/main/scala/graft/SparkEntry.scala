@@ -420,6 +420,15 @@ object SparkEntry {
           0.4, nTables = 8, targetBucket = 64)
         .orderBy("id_a", "id_b")
     }),
+    // EXT SemDeDup-style semantic dedup: md5-seeded centroids (the
+    // oracle-portable codebook stand-in, same discipline as ann_ivf_topk),
+    // argmax-cosine cell assignment, within-cell lower-id near-neighbor
+    // flagging. Output is ids + booleans only — no float column to drift.
+    "semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, nClusters = 8)
+        .orderBy("vec_id")
+    }),
     // EXT SimHash per doc, engine-portable md5 variant (hash-checked)
     "simhash_docs" -> ((s, dir) => {
       Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
@@ -466,6 +475,35 @@ object SparkEntry {
       graft.operators.Corpus.packSequences(docs, "doc_id", "n_tokens", 256L)
         .select(col("doc_id"), col("n_tokens"), col("bin_id"), col("pos_in_bin"))
         .orderBy("doc_id")
+    }),
+    // EXT Gopher-style quality gate (TextFunctions.gopherFilter): five
+    // published rules -> keep flag + failed-rule audit string. The words
+    // array is materialized in its own projection BEFORE the struct so
+    // the filter() HOF doesn't re-split per element (repetitionRatio
+    // lesson). Per-row expressions only — no shuffle at any scale.
+    "gopher_filter" -> ((s, dir) => {
+      val withWords = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          when(length(trim(col("text"))) > 0, split(trim(col("text")), "\\s+"))
+            .otherwise(array().cast("array<string>")).as("words"))
+      withWords
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherFilter(col("text"), col("words")).as("g"))
+        .select(col("doc_id"), col("g.word_cnt").as("word_cnt"),
+          col("g.mean_wlen").as("mean_wlen"), col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.alpha_frac").as("alpha_frac"), col("g.stop_en").as("stop_en"),
+          col("g.keep").as("keep"), col("g.reasons").as("reasons"))
+        .orderBy("doc_id")
+    }),
+    // EXT SPAN-level dedup (Dedup.dupSpans): 30-char windows at stride
+    // 10 whose md5 recurs in >=2 docs, merged per doc into maximal
+    // spans. Catches shared boilerplate invisible to whole-doc MinHash;
+    // one digest groupBy + one digest equi-join + one per-doc window —
+    // the df cap (1024) guards the join against mega-boilerplate.
+    "dup_spans" -> ((s, dir) => {
+      Dedup.dupSpans(injectedDocs(s, dir), "doc_id", "text",
+          width = 30, stride = 10, minDf = 2, maxDf = 1024)
+        .orderBy("doc_id", "span_start")
     }),
     // EXT multi-probe LSH ANN: queries also probe the lowest-margin
     // flipped bucket per table — recall of ~2x the tables at one corpus
@@ -1121,6 +1159,22 @@ object SparkEntry {
          | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
          |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // semantic dedup mirror: same md5 centroid pick, same argmax
+    // (ccos DESC, cid) tie-break, same lower-id flagging; cluster cap
+    // mirrored with HAVING
+    "semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
+         | ca AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cvec")} AS ccos FROM e, cents c),
+         | assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca) WHERE rn = 1),
+         | ok AS (SELECT cid FROM assign GROUP BY cid HAVING COUNT(*) <= 4096),
+         | ac AS (SELECT assign.* FROM assign JOIN ok USING (cid)),
+         | dup AS (SELECT DISTINCT hi.vec_id FROM ac hi JOIN ac lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+         |         JOIN e eh ON eh.vec_id = hi.vec_id JOIN e el ON el.vec_id = lo.vec_id
+         |         WHERE ${cosSql("eh.v", "el.v")} >= 0.3)
+         |SELECT a.vec_id, a.cid AS cluster_id, (d.vec_id IS NULL) AS keep
+         |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id ORDER BY a.vec_id""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          | cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
@@ -1172,6 +1226,60 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_tokens, bin_id, CAST(pos_in_bin AS INT) AS pos_in_bin
         |FROM pack ORDER BY doc_id""".stripMargin,
+    // Gopher gate mirror: same divisions on the same doubles, CASE order
+    // = GopherRuleNames order, concat_ws skipping the NULL (passed) rules
+    "gopher_filter" ->
+      s"""WITH w AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+        |   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+        |  FROM documents),
+        | c AS (SELECT doc_id,
+        |   CAST(len(words) AS INT) AS wc,
+        |   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
+        |   CAST((length(text) - length(replace(text, '#', ''))) AS INT)
+        |     + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT) AS sym_cnt,
+        |   CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS INT) AS alpha_cnt,
+        |   ${stops(graft.functions.TextFunctions.EnStops)} AS stop_en
+        |  FROM w),
+        | d AS (SELECT doc_id, wc AS word_cnt,
+        |   CASE WHEN wc > 0 THEN nonspace / CAST(wc AS DOUBLE) ELSE 0.0 END AS mean_wlen,
+        |   CASE WHEN wc > 0 THEN CAST(sym_cnt AS DOUBLE) / CAST(wc AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |   CASE WHEN wc > 0 THEN CAST(alpha_cnt AS DOUBLE) / CAST(wc AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+        |   stop_en FROM c)
+        |SELECT doc_id, word_cnt, mean_wlen, symbol_ratio, alpha_frac, stop_en,
+        |  (word_cnt BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_en >= 2 AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (word_cnt BETWEEN 50 AND 100000) THEN 'word_count' END,
+        |    CASE WHEN NOT (mean_wlen BETWEEN 3.0 AND 10.0) THEN 'word_length' END,
+        |    CASE WHEN NOT (symbol_ratio <= 0.1) THEN 'symbol_ratio' END,
+        |    CASE WHEN NOT (alpha_frac >= 0.8) THEN 'alpha_ratio' END,
+        |    CASE WHEN NOT (stop_en >= 2) THEN 'stopwords' END) AS reasons
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // span dedup mirror: same md5 window digests, same df band, same
+    // gaps-and-islands fusion (NULL lag -> new island in BOTH engines)
+    "dup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        | pos AS (
+        |  SELECT docs.doc_id, CAST(t.g AS INT) AS pos,
+        |         md5(substr(docs.text, CAST(t.g AS INT) + 1, 30)) AS h
+        |  FROM docs, LATERAL (SELECT unnest(range(0, greatest(length(docs.text) - 30, -1) + 1, 10)) AS g) t),
+        | hot AS (SELECT h FROM pos GROUP BY h
+        |         HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1024),
+        | fl AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (h)),
+        | br AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+        |              THEN 0 ELSE 1 END AS brk
+        |        FROM fl),
+        | isl AS (SELECT doc_id, pos,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM br)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+        |       CAST(MAX(pos) + 30 AS INT) AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     "media_frames" ->
       """WITH m AS (SELECT doc_id, text, strlen(text) AS len FROM documents
         |           WHERE length(text) = strlen(text)),

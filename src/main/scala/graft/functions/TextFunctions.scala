@@ -137,6 +137,63 @@ object TextFunctions {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Rule names for [[gopherFilter]], in evaluation order — the `reasons`
+    * column lists the failed subset in THIS order, so the string is a
+    * deterministic function of the rule outcomes.
+    */
+  val GopherRuleNames: Seq[String] =
+    Seq("word_count", "word_length", "symbol_ratio", "alpha_ratio", "stopwords")
+
+  /** Gopher-style composite quality gate (rules published in the Gopher
+    * paper's quality-filtering appendix; thresholds are the commonly used
+    * defaults): word count in [minWords, maxWords], mean word length in
+    * [minWordLen, maxWordLen], symbol-to-word ratio (# and ellipsis) at
+    * most maxSymbolRatio, fraction of words with an alphabetic char at
+    * least minAlphaFrac, and at least minStopwords English stopword hits.
+    *
+    * Takes the text AND a pre-materialized `words` array column: passing
+    * `split(...)` inline would re-evaluate the split once per lambda
+    * element inside the `filter` HOF (same trap as [[repetitionRatio]] —
+    * materialize the array in its own projection first).
+    *
+    * Returns a struct (word_cnt, mean_wlen, symbol_ratio, alpha_frac,
+    * stop_en, keep, reasons): `keep` is the gate, `reasons` the
+    * comma-joined failed rules ([[GopherRuleNames]] order, empty string
+    * when kept) — a pipeline filters on `keep` and keeps `reasons` for
+    * the rejection audit. Every component is a per-row expression (no
+    * shuffle, codegen-friendly); ratios are plain IEEE divisions so the
+    * DuckDB oracle reproduces them bitwise.
+    */
+  def gopherFilter(text: Column, words: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): Column = {
+    val wc = size(words)
+    val wcD = wc.cast("double")
+    val nonSpace = length(regexp_replace(text, "\\s", "")).cast("double")
+    val meanWlen = when(wc > 0, nonSpace / wcD).otherwise(lit(0.0))
+    val symCnt = (occurrences(text, "#") + occurrences(text, "...")).cast("double")
+    val symRatio = when(wc > 0, symCnt / wcD).otherwise(lit(0.0))
+    val alphaCnt = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+    val alphaFrac = when(wc > 0, alphaCnt / wcD).otherwise(lit(0.0))
+    val stopEn = stopwordCount(text, EnStops)
+    val fails = Seq(
+      !(wc >= minWords && wc <= maxWords),
+      !(meanWlen >= minWordLen && meanWlen <= maxWordLen),
+      !(symRatio <= maxSymbolRatio),
+      !(alphaFrac >= minAlphaFrac),
+      !(stopEn >= minStopwords))
+    val keep = fails.reduce(_ || _).unary_!
+    // concat_ws skips NULLs in both Spark and DuckDB — the portable
+    // "join the failed subset" idiom
+    val reasons = concat_ws(",",
+      fails.zip(GopherRuleNames).map { case (f, n) => when(f, lit(n)) }: _*)
+    struct(wc.as("word_cnt"), meanWlen.as("mean_wlen"), symRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"), stopEn.as("stop_en"), keep.as("keep"),
+      reasons.as("reasons"))
+  }
+
   /** PII-ish redaction: emails then standalone long digit runs replaced
     * with fixed tags. Patterns are ASCII-class only — identical under
     * Java regex and RE2 (the oracle engine).

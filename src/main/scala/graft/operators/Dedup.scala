@@ -914,4 +914,115 @@ object Dedup {
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("keep", col(idCol) === col("cluster_id"))
+
+  /** SPAN-level duplication: character windows of `width` at `stride`
+    * whose content recurs across >= `minDf` distinct documents, merged
+    * per document into maximal spans (gaps-and-islands: two flagged
+    * windows fuse when their starts are <= `width` apart, i.e. the
+    * windows overlap or touch). This is the sub-document shape of
+    * training-data dedup — a boilerplate header shared by thousands of
+    * otherwise-distinct pages is invisible to whole-doc MinHash but
+    * falls straight out of the window-hash histogram.
+    *
+    * Output: (doc_id, span_start (0-based char offset), span_end
+    * (exclusive), n_windows).
+    *
+    * Scale shape (100 TB): window extraction is a per-row generator (no
+    * shuffle); the df histogram is ONE hash-groupBy on the 16-byte window
+    * digest (map-side combinable); flagged positions come back via ONE
+    * equi-join on that digest (post-aggregation side is tiny: repeated
+    * windows only); span merge is a per-doc window function. `maxDf`
+    * (default 1024) is the standard skew guard: a window shared by m docs
+    * lands m rows in one join bucket — boilerplate beyond the cap is
+    * dropped from flagging, the df-prune recall trade as
+    * [[ngramJaccardPairs]].
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 30, stride: Int = 10,
+      minDf: Int = 2, maxDf: Int = 1024): DataFrame = {
+    require(width > 0 && stride > 0 && minDf >= 2 && maxDf >= minDf,
+      s"dupSpans: need width>0, stride>0, 2<=minDf<=maxDf; got width=$width stride=$stride minDf=$minDf maxDf=$maxDf")
+    // offsets 0, stride, ... <= length-width (docs shorter than one
+    // window contribute nothing); md5 digest so the shuffle carries 16
+    // bytes per window, not the text
+    val pos = docs
+      .filter(length(col(textCol)) >= width)
+      .select(col(idCol).as("did"),
+        explode(sequence(lit(0), length(col(textCol)) - width, lit(stride))).as("pos"),
+        col(textCol))
+      .select(col("did"), col("pos"),
+        md5(substr(col(textCol), col("pos") + 1, lit(width)).cast("binary")).as("h"))
+    val hot = pos.groupBy("h")
+      .agg(countDistinct(col("did")).as("_df"))
+      .filter(col("_df") >= minDf && col("_df") <= maxDf)
+      .select("h")
+    val flagged = pos.join(hot, Seq("h")).select("did", "pos")
+    val byDoc = Window.partitionBy(col("did")).orderBy(col("pos"))
+    flagged
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= width, 0).otherwise(1))
+      .withColumn("_isl", sum(col("_brk")).over(byDoc))
+      .groupBy(col("did"), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + width).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("did").as(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023 shape): cluster the
+    * embedding space, then within each cluster flag every vector that has
+    * a LOWER-id neighbor at cosine >= `threshold` — the kept set is the
+    * per-cluster min-id representatives of each near-dup neighborhood.
+    * Output: (idCol, cluster_id, keep) for EVERY input row.
+    *
+    * Centroids are the `nClusters` corpus rows with smallest
+    * md5(seed:id) — the same deterministic, engine-portable codebook
+    * stand-in as [[Ann.ivfTopK]] (a production build swaps in the
+    * k-means codebook of [[Ann.ivfTopKKMeans]]; the declared query stays
+    * on the md5 path so the oracle can replay it).
+    *
+    * Scale shape (100 TB): the centroid table is tiny and broadcast (the
+    * only nested-loop join); assignment is one argmax window over
+    * |corpus| x nClusters scores; the within-cluster pair scan shuffles
+    * the corpus ONCE on cluster_id and is Θ(Σ c_i²) — exactly SemDeDup's
+    * published cost, which production tames by raising nClusters so cells
+    * stay small. `maxCluster` is the skew guard: cells above the cap
+    * contribute no pairs (members report keep=true, the same
+    * recall-for-boundedness trade as every banded family here), so one
+    * mega-cell can never go quadratic. Vectors ride THROUGH the cid
+    * shuffle (c rows) rather than re-joining onto the c² pair stream —
+    * the cheaper side of the bare-id-pairs trade, inverted deliberately.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int = 8, seed: String = "42",
+      maxCluster: Int = 4096): DataFrame = {
+    require(nClusters > 0 && maxCluster > 0,
+      s"semanticDedup: need nClusters>0, maxCluster>0; got $nClusters, $maxCluster")
+    val cv = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = cv
+      .orderBy(md5(concat(lit(seed + ":"), col("id").cast("string"))), col("id"))
+      .limit(nClusters)
+      .select(col("id").as("cid"), col("v").as("cvec"))
+    val scored = cv.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"),
+        graft.functions.VectorFunctions.cosine(col("v"), col("cvec")).as("ccos"))
+    val byId = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = scored.withColumn("_rn", row_number().over(byId))
+      .filter(col("_rn") === 1).select(col("id"), col("cid"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = assigned
+      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .filter(col("_sz") <= maxCluster)
+      .select(col("cid"), col("id"), col("v"))
+    val dupIds = capped.select(col("cid"), col("id").as("_hi"), col("v").as("_vh"))
+      .join(capped.select(col("cid"), col("id").as("_lo"), col("v").as("_vl")), Seq("cid"))
+      .filter(col("_lo") < col("_hi"))
+      .filter(graft.functions.VectorFunctions.cosine(col("_vh"), col("_vl")) >= threshold)
+      .select(col("_hi").as("id")).distinct()
+    assigned
+      .join(dupIds.withColumn("_dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid").as("cluster_id"),
+        coalesce(col("_dup"), lit(false)).as("_d"))
+      .withColumn("keep", !col("_d")).drop("_d")
+  }
 }

@@ -442,4 +442,62 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (99L, 99L, true))) // 99 never paired: its own singleton cluster
   }
+
+  test("dupSpans: shared windows merge into maximal spans; unique docs silent") {
+    import spark.implicits._
+    // doc 1 and 2 identical 100 chars -> every window duplicated -> ONE
+    // span covering the doc; doc 3 unique -> no rows
+    val rep = "abcdefghij" * 10
+    val uniq = (0 until 100).map(i => ('k' + i % 10).toChar).mkString // distinct content
+    val docs = Seq((1L, rep), (2L, rep), (3L, uniq)).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", width = 10, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // offsets 0,5,...,90 -> 19 windows; span [0, 90+10)
+    assert(out == Set((1L, 0, 100, 19L), (2L, 0, 100, 19L)))
+  }
+
+  test("dupSpans: two separated shared regions stay two islands") {
+    import spark.implicits._
+    val shared1 = "AAAAAAAAAA" // 10
+    val shared2 = "BBBBBBBBBB"
+    def filler(seed: Char): String = (0 until 40).map(i => (seed + i % 7).toChar).mkString
+    // shared regions at offsets 0 and 50 in doc 1; gap 40 > width -> two spans
+    val d1 = shared1 + filler('c') + shared2 + filler('q')
+    val d2 = shared1 + filler('v') + shared2 + filler('e') // different fillers
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", width = 10, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 0, 10), (1L, 50, 60), (2L, 0, 10), (2L, 50, 60)))
+  }
+
+  test("semanticDedup: lower-id near-neighbor flags dup; cap disables pairs") {
+    import spark.implicits._
+    // ids 1,2 share a direction (cos=1 -> same cell, 2 flagged); 3,4
+    // orthogonal to everything -> keep regardless of cell layout
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.9, nClusters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._2 && !out(2L)._2 && out(3L)._2 && out(4L)._2)
+    assert(out(1L)._1 == out(2L)._1) // identical direction -> same cell
+    // maxCluster=1: every cell over cap -> no pair scan -> all kept
+    val capped = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.9,
+      nClusters = 2, maxCluster = 1)
+    assert(capped.collect().forall(_.getBoolean(2)))
+  }
+
+  test("dupSpans: maxDf cap drops mega-boilerplate windows") {
+    import spark.implicits._
+    val boiler = "SAME_HEADER_EVERYWHERE_1234567890" // > width
+    val docs = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val capped = Dedup.dupSpans(docs, "doc_id", "text", width = 10, stride = 5,
+      minDf = 2, maxDf = 4) // df = 5 > cap
+    assert(capped.collect().isEmpty)
+    val uncapped = Dedup.dupSpans(docs, "doc_id", "text", width = 10, stride = 5)
+    assert(uncapped.collect().length == 5)
+  }
 }

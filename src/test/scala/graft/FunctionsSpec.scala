@@ -181,4 +181,28 @@ class FunctionsSpec extends SparkSpec {
     // budget above what the corpus can yield: trainer exhausts gracefully
     assert(TextFunctions.learnBpeMergesToVocab(docs, "text", 100).length >= 3)
   }
+
+  test("gopherFilter: per-rule failures land in reasons, clean doc keeps") {
+    val good = (("the quick brown fox jumps over the lazy dog and then " * 5) +
+      "more of the same body text here").trim // 56 words, stopwords present
+    val short0 = "the quick brown and lazy dogs" // fails word_count only
+    val symbols = Array.fill(60)("#tag...").mkString(" ") // symbol_ratio (and others)
+    val numbers = (1 to 60).map(_.toString).mkString(" ") // alpha_ratio + word_length-ok?
+    val df = Seq((1L, good), (2L, short0), (3L, symbols), (4L, numbers), (5L, ""))
+      .toDF("id", "text")
+      .select(col("id"), col("text"),
+        when(length(trim(col("text"))) > 0, split(trim(col("text")), "\\s+"))
+          .otherwise(array().cast("array<string>")).as("words"))
+      .select(col("id"), TextFunctions.gopherFilter(col("text"), col("words")).as("g"))
+      .select(col("id"), col("g.keep"), col("g.reasons"), col("g.word_cnt"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(rows(1L) == (true, ""))
+    assert(rows(2L) == (false, "word_count"))
+    assert(!rows(3L)._1 && rows(3L)._2.contains("symbol_ratio"))
+    assert(!rows(4L)._1 && rows(4L)._2.contains("alpha_ratio")
+      && rows(4L)._2.contains("stopwords"))
+    // empty text: wc=0 fails count, mean_wlen=0 fails length,
+    // alpha_frac=0 fails alpha, 0 stopwords fail; symbol_ratio=0 passes
+    assert(rows(5L) == (false, "word_count,word_length,alpha_ratio,stopwords"))
+  }
 }
