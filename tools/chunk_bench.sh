@@ -1,0 +1,95 @@
+#!/bin/bash
+# chunk_bench.sh [PREFIX] [TRIES_PER_CHUNK] — steal-evading bench: the
+# full-suite hunter (quiet_bench.sh) needs one ~20-minute quiet window,
+# which this host's co-tenant never grants; this variant needs only ~2
+# quiet MINUTES at a time. The 76 queries are partitioned into 7
+# family-aligned chunks (cache-sharing families — the md5-minhash frame
+# consumers, the shingle families — stay together so the session-cache
+# reuse the full suite legitimately gets is preserved within each
+# chunk), each chunk is launched behind a 40 s sustained-quiet gate and
+# retried until ITS OWN record is steal-clean (every per-query steal
+# <= 0.75 cores, chunk-wide <= 0.8, no DNF), and the clean chunk records
+# merge into one BENCH-shaped JSON with per-query steal evidence.
+set -u
+PREFIX=${1:-/tmp/cbench}
+TRIES=${2:-20}
+cd /root/repo
+ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"; done)
+
+CHUNKS=(
+"minhash_pairs,minhash_against,minhash_against_stream,dedup_canonical,dedup_clusters"
+"ngram_jaccard_pairs,dup_spans,dedup_exact_docs,dedup_first,dedup_last,dedup_none,dup_rate_by_source,contamination_sources,pipeline_clean_corpus,doc_length_quartiles"
+"embedding_against,embedding_near_dup,embedding_near_dup_auto,embedding_near_dup_lsh,semantic_dedup,ann_cosine_topk,ann_ivf_kmeans_topk,ann_ivf_topk,ann_lsh_multiprobe,ann_lsh_topk"
+"bigram_logprob,bpe_tokens,bpe_tokens_learned,bpe_tokens_pretok,entropy_docs,fingerprint_docs,gopher_filter,kl_en_de,redact_docs,repetition_docs,text_profile,tfidf_top_terms,unigram_logprob,simhash_docs,split_assign,pack_sequences"
+"alignable,column_stats_customer,concat_aligned,coo_density,coo_todense,corr_qty_price,diag_coo,graph_color_groups,graph_degrees,identity_series,reindex_join,unique_row_ids,upsert_orders"
+"group_bar_hist,group_hist_price,hist2d_qty_price,human_readable,pie_log10_orders,two_level_pie,pivot_status,smooth_gaussian,topk_orders,vc_quantity_bins,vc_returnflag,weighted_avg,media_frames"
+"json_events,running_total_user,sessions_user,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace"
+)
+
+steal_sample() { # 5-second steal-cores + load1 sample
+  local s1 t1 s2 t2
+  read -r s1 t1 < <(awk '/^cpu /{print $9, $2+$3+$4+$5+$6+$7+$8+$9}' /proc/stat)
+  sleep 5
+  read -r s2 t2 < <(awk '/^cpu /{print $9, $2+$3+$4+$5+$6+$7+$8+$9}' /proc/stat)
+  awk -v a=$((s2-s1)) -v b=$((t2-t1)) -v l="$(cut -d' ' -f1 /proc/loadavg)" \
+    'BEGIN{printf "%.2f %s\n", (b>0)? a/b*32 : 99, l}'
+}
+
+rm -rf "$PREFIX.classes"; cp -r target/scala-2.13/classes "$PREFIX.classes"
+
+ci=0
+for chunk in "${CHUNKS[@]}"; do
+  ci=$((ci+1))
+  done_chunk=0
+  for try in $(seq 1 "$TRIES"); do
+    quiet=0
+    while [ $quiet -lt 8 ]; do
+      read -r sc l1 < <(steal_sample)
+      ok=$(awk -v s="$sc" -v l="$l1" 'BEGIN{print (s<0.4 && l<2.0)?1:0}')
+      if [ "$ok" = 1 ]; then quiet=$((quiet+1)); else quiet=0; sleep 10; fi
+    done
+    echo "$(date -u +%F_%T) chunk $ci try $try: quiet, launching" >> "$PREFIX.log"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_ONLY="$chunk" \
+      java -Xmx8g $ADDOPENS -cp "$PREFIX.classes:/opt/spark/jars/*" graft.Bench \
+      > "$PREFIX.c$ci.$try.json" 2> "$PREFIX.c$ci.$try.err"
+    rc=$?
+    verdict=$(python3 - "$PREFIX.c$ci.$try.json" <<'EOF'
+import json,sys
+try: d=json.load(open(sys.argv[1]))
+except Exception: print("badjson"); raise SystemExit
+qs=d.get("queries",{}); st=d.get("steal_cores",{})
+dnf=[k for k,v in qs.items() if v<0]
+hot=[k for k,v in st.items() if v>0.75]
+ok=d.get("status")=="complete" and qs and not dnf and float(d.get("suite_steal_cores",99))<=0.8 and not hot
+print("clean" if ok else f"dirty dnf={dnf} hot={hot} suite={d.get('suite_steal_cores')}")
+EOF
+)
+    echo "$(date -u +%F_%T) chunk $ci try $try rc=$rc $verdict" >> "$PREFIX.log"
+    case "$verdict" in clean*)
+      cp "$PREFIX.c$ci.$try.json" "$PREFIX.c$ci.clean.json"; done_chunk=1; break;;
+    esac
+    sleep 30
+  done
+  [ $done_chunk = 1 ] || echo "$(date -u +%F_%T) chunk $ci EXHAUSTED" >> "$PREFIX.log"
+done
+
+python3 - "$PREFIX" <<'EOF'
+import glob, json, sys
+prefix = sys.argv[1]
+qs, st = {}, {}
+chunks = sorted(glob.glob(prefix + ".c*.clean.json"))
+for p in chunks:
+    d = json.load(open(p))
+    qs.update(d.get("queries", {}))
+    st.update(d.get("steal_cores", {}))
+rec = {"metric": "total", "value": sum(v for v in qs.values() if v >= 0),
+       "unit": "sec", "queries": dict(sorted(qs.items())),
+       "steal_cores": dict(sorted(st.items())),
+       "iters": 3, "clear_cache": False,
+       "status": f"complete_chunked({len(chunks)} chunks)",
+       "sf": "/root/testdata/sf0.1",
+       "note": "family-aligned chunks, each measured in its own "
+               "sustained-quiet window (per-query steal <= 0.75 cores)"}
+json.dump(rec, open(prefix + ".merged.json", "w"))
+print(f"{len(qs)} queries from {len(chunks)} clean chunks, total {rec['value']:.1f}s")
+EOF
