@@ -309,6 +309,43 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("docpairs")) {
+      // quantify the near-dup pair graph of a testdata documents table
+      // (pair count drives dedup_clusters cost — a regenerated corpus
+      // with denser duplication changes the bench number without any
+      // code change): runMain graft.ScaleProbe docpairs <sfDir>
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      println(s"docs=${docs.count()}")
+      // stage breakdown: shingle frame alone, then the full pair pipeline
+      var t0 = System.nanoTime()
+      val shProbe = docs.select(col("doc_id").as("jid"),
+          explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+        .select(col("jid"), md5(col("s").cast("binary")).as("sh")).distinct()
+      println(f"  shingle distinct rows=${shProbe.count()} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 0.9, maxShingleDf = Some(128))
+      t0 = System.nanoTime()
+      println(f"pairs=${pairs.count()} in ${(System.nanoTime() - t0) / 1e9}%.1f s (cold)")
+      t0 = System.nanoTime()
+      println(f"pairs=${pairs.count()} in ${(System.nanoTime() - t0) / 1e9}%.1f s (warm, persisted shingles)")
+      t0 = System.nanoTime()
+      val cl = graft.operators.Dedup.dedupClusters(pairs)
+      val nNodes = cl.count()
+      val nClusters = cl.select("cluster_id").distinct().count()
+      println(f"cluster nodes=$nNodes clusters=$nClusters in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpetrain")) {
       // train the merge table the declared bpe query embeds as a literal:
       // runMain graft.ScaleProbe bpetrain <sfDir> [nMerges]

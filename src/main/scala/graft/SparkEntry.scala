@@ -1005,10 +1005,15 @@ object SparkEntry {
       | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
       |        FROM w WHERE len(ws) >= 3),
       | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
-      | rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 128),
-      | shcap AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+      | shd AS (SELECT jid, sh, COUNT(*) OVER (PARTITION BY sh) AS df,
+      |                 COUNT(*) OVER (PARTITION BY jid) AS sz FROM sh),
+      | shr AS (SELECT jid, sh, df,
+      |                 ROW_NUMBER() OVER (PARTITION BY jid ORDER BY df, md5(sh)) AS rn,
+      |                 sz FROM shd),
+      | pref AS (SELECT jid, sh FROM shr
+      |          WHERE rn <= sz - CEIL(0.9 * sz) + 1 AND df BETWEEN 2 AND 128),
       | cand AS (SELECT DISTINCT x.jid AS id_a, y.jid AS id_b
-      |          FROM shcap x JOIN shcap y ON x.sh = y.sh AND x.jid < y.jid),
+      |          FROM pref x JOIN pref y ON x.sh = y.sh AND x.jid < y.jid),
       | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
       |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
       | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard

@@ -150,67 +150,86 @@ object Dedup {
     * intersections per pair (only pairs sharing >=1 shingle ever
     * materialize), then filter on the derived Jaccard.
     */
-  /** `maxShingleDf`, when set, is the skew guard for shared-vocabulary
-    * corpora: a shingle present in m documents contributes m^2/2 join
-    * rows, so one boilerplate phrase shared by 10^6 docs would quadratic
-    * the self-join on its own. Shingles with document frequency > cap are
-    * dropped from CANDIDATE GENERATION only — surviving pairs are then
-    * re-verified with exact Jaccard over the FULL shingle sets
-    * ([[jaccardForPairs]]), so reported scores are unchanged; only pairs
-    * whose entire overlap is ultra-common shingles can be missed, the
-    * standard df-pruning trade.
+  /** `maxShingleDf`, when set, selects the PREFIX-FILTERED path
+    * (AllPairs/PPJoin — see the inline notes): candidates come from a
+    * self-join of each document's (1-t)-fraction rarest shingles, with
+    * document frequency capped at `cap` as the skew guard; scores are
+    * exact Jaccard over the FULL shingle sets, so reported values are
+    * unchanged — only pairs whose entire prefix overlap is ultra-common
+    * (df > cap) shingles can be missed, the standard df-pruning trade.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
     maxShingleDf match {
       case Some(cap) =>
-        // ONE persisted shingle frame feeds candidate generation AND the
-        // exact-Jaccard scoring. Candidates come only from shingles with
-        // 2 <= df <= cap (df-1 shingles match nothing in the self-join;
-        // df > cap is the skew guard), and their capped-shingle
-        // intersection counts fall straight out of the self-join's
-        // groupBy — NO pair-expansion join (a first cut re-joined each
-        // candidate's full 80-shingle set: |pairs| x 80 rows, 9x slower
-        // at sf0.1). Scores are then made exact over FULL sets by adding
-        // the HOT-shingle (df > cap) intersections — hot shingles are by
-        // definition few distinct values, so that join expands each pair
-        // by its hot shingles only (usually zero). Only pairs whose
-        // entire overlap is ultra-common shingles can be missed — the
-        // standard df-prune trade.
-        // persist outlives this call by design (the returned plan reads
-        // it lazily); MEMORY_AND_DISK + LRU like every persist here — a
+        // PREFIX-FILTERED set-similarity join (AllPairs/PPJoin,
+        // Bayardo-Ma-Srikant WWW'07): a pair with J >= t must share at
+        // least ceil(t * max(|A|,|B|)) shingles, so under ANY total order
+        // common to both documents their prefixes of length
+        // |d| - ceil(t*|d|) + 1 must intersect. Candidates therefore come
+        // from a self-join of PREFIX rows only — on a duplicate-dense
+        // corpus this cuts candidate pairs ~27x (1.27M -> 46k measured on
+        // the sf0.1 documents table) and is the property that survives a
+        // 100 TB corpus: candidate volume scales with true-duplicate
+        // density, not with Sum_sh C(df,2) random collisions. The global
+        // order is (df ASC, md5 ASC) — rarest shingles first minimizes
+        // prefix collisions, and md5 keeps the tie-break portable to the
+        // DuckDB oracle (which replays the same ranking). Prefix length
+        // uses DECIMAL ceil: floor((1-t)*sz)+1 in doubles under-counts at
+        // exact multiples (int(0.1*10) == 0 — measured losing 2 of 249
+        // true pairs at sf0.1).
+        //
+        // Prefix witnesses are further restricted to 2 <= df <= cap: df=1
+        // matches nothing, df > cap is the skew guard (one boilerplate
+        // phrase in 10^6 docs would quadratic the join on its own). A
+        // pair whose ENTIRE prefix overlap is ultra-common shingles can
+        // be missed — same recall trade, and the same bound (C(cap,2)
+        // join rows per shingle), as the previous cap-only candidates.
+        //
+        // Verification is exact over FULL shingle sets: candidates join
+        // the per-doc sorted md5-set arrays (doc-keyed joins — arrays
+        // never ride a pair key) and score size(array_intersect)/union.
+        // Arrays are bounded by document length, the intersect is pure
+        // map-side CPU, and the pair frame that reaches the sizes math is
+        // already candidate-small — the previous shape dragged every
+        // Sum C(df,2) collision pair through two joins before filtering.
+        //
+        // ONE persisted frame feeds prefixes AND verify sets; persist
+        // outlives this call by design (the returned plan reads it
+        // lazily); MEMORY_AND_DISK + LRU like every persist here — a
         // long-lived session reclaims eagerly with
         // spark.catalog.clearCache() (see Relational.scala convention
-        // note). The persisted frame carries the per-shingle document
-        // frequency from ONE window shuffle — the previous
-        // groupBy-df + two semi-joins shape cost two extra shuffles of
-        // the full shingle frame, measured +0.7 s at sf0.1.
+        // note). _df and (_sz, _rn) are two window passes over the same
+        // distinct frame; the jid partitioning is then reused by the
+        // collect_list aggregation.
         val shAll = docs
           .select(col(idCol).as("jid"),
-            explode(transform(TextFunctions.wordShingles(col(textCol), shingleK),
-              sh => xxhash64(sh))).as("sh"))
+            explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("s"))
+          .select(col("jid"), md5(col("s").cast("binary")).as("sh"))
           .distinct()
           .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("jid"))))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("jid")).orderBy(col("_df"), col("sh"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizes = shAll.groupBy("jid").agg(count(lit(1)).as("sz"))
-        val shCap = shAll.filter(col("_df") >= 2 && col("_df") <= cap).drop("_df")
-        val interCap = shCap.as("x").join(shCap.as("y"),
+        val prefixLen = col("_sz") -
+          ceil(col("_sz") * lit(java.math.BigDecimal.valueOf(threshold))) + lit(1)
+        val pref = shAll
+          .filter(col("_rn") <= prefixLen && col("_df") >= 2 && col("_df") <= cap)
+          .select("jid", "sh")
+        val cands = pref.as("x").join(pref.as("y"),
             col("x.sh") === col("y.sh") && col("x.jid") < col("y.jid"))
-          .groupBy(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
-          .agg(count(lit(1)).as("_icap"))
-        val shHot = shAll.filter(col("_df") > cap).drop("_df")
-        val interHot = interCap.select("id_a", "id_b")
-          .join(shHot.select(col("jid").as("id_a"), col("sh")), Seq("id_a"))
-          .join(shHot.select(col("jid").as("id_b"), col("sh")), Seq("id_b", "sh"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("_ihot"))
-        return interCap
-          .join(interHot, Seq("id_a", "id_b"), "left")
-          .na.fill(0L, Seq("_ihot"))
-          .withColumn("inter", col("_icap") + col("_ihot"))
-          .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-          .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+          .select(col("x.jid").as("id_a"), col("y.jid").as("id_b"))
+          .distinct()
+        val sets = shAll.groupBy("jid")
+          .agg(collect_list(col("sh")).as("_set"), count(lit(1)).as("sz"))
+        return cands
+          .join(sets.select(col("jid").as("id_a"), col("_set").as("_sa"),
+            col("sz").as("sz_a")), Seq("id_a"))
+          .join(sets.select(col("jid").as("id_b"), col("_set").as("_sb"),
+            col("sz").as("sz_b")), Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
           .withColumn("jaccard",
             col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= threshold)
@@ -893,6 +912,8 @@ object Dedup {
       // per-round counts WON — the default stays probeEvery=1.
       if (i % probeEvery == 0 || i == maxIter)
         converged = next.filter(col("cluster_id") =!= col("_old")).count() == 0
+      if (sys.env.contains("SPARK_GRAFT_CC_VERBOSE"))
+        System.err.println(s"[dedupClusters] round $i converged=$converged")
       labels = next.select("id", "cluster_id")
     }
     require(converged, s"dedupClusters did not converge in $maxIter rounds " +

@@ -102,7 +102,15 @@ object StreamOps {
   def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
       eventIdCol: String, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
-    val micros = unix_micros(col(tsCol))
+    // unix_micros requires TIMESTAMP; parquet written without
+    // isAdjustedToUTC arrives as TIMESTAMP_NTZ (Spark 4 infers NTZ by
+    // default), so cast NTZ through the UTC session zone — wall-clock
+    // values are preserved and gap arithmetic is type-agnostic
+    val tsAsInstant = events.schema.fields.find(_.name == tsCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) => col(tsCol).cast("timestamp")
+      case _ => col(tsCol)
+    }
+    val micros = unix_micros(tsAsInstant)
     val prev = lag(micros, 1).over(w)
     val newSession = when(prev.isNull || micros - prev > gapMinutes * 60L * 1000000L, 1L)
       .otherwise(0L)
