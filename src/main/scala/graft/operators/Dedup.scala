@@ -873,9 +873,19 @@ object Dedup {
     // no distinct(): every consumer is a min-aggregation, where duplicate
     // edges cannot change the result — deduping here would cost a full
     // shuffle of the edge frame for nothing (callers feeding massively
-    // duplicated pair lists should dedup upstream to shrink the joins)
-    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // duplicated pair lists should dedup upstream to shrink the joins).
+    // Bidirect via ONE explode, not union(fwd, fwd.swapped): the pairs
+    // argument is typically the tail of an expensive candidate pipeline
+    // (banded self-join + exact verify), and a two-branch union executes
+    // everything above the last exchange twice on first materialization
+    // — the explode reads it once (measured on the declared
+    // dedup_clusters query: the union form re-ran the verify stage per
+    // branch).
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // initial labels FUSE the first propagation round: min(self, direct
     // neighbors) falls out of one groupBy over the edge list (every node
@@ -892,16 +902,26 @@ object Dedup {
       // pointer jump WITHOUT a second join: label edges (u -> label(u))
       // union into the edge list, so the one neighbor-min join also
       // pulls label(label(u)) (label(u) is a node id, so the dst lookup
-      // always resolves). One shuffle join + one groupBy per round.
-      val roundEdges = edges.unionByName(
-        labels.select(col("id").as("src"), col("cluster_id").as("dst")))
-      val nbrMin = roundEdges
+      // always resolves). Self edges (u -> u, flagged) ride the same
+      // join to deliver label(u) itself into the aggregate — min over
+      // {neighbor labels, label(label(u)), label(u)} is the new label,
+      // and the flagged row alone is the OLD label, so the convergence
+      // delta falls out of the one groupBy with no join back to the
+      // previous round (the former left-join-on-labels cost a third
+      // shuffle per round for exactly that delta). Every node has
+      // exactly one self edge, so _old is total; label(u) >= new min by
+      // the monotone-decrease invariant, so the extra rows never change
+      // the result. One shuffle join + one groupBy per round.
+      val roundEdges = edges.withColumn("_self", lit(false))
+        .unionByName(labels.select(col("id").as("src"),
+          col("cluster_id").as("dst"), lit(false).as("_self")))
+        .unionByName(labels.select(col("id").as("src"),
+          col("id").as("dst"), lit(true).as("_self")))
+      val next = roundEdges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("dl")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("dl")).as("nmin"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("cluster_id").as("_old"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dl")).as("cluster_id"),
+          min(when(col("_self"), col("dl"))).as("_old"))
         .localCheckpoint(true) // flat plan + full materialization
       i += 1
       // convergence probe every `probeEvery` rounds (and always on the
