@@ -365,6 +365,30 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("pqtrain")) {
+      // train the PQ codebook the declared ann_pq_adc_topk query embeds
+      // as a literal: runMain graft.ScaleProbe pqtrain <sfDir> [m] [k]
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+      val m = args.drop(2).headOption.map(_.toInt).getOrElse(4)
+      val k = args.drop(3).headOption.map(_.toInt).getOrElse(16)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cb = graft.operators.Ann.pqTrain(emb, "embedding", m, k)
+      // java.lang.Double.toString round-trips exactly, so the pasted
+      // literal IS the trained codebook bit for bit
+      println(cb.map(sub => sub.map(c =>
+        c.mkString("Seq(", ", ", ")")).mkString("Seq(\n    ", ",\n    ", ")"))
+        .mkString("Seq(\n  ", ",\n  ", ")"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("against")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)

@@ -538,6 +538,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // EXT product-quantization ADC top-k (Ann.pqAdcTopK): corpus rows
+    // reduced to 4 one-byte codes against the FROZEN PqCodebook literal
+    // (trained once offline — ScaleProbe pqtrain), pairs scored as sums
+    // of broadcast table lookups. The memory half of the ANN story: at
+    // 100 TB the codes frame is what the index build writes (m bytes a
+    // row vs 4*dim). Codebook is a literal, so encode + ADC are exact
+    // float replays in any engine — oracle hash-checked, unlike the
+    // Lloyd-trained ivf_kmeans above.
+    "ann_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.pqAdcTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          PqCodebook.arr, 3)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // #26 gaussian smoothing over an ordered daily series (algorithm.py:71-92)
     "smooth_gaussian" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -1194,6 +1209,38 @@ object SparkEntry {
          | r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // ADC replay of the frozen PqCodebook literal, single-sourced like
+    // the BPE fold: same l2-normalize, same per-subspace squared-L2
+    // folds (range-indexed list_sum — the validated ordered-fold mirror
+    // of Spark's `aggregate`), first-match argmin via
+    // list_position(list_min), 1-based table lookups summed in the same
+    // left-associative order as Spark's zip_with fold.
+    "ann_pq_adc_topk" -> {
+      val cb = PqCodebook.table
+      val m = cb.length; val ds = cb.head.head.length; val dim = m * ds
+      val cbCols = cb.zipWithIndex.map { case (s, i) =>
+        s.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]") + s" AS cb$i"
+      }.mkString(",\n   ")
+      def dists(i: Int) =
+        s"list_transform(cb$i, cen -> list_sum(list_transform(range(1, ${ds + 1}), " +
+          s"j -> (nv[${i * ds} + j] - cen[j]) * (nv[${i * ds} + j] - cen[j]))))"
+      val codes = (0 until m)
+        .map(i => s"list_position(${dists(i)}, list_min(${dists(i)}))")
+        .mkString("[", ", ", "]")
+      val dts = (0 until m).map(i => s"${dists(i)} AS dt$i").mkString(", ")
+      val adist = (0 until m).map(i => s"q.dt$i[c.codes[${i + 1}]]").mkString(" + ")
+      s"""WITH cb AS (SELECT $cbCols),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | n AS (SELECT vec_id, CASE WHEN sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i]))) > 0
+         |        THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i]))))
+         |        ELSE v END AS nv FROM e),
+         | c AS (SELECT vec_id AS neighbor_id, $codes AS codes FROM n, cb),
+         | q AS (SELECT vec_id AS query_id, $dts FROM n, cb WHERE vec_id < 5),
+         | s AS (SELECT q.query_id, c.neighbor_id, $adist AS adist FROM q, c WHERE c.neighbor_id <> q.query_id),
+         | r AS (SELECT query_id, neighbor_id, adist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
     "bpe_tokens_pretok" -> {
       // same single-sourced fold as bpe_tokens_learned, applied to class
       // runs (regexp_extract_all) instead of whitespace words; empty

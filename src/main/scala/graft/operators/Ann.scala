@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -198,5 +198,115 @@ object Ann {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ's compression half; Jégou-Douze-Schmid
+  // TPAMI'11). The 100 TB memory story LSH/IVF alone don't give: a
+  // 64-dim float corpus row is 256 bytes, its PQ code is m bytes
+  // (m=4 here) — the whole candidate-scoring structure fits in a
+  // fraction of the raw corpus, and ADC scoring reads ONLY codes plus a
+  // per-query m x k distance table (k*m doubles, broadcast). Vectors
+  // are l2-normalized first, so ascending squared-L2 ADC ranks exactly
+  // like descending cosine.
+
+  /** L2-normalize an array<double> column; all-zero vectors pass
+    * through unchanged (they rank last under ADC just as they score 0
+    * under cosine). */
+  private def l2norm(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
+    when(n > lit(0.0d), transform(v, x => x / n)).otherwise(v)
+  }
+
+  /** Squared-L2 fold between an array column and one literal centroid —
+    * zip_with + ordered aggregate, the same left-fold DuckDB's
+    * list_sum-over-comprehension replays bitwise. */
+  private def sqDist(sub: Column, cent: Column): Column =
+    aggregate(zip_with(sub, cent, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (a, d) => a + d)
+
+  /** Train a PQ codebook: split the l2-normalized corpus into `m`
+    * contiguous subspaces and fit `k` euclidean k-means centroids per
+    * subspace (MLlib Lloyd — an INDEX BUILD, m bounded corpus scans,
+    * paid once; the codebook is m x k x (dim/m) doubles on the driver,
+    * tiny). Freeze the result as a literal for engine-portable querying
+    * (`ScaleProbe pqtrain` prints it as Scala source — the same
+    * frozen-artifact workflow as the BPE merge table).
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 4, k: Int = 16,
+      seed: Long = 42L, maxIter: Int = 20): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol).cast("array<double>"))).head().getInt(0)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val ds = dim / m
+    val nv = corpus
+      .select(l2norm(col(vecCol).cast("array<double>")).as("nv"))
+      .filter(aggregate(col("nv"), lit(0.0d), (a, x) => a + x * x) > 0d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try (0 until m).toArray.map { i =>
+      val sub = nv.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col("nv"), i * ds + 1, ds)).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + i).setMaxIter(maxIter)
+        .setFeaturesCol("features")
+        .fit(sub)
+        .clusterCenters.map(_.toArray)
+    } finally nv.unpersist()
+  }
+
+  /** PQ codes for a normalized vector: per subspace, the 1-based index
+    * of the nearest centroid (first-match tie-break — the same rule as
+    * DuckDB's list_position). Expression-only, whole-stage codegen. */
+  private def pqCodes(nv: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val ds = codebook(0)(0).length
+    array(codebook.indices.map { i =>
+      val sub = slice(nv, i * ds + 1, ds)
+      val dists = transform(typedLit(codebook(i).map(_.toSeq).toSeq),
+        c => sqDist(sub, c))
+      array_position(dists, array_min(dists)).cast("int")
+    }: _*)
+  }
+
+  /** Per-query ADC distance tables: subspace i's table holds the
+    * squared-L2 from the query's subvector to each of subspace i's
+    * centroids. array<array<double>>, m x k. */
+  private def pqDistTables(nv: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val ds = codebook(0)(0).length
+    array(codebook.indices.map { i =>
+      val sub = slice(nv, i * ds + 1, ds)
+      transform(typedLit(codebook(i).map(_.toSeq).toSeq), c => sqDist(sub, c))
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k with a frozen PQ codebook: encode
+    * the corpus to m small-int codes per row, broadcast each query's
+    * m x k distance table, and score a pair as the sum of table lookups
+    * — no full-vector math on the corpus side after encoding. Output:
+    * (query_id, neighbor_id, adist, rank), rank by (adist asc,
+    * neighbor_id asc).
+    *
+    * Scale shape: the corpus scan computes codes once (at 100 TB the
+    * codes frame is what an index build WRITES — m bytes a row instead
+    * of 4*dim); scoring touches codes + a broadcast table only, and the
+    * only shuffle is the per-query top-k window over candidate rows.
+    * Approximation error vs exact cosine is the PQ quantization error —
+    * bounded by codebook quality, measured in the spec's recall probe.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"),
+        l2norm(col(vecCol).cast("array<double>")).as("cv"))
+      .select(col("neighbor_id"), pqCodes(col("cv"), codebook).as("codes"))
+    val qt = queries
+      .select(col(idCol).as("query_id"),
+        l2norm(col(vecCol).cast("array<double>")).as("qv"))
+      .select(col("query_id"), pqDistTables(col("qv"), codebook).as("dt"))
+    val scored = enc.join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
+          lit(0.0d), (a, x) => a + x).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("_rk").as("rank"))
   }
 }

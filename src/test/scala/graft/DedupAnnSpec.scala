@@ -287,6 +287,51 @@ class DedupAnnSpec extends SparkSpec {
     assert(again == km)
   }
 
+  test("pqTrain/pqAdcTopK: ADC ranking recovers exact top-k on clustered data") {
+    // 4 clusters, each split into DIRECTIONALLY distinct subgroups
+    // (near: e_{2c}; far: e_{2c}+e_{2c+1}, cos ~ 0.707 apart — magnitude
+    // subgroups would be useless, cosine is scale-invariant): the exact
+    // top-4 for a near query is its 4 near mates, and a trained codebook
+    // separates the subgroup directions by construction, so ADC must
+    // recover them. Quantization only collapses the tiny intra-subgroup
+    // noise, which recall@4 is insensitive to.
+    val pts = for {
+      c <- 0 until 4
+      i <- 0 until 25
+    } yield {
+      val v = Array.tabulate(8) { d =>
+        val base = if (d == 2 * c) 1.0
+          else if (i >= 5 && d == 2 * c + 1) 1.0 else 0.0
+        base + ((i * 31 + d * 7) % 11 - 5) * 0.001
+      }
+      (c * 25L + i, v)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val cb = Ann.pqTrain(emb, "embedding", m = 2, k = 8)
+    assert(cb.length == 2 && cb.forall(_.length == 8) &&
+      cb.forall(_.forall(_.length == 4)), "codebook must be m x k x dim/m")
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Ann.pqAdcTopK(emb, queries, "vec_id", "embedding", cb, 4)
+    val got = adc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ-ADC recall collapsed on clustered data: $recall")
+    // ascending distance, ranks dense per query
+    val rows = adc.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to byRank.length),
+        "ranks must be dense from 1")
+      val d = byRank.map(_.getDouble(2)).toSeq
+      assert(d == d.sorted, "adist must ascend with rank")
+    }
+    // the declared query's frozen codebook must match the embeddings
+    // dim so the slices cover the whole vector
+    assert(PqCodebook.arr.length * PqCodebook.arr.head.head.length == 64)
+    assert(PqCodebook.arr.forall(_.length == 16))
+  }
+
   test("ivfTopKKMeans: an all-zero embedding does not crash the cosine fit") {
     // cosine KMeans throws on zero-norm fit vectors; the zero row must be
     // excluded from the FIT but still flow through cell assignment
