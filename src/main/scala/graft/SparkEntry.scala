@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{ByteFunctions, Formatting, TextFunctions}
-import graft.operators.{Ann, Coo, Dedup, Graph, Relational, Sampling, Stats, VizPrep, Windows}
+import graft.operators.{Ann, Coo, Corpus, Dedup, Graph, Relational, Sampling, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -782,6 +782,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("source_a", "source_b")
     }),
+    // EXT doc-level eval-set decontamination (Corpus.decontaminate):
+    // %13 docs are the "benchmark"; the rest are the corpus. A bloom
+    // filter over the eval 8-grams prefilters the corpus MAP-SIDE
+    // (exists short-circuit, no explode/shuffle/join for clean docs);
+    // only flagged docs reach the exact join, which removes the false
+    // positives — so the declared result is exactly the semi-join and
+    // the oracle replays it with a plain join, bloom invisible.
+    "decontaminate_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Corpus.decontaminate(
+          docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 13 === 0), "text", 8)
+        .orderBy("doc_id")
+    }),
     // EXT per-source dedup-rate report: docs vs distinct texts per source
     "dup_rate_by_source" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1552,6 +1566,17 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM pc a JOIN pc b ON a.prefix = b.prefix AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    // exact replay of decontaminate's semi-join semantics — the bloom
+    // prefilter only ever REMOVES work, never results, so the oracle is
+    // a plain distinct-ngram join
+    "decontaminate_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | ng AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]) AS ng
+        |        FROM w WHERE len(ws) >= 8),
+        | evng AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 13 = 0),
+        | c AS (SELECT doc_id, ng FROM ng WHERE doc_id % 13 <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM c JOIN evng USING (ng) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dup_rate_by_source" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,

@@ -54,6 +54,52 @@ object Corpus {
     * pure function of the input — pin both (e.g. `repartitionByRange` +
     * `sortWithinPartitions`) for run-to-run stability.
     */
+  /** Eval-set decontamination (EXT — the step a training pipeline runs
+    * before any benchmark is trusted): flag every corpus document
+    * sharing at least one word `n`-gram with the test/eval set, with the
+    * exact hit count as provenance. Output: (idCol, n_hits) for
+    * contaminated docs only — `corpus.join(result, _, "left_anti")` is
+    * the clean corpus.
+    *
+    * Scale shape — the corpus side is MAP-ONLY until proven dirty:
+    * test-set n-grams (distinct, persisted) feed a [[BloomFilter]] sized
+    * by their exact count (one index-build action); each corpus doc then
+    * short-circuits through `exists(ngrams, mightContain)` — no explode,
+    * no shuffle, no join for the overwhelmingly-clean majority. Only
+    * might-contain survivors explode their distinct n-grams into the
+    * exact join that removes bloom false positives (never false
+    * negatives, by the filter's contract — so the result equals the
+    * plain semi-join bit for bit and stays oracle-checkable while the
+    * bloom stays invisible). At 100 TB the alternative — exploding every
+    * corpus doc into a shuffle join keyed on n-grams — moves ~100x the
+    * corpus text through the network; this moves the flagged sliver.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      testSet: DataFrame, testTextCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomFunctions, TextFunctions}
+    val testNg = testSet
+      .select(explode(TextFunctions.wordShingles(col(testTextCol), n)).as("ng"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNg = testNg.count() // index-build action: sizes the filter exactly
+    // empty probe set: nothing can be contaminated (and stat.bloomFilter
+    // over zero rows yields no filter to read) — empty result, same schema
+    if (nNg == 0)
+      return corpus.select(col(idCol), lit(0L).as("n_hits")).limit(0)
+    val bloom = testNg.stat.bloomFilter("ng", nNg, fpp)
+    val flagged = corpus
+      .select(col(idCol), array_distinct(
+        TextFunctions.wordShingles(col(textCol), n)).as("_ngs"))
+      .filter(exists(col("_ngs"),
+        s => BloomFunctions.mightContainString(s, bloom)))
+    flagged
+      .select(col(idCol), explode(col("_ngs")).as("ng"))
+      .join(testNg, Seq("ng"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, lengthCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")

@@ -51,6 +51,37 @@ class CorpusSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("decontaminate: bloom prefilter + exact verify equals the plain semi-join") {
+    // corpus doc 1 shares the eval 4-gram twice-removed; doc 2 shares
+    // nothing; doc 3 shares two distinct eval 4-grams; doc 4 too short
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma delta y"),
+      (2L, "nothing shared here at all"),
+      (3L, "alpha beta gamma delta epsilon and one two three four"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(corpus, "doc_id", "text", eval, "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: 1 shared 4-gram ("alpha beta gamma delta"); doc 3: eval 100
+    // contributes 2 ("alpha beta gamma delta", "beta gamma delta epsilon")
+    // + eval 101's "one two three four" = 3 hits
+    assert(got == Map(1L -> 1L, 3L -> 3L), s"got $got")
+    // exactness vs the semi-join it claims to equal (bloom fpp can only
+    // add PREfilter survivors, never results)
+    import graft.functions.TextFunctions
+    def ngs(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col("text"), 4))).as("ng"))
+    val exact = ngs(corpus).join(ngs(eval).select("ng").distinct(), Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    // empty eval set: no flags, no crash
+    assert(Corpus.decontaminate(corpus, "doc_id", "text",
+      eval.filter(col("doc_id") < 0), "text", 4).count() == 0)
+  }
+
   test("packSequences: parallel partitions produce disjoint bin ids") {
     val docs = (0L until 100L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
       .repartition(4)
