@@ -421,6 +421,39 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("minhashstages")) {
+      // stage breakdown of the declared minhash_pairs pipeline:
+      // runMain graft.ScaleProbe minhashstages <sfDir>
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      import graft.functions.TextFunctions
+      val sh = docs.select(col("doc_id").as("jid"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+        .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("shingle distinct")(println(s"    rows=${sh.count()}"))
+      val full = graft.operators.Dedup.minhashNearDupPairsMd5(
+        docs, "doc_id", "text", k = 12, bands = 2, shingleK = 3,
+        threshold = 0.8, maxBucket = Some(64))
+      timed("full pipeline cold")(println(s"    pairs=${full.count()}"))
+      timed("full pipeline warm")(println(s"    pairs=${full.count()}"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("minhashk")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)

@@ -291,31 +291,32 @@ object Dedup {
 
   /** Shared exact-Jaccard verification over candidate pairs against a
     * (jid, sh) shingle frame — the one implementation behind both MinHash
-    * pipelines. Set sizes count EVERY shingle; the intersection join
-    * prunes document-frequency-1 shingles first (they cannot appear in
-    * both docs of any pair — result-identical, smaller join input; see
-    * [[ngramJaccardPairs]]). Inner joins are correct here because every
-    * candidate doc has shingles by construction (its signature exists).
+    * pipelines. Same doc-keyed set-array shape as [[ngramJaccardPairs]]'
+    * verify: ONE groupBy folds the shingle frame into per-doc arrays
+    * (reusing the jid shuffle the signature aggregate already paid —
+    * exchange-reusable), candidates pull their two arrays through plain
+    * doc-keyed equi-joins, and the intersection is map-side
+    * array_intersect CPU. The previous shape (explode candidates against
+    * the shingle frame twice + a window df-prune) shuffled the
+    * CORPUS-sized shingle frame three more times — measured 2.96 -> 2.57 s
+    * warm (5.5 -> 4.5 cold) on the declared minhash_pairs pipeline at
+    * sf0.1; the local saving is modest because sf0.1 shuffles are small,
+    * but at 100 TB those were the three largest exchanges of the whole
+    * plan. Arrays are
+    * bounded by document shingle count and ride doc-keyed joins only.
+    * Inner joins are correct here because every candidate doc has
+    * shingles by construction (its signature exists).
     */
   private def verifyJaccardOnCandidates(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("sz"))
-    // df >= 2 via a window count: one shuffle of the shingle frame where
-    // groupBy-df + semi-join was two (and at scale the "repeated" side of
-    // that semi-join is itself corpus-sized, so this is not just a
-    // local-mode stage saving)
-    val shInter = sh
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("_df") >= 2).drop("_df")
-    val inter = cands
-      .join(shInter.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shInter.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("jid", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("jid", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+    val sets = sh.groupBy("jid")
+      .agg(collect_list(col("sh")).as("_set"), count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col("jid").as("id_a"), col("_set").as("_sa"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("jid").as("id_b"), col("_set").as("_sb"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
