@@ -1112,7 +1112,8 @@ object SparkEntry {
     "sample_weighted_replace" ->
       """WITH w AS (SELECT o_orderkey, o_totalprice,
         |       CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS wc,
-        |       (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) AS b
+        |       (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) AS b
         |     FROM orders WHERE o_totalprice > 0),
         | c AS (SELECT *, SUM(wc) OVER (ORDER BY b, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM w),
         | tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS tw FROM w),

@@ -160,27 +160,33 @@ object Sampling {
     * interval comparison is exact and engine-portable (no float cumsum).
     *
     * Scale shape: the global prefix sum is TWO-PHASE, never a single-
-    * partition sort. Rows land in 16 md5-nibble buckets of the key;
-    * per-bucket totals (16 rows) are collected and turned into broadcast
-    * offsets; the within-bucket cumsum is a window partitioned by bucket.
-    * Draws route through the broadcast 16-row bucket-interval table, then
-    * equi-join on the bucket id, so the final range probe is bucket-local
-    * (draws-in-bucket x rows-in-bucket, distributed across buckets).
-    * The output key order is (bucket, key) — a total order, independent
-    * of physical partitioning.
+    * partition sort. Rows land in 256 md5-byte buckets of the key (two
+    * hex chars — the bucket count is also the cumsum window's
+    * parallelism ceiling, so one nibble's 16 was a scale lid, and the
+    * finer routing shrinks each draw's range probe 16x); per-bucket
+    * totals (<= 256 rows) are collected and turned into a broadcast
+    * offset table; the within-bucket cumsum is a window partitioned by
+    * bucket. Draws route through the broadcast bucket-interval table,
+    * then equi-join on the bucket id, so the final range probe is
+    * bucket-local (draws-in-bucket x rows-in-bucket, distributed across
+    * buckets). The output key order is (bucket, key) — a total order,
+    * independent of physical partitioning.
     */
   def sampleWeightedWithReplacement(df: DataFrame, n: Int, weightCol: String,
       keyCol: String, seed: String = "42"): DataFrame = {
     require(n > 0, "need n > 0 draws")
     val spark = df.sparkSession
+    // persisted: the bucket-totals collect AND the cumsum frame below
+    // both read it — unpersisted, the weight/bucket projection (and the
+    // source scan under it) executes twice
     val base = df.filter(col(weightCol) > 0)
       .withColumn("_wc", (col(weightCol).cast("decimal(30,2)") * 100).cast("long"))
       .withColumn("_b",
-        (instr(lit("0123456789abcdef"), substring(md5(col(keyCol).cast("string")), 1, 1)) - 1)
-          .cast("int"))
+        conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketTotals: Map[Int, Long] = base.groupBy("_b").agg(sum("_wc").as("_bt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val order = (0 until 16).filter(bucketTotals.contains)
+    val order = (0 until 256).filter(bucketTotals.contains)
     val offsets = order.scanLeft(0L)((acc, b) => acc + bucketTotals(b)).init
     val offsetMap = order.zip(offsets).toMap
     val totalW = bucketTotals.values.sum
@@ -197,20 +203,21 @@ object Sampling {
     // byte-reproducibility additionally needs keyCol to be unique.
     val w = Window.partitionBy(col("_b")).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offCol = offsetMap.foldLeft(lit(0L)) { case (acc, (b, o)) =>
-      when(col("_b") === b, lit(o)).otherwise(acc)
-    }
+    val bdf = spark
+      .createDataFrame(order.map(b => (b, offsetMap(b), offsetMap(b) + bucketTotals(b))))
+      .toDF("_b", "_blo", "_bhi")
+    // bucket offsets arrive via the broadcast interval table (equi-join
+    // on _b), not a 256-deep when-chain expression
     val cum = base
-      .withColumn("_hi", sum(col("_wc")).over(w) + offCol)
+      .join(broadcast(bdf.select("_b", "_blo")), Seq("_b"))
+      .withColumn("_hi", sum(col("_wc")).over(w) + col("_blo"))
       .withColumn("_lo", col("_hi") - col("_wc"))
     val draws = spark.range(n.toLong).select(col("id").as("j"),
       (conv(substring(md5(concat(lit(seed + ":"), col("id").cast("string"))), 1, 12), 16, 10)
         .cast("long") % totalW).as("_u"))
-    val bdf = spark
-      .createDataFrame(order.map(b => (b, offsetMap(b), offsetMap(b) + bucketTotals(b))))
-      .toDF("_b", "_blo", "_bhi")
     val routed = draws.join(broadcast(bdf),
-      col("_u") >= col("_blo") && col("_u") < col("_bhi"))
+        col("_u") >= col("_blo") && col("_u") < col("_bhi"))
+      .select("j", "_u", "_b") // cum re-carries _blo; keep the join unambiguous
     routed.join(cum, Seq("_b"))
       .filter(col("_u") >= col("_lo") && col("_u") < col("_hi"))
       .select(col("j") +: df.columns.map(col): _*)
