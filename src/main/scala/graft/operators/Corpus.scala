@@ -74,20 +74,39 @@ object Corpus {
     * corpus doc into a shuffle join keyed on n-grams — moves ~100x the
     * corpus text through the network; this moves the flagged sliver.
     */
-  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
-      testSet: DataFrame, testTextCol: String, n: Int = 8,
-      fpp: Double = 0.01): DataFrame = {
-    import graft.functions.{BloomFunctions, TextFunctions}
+  /** The reusable decontamination index: the test set's distinct word
+    * n-grams (persisted — every corpus pass and every ingest micro-batch
+    * joins it) plus a [[org.apache.spark.util.sketch.BloomFilter]] over
+    * them, sized by their exact count. Build once per eval set and feed
+    * [[decontaminate]]-shaped passes or
+    * [[graft.streaming.StreamOps.contaminationHitsStream]]. Requires a
+    * non-empty test set (a bloom over nothing has no bits to read).
+    */
+  def decontaminationIndex(testSet: DataFrame, testTextCol: String,
+      n: Int = 8, fpp: Double = 0.01): (DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
+    import graft.functions.TextFunctions
     val testNg = testSet
       .select(explode(TextFunctions.wordShingles(col(testTextCol), n)).as("ng"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNg = testNg.count() // index-build action: sizes the filter exactly
+    require(nNg > 0, "decontaminationIndex needs a non-empty test set " +
+      "(no doc reaches the n-gram length)")
+    (testNg, testNg.stat.bloomFilter("ng", nNg, fpp))
+  }
+
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      testSet: DataFrame, testTextCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomFunctions, TextFunctions}
+    val probeSz = testSet
+      .select(explode(TextFunctions.wordShingles(col(testTextCol), n)).as("ng"))
+      .limit(1)
     // empty probe set: nothing can be contaminated (and stat.bloomFilter
     // over zero rows yields no filter to read) — empty result, same schema
-    if (nNg == 0)
+    if (probeSz.isEmpty)
       return corpus.select(col(idCol), lit(0L).as("n_hits")).limit(0)
-    val bloom = testNg.stat.bloomFilter("ng", nNg, fpp)
+    val (testNg, bloom) = decontaminationIndex(testSet, testTextCol, n, fpp)
     val flagged = corpus
       .select(col(idCol), array_distinct(
         TextFunctions.wordShingles(col(textCol), n)).as("_ngs"))

@@ -494,4 +494,36 @@ object StreamOps {
           out.iterator
         })
   }
+
+  /** Ingest-time decontamination (the streaming half of
+    * [[graft.operators.Corpus.decontaminate]]): flag incoming documents
+    * that share a word `n`-gram with the eval set, against the
+    * build-once index from
+    * [[graft.operators.Corpus.decontaminationIndex]]. Stateless prefilter
+    * — each doc short-circuits through `exists(ngrams, mightContain)`
+    * with the bloom riding the plan as a codegen reference object, no
+    * explode/shuffle/state for the overwhelmingly-clean majority — then
+    * only flagged docs explode into the STREAM-STATIC join that removes
+    * bloom false positives. Emits one (idCol, ng) row per exact hit
+    * (never a false negative, by the filter's contract); the per-doc
+    * count is one groupBy downstream — an aggregation kept out of the
+    * stream on purpose, like the against-family's pair dedup
+    * (each doc lives in exactly one micro-batch, so a batch-side count
+    * loses nothing). Works unchanged on a batch frame (the spec
+    * strategy).
+    */
+  def contaminationHitsStream(evalNgrams: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    import graft.functions.{BloomFunctions, TextFunctions}
+    incoming
+      .select(col(idCol), array_distinct(
+        TextFunctions.wordShingles(col(textCol), n)).as("_ngs"))
+      .filter(exists(col("_ngs"),
+        s => BloomFunctions.mightContainString(s, bloom)))
+      .select(col(idCol), explode(col("_ngs")).as("ng"))
+      .join(evalNgrams, Seq("ng"))
+      .select(col(idCol), col("ng"))
+  }
 }

@@ -313,6 +313,37 @@ class StreamingSpec extends SparkSpec {
     assert(!byDoc.contains(12L) && !byDoc.contains(13L))
   }
 
+  test("contaminationHitsStream: stream hits equal batch decontaminate counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four")).toDF("doc_id", "text")
+    val (evalNg, bloom) = graft.operators.Corpus.decontaminationIndex(eval, "text", 4)
+    val incoming = Seq(
+      DocText(1L, "x alpha beta gamma delta y"),
+      DocText(2L, "nothing shared here at all"),
+      DocText(3L, "alpha beta gamma delta epsilon and one two three four"),
+      DocText(4L, "too short"))
+    val mem = MemoryStream[DocText]
+    mem.addData(incoming.take(2): _*)
+    mem.addData(incoming.drop(2): _*) // two micro-batches
+    val q = StreamOps.contaminationHitsStream(evalNg, bloom, mem.toDF(),
+        "doc_id", "text", 4)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("contam_out").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Corpus.decontaminate(
+        incoming.toDF(), "doc_id", "text", eval, "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed == Map(1L -> 1L, 3L -> 3L),
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("minhashAgainstStream: corpus index round-trips through parquet (build once, reuse)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocText
