@@ -553,6 +553,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // EXT IVF-PQ composed (Ann.ivfPqTopK): md5-sampled coarse cells
+    // prune candidates to nProbe cells, the frozen PqCodebook scores
+    // them by ADC table lookups alone — the FAISS IVF-PQ architecture
+    // as joins, with full vectors never read after the index build.
+    // Both halves deterministic, so the composition stays oracle
+    // hash-checked.
+    "ann_ivf_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          PqCodebook.arr, 3, nCentroids = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // #26 gaussian smoothing over an ordered daily series (algorithm.py:71-92)
     "smooth_gaussian" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -1231,27 +1244,37 @@ object SparkEntry {
     // list_position(list_min), 1-based table lookups summed in the same
     // left-associative order as Spark's zip_with fold.
     "ann_pq_adc_topk" -> {
-      val cb = PqCodebook.table
-      val m = cb.length; val ds = cb.head.head.length; val dim = m * ds
-      val cbCols = cb.zipWithIndex.map { case (s, i) =>
-        s.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]") + s" AS cb$i"
-      }.mkString(",\n   ")
-      def dists(i: Int) =
-        s"list_transform(cb$i, cen -> list_sum(list_transform(range(1, ${ds + 1}), " +
-          s"j -> (nv[${i * ds} + j] - cen[j]) * (nv[${i * ds} + j] - cen[j]))))"
-      val codes = (0 until m)
-        .map(i => s"list_position(${dists(i)}, list_min(${dists(i)}))")
-        .mkString("[", ", ", "]")
-      val dts = (0 until m).map(i => s"${dists(i)} AS dt$i").mkString(", ")
-      val adist = (0 until m).map(i => s"q.dt$i[c.codes[${i + 1}]]").mkString(" + ")
+      import PqSqlBits._
       s"""WITH cb AS (SELECT $cbCols),
          | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         | n AS (SELECT vec_id, CASE WHEN sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i]))) > 0
-         |        THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i]))))
-         |        ELSE v END AS nv FROM e),
+         | n AS ($normCte),
          | c AS (SELECT vec_id AS neighbor_id, $codes AS codes FROM n, cb),
          | q AS (SELECT vec_id AS query_id, $dts FROM n, cb WHERE vec_id < 5),
          | s AS (SELECT q.query_id, c.neighbor_id, $adist AS adist FROM q, c WHERE c.neighbor_id <> q.query_id),
+         | r AS (SELECT query_id, neighbor_id, adist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // IVF-PQ = the ivf_topk cell CTEs (md5-sampled centroids, cosine
+    // assignment/probing) composed with the PQ encode/ADC CTEs — both
+    // generated from the same frozen artifacts the Spark side uses
+    "ann_ivf_pq_topk" -> {
+      import PqSqlBits._
+      s"""WITH cb AS (SELECT $cbCols),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
+         | ca AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cvec")} AS ccos FROM e, cents c),
+         | assign AS (SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca) WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca WHERE vec_id < 5) WHERE rn <= 2),
+         | n AS ($normCte),
+         | c AS (SELECT vec_id AS neighbor_id, $codes AS codes FROM n, cb),
+         | q AS (SELECT vec_id AS query_id, $dts FROM n, cb WHERE vec_id < 5),
+         | cand AS (SELECT probe.query_id, assign.neighbor_id FROM probe JOIN assign USING (cid)
+         |          WHERE assign.neighbor_id <> probe.query_id),
+         | s AS (SELECT cand.query_id, cand.neighbor_id, $adist AS adist
+         |       FROM cand JOIN q ON q.query_id = cand.query_id JOIN c ON c.neighbor_id = cand.neighbor_id),
          | r AS (SELECT query_id, neighbor_id, adist,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin

@@ -175,18 +175,24 @@ object Ann {
     * the candidates. `cents` is (cid, cvec) and must be tiny (it is
     * broadcast into the only nested-loop join of the plan).
     */
+  /** Per-row nearest-centroid cells by cosine (broadcast nested-loop
+    * against the tiny `cents`), optionally carrying extra columns
+    * through — so a corpus frame's PQ codes ride the same pass instead
+    * of a corpus-keyed rejoin. */
+  private def nearestCells(df: DataFrame, cents: DataFrame, id: String,
+      vec: String, take: Int, keep: Seq[Column] = Nil): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .select(col(id) +: col("cid") +:
+        VectorFunctions.cosine(col(vec), col("cvec")).as("_ccos") +: keep: _*)
+    val w = Window.partitionBy(col(id)).orderBy(col("_ccos").desc, col("cid").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= take)
+      .drop("_rn", "_ccos")
+  }
+
   private def ivfFromCentroids(cv: DataFrame, qv: DataFrame, cents: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    def nearestCells(df: DataFrame, id: String, vec: String, take: Int) = {
-      val scored = df.crossJoin(broadcast(cents))
-        .select(col(id), col("cid"),
-          VectorFunctions.cosine(col(vec), col("cvec")).as("ccos"))
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid").asc)
-      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= take)
-        .select(col(id), col("cid"))
-    }
-    val assigned = nearestCells(cv, "neighbor_id", "cv", 1)
-    val probed = nearestCells(qv, "query_id", "qv", nProbe)
+    val assigned = nearestCells(cv, cents, "neighbor_id", "cv", 1)
+    val probed = nearestCells(qv, cents, "query_id", "qv", nProbe)
     val cands = probed.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -302,6 +308,51 @@ object Ann {
         l2norm(col(vecCol).cast("array<double>")).as("qv"))
       .select(col("query_id"), pqDistTables(col("qv"), codebook).as("dt"))
     val scored = enc.join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
+          lit(0.0d), (a, x) => a + x).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("_rk").as("rank"))
+  }
+
+  /** IVF-PQ: the composed production ANN architecture (coarse quantizer
+    * for candidate pruning + product codes for scoring — the FAISS
+    * IVF-PQ shape re-expressed as joins). Corpus rows get their nearest
+    * cell AND their PQ codes in ONE pass (`nearestCells` carries the
+    * codes through its window, no corpus-keyed rejoin); queries probe
+    * their `nProbe` nearest cells and broadcast their ADC tables;
+    * candidates come from the (cell) equi-join only — cost is
+    * |probed cells| x occupancy, never |corpus| — and are scored by
+    * table lookups alone. vs [[pqAdcTopK]]: that scans every code row
+    * per query (the flat-index baseline); this prunes to probed cells
+    * first. vs [[ivfFromCentroids]]: that reranks candidates with exact
+    * cosine on full vectors; here scoring needs only the m-byte codes —
+    * at 100 TB the full vectors never leave the index build. Centroids
+    * are md5-sampled rows (deterministic, engine-portable) like
+    * [[ivfTopK]]; recall is bounded by nProbe x PQ quantization error,
+    * both measured in the spec.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Array[Double]]], k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2, seed: String = "42"): DataFrame = {
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val cents = cv
+      .orderBy(md5(concat(lit(seed + ":"), col("neighbor_id").cast("string"))), col("neighbor_id"))
+      .limit(nCentroids)
+      .select(col("neighbor_id").as("cid"), col("cv").as("cvec"))
+    val assigned = nearestCells(
+      cv.withColumn("codes", pqCodes(l2norm(col("cv")), codebook)),
+      cents, "neighbor_id", "cv", 1, keep = Seq(col("codes")))
+    val probed = nearestCells(qv, cents, "query_id", "qv", nProbe)
+    val qt = qv.select(col("query_id"), pqDistTables(l2norm(col("qv")), codebook).as("dt"))
+    // no distinct: the assignment is take=1, so a (query, neighbor) pair
+    // can arise from exactly one cell — the equi-join is already unique
+    val cands = probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "codes")
+    val scored = cands.join(broadcast(qt), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
           lit(0.0d), (a, x) => a + x).as("adist"))

@@ -330,6 +330,15 @@ class DedupAnnSpec extends SparkSpec {
     // dim so the slices cover the whole vector
     assert(PqCodebook.arr.length * PqCodebook.arr.head.head.length == 64)
     assert(PqCodebook.arr.forall(_.length == 16))
+    // IVF-PQ composed: cell pruning on top of the same codebook — on
+    // this geometry each subgroup is directionally tight, so probing
+    // the query's cells keeps its near mates and ADC still ranks them
+    // first; recall can only drop vs flat-PQ by pruning, never rise
+    val ivfpq = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", cb, 4,
+      nCentroids = 8, nProbe = 4)
+    val gotIvf = ivfpq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallIvf = (exact & gotIvf).size.toDouble / exact.size
+    assert(recallIvf >= 0.75, s"IVF-PQ recall collapsed: $recallIvf")
   }
 
   test("ivfTopKKMeans: an all-zero embedding does not crash the cosine fit") {
