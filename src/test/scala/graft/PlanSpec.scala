@@ -87,12 +87,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(user_id"), plan.take(1200))
   }
 
-  test("sample_weighted_replace: range probe is bucket-local, BNLJ only vs 16-row table") {
+  test("sample_weighted_replace: range probe is bucket-local, BNLJ only vs 256-row table") {
     val plan = planOf("sample_weighted_replace")
     // the only nested-loop join is draws x broadcast bucket-interval table
     val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
-    assert(bnlj <= 1, s"expected at most one (broadcast, 16-row) BNLJ, plan:\n${plan.take(1200)}")
+    assert(bnlj <= 1, s"expected at most one (broadcast, <=256-row) BNLJ, plan:\n${plan.take(1200)}")
     assert(plan.contains("BroadcastHashJoin"), "row probe must be the bucket equi-join")
+  }
+
+  test("decontaminate_docs: bloom prefilter sits map-side before any corpus shuffle") {
+    val df = SparkEntry.queries("decontaminate_docs")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the native might-contain expression must be present (the corpus
+    // prefilter), and the corpus scan must prune to the two used columns
+    assert(plan.toLowerCase.contains("mightcontain"), plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  // an executed AdaptiveSparkPlan prints BOTH the final and the initial
+  // plan — operator counts over the raw string double-count
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
+  test("ann_pq_adc_topk: corpus side is scan+project only — one exchange, for the top-k window") {
+    val df = SparkEntry.queries("ann_pq_adc_topk")(spark, sf)
+    df.collect()
+    val plan = finalPlanOf(df)
+    // codes are computed in a projection over the scan and scored against
+    // a BROADCAST table — the only hash exchange is the per-query top-k
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 1, s"PQ-ADC should shuffle only for the top-k window, got $exchanges:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "query tables must broadcast against the codes scan")
+  }
+
+  test("ann_ivf_pq_topk: candidate generation is a cid equi-join, never all-pairs") {
+    val df = SparkEntry.queries("ann_ivf_pq_topk")(spark, sf)
+    df.collect()
+    val plan = finalPlanOf(df)
+    // the probed-cells x assigned-corpus join must be an equi-join on the
+    // cell id; the only BNLJs are vs the broadcast 8-row centroid table
+    assert(plan.contains("cid"), plan.take(1500))
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 2, s"expected only the two centroid-assignment BNLJs, got $bnlj")
   }
 
   test("sample_at_most: md5 top-n compiles to TakeOrderedAndProject (no full sort)") {
