@@ -365,6 +365,67 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("decon")) {
+      // A/B the bloom-prefiltered decontamination against the plain
+      // exploded semi-join at replicated corpus scale:
+      // runMain graft.ScaleProbe decon <sfDir> [reps]
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+      val reps = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      // replicate with distinct ids; localCheckpoint so BOTH arms read a
+      // materialized corpus, not the replication plan
+      val corpus = docs0
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(reps - 1))).as("r"))
+        .select((col("doc_id") + col("r") * 1000000L).as("doc_id"), col("text"))
+        .filter(col("doc_id") % 13 =!= 0)
+        // drop every REPLICA of an eval doc too unless KEEPDIRTY=1: with
+        // them kept, ~1/13 of the corpus is an exact eval copy — an
+        // adversarially HIGH contamination rate (real decontamination
+        // flags <<1%), which charges the bloom arm a second ngram pass
+        // over 8% of the corpus
+        .filter(if (sys.env.contains("SPARK_GRAFT_DECON_KEEPDIRTY")) lit(true)
+                else (col("doc_id") % 1000000L) % 13 =!= 0)
+        .localCheckpoint(true)
+      val eval = docs0.filter(col("doc_id") % 13 === 0)
+      println(s"corpus=${corpus.count()} docs (reps=$reps), eval=${eval.count()}")
+      def timed(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"  $label%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
+      }
+      def plainJoin(): Long = {
+        val ng = eval.select(explode(
+          graft.functions.TextFunctions.wordShingles(col("text"), 8)).as("ng")).distinct()
+        corpus.select(col("doc_id"), explode(array_distinct(
+            graft.functions.TextFunctions.wordShingles(col("text"), 8))).as("ng"))
+          .join(ng, Seq("ng"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+          .count()
+      }
+      timed("bloom prefilter + exact")(
+        graft.operators.Corpus.decontaminate(corpus, "doc_id", "text", eval, "text", 8).count())
+      timed("plain join (broadcastable)")(plainJoin())
+      // the 100 TB shape: a real benchmark suite's n-gram set is GBs —
+      // beyond broadcast — so the plain join must SHUFFLE every corpus
+      // n-gram; the bloom arm's plan is unchanged by this knob
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      timed("plain join (shuffle-forced)")(plainJoin())
+      timed("bloom arm (same knobs)")(
+        graft.operators.Corpus.decontaminate(corpus, "doc_id", "text", eval, "text", 8).count())
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("pqtrain")) {
       // train the PQ codebook the declared ann_pq_adc_topk query embeds
       // as a literal: runMain graft.ScaleProbe pqtrain <sfDir> [m] [k]

@@ -46,4 +46,43 @@ object BloomFunctions {
     * `exists(ngrams, s => mightContainString(s, bloom))`. */
   def mightContainString(c: Column, filter: BloomFilter): Column =
     ColumnOps.toColumn(StringMightContain(_, filter))(c)
+
+  /** Static kernel: shingle + probe in ONE pass with short-circuit —
+    * called from interpreted eval and from the generated Java. A
+    * composed `exists(wordShingles(text), s -> mightContain(s))` was
+    * measured ~60% SLOWER end-to-end than the plain exploded semi-join
+    * it was supposed to beat (ScaleProbe decon, 42k docs): higher-order
+    * functions evaluate their lambda INTERPRETED per element, plus the
+    * array materializes per row. This kernel stays inside whole-stage
+    * codegen and allocates nothing beyond the shingle strings.
+    */
+  def anyWordShingleIn(v: UTF8String, k: Int, filter: BloomFilter): Boolean = {
+    val strs = TextFunctions.wordShingleStringsOf(v.toString, k)
+    var i = 0
+    while (i < strs.length) {
+      if (filter.mightContainString(strs(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  case class AnyWordShingleMightContain(child: Expression, k: Int,
+      filter: BloomFilter) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any =
+      anyWordShingleIn(v.asInstanceOf[UTF8String], k, filter)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", filter, classOf[BloomFilter].getName)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.BloomFunctions.anyWordShingleIn($c, $k, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): AnyWordShingleMightContain =
+      copy(child = c)
+  }
+
+  /** `true` iff ANY word `k`-shingle of the text column might be in the
+    * filter's set — the decontamination prefilter as one codegen
+    * expression (see [[anyWordShingleIn]]). */
+  def anyWordShingleMightContain(c: Column, k: Int, filter: BloomFilter): Column =
+    ColumnOps.toColumn(AnyWordShingleMightContain(_, k, filter))(c)
 }

@@ -107,13 +107,15 @@ object Corpus {
     if (probeSz.isEmpty)
       return corpus.select(col(idCol), lit(0L).as("n_hits")).limit(0)
     val (testNg, bloom) = decontaminationIndex(testSet, testTextCol, n, fpp)
+    // ONE fused codegen kernel per doc (shingle + probe + short-circuit,
+    // no array materialization, no interpreted HOF lambda — see
+    // BloomFunctions.anyWordShingleIn); only flagged docs materialize
+    // their shingle arrays for the exact join
     val flagged = corpus
-      .select(col(idCol), array_distinct(
-        TextFunctions.wordShingles(col(textCol), n)).as("_ngs"))
-      .filter(exists(col("_ngs"),
-        s => BloomFunctions.mightContainString(s, bloom)))
+      .filter(BloomFunctions.anyWordShingleMightContain(col(textCol), n, bloom))
     flagged
-      .select(col(idCol), explode(col("_ngs")).as("ng"))
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).as("ng"))
       .join(testNg, Seq("ng"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))

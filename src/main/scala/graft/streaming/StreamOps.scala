@@ -518,11 +518,9 @@ object StreamOps {
       n: Int = 8): DataFrame = {
     import graft.functions.{BloomFunctions, TextFunctions}
     incoming
-      .select(col(idCol), array_distinct(
-        TextFunctions.wordShingles(col(textCol), n)).as("_ngs"))
-      .filter(exists(col("_ngs"),
-        s => BloomFunctions.mightContainString(s, bloom)))
-      .select(col(idCol), explode(col("_ngs")).as("ng"))
+      .filter(BloomFunctions.anyWordShingleMightContain(col(textCol), n, bloom))
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).as("ng"))
       .join(evalNgrams, Seq("ng"))
       .select(col(idCol), col("ng"))
   }
