@@ -505,6 +505,26 @@ object SparkEntry {
           width = 30, stride = 10, minDf = 2, maxDf = 1024)
         .orderBy("doc_id", "span_start")
     }),
+    // EXT robust winnowing (Schleimer'03 / MOSS): per-doc fingerprint
+    // density — k=8 grams, window w=4, rightmost-min selection. Rolled
+    // up per doc (selection itself is position-exact; the overlap
+    // consumer is the next query).
+    "winnow_fingerprints" -> ((s, dir) => {
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), countDistinct(col("fp")).as("n_uniq"))
+        .orderBy("doc_id")
+    }),
+    // EXT winnowing partial-overlap pairs: any pair sharing a substring
+    // of length >= w+k-1 = 11 chars is guaranteed a shared fingerprint
+    // — position-robust, unlike dup_spans' stride grid. df cap 64 is
+    // the standard hot-boilerplate guard.
+    "winnow_overlap_pairs" -> ((s, dir) => {
+      Dedup.winnowOverlapPairs(injectedDocs(s, dir), "doc_id", "text",
+          k = 8, w = 4, minShared = 16, maxDf = 64)
+        .orderBy("id_a", "id_b")
+    }),
     // EXT multi-probe LSH ANN: queries also probe the lowest-margin
     // flipped bucket per table — recall of ~2x the tables at one corpus
     // hashing cost (hash-checked like ann_lsh_topk)
@@ -1250,7 +1270,7 @@ object SparkEntry {
          | n AS ($normCte),
          | c AS (SELECT vec_id AS neighbor_id, $codes AS codes FROM n, cb),
          | q AS (SELECT vec_id AS query_id, $dts FROM n, cb WHERE vec_id < 5),
-         | s AS (SELECT q.query_id, c.neighbor_id, $adist AS adist FROM q, c WHERE c.neighbor_id <> q.query_id),
+         | s AS (SELECT q.query_id, c.neighbor_id, ROUND($adist, 6) AS adist FROM q, c WHERE c.neighbor_id <> q.query_id),
          | r AS (SELECT query_id, neighbor_id, adist,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
@@ -1273,7 +1293,7 @@ object SparkEntry {
          | q AS (SELECT vec_id AS query_id, $dts FROM n, cb WHERE vec_id < 5),
          | cand AS (SELECT probe.query_id, assign.neighbor_id FROM probe JOIN assign USING (cid)
          |          WHERE assign.neighbor_id <> probe.query_id),
-         | s AS (SELECT cand.query_id, cand.neighbor_id, $adist AS adist
+         | s AS (SELECT cand.query_id, cand.neighbor_id, ROUND($adist, 6) AS adist
          |       FROM cand JOIN q ON q.query_id = cand.query_id JOIN c ON c.neighbor_id = cand.neighbor_id),
          | r AS (SELECT query_id, neighbor_id, adist,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
@@ -1370,6 +1390,41 @@ object SparkEntry {
         |       CAST(MAX(pos) + 30 AS INT) AS span_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // winnowing mirror: same md5 gram digests, same enc = hash ++
+    // (10^9 - pos) rightmost-min encoding, same full-window filter
+    "winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 11),
+        | g AS (SELECT doc_id, n - 7 AS ng, CAST(t.i AS INT) AS pos,
+        |         md5(substr(text, CAST(t.i AS INT) + 1, 8))
+        |           || lpad(CAST(1000000000 - CAST(t.i AS INT) AS VARCHAR), 10, '0') AS enc
+        |       FROM d, LATERAL (SELECT unnest(range(0, n - 7)) AS i) t),
+        | m AS (SELECT doc_id, pos, ng,
+        |         MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM g),
+        | f AS (SELECT DISTINCT doc_id, sel FROM m WHERE pos <= ng - 4)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |       CAST(COUNT(DISTINCT substr(sel, 1, 32)) AS BIGINT) AS n_uniq
+        |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "winnow_overlap_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        | d AS (SELECT doc_id, text, length(text) AS n FROM docs WHERE length(text) >= 11),
+        | g AS (SELECT doc_id, n - 7 AS ng, CAST(t.i AS INT) AS pos,
+        |         md5(substr(text, CAST(t.i AS INT) + 1, 8))
+        |           || lpad(CAST(1000000000 - CAST(t.i AS INT) AS VARCHAR), 10, '0') AS enc
+        |       FROM d, LATERAL (SELECT unnest(range(0, n - 7)) AS i) t),
+        | m AS (SELECT doc_id, pos, ng,
+        |         MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM g),
+        | u AS (SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp FROM m WHERE pos <= ng - 4),
+        | c AS (SELECT doc_id, fp FROM (
+        |         SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM u)
+        |       WHERE df <= 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 16 ORDER BY id_a, id_b""".stripMargin,
     "media_frames" ->
       """WITH m AS (SELECT doc_id, text, strlen(text) AS len FROM documents
         |           WHERE length(text) = strlen(text)),

@@ -310,9 +310,14 @@ object Ann {
     val scored = enc.join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
-          lit(0.0d), (a, x) => a + x).as("adist"))
+          lit(0.0d), (a, x) => a + x).as("_ad"))
+    // round(6) BEFORE ranking — the suite-wide float discipline: the two
+    // engines' fold orders agree to ~1 ulp but not always bitwise, so
+    // both rank (and emit) the identical quantized value, with the
+    // integer neighbor_id tie-break underneath
+    val quant = scored.withColumn("adist", round(col("_ad"), 6)).drop("_ad")
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+    quant.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("_rk").as("rank"))
   }
 
@@ -355,9 +360,14 @@ object Ann {
     val scored = cands.join(broadcast(qt), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
-          lit(0.0d), (a, x) => a + x).as("adist"))
+          lit(0.0d), (a, x) => a + x).as("_ad"))
+    // round(6) BEFORE ranking — the suite-wide float discipline: the two
+    // engines' fold orders agree to ~1 ulp but not always bitwise, so
+    // both rank (and emit) the identical quantized value, with the
+    // integer neighbor_id tie-break underneath
+    val quant = scored.withColumn("adist", round(col("_ad"), 6)).drop("_ad")
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+    quant.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("_rk").as("rank"))
   }
 }

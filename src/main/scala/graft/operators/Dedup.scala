@@ -1067,4 +1067,88 @@ object Dedup {
         coalesce(col("_dup"), lit(false)).as("_d"))
       .withColumn("keep", !col("_d")).drop("_d")
   }
+
+  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm; EXT, no reference analog): hash every
+    * character `k`-gram, slide a window of `w` consecutive gram hashes,
+    * and select the MINIMUM hash of each window (rightmost position on
+    * ties — "robust" winnowing, so runs of equal minima fingerprint
+    * once). Guarantee: any substring shared between two documents of
+    * length >= w + k - 1 contributes at least one SHARED fingerprint,
+    * while expected density is only 2/(w+1) of positions — a
+    * position-robust partial-overlap detector, unlike [[dupSpans]]'s
+    * stride grid (which misses shared runs that straddle stride
+    * alignment between docs).
+    *
+    * Output: (idCol, fp, fp_pos) — one row per selected fingerprint;
+    * `fp` is the md5 hex of the k-gram (engine-portable), `fp_pos` its
+    * 0-based character offset.
+    *
+    * Implementation notes, all chosen for oracle portability AND scale:
+    *  - the rightmost-min tie rule rides ONE sortable string:
+    *    md5-hex ++ zero-padded (10^9 - pos). MIN of that string picks
+    *    the smallest hash and, among equal hashes, the LARGEST offset —
+    *    so a single windowed MIN (any SQL engine) implements the
+    *    published selection rule with no arg-min construct.
+    *  - only FULL windows select (pos <= grams - w): truncated trailing
+    *    windows would over-fingerprint short suffixes.
+    *  - scale shape (100 TB): the per-char explode is the honest cost of
+    *    the published algorithm (len rows/doc, same order as dupSpans at
+    *    stride 1) but everything up to the DISTINCT is partitioned BY
+    *    DOC — one shuffle keyed on uniform doc ids, window functions
+    *    per doc, no cross-doc traffic. Only the selected fingerprints
+    *    (density 2/(w+1)) leave the doc partition. Cross-doc joins on
+    *    `fp` happen downstream on that reduced set ([[winnowOverlapPairs]]).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"winnowFingerprints: need k>0, w>0; got k=$k w=$w")
+    val grams = docs
+      .filter(length(col(textCol)) >= k + w - 1) // at least one full window
+      .select(col(idCol).as("_did"),
+        (length(col(textCol)) - k + 1).as("_ng"),
+        explode(sequence(lit(0), length(col(textCol)) - k)).as("_pos"),
+        col(textCol))
+      .select(col("_did"), col("_ng"), col("_pos"),
+        // md5 hex ++ (10^9 - pos) zero-padded: lexicographic MIN = (min
+        // hash, rightmost pos). Offsets < 10^9 hold for any document a
+        // single Spark row can represent.
+        concat(md5(substr(col(textCol), col("_pos") + 1, lit(k)).cast("binary")),
+          lpad((lit(1000000000) - col("_pos")).cast("string"), 10, "0")).as("_enc"))
+    val win = Window.partitionBy(col("_did")).orderBy(col("_pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("_sel", min(col("_enc")).over(win))
+      .filter(col("_pos") <= col("_ng") - w) // full windows only
+      .select(col("_did"), col("_sel")).distinct()
+      .select(col("_did").as(idCol),
+        substring(col("_sel"), 1, 32).as("fp"),
+        (lit(1000000000) - substring(col("_sel"), 33, 10).cast("long")).as("fp_pos"))
+  }
+
+  /** Partial-overlap candidate pairs from winnowing fingerprints: docs
+    * sharing >= `minShared` distinct selected k-gram hashes. By the
+    * winnowing guarantee, any pair sharing a substring of length
+    * >= w + k - 1 appears here (with minShared=1); minShared=2 is the
+    * usual noise floor. `maxDf` is the standard hot-key guard (a
+    * boilerplate fingerprint shared by m docs lands m rows in one join
+    * bucket — same window-count cap shape as [[ngramJaccardPairs]],
+    * same bounded-recall trade, ONE reusable exchange on fp).
+    */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2, maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"winnowOverlapPairs: need minShared>=1, maxDf>=2; got $minShared, $maxDf")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("_did"), col("fp")).distinct()
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("_df") <= maxDf)
+      .select("_did", "fp")
+    fps.select(col("fp"), col("_did").as("id_a"))
+      .join(fps.select(col("fp"), col("_did").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

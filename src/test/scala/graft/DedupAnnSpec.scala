@@ -554,4 +554,54 @@ class DedupAnnSpec extends SparkSpec {
     val uncapped = Dedup.dupSpans(docs, "doc_id", "text", width = 10, stride = 5)
     assert(uncapped.collect().length == 5)
   }
+
+  test("winnowFingerprints: selection matches a direct reimplementation") {
+    import spark.implicits._
+    val text = "abcabcabcXYZabcabcabc"
+    val in = Seq((1L, text)).toDF("doc_id", "text")
+    val k = 4; val w = 3
+    val got = Dedup.winnowFingerprints(in, "doc_id", "text", k, w).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    // reference implementation: min (hash, -pos) per full window
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grams = (0 to text.length - k).map(p => (h(text.substring(p, p + k)), p))
+    val expected = (0 to grams.length - w).map { s =>
+      grams.slice(s, s + w).minBy { case (hh, p) => (hh, -p) } // rightmost min
+    }.toSet
+    assert(got == expected)
+    assert(got.size < grams.length) // density < 1 (winnowing compresses)
+  }
+
+  test("winnowing guarantee: shared run >= w+k-1 yields a shared fingerprint") {
+    import spark.implicits._
+    val shared = "QWERTYUIOPASDFG" // 15 chars >= w+k-1 = 11 for k=8,w=4
+    // different prefixes SHIFT the shared run to different offsets —
+    // the stride-grid failure mode winnowing is immune to
+    val in = Seq(
+      (1L, "aa" + shared + "zzzzzzzzz"),
+      (2L, "bbbbbbb" + shared + "yyyy"),
+      (3L, "no overlap with others at all here")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(in, "doc_id", "text", 8, 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    val pairs = Dedup.winnowOverlapPairs(in, "doc_id", "text", 8, 4,
+      minShared = 1, maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowOverlapPairs: maxDf cap drops corpus-wide boilerplate fps") {
+    import spark.implicits._
+    val boiler = "IDENTICAL_BOILERPLATE_EVERYWHERE"
+    val docs = (1L to 6L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val capped = Dedup.winnowOverlapPairs(docs, "doc_id", "text", 8, 4,
+      minShared = 1, maxDf = 5) // every fp df = 6 > cap
+    assert(capped.collect().isEmpty)
+    val uncapped = Dedup.winnowOverlapPairs(docs, "doc_id", "text", 8, 4,
+      minShared = 1, maxDf = 6)
+    assert(uncapped.count() == 15) // all C(6,2) pairs
+  }
 }
