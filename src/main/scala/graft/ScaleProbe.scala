@@ -294,6 +294,22 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dsirtbl")) {
+      // dump the DSIR per-bucket log-ratio table for cross-engine
+      // comparison: runMain graft.ScaleProbe dsirtbl <sfDir>
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val docs = spark.read.parquet(
+        args.drop(1).headOption.getOrElse("/root/testdata/sf0.01") + "/documents.parquet")
+      graft.operators.Corpus.dsirDistTable(docs, "doc_id", "text",
+          col("lang") === "en", 256)
+        .orderBy("_b").collect()
+        .foreach(r => println(s"DSIRTBL ${r.get(0)} ${r.get(1)} ${r.get(2)} ${r.get(3)}"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("banding")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)

@@ -35,6 +35,31 @@ object SparkEntry {
     * DuckDB oracles mirror it as the `u` CTE, and a recipe change here
     * must change those CTEs in lockstep or the hash checks fail.
     */
+  /** Per-doc mean bigram log-probability under corpus MLE counts —
+    * shared by `bigram_logprob` (raw scores) and `ccnet_buckets`
+    * (rank-bucketed). Docs under 2 tokens have no bigrams and drop out,
+    * mirrored in both oracles. Scale shape: one bigram explode, one
+    * (prev, cur) groupBy, prefix totals as a window SUM over the grouped
+    * counts (not a second scan of the pairs frame), shuffle join back on
+    * the bigram key; AQE picks broadcast when the bigram table is small
+    * — never hinted (vocab-squared is data-sized).
+    */
+  private def bigramLogprobFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val pairs = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        j => struct(element_at(col("w"), j).as("prev"),
+          element_at(col("w"), j + 1).as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      .withColumn("cp", sum(col("cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+    pairs.join(bc, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cb").cast("double") / col("cp"))), 6).as("logprob"))
+  }
+
   private[graft] def injectedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val dups = docs.filter(col("doc_id") % 7 === 0)
@@ -865,21 +890,43 @@ object SparkEntry {
     // grouped counts (not a second scan of the pairs frame), shuffle
     // join back on the bigram key; AQE picks broadcast when the bigram
     // table is small — never hinted (vocab² is data-sized).
-    "bigram_logprob" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      val pairs = docs.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
-          j => struct(element_at(col("w"), j).as("prev"),
-            element_at(col("w"), j + 1).as("cur")))).as("bg"))
-        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
-        .withColumn("cp", sum(col("cb")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
-      pairs.join(bc, Seq("prev", "cur"))
-        .groupBy("doc_id")
-        .agg(round(avg(log(col("cb").cast("double") / col("cp"))), 6).as("logprob"))
+    "bigram_logprob" -> ((s, dir) => bigramLogprobFrame(s, dir).orderBy("doc_id")),
+    // EXT CCNet-style quality bucketing (Wenzek et al. 2020): rank the
+    // corpus by the bigram-LM doc score and cut equal-population
+    // head/middle/tail thirds (CCNet's perplexity buckets; low logprob
+    // = high perplexity = tail). RANK-based, not percentile-based —
+    // integer arithmetic over the quantized score, so bucket edges are
+    // engine-exact, and the global rank is the two-phase range rank
+    // (never a single-task ntile window).
+    "ccnet_buckets" -> ((s, dir) => {
+      Corpus.rankBuckets(bigramLogprobFrame(s, dir), "doc_id", "logprob")
+        .select("doc_id", "logprob", "bucket")
         .orderBy("doc_id")
+    }),
+    // EXT DSIR importance weights (Xie et al. 2023): hashed unigram+
+    // bigram features (256 md5 buckets), add-one-smoothed target
+    // (lang='en') vs raw bucket distributions, per-doc sum of
+    // log-ratios. The distribution tables are FIXED-size (256 rows at
+    // any corpus size) so their joins are always-legal broadcasts; the
+    // per-doc sum rides exact DECIMAL(20,9) arithmetic — order-
+    // independent under partial aggregation, identical across engines.
+    "dsir_weights" -> ((s, dir) => {
+      Corpus.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
+    }),
+    // EXT DSIR resampling step: Gumbel top-k = a weighted sample
+    // WITHOUT replacement proportional to exp(dsir_logweight), via the
+    // deterministic md5-uniform (reproducible across engines; the
+    // orderBy+limit compiles to TakeOrderedAndProject, never a global
+    // sort).
+    "dsir_sample" -> ((s, dir) => {
+      Sampling.gumbelTopK(
+          Corpus.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+            col("lang") === "en", buckets = 256),
+          "doc_id", "dsir_logweight", k = 64)
+        .select("doc_id", "dsir_logweight", "gumbel_key")
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
     }),
     // EXT tf-idf top terms per document (feature-extraction staple; no
     // reference analog — SURVEY north star). Ranked by the ACTUAL tf-idf
@@ -1677,6 +1724,73 @@ object SparkEntry {
         | bcp AS (SELECT *, CAST(SUM(cb) OVER (PARTITION BY prev) AS BIGINT) AS cp FROM bc)
         |SELECT doc_id, ROUND(AVG(LN(CAST(cb AS DOUBLE) / cp)), 6) AS logprob
         |FROM pairs JOIN bcp USING (prev, cur) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ccnet mirror: the bigram-logprob CTEs + a global (logprob, doc_id)
+    // rank — integer thirds over the quantized score, so bucket edges
+    // replay exactly (the oracle may use a plain ROW_NUMBER; Spark's
+    // two-phase range rank is execution strategy, same result)
+    "ccnet_buckets" ->
+      """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        | pairs AS (SELECT doc_id, w[j] AS prev, w[j + 1] AS cur
+        |           FROM docs, LATERAL unnest(range(1, len(w))) AS t(j)
+        |           WHERE len(w) >= 2),
+        | bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY 1, 2),
+        | bcp AS (SELECT *, CAST(SUM(cb) OVER (PARTITION BY prev) AS BIGINT) AS cp FROM bc),
+        | lp AS (SELECT doc_id, ROUND(AVG(LN(CAST(cb AS DOUBLE) / cp)), 6) AS logprob
+        |        FROM pairs JOIN bcp USING (prev, cur) GROUP BY doc_id),
+        | r AS (SELECT doc_id, logprob,
+        |        ROW_NUMBER() OVER (ORDER BY logprob, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n FROM lp)
+        |SELECT doc_id, logprob,
+        |  CASE WHEN rn * 3 <= n THEN 'tail' WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'head' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // DSIR mirror: same md5 2-hex-digit bucket, same add-one smoothing,
+    // same DECIMAL(20,9)-quantized log-ratios so the per-doc sum is
+    // exact integer-scaled arithmetic in both engines
+    "dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS tgt, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | unis AS (SELECT doc_id, tgt, unnest(ws) AS ng FROM w),
+        | bis AS (SELECT doc_id, tgt, ws[j] || ' ' || ws[j + 1] AS ng
+        |         FROM w, LATERAL unnest(range(1, len(ws))) AS t(j) WHERE len(ws) >= 2),
+        | f AS (SELECT doc_id, tgt,
+        |        (instr('0123456789abcdef', substr(md5(ng), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substr(md5(ng), 2, 1)) - 1) AS b
+        |       FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis)),
+        | db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n, MAX(tgt) AS tgt FROM f GROUP BY 1, 2),
+        | dist AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr,
+        |                CAST(SUM(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct FROM db GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM dist),
+        | tbl AS (SELECT b, CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / (tt + 256)) - LN(CAST(cr + 1 AS DOUBLE) / (tr + 256)), 9) AS DECIMAL(20,9)) AS lw
+        |         FROM dist, tot)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+        |       ROUND(CAST(SUM(lw * CAST(n AS DECIMAL(10,0))) AS DOUBLE), 6) AS dsir_logweight
+        |FROM db JOIN tbl USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // DSIR resample mirror: Gumbel key over the same md5_48 uniform
+    // (exact 48-bit integer arithmetic in doubles), round(6) before the
+    // top-k
+    "dsir_sample" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS tgt, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | unis AS (SELECT doc_id, tgt, unnest(ws) AS ng FROM w),
+        | bis AS (SELECT doc_id, tgt, ws[j] || ' ' || ws[j + 1] AS ng
+        |         FROM w, LATERAL unnest(range(1, len(ws))) AS t(j) WHERE len(ws) >= 2),
+        | f AS (SELECT doc_id, tgt,
+        |        (instr('0123456789abcdef', substr(md5(ng), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substr(md5(ng), 2, 1)) - 1) AS b
+        |       FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis)),
+        | db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n, MAX(tgt) AS tgt FROM f GROUP BY 1, 2),
+        | dist AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr,
+        |                CAST(SUM(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct FROM db GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM dist),
+        | tbl AS (SELECT b, CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / (tt + 256)) - LN(CAST(cr + 1 AS DOUBLE) / (tr + 256)), 9) AS DECIMAL(20,9)) AS lw
+        |         FROM dist, tot),
+        | dw AS (SELECT doc_id, ROUND(CAST(SUM(lw * CAST(n AS DECIMAL(10,0))) AS DOUBLE), 6) AS dsir_logweight
+        |        FROM db JOIN tbl USING (b) GROUP BY 1),
+        | g AS (SELECT doc_id, dsir_logweight,
+        |        ROUND(dsir_logweight - LN(-LN(
+        |          CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || doc_id), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+        |          / power(2, 48))), 6) AS gumbel_key
+        |        FROM dw)
+        |SELECT doc_id, dsir_logweight, gumbel_key FROM g
+        |ORDER BY gumbel_key DESC, doc_id LIMIT 64""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),

@@ -143,4 +143,126 @@ object Corpus {
       }
     }.toDF("doc_id", "n_tokens", "bin_id", "pos_in_bin")
   }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020 shape): rank the
+    * corpus by an LM score and cut it into equal-population buckets —
+    * CCNet's head/middle/tail thirds by perplexity. `scoreCol` ascends
+    * from worst to best (e.g. mean log-probability: LOW logprob = HIGH
+    * perplexity = tail), so labels run worst-first.
+    *
+    * The global rank rides [[Relational.twoPhaseDenseIds]] (range
+    * repartition + per-partition offsets) rather than a partition-less
+    * row_number window — the single-task sort that global ntile/ntile-3
+    * would cost at 100 TB is the whole reason this helper exists. Ties
+    * break on `idCol`, so the rank (and therefore every bucket edge) is
+    * total and engine-portable; the count side is a 1-row broadcast.
+    */
+  def rankBuckets(scored: DataFrame, idCol: String, scoreCol: String,
+      labels: Seq[String] = Seq("tail", "middle", "head"),
+      as: String = "bucket"): DataFrame = {
+    require(labels.nonEmpty, "rankBuckets: need at least one label")
+    val m = labels.size
+    val ranked = Relational.twoPhaseDenseIds(
+      scored.select(col(scoreCol), col(idCol)), Seq(scoreCol, idCol), "_rn")
+    val n = scored.agg(count(lit(1)).as("_n"))
+    // bucket i (0-based) gets ranks rn with rn*m <= (i+1)*n — the same
+    // integer arithmetic any SQL engine replays exactly
+    val assign = labels.init.zipWithIndex.reverse
+      .foldLeft(lit(labels.last): org.apache.spark.sql.Column) {
+        case (acc, (name, i)) =>
+          when(col("_rn") * m <= col("_n") * (i + 1), lit(name)).otherwise(acc)
+      }
+    ranked.crossJoin(broadcast(n))
+      .withColumn(as, assign)
+      .drop("_rn", "_n")
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score each document by how much more
+    * likely its hashed n-gram features are under a TARGET distribution
+    * than under the RAW corpus distribution —
+    * log w(doc) = sum over features of [log p_target(b) - log p_raw(b)]
+    * with features = word unigrams + bigrams hashed into `buckets`
+    * buckets and add-one smoothing on both bucket distributions.
+    * `targetFlag` marks the target rows (e.g. lang = 'en').
+    *
+    * Output: (idCol, n_feats, dsir_logweight). Downstream, resample
+    * proportionally to the weight (see the declared Gumbel top-k query)
+    * or threshold.
+    *
+    * Scale shape (100 TB): one token/bigram explode, then every
+    * aggregate is over the FIXED bucket space — the two distribution
+    * tables are `buckets` rows regardless of corpus size, so their join
+    * back onto the feature stream is an always-legal broadcast (never
+    * data-sized, unlike a vocab join). Per-bucket log-ratios are
+    * quantized to DECIMAL(20,9) BEFORE the per-doc sum so the sum is
+    * exact integer-scaled arithmetic — order-independent, safe under any
+    * partial-aggregation schedule, and bit-identical across engines (a
+    * raw double sum would drift by ulps under Spark's two-phase agg).
+    *
+    * `buckets` must be a power of 16 up to 65536: the bucket id is the
+    * first log16(buckets) md5 hex digits of the feature — the
+    * engine-portable hash idiom shared with [[assignSplit]].
+    */
+  /** Per-(doc, bucket) hashed-feature counts — the shared front half of
+    * the DSIR pipeline (one token/bigram explode, one doc-sized
+    * shuffle). */
+  private def dsirDocBuckets(docs: DataFrame, idCol: String, textCol: String,
+      targetFlag: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    val hexDigits = (math.log(buckets) / math.log(16)).round.toInt
+    require(buckets == math.pow(16, hexDigits).round.toInt && hexDigits >= 1 && hexDigits <= 4,
+      s"buckets must be 16, 256, 4096 or 65536; got $buckets")
+    val words = docs.select(col(idCol).as("_id"), targetFlag.as("_tgt"),
+      split(trim(col(textCol)), "\\s+").as("_w"))
+    val unis = words.select(col("_id"), col("_tgt"), explode(col("_w")).as("_ng"))
+    val bis = words.filter(size(col("_w")) >= 2)
+      .select(col("_id"), col("_tgt"),
+        explode(transform(sequence(lit(1), size(col("_w")) - 1),
+          j => concat_ws(" ", element_at(col("_w"), j), element_at(col("_w"), j + 1)))).as("_ng"))
+    val feats = unis.unionByName(bis)
+      .select(col("_id"), col("_tgt"),
+        conv(substring(md5(col("_ng")), 1, hexDigits), 16, 10).cast("int").as("_b"))
+    feats.groupBy("_id", "_b")
+      .agg(count(lit(1)).as("_n"), first(col("_tgt")).as("_tgt"))
+  }
+
+  /** The smoothed log-ratio table over the fixed bucket space:
+    * (_b, _cr, _ct, _lw) with _lw = round(log p_target - log p_raw, 9)
+    * as exact DECIMAL(20,9). `buckets` rows at any corpus size. Public
+    * for the `ScaleProbe dsirtbl` cross-engine comparison dump. */
+  def dsirDistTable(docs: DataFrame, idCol: String, textCol: String,
+      targetFlag: org.apache.spark.sql.Column,
+      buckets: Int = 256): DataFrame =
+    distTableFrom(dsirDocBuckets(docs, idCol, textCol, targetFlag, buckets), buckets)
+
+  private def distTableFrom(docBuckets: DataFrame, buckets: Int): DataFrame = {
+    val dist = docBuckets
+      .groupBy("_b")
+      .agg(sum(col("_n")).as("_cr"),
+        sum(when(col("_tgt"), col("_n")).otherwise(0L)).as("_ct"))
+    val totals = dist.agg(sum("_cr").as("_tr"), sum("_ct").as("_tt"))
+    dist.crossJoin(broadcast(totals))
+      .select(col("_b"), col("_cr"), col("_ct"),
+        // add-one smoothed log-ratio, quantized to exact decimal
+        round(log((col("_ct") + 1).cast("double") / (col("_tt") + buckets))
+          - log((col("_cr") + 1).cast("double") / (col("_tr") + buckets)), 9)
+          .cast("decimal(20,9)").as("_lw"))
+  }
+
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetFlag: org.apache.spark.sql.Column,
+      buckets: Int = 256): DataFrame = {
+    val docBuckets = dsirDocBuckets(docs, idCol, textCol, targetFlag, buckets)
+    val table = distTableFrom(docBuckets, buckets).select("_b", "_lw")
+    docBuckets.join(broadcast(table), Seq("_b"))
+      .groupBy("_id")
+      // _n rides as DECIMAL(10,0), NOT bigint: decimal(20,9) * bigint
+      // is precision 41 > 38, and Spark's default precision-loss rule
+      // silently drops the product to SCALE 6 — a 1e-6 drift that broke
+      // the oracle hash. decimal(20,9) * decimal(10,0) = (31,9), exact.
+      .agg(sum(col("_n")).as("n_feats"),
+        round(sum(col("_lw") * col("_n").cast("decimal(10,0)")).cast("double"), 6)
+          .as("dsir_logweight"))
+      .select(col("_id").as(idCol), col("n_feats"), col("dsir_logweight"))
+  }
 }

@@ -222,4 +222,29 @@ object Sampling {
       .filter(col("_u") >= col("_lo") && col("_u") < col("_hi"))
       .select(col("j") +: df.columns.map(col): _*)
   }
+
+  /** Gumbel top-k: weighted sampling WITHOUT replacement, k rows drawn
+    * proportionally to exp(`logWeightCol`) — the Gumbel-max trick
+    * (Vieira 2014 formulation): key g = logw - log(-log(u)) with
+    * u ~ U(0,1), take the k largest keys. Used as DSIR's resampling
+    * step over [[graft.operators.Corpus.dsirLogWeights]] scores.
+    *
+    * u is md5_48(seed:key)/2^48 — the same deterministic
+    * engine-portable uniform as [[graft.operators.Corpus.assignSplit]],
+    * so the draw is reproducible across runs and engines. g is
+    * round(6)-quantized before ranking (suite float discipline), with
+    * `keyCol` as the integer tie-break.
+    *
+    * Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, never a global sort.
+    */
+  def gumbelTopK(df: DataFrame, keyCol: String, logWeightCol: String,
+      k: Int, seed: String = "42"): DataFrame = {
+    require(k > 0, "need k > 0")
+    val u = conv(substring(md5(concat(lit(seed + ":"), col(keyCol).cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2, 48))
+    df.withColumn("gumbel_key", round(col(logWeightCol) - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Corpus
+import graft.operators.{Corpus, Sampling}
 
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -90,5 +90,51 @@ class CorpusSpec extends SparkSpec {
     val sums = out.groupBy("bin_id").agg(sum("n_tokens").as("s"))
       .collect().map(_.getLong(1))
     assert(sums.forall(_ <= 35))
+  }
+
+  test("rankBuckets: equal-population thirds with total tie-break") {
+    // 9 rows, scores with deliberate ties — rank ties break on id
+    val scored = Seq((1L, 0.5), (2L, 0.5), (3L, 0.1), (4L, 0.9), (5L, 0.1),
+      (6L, 0.9), (7L, 0.5), (8L, 0.1), (9L, 0.9)).toDF("id", "score")
+    val out = Corpus.rankBuckets(scored, "id", "score")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(out == Map(3L -> "tail", 5L -> "tail", 8L -> "tail",
+      1L -> "middle", 2L -> "middle", 7L -> "middle",
+      4L -> "head", 6L -> "head", 9L -> "head"), s"got $out")
+    // custom label count: halves
+    val halves = Corpus.rankBuckets(scored, "id", "score", Seq("lo", "hi"))
+      .collect().map(r => r.getString(2))
+    assert(halves.count(_ == "lo") >= 4 && halves.count(_ == "hi") >= 4)
+  }
+
+  test("dsirLogWeights: target-typical features score above raw-typical") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true), // target-like
+      (2L, "alpha beta alpha beta alpha beta", true),
+      (3L, "zeta eta zeta eta zeta eta", false), // raw-only features
+      (4L, "alpha beta alpha beta alpha beta", false) // target-like text, raw split
+    ).toDF("doc_id", "text", "is_t")
+    val out = Corpus.dsirLogWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // feature counts: 6 unigrams + 5 bigrams per doc
+    assert(out.values.forall(_._1 == 11L))
+    // docs made of target-side features outweigh the raw-only doc,
+    // REGARDLESS of their own split membership (doc 4 == doc 1 text)
+    assert(out(1L)._2 > out(3L)._2)
+    assert(out(4L)._2 == out(1L)._2)
+  }
+
+  test("gumbelTopK: deterministic, exactly k, and weight-monotone") {
+    val weighted = (1L to 50L).map(i =>
+      (i, if (i == 7L) 50.0 else 0.0)).toDF("id", "lw")
+    val a = Sampling.gumbelTopK(weighted, "id", "lw", 5).collect()
+    val b = Sampling.gumbelTopK(weighted, "id", "lw", 5).collect()
+    assert(a.length == 5)
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // reproducible
+    // an exp(50)x weight advantage must win the top slot against 49 peers
+    assert(a.head.getLong(0) == 7L)
+    // different seed -> (almost surely) different tail order
+    val c = Sampling.gumbelTopK(weighted, "id", "lw", 5, seed = "99").collect()
+    assert(c.head.getLong(0) == 7L)
   }
 }
