@@ -611,6 +611,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // EXT compressed-domain dedup: vectors sharing ALL 4 PQ codes under
+    // the frozen codebook collapse to one group — SemDeDup semantics on
+    // 4-byte codes; encode is map-side, the only shuffle is the code
+    // groupBy (the cheapest whole-corpus near-dup sweep here).
+    "pq_code_dups" -> ((s, dir) => {
+      Ann.pqCodeGroups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          PqCodebook.arr, minGroup = 2)
+        .orderBy("code_key", "keep_id")
+    }),
     // #26 gaussian smoothing over an ordered daily series (algorithm.py:71-92)
     "smooth_gaussian" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -1345,6 +1354,19 @@ object SparkEntry {
          | r AS (SELECT query_id, neighbor_id, adist,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // compressed-domain dedup mirror: same frozen-codebook encode, group
+    // on the full code tuple
+    "pq_code_dups" -> {
+      import PqSqlBits._
+      s"""WITH cb AS (SELECT $cbCols),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | n AS ($normCte),
+         | c AS (SELECT vec_id, $codes AS codes FROM n, cb)
+         |SELECT array_to_string(codes, '-') AS code_key,
+         |       CAST(MIN(vec_id) AS BIGINT) AS keep_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM c GROUP BY codes HAVING COUNT(*) >= 2 ORDER BY code_key, keep_id""".stripMargin
     },
     "bpe_tokens_pretok" -> {
       // same single-sourced fold as bpe_tokens_learned, applied to class

@@ -338,6 +338,35 @@ object Ann {
     * [[ivfTopK]]; recall is bounded by nProbe x PQ quantization error,
     * both measured in the spec.
     */
+  /** Compressed-domain duplicate groups: vectors whose PQ codes
+    * COINCIDE in every subspace — the FAISS-style "same quantization
+    * cell in all m codebooks" near-dup criterion, i.e. SemDeDup
+    * semantics evaluated on m-byte codes instead of full vectors.
+    * Output one row per code cell holding >= `minGroup` vectors:
+    * (code_key, keep_id, n_members) with keep_id = min id (the same
+    * keep-lowest contract as [[Dedup.exactGroups]]).
+    *
+    * Scale shape (100 TB): encode is a map-side projection off the
+    * corpus scan; the ONLY shuffle is the groupBy on the m-int code
+    * tuple (partial aggregation collapses each cell to one row per map
+    * partition first, so the exchange carries <= cells x partitions
+    * rows, never the corpus). No joins, no windows — this is the
+    * cheapest whole-corpus near-dup sweep in the library, the
+    * compressed-domain complement to [[Dedup.semanticDedup]].
+    */
+  def pqCodeGroups(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]], minGroup: Int = 2): DataFrame = {
+    require(minGroup >= 1, s"pqCodeGroups: need minGroup>=1, got $minGroup")
+    corpus
+      .select(col(idCol).as("_id"),
+        pqCodes(l2norm(col(vecCol).cast("array<double>")), codebook).as("_codes"))
+      .groupBy(col("_codes"))
+      .agg(min(col("_id")).as("keep_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= minGroup)
+      .select(array_join(col("_codes").cast("array<string>"), "-").as("code_key"),
+        col("keep_id"), col("n_members"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, codebook: Array[Array[Array[Double]]], k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, seed: String = "42"): DataFrame = {

@@ -254,7 +254,11 @@ object Corpus {
       buckets: Int = 256): DataFrame = {
     val docBuckets = dsirDocBuckets(docs, idCol, textCol, targetFlag, buckets)
     val table = distTableFrom(docBuckets, buckets).select("_b", "_lw")
-    docBuckets.join(broadcast(table), Seq("_b"))
+    // no broadcast hint: the table is <= `buckets` rows at ANY corpus
+    // size, so AQE picks broadcast at runtime — and the suite-wide rule
+    // (PlanSpec) is that hints never wrap grouped aggregates, since the
+    // boundedness of a grouping key is invisible to a static sweep
+    docBuckets.join(table, Seq("_b"))
       .groupBy("_id")
       // _n rides as DECIMAL(10,0), NOT bigint: decimal(20,9) * bigint
       // is precision 41 > 38, and Spark's default precision-loss rule

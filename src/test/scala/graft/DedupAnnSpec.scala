@@ -593,6 +593,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("pqCodeGroups: identical vectors share a cell, min id kept") {
+    import spark.implicits._
+    val emb = Seq(
+      (5L, Array.fill(64)(0.1f)),
+      (2L, Array.fill(64)(0.1f)), // same direction as 5 -> same codes
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val g = Ann.pqCodeGroups(emb, "vec_id", "embedding", PqCodebook.arr)
+      .collect()
+    assert(g.length == 1) // only the duplicated direction forms a group
+    assert(g.head.getLong(1) == 2L && g.head.getLong(2) == 2L)
+    // minGroup=1 exposes singleton cells too
+    val all = Ann.pqCodeGroups(emb, "vec_id", "embedding", PqCodebook.arr, 1)
+    assert(all.count() == 2)
+  }
+
   test("winnowOverlapPairs: maxDf cap drops corpus-wide boilerplate fps") {
     import spark.implicits._
     val boiler = "IDENTICAL_BOILERPLATE_EVERYWHERE"

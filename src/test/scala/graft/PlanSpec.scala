@@ -155,6 +155,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq_code_dups: map-side encode, one exchange for the code groupBy, no joins") {
+    val df = SparkEntry.queries("pq_code_dups")(spark, sf)
+    df.collect()
+    val plan = finalPlanOf(df)
+    assert(!plan.contains("Join"), s"code grouping needs no join:\n${plan.take(1200)}")
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 1, s"expected only the groupBy exchange, got $exchanges")
+  }
+
+  test("dsir_sample: Gumbel top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("dsir_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("dsir_weights: the bucket-table join broadcasts at runtime (AQE, no hint)") {
+    val df = SparkEntry.queries("dsir_weights")(spark, sf)
+    df.collect()
+    val plan = finalPlanOf(df)
+    // the <=256-row log-ratio table must come back as a broadcast join
+    // picked by AQE — a sort-merge join here would shuffle the full
+    // feature stream against a fixed-size side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("winnow queries: gram explode scans only (doc_id, text)") {
+    val plan = planOf("winnow_fingerprints")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.take(800))
+  }
+
   test("no broadcast hint wraps an unbounded grouped aggregate") {
     // a broadcast() hint is a promise the side stays driver-sized at any
     // corpus scale. A global aggregate (1 row), a LIMIT, or a literal
