@@ -892,13 +892,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // EXT bigram LM score (the perplexity-proxy upgrade over
-    // unigram_logprob): per-doc mean log P(w_i | w_{i-1}) under corpus
-    // MLE bigram counts. Docs under 2 tokens have no bigrams and drop
-    // out, mirrored in SQL. Scale shape: one bigram explode, one
-    // (prev, cur) groupBy, prefix totals as a window SUM over the
-    // grouped counts (not a second scan of the pairs frame), shuffle
-    // join back on the bigram key; AQE picks broadcast when the bigram
-    // table is small — never hinted (vocab² is data-sized).
+    // unigram_logprob): see bigramLogprobFrame for the plan shape
     "bigram_logprob" -> ((s, dir) => bigramLogprobFrame(s, dir).orderBy("doc_id")),
     // EXT CCNet-style quality bucketing (Wenzek et al. 2020): rank the
     // corpus by the bigram-LM doc score and cut equal-population
@@ -936,6 +930,20 @@ object SparkEntry {
           "doc_id", "dsir_logweight", k = 64)
         .select("doc_id", "dsir_logweight", "gumbel_key")
         .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
+    // EXT ingest-time DSIR scoring (StreamOps.dsirScoreStream): held-out
+    // docs score against the BUILD-ONCE corpus distribution table via a
+    // literal lookup array — expression-only, stateless, zero shuffles
+    // on the hot path; unseen buckets get the smoothed count-0 default.
+    // Applied to a batch frame here (the suite strategy for stream ops;
+    // stream==batch equality is StreamingSpec-asserted).
+    "dsir_score_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamOps.dsirScoreStream(
+          Corpus.dsirDistTable(docs.filter(col("doc_id") % 13 =!= 0),
+            "doc_id", "text", col("lang") === "en", 256),
+          docs.filter(col("doc_id") % 13 === 0))
+        .orderBy("doc_id")
     }),
     // EXT tf-idf top terms per document (feature-extraction staple; no
     // reference analog — SURVEY north star). Ranked by the ACTUAL tf-idf
@@ -1786,6 +1794,39 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
         |       ROUND(CAST(SUM(lw * CAST(n AS DECIMAL(10,0))) AS DOUBLE), 6) AS dsir_logweight
         |FROM db JOIN tbl USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // stream-scoring mirror: distributions from the held-in corpus only,
+    // LEFT join + the smoothed count-0 default for buckets the corpus
+    // never populated
+    "dsir_score_stream" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),
+        | w AS (SELECT doc_id, lang = 'en' AS tgt, regexp_split_to_array(trim(text), '\s+') AS ws FROM corpus),
+        | unis AS (SELECT doc_id, tgt, unnest(ws) AS ng FROM w),
+        | bis AS (SELECT doc_id, tgt, ws[j] || ' ' || ws[j + 1] AS ng
+        |         FROM w, LATERAL unnest(range(1, len(ws))) AS t(j) WHERE len(ws) >= 2),
+        | f AS (SELECT doc_id, tgt,
+        |        (instr('0123456789abcdef', substr(md5(ng), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substr(md5(ng), 2, 1)) - 1) AS b
+        |       FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis)),
+        | db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n, MAX(tgt) AS tgt FROM f GROUP BY 1, 2),
+        | dist AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr,
+        |                CAST(SUM(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct FROM db GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM dist),
+        | tbl AS (SELECT b, CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / (tt + 256)) - LN(CAST(cr + 1 AS DOUBLE) / (tr + 256)), 9) AS DECIMAL(20,9)) AS lw
+        |         FROM dist, tot),
+        | iw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents WHERE doc_id % 13 = 0),
+        | iu AS (SELECT doc_id, unnest(ws) AS ng FROM iw),
+        | ib AS (SELECT doc_id, ws[j] || ' ' || ws[j + 1] AS ng
+        |        FROM iw, LATERAL unnest(range(1, len(ws))) AS t(j) WHERE len(ws) >= 2),
+        | ifeat AS (SELECT doc_id,
+        |        (instr('0123456789abcdef', substr(md5(ng), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substr(md5(ng), 2, 1)) - 1) AS b
+        |       FROM (SELECT * FROM iu UNION ALL SELECT * FROM ib)),
+        | idb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM ifeat GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+        |       ROUND(CAST(SUM(COALESCE(lw,
+        |         CAST(ROUND(LN(1.0 / (tt + 256)) - LN(1.0 / (tr + 256)), 9) AS DECIMAL(20,9)))
+        |         * CAST(n AS DECIMAL(10,0))) AS DOUBLE), 6) AS dsir_logweight
+        |FROM idb LEFT JOIN tbl USING (b), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // DSIR resample mirror: Gumbel key over the same md5_48 uniform
     // (exact 48-bit integer arithmetic in doubles), round(6) before the
     // top-k

@@ -524,4 +524,69 @@ object StreamOps {
       .join(evalNgrams, Seq("ng"))
       .select(col(idCol), col("ng"))
   }
+
+  /** Ingest-time DSIR scoring against a build-once distribution table
+    * ([[graft.operators.Corpus.dsirDistTable]]): each incoming document
+    * gets its importance log-weight from a LITERAL lookup array baked at
+    * stream start — the frozen-artifact pattern (BPE table, PQ codebook)
+    * built at runtime from the reference corpus. The per-row path is
+    * expression-only and STATELESS: tokenize, hash each unigram/bigram
+    * into its md5 bucket, fold the per-bucket DECIMAL(20,9) log-ratios
+    * — zero shuffles, zero state, zero joins on the hot path, so it
+    * composes with any downstream watermark/sink untouched.
+    *
+    * Buckets the reference corpus never populated score the same
+    * add-one-smoothed formula at count 0 (log(1/(tt+B)) - log(1/(tr+B)))
+    * — a stream doc can hash features into cells no corpus doc did.
+    *
+    * The `buckets`-row collect is the documented index build (fixed
+    * size by construction, never data-sized). Exactness: decimal folds
+    * are order-independent, so scoring a corpus doc here equals its
+    * [[graft.operators.Corpus.dsirLogWeights]] batch weight bit for bit
+    * (spec-asserted). Output: (idCol, n_feats, dsir_logweight).
+    */
+  def dsirScoreStream(distTable: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 256): DataFrame = {
+    val hexDigits = (math.log(buckets) / math.log(16)).round.toInt
+    require(buckets == math.pow(16, hexDigits).round.toInt && hexDigits >= 1 && hexDigits <= 4,
+      s"buckets must be 16, 256, 4096 or 65536; got $buckets")
+    val rows = distTable.select(col("_b"), col("_cr"), col("_ct"), col("_lw")).collect()
+    require(rows.length <= buckets,
+      s"distribution table has ${rows.length} rows > $buckets buckets — wrong table?")
+    val tr = rows.map(_.getLong(1)).sum
+    val tt = rows.map(_.getLong(2)).sum
+    // unseen-bucket default: the same smoothed formula at count 0,
+    // rounded at 9 like every table entry
+    val dflt = java.math.BigDecimal.valueOf(
+        math.log(1.0 / (tt + buckets)) - math.log(1.0 / (tr + buckets)))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val lw = Array.fill(buckets)(dflt)
+    rows.foreach(r => lw(r.getInt(0)) = r.getDecimal(3))
+    val lwLit = array(lw.map(d => lit(d).cast("decimal(20,9)")): _*)
+    val w = split(trim(col(textCol)), "\\s+")
+    val bis = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        j => concat_ws(" ", element_at(w, j), element_at(w, j + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(w, bis)
+    val bucketIds = transform(feats,
+      ng => conv(substring(md5(ng), 1, hexDigits), 16, 10).cast("int"))
+    incoming
+      // materialized column: both consumers below reference the SAME
+      // computed bucket array (the _digs pattern above — CollapseProject
+      // keeps non-cheap multiply-referenced projections separate)
+      .withColumn("_bs", bucketIds)
+      .select(col(idCol),
+        size(col("_bs")).cast("long").as("n_feats"),
+        // accumulator pinned to DECIMAL(30,9): decimal Add widens (and
+        // at precision 38 the precision-loss rule would DROP the scale
+        // to 8), so each step casts back — lossless here (|sum| is
+        // bounded far below 10^21) and the fold stays exact
+        round(aggregate(col("_bs"),
+            lit(java.math.BigDecimal.ZERO.setScale(9)).cast("decimal(30,9)"),
+            (acc, b) => (acc + element_at(lwLit, b + 1)).cast("decimal(30,9)"))
+          .cast("double"), 6)
+          .as("dsir_logweight"))
+  }
 }

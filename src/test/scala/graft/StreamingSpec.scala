@@ -344,6 +344,46 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("dsirScoreStream: stream scores equal batch weights bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta gamma", true),
+      (2L, "gamma delta gamma delta", false),
+      (3L, "alpha gamma beta delta alpha", true),
+      (4L, "delta delta delta beta", false)
+    ).toDF("doc_id", "text", "is_t")
+    val table = graft.operators.Corpus.dsirDistTable(
+      corpus, "doc_id", "text", col("is_t"), 256)
+    // scoring the corpus's own docs through the stream path must equal
+    // the batch operator exactly (decimal folds are order-independent)
+    val batch = graft.operators.Corpus.dsirLogWeights(
+        corpus, "doc_id", "text", col("is_t"), 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Seq(DocText(1L, "alpha beta alpha beta gamma"),
+      DocText(2L, "gamma delta gamma delta"),
+      DocText(3L, "alpha gamma beta delta alpha"),
+      DocText(4L, "delta delta delta beta"),
+      DocText(9L, "zzz-unseen-feature yyy-unseen")) // unseen buckets
+    val mem = MemoryStream[DocText]
+    mem.addData(docs.take(3): _*)
+    mem.addData(docs.drop(3): _*)
+    val q = StreamOps.dsirScoreStream(table, mem.toDF(), "doc_id", "text", 256)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_out")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (1L to 4L).foreach(id => assert(streamed(id) == batch(id),
+      s"doc $id: stream=${streamed(id)} batch=${batch(id)}"))
+    // the unseen doc scores through the count-0 default, finite
+    assert(streamed(9L)._1 == 3L && !streamed(9L)._2.isNaN)
+    // stateless plan: the streaming side must contain no agg state
+    assert(spark.table("dsir_out").columns.toSeq ==
+      Seq("doc_id", "n_feats", "dsir_logweight"))
+  }
+
   test("minhashAgainstStream: corpus index round-trips through parquet (build once, reuse)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocText
