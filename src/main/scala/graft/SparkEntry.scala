@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{ByteFunctions, Formatting, TextFunctions}
-import graft.operators.{Ann, Coo, Corpus, Dedup, Graph, Relational, Sampling, Stats, VizPrep, Windows}
+import graft.operators.{Ann, Coo, Corpus, Dedup, Graph, Relational, Retrieval, Sampling, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -289,6 +289,21 @@ object SparkEntry {
           maxShingleDf = Some(128))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+    // EXT directed containment dedup (Dedup.containmentPairs): TRUNCATED
+    // copies injected (first 300 chars of every 11th doc) — an excerpt
+    // has containment ~1 toward its source while its whole-set Jaccard
+    // is only |A|/|B| (~0.4 here), the case symmetric dedup misses.
+    // Asymmetric prefix-filter candidates, exact containment verify on
+    // 8-byte hashed-shingle arrays.
+    "containment_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val trunc = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          substring(col("text"), 1, 300).as("text"))
+      Dedup.containmentPairs(docs.unionByName(trunc), "doc_id", "text",
+          shingleK = 3, threshold = 0.9)
+        .orderBy("src_id", "dst_id")
     }),
     // EXT near-dup CLUSTERS: connected components over the pair graph
     // above (min-label propagation, O(diameter) joined rounds — near-dup
@@ -619,6 +634,16 @@ object SparkEntry {
       Ann.pqCodeGroups(t(s, dir, "embeddings"), "vec_id", "embedding",
           PqCodebook.arr, minGroup = 2)
         .orderBy("code_key", "keep_id")
+    }),
+    // EXT PQ multi-index probing (Ann.pqSubcodePairs): pairs agreeing on
+    // >= 3 of 4 subquantizer codes — candidates from ONE equi-join on
+    // leave-one-out masked keys, verified by EXACT cosine (the codes
+    // only gate which pairs get the exact math, so no quantization
+    // error reaches the output)
+    "pq_subcode_pairs" -> ((s, dir) => {
+      Ann.pqSubcodePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          PqCodebook.arr, threshold = 0.3)
+        .orderBy("lo_id", "hi_id")
     }),
     // #26 gaussian smoothing over an ordered daily series (algorithm.py:71-92)
     "smooth_gaussian" -> ((s, dir) => {
@@ -973,6 +998,39 @@ object SparkEntry {
         .select(col("doc_id"), col("tok").as("term"), col("tfidf"), col("rank"))
         .orderBy("doc_id", "rank")
     }),
+    // EXT Okapi BM25 top-k (Retrieval.bm25TopK): lexical relevance
+    // ranking against a literal query-term bag — the retrieval half of
+    // curation workflows (decontamination triage, review queues). The
+    // only corpus-sized shuffle is the term-filtered tf groupBy; the
+    // global top-k compiles to TakeOrderedAndProject.
+    "bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "hash", "merge"), k = 20)
+        .orderBy("rank")
+    }),
+    // EXT hybrid lexical+embedding retrieval via reciprocal-rank fusion
+    // (Retrieval.rrfFuse): BM25 ranks and brute-force cosine ranks for
+    // vec 0's embedding, fused as sum(1/(60+rank)) — rank-only, so no
+    // score calibration between the two systems
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "hash", "merge"), k = 50)
+        .select("doc_id", "rank")
+      val emb = t(s, dir, "embeddings")
+      val sem = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank", k = 10)
+        .orderBy("rank")
+    }),
+    // EXT n-gram novelty (Corpus.ngramNovelty): fraction of each doc's
+    // distinct word trigrams occurring in NO other document — the
+    // inverse of boilerplate saturation; map-side per-doc dedup, 8-byte
+    // hashed grams, one df groupBy + one join back on the same key
+    "novelty_docs" -> ((s, dir) => {
+      Corpus.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
     // EXT gap-based sessionization (batch twin of the stateful streaming
     // flatMapGroupsWithState path — equality tested in StreamingSpec)
     "sessions_user" -> ((s, dir) => {
@@ -1124,6 +1182,26 @@ object SparkEntry {
     * Jaccard in `j`) — shared by `ngram_jaccard_pairs` and the
     * `dedup_clusters` connected-components oracle built on its edges.
     */
+  /** BM25 scoring CTE chain (`bl`..`agg`) shared by `bm25_topk` and
+    * `hybrid_rrf_topk`. Constants appear as the same arithmetic the
+    * Spark side evaluates; DuckDB's `/` returns DOUBLE and its
+    * decimal->double literal conversions land on the identical bits
+    * (probed: `CAST(1.2 AS DOUBLE)+1 = 2.2` is true), so the quantized
+    * scores replay exactly.
+    */
+  private val bm25Ctes =
+    """bl AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      | dls AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM bl),
+      | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dls),
+      | qtf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |        FROM (SELECT doc_id, dl, unnest(ws) AS tok FROM dls)
+      |        WHERE tok IN ('spark', 'window', 'hash', 'merge') GROUP BY 1, 2, 3),
+      | dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+      | sc AS (SELECT doc_id, LN(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1)
+      |          / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) AS c
+      |        FROM qtf JOIN dft USING (tok), st),
+      | agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM sc GROUP BY 1)""".stripMargin
+
   private val ngramPairCtes =
     """u AS (SELECT doc_id, text FROM documents
       |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
@@ -1375,6 +1453,29 @@ object SparkEntry {
          |       CAST(MIN(vec_id) AS BIGINT) AS keep_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_members
          |FROM c GROUP BY codes HAVING COUNT(*) >= 2 ORDER BY code_key, keep_id""".stripMargin
+    },
+    // multi-index probing mirror: same frozen-codebook encode, the same
+    // 4 leave-one-out masked keys (slot's code -> 0), the same window
+    // bucket cap, exact-cosine verify over the raw vectors
+    "pq_subcode_pairs" -> {
+      import PqSqlBits._
+      s"""WITH cb AS (SELECT $cbCols),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | n AS ($normCte),
+         | c AS (SELECT vec_id, $codes AS codes FROM n, cb),
+         | k AS (SELECT vec_id, mi AS slot,
+         |        array_to_string(list_transform(range(1, 5),
+         |          j -> CASE WHEN j = mi + 1 THEN 0 ELSE codes[j] END), '-') AS key
+         |       FROM c, (SELECT unnest(range(4)) AS mi)),
+         | capped AS (SELECT vec_id, slot, key FROM (
+         |    SELECT vec_id, slot, key, COUNT(*) OVER (PARTITION BY slot, key) AS bsz FROM k)
+         |   WHERE bsz <= 4096),
+         | pairs AS (SELECT DISTINCT a.vec_id AS lo_id, b.vec_id AS hi_id
+         |           FROM capped a JOIN capped b
+         |             ON a.slot = b.slot AND a.key = b.key AND a.vec_id < b.vec_id),
+         | vv AS (SELECT p.lo_id, p.hi_id, ROUND(${cosSql("x.v", "y.v")}, 6) AS cosine
+         |        FROM pairs p JOIN e x ON x.vec_id = p.lo_id JOIN e y ON y.vec_id = p.hi_id)
+         |SELECT lo_id, hi_id, cosine FROM vv WHERE cosine >= 0.3 ORDER BY lo_id, hi_id""".stripMargin
     },
     "bpe_tokens_pretok" -> {
       // same single-sourced fold as bpe_tokens_learned, applied to class
@@ -1866,6 +1967,39 @@ object SparkEntry {
         |     ORDER BY tfidf DESC, tf DESC, df ASC, tok ASC) AS INT) AS rank FROM scored)
         |SELECT doc_id, tok AS term, tfidf, rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "bm25_topk" ->
+      s"""WITH $bm25Ctes,
+         | r AS (SELECT doc_id, bm25,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM agg)
+         |SELECT doc_id, bm25, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // RRF mirror: the bm25 CTEs' top-50 ranks + the ann_cosine_topk
+    // CTEs' top-50 ranks for query vec 0, fused as sum(1/(60+rank));
+    // CAST(1 AS DOUBLE) keeps the division in double like Spark's
+    // lit(1.0) (a bare 1.0 literal would be DECIMAL here)
+    "hybrid_rrf_topk" ->
+      s"""WITH $bm25Ctes,
+         | lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM agg),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | q AS (SELECT * FROM e WHERE vec_id = 0),
+         | s AS (SELECT c.vec_id AS doc_id, ${cosSql("q.v", "c.v")} AS cos
+         |       FROM q, e c WHERE c.vec_id <> q.vec_id),
+         | semr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank FROM s),
+         | u AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS r FROM lexr WHERE rank <= 50
+         |       UNION ALL SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) FROM semr WHERE rank <= 50),
+         | f AS (SELECT doc_id, ROUND(SUM(r), 6) AS rrf FROM u GROUP BY 1),
+         | fr AS (SELECT doc_id, rrf, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
+         |SELECT doc_id, rrf, rank FROM fr WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // novelty mirror: df over the gram STRINGS (the Spark side's
+    // xxhash64 is an 8-byte shuffle-key optimization; a collision would
+    // surface as a hash mismatch here)
+    "novelty_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS g
+        |        FROM w WHERE len(ws) >= 3),
+        | d AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sessions_user" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
@@ -1981,6 +2115,33 @@ object SparkEntry {
       s"""WITH $ngramPairCtes
          |SELECT id_a, id_b, jaccard FROM j
          |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // containment mirror: the jaccard CTE scaffold with truncated-copy
+    // injection, the ASYMMETRIC prefix (probe prefixes vs full df-capped
+    // targets), and |A∩B|/|A| in place of the union denominator
+    "containment_pairs" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 200000, substr(text, 1, 300) FROM documents WHERE doc_id % 11 = 0),
+        | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM u),
+        | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |        FROM w WHERE len(ws) >= 3),
+        | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
+        | shd AS (SELECT jid, sh, COUNT(*) OVER (PARTITION BY sh) AS df,
+        |                 COUNT(*) OVER (PARTITION BY jid) AS sz FROM sh),
+        | shr AS (SELECT jid, sh, df,
+        |                 ROW_NUMBER() OVER (PARTITION BY jid ORDER BY df, md5(sh)) AS rn,
+        |                 sz FROM shd),
+        | probe AS (SELECT jid AS src_id, sh FROM shr
+        |           WHERE rn <= sz - CEIL(0.9 * sz) + 1 AND df BETWEEN 2 AND 128),
+        | target AS (SELECT jid AS dst_id, sh FROM shd WHERE df BETWEEN 2 AND 128),
+        | cand AS (SELECT DISTINCT src_id, dst_id FROM probe JOIN target USING (sh)
+        |          WHERE src_id <> dst_id),
+        | inter AS (SELECT src_id, dst_id, COUNT(*) AS i FROM cand
+        |           JOIN sh a ON a.jid = src_id JOIN sh b ON b.jid = dst_id AND b.sh = a.sh
+        |           GROUP BY 1, 2),
+        | j AS (SELECT src_id, dst_id, CAST(i AS DOUBLE) / sz AS containment
+        |       FROM inter JOIN sizes ON sizes.jid = src_id)
+        |SELECT src_id, dst_id, containment FROM j
+        |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
     "minhash_against" ->
       s"""WITH $minhashAgainstCtes,
          | szc AS (SELECT jid, COUNT(*) AS sz FROM shc GROUP BY 1),

@@ -354,12 +354,31 @@ object Ann {
     * cheapest whole-corpus near-dup sweep in the library, the
     * compressed-domain complement to [[Dedup.semanticDedup]].
     */
+  /** Per-row PQ codes under a frozen codebook — the compressed
+    * representation an index build WRITES at scale (m small ints per
+    * row instead of 4*dim bytes of floats); [[pqCodeGroups]] /
+    * [[pqSubcodePairs]] are groupings/joins over exactly this frame.
+    * Output: (idCol, codes array<int>, 1-based). Expression-only.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame =
+    // TWO projections, not one nested expression: pqCodes references its
+    // input ~2*m*k times, and CollapseProject keeps a non-cheap alias
+    // with multiple references materialized — nesting l2norm directly
+    // instead duplicates the whole norm fold at every reference site
+    // (measured 25x slower on the sf0.1 encode)
+    corpus
+      .select(col(idCol), l2norm(col(vecCol).cast("array<double>")).as("_nv"))
+      .select(col(idCol), pqCodes(col("_nv"), codebook).as("codes"))
+
   def pqCodeGroups(corpus: DataFrame, idCol: String, vecCol: String,
       codebook: Array[Array[Array[Double]]], minGroup: Int = 2): DataFrame = {
     require(minGroup >= 1, s"pqCodeGroups: need minGroup>=1, got $minGroup")
+    // two-step nv -> codes projection: see pqEncode's CollapseProject note
     corpus
       .select(col(idCol).as("_id"),
-        pqCodes(l2norm(col(vecCol).cast("array<double>")), codebook).as("_codes"))
+        l2norm(col(vecCol).cast("array<double>")).as("_nv"))
+      .select(col("_id"), pqCodes(col("_nv"), codebook).as("_codes"))
       .groupBy(col("_codes"))
       .agg(min(col("_id")).as("keep_id"), count(lit(1)).as("n_members"))
       .filter(col("n_members") >= minGroup)
@@ -376,11 +395,15 @@ object Ann {
       .orderBy(md5(concat(lit(seed + ":"), col("neighbor_id").cast("string"))), col("neighbor_id"))
       .limit(nCentroids)
       .select(col("neighbor_id").as("cid"), col("cv").as("cvec"))
+    // two-step nv -> codes projection: see pqEncode's CollapseProject note
     val assigned = nearestCells(
-      cv.withColumn("codes", pqCodes(l2norm(col("cv")), codebook)),
+      cv.withColumn("_nv", l2norm(col("cv")))
+        .withColumn("codes", pqCodes(col("_nv"), codebook)).drop("_nv"),
       cents, "neighbor_id", "cv", 1, keep = Seq(col("codes")))
     val probed = nearestCells(qv, cents, "query_id", "qv", nProbe)
-    val qt = qv.select(col("query_id"), pqDistTables(l2norm(col("qv")), codebook).as("dt"))
+    val qt = qv
+      .select(col("query_id"), l2norm(col("qv")).as("_nv"))
+      .select(col("query_id"), pqDistTables(col("_nv"), codebook).as("dt"))
     // no distinct: the assignment is take=1, so a (query, neighbor) pair
     // can arise from exactly one cell — the equi-join is already unique
     val cands = probed.join(assigned, Seq("cid"))
@@ -398,5 +421,69 @@ object Ann {
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
     quant.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("_rk").as("rank"))
+  }
+
+  /** Compressed-domain near-dup PAIRS via PQ multi-index probing — the
+    * Hamming-ball-radius-1 extension of [[pqCodeGroups]]' exact-code
+    * equality (the code-domain analog of Norouzi/Punjani/Fleet's
+    * multi-index hashing): two vectors are candidates when their m
+    * subquantizer codes agree on >= m-1 slots, i.e. they share a
+    * leave-one-out masked key for SOME masked slot. Candidates are
+    * verified by EXACT cosine over the full vectors, so reported
+    * similarities carry no quantization error — the codes only gate
+    * which pairs get the exact math. Output: (lo_id, hi_id, cosine)
+    * for verified pairs, cosine quantized to 6 decimals.
+    *
+    * Scale shape (100 TB): each row explodes to exactly m masked keys
+    * (m=4 here — constant fanout, unlike all-pairs anything); candidate
+    * generation is ONE self-equi-join on (masked_slot, masked_codes);
+    * `maxBucket` is the standard window-count skew guard over the join's
+    * own key (a degenerate code region beyond the cap contributes no
+    * pairs — the recall-for-boundedness trade of every banded family
+    * here). Pairs are deduped on bare ids BEFORE vectors are re-joined,
+    * so full vectors never ride the candidate shuffle.
+    */
+  def pqSubcodePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]], threshold: Double,
+      maxBucket: Int = 4096): DataFrame = {
+    require(threshold >= -1 && threshold <= 1,
+      s"pqSubcodePairs: need -1<=threshold<=1, got $threshold")
+    require(maxBucket >= 1, s"pqSubcodePairs: need maxBucket>=1, got $maxBucket")
+    val m = codebook.length
+    // two-step nv -> codes projection: see pqEncode's CollapseProject note
+    val cv = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_nv", l2norm(col("_v")))
+      .withColumn("_codes", pqCodes(col("_nv"), codebook))
+      .drop("_nv")
+    // m leave-one-out keys: slot i's code replaced by 0 (codes are
+    // 1-based, so 0 can never collide with a real code)
+    val keys = cv.select(col("_id"), explode(array((0 until m).map { i =>
+        struct(lit(i).as("slot"),
+          array_join(concat(
+              slice(col("_codes"), 1, i),
+              array(lit(0)),
+              slice(col("_codes"), i + 2, m - i - 1)).cast("array<string>"),
+            "-").as("key"))
+      }: _*)).as("_k"))
+      .select(col("_id"), col("_k.slot").as("slot"), col("_k.key").as("key"))
+    val capped = keys
+      .withColumn("_bsz", count(lit(1)).over(
+        Window.partitionBy(col("slot"), col("key"))))
+      .filter(col("_bsz") <= maxBucket)
+      .select("slot", "key", "_id")
+    // bare-id candidate pairs; all-m-agree pairs arise from every mask,
+    // hence the distinct
+    val pairs = capped.select(col("slot"), col("key"), col("_id").as("_lo"))
+      .join(capped.select(col("slot"), col("key"), col("_id").as("_hi")),
+        Seq("slot", "key"))
+      .filter(col("_lo") < col("_hi"))
+      .select("_lo", "_hi").distinct()
+    pairs
+      .join(cv.select(col("_id").as("_lo"), col("_v").as("_vl")), Seq("_lo"))
+      .join(cv.select(col("_id").as("_hi"), col("_v").as("_vh")), Seq("_hi"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("_vl"), col("_vh")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("_lo").as("lo_id"), col("_hi").as("hi_id"), col("cosine"))
   }
 }

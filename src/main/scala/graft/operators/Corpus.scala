@@ -269,4 +269,41 @@ object Corpus {
           .as("dsir_logweight"))
       .select(col("_id").as(idCol), col("n_feats"), col("dsir_logweight"))
   }
+
+  /** N-gram NOVELTY score (EXT; no reference analog): the fraction of a
+    * document's distinct word `n`-grams that occur in NO other document
+    * — the inverse of boilerplate saturation. High-novelty docs carry
+    * information the corpus doesn't already have (upweight for
+    * training); near-zero novelty flags template/mirror content that
+    * per-doc dedup keeps because no single other doc matches it
+    * entirely. Output: (idCol, n_grams, novel_frac in [0,1] quantized
+    * to 6 decimals) for every doc with at least one n-gram (docs
+    * shorter than n words have no n-gram evidence and are omitted —
+    * score them by a length gate instead).
+    *
+    * Scale shape (100 TB): per-doc gram sets are deduped MAP-SIDE
+    * (array_distinct before the explode) and hashed to 8-byte xxhash64
+    * before any shuffle; the df histogram is one map-combinable groupBy
+    * on the gram hash; the join back is on the same key (one exchange
+    * reused), and the final per-doc roll-up is one groupBy on the id.
+    * A universal boilerplate gram contributes its (already existing)
+    * per-doc rows to one join bucket and nothing more — no quadratic
+    * blowup anywhere, no cap needed.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngramNovelty: need n>=1, got $n")
+    val grams = docs.select(col(idCol).as("_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordShingles(col(textCol), n))).as("_g"))
+      .select(col("_id"), xxhash64(col("_g")).as("_h"))
+    val dfh = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_df"))
+    grams.join(dfh, Seq("_h"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(when(col("_df") === 1, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("novel_frac"))
+      .select(col("_id").as(idCol), col("n_grams"), col("novel_frac"))
+  }
 }

@@ -268,6 +268,77 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** DIRECTED shingle-containment pairs: C(src -> dst) =
+    * |S_src ∩ S_dst| / |S_src| >= `threshold` — the asymmetric cousin of
+    * [[ngramJaccardPairs]], and the shape whole-set Jaccard is blind to:
+    * a document quoted or truncated inside a larger one has containment
+    * ~1 while its Jaccard is only |A|/|B| (a 50-shingle excerpt of a
+    * 120-shingle doc scores J~0.4 — invisible at J>=0.5, flagged here).
+    * Training-data dedup needs this directed signal to drop the
+    * contained copy and keep the superset document.
+    *
+    * Candidates use the asymmetric prefix filter (the containment
+    * variant of AllPairs/PPJoin): C >= t forces the pair to share
+    * >= ceil(t*|A|) shingles, so under a (df ASC, md5 ASC) total order
+    * A's prefix of length |A| - ceil(t*|A|) + 1 must hit SOME shingle of
+    * B — probe-side prefixes join against full (df-capped) target rows.
+    * DECIMAL ceil like the Jaccard path (double floor under-counts at
+    * exact multiples). Verification is exact over FULL doc-keyed shingle
+    * set arrays, so caps only cost recall, never precision.
+    *
+    * Scale shape (100 TB): ONE persisted distinct shingle frame feeds
+    * prefixes, targets, and verify sets; join rows per shingle are
+    * bounded by prefix-df x df <= maxShingleDf^2 (the standard
+    * boilerplate guard); pairs are deduped on bare ids before the
+    * set arrays are joined back doc-keyed (invariant #16).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = 128): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs: need 0<threshold<=1, got $threshold")
+    require(maxShingleDf >= 2,
+      s"containmentPairs: need maxShingleDf>=2, got $maxShingleDf")
+    // (jid, md5, xxhash64) per distinct shingle: the md5 drives the
+    // portable (df ASC, md5 ASC) prefix ranking the oracle replays; the
+    // 8-byte xxhash64 is what rides the candidate join AND the verify
+    // set arrays — an asymmetric candidate set runs ~3x the symmetric
+    // Jaccard path's, so 32-char digest arrays on the pair stream were
+    // the measured bottleneck (intersection counts are hash-agnostic).
+    val shAll = docs
+      .select(col(idCol).as("jid"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("s"))
+      .select(col("jid"), md5(col("s").cast("binary")).as("sh"),
+        xxhash64(col("s")).as("shh"))
+      .distinct()
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("jid"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("jid")).orderBy(col("_df"), col("sh"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = col("_sz") -
+      ceil(col("_sz") * lit(java.math.BigDecimal.valueOf(threshold))) + lit(1)
+    val probe = shAll
+      .filter(col("_rn") <= prefixLen && col("_df") >= 2 && col("_df") <= maxShingleDf)
+      .select(col("jid").as("src_id"), col("shh"))
+    val target = shAll
+      .filter(col("_df") >= 2 && col("_df") <= maxShingleDf)
+      .select(col("jid").as("dst_id"), col("shh"))
+    val cands = probe.join(target, Seq("shh"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select("src_id", "dst_id").distinct()
+    val sets = shAll.groupBy("jid")
+      .agg(collect_list(col("shh")).as("_set"), count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col("jid").as("src_id"), col("_set").as("_ss"),
+        col("sz").as("sz_src")), Seq("src_id"))
+      .join(sets.select(col("jid").as("dst_id"), col("_set").as("_sd")), Seq("dst_id"))
+      .withColumn("containment",
+        size(array_intersect(col("_ss"), col("_sd"))).cast("double") / col("sz_src"))
+      .filter(col("containment") >= threshold)
+      .select("src_id", "dst_id", "containment")
+  }
+
   /** Full MinHash near-dup pipeline with a SHARED shingle frame: the
     * (id, shingle-hash) table is computed once and persisted, then feeds
     * signatures, banded LSH candidates, AND the exact-Jaccard verification
@@ -1103,24 +1174,46 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"winnowFingerprints: need k>0, w>0; got k=$k w=$w")
-    val grams = docs
-      .filter(length(col(textCol)) >= k + w - 1) // at least one full window
-      .select(col(idCol).as("_did"),
-        (length(col(textCol)) - k + 1).as("_ng"),
-        explode(sequence(lit(0), length(col(textCol)) - k)).as("_pos"),
-        col(textCol))
-      .select(col("_did"), col("_ng"), col("_pos"),
-        // md5 hex ++ (10^9 - pos) zero-padded: lexicographic MIN = (min
-        // hash, rightmost pos). Offsets < 10^9 hold for any document a
-        // single Spark row can represent.
-        concat(md5(substr(col(textCol), col("_pos") + 1, lit(k)).cast("binary")),
-          lpad((lit(1000000000) - col("_pos")).cast("string"), 10, "0")).as("_enc"))
-    val win = Window.partitionBy(col("_did")).orderBy(col("_pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("_sel", min(col("_enc")).over(win))
-      .filter(col("_pos") <= col("_ng") - w) // full windows only
-      .select(col("_did"), col("_sel")).distinct()
+    // The whole selection runs MAP-SIDE with array higher-order
+    // functions: gram encodings, per-window minima, and the per-doc
+    // distinct all happen inside the row, and only SELECTED fingerprints
+    // (expected density 2/(w+1)) ever explode. The previous shape
+    // exploded every character position and ran the window min over a
+    // per-doc Window — shuffling a gram frame ~(32+10)x the corpus text
+    // bytes only to discard ~90% of it (measured 5.8 -> 1.3 s at sf0.1).
+    // Projection steps stay separate (CollapseProject note in
+    // Ann.pqEncode): `_grams` is referenced by both the window transform
+    // and its sequence bound.
+    // CPU-bound at ~(32+10+w) derived bytes per input char: if the scan
+    // yields fewer splits than cores (one small local file), rebalance
+    // 1x text bytes so the gram hashing uses every core (measured 5.0 ->
+    // 1.1 s at sf0.1). A big corpus already has splits >> cores and
+    // skips the exchange entirely.
+    val base = docs.filter(length(col(textCol)) >= k + w - 1)
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (base.rdd.getNumPartitions < target) base.repartition(target) else base
+    balanced
+      .select(col(idCol).as("_did"), col(textCol).as("_t"))
+      // md5 hex ++ (10^9 - pos) zero-padded: lexicographic MIN = (min
+      // hash, rightmost pos) — "robust" winnowing's tie rule. Offsets
+      // < 10^9 hold for any document a single Spark row can represent.
+      .select(col("_did"),
+        transform(sequence(lit(0), length(col("_t")) - k),
+          pos => concat(md5(substr(col("_t"), pos + 1, lit(k)).cast("binary")),
+            lpad((lit(1000000000) - pos).cast("string"), 10, "0"))).as("_grams"))
+      .select(col("_did"),
+        array_distinct(transform(sequence(lit(0), size(col("_grams")) - w),
+          i => array_min(slice(col("_grams"), i + 1, lit(w))))).as("_sels"))
+      // explode_OUTER, deliberately: InferFiltersFromGenerate synthesizes
+      // a `size(arr) > 0` scan filter from an inner explode, substituting
+      // the alias chain — which re-evaluates the gram transform INSIDE
+      // the per-window slice lambda, an O(ng^2) md5 blowup (measured 100 s
+      // for sf0.01 vs ~1 s without). The rule skips outer generate; the
+      // length filter above already guarantees non-empty arrays, and the
+      // null guard below is belt-and-braces on the generated column.
+      .select(col("_did"), explode_outer(col("_sels")).as("_sel"))
+      .filter(col("_sel").isNotNull)
       .select(col("_did").as(idCol),
         substring(col("_sel"), 1, 32).as("fp"),
         (lit(1000000000) - substring(col("_sel"), 33, 10).cast("long")).as("fp_pos"))

@@ -137,4 +137,29 @@ class CorpusSpec extends SparkSpec {
     val c = Sampling.gumbelTopK(weighted, "id", "lw", 5, seed = "99").collect()
     assert(c.head.getLong(0) == 7L)
   }
+
+  test("ngramNovelty: unique docs score 1, clones score 0, overlap is fractional") {
+    val docs = Seq(
+      (1L, "a b c d e"),            // trigrams: abc bcd cde
+      (2L, "a b c d e"),            // clone of 1: all grams df=2
+      (3L, "x y z w"),              // unique grams only
+      (4L, "a b c q r s"),          // shares ONLY 'a b c' with 1/2: 1 of 4 grams stale
+      (5L, "t u")                   // too short for a trigram: omitted
+    ).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(5L))
+    assert(out(1L) == (3L, 0.0) && out(2L) == (3L, 0.0))
+    assert(out(3L) == (2L, 1.0))
+    assert(out(4L)._1 == 4L && out(4L)._2 == 0.75)
+  }
+
+  test("ngramNovelty: repeated grams inside one doc count once (per-doc distinct)") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d c d")).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1 windows: "a b","b a","a b","b a","a b" -> 2 distinct grams
+    assert(out(1L) == (2L, 1.0))
+    assert(out(2L) == (2L, 1.0))
+  }
 }

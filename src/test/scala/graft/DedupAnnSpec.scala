@@ -609,6 +609,80 @@ class DedupAnnSpec extends SparkSpec {
     assert(all.count() == 2)
   }
 
+  test("pqSubcodePairs matches a direct >=3-of-4 code-agreement reimplementation") {
+    import spark.implicits._
+    // deterministic distinct vectors: 6 pseudo-random bases + a lightly
+    // perturbed twin of each (subcodes on unperturbed subspaces agree,
+    // so the candidate set is non-vacuous)
+    val vecs: Seq[(Long, Array[Float])] = (0 until 6).flatMap { i =>
+      val v = Array.tabulate(64)(j => math.sin(i * 64 + j + 1).toFloat)
+      val p = v.clone(); (0 until 16).foreach(j => p(j) = p(j) + 0.001f * (j + 1))
+      Seq((2L * i, v), (2L * i + 1, p))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val keyOf = Ann.pqEncode(emb, "vec_id", "embedding", PqCodebook.arr)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(keyOf.size == vecs.length)
+    val ids = vecs.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if keyOf(a).zip(keyOf(b)).count { case (x, y) => x == y } >= 3
+    } yield (a, b)).toSet
+    val gotRows = Ann.pqSubcodePairs(emb, "vec_id", "embedding",
+      PqCodebook.arr, threshold = -1.0).collect()
+    val got = gotRows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == expected)
+    assert(got.length == got.toSet.size, "pairs must be deduped across masks")
+    assert(expected.nonEmpty, "test should exercise at least one candidate pair")
+    // exact-cosine verify: a strict threshold keeps only the near-twins
+    val tight = Ann.pqSubcodePairs(emb, "vec_id", "embedding",
+      PqCodebook.arr, threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(expected))
+    assert(tight.forall { case (a, b) => b == a + 1 && a % 2 == 0 },
+      s"only perturbed twins pass cosine>=0.999, got $tight")
+  }
+
+  test("pqSubcodePairs: maxBucket cap bounds a degenerate code region") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i => (i, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    // 40 identical vectors, cap 8: every masked bucket holds 40 > 8 rows
+    val capped = Ann.pqSubcodePairs(emb, "vec_id", "embedding",
+      PqCodebook.arr, threshold = -1.0, maxBucket = 8)
+    assert(capped.count() == 0)
+    val open = Ann.pqSubcodePairs(emb, "vec_id", "embedding",
+      PqCodebook.arr, threshold = -1.0, maxBucket = 64)
+    assert(open.count() == 40L * 39 / 2)
+  }
+
+  test("containmentPairs: excerpt flagged toward its source only; Jaccard misses the pair") {
+    import spark.implicits._
+    val full = (1 to 20).map(i => s"w$i").mkString(" ") // 18 trigram shingles
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // 6 shingles, all in full
+    val docs = Seq((1L, full), (2L, excerpt), (3L, "x y z q r s t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the excerpt is fully contained in its source...
+    assert(out.toSeq == Seq((2L, 1L, 1.0)))
+    // ...while the direction 1->2 (6/18) and symmetric Jaccard (6/18)
+    // both sit far below their thresholds
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      maxShingleDf = Some(128))
+    assert(jac.count() == 0)
+  }
+
+  test("containmentPairs: df cap suppresses boilerplate-only candidates") {
+    import spark.implicits._
+    // every doc shares one boilerplate trigram; no real containment
+    val docs = (0L until 10L).map(i =>
+      (i, s"HEADER COMMON LINE u$i v$i w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
+      maxShingleDf = 4)
+    assert(capped.count() == 0)
+  }
+
   test("winnowOverlapPairs: maxDf cap drops corpus-wide boilerplate fps") {
     import spark.implicits._
     val boiler = "IDENTICAL_BOILERPLATE_EVERYWHERE"

@@ -62,8 +62,21 @@ class PlanSpec extends SparkSpec {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case _ => Nil
       })
+      // a partition-less window whose input subtree is bounded by a
+      // LIMIT (TakeOrderedAndProject / CollectLimit / GlobalLimit) sees
+      // <= k rows at ANY corpus scale — the rank-attach idiom of the
+      // top-k family, not a scale hazard
+      def boundedBelow(q: SparkPlan): Boolean = q match {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.CollectLimitExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
+        case other =>
+          other.children.nonEmpty && other.children.forall(boundedBelow)
+      }
       (p match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.simpleStringWithNodeId())
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+          Seq(w.simpleStringWithNodeId())
         case _ => Nil
       }) ++ kids.flatMap(collectBad)
     }
@@ -183,6 +196,30 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("winnow_fingerprints")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       plan.take(800))
+  }
+
+  test("bm25_topk: global top-k compiles to TakeOrderedAndProject; scan prunes to (doc_id, text)") {
+    val plan = planOf("bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan.take(800))
+  }
+
+  test("pq_subcode_pairs: candidates from a (slot, key) equi-join; vectors re-joined AFTER the bare-id distinct") {
+    val plan = planOf("pq_subcode_pairs")
+    // the self-join on masked keys must be a hash/merge equi-join
+    assert(plan.contains("slot") && plan.contains("key"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
+
+  test("novelty_docs: per-doc gram dedup is map-side (array_distinct), not a distinct shuffle") {
+    val df = SparkEntry.queries("novelty_docs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("array_distinct"), plan.take(1200))
+    // exactly the gram-df groupBy, the gram join, and the per-doc
+    // roll-up shuffle — a distinct would add a fourth exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"expected <=4 hash exchanges, got $exchanges\n" + plan.take(1500))
   }
 
   test("no broadcast hint wraps an unbounded grouped aggregate") {
