@@ -1047,7 +1047,51 @@ object SparkEntry {
       Relational.topK(scored, 100, col("quality").desc, col("doc_id").asc)
         .select("doc_id", "quality")
     }),
+    // EXT corpus snapshot diff (Corpus.snapshotDiff): CDC classification
+    // of a deterministic v2 recipe (drop %13=5, edit %7=3, add %17=2)
+    // against the base corpus — md5 fingerprints ride the full-outer
+    // join, not document bodies
+    "corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 2)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(docs, v2, "doc_id", "text").orderBy("doc_id")
+    }),
+    // EXT corpus-wide heavy hitters (Corpus.topNgrams): top-20 word
+    // bigrams; partial agg absorbs the hot grams, global top-k is
+    // TakeOrderedAndProject
+    "top_ngrams" -> ((s, dir) =>
+      Corpus.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)),
+    // EXT dictionary phrase tagging (Corpus.phraseHits): mixed 1/2/3-word
+    // phrases, one exploded-gram union joined against the broadcast
+    // literal dictionary — the Aho-Corasick analogue
+    "phrase_hits" -> ((s, dir) =>
+      Corpus.phraseHits(t(s, dir, "documents"), "doc_id", "text", PhraseDict)
+        .orderBy("doc_id", "phrase")),
+    // EXT Heaps-law vocabulary growth (Corpus.vocabGrowth): new BIGRAM
+    // types + cumulative type count per corpus-prefix decile (unigram
+    // vocab saturates in the first decile of any real corpus); rank via
+    // two-phase dense ids, bucket edges in exact integer arithmetic
+    "vocab_growth" -> ((s, dir) =>
+      Corpus.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+          buckets = 10, n = 2)
+        .orderBy("bucket")),
+    // EXT windowed co-occurrence PMI (Corpus.pmiPairs): the word2vec
+    // statistic — unordered token pairs within 2 positions, PMI against
+    // unigram frequencies, top-30 at count>=5
+    "pmi_pairs" -> ((s, dir) =>
+      Corpus.pmiPairs(t(s, dir, "documents"), "text", window = 2, minCount = 5, k = 30)),
   )
+
+  /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
+    * the Spark query and the generated oracle IN-list. */
+  private val PhraseDict: Seq[String] = Seq(
+    "spark", "hash join", "table scan", "merge sort", "window agg",
+    "the fast key")
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -2202,5 +2246,71 @@ object SparkEntry {
         |   AND NOT EXISTS (SELECT 1 FROM a WHERE k NOT IN (SELECT k FROM b))
         |   AND NOT EXISTS (SELECT 1 FROM b WHERE k NOT IN (SELECT k FROM a)) AS align_ab,
         | TRUE AS align_aa""".stripMargin,
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents),
+        | n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 13 <> 5
+        |       UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 17 = 2)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |         CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN md5(o.text) <> md5(n.text) THEN 'changed' END AS status
+        |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "top_ngrams" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | g AS (SELECT unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
+        |       FROM w WHERE len(ws) >= 2)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1
+        |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+    "phrase_hits" -> {
+      val inList = PhraseDict.map(p => s"'$p'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         | g1 AS (SELECT doc_id, unnest(ws) AS phrase FROM w),
+         | g2 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS phrase
+         |        FROM w WHERE len(ws) >= 2),
+         | g3 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS phrase
+         |        FROM w WHERE len(ws) >= 3),
+         | g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+         |SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS hits FROM g
+         |WHERE phrase IN ($inList)
+         |GROUP BY 1, 2 ORDER BY doc_id, phrase""".stripMargin
+    },
+    "vocab_growth" ->
+      """WITH ids AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        |             FROM (SELECT DISTINCT doc_id FROM documents)),
+        | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+        | b AS (SELECT doc_id, CAST((rn * 10 + n - 1) // n AS INT) AS bucket FROM ids, nn),
+        | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | toks AS (SELECT doc_id, unnest(list_distinct(
+        |            [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))])) AS tok
+        |          FROM w WHERE len(ws) >= 2),
+        | ft AS (SELECT tok, MIN(doc_id) AS fid FROM toks WHERE tok <> '' GROUP BY 1),
+        | nb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+        |        FROM ft JOIN b ON b.doc_id = ft.fid GROUP BY 1)
+        |SELECT bucket, new_terms,
+        |       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+        |FROM nb ORDER BY bucket""".stripMargin,
+    "pmi_pairs" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+        | p1 AS (SELECT unnest([{'a': least(ws[i], ws[i+1]), 'b': greatest(ws[i], ws[i+1])}
+        |                      for i in range(1, len(ws))]) AS p FROM w2),
+        | p2 AS (SELECT unnest([{'a': least(ws[i], ws[i+2]), 'b': greatest(ws[i], ws[i+2])}
+        |                      for i in range(1, len(ws) - 1)]) AS p FROM w2 WHERE len(ws) >= 3),
+        | pr AS (SELECT p.a AS w1, p.b AS w2 FROM (SELECT p FROM p1 UNION ALL SELECT p FROM p2)),
+        | pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cp FROM pr GROUP BY 1, 2),
+        | uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cw
+        |         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+        |         WHERE tok <> '' GROUP BY 1),
+        | np AS (SELECT CAST(SUM(cp) AS BIGINT) AS tnp FROM pc),
+        | nt AS (SELECT CAST(SUM(cw) AS BIGINT) AS tnt FROM uni)
+        |SELECT w1, w2, cp,
+        |  ROUND(LN((CAST(cp AS DOUBLE) / tnp) /
+        |           ((CAST(c1.cw AS DOUBLE) / tnt) * (CAST(c2.cw AS DOUBLE) / tnt))), 6) AS pmi
+        |FROM pc JOIN uni c1 ON c1.tok = pc.w1 JOIN uni c2 ON c2.tok = pc.w2, np, nt
+        |WHERE cp >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
   )
 }

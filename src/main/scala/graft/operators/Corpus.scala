@@ -270,6 +270,164 @@ object Corpus {
       .select(col("_id").as(idCol), col("n_feats"), col("dsir_logweight"))
   }
 
+  /** Corpus snapshot diff (EXT — the CDC primitive of incremental
+    * ingestion): classify every key across two corpus versions as
+    * `added` / `removed` / `changed`, dropping unchanged rows. Change
+    * detection compares md5 CONTENT FINGERPRINTS computed map-side, so
+    * the full-outer shuffle moves 32-byte digests instead of document
+    * bodies — at 100 TB the join payload is ~0.03% of the corpus. One
+    * sort-merge full-outer join on the key; no other shuffle. The digest
+    * is the engine-portable md5-of-text idiom, so any SQL engine replays
+    * the classification bit for bit.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("_k"), md5(col(payloadCol)).as("_fo"))
+    val n = newDf.select(col(keyCol).as("_k"), md5(col(payloadCol)).as("_fn"))
+    o.join(n, Seq("_k"), "full_outer")
+      .withColumn("status",
+        when(col("_fn").isNull, "removed")
+          .when(col("_fo").isNull, "added")
+          .when(col("_fo") =!= col("_fn"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("_k").as(keyCol), col("status"))
+  }
+
+  /** Corpus-wide top-k most frequent word `n`-grams — the heavy-hitter
+    * report behind boilerplate hunting and stop-phrase lists. Scale
+    * shape: the explode feeds ONE map-combinable groupBy (partial
+    * aggregation absorbs heavy hitters before the shuffle — the hottest
+    * gram contributes one partial row per task, not one row per
+    * occurrence), and the global top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Total order: count desc, gram asc.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"topNgrams: need n>=1 and k>=1, got n=$n k=$k")
+    docs
+      .select(explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Dictionary phrase tagging (the distributed analogue of an
+    * Aho-Corasick pass): count, per document, the occurrences of each
+    * phrase from a fixed dictionary. Phrases are grouped by word count;
+    * each group costs one n-gram explode, and all groups union into ONE
+    * join against the broadcast dictionary (a literal — broadcasting it
+    * is always legal, unlike data-sized vocabularies). Output:
+    * (idCol, phrase, hits) for docs with at least one hit. Overlapping
+    * occurrences count separately (sliding shingles), matching the
+    * regex-scan semantics of a single-node tagger.
+    */
+  def phraseHits(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseHits: need at least one phrase")
+    val lens = phrases.map(p => p.trim.split("\\s+").length).distinct.sorted
+    val grams = lens.map { n =>
+      docs.select(col(idCol).as("_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("phrase"))
+    }.reduce(_ unionByName _)
+    val dict = docs.sparkSession.createDataFrame(phrases.distinct.map(Tuple1(_)))
+      .toDF("phrase")
+    grams.join(broadcast(dict), Seq("phrase"))
+      .groupBy("_id", "phrase").agg(count(lit(1)).as("hits"))
+      .select(col("_id").as(idCol), col("phrase"), col("hits"))
+  }
+
+  /** Vocabulary growth curve (Heaps' law probe): cut the corpus into
+    * `buckets` equal-population prefixes under ascending `idCol` order
+    * and report, per bucket, how many NEVER-BEFORE-SEEN word types first
+    * appear there plus the cumulative vocabulary size. A flattening
+    * curve says the corpus has stopped contributing new vocabulary —
+    * the saturation signal data-mixing decisions read.
+    *
+    * Scale shape: per-doc distinct tokens dedup MAP-SIDE
+    * (array_distinct before the explode); first occurrence is one
+    * min-groupBy on the token; the doc rank rides
+    * [[Relational.twoPhaseDenseIds]] (no partition-less window over the
+    * corpus); bucket assignment is pure integer arithmetic
+    * (ceil(rank*buckets/n) via `div` — engine-portable, no float
+    * boundary); the final cumulative window runs over <= `buckets`
+    * rows, a bounded frame by construction.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10, n: Int = 1): DataFrame = {
+    require(buckets >= 1 && n >= 1,
+      s"vocabGrowth: need buckets>=1 and n>=1, got buckets=$buckets n=$n")
+    val ids = Relational.twoPhaseDenseIds(
+      docs.select(col(idCol)).distinct(), Seq(idCol), "_rn")
+    val nDocs = docs.agg(count_distinct(col(idCol)).as("_n"))
+    val bucketed = ids.crossJoin(broadcast(nDocs))
+      // 1-based equal-population bucket: ceil(rn*B/n) as exact integer
+      // arithmetic — (rn*B + n - 1) div n, the idiom rankBuckets shares
+      .withColumn("bucket",
+        expr(s"cast((_rn * $buckets + _n - 1) div _n as int)"))
+      .select(col(idCol).as("_fid"), col("bucket"))
+    // the "type" is the word n-gram (n=1: unigram vocabulary; n>=2:
+    // Heaps' law over composite types — a far larger space, so the
+    // curve stays informative after the unigram vocab saturates)
+    val types =
+      if (n == 1) array_distinct(split(trim(col(textCol)), "\\s+"))
+      else array_distinct(graft.functions.TextFunctions.wordShingles(col(textCol), n))
+    val first = docs
+      .select(col(idCol).as("_id"), explode(types).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(min(col("_id")).as("_fid"))
+    first.join(bucketed, Seq("_fid"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+      .withColumn("vocab_cum", sum(col("new_terms")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))))
+      .select(col("bucket"), col("new_terms"), col("vocab_cum"))
+  }
+
+  /** Windowed co-occurrence PMI (the word2vec/GloVe statistic): count
+    * unordered token pairs within `window` positions, then score
+    * pmi = ln(p(a,b) / (p(a) p(b))) against unigram frequencies.
+    * Output: top-k pairs with count >= minCount by (pmi desc, w1, w2).
+    *
+    * Scale shape: pair generation is a map-side nested-lambda explode
+    * (window * tokens rows, never materialized — partial aggregation
+    * combines before the shuffle); both count tables are map-combinable
+    * groupBys; the two unigram joins are on vocabulary-sized keys, so
+    * they carry NO broadcast hint (AQE decides — a vocabulary is
+    * data-sized); totals ride 1-row broadcast crossJoins. The pmi input
+    * is built from IEEE-deterministic ratios of exact counts and
+    * quantized to 6 decimals, the suite's float discipline.
+    */
+  def pmiPairs(docs: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5, k: Int = 30): DataFrame = {
+    require(window >= 1 && k >= 1, s"pmiPairs: need window>=1, k>=1")
+    val words = docs.select(split(trim(col(textCol)), "\\s+").as("_w"))
+      .filter(size(col("_w")) >= 2)
+    val pairs = words
+      .select(explode(flatten(transform(sequence(lit(1), size(col("_w")) - 1), i =>
+        transform(sequence(i + 1, least(i + lit(window), size(col("_w")))), j =>
+          struct(
+            least(element_at(col("_w"), i), element_at(col("_w"), j)).as("w1"),
+            greatest(element_at(col("_w"), i), element_at(col("_w"), j)).as("w2")))))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+    val uni = docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val np = pc.agg(sum(col("cp")).as("_np"))
+    val nt = uni.agg(sum(col("cw")).as("_nt"))
+    pc.filter(col("cp") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .withColumn("pmi", round(
+        log((col("cp").cast("double") / col("_np")) /
+          ((col("c1").cast("double") / col("_nt")) *
+           (col("c2").cast("double") / col("_nt")))), 6))
+      .select(col("w1"), col("w2"), col("cp"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** N-gram NOVELTY score (EXT; no reference analog): the fraction of a
     * document's distinct word `n`-grams that occur in NO other document
     * — the inverse of boilerplate saturation. High-novelty docs carry

@@ -162,4 +162,73 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) == (2L, 1.0))
     assert(out(2L) == (2L, 1.0))
   }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged dropped") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "body")
+    val out = Corpus.snapshotDiff(old, neu, "id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("topNgrams: counts occurrences (not per-doc distinct), total tie-break") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x y")).toDF("id", "text")
+    val out = Corpus.topNgrams(docs, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // "a b" occurs 2x in doc1 + 1x in doc2 = 3; then count-1 grams by name
+    assert(out.head == ("a b", 3L))
+    assert(out.length == 3)
+    assert(out(1) == ("b a", 1L) && out(2) == ("b c", 1L)) // gram-asc tie-break
+  }
+
+  test("phraseHits: mixed-length phrases, overlapping occurrences, hitless docs absent") {
+    val docs = Seq(
+      (1L, "hash join beats hash join"), // "hash join" x2, "hash" x2...
+      (2L, "no phrases here"),
+      (3L, "the fast key order")         // trigram phrase once
+    ).toDF("doc_id", "text")
+    val out = Corpus.phraseHits(docs, "doc_id", "text",
+        Seq("hash join", "the fast key", "order")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((1L, "hash join")) == 2L)
+    assert(out((3L, "the fast key")) == 1L)
+    assert(out((3L, "order")) == 1L)
+    assert(!out.keys.exists(_._1 == 2L))
+  }
+
+  test("vocabGrowth: first occurrences land in the right bucket; cumulative is monotone") {
+    // 4 docs, 2 buckets: docs 1-2 -> bucket 1, docs 3-4 -> bucket 2
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "a b c d"), (4L, "d e")).toDF("doc_id", "text")
+    val out = Corpus.vocabGrowth(docs, "doc_id", "text", buckets = 2).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bucket 1 first-sees a,b,c; bucket 2 first-sees d,e
+    assert(out(1) == (3L, 3L))
+    assert(out(2) == (2L, 5L))
+  }
+
+  test("pmiPairs: high-PMI pair ranks first; canonical unordered keys; minCount prunes") {
+    // "p q" always co-occur exclusively (PMI high); "a" pairs with many
+    val docs = (1L to 10L).map(i => (i, "p q")) ++
+      Seq((11L, "a b"), (12L, "a c"), (13L, "a d"), (14L, "a e"), (15L, "a f"))
+    val df = docs.toDF("id", "text")
+    val out = Corpus.pmiPairs(df, "text", window = 2, minCount = 2, k = 5).collect()
+    assert(out.head.getString(0) == "p" && out.head.getString(1) == "q")
+    assert(out.head.getLong(2) == 10L)
+    // no pair appears in both orders
+    val keys = out.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.forall { case (x, y) => x <= y })
+    // minCount=2 prunes every "a *" pair (each occurs once)
+    assert(out.length == 1)
+  }
+
+  test("pmiPairs: window reaches distance-2 tokens") {
+    val docs = Seq((1L, "x m y"), (2L, "x m y"), (3L, "x m y"),
+      (4L, "x m y"), (5L, "x m y")).toDF("id", "text")
+    val out = Corpus.pmiPairs(docs, "text", window = 2, minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // pairs per doc: (m,x) d1, (x,y) d2, (m,y) d1 -> all count 5
+    assert(out.map(t => (t._1, t._2)).toSet == Set(("m", "x"), ("x", "y"), ("m", "y")))
+    assert(out.forall(_._3 == 5L))
+  }
 }

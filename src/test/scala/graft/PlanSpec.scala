@@ -81,9 +81,11 @@ class PlanSpec extends SparkSpec {
       }) ++ kids.flatMap(collectBad)
     }
     // smooth_gaussian smooths a per-DAY aggregate (~30 rows at any SF —
-    // the shuffle shrank the data first); a global window there is the
-    // documented total-order contract, not a scale hazard
-    val allow = Set("smooth_gaussian")
+    // the shuffle shrank the data first); vocab_growth's cumulative
+    // window rides its groupBy("bucket") aggregate (<= `buckets` rows
+    // by construction). Both are the documented tiny-aggregate shape,
+    // not scale hazards
+    val allow = Set("smooth_gaussian", "vocab_growth")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)
