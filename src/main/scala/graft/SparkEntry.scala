@@ -1085,6 +1085,38 @@ object SparkEntry {
     // unigram frequencies, top-30 at count>=5
     "pmi_pairs" -> ((s, dir) =>
       Corpus.pmiPairs(t(s, dir, "documents"), "text", window = 2, minCount = 5, k = 30)),
+    // EXT backward as-of join (Joins.asofJoin): each click gets the
+    // latest purchase value at-or-before its timestamp per user — ONE
+    // shuffle, ZERO join operators (union + keyed ordered window); the
+    // right side pre-aggregates (user, ts) so ties are well-defined.
+    // DuckDB replays it with its native ASOF LEFT JOIN
+    "asof_join_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("pval"))
+      graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts", Seq("pval"))
+        .select(col("event_id"), col("user_id"), col("asof_pval"))
+        .orderBy("event_id")
+    }),
+    // EXT range join (Joins.rangeJoin): clicks inside each error's
+    // 6-hour window per user — the inequality predicate becomes a
+    // bucket equi-join (21600 s buckets = the interval length, so each
+    // interval explodes to <= 2 rows and no dedup is needed)
+    "range_join_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
+      graft.operators.Joins.rangeJoin(clicks, "ts", errs, "w_start", "w_end",
+          bucketSeconds = 21600, keyCols = Seq("user_id"))
+        .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("err_id")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -2312,5 +2344,20 @@ object SparkEntry {
         |FROM pc JOIN uni c1 ON c1.tok = pc.w1 JOIN uni c2 ON c2.tok = pc.w2, np, nt
         |WHERE cp >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+    "asof_join_events" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts, MAX(value) AS pval FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.pval AS asof_pval
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "range_join_events" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        | e AS (SELECT event_id AS err_id, user_id, ts AS ws,
+        |              ts + INTERVAL 6 HOUR AS we
+        |       FROM events WHERE event_type = 'error')
+        |SELECT err_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |FROM e JOIN c ON c.user_id = e.user_id AND c.ts >= e.ws AND c.ts < e.we
+        |GROUP BY 1 ORDER BY err_id""".stripMargin,
   )
 }
