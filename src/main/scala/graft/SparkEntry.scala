@@ -1117,6 +1117,40 @@ object SparkEntry {
         .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
         .orderBy("err_id")
     }),
+    // EXT normalized exact dedup (TextFunctions.normalize): exact
+    // grouping on md5(lowercase + collapsed whitespace) — catches the
+    // case/whitespace variants raw exact dedup misses (injected here as
+    // %9=1 docs re-cased and re-padded); the shuffle carries 32-byte
+    // digests, not text
+    "dedup_exact_normalized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      docs.unionByName(variants)
+        .groupBy(md5(TextFunctions.normalize(col("text"))).as("_k"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    }),
+    // EXT ingest-time CDC (StreamOps.cdcClassifyStream, batch-symmetric
+    // here like the other *_stream queries): v2 docs classified
+    // added/changed against the 40-byte/doc base fingerprint index —
+    // `removed` is a batch-only verdict (a stream cannot observe
+    // absence), so this is corpus_diff minus removals
+    "cdc_classify_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 2)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val idx = graft.streaming.StreamOps.cdcIndex(docs, "doc_id", "text")
+      graft.streaming.StreamOps.cdcClassifyStream(idx, v2, "doc_id", "text")
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -2359,5 +2393,23 @@ object SparkEntry {
         |SELECT err_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
         |FROM e JOIN c ON c.user_id = e.user_id AND c.ts >= e.ws AND c.ts < e.we
         |GROUP BY 1 ORDER BY err_id""".stripMargin,
+    "dedup_exact_normalized" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 300000, '  ' || upper(text) || ' '
+        |           FROM documents WHERE doc_id % 9 = 1)
+        |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM u GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+    "cdc_classify_stream" ->
+      """WITH o AS (SELECT doc_id, text FROM documents),
+        | n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 13 <> 5
+        |       UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 17 = 2)
+        |SELECT n.doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN md5(o.text) <> md5(n.text) THEN 'changed' END AS status
+        |FROM n LEFT JOIN o ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)
+        |ORDER BY n.doc_id""".stripMargin,
   )
 }

@@ -589,4 +589,38 @@ object StreamOps {
           .cast("double"), 6)
           .as("dsir_logweight"))
   }
+
+  /** The build-once fingerprint index for ingest-time CDC
+    * ([[cdcClassifyStream]]): (key, md5 payload fingerprint) of the
+    * base corpus — 40 bytes per document at any corpus size, the
+    * smallest index in the family. Persist/write it once per base
+    * snapshot. */
+  def cdcIndex(base: DataFrame, keyCol: String,
+      payloadCol: String): DataFrame =
+    base.select(col(keyCol).as("_cdc_k"), md5(col(payloadCol)).as("_cdc_f"))
+
+  /** Ingest-time CDC classification — the streaming half of
+    * [[graft.operators.Corpus.snapshotDiff]]: each incoming doc is
+    * `added` (key absent from the base corpus) or `changed` (key
+    * present, content fingerprint differs); unchanged docs drop.
+    * `removed` is a batch-only verdict by construction — a stream can
+    * never observe a key's absence.
+    *
+    * Stream-static LEFT join on the key (always legal in structured
+    * streaming — no watermark needed, the static side is bounded);
+    * the incoming fingerprint is one md5 projection, so the ingest hot
+    * path is expression-only, and the static side ships 40-byte rows.
+    * Works unchanged on a batch frame (the declared query runs it
+    * batch-symmetric; StreamingSpec asserts stream == batch).
+    */
+  def cdcClassifyStream(index: DataFrame, docs: DataFrame, keyCol: String,
+      payloadCol: String): DataFrame = {
+    val d = docs.withColumn("_cdc_fn", md5(col(payloadCol)))
+    d.join(index, d(keyCol) === index("_cdc_k"), "left")
+      .withColumn("status",
+        when(col("_cdc_f").isNull, "added")
+          .when(col("_cdc_f") =!= col("_cdc_fn"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(docs.columns.map(col).toSeq :+ col("status"): _*)
+  }
 }

@@ -508,4 +508,28 @@ class StreamingSpec extends SparkSpec {
     assert(m("click") == evs.count(_.event_type == "click"))
     assert(m.values.sum == evs.size)
   }
+
+  test("cdcClassifyStream: stream equals batch; added/changed only, unchanged dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val base = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val index = StreamOps.cdcIndex(base, "doc_id", "text")
+    val incoming = Seq(
+      DocText(1L, "alpha"),   // unchanged: dropped
+      DocText(2L, "beta v2"), // changed
+      DocText(9L, "delta"))   // added
+    val mem = MemoryStream[DocText]
+    mem.addData(incoming: _*)
+    val q = StreamOps.cdcClassifyStream(index, mem.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("cdc_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cdc_out").select("doc_id", "status")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = StreamOps.cdcClassifyStream(index, incoming.toDF(), "doc_id", "text")
+      .select("doc_id", "status")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq((2L, "changed"), (9L, "added")))
+  }
 }
