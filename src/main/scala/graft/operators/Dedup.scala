@@ -468,9 +468,13 @@ object Dedup {
     * mirrored-10^6-times page would flood, HERE at build time so every
     * later batch inherits the bound.
     */
-  def minhashBandIndexMd5(corpus: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 2, shingleK: Int = 3,
-      maxBucket: Option[Int] = None): DataFrame = {
+  /** The UNCAPPED banded-signature frame — shared by the index builder
+    * and the incremental updater (per-doc pure function of the text, so
+    * rows for old and new docs are identical whether built together or
+    * apart — the property the incremental path's equality proof rests
+    * on). */
+  private def bandedRowsMd5(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleK: Int): DataFrame = {
     require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val sh = corpus
@@ -489,7 +493,7 @@ object Dedup {
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("minhash_k", k.toLong)
       .putLong("minhash_bands", bands.toLong).build()
-    val banded = sigs.select(col("jid").as("corpus_id"),
+    sigs.select(col("jid").as("corpus_id"),
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -497,6 +501,12 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("corpus_id"), col("bb.band").as("band"),
         col("bb.bsig").as("bsig"), col("sig").as("sig", sigMeta))
+  }
+
+  def minhashBandIndexMd5(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 2, shingleK: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val banded = bandedRowsMd5(corpus, idCol, textCol, k, bands, shingleK)
     // persisted: the index is BUILT ONCE and joined by every ingestion
     // micro-batch — unpersisted, the whole corpus shingle/minhash/cap
     // pipeline would re-execute per batch. Same lazily-outliving
@@ -509,6 +519,68 @@ object Dedup {
         .filter(col("_bn") <= cap).drop("_bn")
       case None => banded
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Bucket-occupancy sidecar for INCREMENTAL index maintenance:
+    * (band, bsig, _bn) over ALL buckets — including the ones `maxBucket`
+    * capped out of the index, which is exactly why it must exist: a
+    * capped index cannot distinguish "bucket never seen" from "bucket
+    * dropped at cap", and an updater without that bit would resurrect a
+    * mega-bucket the moment a new batch touched it. ~40 bytes per
+    * distinct bucket; write it next to the index.
+    */
+  def minhashBandIndexStatsMd5(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 12, bands: Int = 2,
+      shingleK: Int = 3): DataFrame =
+    bandedRowsMd5(corpus, idCol, textCol, k, bands, shingleK)
+      .groupBy("band", "bsig").agg(count(lit(1)).as("_bn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Incremental band-index update — the daily-ingest shape: fold a new
+    * batch of documents into an existing (index, stats) pair WITHOUT
+    * re-shingling the corpus, returning a pair EXACTLY equal to a full
+    * rebuild over old ∪ new (DedupAnnSpec asserts row identity across
+    * the cap cases). Correctness hinges on two facts: banded rows are a
+    * per-doc pure function (old rows never change), and cap eviction is
+    * monotone in the bucket count (a bucket over cap stays over cap as
+    * rows only accumulate) — so only buckets the NEW batch touches can
+    * change verdict, and the stats sidecar supplies the true count for
+    * buckets the cap already emptied.
+    *
+    * Scale shape: the corpus-sized index is SCANNED but never
+    * shuffled — the dirty-bucket set (<= |batch| x bands rows) drives
+    * semi/anti joins that AQE turns into broadcasts at micro-batch
+    * size (no hint: batch size is data-sized), and only dirty-bucket
+    * rows pay the count join. Cost per update is O(index scan +
+    * batch), versus O(corpus re-shingle + re-minhash) for a rebuild —
+    * at 100 TB the difference between minutes and the whole pipeline.
+    */
+  def updateBandIndexMd5(index: DataFrame, stats: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 2, shingleK: Int = 3,
+      maxBucket: Option[Int] = None): (DataFrame, DataFrame) = {
+    val nb = bandedRowsMd5(newDocs, idCol, textCol, k, bands, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbStats = nb.groupBy("band", "bsig").agg(count(lit(1)).as("_bn"))
+    val dirty = nbStats.select("band", "bsig")
+    val mergedDirtyStats = stats.join(dirty, Seq("band", "bsig"), "left_semi")
+      .unionByName(nbStats)
+      .groupBy("band", "bsig").agg(sum(col("_bn")).as("_bn"))
+    val newStats = stats.join(dirty, Seq("band", "bsig"), "left_anti")
+      .unionByName(mergedDirtyStats)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val untouched = index.join(dirty, Seq("band", "bsig"), "left_anti")
+    val dirtyRows = index.join(dirty, Seq("band", "bsig"), "left_semi")
+      .unionByName(nb)
+    val keptDirty = maxBucket match {
+      case Some(cap) => dirtyRows
+        .join(mergedDirtyStats.filter(col("_bn") <= cap).select("band", "bsig"),
+          Seq("band", "bsig"), "left_semi")
+      case None => dirtyRows
+    }
+    val newIndex = untouched.unionByName(keptDirty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (newIndex, newStats)
   }
 
   /** Cross-corpus MinHash near-dup: match INCOMING documents against an

@@ -694,4 +694,39 @@ class DedupAnnSpec extends SparkSpec {
       minShared = 1, maxDf = 6)
     assert(uncapped.count() == 15) // all C(6,2) pairs
   }
+
+  test("updateBandIndexMd5: incremental update equals full rebuild across all cap cases") {
+    val base = (0 until 12).map(w => s"w$w").mkString(" ")
+    val mega = (0 until 12).map(w => s"m$w").mkString(" ")
+    def uniq(i: Int) = (0 until 12).map(w => s"u${i}_$w").mkString(" ")
+    val old = Seq(
+      1L -> base, 2L -> base,                              // bucket at 2 of cap 3
+      10L -> mega, 11L -> mega, 12L -> mega, 13L -> mega,  // already over cap: absent from index
+      20L -> uniq(1), 21L -> uniq(2))                      // untouched by the batch
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      3L -> base, 4L -> base,  // pushes the base bucket over cap: old rows must evict
+      14L -> mega,             // lands in the capped-out bucket: must NOT resurrect it
+      30L -> uniq(3)).toDF("doc_id", "text")
+    val cap = Some(3)
+    val idx = Dedup.minhashBandIndexMd5(old, "doc_id", "text", 12, 2, 3, cap)
+    val st = Dedup.minhashBandIndexStatsMd5(old, "doc_id", "text", 12, 2, 3)
+    val (ui, us) = Dedup.updateBandIndexMd5(idx, st, neu, "doc_id", "text", 12, 2, 3, cap)
+    val all = old.unionByName(neu)
+    val rebuilt = Dedup.minhashBandIndexMd5(all, "doc_id", "text", 12, 2, 3, cap)
+    val rebuiltStats = Dedup.minhashBandIndexStatsMd5(all, "doc_id", "text", 12, 2, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "band", "bsig").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(rows(ui) == rows(rebuilt))
+    assert(stats(us) == stats(rebuiltStats))
+    // verdicts spelled out: both clone buckets emptied, uniques survive
+    assert(rows(ui).map(_._1).toSet == Set(20L, 21L, 30L))
+    // sig field metadata (k/bands) survives the incremental path — the
+    // streaming consumer's zero-action validation depends on it
+    val m = ui.schema.fields.find(_.name == "sig").get.metadata
+    assert(m.getLong("minhash_k") == 12L && m.getLong("minhash_bands") == 2L)
+  }
 }
