@@ -294,6 +294,32 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("explain")) {
+      // scan/join shape dump for declared queries (the .explain audit
+      // loop): runMain graft.ScaleProbe explain [<sfDir> [q1,q2,...]]
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+      val names = args.drop(2).headOption.map(_.split(",").toSeq)
+        .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+      for (q <- names) {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        println(s"== $q")
+        plan.linesIterator.filter(_.contains("ReadSchema"))
+          .map(_.trim.replaceAll(".*ReadSchema: ", "")).toSeq.distinct
+          .foreach(s => println("  scan: " + s.take(130)))
+        plan.linesIterator
+          .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
+          .foreach(j => println("  join: " + j.trim.take(120)))
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("dsirtbl")) {
       // dump the DSIR per-bucket log-ratio table for cross-engine
       // comparison: runMain graft.ScaleProbe dsirtbl <sfDir>

@@ -1133,6 +1133,25 @@ object SparkEntry {
         .select("doc_id", "n_copies")
         .orderBy("doc_id")
     }),
+    // EXT per-source corpus cap (Corpus.capPerGroup): at most 15 docs
+    // per source, best quality first with doc_id ties — the curation
+    // lever against one crawl drowning the mixture
+    "source_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      Corpus.capPerGroup(docs, "source", cap = 15,
+          Seq(col("quality").desc, col("doc_id").asc))
+        .select(col("source"), col("doc_id"), col("rank"))
+        .orderBy("source", "rank")
+    }),
+    // EXT temperature-balanced multilingual resampling
+    // (Corpus.temperatureSample, XLM-R/mT5 mixing with alpha=0.5):
+    // allocation floor(200*sqrt(c_l)/S) per language from IEEE-exact
+    // sqrt + ordered weight fold, md5-rank draws per group
+    "lang_temperature_sample" -> ((s, dir) =>
+      Corpus.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+          nTarget = 200)
+        .orderBy("doc_id")),
     // EXT ingest-time CDC (StreamOps.cdcClassifyStream, batch-symmetric
     // here like the other *_stream queries): v2 docs classified
     // added/changed against the 40-byte/doc base fingerprint index —
@@ -2411,5 +2430,27 @@ object SparkEntry {
         |FROM n LEFT JOIN o ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)
         |ORDER BY n.doc_id""".stripMargin,
+    "source_cap" ->
+      s"""WITH base AS (SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS p FROM documents),
+         | c AS (SELECT doc_id, source, $qualityComponentsSql,
+         |  ${stops(TextFunctions.EnStops)} AS stop_en
+         | FROM base),
+         | q AS (SELECT doc_id, source, $qualityExprSql AS quality FROM c),
+         | r AS (SELECT source, doc_id,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS INT) AS rank
+         |        FROM q)
+         |SELECT source, doc_id, rank FROM r WHERE rank <= 15
+         |ORDER BY source, rank""".stripMargin,
+    "lang_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cl FROM documents GROUP BY 1),
+        | w AS (SELECT lang, sqrt(CAST(cl AS DOUBLE)) AS wl FROM c),
+        | s AS (SELECT list_sum(list(wl ORDER BY lang)) AS tot FROM w),
+        | alloc AS (SELECT lang, CAST(FLOOR(CAST(200 AS DOUBLE) * wl / tot) AS BIGINT) AS nl FROM w, s),
+        | r AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |        FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN alloc USING (lang)
+        |WHERE rk <= nl ORDER BY doc_id""".stripMargin,
   )
 }

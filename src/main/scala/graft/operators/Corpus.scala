@@ -428,6 +428,70 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-group corpus cap (source-level curation: "at most N docs per
+    * source, best first" — the standard lever against one crawl
+    * drowning the mixture). Keeps the top `cap` rows per group under
+    * (orderCols, idCol-tie) and returns them with their in-group rank.
+    *
+    * Shape: one rank window partitioned by the group — the canonical
+    * grouped top-k, shuffling each group to one task. That is the right
+    * plan while groups stay partition-sized (sources, languages,
+    * domains — hundreds to thousands of groups); a single
+    * bigger-than-executor group would need a pre-filter by an
+    * approximate per-group score threshold before the exact rank, the
+    * same two-phase idea twoPhaseDenseIds applies to global ranks.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, cap: Int,
+      order: Seq[org.apache.spark.sql.Column], as: String = "rank"): DataFrame = {
+    require(cap >= 1, s"capPerGroup: need cap>=1, got $cap")
+    docs.withColumn(as, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(order: _*)))
+      .filter(col(as) <= cap)
+  }
+
+  /** Temperature-balanced resampling across groups (the multilingual
+    * mixing op of XLM-R / mT5: sample language l proportionally to
+    * c_l^alpha, alpha<1 upweighting low-resource groups). This
+    * implementation pins alpha = 0.5: sqrt is IEEE-correctly-rounded
+    * (unlike pow, which varies by libm), so every arithmetic step —
+    * sqrt, the ordered sequential sum of weights, the
+    * floor(n*w/S) allocation — is bit-identical across engines and the
+    * whole assignment stays oracle-checkable. The weight total is an
+    * ORDERED fold over the sorted per-group weights (a float sum's
+    * value depends on addition order; sorting pins it), legal because
+    * the per-group table is aggregate-sized.
+    *
+    * Draws are deterministic md5(seed:id) ranks per group — the
+    * engine-portable uniform shared with [[assignSplit]]. Groups with
+    * fewer rows than their allocation contribute everything they have.
+    * Output: (idCol, groupCol) kept rows.
+    */
+  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
+      nTarget: Long, seed: String = "42"): DataFrame = {
+    require(nTarget >= 1, s"temperatureSample: need nTarget>=1, got $nTarget")
+    val weights = docs.groupBy(groupCol).agg(count(lit(1)).as("cl"))
+      .withColumn("wl", sqrt(col("cl").cast("double")))
+    val tot = weights.agg(
+      aggregate(
+        transform(sort_array(collect_list(struct(col(groupCol), col("wl")))),
+          x => x.getField("wl")),
+        lit(0.0), (a, x) => a + x).as("tot"))
+    val alloc = weights.crossJoin(broadcast(tot))
+      .withColumn("nl",
+        floor(lit(nTarget).cast("double") * col("wl") / col("tot")).cast("long"))
+      .select(col(groupCol), col("nl"))
+    val ranked = docs.withColumn("_rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+        .orderBy(md5(concat(lit(seed + ":"), col(idCol).cast("string"))),
+          col(idCol))))
+    // no broadcast hint on alloc: its grouping key is data-sized in
+    // principle (suite rule) — AQE broadcasts it at runtime
+    ranked.join(alloc, Seq(groupCol))
+      .filter(col("_rk") <= col("nl"))
+      .select(col(idCol), col(groupCol))
+  }
+
   /** N-gram NOVELTY score (EXT; no reference analog): the fraction of a
     * document's distinct word `n`-grams that occur in NO other document
     * — the inverse of boilerplate saturation. High-novelty docs carry

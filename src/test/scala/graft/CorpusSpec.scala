@@ -222,6 +222,34 @@ class CorpusSpec extends SparkSpec {
     assert(out.length == 1)
   }
 
+  test("capPerGroup: keeps top-cap per group with deterministic ties") {
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.9), (3L, "a", 0.5), (4L, "a", 0.7),
+      (5L, "b", 0.1)).toDF("id", "src", "score")
+    val out = Corpus.capPerGroup(docs, "src", 2,
+        Seq(col("score").desc, col("id").asc))
+      .select("id", "src", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    // group a: 0.9@1, 0.9@2 (id tie-break), 0.7@4 cut; group b keeps its only row
+    assert(out == Seq((1L, "a", 1), (2L, "a", 2), (5L, "b", 1)))
+  }
+
+  test("temperatureSample: alpha=0.5 upweights the low-resource group; deterministic") {
+    // 400 docs in 'hi', 16 in 'lo': proportional would keep lo at ~4%,
+    // sqrt-temperature keeps lo at sqrt(16)/(sqrt(400)+sqrt(16)) = 1/6
+    val docs = ((1L to 400L).map(i => (i, "hi")) ++ (401L to 416L).map(i => (i, "lo")))
+      .toDF("doc_id", "lang")
+    val out = Corpus.temperatureSample(docs, "lang", "doc_id", nTarget = 120)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // floor(120 * 20/24) = 100, floor(120 * 4/24) = 20 > 16 -> all 16 kept
+    assert(byLang("hi") == 100)
+    assert(byLang("lo") == 16) // allocation exceeds the group: keep everything
+    val again = Corpus.temperatureSample(docs, "lang", "doc_id", nTarget = 120)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("pmiPairs: window reaches distance-2 tokens") {
     val docs = Seq((1L, "x m y"), (2L, "x m y"), (3L, "x m y"),
       (4L, "x m y"), (5L, "x m y")).toDF("id", "text")

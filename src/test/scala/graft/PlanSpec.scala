@@ -94,6 +94,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("asof_join_events: the as-of lookup compiles join-free (union + keyed window)") {
+    val plan = SparkEntry.queries("asof_join_events")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of query grew a join:\n${plan.take(2000)}")
+    assert(plan.contains("Window"))
+  }
+
+  test("range_join_events: containment join is an equi-join on (bucket, key)") {
+    val plan = SparkEntry.queries("range_join_events")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the equi keys are (_b, user_id); containment survives as a residual
+    // filter on the SAME join node — never a BNLJ/cartesian
+    assert(plan.contains("Join [_b#") || plan.contains("Join [_b,") ||
+      """Join \[_b""".r.findFirstIn(plan).isDefined, s"no bucket equi-join:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("split_overlap: the segmenting window is partitioned, never global") {
     val plan = planOf("split_overlap")
     // a bare Window.orderBy prints "Window [...], [order]" with no
