@@ -320,6 +320,56 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("qctrain")) {
+      // train the frozen quality-classifier weights (logistic regression
+      // over TextFunctions.qualityFeatures): positives = the corpus,
+      // negatives = punctuation-corrupted copies (the clean-vs-junk
+      // separation an ingest filter learns; the synthetic corpus's lang
+      // labels are text-INdependent, so they are unlearnable by
+      // construction — corruption gives a real signal). Deterministic
+      // full-batch gradient descent in a FIXED row order, so retraining
+      // on the same corpus reproduces the same literal.
+      // runMain graft.ScaleProbe qctrain [<sfDir> [steps [lr]]]
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+      val steps = args.drop(2).headOption.map(_.toInt).getOrElse(500)
+      val lr = args.drop(3).headOption.map(_.toDouble).getOrElse(1.0)
+      val base = spark.read.parquet(sf + "/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corrupted = base
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" !!! ### ,,, ;;; !!!")).as("text"))
+      val rows = base.withColumn("y", lit(1))
+        .unionByName(corrupted.withColumn("y", lit(0)))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"),
+          col("y"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(2)))
+      val w = Array.fill(5)(0.0)
+      for (_ <- 0 until steps) {
+        val g = Array.fill(5)(0.0)
+        rows.foreach { case (x, y) =>
+          val z = w(0) + w(1) * x(0) + w(2) * x(1) + w(3) * x(2) + w(4) * x(3)
+          val d = 1.0 / (1.0 + math.exp(-z)) - y
+          g(0) += d
+          var i = 0
+          while (i < 4) { g(i + 1) += d * x(i); i += 1 }
+        }
+        var i = 0
+        while (i < 5) { w(i) -= lr * g(i) / rows.length; i += 1 }
+      }
+      val acc = rows.count { case (x, y) =>
+        val z = w(0) + w(1) * x(0) + w(2) * x(1) + w(3) * x(2) + w(4) * x(3)
+        (if (z >= 0) 1 else 0) == y
+      }.toDouble / rows.length
+      println("QCWEIGHTS " + w.map(v => f"$v%.6f").mkString(", ") + f" acc=$acc%.3f")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("dsirtbl")) {
       // dump the DSIR per-bucket log-ratio table for cross-engine
       // comparison: runMain graft.ScaleProbe dsirtbl <sfDir>

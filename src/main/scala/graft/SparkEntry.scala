@@ -1152,6 +1152,26 @@ object SparkEntry {
       Corpus.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
           nTarget = 200)
         .orderBy("doc_id")),
+    // EXT learned quality filter: logistic scoring over the shared
+    // quality features with FROZEN trained weights (QcWeights, trained
+    // by ScaleProbe qctrain on clean-vs-corrupted) — the fastText-style
+    // learned-filter shape; inference is one expression-only projection
+    "quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val junk = docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" !!! ### ,,, ;;; !!!")).as("text"))
+      val w = QcWeights
+      val z = (1 to 4).foldLeft(lit(w.head): Column) { (acc, i) =>
+        acc + lit(w(i)) * element_at(col("_f"), i)
+      }
+      docs.unionByName(junk)
+        .withColumn("_f", TextFunctions.qualityFeatures(col("text")))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_clean"))
+        .withColumn("keep", col("p_clean") >= 0.5)
+        .orderBy("doc_id")
+    }),
     // EXT ingest-time CDC (StreamOps.cdcClassifyStream, batch-symmetric
     // here like the other *_stream queries): v2 docs classified
     // added/changed against the 40-byte/doc base fingerprint index —
@@ -1177,6 +1197,18 @@ object SparkEntry {
   private val PhraseDict: Seq[String] = Seq(
     "spark", "hash join", "table scan", "merge sort", "window agg",
     "the fast key")
+
+  /** Frozen logistic quality-classifier weights (bias, then one weight
+    * per [[TextFunctions.qualityFeatures]] component) — output of the
+    * deterministic trainer `runMain graft.ScaleProbe qctrain
+    * /root/testdata/sf0.01 800 2.0` (clean docs vs punctuation-corrupted
+    * copies; train accuracy 1.000, the punctuation-inverse feature
+    * carries the separation as it should). A LITERAL single-sourced like
+    * [[bpeMergeTable]]: the Spark query and the generated DuckDB oracle
+    * both replay sigmoid(w·x) from this exact list.
+    */
+  private val QcWeights: Seq[Double] =
+    Seq(-8.840501, -6.294045, -3.868260, 18.738033, -0.085477)
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -2452,5 +2484,24 @@ object SparkEntry {
         |        FROM documents)
         |SELECT r.doc_id, r.lang FROM r JOIN alloc USING (lang)
         |WHERE rk <= nl ORDER BY doc_id""".stripMargin,
+    "quality_classifier" -> {
+      val w = QcWeights
+      val z = s"${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3 + ${w(4)} * x4"
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id + 400000, text || ' !!! ### ,,, ;;; !!!'
+         |           FROM documents WHERE doc_id % 5 = 2),
+         | base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM u),
+         | c AS (SELECT doc_id, $qualityComponentsSql,
+         |  ${stops(TextFunctions.EnStops)} AS stop_en
+         | FROM base),
+         | f AS (SELECT doc_id,
+         |   LEAST(CAST(token_cnt AS DOUBLE) / 100.0, 1.0) AS x1,
+         |   LEAST((CASE WHEN token_cnt > 0 THEN nonspace / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0) AS x2,
+         |   1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct_cnt AS DOUBLE) / chars ELSE 1.0 END) * 10.0, 1.0) AS x3,
+         |   LEAST((CASE WHEN token_cnt > 0 THEN CAST(stop_en AS DOUBLE) / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) AS x4
+         |  FROM c),
+         | s AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-($z))), 6) AS p_clean FROM f)
+         |SELECT doc_id, p_clean, p_clean >= 0.5 AS keep FROM s ORDER BY doc_id""".stripMargin
+    },
   )
 }

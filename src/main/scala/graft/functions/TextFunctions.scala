@@ -117,17 +117,33 @@ object TextFunctions {
     * contract (oracle-tested); weights follow common quality-filter
     * practice (length + fluency signals).
     */
-  def qualityScore(c: Column): Column = {
+  /** The four capped quality components in [0,1], as an ARRAY in fixed
+    * order (length, token-length, punctuation-inverse, stopword) — the
+    * feature vector [[qualityScore]] mixes with fixed weights and the
+    * learned classifier ([[graft.SparkEntry]] `quality_classifier`)
+    * mixes with trained ones. One definition; every consumer and every
+    * SQL mirror replays the identical arithmetic.
+    */
+  def qualityFeatures(c: Column): Column = {
     val toks = tokenCount(c).cast("double")
     val chars = length(c).cast("double")
     val nonSpace = length(regexp_replace(c, "\\s", "")).cast("double")
     val avgTokLen = when(toks > 0, nonSpace / toks).otherwise(lit(0.0))
     val punctRatio = when(chars > 0, punctCount(c).cast("double") / chars).otherwise(lit(1.0))
     val stopRatio = when(toks > 0, stopwordCount(c, EnStops).cast("double") / toks).otherwise(lit(0.0))
-    lit(0.25) * least(toks / 100.0, lit(1.0)) +
-      lit(0.25) * least(avgTokLen / 8.0, lit(1.0)) +
-      lit(0.25) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) +
-      lit(0.25) * least(stopRatio * 5.0, lit(1.0))
+    array(
+      least(toks / 100.0, lit(1.0)),
+      least(avgTokLen / 8.0, lit(1.0)),
+      lit(1.0) - least(punctRatio * 10.0, lit(1.0)),
+      least(stopRatio * 5.0, lit(1.0)))
+  }
+
+  def qualityScore(c: Column): Column = {
+    val f = qualityFeatures(c)
+    lit(0.25) * element_at(f, 1) +
+      lit(0.25) * element_at(f, 2) +
+      lit(0.25) * element_at(f, 3) +
+      lit(0.25) * element_at(f, 4)
   }
 
   /** Text normalization for dedup/fingerprint keys: lowercase + collapse

@@ -91,6 +91,19 @@ class FunctionsSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("qualityFeatures: components in [0,1], punctuation corruption only moves x3") {
+    val df = Seq("the quick brown fox jumps over a dog",
+      "the quick brown fox jumps over a dog !!! ### ,,, ;;; !!!").toDF("t")
+    val fs = df.select(TextFunctions.qualityFeatures(col("t"))).collect()
+      .map(_.getSeq[Double](0))
+    fs.foreach(f => assert(f.size == 4 && f.forall(v => v >= 0.0 && v <= 1.0)))
+    val (clean, junk) = (fs(0), fs(1))
+    assert(clean(2) > junk(2) + 0.5) // punct-inverse collapses under corruption
+    // mixing with equal weights reproduces qualityScore exactly
+    val mixed = df.select(TextFunctions.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    fs.zip(mixed).foreach { case (f, q) => assert(math.abs(f.map(_ * 0.25).sum - q) < 1e-12) }
+  }
+
   test("cosine: identical=1, orthogonal=0, HOF variant agrees with expression") {
     val df = Seq(
       (Array(1.0, 0.0), Array(1.0, 0.0)),
