@@ -888,6 +888,21 @@ object SparkEntry {
           docs.filter(col("doc_id") % 13 === 0), "text", 8)
         .orderBy("doc_id")
     }),
+    // EXT FUZZY eval-set decontamination (Corpus.decontaminateFuzzy):
+    // the MinHash complement of decontaminate_docs — eval items are the
+    // %13=1 docs lightly paraphrased (one appended token, J ~ 0.95), so
+    // exact n-gram matching alone would be fooled by further edits while
+    // the banded Jaccard pass still flags the source docs AND their
+    // corpus near-dups. Asymmetric band join, no corpus self-join.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" ev")).as("text"))
+      Corpus.decontaminateFuzzy(docs, "doc_id", "text",
+          eval, "doc_id", "text", threshold = 0.8, maxBucket = Some(64))
+        .orderBy("doc_id")
+    }),
     // EXT per-source dedup-rate report: docs vs distinct texts per source
     "dup_rate_by_source" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1030,6 +1045,49 @@ object SparkEntry {
     "novelty_docs" -> ((s, dir) => {
       Corpus.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    }),
+    // OLAP cube: revenue + row count at every (returnflag, linestatus)
+    // granularity in ONE pass (partial_aggregate-friendly Expand, no
+    // re-scan per grouping set); grouping_id disambiguates data NULLs
+    // from subtotal rows, keys coalesced to a sentinel so row identity
+    // is engine-portable (NULL orderings differ across engines)
+    "cube_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        // factors cast to decimal BEFORE the multiply: the product is
+        // then exact at scale 4 (rounding the double product at scale 2
+        // disagrees across engines by a cent on .005 boundaries). The
+        // product is projected BEFORE the cube so Expand copies the
+        // value instead of re-evaluating the decimal multiply once per
+        // grouping set (4x the decimal CPU, measured).
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("_rev"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("gid"), col("revenue"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    }),
+    // EXT corpus-level duplicate-line removal (Corpus.dedupLines —
+    // CCNet/RefinedWeb paragraph dedup): the flat test corpus has no
+    // newlines, so multi-line "pages" are synthesized by concatenating
+    // each (source, doc_id%50) group's texts in doc_id order — corpus
+    // duplicate texts then become cross-page boilerplate LINES, which
+    // is exactly the shape the operator removes (df>=2 over trimmed
+    // line digests; blank lines immune; per-page reassembly in order)
+    "line_dedup" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .groupBy(concat(col("source"), lit("-"),
+          (col("doc_id") % 50).cast("string")).as("gid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n").as("text"))
+      Corpus.dedupLines(pages, "gid", "text", minDf = 2)
+        .orderBy("gid")
     }),
     // EXT gap-based sessionization (batch twin of the stateful streaming
     // flatMapGroupsWithState path — equality tested in StreamingSpec)
@@ -1393,15 +1451,18 @@ object SparkEntry {
     * `cand`, and a recipe change here changes both hash checks in
     * lockstep with the Scala side.
     */
-  private val minhashAgainstCtes = {
+  /** Banded-MinHash corpus-vs-incoming CTE chain, parameterized by the
+    * incoming-set recipe (the declared queries reuse the same md5-slice
+    * signature scheme against different injected/eval sets).
+    */
+  private def minhashAgainstCtesWith(incSql: String) = {
     val minCols = (0 until 12)
       .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
       .mkString(", ")
     val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
     val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
     s"""c AS (SELECT doc_id, text FROM documents),
-       | inc AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
-       |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0),
+       | inc AS ($incSql),
        | wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM c),
        | shc AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
        |         FROM wc WHERE len(ws) >= 3),
@@ -1416,6 +1477,10 @@ object SparkEntry {
        | bcc AS (SELECT bc.* FROM bc JOIN okc USING (band, bsig)),
        | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM bcc a JOIN bi b USING (band, bsig))""".stripMargin
   }
+
+  private val minhashAgainstCtes = minhashAgainstCtesWith(
+    """SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0""".stripMargin)
 
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
@@ -2161,6 +2226,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         |       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // cube mirror: GROUPING bit order matches Spark's grouping_id
+    // (first column = MSB); same decimal-exact revenue sum
+    "cube_revenue" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    // line-dedup mirror: same synthesized pages (group-concat in doc_id
+    // order), same trimmed-line md5 df band, same ordered reassembly;
+    // all-lines-dropped pages coalesce to '' in both engines
+    "line_dedup" ->
+      """WITH gd AS (
+        |  SELECT source || '-' || CAST(doc_id % 50 AS VARCHAR) AS gid,
+        |         string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        | l AS (
+        |  SELECT gid, CAST(t.p AS INT) - 1 AS pos,
+        |         string_split(text, chr(10))[CAST(t.p AS INT)] AS line
+        |  FROM gd, LATERAL (SELECT unnest(range(1, len(string_split(text, chr(10))) + 1)) AS p) t),
+        | lh AS (SELECT gid, pos, line, md5(trim(line)) AS h FROM l),
+        | hot AS (SELECT h FROM lh WHERE length(trim(line)) > 0
+        |         GROUP BY h HAVING COUNT(DISTINCT gid) >= 2),
+        | fl AS (SELECT lh.gid, lh.pos, lh.line, hot.h IS NOT NULL AS is_hot
+        |        FROM lh LEFT JOIN hot ON lh.h = hot.h)
+        |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN NOT is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN NOT is_hot THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+        |FROM fl GROUP BY gid ORDER BY gid""".stripMargin,
     "sessions_user" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
@@ -2303,6 +2399,22 @@ object SparkEntry {
         |       FROM inter JOIN sizes ON sizes.jid = src_id)
         |SELECT src_id, dst_id, containment FROM j
         |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
+    // fuzzy-decontamination mirror: the same banded pipeline with the
+    // eval-set recipe as the incoming side, rolled up per corpus doc
+    "decontaminate_fuzzy" -> {
+      val ctes = minhashAgainstCtesWith(
+        "SELECT doc_id + 500000 AS doc_id, text || ' ev' AS text FROM documents WHERE doc_id % 13 = 1")
+      s"""WITH $ctes,
+         | szc AS (SELECT jid, COUNT(*) AS sz FROM shc GROUP BY 1),
+         | szi AS (SELECT jid, COUNT(*) AS sz FROM shi GROUP BY 1),
+         | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
+         |           JOIN shc x ON x.jid = id_a JOIN shi y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
+         | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |       FROM inter JOIN szc sa ON sa.jid = id_a JOIN szi sb ON sb.jid = id_b)
+         |SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+         |       ROUND(MAX(jaccard), 6) AS max_jaccard
+         |FROM j WHERE jaccard >= 0.8 GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     "minhash_against" ->
       s"""WITH $minhashAgainstCtes,
          | szc AS (SELECT jid, COUNT(*) AS sz FROM shc GROUP BY 1),

@@ -528,4 +528,78 @@ object Corpus {
           count(lit(1)).cast("double"), 6).as("novel_frac"))
       .select(col("_id").as(idCol), col("n_grams"), col("novel_frac"))
   }
+
+  /** FUZZY eval-set decontamination (EXT — the near-duplicate
+    * complement of [[decontaminate]]: exact n-gram overlap misses a
+    * benchmark item that was lightly paraphrased or truncated before it
+    * leaked into the corpus, which is why published decontamination
+    * recipes pair the exact pass with a MinHash pass). Every corpus
+    * document whose shingle-set Jaccard against ANY eval document
+    * reaches `threshold` is reported with its match count and best
+    * score — the caller anti-joins to drop them.
+    *
+    * Scale shape (100 TB): delegates to
+    * [[Dedup.minhashNearDupAgainstMd5]] — the asymmetric banded
+    * equi-join (NO corpus self-join), with the corpus-side bucket cap
+    * as the boilerplate guard; the eval side is benchmark-sized, so its
+    * banded signatures broadcast. The roll-up adds one groupBy over the
+    * (already tiny) match set.
+    */
+  def decontaminateFuzzy(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+      threshold: Double = 0.8, k: Int = 12, bands: Int = 2,
+      shingleK: Int = 3, maxBucket: Option[Int] = Some(64)): DataFrame = {
+    val ev = evalSet.select(col(evalIdCol).as(idCol), col(evalTextCol).as(textCol))
+    graft.operators.Dedup
+      .minhashNearDupAgainstMd5(corpus, ev, idCol, textCol,
+        k = k, bands = bands, shingleK = shingleK,
+        threshold = threshold, maxBucket = maxBucket)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+      .select(col("id_a").as(idCol), col("n_eval_matches"), col("max_jaccard"))
+  }
+
+  /** Corpus-level duplicate-LINE removal (EXT — the CCNet/RefinedWeb
+    * paragraph-dedup step, Wenzek et al. 2020: lines repeated across
+    * documents are boilerplate — navigation, cookie banners, license
+    * footers — and are dropped from EVERY document before any whole-doc
+    * dedup runs). A line whose trimmed text occurs in >= `minDf`
+    * distinct documents is removed wherever it appears; remaining lines
+    * are reassembled in original order. Blank lines are never counted
+    * or dropped (they are document structure, not content).
+    * Output: (idCol, n_lines, n_kept, clean_text) for every input doc.
+    *
+    * Scale shape (100 TB): the df histogram groups 16-byte md5 digests,
+    * never line text; the hot set (df >= minDf) is the corpus's
+    * boilerplate vocabulary — small in practice, so AQE broadcasts the
+    * left join and the only corpus-sized shuffle is the per-doc
+    * reassembly groupBy. Reassembly orders by the line's position via
+    * array_sort over (pos, line) structs — deterministic at any
+    * parallelism.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"dedupLines: need minDf>=2, got $minDf")
+    require(sep.nonEmpty, "dedupLines: separator must be non-empty")
+    val lines = docs.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("_pos", "_line")))
+      .withColumn("_h", md5(trim(col("_line")).cast("binary")))
+    val hot = lines.filter(length(trim(col("_line"))) > 0)
+      .groupBy(col("_h"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_h"), lit(true).as("_hot"))
+    lines.join(hot, Seq("_h"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_hot").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_hot").isNull,
+            struct(col("_pos"), col("_line"))))),
+          x => x.getField("_line")), sep).as("clean_text"))
+      .select(col("_id").as(idCol), col("n_lines"), col("n_kept"),
+        col("clean_text"))
+  }
 }

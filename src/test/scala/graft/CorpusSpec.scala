@@ -259,4 +259,46 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSet == Set(("m", "x"), ("x", "y"), ("m", "y")))
     assert(out.forall(_._3 == 5L))
   }
+
+  test("dedupLines: cross-doc boilerplate dropped everywhere, order kept, blanks immune") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique one\n\nfooter"),
+      (2L, "cookie banner\nunique two\nfooter"),
+      (3L, "only original text here")).toDF("id", "text")
+    val out = Corpus.dedupLines(docs, "id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // 'cookie banner' and 'footer' appear in docs 1+2 -> dropped from both
+    assert(out(1L) == ((4L, 2L, "unique one\n")))   // blank line survives
+    assert(out(2L) == ((3L, 1L, "unique two")))
+    assert(out(3L) == ((1L, 1L, "only original text here")))
+    // trimming matters for matching but not for the kept text
+    val padded = Seq((1L, "  footer  \nkeep"), (2L, "footer\nother")).toDF("id", "text")
+    val p = Corpus.dedupLines(padded, "id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(p(1L) == "keep" && p(2L) == "other")
+  }
+
+  test("decontaminateFuzzy: paraphrased eval items flag their sources; clean docs pass") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated text about spark partitions and shuffle planning"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    // eval item = doc 1 with one appended token (near-dup, not exact)
+    val eval = Seq((900L, "the quick brown fox jumps over the lazy dog again and again today extra"))
+      .toDF("eid", "etext")
+    val out = Corpus.decontaminateFuzzy(corpus, "doc_id", "text",
+        eval, "eid", "etext", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet == Set(1L, 3L)) // both copies flagged, clean doc not
+    assert(out.forall(t => t._2 == 1L && t._3 >= 0.8 && t._3 < 1.0))
+  }
+
+  test("dedupLines: all-lines-dropped doc yields empty clean_text, still present") {
+    val docs = Seq((1L, "same"), (2L, "same")).toDF("id", "text")
+    val out = Corpus.dedupLines(docs, "id", "text", minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 2)
+    out.foreach { case (_, nl, nk, ct) => assert(nl == 1L && nk == 0L && ct == "") }
+  }
 }
