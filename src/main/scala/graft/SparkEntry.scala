@@ -1038,6 +1038,19 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank", k = 10)
         .orderBy("rank")
     }),
+    // EXT MMR diversity re-rank (Retrieval.mmrTopK, Carbonell'98):
+    // greedy lambda*rel - (1-lambda)*maxsim selection of 5 from the
+    // 16-candidate relevance pool per query — duplicate-dense corpora
+    // make pure relevance top-k hand back copies; MMR spends the budget
+    // on coverage. Greedy runs per query inside one flatMapGroups task
+    // over <= poolSize rows (bounded, like sequence packing); the
+    // oracle replays the selection with a recursive CTE.
+    "mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Retrieval.mmrTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, lambda = 0.7, poolSize = 16)
+        .orderBy("query_id", "rank")
+    }),
     // EXT n-gram novelty (Corpus.ngramNovelty): fraction of each doc's
     // distinct word trigrams occurring in NO other document — the
     // inverse of boilerplate saturation; map-side per-doc dedup, 8-byte
@@ -2399,6 +2412,44 @@ object SparkEntry {
         |       FROM inter JOIN sizes ON sizes.jid = src_id)
         |SELECT src_id, dst_id, containment FROM j
         |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
+    // MMR mirror: the greedy selection replayed as a recursive CTE —
+    // state per (query, step) is the chosen-id list; each iteration's
+    // LATERAL picks argmax(lambda*rel - (1-lambda)*maxsim) with the
+    // same id tie-break; (1 - 0.7) is EVALUATED, matching Scala's
+    // 1.0 - lambda double (a 0.3 literal would differ by 1 ulp)
+    "mmr_topk" ->
+      s"""WITH RECURSIVE
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | q AS (SELECT * FROM e WHERE vec_id < 5),
+         | s AS (SELECT q.vec_id AS qid, c.vec_id AS cid, ${cosSql("q.v", "c.v")} AS rel
+         |       FROM q JOIN e c ON c.vec_id <> q.vec_id),
+         | pool AS (SELECT qid, cid, rel FROM (
+         |    SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn FROM s) t
+         |    WHERE rn <= 16),
+         | sims AS (SELECT a.qid, a.cid AS ca, b.cid AS cb, ${cosSql("ea.v", "eb.v")} AS sim
+         |          FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+         |          JOIN e ea ON ea.vec_id = a.cid JOIN e eb ON eb.vec_id = b.cid),
+         | sel AS (
+         |   SELECT qq.qid, 1 AS step, [pick.cid] AS chosen, [pick.score] AS scores
+         |   FROM (SELECT DISTINCT qid FROM pool) qq, LATERAL (
+         |     SELECT cid, 0.7 * rel - (1 - 0.7) * 0.0 AS score FROM pool p
+         |     WHERE p.qid = qq.qid ORDER BY score DESC, cid LIMIT 1) pick
+         |   UNION ALL
+         |   SELECT s.qid, s.step + 1, list_append(s.chosen, pick.cid), list_append(s.scores, pick.score)
+         |   FROM sel s, LATERAL (
+         |     SELECT p.cid AS cid,
+         |       0.7 * p.rel - (1 - 0.7) * coalesce((
+         |         SELECT MAX(m.sim) FROM sims m
+         |         WHERE m.qid = s.qid AND m.ca = p.cid AND list_contains(s.chosen, m.cb)), 0.0) AS score
+         |     FROM pool p
+         |     WHERE p.qid = s.qid AND NOT list_contains(s.chosen, p.cid)
+         |     ORDER BY score DESC, cid LIMIT 1) pick
+         |   WHERE s.step < 5),
+         | last AS (SELECT * FROM sel WHERE step = 5)
+         |SELECT qid AS query_id, unnest(chosen) AS doc_id,
+         |       ROUND(unnest(scores), 6) AS mmr,
+         |       CAST(generate_subscripts(chosen, 1) AS INT) AS rank
+         |FROM last ORDER BY query_id, rank""".stripMargin,
     // fuzzy-decontamination mirror: the same banded pipeline with the
     // eval-set recipe as the incoming side, rolled up per corpus doc
     "decontaminate_fuzzy" -> {

@@ -4,6 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Candidate row for [[Retrieval.mmrTopK]]'s per-query greedy stage —
+  * top-level (not nested/private) because the Dataset encoder's
+  * generated deserializer must instantiate it.
+  */
+case class MmrCand(qid: Long, cid: Long, rel: Double,
+    sims: Seq[(Long, Double)])
+
 /** Corpus-retrieval scoring for the training-data pipeline (EXT per
   * SURVEY north star; no reference analog): data curation at 100 TB
   * constantly *queries* its own corpus — "pull the k docs most relevant
@@ -94,5 +101,94 @@ object Retrieval {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("rrf").desc, col("_id").asc)))
       .select(col("_id").as(idCol), col("rrf"), col("rank"))
+  }
+
+  /** Maximal-marginal-relevance top-k (Carbonell/Goldstein, SIGIR'98):
+    * greedily select `k` of the `poolSize` most-relevant candidates,
+    * each step maximizing `lambda * rel - (1-lambda) * max sim to the
+    * already-selected set` — the standard diversity re-rank (a pure
+    * relevance top-k hands a curation reviewer five copies of the same
+    * near-duplicate document; MMR spends the same budget on coverage).
+    * Output: (query_id, doc_id, mmr, rank) — `mmr` is the score at
+    * selection time, quantized to 6; rank is selection order.
+    *
+    * Determinism: relevance and candidate-pair cosines are computed by
+    * the same sequential-accumulation kernel the ANN family uses, the
+    * greedy argmax breaks score ties toward the smaller id, and
+    * `(1-lambda)` is evaluated (not a rounded literal) so any engine
+    * replaying the same arithmetic — e.g. a DuckDB recursive CTE —
+    * reproduces the selection bit for bit.
+    *
+    * Scale shape (100 TB): the only corpus-sized stage is the relevance
+    * front-end ([[Ann.bruteForceTopK]] here; any banded ANN in the
+    * family substitutes — same (query_id, neighbor_id, cos) contract).
+    * Everything after is bounded by queries x poolSize: the candidate
+    * pair grid is poolSize^2 per query, and the greedy loop runs inside
+    * one `flatMapGroups` task per query over at most poolSize rows —
+    * the iterative selection is genuinely sequential (each pick depends
+    * on the previous), so a bounded per-group loop is the honest
+    * distributed shape, exactly like sequence packing.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double = 0.7,
+      poolSize: Int = 16): DataFrame = {
+    require(k > 0 && k <= poolSize,
+      s"mmrTopK: need 0 < k <= poolSize; got k=$k poolSize=$poolSize")
+    require(lambda >= 0 && lambda <= 1, s"mmrTopK: need 0<=lambda<=1, got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long").as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val pool = Ann.bruteForceTopK(corpus, queries, idCol, vecCol, poolSize)
+      .select(col("query_id").cast("long").as("qid"),
+        col("neighbor_id").cast("long").as("cid"), col("cos").as("rel"))
+    // candidate-pair cosines: poolSize^2 rows per query; vectors joined
+    // onto the (tiny) pool, never the reverse
+    val pairSims = pool.select(col("qid"), col("cid").as("_ca"))
+      .join(pool.select(col("qid"), col("cid").as("_cb")), Seq("qid"))
+      .filter(col("_ca") =!= col("_cb"))
+      .join(vecs.select(col("_vid").as("_ca"), col("_v").as("_va")), Seq("_ca"))
+      .join(vecs.select(col("_vid").as("_cb"), col("_v").as("_vb")), Seq("_cb"))
+      .select(col("qid"), col("_ca"),
+        struct(col("_cb").as("_1"),
+          graft.functions.VectorFunctions.cosine(col("_va"), col("_vb")).as("_2")).as("_s"))
+      .groupBy(col("qid"), col("_ca"))
+      .agg(collect_list(col("_s")).as("sims"))
+    val cands = pool
+      .join(pairSims.select(col("qid"), col("_ca").as("cid"), col("sims")),
+        Seq("qid", "cid"), "left")
+      .select(col("qid"), col("cid"), col("rel"),
+        coalesce(col("sims"), array().cast("array<struct<_1:bigint,_2:double>>")).as("sims"))
+      .as[MmrCand]
+    cands.groupByKey(_.qid)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val cs = it.toArray
+        val rel = cs.map(c => c.cid -> c.rel).toMap
+        val simOf = cs.map(c => c.cid -> c.sims.toMap).toMap
+        val ids = cs.map(_.cid).sorted // ascending scan => ties pick smaller id
+        val remaining = scala.collection.mutable.LinkedHashSet(ids: _*)
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+        var step = 1
+        while (step <= k && remaining.nonEmpty) {
+          var bestId = -1L
+          var bestScore = Double.NegativeInfinity
+          remaining.foreach { cid =>
+            val maxSim =
+              if (chosen.isEmpty) 0.0
+              else chosen.map(simOf(cid).getOrElse(_, 0.0)).max
+            val score = lambda * rel(cid) - (1.0 - lambda) * maxSim
+            if (score > bestScore) { bestScore = score; bestId = cid }
+          }
+          out += ((qid, bestId, bestScore, step))
+          remaining -= bestId
+          chosen += bestId
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "doc_id", "_mmr", "rank")
+      .select(col("query_id"), col("doc_id"), round(col("_mmr"), 6).as("mmr"),
+        col("rank"))
   }
 }

@@ -66,4 +66,43 @@ class RetrievalSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L))
     assert(out(1L) > out(2L)) // 1/61 + 1/62 > 1/61
   }
+
+  test("mmrTopK: diversifies — near-duplicate of the top hit is deferred, rank 1 = pure relevance") {
+    // query 0 = e1; corpus: 10/11 nearly identical & most relevant,
+    // 12 distinct & moderately relevant, 13 near-orthogonal
+    def v(x: Double, y: Double, z: Double) = Seq(x, y, z)
+    val rows = Seq(
+      (0L, v(1, 0, 0)),          // query
+      (10L, v(0.9, 0.1, 0)),     // top relevance
+      (11L, v(0.9, 0.11, 0)),    // near-dup of 10 (sim ~ 0.99995)
+      (12L, v(0.6, -0.8, 0)),    // diverse (sim to 10 ~ 0.51), rel 0.6
+      (13L, v(0, 0.1, 1.0)))     // diverse, low relevance
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Retrieval.mmrTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, lambda = 0.5, poolSize = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    val pickedIds = out.map(_._1).toSeq
+    assert(pickedIds.head == 10L)     // first pick = most relevant
+    assert(pickedIds(1) == 12L)       // second pick diversifies, not the 11 near-dup
+    assert(out.map(_._2).toSeq == Seq(1, 2, 3))
+    // determinism
+    val again = Retrieval.mmrTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, lambda = 0.5, poolSize = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("mmrTopK: lambda=1 degenerates to pure relevance ranking") {
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)), (20L, Seq(0.95, 0.05)), (21L, Seq(0.94, 0.06)),
+      (22L, Seq(0.1, 0.9)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val mmr = Retrieval.mmrTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, lambda = 1.0, poolSize = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    val brute = graft.operators.Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(mmr.toSeq == brute.toSeq)
+  }
 }
