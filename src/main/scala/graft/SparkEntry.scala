@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{ByteFunctions, Formatting, TextFunctions}
-import graft.operators.{Ann, Coo, Corpus, Dedup, Graph, Relational, Retrieval, Sampling, Stats, VizPrep, Windows}
+import graft.operators.{Ann, Coo, Corpus, Dedup, Events, Graph, Relational, Retrieval, Sampling, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1101,6 +1101,25 @@ object SparkEntry {
           x => x.getField("text")), "\n").as("text"))
       Corpus.dedupLines(pages, "gid", "text", minDf = 2)
         .orderBy("gid")
+    }),
+    // EXT cohort retention matrix (Events.retentionCohorts): users
+    // cohorted by first active day, (cohort, offset) cells count members
+    // active that many days later. One (user,day) dedup shuffle; the
+    // first-day agg and activity join reuse the user hash; cohort sizes
+    // AQE-broadcast.
+    "retention_cohorts" -> ((s, dir) => {
+      Events.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")
+    }),
+    // EXT ordered conversion funnel (Events.funnelStages): furthest
+    // stage per user under min-chain semantics (stage i counts only
+    // strictly after the earliest completion of stage i-1) — N
+    // conditional-min windows chained over ONE user-key exchange, vs
+    // the N-shuffle join-chain a naive funnel runs
+    "funnel_stages" -> ((s, dir) => {
+      Events.funnelStages(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("user_id")
     }),
     // EXT gap-based sessionization (batch twin of the stateful streaming
     // flatMapGroupsWithState path — equality tested in StreamingSpec)
@@ -2270,6 +2289,36 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN NOT is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       coalesce(string_agg(CASE WHEN NOT is_hot THEN line END, chr(10) ORDER BY pos), '') AS clean_text
         |FROM fl GROUP BY gid ORDER BY gid""".stripMargin,
+    // retention mirror: same first-day cohorting and (cohort, offset)
+    // distinct-user cells; datediff == date subtraction in DuckDB
+    "retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | fd AS (SELECT user_id, MIN(day) AS cohort FROM act GROUP BY 1),
+        | sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS size FROM fd GROUP BY 1),
+        | cell AS (SELECT fd.cohort, act.day - fd.cohort AS off,
+        |          CAST(COUNT(*) AS BIGINT) AS n_active
+        |          FROM act JOIN fd USING (user_id) GROUP BY 1, 2)
+        |SELECT cell.cohort AS cohort_day, CAST(off AS INT) AS day_offset, n_active,
+        |       ROUND(CAST(n_active AS DOUBLE) / size, 6) AS retention
+        |FROM cell JOIN sz ON sz.cohort = cell.cohort
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // funnel mirror: the min-chain replayed as explicit per-stage mins
+    // (t1 = earliest signup; t_i = earliest stage-i event strictly
+    // after t_{i-1}); every user present, stage 0 = never entered
+    "funnel_stages" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        | t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+        | t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1),
+        | u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |       CASE WHEN ts3 IS NOT NULL THEN 3 WHEN ts2 IS NOT NULL THEN 2
+        |            WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |       LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "sessions_user" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics (EXT per SURVEY north star; no reference
+  * analog — the reference's users run these as hand-rolled pandas
+  * groupbys): cohort retention matrices and ordered conversion funnels
+  * over an event stream, the two queries every product/abuse/quality
+  * dashboard on top of an events table starts with.
+  */
+object Events {
+
+  /** Cohort retention matrix: users are cohorted by their FIRST active
+    * day; each (cohort_day, day_offset) cell counts the cohort members
+    * active `day_offset` days after joining, with the retained fraction.
+    * Output: (cohort_day, day_offset, n_active, retention), one row per
+    * observed (cohort, offset) cell — offset 0 is the cohort size row
+    * (retention 1.0).
+    *
+    * Scale shape (100 TB): the (user, day) activity set is deduped in
+    * one shuffle; first-day and the activity join both hash on the user
+    * key, so the exchange is reused; cohort sizes are at most
+    * |distinct days| rows and AQE-broadcast back onto the cell
+    * aggregate. No window over the whole stream, no self-join.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val activity = events
+      .select(col(userCol).as("_u"), col(tsCol).cast("date").as("_day"))
+      .distinct()
+    val firstDay = activity.groupBy(col("_u")).agg(min(col("_day")).as("_cohort"))
+    val sizes = firstDay.groupBy(col("_cohort"))
+      .agg(count(lit(1)).as("_size"))
+    activity.join(firstDay, Seq("_u"))
+      .select(col("_cohort"), datediff(col("_day"), col("_cohort")).as("_off"),
+        col("_u"))
+      .groupBy(col("_cohort"), col("_off"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("_cohort"))
+      .select(col("_cohort").as("cohort_day"), col("_off").as("day_offset"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("_size"), 6).as("retention"))
+  }
+
+  /** Ordered conversion funnel: per user, the furthest stage reached
+    * walking `stages` in order — stage i counts only from an event of
+    * that type STRICTLY after the user's earliest completion of stage
+    * i-1 (the min-chain semantics: t_1 = earliest stage-1 event,
+    * t_i = earliest stage-i event with ts > t_{i-1}). Output:
+    * (userCol, stage) for every user in the stream, stage 0 = never
+    * entered the funnel.
+    *
+    * Scale shape (100 TB): ONE hash exchange on the user key — each
+    * stage is a conditional-min window over the same user partitioning
+    * (Spark chains the N window operators on one sort/exchange), and
+    * the final per-user roll-up groups on the same key again. The
+    * N-way join-chain formulation this replaces shuffles N times.
+    */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStages: need at least one stage")
+    require(stages.distinct.size == stages.size,
+      "funnelStages: stage types must be distinct")
+    val w = Window.partitionBy(col("_u"))
+    val base = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+      col(typeCol).as("_et"))
+    val withMins = stages.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
+      val cond =
+        if (i == 0) col("_et") === st
+        else col("_et") === st && col(s"_t${i - 1}").isNotNull &&
+          col("_ts") > col(s"_t${i - 1}")
+      df.withColumn(s"_t$i", min(when(cond, col("_ts"))).over(w))
+    }
+    // ascending fold so the LAST wrap (deepest stage) is checked first:
+    // when(t_{N-1} set, N) otherwise when(t_{N-2} set, N-1) ... else 0
+    val stage = stages.indices.foldLeft(lit(0): Column) { (acc, i) =>
+      when(col(s"_t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withMins
+      .select(col("_u"), stage.as("_stage"))
+      .groupBy(col("_u"))
+      .agg(max(col("_stage")).as("stage"))
+      .select(col("_u").as(userCol), col("stage"))
+  }
+}

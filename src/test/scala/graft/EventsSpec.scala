@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("retentionCohorts: first day cohorts, offsets, and fractions") {
+    // u1 joins d1, active d1+d3; u2 joins d1 only; u3 joins d3, active d3+d4
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(1, 5)), (1L, ts(3)),
+      (2L, ts(1)),
+      (3L, ts(3)), (3L, ts(4))).toDF("user_id", "ts")
+    val out = Events.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 1.0)))   // cohort d1 size 2
+    assert(out(("2024-01-01", 2)) == ((1L, 0.5)))   // only u1 back on d3
+    assert(out(("2024-01-03", 0)) == ((1L, 1.0)))
+    assert(out(("2024-01-03", 1)) == ((1L, 1.0)))
+    assert(out.size == 4) // no empty cells emitted
+  }
+
+  test("funnelStages: min-chain order is enforced, every user present") {
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, ts(1), "signup"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2: click BEFORE signup does not count; no click after -> stage 1
+      (2L, ts(2), "click"), (2L, ts(3), "signup"),
+      // u3: purchase before click -> stops at stage 2
+      (3L, ts(1), "signup"), (3L, ts(2), "purchase"), (3L, ts(3), "click"),
+      // u4 never enters the funnel
+      (4L, ts(1), "view")).toDF("user_id", "ts", "event_type")
+    val out = Events.funnelStages(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("funnelStages: event at exactly the previous stage's timestamp is excluded (strict)") {
+    val ev = Seq(
+      (1L, ts(1), "signup"), (1L, ts(1), "click"), // same instant -> not after
+      (2L, ts(1), "signup"), (2L, ts(1, 1), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.funnelStages(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("funnelStages: one exchange — chained windows share the user partitioning") {
+    val ev = Seq((1L, ts(1), "signup")).toDF("user_id", "ts", "event_type")
+    val plan = Events.funnelStages(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, plan:\n$plan")
+  }
+}
