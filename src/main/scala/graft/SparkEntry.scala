@@ -1051,6 +1051,22 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, lambda = 0.7, poolSize = 16)
         .orderBy("query_id", "rank")
     }),
+    // EXT nearest-centroid (Rocchio) domain classification
+    // (Ann.labelCentroids + nearestCentroidAssign): md5-sampled
+    // prototype centroids per label (ordered element-wise fold —
+    // engine-portable float sums), every vector assigned to its
+    // highest-cosine prototype; declared as the confusion matrix. The
+    // centroid table is |labels| rows and broadcast — no corpus shuffle
+    // beyond the per-id argmax window.
+    "centroid_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Ann.labelCentroids(emb, "vec_id", "embedding", "label",
+        sampleN = 32)
+      Ann.nearestCentroidAssign(emb, "vec_id", "embedding", "label", cents)
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }),
     // EXT n-gram novelty (Corpus.ngramNovelty): fraction of each doc's
     // distinct word trigrams occurring in NO other document — the
     // inverse of boilerplate saturation; map-side per-doc dedup, 8-byte
@@ -2461,6 +2477,23 @@ object SparkEntry {
         |       FROM inter JOIN sizes ON sizes.jid = src_id)
         |SELECT src_id, dst_id, containment FROM j
         |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
+    // centroid-assign mirror: same md5-ranked per-label sample, same
+    // ORDERED per-dimension sum (list in rank order -> sequential
+    // list_sum == Spark's rank-ordered fold, bit for bit), same argmax
+    "centroid_assign" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | r AS (SELECT label, vec_id, v,
+         |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY md5('42:' || vec_id), vec_id) AS rn FROM e),
+         | samp AS (SELECT * FROM r WHERE rn <= 32),
+         | g AS (SELECT label, list(v ORDER BY rn) AS lv, CAST(COUNT(*) AS BIGINT) AS n FROM samp GROUP BY label),
+         | cent AS (SELECT label AS plab,
+         |           list_transform(range(1, 65), d -> list_sum(list_transform(lv, w -> w[d])) / n) AS cv
+         |          FROM g),
+         | a AS (SELECT e.vec_id, e.label, c.plab, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN cent c),
+         | p AS (SELECT vec_id, label, plab,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, plab) AS rn FROM a)
+         |SELECT label, plab AS pred, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // MMR mirror: the greedy selection replayed as a recursive CTE —
     // state per (query, step) is the chosen-id list; each iteration's
     // LATERAL picks argmax(lambda*rel - (1-lambda)*maxsim) with the

@@ -486,4 +486,67 @@ object Ann {
       .filter(col("cosine") >= threshold)
       .select(col("_lo").as("lo_id"), col("_hi").as("hi_id"), col("cosine"))
   }
+
+  /** Per-label prototype centroids from a DETERMINISTIC md5-ranked
+    * sample (Rocchio prototypes): the `sampleN` vectors with smallest
+    * md5(seed:id) per label are summed element-wise in rank order and
+    * divided by the sample count. Sampling bounds the per-label state
+    * (the fold runs over at most `sampleN` vectors, the same
+    * md5-prototype discipline as [[ivfTopK]]'s centroids), and the
+    * ORDERED fold makes the float sum engine-portable — any SQL engine
+    * replaying `sum(v[d] ORDER BY rank) / n` reproduces each component
+    * bit for bit, which a commutative float sum would not.
+    * Output: (labelCol, centroid array<double>, n_sample).
+    */
+  def labelCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, sampleN: Int = 32, seed: String = "42"): DataFrame = {
+    require(sampleN > 0, s"labelCentroids: need sampleN>0, got $sampleN")
+    val ranked = emb.select(col(labelCol).as("_lab"), col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_lab"))
+          .orderBy(md5(concat(lit(seed + ":"), col("_id").cast("string"))),
+            col("_id"))))
+      .filter(col("_rn") <= sampleN)
+    ranked.groupBy(col("_lab"))
+      .agg(sort_array(collect_list(struct(col("_rn"), col("_v")))).as("_sv"),
+        count(lit(1)).as("n_sample"))
+      .select(col("_lab").as(labelCol),
+        transform(
+          aggregate(col("_sv"),
+            transform(element_at(col("_sv"), 1).getField("_v"), _ => lit(0.0)),
+            (acc, x) => zip_with(acc, x.getField("_v"), (a, b) => a + b)),
+          c => c / col("n_sample")).as("centroid"),
+        col("n_sample"))
+  }
+
+  /** Nearest-centroid (Rocchio) assignment: every vector gets the label
+    * of its highest-cosine prototype centroid — the cheap embedding
+    * domain classifier a curation pipeline uses to bucket documents for
+    * mixing/reporting before any learned model exists. Output:
+    * (idCol, labelCol, pred) for every input row, ties toward the
+    * smaller centroid label.
+    *
+    * Scale shape (100 TB): the centroid table is |labels| rows and
+    * broadcast; assignment is one argmax window per vector over
+    * |labels| scores — a map-side nested loop, no corpus shuffle except
+    * the window's own id hash (and the window runs over |labels| rows
+    * per id, never the corpus).
+    */
+  def nearestCentroidAssign(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col(labelCol).as("_plab"),
+      col("centroid").cast("array<double>").as("_cv"))
+    val scored = emb.select(col(idCol).as("_id"), col(labelCol).as("_lab"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(cents))
+      .select(col("_id"), col("_lab"), col("_plab"),
+        VectorFunctions.cosine(col("_v"), col("_cv")).as("_cos"))
+    val byId = Window.partitionBy(col("_id"))
+      .orderBy(col("_cos").desc, col("_plab").asc)
+    scored.withColumn("_rn", row_number().over(byId))
+      .filter(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("_lab").as(labelCol),
+        col("_plab").as("pred"))
+  }
 }

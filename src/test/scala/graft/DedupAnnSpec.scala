@@ -729,4 +729,33 @@ class DedupAnnSpec extends SparkSpec {
     val m = ui.schema.fields.find(_.name == "sig").get.metadata
     assert(m.getLong("minhash_k") == 12L && m.getLong("minhash_bands") == 2L)
   }
+
+  test("labelCentroids: sample mean in rank order; sampleN bounds the fold") {
+    val emb = Seq(
+      (1L, 0, Seq(2.0, 0.0)), (2L, 0, Seq(4.0, 0.0)), (3L, 0, Seq(6.0, 0.0)),
+      (4L, 1, Seq(0.0, 2.0))).toDF("vec_id", "label", "embedding")
+    // sampleN >= group size -> exact mean regardless of md5 order
+    val all = Ann.labelCentroids(emb, "vec_id", "embedding", "label", sampleN = 10)
+      .collect().map(r => r.getInt(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(all(0)._1 == Seq(4.0, 0.0) && all(0)._2 == 3L)
+    assert(all(1)._1 == Seq(0.0, 2.0) && all(1)._2 == 1L)
+    // sampleN = 2 -> exactly 2 sampled, deterministically
+    val s2a = Ann.labelCentroids(emb, "vec_id", "embedding", "label", sampleN = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val s2b = Ann.labelCentroids(emb, "vec_id", "embedding", "label", sampleN = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(s2a == s2b)
+  }
+
+  test("nearestCentroidAssign: separable labels classify perfectly, ties toward smaller label") {
+    val emb = Seq(
+      (1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(0.9, 0.1)),
+      (3L, 1, Seq(0.0, 1.0)), (4L, 1, Seq(0.1, 0.9)),
+      (5L, 0, Seq(0.8, 0.2))).toDF("vec_id", "label", "embedding")
+    val cents = Ann.labelCentroids(emb, "vec_id", "embedding", "label", sampleN = 10)
+    val out = Ann.nearestCentroidAssign(emb, "vec_id", "embedding", "label", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == 5)
+    out.foreach { case (_, lab, pred) => assert(lab == pred) }
+  }
 }
