@@ -531,12 +531,19 @@ object Ann {
     * broadcast; assignment is one argmax window per vector over
     * |labels| scores — a map-side nested loop, no corpus shuffle except
     * the window's own id hash (and the window runs over |labels| rows
-    * per id, never the corpus).
+    * per id, never the corpus). `maxLabels` makes the broadcast promise
+    * explicit (suite rule: a broadcast hint must wrap a provably
+    * bounded relation): the smallest `maxLabels` labels participate,
+    * any beyond the cap are dropped — a label space larger than the
+    * cap is not a prototype classifier anymore.
     */
   def nearestCentroidAssign(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, centroids: DataFrame): DataFrame = {
+      labelCol: String, centroids: DataFrame,
+      maxLabels: Int = 4096): DataFrame = {
+    require(maxLabels > 0, s"nearestCentroidAssign: need maxLabels>0, got $maxLabels")
     val cents = centroids.select(col(labelCol).as("_plab"),
-      col("centroid").cast("array<double>").as("_cv"))
+        col("centroid").cast("array<double>").as("_cv"))
+      .orderBy(col("_plab").asc).limit(maxLabels)
     val scored = emb.select(col(idCol).as("_id"), col(labelCol).as("_lab"),
         col(vecCol).cast("array<double>").as("_v"))
       .crossJoin(broadcast(cents))
