@@ -1118,6 +1118,23 @@ object SparkEntry {
       Corpus.dedupLines(pages, "gid", "text", minDf = 2)
         .orderBy("gid")
     }),
+    // EXT ingest-time boilerplate-line verdicts (StreamOps.lineIndex +
+    // lineVerdictsStream): the streaming half of line_dedup — per-line
+    // keep/drop against the build-once corpus line index via a
+    // stateless stream-static join (append-legal: reassembly is the
+    // sink's batch fold, spec-asserted equal to Corpus.dedupLines).
+    // Batch-symmetric here, like the other declared streaming queries.
+    "line_dedup_stream" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .groupBy(concat(col("source"), lit("-"),
+          (col("doc_id") % 50).cast("string")).as("gid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n").as("text"))
+      val idx = graft.streaming.StreamOps.lineIndex(pages, "gid", "text", minDf = 2)
+      graft.streaming.StreamOps.lineVerdictsStream(idx, pages, "gid", "text")
+        .orderBy("gid", "pos")
+    }),
     // EXT cohort retention matrix (Events.retentionCohorts): users
     // cohorted by first active day, (cohort, offset) cells count members
     // active that many days later. One (user,day) dedup shuffle; the
@@ -2335,6 +2352,22 @@ object SparkEntry {
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |       LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // line-verdict mirror: the line_dedup CTE chain minus reassembly
+    "line_dedup_stream" ->
+      """WITH gd AS (
+        |  SELECT source || '-' || CAST(doc_id % 50 AS VARCHAR) AS gid,
+        |         string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        | l AS (
+        |  SELECT gid, CAST(t.p AS INT) - 1 AS pos,
+        |         string_split(text, chr(10))[CAST(t.p AS INT)] AS line
+        |  FROM gd, LATERAL (SELECT unnest(range(1, len(string_split(text, chr(10))) + 1)) AS p) t),
+        | lh AS (SELECT gid, pos, line, md5(trim(line)) AS h FROM l),
+        | hot AS (SELECT h FROM lh WHERE length(trim(line)) > 0
+        |         GROUP BY h HAVING COUNT(DISTINCT gid) >= 2)
+        |SELECT lh.gid, lh.pos, lh.line, hot.h IS NULL AS keep
+        |FROM lh LEFT JOIN hot ON lh.h = hot.h
+        |ORDER BY gid, pos""".stripMargin,
     "sessions_user" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL

@@ -595,6 +595,52 @@ object StreamOps {
     * base corpus — 40 bytes per document at any corpus size, the
     * smallest index in the family. Persist/write it once per base
     * snapshot. */
+  /** Build-once boilerplate-LINE index — the streaming half of
+    * [[graft.operators.Corpus.dedupLines]]'s df histogram: the md5
+    * digests of trimmed lines occurring in >= `minDf` distinct corpus
+    * documents. 16 bytes per boilerplate line; the corpus text never
+    * leaves the build.
+    */
+  def lineIndex(corpus: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"lineIndex: need minDf>=2, got $minDf")
+    corpus
+      .select(col(idCol).as("_li_id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as("_li_line"))
+      .filter(length(trim(col("_li_line"))) > 0)
+      .select(col("_li_id"), md5(trim(col("_li_line")).cast("binary")).as("_lh"))
+      .groupBy(col("_lh"))
+      .agg(countDistinct(col("_li_id")).as("_li_df"))
+      .filter(col("_li_df") >= minDf)
+      .select("_lh")
+  }
+
+  /** Ingest-time boilerplate-line verdicts: each incoming document's
+    * lines are flagged against the build-once [[lineIndex]] —
+    * (idCol, pos, line, keep), keep=false for corpus boilerplate.
+    * Per-LINE verdicts, not reassembled documents, deliberately: the
+    * posexplode + stream-static LEFT join is stateless and append-legal
+    * (a per-doc reassembly would be a streaming aggregation needing a
+    * watermark); the sink reassembles with the same ordered
+    * array_sort fold the batch operator uses — StreamingSpec asserts
+    * that reassembly of these verdicts equals
+    * [[graft.operators.Corpus.dedupLines]] exactly. Blank lines are
+    * never flagged (index excludes them by construction). Works
+    * unchanged on a batch frame (declared query is batch-symmetric).
+    */
+  def lineVerdictsStream(index: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "line")))
+      .withColumn("_lhv", md5(trim(col("line")).cast("binary")))
+    lines.join(index.withColumn("_hot", lit(true)),
+        lines("_lhv") === index("_lh"), "left")
+      .select(col(idCol), col("pos"), col("line"),
+        coalesce(!col("_hot"), lit(true)).as("keep"))
+  }
+
   def cdcIndex(base: DataFrame, keyCol: String,
       payloadCol: String): DataFrame =
     base.select(col(keyCol).as("_cdc_k"), md5(col(payloadCol)).as("_cdc_f"))

@@ -532,4 +532,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed == Seq((2L, "changed"), (9L, "added")))
   }
+
+  test("lineVerdictsStream: stream verdicts reassemble to exactly Corpus.dedupLines") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val corpus = Seq(
+      (1L, "cookie banner\nunique one\n\nfooter"),
+      (2L, "cookie banner\nunique two\nfooter"),
+      (3L, "only original text here")).toDF("doc_id", "text")
+    val idx = StreamOps.lineIndex(corpus, "doc_id", "text", minDf = 2)
+    val incoming = Seq(
+      DocText(1L, "cookie banner\nunique one\n\nfooter"),
+      DocText(2L, "cookie banner\nunique two\nfooter"),
+      DocText(3L, "only original text here"))
+    val mem = MemoryStream[DocText]
+    mem.addData(incoming.take(2): _*)
+    mem.addData(incoming.drop(2): _*)
+    val q = StreamOps.lineVerdictsStream(idx, mem.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("lines_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // sink-side reassembly: the same ordered fold the batch operator uses
+    val reassembled = spark.table("lines_out")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.operators.Corpus.dedupLines(corpus, "doc_id", "text", minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(reassembled == batch, s"stream=$reassembled batch=$batch")
+    // blank line kept, boilerplate dropped in the verdicts themselves
+    val v = spark.table("lines_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(3)).toMap
+    assert(v((1L, 0)) == false && v((1L, 1)) == true && v((1L, 2)) == true)
+  }
 }
