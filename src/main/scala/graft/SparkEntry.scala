@@ -1051,6 +1051,23 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, lambda = 0.7, poolSize = 16)
         .orderBy("query_id", "rank")
     }),
+    // EXT fixed-iteration PageRank (Graph.pageRank) over the
+    // supplies-to graph (supplier -> customer via lineitem x orders,
+    // ids prefixed so the two key spaces cannot collide): 3 synchronous
+    // sweeps, each one rank-join + one decimal-summed groupBy (the
+    // Pregel sweep as two exchanges); per-sweep quantization keeps
+    // every iteration's state on an engine-portable grid
+    "pagerank_suppliers" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3,
+          damping = 0.85, quantize = 9)
+        .orderBy("node")
+    }),
     // EXT nearest-centroid (Rocchio) domain classification
     // (Ann.labelCentroids + nearestCentroidAssign): md5-sampled
     // prototype centroids per label (ordered element-wise fold —
@@ -1546,6 +1563,32 @@ object SparkEntry {
   private val minhashAgainstCtes = minhashAgainstCtesWith(
     """SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
       |         UNION ALL SELECT doc_id + 200000, text || ' zq' FROM documents WHERE doc_id % 11 = 0""".stripMargin)
+
+  /** PageRank oracle: the same 3 unrolled sweeps with the same
+    * quantization grid. The teleport and damping constants are Scala
+    * doubles INTERPOLATED at full precision and cast to DOUBLE — DuckDB
+    * would otherwise evaluate `1 - 0.85` in decimal (exactly 0.15),
+    * diverging from Scala's `1.0 - damping` double by one ulp.
+    */
+  private def pageRankSql(iterations: Int, damping: Double, quantize: Int): String = {
+    val tele = s"CAST(${1.0 - damping} AS DOUBLE)"
+    val d = s"CAST($damping AS DOUBLE)"
+    val sweeps = (1 to iterations).map { i =>
+      s""" c$i AS (SELECT e.dst AS id, SUM(CAST(ROUND(r${i - 1}.r / deg.deg, 12) AS DECIMAL(30,12))) AS s
+         |        FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+         | r$i AS (SELECT nodes.id, ROUND($tele / nn.n + $d * COALESCE(CAST(c$i.s AS DOUBLE), 0.0), $quantize) AS r
+         |        FROM nodes LEFT JOIN c$i ON c$i.id = nodes.id, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       | r0 AS (SELECT id, ROUND(CAST(1.0 AS DOUBLE) / nn.n, $quantize) AS r FROM nodes, nn),
+       |$sweeps
+       |SELECT id AS node, r AS rank FROM r$iterations ORDER BY node""".stripMargin
+  }
 
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
@@ -2510,6 +2553,7 @@ object SparkEntry {
         |       FROM inter JOIN sizes ON sizes.jid = src_id)
         |SELECT src_id, dst_id, containment FROM j
         |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
+    "pagerank_suppliers" -> pageRankSql(iterations = 3, damping = 0.85, quantize = 9),
     // centroid-assign mirror: same md5-ranked per-label sample, same
     // ORDERED per-dimension sum (list in rank order -> sequential
     // list_sum == Spark's rank-ordered fold, bit for bit), same argmax

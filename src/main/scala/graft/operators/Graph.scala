@@ -54,6 +54,65 @@ object Graph {
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
 
+  /** Fixed-iteration PageRank (EXT — the standard importance diagnostic
+    * over any graph the pipeline builds: near-dup clusters, supplies-to
+    * graphs, citation webs). `iterations` synchronous sweeps of
+    * `r' = (1-d)/n + d * sum(r_in / outdeg)`, no dangling-mass
+    * redistribution (dangling rank leaks each sweep — the common
+    * fixed-point simplification; document it, don't hide it).
+    *
+    * Engine-portable float discipline: per-edge contributions are
+    * quantized (round 12) then summed as DECIMAL(30,12) — exact and
+    * commutative, so partition order cannot change the sum — and each
+    * sweep's ranks are re-quantized (round `quantize`), keeping every
+    * iteration's state on an exactly-representable grid that any SQL
+    * engine replaying the same unrolled arithmetic reproduces bit for
+    * bit.
+    *
+    * Scale shape (100 TB): each sweep is one equi-join of ranks onto
+    * edges (src key) + one groupBy (dst key) with map-side partial
+    * decimal sums — the classic Pregel sweep as two exchanges; ranks
+    * persist per sweep so lineage stays flat (`localCheckpoint` the
+    * ranks for high iteration counts; at the declared 3 sweeps the
+    * plan is shallow).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85,
+      quantize: Int = 9): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"pageRank: need 1<=iterations<=50, got $iterations")
+    require(damping > 0 && damping < 1, s"pageRank: need 0<d<1, got $damping")
+    val e = edges.select(col(srcCol).cast("string").as("_src"),
+        col(dstCol).cast("string").as("_dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("_src").as("_id"))
+      .unionByName(e.select(col("_dst").as("_id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    // n and the teleport term are scalars; 1.0/n is the same double in
+    // any engine computing it from the same count
+    val n = nodes.count()
+    val init = round(lit(1.0) / n, quantize)
+    var ranks = nodes.select(col("_id"), init.as("_r"))
+    var it = 0
+    while (it < iterations) {
+      val contribs = e.join(ranks.withColumnRenamed("_id", "_src"), Seq("_src"))
+        .join(outDeg, Seq("_src"))
+        .select(col("_dst").as("_id"),
+          round(col("_r") / col("_deg"), 12).cast("decimal(30,12)").as("_c"))
+      val summed = contribs.groupBy(col("_id"))
+        .agg(sum(col("_c")).cast("double").as("_in"))
+      ranks = nodes.join(summed, Seq("_id"), "left")
+        .select(col("_id"),
+          round(lit((1.0 - damping)) / n +
+            lit(damping) * coalesce(col("_in"), lit(0.0)), quantize).as("_r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      it += 1
+    }
+    ranks.select(col("_id").as("node"), col("_r").as("rank"))
+  }
+
   /** Edge-label extraction (`networkx.py:144-149`): (src, dst, label)
     * from an edge attribute, nulls dropped like the reference's
     * non-null label filter.

@@ -27,6 +27,39 @@ class LongTailSpec extends SparkSpec {
     assert(Graph.edgeLabels(e, "src", "dst", "lbl").count() == 1)
   }
 
+  test("Graph.pageRank: hub accumulates rank, teleport floor for sources, deterministic") {
+    // a -> b, c -> b, b -> a : b is the hub; c receives teleport only
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 3)
+    assert(pr("b") > pr("a") && pr("a") > pr("c"))
+    // c has no in-edges: rank = round((1-d)/n, 9) exactly, every sweep
+    assert(pr("c") == math.rint((1.0 - 0.85) / 3 * 1e9) / 1e9)
+    // dangling leak documented: total mass below 1 (b's sink edge exists
+    // here, but quantization + no-redistribution keeps sum <= 1)
+    assert(pr.values.sum <= 1.0 + 1e-9)
+    val again = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr == again)
+  }
+
+  test("Graph.pageRank: duplicate edges collapse; invalid args raise") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val single = Graph.pageRank(Seq(("a", "b"), ("b", "a")).toDF("src", "dst"),
+        "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr == single)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", damping = 1.0)
+    }
+  }
+
   test("Formatting: tier/mantissa/suffix and driver-side format (format.py)") {
     val df = Seq(0.5, 999.0, 1000.0, 1234567.0, 2.5e9).toDF("v")
     val out = df.select(Formatting.mantissa(col("v")).as("m"),
