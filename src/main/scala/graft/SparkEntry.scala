@@ -1068,6 +1068,16 @@ object SparkEntry {
           damping = 0.85, quantize = 9)
         .orderBy("node")
     }),
+    // EXT oracle-checkable Lloyd k-means (Ann.kmeansFixed): md5-seeded
+    // centroids, 2 full assign+recompute sweeps with the PageRank float
+    // discipline (round-12 decimal sums, round-9 centroid grid) — the
+    // exact-replay complement of the rows-only MLlib ivf_kmeans query.
+    // Declared as the complete per-vector assignment.
+    "kmeans_assign" -> ((s, dir) => {
+      Ann.kmeansFixed(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iterations = 2)
+        .orderBy("vec_id")
+    }),
     // EXT nearest-centroid (Rocchio) domain classification
     // (Ann.labelCentroids + nearestCentroidAssign): md5-sampled
     // prototype centroids per label (ordered element-wise fold —
@@ -2554,6 +2564,31 @@ object SparkEntry {
         |SELECT src_id, dst_id, containment FROM j
         |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
     "pagerank_suppliers" -> pageRankSql(iterations = 3, damping = 0.85, quantize = 9),
+    // k-means mirror: the same two unrolled Lloyd sweeps — md5 seeds,
+    // argmax assignment (ties toward smaller centroid id), round-12
+    // decimal component sums, round-9 centroid grid, empty clusters
+    // keep their seed centroid via the left-join coalesce
+    "kmeans_assign" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+         |           ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
+         | s1 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN seeds c),
+         | a1 AS (SELECT vec_id, v, cid FROM (
+         |          SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |          FROM s1) t WHERE rn = 1),
+         | x1 AS (SELECT cid, CAST(t.d AS INT) AS d, a.v[CAST(t.d AS INT)] AS x
+         |        FROM a1 a, LATERAL (SELECT unnest(range(1, 65)) AS d) t),
+         | mm AS (SELECT cid, d,
+         |          ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS m
+         |        FROM x1 GROUP BY 1, 2),
+         | nc AS (SELECT cid, list(m ORDER BY d) AS nv FROM mm GROUP BY 1),
+         | c2 AS (SELECT seeds.cid, COALESCE(nc.nv, seeds.cv) AS cv
+         |        FROM seeds LEFT JOIN nc ON nc.cid = seeds.cid),
+         | s2 AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN c2 c),
+         | a2 AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |          FROM s2) t WHERE rn = 1)
+         |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
     // centroid-assign mirror: same md5-ranked per-label sample, same
     // ORDERED per-dimension sum (list in rank order -> sequential
     // list_sum == Spark's rank-ordered fold, bit for bit), same argmax

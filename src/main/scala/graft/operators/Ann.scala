@@ -520,6 +520,73 @@ object Ann {
         col("n_sample"))
   }
 
+  /** Fixed-iteration Lloyd k-means with ENGINE-PORTABLE arithmetic
+    * (EXT): the exact-replay complement of [[ivfTopKKMeans]]'s MLlib
+    * codebook — MLlib's learned centroids depend on float reduction
+    * order and are only rows-only checkable, while this variant is
+    * hash-checkable in any SQL engine. Seeds are the `k` corpus rows
+    * with smallest md5(seed:id) (the suite's deterministic-codebook
+    * discipline); each sweep assigns every vector to its
+    * highest-cosine centroid (ties toward the smaller centroid id)
+    * and recomputes means with the PageRank float discipline:
+    * components quantized round(12) -> summed as DECIMAL(30,12)
+    * (exact, commutative — partition order cannot change the sum) ->
+    * mean re-quantized round(`quantize`), so every iteration's
+    * centroid state lives on a grid any engine reproduces bit for
+    * bit. A cluster that loses all members keeps its previous
+    * centroid (documented; with sane k this is a pathology).
+    * Output: (idCol, cluster_id) after `iterations` sweeps.
+    *
+    * Scale shape (100 TB): the centroid table is k rows (bounded by a
+    * limit — broadcast-legal); assignment is a map-side nested loop +
+    * per-id argmax window; the mean recompute explodes to (cluster,
+    * dim) keys — k*dim groups with map-side partial decimal sums.
+    * Nothing shuffles the corpus except the argmax window's id hash.
+    */
+  def kmeansFixed(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int = 2, seed: String = "42",
+      quantize: Int = 9): DataFrame = {
+    require(k > 0 && iterations >= 1 && iterations <= 20,
+      s"kmeansFixed: need k>0, 1<=iterations<=20; got k=$k iterations=$iterations")
+    val cv = emb.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = cv
+      .orderBy(md5(concat(lit(seed + ":"), col("_id").cast("string"))), col("_id"))
+      .limit(k)
+      .select(col("_id").as("_cid"), col("_v").as("_cv"))
+    var assigned: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val byId = Window.partitionBy(col("_id"))
+        .orderBy(col("_cos").desc, col("_cid").asc)
+      assigned = cv.crossJoin(broadcast(cents))
+        .select(col("_id"), col("_v"), col("_cid"),
+          VectorFunctions.cosine(col("_v"), col("_cv")).as("_cos"))
+        .withColumn("_rn", row_number().over(byId))
+        .filter(col("_rn") === 1)
+        .select(col("_id"), col("_v"), col("_cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      it += 1
+      if (it < iterations) {
+        val means = assigned
+          .select(col("_cid"), posexplode(col("_v")).as(Seq("_d", "_x")))
+          .groupBy(col("_cid"), col("_d"))
+          .agg((sum(round(col("_x"), 12).cast("decimal(30,12)")).cast("double") /
+            count(lit(1))).as("_m"))
+          .select(col("_cid"), col("_d"), round(col("_m"), quantize).as("_mq"))
+          .groupBy(col("_cid"))
+          .agg(transform(sort_array(collect_list(struct(col("_d"), col("_mq")))),
+            x => x.getField("_mq")).as("_nv"))
+        // empty clusters keep their previous centroid
+        cents = cents.join(means, Seq("_cid"), "left")
+          .select(col("_cid"), coalesce(col("_nv"), col("_cv")).as("_cv"))
+          .orderBy(col("_cid")).limit(k)
+      }
+    }
+    assigned.select(col("_id").as(idCol), col("_cid").as("cluster_id"))
+  }
+
   /** Nearest-centroid (Rocchio) assignment: every vector gets the label
     * of its highest-cosine prototype centroid — the cheap embedding
     * domain classifier a curation pipeline uses to bucket documents for

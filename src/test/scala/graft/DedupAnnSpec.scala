@@ -730,6 +730,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(m.getLong("minhash_k") == 12L && m.getLong("minhash_bands") == 2L)
   }
 
+  test("kmeansFixed: separable blobs split cleanly; deterministic; args validated") {
+    // two tight cosine blobs around (1,0) and (0,1)
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.95, 0.05)), (3L, Seq(0.9, 0.1)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.05, 0.95)), (6L, Seq(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.kmeansFixed(emb, "vec_id", "embedding", k = 2, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    val blobA = Set(1L, 2L, 3L).map(out)
+    val blobB = Set(4L, 5L, 6L).map(out)
+    assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB)
+    val again = Ann.kmeansFixed(emb, "vec_id", "embedding", k = 2, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again)
+    intercept[IllegalArgumentException] {
+      Ann.kmeansFixed(emb, "vec_id", "embedding", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.kmeansFixed(emb, "vec_id", "embedding", k = 2, iterations = 0)
+    }
+  }
+
   test("labelCentroids: sample mean in rank order; sampleN bounds the fold") {
     val emb = Seq(
       (1L, 0, Seq(2.0, 0.0)), (2L, 0, Seq(4.0, 0.0)), (3L, 0, Seq(6.0, 0.0)),
