@@ -1145,6 +1145,20 @@ object SparkEntry {
       Corpus.dedupLines(pages, "gid", "text", minDf = 2)
         .orderBy("gid")
     }),
+    // EXT intra-doc repeated-line collapse (Corpus.collapseRepeatedLines):
+    // the within-page half of boilerplate removal — ZERO-shuffle
+    // row-local array pipeline (duplicate corpus texts concatenated into
+    // the same synthesized page become intra-page repeats here)
+    "line_collapse" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .groupBy(concat(col("source"), lit("-"),
+          (col("doc_id") % 50).cast("string")).as("gid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n").as("text"))
+      Corpus.collapseRepeatedLines(pages, "gid", "text")
+        .orderBy("gid")
+    }),
     // EXT ingest-time boilerplate-line verdicts (StreamOps.lineIndex +
     // lineVerdictsStream): the streaming half of line_dedup — per-line
     // keep/drop against the build-once corpus line index via a
@@ -2405,6 +2419,25 @@ object SparkEntry {
         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         |       LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // intra-doc collapse mirror: first-occurrence = window rank 1 over
+    // (page, trimmed line) == the array first-index-equality test
+    "line_collapse" ->
+      """WITH gd AS (
+        |  SELECT source || '-' || CAST(doc_id % 50 AS VARCHAR) AS gid,
+        |         string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        | l AS (
+        |  SELECT gid, CAST(t.p AS INT) - 1 AS pos,
+        |         string_split(text, chr(10))[CAST(t.p AS INT)] AS line
+        |  FROM gd, LATERAL (SELECT unnest(range(1, len(string_split(text, chr(10))) + 1)) AS p) t),
+        | f AS (SELECT gid, pos, line,
+        |        length(trim(line)) = 0 OR
+        |          ROW_NUMBER() OVER (PARTITION BY gid, trim(line) ORDER BY pos) = 1 AS keep
+        |       FROM l)
+        |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+        |FROM f GROUP BY gid ORDER BY gid""".stripMargin,
     // line-verdict mirror: the line_dedup CTE chain minus reassembly
     "line_dedup_stream" ->
       """WITH gd AS (

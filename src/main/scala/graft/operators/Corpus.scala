@@ -560,6 +560,42 @@ object Corpus {
       .select(col("id_a").as(idCol), col("n_eval_matches"), col("max_jaccard"))
   }
 
+  /** INTRA-document repeated-line collapse (EXT — the within-page half
+    * of boilerplate removal: scraped pages repeat their own nav/footer
+    * blocks; [[dedupLines]] needs corpus-wide df evidence, this needs
+    * none): every line whose TRIMMED text already occurred earlier in
+    * the same document is dropped; first occurrences and blank lines
+    * survive in order. Output: (idCol, n_lines, n_kept, clean_text).
+    *
+    * Scale shape (100 TB): ZERO shuffle — the whole operation is one
+    * row-local array pipeline (split -> keep-first filter -> rejoin),
+    * so it composes map-side with any scan. The keep-first test is
+    * first-index-equality over the trimmed projection (O(lines²) per
+    * doc — lines per doc is bounded in practice; the corpus-sized
+    * variant with its df histogram is the one that must shuffle).
+    */
+  def collapseRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "collapseRepeatedLines: separator must be non-empty")
+    // arrays materialized in their OWN projections so the filter HOF
+    // doesn't re-split/re-trim per element (repetitionRatio lesson)
+    val base = docs
+      .select(col(idCol),
+        split(col(textCol), java.util.regex.Pattern.quote(sep), -1).as("_ls"))
+      .select(col(idCol), col("_ls"), transform(col("_ls"), l => trim(l)).as("_lt"))
+    // keep line i iff it is blank or the FIRST occurrence of its
+    // trimmed text (array_position is 1-based, filter's index 0-based)
+    base
+      .select(col(idCol), col("_ls"),
+        filter(col("_ls"), (l, i) =>
+          length(trim(l)) === 0 ||
+            array_position(col("_lt"), trim(l)) === i + 1).as("_kept"))
+      .select(col(idCol),
+        size(col("_ls")).as("n_lines"),
+        size(col("_kept")).as("n_kept"),
+        array_join(col("_kept"), sep).as("clean_text"))
+  }
+
   /** Corpus-level duplicate-LINE removal (EXT — the CCNet/RefinedWeb
     * paragraph-dedup step, Wenzek et al. 2020: lines repeated across
     * documents are boilerplate — navigation, cookie banners, license

@@ -278,6 +278,19 @@ class CorpusSpec extends SparkSpec {
     assert(p(1L) == "keep" && p(2L) == "other")
   }
 
+  test("collapseRepeatedLines: intra-doc repeats drop, first occurrence + blanks survive, zero shuffle") {
+    val docs = Seq(
+      (1L, "nav menu\nbody text\n\nnav menu\nfooter\nnav menu"),
+      (2L, "a\n  a  \na")).toDF("id", "text") // padding variants collapse too
+    val df = Corpus.collapseRepeatedLines(docs, "id", "text")
+    val out = df.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((6, 4, "nav menu\nbody text\n\nfooter")))
+    assert(out(2L) == ((3, 1, "a"))) // first original kept, padded repeat dropped
+    // zero-shuffle: no exchange in the executed plan
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("decontaminateFuzzy: paraphrased eval items flag their sources; clean docs pass") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
