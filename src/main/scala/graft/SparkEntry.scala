@@ -1078,6 +1078,17 @@ object SparkEntry {
           k = 8, iterations = 2)
         .orderBy("vec_id")
     }),
+    // EXT end-to-end TEXT clustering (Corpus.hashedDocVectors +
+    // Ann.kmeansFixed): embedding-free — documents become integer-exact
+    // hashing-trick vectors (bit d of each token's md5 as the sign,
+    // one digest per distinct token), then two exact-replay Lloyd
+    // sweeps cluster them. Every stage hash-checkable.
+    "text_cluster_assign" -> ((s, dir) => {
+      val vecs = Corpus.hashedDocVectors(t(s, dir, "documents"),
+        "doc_id", "text", dim = 64)
+      Ann.kmeansFixed(vecs, "doc_id", "vec", k = 8, iterations = 2)
+        .orderBy("doc_id")
+    }),
     // EXT nearest-centroid (Rocchio) domain classification
     // (Ann.labelCentroids + nearestCentroidAssign): md5-sampled
     // prototype centroids per label (ordered element-wise fold —
@@ -1613,6 +1624,34 @@ object SparkEntry {
        |$sweeps
        |SELECT id AS node, r AS rank FROM r$iterations ORDER BY node""".stripMargin
   }
+
+  /** Two-sweep Lloyd replay over any `e(vec_id, v)` source SQL —
+    * mirrors [[graft.operators.Ann.kmeansFixed]] (md5 seeds, argmax
+    * with smaller-cid ties, round-12 decimal sums, round-9 grid,
+    * empty-cluster coalesce).
+    */
+  private def kmeansReplaySql(eSql: String, k: Int,
+      idAlias: String = "vec_id"): String =
+    s"""WITH e AS ($eSql),
+       | seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+       |           ORDER BY md5('42:' || vec_id), vec_id LIMIT $k),
+       | s1 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN seeds c),
+       | a1 AS (SELECT vec_id, v, cid FROM (
+       |          SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |          FROM s1) t WHERE rn = 1),
+       | x1 AS (SELECT cid, CAST(t.d AS INT) AS d, a.v[CAST(t.d AS INT)] AS x
+       |        FROM a1 a, LATERAL (SELECT unnest(range(1, 65)) AS d) t),
+       | mm AS (SELECT cid, d,
+       |          ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS m
+       |        FROM x1 GROUP BY 1, 2),
+       | nc AS (SELECT cid, list(m ORDER BY d) AS nv FROM mm GROUP BY 1),
+       | c2 AS (SELECT seeds.cid, COALESCE(nc.nv, seeds.cv) AS cv
+       |        FROM seeds LEFT JOIN nc ON nc.cid = seeds.cid),
+       | s2 AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN c2 c),
+       | a2 AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |          FROM s2) t WHERE rn = 1)
+       |SELECT vec_id AS $idAlias, cid AS cluster_id FROM a2 ORDER BY 1""".stripMargin
 
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
@@ -2601,27 +2640,23 @@ object SparkEntry {
     // argmax assignment (ties toward smaller centroid id), round-12
     // decimal component sums, round-9 centroid grid, empty clusters
     // keep their seed centroid via the left-join coalesce
-    "kmeans_assign" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         | seeds AS (SELECT vec_id AS cid, v AS cv FROM e
-         |           ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
-         | s1 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN seeds c),
-         | a1 AS (SELECT vec_id, v, cid FROM (
-         |          SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-         |          FROM s1) t WHERE rn = 1),
-         | x1 AS (SELECT cid, CAST(t.d AS INT) AS d, a.v[CAST(t.d AS INT)] AS x
-         |        FROM a1 a, LATERAL (SELECT unnest(range(1, 65)) AS d) t),
-         | mm AS (SELECT cid, d,
-         |          ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS m
-         |        FROM x1 GROUP BY 1, 2),
-         | nc AS (SELECT cid, list(m ORDER BY d) AS nv FROM mm GROUP BY 1),
-         | c2 AS (SELECT seeds.cid, COALESCE(nc.nv, seeds.cv) AS cv
-         |        FROM seeds LEFT JOIN nc ON nc.cid = seeds.cid),
-         | s2 AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN c2 c),
-         | a2 AS (SELECT vec_id, cid FROM (
-         |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-         |          FROM s2) t WHERE rn = 1)
-         |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
+    "kmeans_assign" -> kmeansReplaySql(
+      "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings",
+      k = 8),
+    // text-cluster mirror: the feature-hashed vectors (integer-exact
+    // hashing-trick projection, bit d of each token's md5) feed the
+    // same two-sweep Lloyd replay
+    "text_cluster_assign" -> kmeansReplaySql(
+      """SELECT doc_id AS vec_id, v FROM (
+        |   WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents),
+        |    tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |    sg AS (SELECT doc_id, tk, tf, md5(tk) AS g FROM tf),
+        |    con AS (SELECT doc_id, CAST(t.d AS INT) AS d,
+        |             SUM(tf * (2 * (CAST(FLOOR((strpos('0123456789abcdef', substr(g, CAST(t.d AS INT) // 4 + 1, 1)) - 1)
+        |                   / POWER(2, CAST(t.d AS INT) % 4)) AS INT) % 2) - 1)) AS x
+        |            FROM sg, LATERAL (SELECT unnest(range(0, 64)) AS d) t GROUP BY 1, 2)
+        |   SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY d) AS v FROM con GROUP BY 1)""".stripMargin,
+      k = 8, idAlias = "doc_id"),
     // centroid-assign mirror: same md5-ranked per-label sample, same
     // ORDERED per-dimension sum (list in rank order -> sequential
     // list_sum == Spark's rank-ordered fold, bit for bit), same argmax

@@ -560,6 +560,53 @@ object Corpus {
       .select(col("id_a").as(idCol), col("n_eval_matches"), col("max_jaccard"))
   }
 
+  /** Feature-hashed document vectors (EXT — the "hashing trick",
+    * Weinberger et al. 2009, in its signed-random-projection form):
+    * each document becomes a `dim`-component vector
+    * `v[d] = sum over tokens tf(token) * sign_d(md5(token))`, where
+    * sign_d is bit d of the token's 128-bit md5 (so `dim` <= 128 and
+    * ONE digest per distinct token serves every dimension). This is
+    * the embedding-free bridge from raw text to the vector operators —
+    * compose with [[Ann.kmeansFixed]] for text clustering,
+    * [[Ann.bruteForceTopK]] for lexical-overlap retrieval — and it is
+    * INTEGER-exact until the final cast, so any engine replays it
+    * hash-identically with no float discipline needed.
+    * Output: (idCol, vec array<double>).
+    *
+    * Scale shape (100 TB): tf is one (doc, token) groupBy; the dim
+    * explode multiplies that by `dim` before the (doc, d) sum — linear,
+    * map-side combinable, and the factor is the declared dim, not data.
+    * (A sparse formulation would skip the explode; dense output is what
+    * the downstream vector operators consume.)
+    */
+  def hashedDocVectors(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 128, s"hashedDocVectors: need 1<=dim<=128, got $dim")
+    val tf = docs
+      .select(col(idCol).as("_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("_tk"))
+      .groupBy(col("_id"), col("_tk"))
+      .agg(count(lit(1)).as("_tf"))
+    val sg = tf.withColumn("_g", md5(col("_tk").cast("binary")))
+    // bit d of the digest: hex char d/4, bit d%4 — integer arithmetic
+    val bit = floor(
+      conv(col("_g").substr((col("_d") / 4).cast("int") + 1, lit(1)), 16, 10)
+        .cast("int") / pow(lit(2.0), (col("_d") % 4).cast("double")))
+      .cast("int") % 2
+    val con = sg
+      .select(col("_id"), col("_g"), col("_tf"),
+        explode(sequence(lit(0), lit(dim - 1))).as("_d"))
+      .select(col("_id"), col("_d"),
+        (col("_tf") * (lit(2) * bit - 1)).as("_x"))
+      .groupBy(col("_id"), col("_d"))
+      .agg(sum(col("_x")).as("_xs"))
+    con.groupBy(col("_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("_d"), col("_xs").cast("double").as("_v")))),
+        x => x.getField("_v")).as("vec"))
+      .select(col("_id").as(idCol), col("vec"))
+  }
+
   /** INTRA-document repeated-line collapse (EXT — the within-page half
     * of boilerplate removal: scraped pages repeat their own nav/footer
     * blocks; [[dedupLines]] needs corpus-wide df evidence, this needs

@@ -291,6 +291,24 @@ class CorpusSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("hashedDocVectors: integer-exact, tf-linear, clones identical, dim bounded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),                       // clone
+      (3L, "alpha beta gamma alpha beta gamma"),      // doubled tf
+      (4L, "delta epsilon zeta")).toDF("id", "text")
+    val out = Corpus.hashedDocVectors(docs, "id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.values.forall(_.length == 16))
+    assert(out.values.flatten.forall(x => x == math.rint(x))) // integer-exact
+    assert(out(1L) == out(2L))                      // clones hash identically
+    assert(out(3L) == out(1L).map(_ * 2))           // tf linearity
+    assert(out(4L) != out(1L))
+    intercept[IllegalArgumentException] {
+      Corpus.hashedDocVectors(docs, "id", "text", dim = 200)
+    }
+  }
+
   test("decontaminateFuzzy: paraphrased eval items flag their sources; clean docs pass") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
