@@ -1078,6 +1078,19 @@ object SparkEntry {
           k = 8, iterations = 2)
         .orderBy("vec_id")
     }),
+    // EXT build-once inverted index (Retrieval.invertedIndex): term ->
+    // (exact df, capped sorted posting list) — the materialized artifact
+    // bm25_topk recomputes per query; cap enforced by a ranked window
+    // BEFORE collect so aggregation state stays bounded per term
+    "inverted_index" -> ((s, dir) => {
+      Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 2, maxPostings = 32)
+        // driver-hash convention: no array output columns — join the
+        // posting list to a comma string
+        .select(col("term"), col("df"),
+          array_join(col("postings"), ",").as("postings"))
+        .orderBy("term")
+    }),
     // EXT end-to-end TEXT clustering (Corpus.hashedDocVectors +
     // Ann.kmeansFixed): embedding-free — documents become integer-exact
     // hashing-trick vectors (bit d of each token's md5 as the sign,
@@ -2657,6 +2670,15 @@ object SparkEntry {
         |            FROM sg, LATERAL (SELECT unnest(range(0, 64)) AS d) t GROUP BY 1, 2)
         |   SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY d) AS v FROM con GROUP BY 1)""".stripMargin,
       k = 8, idAlias = "doc_id"),
+    // inverted-index mirror: exact df over the (term, doc) dedup; the
+    // posting cap is the 32 smallest doc ids (list slice == ranked cap)
+    "inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |            FROM documents),
+        | g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |         array_to_string((list(doc_id ORDER BY doc_id))[1:32], ',') AS postings
+        |       FROM td GROUP BY term)
+        |SELECT term, df, postings FROM g WHERE df >= 2 ORDER BY term""".stripMargin,
     // centroid-assign mirror: same md5-ranked per-label sample, same
     // ORDERED per-dimension sum (list in rank order -> sequential
     // list_sum == Spark's rank-ordered fold, bit for bit), same argmax

@@ -103,6 +103,38 @@ object Retrieval {
       .select(col("_id").as(idCol), col("rrf"), col("rank"))
   }
 
+  /** Build-once INVERTED INDEX (the artifact [[bm25TopK]] recomputes on
+    * the fly — materialize it when the corpus is queried repeatedly):
+    * one row per term with its document frequency and a doc-id posting
+    * list. Output: (term, df, postings), postings sorted ascending and
+    * CAPPED at `maxPostings` (df stays exact beyond the cap — the
+    * standard stop-word guard: a term in every document would otherwise
+    * collect a corpus-sized array into one aggregation buffer).
+    *
+    * Scale shape (100 TB): the (term, doc) dedup is one shuffle; df and
+    * the capped collect share the term key (exchange reuse); the cap is
+    * enforced BEFORE collect_list by a ranked window, so aggregation
+    * state is bounded per term (the colorGroups discipline).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1, maxPostings: Int = 1024): DataFrame = {
+    require(minDf >= 1 && maxPostings >= 1,
+      s"invertedIndex: need minDf>=1, maxPostings>=1; got $minDf, $maxPostings")
+    val td = docs
+      .select(col(idCol).as("_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .distinct()
+    val dfT = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("term")).orderBy(col("_id").asc)
+    val capped = td.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("_id"))).as("postings"))
+    dfT.join(capped, Seq("term"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("postings"))
+  }
+
   /** Maximal-marginal-relevance top-k (Carbonell/Goldstein, SIGIR'98):
     * greedily select `k` of the `poolSize` most-relevant candidates,
     * each step maximizing `lambda * rel - (1-lambda) * max sim to the

@@ -67,6 +67,18 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1L) > out(2L)) // 1/61 + 1/62 > 1/61
   }
 
+  test("invertedIndex: exact df, sorted capped postings, minDf prune") {
+    val docs = Seq(
+      (3L, "x y"), (1L, "x z"), (2L, "x y"), (4L, "w")).toDF("doc_id", "text")
+    val out = Retrieval.invertedIndex(docs, "doc_id", "text",
+        minDf = 2, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    // x in 3 docs, df exact beyond the cap; postings = 2 smallest ids
+    assert(out("x") == ((3L, Seq(1L, 2L))))
+    assert(out("y") == ((2L, Seq(2L, 3L))))
+    assert(!out.contains("z") && !out.contains("w")) // df 1 pruned
+  }
+
   test("mmrTopK: diversifies — near-duplicate of the top hit is deferred, rank 1 = pure relevance") {
     // query 0 = e1; corpus: 10/11 nearly identical & most relevant,
     // 12 distinct & moderately relevant, 13 near-orthogonal
