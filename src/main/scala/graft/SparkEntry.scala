@@ -1219,6 +1219,22 @@ object SparkEntry {
           "event_type", Seq("signup", "click", "purchase"))
         .orderBy("user_id")
     }),
+    // EXT time-to-convert quartiles (Events.funnelTimes): exact
+    // interpolated quartiles of last-stage-minus-first-stage duration
+    // across fully-converted users — rides the same single user-key
+    // exchange as funnel_stages; NTZ-safe micros
+    "funnel_times" -> ((s, dir) => {
+      Events.funnelTimes(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))
+    }),
+    // EXT DAU/WAU stickiness (Events.engagementRatio): per-day distinct
+    // actives and trailing-7-day actives; the sliding distinct is a
+    // bounded x7 day-explode over the deduped (user, day) frame, never
+    // a distinct-over-window
+    "dau_wau" -> ((s, dir) => {
+      Events.engagementRatio(t(s, dir, "events"), "user_id", "ts", 7)
+        .orderBy("day")
+    }),
     // EXT gap-based sessionization (batch twin of the stateful streaming
     // flatMapGroupsWithState path — equality tested in StreamingSpec)
     "sessions_user" -> ((s, dir) => {
@@ -2506,6 +2522,32 @@ object SparkEntry {
         |SELECT lh.gid, lh.pos, lh.line, hot.h IS NULL AS keep
         |FROM lh LEFT JOIN hot ON lh.h = hot.h
         |ORDER BY gid, pos""".stripMargin,
+    // funnel-times mirror: same min-chain, duration in epoch micros,
+    // quantile_cont == Spark's interpolated percentile
+    "funnel_times" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        | t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+        | t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1),
+        | d AS (SELECT t3.user_id, epoch_us(ts3) - epoch_us(ts1) AS dur_us
+        |       FROM t3 JOIN t1 USING (user_id))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |       ROUND(quantile_cont(dur_us, 0.25) / 1000000.0, 6) AS q1_s,
+        |       ROUND(quantile_cont(dur_us, 0.5) / 1000000.0, 6) AS median_s,
+        |       ROUND(quantile_cont(dur_us, 0.75) / 1000000.0, 6) AS q3_s
+        |FROM d""".stripMargin,
+    // DAU/WAU mirror: same bounded day-explode for the trailing window
+    "dau_wau" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY 1),
+        | w AS (SELECT DISTINCT user_id, CAST(day + CAST(t.i AS INT) AS DATE) AS day
+        |       FROM act, LATERAL (SELECT unnest(range(0, 7)) AS i) t),
+        | wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM w GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin,
     "sessions_user" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL

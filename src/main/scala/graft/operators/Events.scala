@@ -58,21 +58,32 @@ object Events {
     * the final per-user roll-up groups on the same key again. The
     * N-way join-chain formulation this replaces shuffles N times.
     */
-  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+  /** The min-chain stage timestamps (shared by [[funnelStages]] and
+    * [[funnelTimes]]): every event row of a user carries `_t0.._tN` —
+    * the earliest qualifying timestamp per stage, each computed as a
+    * conditional-min window over the SAME user partitioning (one
+    * exchange for the whole chain).
+    */
+  private def stageMins(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "funnelStages: need at least one stage")
+    require(stages.nonEmpty, "funnel: need at least one stage")
     require(stages.distinct.size == stages.size,
-      "funnelStages: stage types must be distinct")
+      "funnel: stage types must be distinct")
     val w = Window.partitionBy(col("_u"))
     val base = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
       col(typeCol).as("_et"))
-    val withMins = stages.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
+    stages.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
       val cond =
         if (i == 0) col("_et") === st
         else col("_et") === st && col(s"_t${i - 1}").isNotNull &&
           col("_ts") > col(s"_t${i - 1}")
       df.withColumn(s"_t$i", min(when(cond, col("_ts"))).over(w))
     }
+  }
+
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val withMins = stageMins(events, userCol, tsCol, typeCol, stages)
     // ascending fold so the LAST wrap (deepest stage) is checked first:
     // when(t_{N-1} set, N) otherwise when(t_{N-2} set, N-1) ... else 0
     val stage = stages.indices.foldLeft(lit(0): Column) { (acc, i) =>
@@ -83,5 +94,60 @@ object Events {
       .groupBy(col("_u"))
       .agg(max(col("_stage")).as("stage"))
       .select(col("_u").as(userCol), col("stage"))
+  }
+
+  /** Time-to-convert summary over the full funnel: exact interpolated
+    * quartiles (seconds) of `t_last - t_first` across users who
+    * completed EVERY stage, plus the converted-user count. One row.
+    * NTZ-safe: micros are extracted after casting non-UTC-adjusted
+    * timestamps through the UTC session zone (the sessionize
+    * discipline). The duration aggregate runs over one row per
+    * converted user — the same single user-key exchange as
+    * [[funnelStages]] feeds it.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnelTimes: need at least two stages")
+    val withMins = stageMins(events, userCol, tsCol, typeCol, stages)
+    val last = s"_t${stages.size - 1}"
+    val perUser = withMins
+      .filter(col(last).isNotNull)
+      .groupBy(col("_u"))
+      .agg((min(unix_micros(col(last).cast("timestamp"))) -
+        min(unix_micros(col("_t0").cast("timestamp")))).as("_dur_us"))
+    perUser.agg(
+      count(lit(1)).as("n_converted"),
+      round(percentile(col("_dur_us"), lit(0.25)) / 1e6, 6).as("q1_s"),
+      round(percentile(col("_dur_us"), lit(0.5)) / 1e6, 6).as("median_s"),
+      round(percentile(col("_dur_us"), lit(0.75)) / 1e6, 6).as("q3_s"))
+  }
+
+  /** Daily engagement ratio: per calendar day, DAU (distinct active
+    * users), trailing-`windowDays` WAU, and the DAU/WAU "stickiness"
+    * fraction. Output: (day, dau, wau, stickiness), one row per day
+    * with activity.
+    *
+    * Scale shape (100 TB): the (user, day) dedup is one shuffle; WAU
+    * avoids any distinct-over-sliding-window by exploding each activity
+    * day to the `windowDays` days it contributes to (a bounded x7
+    * factor on the already-deduped frame) and deduping once more —
+    * both aggregates then group on the day key.
+    */
+  def engagementRatio(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"engagementRatio: need windowDays>=1, got $windowDays")
+    val act = events
+      .select(col(userCol).as("_u"), col(tsCol).cast("date").as("_day"))
+      .distinct()
+    val dau = act.groupBy(col("_day").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("_u"),
+        explode(sequence(col("_day"), date_add(col("_day"), windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 }

@@ -54,6 +54,32 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 1, 2L -> 2))
   }
 
+  test("funnelTimes: only fully-converted users counted; quartiles over first-to-last") {
+    val ev = Seq(
+      (1L, ts(1), "signup"), (1L, ts(2), "purchase"),   // 1 day
+      (2L, ts(1), "signup"), (2L, ts(4), "purchase"),   // 3 days
+      (3L, ts(1), "signup"),                            // never converts
+      (4L, ts(2), "purchase")                           // purchase w/o signup
+    ).toDF("user_id", "ts", "event_type")
+    val r = Events.funnelTimes(ev, "user_id", "ts", "event_type",
+        Seq("signup", "purchase")).collect().head
+    assert(r.getLong(0) == 2L)
+    val day = 86400.0
+    assert(r.getDouble(2) == 2 * day)        // median of (1d, 3d)
+    assert(r.getDouble(1) == 1.5 * day && r.getDouble(3) == 2.5 * day)
+  }
+
+  test("engagementRatio: trailing window counts, stickiness bounded by 1") {
+    // u1 active d1; u2 active d1 and d3
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (2L, ts(3))).toDF("user_id", "ts")
+    val out = Events.engagementRatio(ev, "user_id", "ts", 7)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 1.0)))
+    // d3: DAU = 1 (u2); WAU = 2 (both active within trailing 7 days)
+    assert(out("2024-01-03") == ((1L, 2L, 0.5)))
+    assert(out.size == 2) // only days with activity emitted
+  }
+
   test("funnelStages: one exchange — chained windows share the user partitioning") {
     val ev = Seq((1L, ts(1), "signup")).toDF("user_id", "ts", "event_type")
     val plan = Events.funnelStages(ev, "user_id", "ts", "event_type",

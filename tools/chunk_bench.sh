@@ -23,7 +23,7 @@ CHUNKS=(
 "bigram_logprob,bpe_tokens,bpe_tokens_learned,bpe_tokens_pretok,entropy_docs,fingerprint_docs,gopher_filter,kl_en_de,redact_docs,repetition_docs,text_profile,tfidf_top_terms,unigram_logprob,simhash_docs,split_assign,pack_sequences,ccnet_buckets,dsir_weights,dsir_sample,bm25_topk,inverted_index"
 "alignable,column_stats_customer,concat_aligned,coo_density,coo_todense,corr_qty_price,diag_coo,graph_color_groups,graph_degrees,identity_series,reindex_join,unique_row_ids,upsert_orders,cube_revenue,pagerank_suppliers"
 "group_bar_hist,group_hist_price,hist2d_qty_price,human_readable,pie_log10_orders,two_level_pie,pivot_status,smooth_gaussian,topk_orders,vc_quantity_bins,vc_returnflag,weighted_avg,media_frames"
-"json_events,running_total_user,sessions_user,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace,dsir_score_stream,asof_join_events,range_join_events,retention_cohorts,funnel_stages"
+"json_events,running_total_user,sessions_user,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace,dsir_score_stream,asof_join_events,range_join_events,retention_cohorts,funnel_stages,funnel_times,dau_wau"
 )
 
 steal_sample() { # 5-second steal-cores + load1 sample
