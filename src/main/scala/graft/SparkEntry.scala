@@ -318,6 +318,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
+    // EXT triangle counts over the near-dup graph (Graph.triangleCounts
+    // on the same PPJoin pair set dedup_clusters consumes): triangles
+    // are transitivity evidence — docs in many triangles sit in tight
+    // duplicate cliques, not chains of borderline matches
+    "dup_triangles" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Graph.triangleCounts(pairs, "id_a", "id_b")
+        .orderBy("node")
+    }),
     // EXT the end-to-end DEDUPLICATED CORPUS: clusters -> min-id
     // representative per cluster (+ every unpaired doc as its own
     // singleton) with the cluster size as removal provenance — what a
@@ -2811,6 +2821,21 @@ object SparkEntry {
          |SELECT corpus_id, doc_id, est_jaccard FROM est
          |WHERE est_jaccard >= 0.8 ORDER BY corpus_id, doc_id""".stripMargin
     },
+    // triangle mirror: same pair CTEs, ordered wedge join a<b<c
+    "dup_triangles" ->
+      s"""WITH $ngramPairCtes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | canon AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+         |           FROM p WHERE id_a <> id_b),
+         | degn AS (SELECT n FROM (SELECT unnest([lo, hi]) AS n FROM canon) t
+         |          GROUP BY n HAVING COUNT(*) <= 4096),
+         | e AS (SELECT lo, hi FROM canon
+         |       JOIN degn dl ON dl.n = canon.lo JOIN degn dh ON dh.n = canon.hi),
+         | tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+         |         FROM e ab JOIN e bc ON bc.lo = ab.hi
+         |         JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi)
+         |SELECT t.n AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT unnest([a, b, c]) AS n FROM tri) t GROUP BY 1 ORDER BY node""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),

@@ -113,6 +113,47 @@ object Graph {
     ranks.select(col("_id").as("node"), col("_r").as("rank"))
   }
 
+  /** Per-node triangle participation counts (EXT — on a near-dup pair
+    * graph, triangles are transitivity evidence: a doc in many
+    * triangles sits in a tight duplicate clique, not a chain of
+    * borderline matches). Edges are canonicalized undirected
+    * (lo < hi, deduped); a triangle a<b<c is found once via the
+    * standard ordered wedge join (ab ⋈ bc on b, closed by ac).
+    * Output: (node, n_triangles) for every node in >= 1 triangle.
+    *
+    * Scale shape (100 TB): wedge generation is Θ(Σ deg²) — ONE hub
+    * node would go quadratic, so `maxDegree` drops nodes above the cap
+    * from the wedge join entirely (their triangles are not counted —
+    * the usual recall-for-boundedness trade, loud in the output
+    * because capped hubs simply never appear). The degree guard is a
+    * window count over the join's own key; both joins are equi-joins.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 4096): DataFrame = {
+    require(maxDegree >= 2, s"triangleCounts: need maxDegree>=2, got $maxDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    // degree over the canonical edge set; cap applies to BOTH endpoints
+    val deg = canon.select(explode(array(col("lo"), col("hi"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") <= maxDegree)
+      .select(col("n"))
+    val e = canon
+      .join(deg.withColumnRenamed("n", "lo"), Seq("lo"))
+      .join(deg.withColumnRenamed("n", "hi"), Seq("hi"))
+      .select("lo", "hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = e.select(col("lo").as("a"), col("hi").as("b"))
+      .join(e.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
+      .join(e.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Edge-label extraction (`networkx.py:144-149`): (src, dst, label)
     * from an edge attribute, nulls dropped like the reference's
     * non-null label filter.

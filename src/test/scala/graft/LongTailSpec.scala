@@ -44,6 +44,23 @@ class LongTailSpec extends SparkSpec {
     assert(pr == again)
   }
 
+  test("Graph.triangleCounts: cliques counted, chains are not, hub cap drops its triangles") {
+    // K4 on 1-4 (4 triangles, each node in 3) + a chain 5-6-7 (none)
+    val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // direction/duplicates don't matter
+    val rev = (k4.map(_.swap) ++ k4).toDF("src", "dst")
+    val out2 = Graph.triangleCounts(rev, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out.filter(_._1 <= 4))
+    // cap at degree 2: every K4 node has degree 3 -> all dropped
+    val capped = Graph.triangleCounts(edges, "src", "dst", maxDegree = 2).count()
+    assert(capped == 0L)
+  }
+
   test("Graph.pageRank: duplicate edges collapse; invalid args raise") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
     val pr = Graph.pageRank(edges, "src", "dst", iterations = 2)
