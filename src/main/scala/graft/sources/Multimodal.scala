@@ -294,6 +294,52 @@ object Multimodal {
       decodeUdf(col(mediaCol)).cast(
         "struct<format:string,width:int,height:int,n_channels:int,duration_ms:bigint>"))
 
+  /** Average-hash (aHash) perceptual fingerprint of an image blob:
+    * decode (ImageIO — the one legitimate UDF family here, like the
+    * other codec paths), downscale to `side` x `side` luma, threshold
+    * each cell against the mean, pack the bits row-major into a Long
+    * (side <= 8). Returns None for undecodable blobs. Deterministic:
+    * the nearest-neighbour downscale samples fixed source pixels
+    * (floor(x * w / side)), no platform-dependent filtering.
+    */
+  private[graft] def imageAHash(bytes: Array[Byte], side: Int = 8): Option[Long] = {
+    require(side >= 2 && side <= 8, s"imageAHash: need 2<=side<=8, got $side")
+    decodeImageBuffered(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val luma = new Array[Double](side * side)
+      var i = 0
+      while (i < side * side) {
+        val sx = (i % side) * w / side
+        val sy = (i / side) * h / side
+        val rgb = img.getRGB(sx, sy)
+        // integer Rec.601 luma — exact on every platform
+        luma(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0
+        i += 1
+      }
+      val mean = luma.sum / luma.length
+      var bits = 0L
+      i = 0
+      while (i < side * side) {
+        if (luma(i) > mean) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+  }
+
+  private val aHashUdf = udf((b: Array[Byte]) => imageAHash(b).map(long2Long).orNull)
+
+  /** Perceptual-hash column: (binary) -> nullable Long aHash. Compose
+    * with [[graft.operators.Dedup.simhashCandidates]]-style block
+    * bucketing for image near-dup at scale (identical/near-identical
+    * images collide exactly or within a few Hamming bits; the
+    * bucket-join family takes it from there — no all-pairs scan).
+    */
+  def withImagePHash(df: DataFrame, mediaCol: String,
+      as: String = "phash"): DataFrame =
+    df.withColumn(as, aHashUdf(col(mediaCol)))
+
   /** Feature extraction stub: fixed-width byte-statistics vector per blob
     * (stands in for an embedding model; deterministic, columnar output).
     */

@@ -107,6 +107,41 @@ class SourcesSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("Multimodal: perceptual aHash — format-invariant, near-dup robust, content-sensitive") {
+    def grad(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        val v = (x * 255 / w) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v) // left-dark gradient
+      })
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val base = grad(64, 64)
+    val h1 = Multimodal.imageAHash(enc(base, "png")).get
+    // same content re-encoded losslessly and resized: identical hash
+    assert(Multimodal.imageAHash(enc(grad(128, 128), "png")).get == h1)
+    // lossy re-encode: small Hamming distance
+    val hj = Multimodal.imageAHash(enc(base, "jpg")).get
+    assert(java.lang.Long.bitCount(h1 ^ hj) <= 4)
+    // mirrored gradient: structurally different content, far hash
+    val mirror = grad(64, 64)
+    (0 until 64).foreach(x => (0 until 64).foreach(y =>
+      mirror.setRGB(x, y, base.getRGB(63 - x, y))))
+    val hm = Multimodal.imageAHash(enc(mirror, "png")).get
+    assert(java.lang.Long.bitCount(h1 ^ hm) >= 16)
+    // undecodable -> None; column wrapper nulls it
+    assert(Multimodal.imageAHash("junk".getBytes).isEmpty)
+    val df = Seq((1L, enc(base, "png")), (2L, "junk".getBytes)).toDF("id", "media")
+    val col2 = Multimodal.withImagePHash(df, "media")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(col2(1L).contains(h1) && col2(2L).isEmpty)
+  }
+
   test("Multimodal: REAL codec — PNG/JPEG/GIF header parse matches encoded size") {
     for ((fmt, w, h) <- Seq(("png", 37, 23), ("jpg", 64, 48), ("gif", 12, 9))) {
       val bytes = encodeImage(fmt, w, h)
