@@ -1112,6 +1112,19 @@ object SparkEntry {
       Ann.kmeansFixed(vecs, "doc_id", "vec", k = 8, iterations = 2)
         .orderBy("doc_id")
     }),
+    // EXT HITS hubs/authorities (Graph.hits) on the same supplies-to
+    // bipartite graph — suppliers are hubs, customers authorities; two
+    // normalized sweeps under the PageRank float discipline
+    "hits_suppliers" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      Graph.hits(edges, "src", "dst", iterations = 2, quantize = 9)
+        .orderBy("node")
+    }),
     // EXT nearest-centroid (Rocchio) domain classification
     // (Ann.labelCentroids + nearestCentroidAssign): md5-sampled
     // prototype centroids per label (ordered element-wise fold —
@@ -1691,6 +1704,34 @@ object SparkEntry {
        |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
        |          FROM s2) t WHERE rn = 1)
        |SELECT vec_id AS $idAlias, cid AS cluster_id FROM a2 ORDER BY 1""".stripMargin
+
+  /** HITS oracle: unrolled normalized sweeps, same quantization grid
+    * and decimal-sum discipline as [[pageRankSql]].
+    */
+  private def hitsSql(iterations: Int, quantize: Int): String = {
+    def d12(expr: String) = s"CAST(SUM(CAST(ROUND($expr, 12) AS DECIMAL(30,12))) AS DOUBLE)"
+    val sweeps = (1 to iterations).map { i =>
+      val prevHub = if (i == 1) "s0" else s"sh${i - 1}"
+      s""" ar$i AS (SELECT e.dst AS id, ${d12(s"$prevHub.hub")} AS ar
+         |         FROM e JOIN $prevHub ON $prevHub.id = e.src GROUP BY 1),
+         | at$i AS (SELECT ${d12("ar")} AS t FROM ar$i),
+         | sa$i AS (SELECT nodes.id, ROUND(COALESCE(ar, 0.0) / at$i.t, $quantize) AS auth
+         |         FROM nodes LEFT JOIN ar$i ON ar$i.id = nodes.id, at$i),
+         | hr$i AS (SELECT e.src AS id, ${d12("auth")} AS hr
+         |         FROM e JOIN sa$i ON sa$i.id = e.dst GROUP BY 1),
+         | ht$i AS (SELECT ${d12("hr")} AS t FROM hr$i),
+         | sh$i AS (SELECT nodes.id, ROUND(COALESCE(hr, 0.0) / ht$i.t, $quantize) AS hub
+         |         FROM nodes LEFT JOIN hr$i ON hr$i.id = nodes.id, ht$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | s0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |$sweeps
+       |SELECT h.id AS node, h.hub, a.auth AS authority
+       |FROM sh$iterations h JOIN sa$iterations a USING (id) ORDER BY 1""".stripMargin
+  }
 
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
@@ -2701,6 +2742,7 @@ object SparkEntry {
         |SELECT src_id, dst_id, containment FROM j
         |WHERE containment >= 0.9 ORDER BY src_id, dst_id""".stripMargin,
     "pagerank_suppliers" -> pageRankSql(iterations = 3, damping = 0.85, quantize = 9),
+    "hits_suppliers" -> hitsSql(iterations = 2, quantize = 9),
     // k-means mirror: the same two unrolled Lloyd sweeps — md5 seeds,
     // argmax assignment (ties toward smaller centroid id), round-12
     // decimal component sums, round-9 centroid grid, empty clusters

@@ -113,6 +113,56 @@ object Graph {
     ranks.select(col("_id").as("node"), col("_r").as("rank"))
   }
 
+  /** Fixed-iteration HITS (Kleinberg'99) hubs & authorities — the
+    * natural importance pair on BIPARTITE graphs (where PageRank's
+    * random surfer is awkward): per sweep, authority = L1-normalized
+    * sum of in-neighbour hub scores, then hub = L1-normalized sum of
+    * out-neighbour authority scores. Same engine-portable float
+    * discipline as [[pageRank]]: round(12) -> DECIMAL(30,12) sums
+    * (exact, commutative), scores re-quantized round(`quantize`) after
+    * each normalization; L1 totals are 1-row aggregates broadcast back.
+    * Output: (node, hub, authority) for every node.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, quantize: Int = 9): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"hits: need 1<=iterations<=20, got $iterations")
+    val e = edges.select(col(srcCol).cast("string").as("_src"),
+        col(dstCol).cast("string").as("_dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("_src").as("_id"))
+      .unionByName(e.select(col("_dst").as("_id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dsum12(c: Column): Column =
+      sum(round(c, 12).cast("decimal(30,12)")).cast("double")
+    var hubs = nodes.select(col("_id"), lit(1.0).as("_hub"))
+    var auths: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val ar = e.join(hubs.withColumnRenamed("_id", "_src"), Seq("_src"))
+        .groupBy(col("_dst").as("_id")).agg(dsum12(col("_hub")).as("_ar"))
+      val at = ar.agg(dsum12(col("_ar")).as("_t"))
+      auths = nodes.join(ar, Seq("_id"), "left")
+        .crossJoin(broadcast(at))
+        .select(col("_id"),
+          round(coalesce(col("_ar"), lit(0.0)) / col("_t"), quantize).as("_auth"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hr = e.join(auths.withColumnRenamed("_id", "_dst"), Seq("_dst"))
+        .groupBy(col("_src").as("_id")).agg(dsum12(col("_auth")).as("_hr"))
+      val ht = hr.agg(dsum12(col("_hr")).as("_t"))
+      hubs = nodes.join(hr, Seq("_id"), "left")
+        .crossJoin(broadcast(ht))
+        .select(col("_id"),
+          round(coalesce(col("_hr"), lit(0.0)) / col("_t"), quantize).as("_hub"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      it += 1
+    }
+    hubs.join(auths, Seq("_id"))
+      .select(col("_id").as("node"), col("_hub").as("hub"),
+        col("_auth").as("authority"))
+  }
+
   /** Per-node triangle participation counts (EXT — on a near-dup pair
     * graph, triangles are transitivity evidence: a doc in many
     * triangles sits in a tight duplicate clique, not a chain of

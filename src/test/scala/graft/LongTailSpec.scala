@@ -61,6 +61,22 @@ class LongTailSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("Graph.hits: the authority every hub endorses wins; pure sources score hub-only") {
+    // h1, h2 both point at a; h1 also points at b
+    val edges = Seq(("h1", "a"), ("h2", "a"), ("h1", "b")).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a")._2 > out("b")._2)          // doubly-endorsed authority wins
+    assert(out("h1")._1 > out("h2")._1)        // broader hub wins
+    assert(out("a")._1 == 0.0 && out("h1")._2 == 0.0) // bipartite: no mixed roles
+    // L1 normalization: each score family sums to ~1 on the quantized grid
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6)
+    val again = Graph.hits(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out == again)
+  }
+
   test("Graph.pageRank: duplicate edges collapse; invalid args raise") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
     val pr = Graph.pageRank(edges, "src", "dst", iterations = 2)
