@@ -1149,6 +1149,67 @@ object SparkEntry {
       Corpus.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
+    // OLAP star join (TPC-H Q5 shape): revenue by nation for one region
+    // and year, local suppliers only (c_nationkey = s_nationkey). Six
+    // tables; region/nation broadcast, customer/supplier AQE-decided,
+    // the two fact-side joins shuffle on their keys — the classic plan
+    // a warehouse engine must get right, and the date + region filters
+    // must reach the scans (PlanSpec-checkable pushdown)
+    "q5_nation_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("_rev"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    // Window RANGE frame: trailing-7-day revenue per order day — the
+    // time-based frame (RANGE BETWEEN 6 PRECEDING) over the daily
+    // aggregate, which is at most |days| rows after the one fact shuffle
+    "rolling_revenue_7d" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(dsum(col("o_totalprice")).as("day_rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_dn"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("_dn", datediff(col("day"), lit("1995-01-01").cast("date")))
+        .withColumn("rev_7d",
+          round(sum(col("day_rev").cast(DEC)).over(w).cast("double"), 2))
+        .select(col("day"), col("day_rev"), col("rev_7d"))
+        .orderBy("day")
+    }),
+    // Window ntile: customers cut into account-balance deciles per
+    // market segment (total tie-break on key), with per-decile stats
+    "acctbal_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("c_mktsegment"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy("c_mktsegment", "decile")
+    }),
     // OLAP cube: revenue + row count at every (returnflag, linestatus)
     // granularity in ONE pass (partial_aggregate-friendly Expand, no
     // re-scan per grouping set); grouping_id disambiguates data NULLs
@@ -2477,6 +2538,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         |       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Q5 mirror: same join graph, same decimal-exact factor-cast revenue
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // rolling mirror: integer day-number RANGE frame over the daily agg
+    "rolling_revenue_7d" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS day_rev
+        |       FROM orders GROUP BY 1),
+        | n AS (SELECT day, day_rev, day - DATE '1995-01-01' AS dn FROM daily)
+        |SELECT day, day_rev,
+        |  ROUND(CAST(SUM(CAST(day_rev AS DECIMAL(30,2))) OVER
+        |    (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rev_7d
+        |FROM n ORDER BY day""".stripMargin,
+    // decile mirror: NTILE semantics match (earlier buckets take extras)
+    "acctbal_deciles" ->
+      """WITH d AS (SELECT c_mktsegment, c_acctbal,
+        |        CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+        |          ORDER BY c_acctbal DESC, c_custkey) AS INT) AS decile
+        |       FROM customer)
+        |SELECT c_mktsegment, decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal_sum
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // cube mirror: GROUPING bit order matches Spark's grouping_id
     // (first column = MSB); same decimal-exact revenue sum
     "cube_revenue" ->

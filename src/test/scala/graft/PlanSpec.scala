@@ -85,7 +85,9 @@ class PlanSpec extends SparkSpec {
     // window rides its groupBy("bucket") aggregate (<= `buckets` rows
     // by construction). Both are the documented tiny-aggregate shape,
     // not scale hazards
-    val allow = Set("smooth_gaussian", "vocab_growth")
+    // rolling_revenue_7d's RANGE frame rides the per-DAY aggregate
+    // (<= |distinct days| rows at any SF — same class as smoothing)
+    val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)
@@ -229,6 +231,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("slot") && plan.contains("key"), plan.take(800))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(800))
+  }
+
+  test("q5_nation_revenue: date/region filters pushed to scans; dims broadcast") {
+    val df = SparkEntry.queries("q5_nation_revenue")(spark, sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    // region filter and the orders date range reach the parquet scans
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*r_name[^\\]]*\\].*"),
+      "region name filter not pushed to the region scan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      "order date range not pushed to the orders scan")
+    // the five dimension joins broadcast (no hints — planner/AQE choice)
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("novelty_docs: per-doc gram dedup is map-side (array_distinct), not a distinct shuffle") {
