@@ -328,6 +328,25 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "id_a", "id_b")
         .orderBy("node")
     }),
+    // EXT edit-distance record linkage (Dedup.fuzzyMatchPairs —
+    // SymSpell deletion-neighborhood blocking, recall-guaranteed at
+    // distance 1): part entities (name+brand+type+size, ~unique) plus
+    // injected single-char-deletion typos; candidates from a banded
+    // md5-signature equi-join (16-byte shuffle), exact levenshtein
+    // verify, standard bucket skew cap
+    "fuzzy_part_match" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+            col("p_size").cast("string")).as("name"))
+      val typos = parts.filter(col("id") % 9 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(col("name").substr(lit(1), lit(3)),
+            col("name").substr(lit(5), length(col("name")))).as("name"))
+      Dedup.fuzzyMatchPairs(parts.unionByName(typos), "id", "name",
+          maxDist = 1, maxBucket = 1024)
+        .orderBy("id_a", "id_b")
+    }),
     // EXT the end-to-end DEDUPLICATED CORPUS: clusters -> min-id
     // representative per cluster (+ every unpaired doc as its own
     // singleton) with the cluster size as removal provenance — what a
@@ -2956,6 +2975,26 @@ object SparkEntry {
          |SELECT corpus_id, doc_id, est_jaccard FROM est
          |WHERE est_jaccard >= 0.8 ORDER BY corpus_id, doc_id""".stripMargin
     },
+    // fuzzy-linkage mirror: same composite entity, same deletion
+    // neighborhood (self + every single-char deletion), same md5 band
+    "fuzzy_part_match" ->
+      """WITH p AS (SELECT p_partkey AS id,
+        |        p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR) AS s
+        |       FROM part),
+        | u AS (SELECT * FROM p UNION ALL
+        |       SELECT id + 100000, substr(s, 1, 3) || substr(s, 5) FROM p WHERE id % 9 = 0),
+        | sg AS (SELECT DISTINCT id, s, md5(x) AS k FROM (
+        |         SELECT id, s, unnest(list_prepend(s,
+        |           list_transform(range(1, len(s) + 1),
+        |             i -> substr(s, 1, CAST(i AS INT) - 1) || substr(s, CAST(i AS INT) + 1)))) AS x
+        |         FROM u) t),
+        | cap AS (SELECT id, s, k FROM (
+        |          SELECT sg.*, COUNT(*) OVER (PARTITION BY k) AS bn FROM sg) c
+        |         WHERE bn <= 1024),
+        | cand AS (SELECT DISTINCT a.id AS id_a, a.s AS sa, b.id AS id_b, b.s AS sb
+        |          FROM cap a JOIN cap b USING (k) WHERE a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 1 ORDER BY id_a, id_b""".stripMargin,
     // triangle mirror: same pair CTEs, ordered wedge join a<b<c
     "dup_triangles" ->
       s"""WITH $ngramPairCtes,

@@ -730,6 +730,35 @@ class DedupAnnSpec extends SparkSpec {
     assert(m.getLong("minhash_k") == 12L && m.getLong("minhash_bands") == 2L)
   }
 
+  test("fuzzyMatchPairs: sub/ins/del all caught at distance 1; distance 2 excluded by contract") {
+    val rows = Seq(
+      (1L, "widget"), (2L, "wodget"),   // substitution
+      (3L, "widgets"),                  // insertion vs 1
+      (4L, "widge"),                    // deletion vs 1
+      (5L, "gadget"),                   // distance 2 from widget
+      (6L, "widget")                    // exact dup of 1
+    ).toDF("id", "name")
+    val out = Dedup.fuzzyMatchPairs(rows, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1)
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) == 1)
+    assert(out.contains((1L, 4L)) && out((1L, 4L)) == 1)
+    assert(out.contains((1L, 6L)) && out((1L, 6L)) == 0)
+    assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    // pairs are ordered and unique
+    assert(out.keySet.forall { case (a, b) => a < b })
+  }
+
+  test("fuzzyMatchPairs: hot-signature bucket cap suppresses a degenerate name") {
+    val hot = (1L to 50L).map(i => (i, "same")) :+ (100L, "samX")
+    val out = Dedup.fuzzyMatchPairs(hot.toDF("id", "name"), "id", "name",
+      maxBucket = 10)
+    assert(out.count() == 0) // every signature bucket of 'same' exceeds the cap
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyMatchPairs(hot.toDF("id", "name"), "id", "name", maxDist = 2)
+    }
+  }
+
   test("kmeansFixed: separable blobs split cleanly; deterministic; args validated") {
     // two tight cosine blobs around (1,0) and (0,1)
     val emb = Seq(
