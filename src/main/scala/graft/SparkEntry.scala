@@ -347,6 +347,26 @@ object SparkEntry {
           maxDist = 1, maxBucket = 1024)
         .orderBy("id_a", "id_b")
     }),
+    // EXT ingest-time fuzzy linkage (StreamOps.fuzzyMatchAgainstStream
+    // against Dedup.fuzzyIndex): the streaming half of
+    // fuzzy_part_match — incoming typo'd entities probe the build-once
+    // corpus signature index; batch-symmetric here, multi-signature
+    // hits collapsed by distinct as the contract documents
+    "fuzzy_match_stream" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+            col("p_size").cast("string")).as("name"))
+      val typos = parts.filter(col("id") % 9 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(col("name").substr(lit(1), lit(3)),
+            col("name").substr(lit(5), length(col("name")))).as("name"))
+      val idx = Dedup.fuzzyIndex(parts, "id", "name", maxBucket = 1024)
+      graft.streaming.StreamOps.fuzzyMatchAgainstStream(idx, typos, "id", "name")
+        .select(col("corpus_id"), col("id").as("doc_id"), col("dist"))
+        .distinct()
+        .orderBy("corpus_id", "doc_id")
+    }),
     // EXT the end-to-end DEDUPLICATED CORPUS: clusters -> min-id
     // representative per cluster (+ every unpaired doc as its own
     // singleton) with the cluster size as removal provenance — what a
@@ -2995,6 +3015,31 @@ object SparkEntry {
         |          FROM cap a JOIN cap b USING (k) WHERE a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
         |FROM cand WHERE levenshtein(sa, sb) <= 1 ORDER BY id_a, id_b""".stripMargin,
+    // streaming fuzzy-linkage mirror: asymmetric — corpus-side index
+    // with cap at build, probe side = the typo recipe
+    "fuzzy_match_stream" ->
+      """WITH p AS (SELECT p_partkey AS id,
+        |        p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR) AS s
+        |       FROM part),
+        | inc AS (SELECT id + 100000 AS id, substr(s, 1, 3) || substr(s, 5) AS s
+        |         FROM p WHERE id % 9 = 0),
+        | sgc AS (SELECT DISTINCT id, s, md5(x) AS k FROM (
+        |          SELECT id, s, unnest(list_prepend(s,
+        |            list_transform(range(1, len(s) + 1),
+        |              i -> substr(s, 1, CAST(i AS INT) - 1) || substr(s, CAST(i AS INT) + 1)))) AS x
+        |          FROM p) t),
+        | idx AS (SELECT id, s, k FROM (
+        |          SELECT sgc.*, COUNT(*) OVER (PARTITION BY k) AS bn FROM sgc) c
+        |         WHERE bn <= 1024),
+        | sgi AS (SELECT DISTINCT id, s, md5(x) AS k FROM (
+        |          SELECT id, s, unnest(list_prepend(s,
+        |            list_transform(range(1, len(s) + 1),
+        |              i -> substr(s, 1, CAST(i AS INT) - 1) || substr(s, CAST(i AS INT) + 1)))) AS x
+        |          FROM inc) t)
+        |SELECT DISTINCT idx.id AS corpus_id, sgi.id AS doc_id,
+        |       CAST(levenshtein(sgi.s, idx.s) AS INT) AS dist
+        |FROM sgi JOIN idx USING (k) WHERE levenshtein(sgi.s, idx.s) <= 1
+        |ORDER BY corpus_id, doc_id""".stripMargin,
     // triangle mirror: same pair CTEs, ordered wedge join a<b<c
     "dup_triangles" ->
       s"""WITH $ngramPairCtes,

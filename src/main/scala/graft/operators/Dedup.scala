@@ -60,23 +60,28 @@ object Dedup {
     * skew cap on hot signatures (e.g. a catalog where thousands share a
     * name — capped buckets contribute no pairs, loudly traded).
     */
+  /** The SymSpell distance-1 signature array of a string column: the
+    * string itself plus every single-character deletion (row-local,
+    * expression-only — shared by the batch pair join and the streaming
+    * ingest path, so the blocking contract cannot drift between them).
+    */
+  def deletionSignatures(s: Column): Column = {
+    val dels = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    when(length(s) > 0, array_union(array(s), dels)).otherwise(array(s))
+  }
+
   def fuzzyMatchPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, maxBucket: Int = 1024): DataFrame = {
     require(maxDist == 1, "fuzzyMatchPairs: deletion-neighborhood blocking guarantees maxDist=1 only")
     require(maxBucket >= 2, s"fuzzyMatchPairs: need maxBucket>=2, got $maxBucket")
     val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
-    val dels = transform(sequence(lit(1), length(col("_s"))),
-      i => concat(col("_s").substr(lit(1), i - 1),
-        col("_s").substr(i + 1, length(col("_s")))))
     val based = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bare (id, digest) rows ride the banded shuffle — strings re-join
     // only onto the (much smaller) candidate pair set for the verify,
     // the suite's standard bare-id-pairs trade
     val sigs = based
-      .select(col("_id"),
-        explode(when(length(col("_s")) > 0,
-            array_union(array(col("_s")), dels))
-          .otherwise(array(col("_s")))).as("_sig"))
+      .select(col("_id"), explode(deletionSignatures(col("_s"))).as("_sig"))
       .select(col("_id"), md5(col("_sig").cast("binary")).as("_k"))
       .distinct()
     val capped = sigs
@@ -92,6 +97,27 @@ object Dedup {
       .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+  }
+
+  /** Build-once corpus signature index for streaming fuzzy linkage
+    * (the [[minhashBandIndexMd5]] shape for edit distance): one row per
+    * (signature digest, corpus id, string), bucket cap applied AT BUILD
+    * TIME so a degenerate hot name can never pair with every incoming
+    * probe.
+    */
+  def fuzzyIndex(corpus: DataFrame, idCol: String, strCol: String,
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket >= 1, s"fuzzyIndex: need maxBucket>=1, got $maxBucket")
+    val sigs = corpus.select(col(idCol).as("_fz_id"), col(strCol).as("_fz_s"))
+      .select(col("_fz_id"), col("_fz_s"),
+        explode(deletionSignatures(col("_fz_s"))).as("_sig"))
+      .select(col("_fz_id"), col("_fz_s"),
+        md5(col("_sig").cast("binary")).as("_fz_k"))
+      .distinct()
+    sigs
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("_fz_k"))))
+      .filter(col("_bn") <= maxBucket)
+      .select("_fz_k", "_fz_id", "_fz_s")
   }
 
   /** Drop exact duplicates, keeping the lowest id per content value. */

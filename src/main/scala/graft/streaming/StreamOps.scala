@@ -641,6 +641,31 @@ object StreamOps {
         coalesce(!col("_hot"), lit(true)).as("keep"))
   }
 
+  /** Ingest-time fuzzy record linkage: each incoming string probes the
+    * build-once [[graft.operators.Dedup.fuzzyIndex]] with its own
+    * deletion signatures (row-local, expression-only — the SAME
+    * [[graft.operators.Dedup.deletionSignatures]] kernel as the batch
+    * pair join, so the blocking contract cannot drift) and every
+    * corpus entity within Levenshtein distance `maxDist` comes back
+    * with the exact distance. Stateless stream-static join —
+    * append-legal; a pair sharing several signatures surfaces once per
+    * signature (the multi-band-hit contract of
+    * [[minhashAgainstStream]] — collapse with streaming
+    * `dropDuplicates` downstream). Works unchanged on batch frames.
+    */
+  def fuzzyMatchAgainstStream(index: DataFrame, docs: DataFrame,
+      idCol: String, strCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1,
+      "fuzzyMatchAgainstStream: deletion-neighborhood blocking guarantees maxDist=1 only")
+    val probe = docs.select(col(idCol), col(strCol),
+        explode(graft.operators.Dedup.deletionSignatures(col(strCol))).as("_sig"))
+      .withColumn("_pk", md5(col("_sig").cast("binary")))
+    probe.join(index, probe("_pk") === index("_fz_k"))
+      .withColumn("dist", levenshtein(col(strCol), col("_fz_s")))
+      .filter(col("dist") <= maxDist)
+      .select(col("_fz_id").as("corpus_id"), col(idCol), col(strCol), col("dist"))
+  }
+
   def cdcIndex(base: DataFrame, keyCol: String,
       payloadCol: String): DataFrame =
     base.select(col(keyCol).as("_cdc_k"), md5(col(payloadCol)).as("_cdc_f"))

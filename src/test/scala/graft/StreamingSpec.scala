@@ -533,6 +533,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Seq((2L, "changed"), (9L, "added")))
   }
 
+  test("fuzzyMatchAgainstStream: stream hits equal the batch pairs; typo linked, distant name not") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocText
+    val corpus = Seq((1L, "acme widget"), (2L, "zenith gadget"))
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.fuzzyIndex(corpus, "doc_id", "text")
+    val incoming = Seq(
+      DocText(10L, "acme widgey"),   // distance 1 from corpus 1
+      DocText(11L, "acme thing"))    // too far from everything
+    val mem = MemoryStream[DocText]
+    mem.addData(incoming: _*)
+    val q = StreamOps.fuzzyMatchAgainstStream(idx, mem.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("fuzzy_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fuzzy_out")
+      .select("corpus_id", "doc_id", "dist").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == Set((1L, 10L, 1)))
+    val batch = StreamOps.fuzzyMatchAgainstStream(idx, incoming.toDF(), "doc_id", "text")
+      .select("corpus_id", "doc_id", "dist").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("lineVerdictsStream: stream verdicts reassemble to exactly Corpus.dedupLines") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocText
