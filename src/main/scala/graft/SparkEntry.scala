@@ -1483,6 +1483,27 @@ object SparkEntry {
     // quality features with FROZEN trained weights (QcWeights, trained
     // by ScaleProbe qctrain on clean-vs-corrupted) — the fastText-style
     // learned-filter shape; inference is one expression-only projection
+    // EXT cross-source score calibration: a raw quality score is not
+    // comparable across sources (each source has its own score
+    // distribution), so curation mixes on the WITHIN-source quantile —
+    // percent_rank per source with total tie-break, the
+    // quantile-normalization step before any cross-source threshold
+    "quality_quantile_norm" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("_q").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("_q"))
+        // quality emitted RAW (the text_profile precedent): the doubles
+        // are bit-identical across engines, while ROUND at an exact
+        // half boundary is not (count-ratio scores land on dyadic
+        // decimals); percent_rank is (rank-1)/(n-1) — also identical
+        .withColumn("q_rank", percent_rank().over(w))
+        .select(col("doc_id"), col("source"),
+          col("_q").as("quality"), col("q_rank"))
+        .orderBy("doc_id")
+    }),
     "quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val junk = docs.filter(col("doc_id") % 5 === 2)
@@ -3195,6 +3216,18 @@ object SparkEntry {
         |FROM n LEFT JOIN o ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)
         |ORDER BY n.doc_id""".stripMargin,
+    // quantile-norm mirror: shared qualityScore CTEs + PERCENT_RANK
+    // with the same total tie-break
+    "quality_quantile_norm" ->
+      s"""WITH base AS (SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS p FROM documents),
+         | c AS (SELECT doc_id, source, $qualityComponentsSql,
+         |  ${stops(TextFunctions.EnStops)} AS stop_en
+         | FROM base),
+         | q AS (SELECT doc_id, source, $qualityExprSql AS quality FROM c)
+         |SELECT doc_id, source, quality,
+         |       PERCENT_RANK() OVER (PARTITION BY source
+         |         ORDER BY quality ASC, doc_id ASC) AS q_rank
+         |FROM q ORDER BY doc_id""".stripMargin,
     "source_cap" ->
       s"""WITH base AS (SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS p FROM documents),
          | c AS (SELECT doc_id, source, $qualityComponentsSql,
