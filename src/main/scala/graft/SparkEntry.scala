@@ -1140,6 +1140,19 @@ object SparkEntry {
           array_join(col("postings"), ",").as("postings"))
         .orderBy("term")
     }),
+    // EXT c-TF-IDF cluster labels (Corpus.clusterTopTerms, the BERTopic
+    // statistic): the text clusters from text_cluster_assign labeled by
+    // their top-3 class-TF-IDF terms — the corpus-exploration readout
+    // of an uninspected clustering; one (cluster, term) groupBy, its
+    // roll-ups, a 1-row broadcast mean, and a cluster-local rank window
+    "cluster_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val vecs = Corpus.hashedDocVectors(docs, "doc_id", "text", dim = 64)
+      val assign = Ann.kmeansFixed(vecs, "doc_id", "vec", k = 8, iterations = 2)
+        .select(col("doc_id"), col("cluster_id"))
+      Corpus.clusterTopTerms(docs, assign, "doc_id", "text", topK = 3)
+        .orderBy("cluster_id", "rank")
+    }),
     // EXT end-to-end TEXT clustering (Corpus.hashedDocVectors +
     // Ann.kmeansFixed): embedding-free — documents become integer-exact
     // hashing-trick vectors (bit d of each token's md5 as the sign,
@@ -1805,7 +1818,12 @@ object SparkEntry {
     */
   private def kmeansReplaySql(eSql: String, k: Int,
       idAlias: String = "vec_id"): String =
-    s"""WITH e AS ($eSql),
+    s"""WITH ${kmeansReplayCtes(eSql, k)}
+       |SELECT vec_id AS $idAlias, cid AS cluster_id FROM a2 ORDER BY 1""".stripMargin
+
+  /** The WITH-body of the Lloyd replay (e .. a2) for composition. */
+  private def kmeansReplayCtes(eSql: String, k: Int): String =
+    s"""e AS ($eSql),
        | seeds AS (SELECT vec_id AS cid, v AS cv FROM e
        |           ORDER BY md5('42:' || vec_id), vec_id LIMIT $k),
        | s1 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN seeds c),
@@ -1823,8 +1841,7 @@ object SparkEntry {
        | s2 AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e CROSS JOIN c2 c),
        | a2 AS (SELECT vec_id, cid FROM (
        |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-       |          FROM s2) t WHERE rn = 1)
-       |SELECT vec_id AS $idAlias, cid AS cluster_id FROM a2 ORDER BY 1""".stripMargin
+       |          FROM s2) t WHERE rn = 1)""".stripMargin
 
   /** HITS oracle: unrolled normalized sweeps, same quantization grid
     * and decimal-sum discipline as [[pageRankSql]].
@@ -1853,6 +1870,18 @@ object SparkEntry {
        |SELECT h.id AS node, h.hub, a.auth AS authority
        |FROM sh$iterations h JOIN sa$iterations a USING (id) ORDER BY 1""".stripMargin
   }
+
+  /** Integer-exact feature-hashed doc vectors as an e(vec_id, v) source. */
+  private val hashedVecSql: String =
+    """SELECT doc_id AS vec_id, v FROM (
+        |   WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents),
+        |    tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |    sg AS (SELECT doc_id, tk, tf, md5(tk) AS g FROM tf),
+        |    con AS (SELECT doc_id, CAST(t.d AS INT) AS d,
+        |             SUM(tf * (2 * (CAST(FLOOR((strpos('0123456789abcdef', substr(g, CAST(t.d AS INT) // 4 + 1, 1)) - 1)
+        |                   / POWER(2, CAST(t.d AS INT) % 4)) AS INT) % 2) - 1)) AS x
+        |            FROM sg, LATERAL (SELECT unnest(range(0, 64)) AS d) t GROUP BY 1, 2)
+        |   SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY d) AS v FROM con GROUP BY 1)""".stripMargin
 
   /** `a`/`b` are full array-column references (e.g. "ea.v"). */
   private def cosSql(a: String, b: String): String =
@@ -2906,17 +2935,26 @@ object SparkEntry {
     // text-cluster mirror: the feature-hashed vectors (integer-exact
     // hashing-trick projection, bit d of each token's md5) feed the
     // same two-sweep Lloyd replay
-    "text_cluster_assign" -> kmeansReplaySql(
-      """SELECT doc_id AS vec_id, v FROM (
-        |   WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents),
-        |    tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-        |    sg AS (SELECT doc_id, tk, tf, md5(tk) AS g FROM tf),
-        |    con AS (SELECT doc_id, CAST(t.d AS INT) AS d,
-        |             SUM(tf * (2 * (CAST(FLOOR((strpos('0123456789abcdef', substr(g, CAST(t.d AS INT) // 4 + 1, 1)) - 1)
-        |                   / POWER(2, CAST(t.d AS INT) % 4)) AS INT) % 2) - 1)) AS x
-        |            FROM sg, LATERAL (SELECT unnest(range(0, 64)) AS d) t GROUP BY 1, 2)
-        |   SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY d) AS v FROM con GROUP BY 1)""".stripMargin,
-      k = 8, idAlias = "doc_id"),
+    "text_cluster_assign" -> kmeansReplaySql(hashedVecSql, k = 8, idAlias = "doc_id"),
+    // c-TF-IDF mirror: the Lloyd replay CTEs feed the class-TF-IDF
+    // roll-ups; tf/wc as double-cast division, AVG over <= k rows
+    "cluster_top_terms" ->
+      s"""WITH ${kmeansReplayCtes(hashedVecSql, 8)},
+         | asg AS (SELECT vec_id AS doc_id, cid AS cluster_id FROM a2),
+         | tk AS (SELECT cluster_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |        FROM documents JOIN asg USING (doc_id)),
+         | tf2 AS (SELECT cluster_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         | wc AS (SELECT cluster_id, CAST(SUM(tf) AS BIGINT) AS wc FROM tf2 GROUP BY 1),
+         | ft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ft FROM tf2 GROUP BY 1),
+         | aa AS (SELECT AVG(wc) AS a FROM wc),
+         | sc AS (SELECT cluster_id, term,
+         |         ROUND((CAST(tf AS DOUBLE) / wc) * ln(1 + a / ft), 9) AS score
+         |        FROM tf2 JOIN wc USING (cluster_id) JOIN ft USING (term), aa),
+         | rr AS (SELECT cluster_id, term, score,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, term) AS INT) AS rank
+         |        FROM sc)
+         |SELECT cluster_id, term, score, rank FROM rr WHERE rank <= 3
+         |ORDER BY cluster_id, rank""".stripMargin,
     // inverted-index mirror: exact df over the (term, doc) dedup; the
     // posting cap is the 32 smallest doc ids (list slice == ranked cap)
     "inverted_index" ->

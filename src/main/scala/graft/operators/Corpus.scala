@@ -560,6 +560,47 @@ object Corpus {
       .select(col("id_a").as(idCol), col("n_eval_matches"), col("max_jaccard"))
   }
 
+  /** Class-based TF-IDF cluster labels (EXT — the BERTopic c-TF-IDF
+    * statistic, Grootendorst 2022: treat each CLUSTER as one document
+    * and score its terms by `(tf_ct / w_c) * ln(1 + A / f_t)` where
+    * w_c = words in cluster c, f_t = corpus frequency of term t, A =
+    * mean words per cluster). The top terms per cluster are the
+    * human-readable label for a clustering no one has inspected yet —
+    * the standard corpus-exploration step after [[Ann.kmeansFixed]] /
+    * semantic clustering. Output: (cluster_id, term, score, rank) for
+    * the `topK` terms per cluster, score quantized at 9 and ranked
+    * with a total (score desc, term asc) tie-break.
+    *
+    * Scale shape (100 TB): one (cluster, term) count groupBy over the
+    * exploded corpus (map-side combinable); w_c / f_t are roll-ups of
+    * that same aggregate (exchange-compatible keys); A is a 1-row
+    * broadcast; the final rank is a window over <= |clusters| x
+    * |vocab-per-cluster| scored rows, never the corpus.
+    */
+  def clusterTopTerms(docs: DataFrame, assign: DataFrame, idCol: String,
+      textCol: String, topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"clusterTopTerms: need topK>=1, got $topK")
+    val toks = docs.join(assign, Seq(idCol))
+      .select(col("cluster_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tfct = toks.groupBy(col("cluster_id"), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wc = tfct.groupBy(col("cluster_id")).agg(sum(col("_tf")).as("_wc"))
+    val ft = tfct.groupBy(col("term")).agg(sum(col("_tf")).as("_ft"))
+    val a = wc.agg(avg(col("_wc")).as("_A"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tfct.join(wc, Seq("cluster_id")).join(ft, Seq("term"))
+      .crossJoin(broadcast(a))
+      .withColumn("score",
+        round((col("_tf") / col("_wc")) * log(lit(1.0) + col("_A") / col("_ft")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("cluster_id"), col("term"), col("score"), col("rank"))
+  }
+
   /** Feature-hashed document vectors (EXT — the "hashing trick",
     * Weinberger et al. 2009, in its signed-random-projection form):
     * each document becomes a `dim`-component vector

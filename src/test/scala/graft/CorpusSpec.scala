@@ -291,6 +291,23 @@ class CorpusSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("clusterTopTerms: discriminative terms win over shared vocabulary") {
+    val docs = Seq(
+      (1L, "spark shuffle join common"), (2L, "spark shuffle agg common"),
+      (3L, "tokyo sushi ramen common"), (4L, "tokyo sushi tempura common"))
+      .toDF("id", "text")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("id", "cluster_id")
+    val out = Corpus.clusterTopTerms(docs, assign, "id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    val byC = out.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    // 'common' appears everywhere -> low idf; cluster-exclusive terms rank first
+    assert(byC(0L).head == "spark" || byC(0L).head == "shuffle")
+    assert(byC(1L).head == "tokyo" || byC(1L).head == "sushi")
+    assert(!byC(0L).contains("common") && !byC(1L).contains("common"))
+    assert(out.length == 4) // topK=2 per cluster
+  }
+
   test("hashedDocVectors: integer-exact, tf-linear, clones identical, dim bounded") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
