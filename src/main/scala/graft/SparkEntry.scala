@@ -1371,6 +1371,29 @@ object SparkEntry {
       Events.engagementRatio(t(s, dir, "events"), "user_id", "ts", 7)
         .orderBy("day")
     }),
+    // EXT event-rate anomaly detection: per-type daily counts z-scored
+    // against the type's own day distribution, |z| >= 2 flagged. The
+    // moments are EXACT integer sums (sum, sum-of-squares over counts),
+    // so mean/variance/z are pure-function doubles any engine replays —
+    // no float aggregation order anywhere
+    "event_anomalies" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("_s1"),
+          sum(col("cnt") * col("cnt")).as("_s2"),
+          count(lit(1)).as("_n"))
+      daily.join(stats, Seq("event_type"))
+        .withColumn("_mean", col("_s1").cast("double") / col("_n"))
+        .withColumn("_var",
+          (col("_s2").cast("double") - col("_s1").cast("double") * col("_s1") / col("_n")) /
+            (col("_n") - 1))
+        .withColumn("z", round((col("cnt") - col("_mean")) / sqrt(col("_var")), 6))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("day"), col("cnt"), col("z"))
+        .orderBy("event_type", "day")
+    }),
     // EXT gap-based sessionization (batch twin of the stateful streaming
     // flatMapGroupsWithState path — equality tested in StreamingSpec)
     "sessions_user" -> ((s, dir) => {
@@ -2755,6 +2778,22 @@ object SparkEntry {
         |SELECT lh.gid, lh.pos, lh.line, hot.h IS NULL AS keep
         |FROM lh LEFT JOIN hot ON lh.h = hot.h
         |ORDER BY gid, pos""".stripMargin,
+    // anomaly mirror: identical exact-integer moments, same expression
+    // tree for mean/var/z, filter applied to the ROUNDED z both sides
+    "event_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM events GROUP BY 1, 2),
+        | st AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS s1,
+        |         CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM daily GROUP BY 1),
+        | z AS (SELECT d.event_type, d.day, d.cnt,
+        |        ROUND((d.cnt - CAST(s1 AS DOUBLE) / n) /
+        |          sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6) AS z
+        |       FROM daily d JOIN st USING (event_type))
+        |SELECT event_type, day, cnt, z FROM z WHERE abs(z) >= 2.0
+        |ORDER BY event_type, day""".stripMargin,
     // funnel-times mirror: same min-chain, duration in epoch micros,
     // quantile_cont == Spark's interpolated percentile
     "funnel_times" ->
