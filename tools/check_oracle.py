@@ -26,9 +26,25 @@ for name in sorted(os.listdir(outdir)):
     try:
         exp = con.execute(oracles[name]).fetchdf()
     except Exception as e:
-        print(f"[ORACLE-ERR] {name}: {e}")
-        fail += 1
-        continue
+        if "Out of Memory" in str(e):
+            # long-lived connections accumulate allocator state over a
+            # 100+-oracle run and spuriously OOM on arbitrary queries —
+            # retry once on a FRESH connection before calling it real
+            try:
+                con2 = duckdb.connect()
+                for p in glob.glob(f"{sfdir}/*.parquet"):
+                    tname = os.path.basename(p)[:-8]
+                    con2.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{p}'")
+                exp = con2.execute(oracles[name]).fetchdf()
+                got = con2.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+            except Exception as e2:
+                print(f"[ORACLE-ERR] {name}: {e2} (after fresh-connection retry)")
+                fail += 1
+                continue
+        else:
+            print(f"[ORACLE-ERR] {name}: {e}")
+            fail += 1
+            continue
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         print(f"[SCHEMA] {name}: spark={gc} oracle={ec}")
