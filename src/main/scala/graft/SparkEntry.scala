@@ -1177,6 +1177,15 @@ object SparkEntry {
       Graph.hits(edges, "src", "dst", iterations = 2, quantize = 9)
         .orderBy("node")
     }),
+    // EXT clustering-quality readout (Ann.kmeansClusterQuality):
+    // centroid silhouette — own-centroid cosine minus best
+    // other-centroid cosine, per-cluster mean under the decimal-sum
+    // discipline; scores the SAME sweeps kmeans_assign runs
+    "kmeans_silhouette" -> ((s, dir) => {
+      Ann.kmeansClusterQuality(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, iterations = 2)
+        .orderBy("cluster_id")
+    }),
     // EXT nearest-centroid (Rocchio) domain classification
     // (Ann.labelCentroids + nearestCentroidAssign): md5-sampled
     // prototype centroids per label (ordered element-wise fold —
@@ -2975,6 +2984,22 @@ object SparkEntry {
     // hashing-trick projection, bit d of each token's md5) feed the
     // same two-sweep Lloyd replay
     "text_cluster_assign" -> kmeansReplaySql(hashedVecSql, k = 8, idAlias = "doc_id"),
+    // silhouette mirror: the replay's s2 already scores every (vector,
+    // centroid) pair — own join + max-other groupBy + decimal mean
+    "kmeans_silhouette" -> {
+      val eSql = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+      s"""WITH ${kmeansReplayCtes(eSql, 8)},
+         | own AS (SELECT s2.vec_id, a2.cid, s2.cos AS oc
+         |         FROM s2 JOIN a2 ON s2.vec_id = a2.vec_id AND s2.cid = a2.cid),
+         | oth AS (SELECT s2.vec_id, MAX(s2.cos) AS bc
+         |         FROM s2 JOIN a2 ON s2.vec_id = a2.vec_id AND s2.cid <> a2.cid
+         |         GROUP BY 1),
+         | sep AS (SELECT own.cid, ROUND(oc - bc, 12) AS sep
+         |         FROM own JOIN oth ON own.vec_id = oth.vec_id)
+         |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(CAST(SUM(CAST(sep AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS mean_sep
+         |FROM sep GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // c-TF-IDF mirror: the Lloyd replay CTEs feed the class-TF-IDF
     // roll-ups; tf/wc as double-cast division, AVG over <= k rows
     "cluster_top_terms" ->

@@ -546,6 +546,18 @@ object Ann {
   def kmeansFixed(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int = 2, seed: String = "42",
       quantize: Int = 9): DataFrame = {
+    val (assigned, _) =
+      kmeansCore(emb, idCol, vecCol, k, iterations, seed, quantize)
+    assigned.select(col("_id").as(idCol), col("_cid").as("cluster_id"))
+  }
+
+  /** The (assigned, final centroids) pair behind [[kmeansFixed]] —
+    * shared with [[kmeansClusterQuality]] so the evaluation scores the
+    * SAME sweeps the assignment ran.
+    */
+  private def kmeansCore(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, seed: String,
+      quantize: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iterations >= 1 && iterations <= 20,
       s"kmeansFixed: need k>0, 1<=iterations<=20; got k=$k iterations=$iterations")
     val cv = emb.select(col(idCol).as("_id"),
@@ -584,7 +596,36 @@ object Ann {
           .orderBy(col("_cid")).limit(k)
       }
     }
-    assigned.select(col("_id").as(idCol), col("_cid").as("cluster_id"))
+    (assigned, cents)
+  }
+
+  /** Simplified CENTROID silhouette (cluster-quality readout for the
+    * exact-replay k-means): per vector, `own-centroid cosine - best
+    * other-centroid cosine` (positive = well separated), rolled up per
+    * cluster as (n, mean_sep) with the decimal-sum discipline so the
+    * mean is engine-portable. A clustering report nobody can game:
+    * low mean_sep clusters are the ones to re-split or merge.
+    */
+  def kmeansClusterQuality(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 2, seed: String = "42",
+      quantize: Int = 9): DataFrame = {
+    val (assigned, cents) =
+      kmeansCore(emb, idCol, vecCol, k, iterations, seed, quantize)
+    val scored = assigned.select(col("_id"), col("_v"), col("_cid").as("_own"))
+      .crossJoin(broadcast(cents))
+      .select(col("_id"), col("_own"), col("_cid"),
+        VectorFunctions.cosine(col("_v"), col("_cv")).as("_cos"))
+    val own = scored.filter(col("_cid") === col("_own"))
+      .select(col("_id"), col("_own"), col("_cos").as("_oc"))
+    val other = scored.filter(col("_cid") =!= col("_own"))
+      .groupBy(col("_id")).agg(max(col("_cos")).as("_bc"))
+    own.join(other, Seq("_id"))
+      .select(col("_own"), round(col("_oc") - col("_bc"), 12).as("_sep"))
+      .groupBy(col("_own"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_sep").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)), quantize).as("mean_sep"))
+      .select(col("_own").as("cluster_id"), col("n"), col("mean_sep"))
   }
 
   /** Nearest-centroid (Rocchio) assignment: every vector gets the label

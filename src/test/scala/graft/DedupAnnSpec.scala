@@ -782,6 +782,18 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("kmeansClusterQuality: separated blobs score positive; assignment unchanged") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.95, 0.05)), (3L, Seq(0.9, 0.1)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.05, 0.95)), (6L, Seq(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    val q = Ann.kmeansClusterQuality(emb, "vec_id", "embedding", k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(q.length == 2)
+    assert(q.map(_._2).sum == 6L)          // every vector scored exactly once
+    q.foreach { case (_, _, sep) => assert(sep > 0.1) } // well-separated blobs
+  }
+
   test("labelCentroids: sample mean in rank order; sampleN bounds the fold") {
     val emb = Seq(
       (1L, 0, Seq(2.0, 0.0)), (2L, 0, Seq(4.0, 0.0)), (3L, 0, Seq(6.0, 0.0)),
