@@ -47,4 +47,30 @@ class ScaleSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out.count(_.isNullAt(2)) == 1)
   }
+
+  test("writeDayPartitioned: day filters prune partitions at the scan") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 11:00:00"), 2.0),
+      (3L, Timestamp.valueOf("2024-01-03 12:00:00"), 3.0))
+      .toDF("event_id", "ts", "value")
+    Scale.writeDayPartitioned(ev, "ts", dir)
+    val read = spark.read.parquet(dir).filter(col("p_day") === "2024-01-02")
+    assert(read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // plan-level proof: the day predicate lands in PartitionFilters and
+    // only that day's directory is read
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*p_day[^\\]]*\\].*"),
+      s"day filter not in PartitionFilters:\n$plan")
+    val scanned = read.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(!scanned.contains("2024-01-01"), "pruned partition still referenced")
+    // the partition column must not collide with payload columns
+    intercept[IllegalArgumentException] {
+      Scale.writeDayPartitioned(ev.withColumn("p_day", lit("x")), "ts", dir)
+    }
+  }
 }
