@@ -265,6 +265,19 @@ object SparkEntry {
           TextFunctions.qualityScore(txt).as("quality"))
         .orderBy("doc_id")
     }),
+    // EXT Flesch readability (TextFunctions.readability): the classic
+    // reading-ease score from integer word/sentence/vowel-group counts
+    // — pure-function doubles, emitted raw (half-boundary discipline)
+    "readability_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.readability(col("text")).as("_r"))
+        .select(col("doc_id"), col("_r.n_words").as("n_words"),
+          col("_r.n_sentences").as("n_sentences"),
+          col("_r.n_syllables").as("n_syllables"),
+          col("_r.flesch").as("flesch"))
+        .orderBy("doc_id")
+    }),
     // EXT document fingerprinting (portable md5 variant)
     "fingerprint_docs" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2787,6 +2800,20 @@ object SparkEntry {
         |SELECT lh.gid, lh.pos, lh.line, hot.h IS NULL AS keep
         |FROM lh LEFT JOIN hot ON lh.h = hot.h
         |ORDER BY gid, pos""".stripMargin,
+    // readability mirror: same integer estimators, same formula order
+    "readability_docs" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) > 0
+        |       THEN CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) ELSE 0 END AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables,
+        |  CASE WHEN length(trim(text)) > 0 THEN
+        |    206.835 - 1.015 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    - 84.6 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+'))
+        |  END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // anomaly mirror: identical exact-integer moments, same expression
     // tree for mean/var/z, filter applied to the ROUNDED z both sides
     "event_anomalies" ->

@@ -146,6 +146,27 @@ object TextFunctions {
       lit(0.25) * element_at(f, 4)
   }
 
+  /** Flesch reading-ease readability (EXT — the classic text-quality
+    * metric alongside the Gopher/CCNet gates): `206.835 - 1.015 *
+    * words/sentences - 84.6 * syllables/word`, with the standard cheap
+    * estimators — syllables = vowel-group count ([aeiouy]+ runs on the
+    * lowercased text), sentences = [.!?]+ runs floored at 1. Every
+    * input is an INTEGER count, so the score is a pure-function double
+    * any engine reproduces. Returns a struct
+    * (n_words, n_sentences, n_syllables, flesch).
+    */
+  def readability(c: Column): Column = {
+    val words = when(length(trim(c)) > 0, size(split(trim(c), "\\s+")))
+      .otherwise(lit(0))
+    val sentences = greatest(regexp_count(c, lit("[.!?]+")), lit(1))
+    val syllables = regexp_count(lower(c), lit("[aeiouy]+"))
+    val flesch = when(words > 0,
+      lit(206.835) - lit(1.015) * words.cast("double") / sentences -
+        lit(84.6) * syllables.cast("double") / words)
+    struct(words.as("n_words"), sentences.as("n_sentences"),
+      syllables.as("n_syllables"), flesch.as("flesch"))
+  }
+
   /** Text normalization for dedup/fingerprint keys: lowercase + collapse
     * whitespace runs + trim. (Unicode NFC is a JVM-side `Normalizer` call
     * when needed; ASCII corpora are unaffected.)

@@ -4,6 +4,28 @@ import org.apache.spark.sql.functions._
 import graft.functions.{ByteFunctions, TextFunctions, VectorFunctions}
 
 class FunctionsSpec extends SparkSpec {
+
+  test("readability: counts and Flesch formula; empty text null-scored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "no sentence markers here"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.functions.TextFunctions.readability(col("text")).as("r"))
+      .select(col("id"), col("r.n_words"), col("r.n_sentences"),
+        col("r.n_syllables"), col("r.flesch"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), Option(r.get(4)))).toMap
+    assert(out(1L)._1 == 6 && out(1L)._2 == 2)
+    // vowel groups: e/a/a/e/o/a = 6 in "The cat sat. The dog ran!"
+    assert(out(1L)._3 == 6)
+    val expected = 206.835 - 1.015 * 6.0 / 2 - 84.6 * 6.0 / 6
+    assert(out(1L)._4.contains(expected))
+    assert(out(2L)._2 == 1)      // sentence floor
+    assert(out(3L)._1 == 0 && out(3L)._4.isEmpty) // empty text -> null score
+  }
   import spark.implicits._
 
   test("shannon_entropy bounds and known values (algorithm.py:42)") {
