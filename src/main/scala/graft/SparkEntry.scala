@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{ByteFunctions, Formatting, TextFunctions}
-import graft.operators.{Ann, Coo, Corpus, Dedup, Events, Graph, Relational, Retrieval, Sampling, Stats, VizPrep, Windows}
+import graft.operators.{Ann, Coo, Corpus, Dedup, Events, Graph, Relational, Retrieval, Sampling, Sketches, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1596,6 +1596,57 @@ object SparkEntry {
         .select("doc_id", "status")
         .orderBy("doc_id")
     }),
+    // EXT HyperLogLog grouped distinct (Sketches.hllDistinct): md5-hash
+    // registers, exact-integer harmonic denominator — the sketch shuffle
+    // is |groups|*256 rows at ANY scale (vs countDistinct's full
+    // distinct-pair exchange); exact side joined on for auditability
+    "hll_distinct_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
+        .join(ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact_distinct")),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
+    // EXT Misra-Gries heavy hitters (Sketches.heavyHitters): EXACT
+    // tokens above n/k support found at sketch cost — MG candidates
+    // (provable superset), then a broadcast-semi-join recount; the
+    // oracle is the plain exact HAVING, which the sketch path equals
+    // bit-for-bit by the MG guarantee
+    "heavy_hitter_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("item"))
+      Sketches.heavyHitters(toks, "item", 200)
+        .withColumnRenamed("item", "token")
+    }),
+    // EXT fixed-grid binned quantiles (Sketches.binnedQuantiles): the
+    // 100 TB percentile path — two scans, a 256-row exchange, exact
+    // integer bins/ranks, mirrored two-division interpolation
+    "quantiles_binned_chars" -> ((s, dir) =>
+      Sketches.binnedQuantiles(t(s, dir, "documents"), "n_chars",
+        Seq(25 -> 100, 50 -> 100, 75 -> 100, 90 -> 100, 99 -> 100))),
+    // EXT Z-order (Morton) clustering key (Sketches.zOrderValue) on
+    // (user_id, event day) — the multi-dimensional data-skipping layout
+    // [writeZOrdered]; row-group pruning proven from parquet footers in
+    // ScaleSpec, the code itself oracle-checked here bit-for-bit
+    "zorder_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"),
+          Sketches.zOrderValue(
+            col("user_id").bitwiseAND(lit((1L << 21) - 1)),
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+            .as("zval"))
+        .orderBy("event_id")),
+    // EXT deterministic training shards (Scale.shardOf): shard = low
+    // bits of the portable md5 id-hash — stable across runs, engines
+    // and cluster sizes; the size histogram doubles as a uniformity
+    // check. writeShards lays the directories out, proven in ScaleSpec
+    "shard_sizes" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(graft.operators.Scale.shardOf(col("doc_id"), 64).as("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("shard")),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3398,5 +3449,42 @@ object SparkEntry {
          | s AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-($z))), 6) AS p_clean FROM f)
          |SELECT doc_id, p_clean, p_clean >= 0.5 AS keep FROM s ORDER BY doc_id""".stripMargin
     },
+    // HLL replay generated from the SAME constants as the Spark path
+    // (register/rho from md5 nibbles, exact-integer denominator,
+    // interpolated alpha numerator and linear-counting literals)
+    "hll_distinct_events" ->
+      s"""WITH hll AS (
+         |${Sketches.hllOracleSql("events", "event_type", "event_type",
+               "CAST(user_id AS VARCHAR)")}),
+         | ex AS (SELECT event_type,
+         |          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |        FROM events GROUP BY 1)
+         |SELECT hll.event_type, zero_regs, denom, est_distinct, exact_distinct
+         |FROM hll JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    // the EXACT heavy-hitter definition — the MG sketch path must equal
+    // it bit-for-bit (guaranteed superset + exact recount)
+    "heavy_hitter_tokens" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        | n AS (SELECT COUNT(*) AS c FROM tok)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+        |HAVING COUNT(*) * 200 > (SELECT c FROM n)
+        |ORDER BY cnt DESC, token""".stripMargin,
+    "quantiles_binned_chars" ->
+      Sketches.binnedQuantilesOracleSql("documents", "n_chars",
+        Seq(25 -> 100, 50 -> 100, 75 -> 100, 90 -> 100, 99 -> 100)),
+    "zorder_events" ->
+      s"""WITH d AS (SELECT event_id,
+         |      user_id & ${(1L << 21) - 1} AS x,
+         |      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+         |    FROM events WHERE event_id % 97 = 0)
+         |SELECT event_id,
+         |  CAST(${Sketches.zOrderOracleExpr("x", "y")} AS BIGINT) AS zval
+         |FROM d ORDER BY event_id""".stripMargin,
+    "shard_sizes" ->
+      """WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+        |SELECT CAST(((instr('0123456789abcdef', substr(hx, 15, 1)) - 1) % 4) * 16
+        |     + (instr('0123456789abcdef', substr(hx, 16, 1)) - 1) AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

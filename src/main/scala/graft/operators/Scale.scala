@@ -74,4 +74,62 @@ object Scale {
       .join(saltedSmall, keys :+ sc, joinType)
       .drop(sc)
   }
+
+  /** Write a frame Z-ORDER clustered on two integer dimensions: rows are
+    * range-partitioned and sorted by their Morton code
+    * ([[Sketches.zOrderValue]]), so parquet row-group min/max statistics
+    * become tight boxes in BOTH dimensions at once — a predicate on
+    * either column (or a 2-D box) skips most row groups at the scan,
+    * where a single-column sort can only serve its own column. The
+    * row-group-statistics proof lives in ScaleSpec (footers are read
+    * back and the overlap fraction asserted), the Morton math in
+    * SketchesSpec.
+    *
+    * The z column is KEPT in the output (dropping it would force
+    * readers to recompute the clustering key for range predicates);
+    * callers who want the original schema drop it after read.
+    */
+  def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column, path: String,
+      numFiles: Int = 8, bits: Int = 21, zCol: String = "zval",
+      mode: String = "overwrite"): Unit = {
+    require(!df.columns.contains(zCol), s"input already has a $zCol column")
+    df.withColumn(zCol, Sketches.zOrderValue(xCol, yCol, bits))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Deterministic shard assignment for training-data output: shard =
+    * low bits of the portable md5 hash of the id — stable across runs,
+    * engines and cluster sizes (no round-robin, no partition-id
+    * dependence), and uniform by the hash. `nShards` must be a power of
+    * two so the bit-mask equals the mod and the oracle replays it from
+    * md5 hex nibbles exactly.
+    */
+  def shardOf(idCol: Column, nShards: Int): Column = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    graft.functions.TextFunctions.md5Bits64(idCol.cast("string"))
+      .bitwiseAND(lit((nShards - 1).toLong))
+  }
+
+  /** Write the final training shards: one directory per shard
+    * (`shard=K/`), rows within a shard in the deterministic md5 order —
+    * the global-shuffle step at the end of a curation pipeline, as a
+    * layout ANY trainer (and any engine) can reproduce and read
+    * selectively. Each shard directory is written by the partition that
+    * owns it (repartition on the shard value), so `nShards` output
+    * streams run in parallel and no two tasks write one shard.
+    */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+      mode: String = "overwrite"): Unit = {
+    require(!df.columns.contains("shard"), "input already has a shard column")
+    df.withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("__ord", graft.functions.TextFunctions.md5Bits64(
+        concat_ws(":", lit("ord"), col(idCol).cast("string"))))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"))
+      .drop("__ord")
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
 }

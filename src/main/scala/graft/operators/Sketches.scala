@@ -1,0 +1,346 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** One-pass sketch operators — the approximate-analytics layer a 100 TB
+  * corpus pass needs where the exact formulation's shuffle is the
+  * bottleneck (reference: the profiling/quality surface around
+  * epic_pandas/utils.py `column_stats`/`value_counts`, re-expressed as
+  * mergeable sketches; algorithms are the published HyperLogLog
+  * [Flajolet et al. 2007] and Misra-Gries frequent-items
+  * [Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+  * Summaries", PODS 2012]).
+  *
+  * Every sketch here is ENGINE-PORTABLE by construction — hashes derive
+  * from md5 (replayable in any engine with an `md5()` builtin), and all
+  * estimator arithmetic is either exact integer math or single IEEE
+  * double operations mirrored verbatim in the oracle SQL — so the
+  * declared queries hash-check against DuckDB with no tolerance.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------------
+  // HyperLogLog over the portable md5 hash
+  // ---------------------------------------------------------------------
+
+  /** Number of registers (2^P); P=8 keeps the per-group state at 256
+    * rows — small enough that the grouped sketch shuffles a constant
+    * `|groups| * 256` rows regardless of input size.
+    */
+  val HllP = 8
+  val HllM: Int = 1 << HllP
+  /** rho ranges over [1, 49]: the rank of the first set bit in the
+    * 48-bit window below the register byte (49 = window all zeros).
+    * 48 bits = 12 hex nibbles, so the oracle reconstructs the window
+    * exactly from the md5 hex (16^12 = 2^48 stays below double's 2^53
+    * integer range for the nibble-weighted sum).
+    */
+  val HllWBits = 48
+  private val RhoMax = HllWBits + 1
+
+  /** alpha_m * m^2 * 2^49 for m=256 — the numerator of the raw HLL
+    * estimate over the 2^49-scaled exact-integer harmonic denominator.
+    * Evaluated HERE and interpolated into the oracle SQL as a literal
+    * (shortest round-trip decimal), so both engines divide the same
+    * double by the same exact integer.
+    */
+  val HllAlphaNum: Double = {
+    val m = HllM.toDouble
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, RhoMax.toDouble)
+  }
+
+  /** Linear-counting lookup: lc(z) = m * ln(m / z) for z = 1..m-1
+    * empty registers. Precomputed so neither engine evaluates `ln` at
+    * query time — StrictMath here, a literal array there; the small-range
+    * branch stays bit-portable.
+    */
+  val HllLinearCounting: IndexedSeq[Double] =
+    (1 until HllM).map(z => HllM.toDouble * StrictMath.log(HllM.toDouble / z))
+
+  /** Register index: top byte of the portable 64-bit md5 hash. */
+  def hllRegister(value: Column): Column =
+    shiftrightunsigned(TextFunctions.md5Bits64(value.cast("string")), 64 - HllP)
+
+  /** rho: 49 - bit-length of the 48-bit window under the register byte.
+    * `length(bin(w))` is the exact integer bit-length (no float log2),
+    * special-cased to 49 when the window is all zeros.
+    */
+  def hllRho(value: Column): Column = {
+    val w = shiftrightunsigned(TextFunctions.md5Bits64(value.cast("string")), 8)
+      .bitwiseAND(lit((1L << HllWBits) - 1))
+    when(w === 0L, lit(RhoMax)).otherwise(lit(RhoMax) - length(bin(w)))
+  }
+
+  /** Grouped approximate COUNT(DISTINCT valueCol): two cheap shuffles —
+    * (group, register) max-rho, then per-group register fold — versus
+    * the exact form's full distinct-pair exchange. Map-side partial
+    * aggregation collapses duplicate values before anything moves, so
+    * the exchange carries at most |groups| * 256 rows at ANY input
+    * scale; sketches merge associatively, so the same frame computes on
+    * a 1000-executor cluster with no plan change.
+    *
+    * Output: groupCols, est_distinct (double; raw HLL with the
+    * standard small-range linear-counting correction, every arithmetic
+    * step mirrored in the oracle), plus the exact-integer estimator
+    * internals (denom, zero_regs) that make the result auditable.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+    val regs = df
+      .groupBy((groupCols.map(col) :+ hllRegister(valueCol).as("reg")): _*)
+      .agg(max(hllRho(valueCol)).as("rmax"))
+    val g = regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("present"),
+        // 2^(49-rmax) <= 2^48: the double power is integer-exact, the
+        // cast-back makes the harmonic denominator an exact BIGINT sum
+        sum(pow(lit(2.0), lit(RhoMax) - col("rmax")).cast("long")).as("dpresent"))
+      .withColumn("zero_regs", lit(HllM.toLong) - col("present"))
+      .withColumn("denom",
+        col("dpresent") + col("zero_regs") * lit(1L << RhoMax))
+    val rawE = lit(HllAlphaNum) / col("denom").cast("double")
+    val lc = element_at(
+      array(HllLinearCounting.map(lit): _*),
+      greatest(col("zero_regs"), lit(1L)).cast("int"))
+    g.withColumn("est_distinct",
+        when(col("zero_regs") > 0 && rawE <= lit(2.5 * HllM), lc).otherwise(rawE))
+      .drop("present", "dpresent")
+  }
+
+  /** The oracle-side HLL replay for one value expression `valExpr`
+    * (VARCHAR) grouped by `groupExpr` over `from` — generated from the
+    * SAME constants as the Spark path, so the two engines agree
+    * bit-for-bit. Kept here (not in SparkEntry) so a constant change
+    * cannot desynchronize the engines.
+    */
+  def hllOracleSql(from: String, groupExpr: String, groupName: String,
+      valExpr: String): String = {
+    val nib = (k: Int) => s"(instr('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+    // 12 nibbles below the register byte -> exact 48-bit window
+    val wTerms = (3 to 14)
+      .map(k => s"${nib(k)} * power(16, ${14 - k})").mkString(" + ")
+    val rhoCase = s"CASE WHEN w <= 0 THEN $RhoMax " +
+      (1 to HllWBits).map(r => s"WHEN w >= ${1L << (HllWBits - r)} THEN $r")
+        .mkString(" ") + " END"
+    // `e0` suffix: DuckDB types bare decimal literals as DECIMAL and the
+    // decimal->double conversion can lose the last ulp; e-notation is a
+    // DOUBLE literal parsed by strtod (exact shortest-round-trip)
+    val lcList = HllLinearCounting.map(d => s"${d}e0").mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT $groupExpr AS g, md5($valExpr) AS hx FROM $from),
+       | b AS (SELECT g, ${nib(1)} * 16 + ${nib(2)} AS reg,
+       |         CAST($wTerms AS BIGINT) AS w FROM v),
+       | r AS (SELECT g, reg, MAX($rhoCase) AS rmax FROM b GROUP BY 1, 2),
+       | a AS (SELECT g, COUNT(*) AS present,
+       |         CAST(SUM(CAST(power(2, $RhoMax - rmax) AS BIGINT)) AS BIGINT) AS dpresent
+       |       FROM r GROUP BY 1),
+       | f AS (SELECT g, $HllM - present AS zero_regs,
+       |         dpresent + ($HllM - present) * ${1L << RhoMax} AS denom FROM a),
+       | e AS (SELECT g, zero_regs, denom,
+       |         $HllAlphaNum / CAST(denom AS DOUBLE) AS rawe,
+       |         list_extract($lcList,
+       |           CAST(greatest(zero_regs, 1) AS INT)) AS lc FROM f)
+       |SELECT g AS $groupName, CAST(zero_regs AS BIGINT) AS zero_regs,
+       |       CAST(denom AS BIGINT) AS denom,
+       |       CASE WHEN zero_regs > 0 AND rawe <= ${2.5 * HllM} THEN lc
+       |            ELSE rawe END AS est_distinct
+       |FROM e""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Misra-Gries heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** Misra-Gries frequent-items sketch with capacity k-1: any item with
+    * true frequency strictly above n/k is GUARANTEED to survive as a
+    * candidate, and the merge rule (sum, then subtract the k-th largest
+    * count and drop non-positives — Agarwal et al. 2012) preserves that
+    * bound across partitions, so the map-side state is k-1 counters per
+    * task and the exchange carries one tiny map per partition instead
+    * of the full item domain.
+    */
+  class MisraGriesAgg(k: Int)
+      extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+    require(k >= 2, s"Misra-Gries needs k >= 2, got $k")
+
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+    private def shrink(b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      if (b.size < k) return b
+      // subtract the k-th largest count from everything, drop <= 0
+      val counts = b.values.toArray
+      java.util.Arrays.sort(counts)
+      val pivot = counts(counts.length - k)
+      b.filterInPlace((_, c) => c > pivot).mapValuesInPlace((_, c) => c - pivot)
+      b
+    }
+
+    override def reduce(b: mutable.HashMap[String, Long], item: String): mutable.HashMap[String, Long] = {
+      if (item == null) return b
+      b.updateWith(item) { case Some(c) => Some(c + 1L); case None => Some(1L) }
+      shrink(b)
+    }
+
+    override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+      small.foreach { case (item, c) =>
+        big.updateWith(item) { case Some(c0) => Some(c0 + c); case None => Some(c) }
+      }
+      shrink(big)
+    }
+
+    override def finish(b: mutable.HashMap[String, Long]): Map[String, Long] = b.toMap
+
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[mutable.HashMap[String, Long]]
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** EXACT heavy hitters at threshold n/k, found at sketch cost: one
+    * Misra-Gries pass yields <= k-1 candidates (provably a superset of
+    * every item with count * k > n), then an exact recount of ONLY the
+    * candidate rows — a broadcast semi-join plus a <= k-1 group
+    * aggregate — replaces the full-domain groupBy. The result is
+    * bit-identical to the exact `GROUP BY ... HAVING cnt * k > n`
+    * (which is the oracle), but at 100 TB the exchange carries k
+    * counters per task rather than the whole vocabulary.
+    *
+    * `itemCol` must be a column of `df` (the frame is scanned twice:
+    * sketch+count, then recount — both scans prune to the one column).
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val items = df.select(col(itemCol).as("item")).na.drop()
+    val agg = new MisraGriesAgg(k).toColumn
+    // one pass: total n + the MG candidate map (both global aggregates)
+    val row = items.select(count(lit(1)).as("n")).crossJoin(
+      items.as[String](org.apache.spark.sql.Encoders.STRING)
+        .select(agg.name("mg"))).head()
+    val n = row.getLong(0)
+    val cands = row.getMap[String, Long](1).keys.toSeq
+    items
+      .join(broadcast(cands.toDF("item")), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Binned quantiles (fixed integer grid)
+  // ---------------------------------------------------------------------
+
+  /** Approximate quantiles of an INTEGER column from a fixed 256-bin
+    * histogram: two scans (min/max/count, then a groupBy that exchanges
+    * at most 256 rows after map-side combine) replace the exact
+    * formulation's full sort — the scale path for percentiles over
+    * 100 TB. Binning is EXACT integer arithmetic
+    * (`(x - min) * B div span`), ranks are exact ceil(q*n) integers,
+    * and the only floats are the final two-division interpolation,
+    * mirrored verbatim in the oracle — so even the approximation is
+    * hash-portable.
+    *
+    * `qs` are (numerator, denominator) rationals to keep rank math
+    * exact. Output: q (double), est (interpolated value), n.
+    */
+  val QuantileBins = 256
+
+  def binnedQuantiles(df: DataFrame, colName: String,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val s = df.sparkSession
+    val x = col(colName).cast("long")
+    val mm = df.agg(min(x).as("mn"), max(x).as("mx"), count(x).as("n")).head()
+    val (mn, mx, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val span = mx - mn + 1
+    val hist = df
+      // `div` (not `/`): exact integer binning, no float-quotient edges
+      .groupBy(expr(s"(CAST($colName AS BIGINT) - ${mn}L) * $QuantileBins div ${span}L").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      // 256 rows: the single-partition window is over the HISTOGRAM,
+      // never the data — bounded by construction
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+    val targets = s.createDataFrame(qs.map { case (qn, qd) =>
+      (qn.toDouble / qd, (qn * n + qd - 1) / qd) // exact ceil(q*n)
+    }).toDF("q", "r")
+    val chosen = targets.join(hist, col("cum") >= col("r"))
+      .groupBy("q", "r").agg(min(col("bin")).as("bin"))
+      .join(hist, Seq("bin"))
+    // est = mn + (bin + (r - cum_below)/cnt) * span/B — every float op
+    // a single IEEE operation in fixed order, mirrored in the SQL
+    chosen.select(
+        col("q"),
+        (lit(mn.toDouble) +
+          (col("bin").cast("double") +
+            (col("r") - (col("cum") - col("cnt"))).cast("double") /
+              col("cnt").cast("double")) *
+          lit(span.toDouble / QuantileBins)).as("est"),
+        lit(n).as("n"))
+      .orderBy("q")
+  }
+
+  /** Oracle replay of [[binnedQuantiles]] — same grid, same rationals,
+    * min/max/count recomputed in SQL (they are exact integers, so the
+    * engines agree with the Spark side's driver-collected literals).
+    */
+  def binnedQuantilesOracleSql(from: String, colName: String,
+      qs: Seq[(Int, Int)]): String = {
+    val B = QuantileBins
+    val qRows = qs.map { case (qn, qd) =>
+      s"(CAST($qn AS DOUBLE) / $qd, ($qn * (SELECT n FROM mm) + $qd - 1) // $qd)"
+    }.mkString(", ")
+    s"""WITH mm AS (SELECT MIN(CAST($colName AS BIGINT)) AS mn,
+       |              MAX(CAST($colName AS BIGINT)) AS mx,
+       |              COUNT($colName) AS n FROM $from),
+       | h0 AS (SELECT (CAST($colName AS BIGINT) - (SELECT mn FROM mm)) * $B
+       |          // ((SELECT mx FROM mm) - (SELECT mn FROM mm) + 1) AS bin,
+       |        COUNT(*) AS cnt FROM $from GROUP BY 1),
+       | h AS (SELECT bin, cnt,
+       |         SUM(cnt) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM h0),
+       | t(q, r) AS (VALUES $qRows),
+       | c AS (SELECT q, r, MIN(bin) AS bin FROM t JOIN h ON cum >= r
+       |       GROUP BY 1, 2)
+       |SELECT c.q,
+       |  CAST((SELECT mn FROM mm) AS DOUBLE) +
+       |    (CAST(c.bin AS DOUBLE) +
+       |      CAST(c.r - (h.cum - h.cnt) AS DOUBLE) / CAST(h.cnt AS DOUBLE)) *
+       |    (CAST((SELECT mx FROM mm) - (SELECT mn FROM mm) + 1 AS DOUBLE) / $B)
+       |    AS est,
+       |  (SELECT n FROM mm) AS n
+       |FROM c JOIN h ON c.bin = h.bin ORDER BY q""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Z-order (Morton) interleaving
+  // ---------------------------------------------------------------------
+
+  /** Morton code: interleave the low `bits` bits of x (even positions)
+    * and y (odd positions) — exact integer bit arithmetic composed from
+    * codegen'd builtins, identically replayable in any SQL engine with
+    * `>>`/`&`. 21 bits each keeps the code in 42 bits (well under the
+    * exact-double 2^53 for the oracle's literal-weighted sum).
+    */
+  def zOrderValue(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Oracle-side Morton code over expressions xe/ye (BIGINT). */
+  def zOrderOracleExpr(xe: String, ye: String, bits: Int = 21): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"(($xe >> $i) & 1) * ${1L << (2 * i)}",
+        s"(($ye >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+}
