@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Scale
+import graft.operators.{Scale, Sketches}
 
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
@@ -71,6 +71,78 @@ class ScaleSpec extends SparkSpec {
     // the partition column must not collide with payload columns
     intercept[IllegalArgumentException] {
       Scale.writeDayPartitioned(ev.withColumn("p_day", lit("x")), "ts", dir)
+    }
+  }
+
+  /** Per-file (min, max) of an INT64 column from the parquet FOOTERS —
+    * the same statistics a scan's row-group pruning reads. */
+  private def footerRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+      .flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toList.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == column).get
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        } finally r.close()
+      }
+  }
+
+  test("writeZOrdered: footer stats box BOTH dimensions (y-window prunes)") {
+    // uniform 2-D grid; a single-column sort can only serve its own
+    // column — the z-layout's row groups are tight in x AND y
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 40000).map { _ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)
+    }
+    val df = pts.toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_x").toString
+    Scale.writeZOrdered(df, col("x"), col("y"), zDir, numFiles = 8, bits = 10)
+    df.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    def overlapping(rs: Seq[(Long, Long)], lo: Long, hi: Long) =
+      rs.count { case (mn, mx) => mx >= lo && mn <= hi }
+    val zRanges = footerRanges(zDir, "y")
+    val xRanges = footerRanges(xDir, "y")
+    val (lo, hi) = (100L, 150L)
+    val zHit = overlapping(zRanges, lo, hi)
+    val xHit = overlapping(xRanges, lo, hi)
+    // x-sorted files all span the full y range; z-ordered files confine
+    // y, so most skip the window entirely
+    assert(xHit == xRanges.size, s"x-sorted should not box y ($xHit/${xRanges.size})")
+    assert(zHit * 2 <= zRanges.size, s"z-order boxed too few: $zHit/${zRanges.size}")
+    // layout round-trip: the written zval column matches a recompute
+    val back = spark.read.parquet(zDir)
+    assert(back.filter(Sketches.zOrderValue(col("x"), col("y"), 10) =!= col("zval"))
+      .isEmpty)
+    intercept[IllegalArgumentException] {
+      Scale.writeZOrdered(df.withColumn("zval", lit(1L)), col("x"), col("y"), zDir)
+    }
+  }
+
+  test("writeShards: one dir per shard, md5-stable membership and order") {
+    val docs = (1 to 500).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Scale.writeShards(docs, "doc_id", 8, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    // membership: every row sits in the directory its id hashes to
+    assert(back.filter(Scale.shardOf(col("doc_id"), 8) =!= col("shard")).isEmpty)
+    // selective read: one shard's directory holds exactly its rows
+    val s3 = spark.read.parquet(s"$dir/shard=3")
+    val expect3 = docs.filter(Scale.shardOf(col("doc_id"), 8) === 3).count()
+    assert(s3.count() == expect3 && expect3 > 0)
+    intercept[IllegalArgumentException] { Scale.shardOf(col("doc_id"), 12) }
+    intercept[IllegalArgumentException] {
+      Scale.writeShards(docs.withColumn("shard", lit(1)), "doc_id", 8, dir)
     }
   }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference md5-hash pieces, computed independently of the operator
+  private def refHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+
+  test("hll register/rho match an independent md5 reference") {
+    val vals = Seq("a", "xyzzy", "42", "", "étude")
+    val got = vals.toDF("v")
+      .select(Sketches.hllRegister(col("v")).as("reg"),
+        Sketches.hllRho(col("v")).as("rho"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    vals.zip(got).foreach { case (v, (reg, rho)) =>
+      val h = refHash(v)
+      assert(reg == (h >>> 56), s"register mismatch for '$v'")
+      val w = (h >>> 8) & ((1L << 48) - 1)
+      val expRho = if (w == 0) 49 else 48 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      assert(rho == expRho, s"rho mismatch for '$v': $rho != $expRho")
+      assert(reg >= 0 && reg < 256 && rho >= 1 && rho <= 49)
+    }
+  }
+
+  test("hllDistinct: within HLL error on a large set, partition-invariant") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"user$i")).toDF("grp", "v")
+      // duplicates must not move the estimate
+      .union((1 to n by 7).map(i => ("g", s"user$i")).toDF("grp", "v"))
+    val est = Sketches.hllDistinct(df, Seq("grp"), col("v"))
+      .select("est_distinct").head().getDouble(0)
+    // standard error 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%
+    assert(math.abs(est - n) / n < 0.2, s"est $est too far from $n")
+    // a mergeable sketch is layout-independent: same answer at any
+    // partitioning (commutative max per register)
+    val est2 = Sketches.hllDistinct(df.repartition(13), Seq("grp"), col("v"))
+      .select("est_distinct").head().getDouble(0)
+    assert(est == est2)
+  }
+
+  test("hllDistinct small range takes the linear-counting branch") {
+    val df = (1 to 15).map(i => ("g", s"u$i")).toDF("grp", "v")
+    val row = Sketches.hllDistinct(df, Seq("grp"), col("v"))
+      .select("zero_regs", "est_distinct").head()
+    // 15 distinct values hit <= 15 registers (md5 collisions possible)
+    assert(row.getLong(0) >= 256 - 15 && row.getLong(0) < 256)
+    assert(math.abs(row.getDouble(1) - 15.0) < 2.0)
+  }
+
+  test("MisraGries: candidate set bounded by k-1 and superset of n/k hitters") {
+    // skewed stream: item i appears ~1000/i times (zipf-ish)
+    val items = (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"it$i"))
+    val k = 20
+    val agg = new Sketches.MisraGriesAgg(k)
+    val ds = spark.createDataset(scala.util.Random.shuffle(items))(
+      org.apache.spark.sql.Encoders.STRING).repartition(7)
+    val cands = ds.select(agg.toColumn).head()
+    assert(cands.size <= k - 1, s"${cands.size} candidates > k-1")
+    val n = items.size
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val must = exact.filter { case (_, c) => c * k > n }.keySet
+    assert(must.nonEmpty && must.subsetOf(cands.keySet),
+      s"missing guaranteed hitters: ${must -- cands.keySet}")
+  }
+
+  test("heavyHitters equals the exact HAVING formulation") {
+    val items = (1 to 100).flatMap(i => Seq.fill(500 / i)(s"w$i")) ++
+      (1 to 3000).map(i => s"rare$i")
+    val df = scala.util.Random.shuffle(items).toDF("item").repartition(5)
+    val k = 50
+    val got = Sketches.heavyHitters(df, "item", k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = items.size
+    val exp = items.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * k > n }
+      .toSeq.sortBy { case (it, c) => (-c, it) }
+    assert(got.toSeq == exp)
+  }
+
+  test("binnedQuantiles: within one bin width of the exact quantile") {
+    val df = (1 to 10000).map(i => Tuple1(i.toLong)).toDF("x")
+    val out = Sketches.binnedQuantiles(df, "x",
+      Seq(25 -> 100, 50 -> 100, 90 -> 100))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0.25, 0.5, 0.9))
+    assert(out.forall(_._3 == 10000L))
+    val width = 10000.0 / Sketches.QuantileBins
+    out.foreach { case (q, est, _) =>
+      val exact = q * 10000
+      assert(math.abs(est - exact) <= width + 1,
+        s"q=$q est=$est exact=$exact")
+    }
+  }
+
+  test("zOrderValue interleaves bits (independent reference)") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 511L),
+      (123456L, 654321L), ((1L << 21) - 1, (1L << 21) - 1))
+    val got = cases.toDF("x", "y")
+      .select(Sketches.zOrderValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((x, y), z) =>
+      assert(z == ref(x, y, 21), s"($x,$y)")
+    }
+    // x occupies even bit positions only, y odd only
+    assert(got(1) == 1L && got(2) == 2L)
+  }
+
+  test("oracle SQL generators replay the Spark math in DuckDB dialect shape") {
+    // structural guards on the generated SQL (full engine equivalence is
+    // the driver's DuckDB hash check): every constant interpolated, no
+    // bare high-precision decimal literals outside e-notation lists
+    val hll = Sketches.hllOracleSql("t", "g", "grp", "v")
+    assert(hll.contains(s"${Sketches.HllAlphaNum}"))
+    assert(hll.contains("list_extract"))
+    assert((1 to 48).forall(r => hll.contains(s"THEN $r ") || hll.contains(s"THEN $r\n") || hll.contains(s"THEN $r E") || hll.contains(s"THEN $r")))
+    val z = Sketches.zOrderOracleExpr("x", "y", 3)
+    assert(z == "((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 + " +
+      "((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 + " +
+      "((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32")
+  }
+}
