@@ -1647,6 +1647,38 @@ object SparkEntry {
         .groupBy(graft.operators.Scale.shardOf(col("doc_id"), 64).as("shard"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("shard")),
+    // EXT Count-Min point frequencies (Sketches.cmsCounters/Estimates):
+    // d=3 x w=64 md5-bucketed counters — a CONSTANT-size exchange after
+    // map-side combine at any corpus scale; estimates (min over rows,
+    // never an undercount) joined against the exact counts, collision
+    // overcounts and all replayed bit-for-bit by the oracle
+    "cms_token_counts" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("item"))
+      val counters = Sketches.cmsCounters(toks, "item", 64)
+      val probes = s.createDataset(CmsProbeTokens)(
+        org.apache.spark.sql.Encoders.STRING).withColumnRenamed("value", "item")
+      Sketches.cmsEstimates(counters, probes, "item", 64)
+        .join(toks.groupBy("item").agg(count(lit(1)).as("exact_cnt")),
+          Seq("item"), "left")
+        .select(col("item").as("token"), col("est"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+        .orderBy("token")
+    }),
+    // EXT bounded-state grouped top-k (Relational.topKPerGroup): the
+    // mergeable-aggregate formulation — map-side partial keeps <=~2k
+    // rows per group per task, the exchange carries |groups|*k rows
+    // where the window-rank oracle shuffles and sorts EVERY row
+    "topk_per_segment" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_totalprice"),
+          col("o_orderkey"))
+      Relational.topKPerGroup(joined, "segment", "o_totalprice", "o_orderkey", 5)
+        .orderBy("segment", "rank")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -1654,6 +1686,15 @@ object SparkEntry {
   private val PhraseDict: Seq[String] = Seq(
     "spark", "hash join", "table scan", "merge sort", "window agg",
     "the fast key")
+
+  /** Probe tokens for `cms_token_counts` — a LITERAL shared by the Spark
+    * query and the oracle VALUES list: frequent words, mid-frequency
+    * words, and one absent token (exact 0; its estimate is whatever its
+    * buckets collide into — both engines replay the same collisions).
+    */
+  private val CmsProbeTokens: Seq[String] = Seq(
+    "scan", "join", "window", "merge", "table", "the", "dup", "row",
+    "zzz_absent")
 
   /** Frozen logistic quality-classifier weights (bias, then one weight
     * per [[TextFunctions.qualityFeatures]] component) — output of the
@@ -3486,5 +3527,33 @@ object SparkEntry {
         |     + (instr('0123456789abcdef', substr(hx, 16, 1)) - 1) AS BIGINT) AS shard,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cms_token_counts" -> {
+      val b = Sketches.cmsBucket64OracleExpr _
+      val probeVals = CmsProbeTokens.map(tk => s"('$tk')").mkString(", ")
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS item FROM documents),
+         | j AS (SELECT CAST(unnest(range(0, ${Sketches.CmsDepth})) AS INT) AS row),
+         | rb AS (SELECT j.row,
+         |          ${b("md5(CAST(j.row AS VARCHAR) || ':' || tok.item)")} AS bucket
+         |        FROM tok, j),
+         | c AS (SELECT row, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2),
+         | probes(item) AS (VALUES $probeVals),
+         | pb AS (SELECT p.item, j.row,
+         |          ${b("md5(CAST(j.row AS VARCHAR) || ':' || p.item)")} AS bucket
+         |        FROM probes p, j),
+         | est AS (SELECT item, MIN(COALESCE(cnt, 0)) AS est
+         |         FROM pb LEFT JOIN c USING (row, bucket) GROUP BY 1),
+         | ex AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY 1)
+         |SELECT est.item AS token, CAST(est AS BIGINT) AS est,
+         |  COALESCE(exact_cnt, 0) AS exact_cnt
+         |FROM est LEFT JOIN ex USING (item) ORDER BY token""".stripMargin
+    },
+    "topk_per_segment" ->
+      """SELECT c_mktsegment AS segment, CAST(rank AS INT) AS rank,
+        |  o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rank <= 5 ORDER BY segment, rank""".stripMargin,
   )
 }

@@ -282,6 +282,64 @@ object Relational {
   def topK(df: DataFrame, k: Int, by: Column, tieBreak: Column): DataFrame =
     df.orderBy(by, tieBreak).limit(k)
 
+  /** Bounded-state GROUPED top-k: a mergeable aggregate that keeps at
+    * most ~2k (value, id) pairs per group per task, so map-side partial
+    * aggregation bounds the exchange at `|groups| * k` rows — where the
+    * window-rank formulation shuffles and sorts EVERY row of every
+    * group. Exact and deterministic: ordering is (value desc, id asc),
+    * a total order, and compaction/merge preserve the true top-k
+    * regardless of partitioning. The declared `topk_per_segment` query
+    * pits it against the plain ROW_NUMBER oracle bit-for-bit.
+    */
+  class TopKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Long), scala.collection.mutable.ArrayBuffer[(Double, Long)],
+      Seq[(Double, Long)]] {
+    require(k >= 1, s"k must be positive, got $k")
+    private def byRank(t: (Double, Long)) = (-t._1, t._2)
+    private def compact(b: scala.collection.mutable.ArrayBuffer[(Double, Long)]) = {
+      if (b.length > k) {
+        val top = b.sortInPlaceBy(byRank).take(k)
+        b.clear(); b ++= top
+      }
+      b
+    }
+    override def zero = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    override def reduce(b: scala.collection.mutable.ArrayBuffer[(Double, Long)],
+        in: (Double, Long)) = {
+      b += in
+      // amortize: compact at 2k, not every row
+      if (b.length >= 2 * k) compact(b) else b
+    }
+    override def merge(a: scala.collection.mutable.ArrayBuffer[(Double, Long)],
+        b: scala.collection.mutable.ArrayBuffer[(Double, Long)]) =
+      compact(a ++= b)
+    override def finish(b: scala.collection.mutable.ArrayBuffer[(Double, Long)]): Seq[(Double, Long)] =
+      b.sortInPlaceBy(byRank).take(k).toSeq
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Grouped top-k over (groupCol, valueCol desc, idCol asc) via
+    * [[TopKAgg]]; output one row per kept element with its 1-based rank.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ds = df.select(col(groupCol).cast("string"), col(valueCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKAgg(k).toColumn.name("tops"))
+      .flatMap { case (g, tops) =>
+        tops.iterator.zipWithIndex.map { case ((v, id), i) => (g, i + 1, id, v) }
+      }
+      .toDF(groupCol, "rank", idCol, valueCol)
+  }
+
   /** Aligned column concat (`utils.py:726-757` canonize_df_and_cols series
     * path + `concat(axis=1)` at `utils.py:432-435`): validate pairwise
     * alignability against the first frame, then multi-way equi-join on the

@@ -318,6 +318,59 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Count-Min sketch
+  // ---------------------------------------------------------------------
+
+  /** Count-Min sketch [Cormode & Muthukrishnan 2005] over the portable
+    * md5 hash: `CmsDepth` rows of `w` counters (w a power of two so the
+    * bucket is a bit-mask, replayable from md5 hex nibbles). The counter
+    * table is d*w rows TOTAL — after map-side combine the exchange is
+    * constant-size at any input scale, and point-frequency estimates
+    * (min over the d counters, never an undercount) come from a
+    * broadcast join against it. The estimate arithmetic is all exact
+    * integers, so the oracle matches bit-for-bit including collision
+    * overcounts.
+    */
+  val CmsDepth = 3
+
+  def cmsBucket(item: Column, row: Int, w: Int): Column = {
+    require(w > 0 && (w & (w - 1)) == 0, s"w must be a power of two, got $w")
+    TextFunctions.md5Bits64(concat(lit(s"$row:"), item))
+      .bitwiseAND(lit((w - 1).toLong))
+  }
+
+  /** One scan -> the d*w counter table (row, bucket, cnt). */
+  def cmsCounters(items: DataFrame, itemCol: String, w: Int): DataFrame =
+    items
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("row"), cmsBucket(col(itemCol), j, w).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `probes` (a frame with `itemCol`): min over the
+    * d counters, 0 for never-hashed buckets — an upper bound on the true
+    * count by construction.
+    */
+  def cmsEstimates(counters: DataFrame, probes: DataFrame, itemCol: String,
+      w: Int): DataFrame =
+    probes
+      .select(col(itemCol), explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("row"), cmsBucket(col(itemCol), j, w).as("bucket"))): _*)).as("rb"))
+      .join(counters,
+        col("rb.row") === counters("row") && col("rb.bucket") === counters("bucket"),
+        "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Oracle-side bucket for w=64: the low 6 bits of the md5-derived
+    * 64-bit hash, read off hex nibbles 15-16 (shared shape with
+    * [[graft.operators.Scale.shardOf]]'s oracle).
+    */
+  def cmsBucket64OracleExpr(hexExpr: String): String =
+    s"((instr('0123456789abcdef', substr($hexExpr, 15, 1)) - 1) % 4) * 16" +
+      s" + (instr('0123456789abcdef', substr($hexExpr, 16, 1)) - 1)"
+
+  // ---------------------------------------------------------------------
   // Z-order (Morton) interleaving
   // ---------------------------------------------------------------------
 

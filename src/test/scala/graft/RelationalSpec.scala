@@ -106,4 +106,24 @@ class RelationalSpec extends SparkSpec {
     assert(b.map(_.getLong(3)).sum == 100)
     assert(math.abs(b.map(_.getDouble(4)).sum - 1.0) < 1e-12)
   }
+
+  test("topKPerGroup equals the window-rank formulation, ties broken by id") {
+    val rnd = new scala.util.Random(11)
+    // duplicate values force the (value desc, id asc) tie-break to matter
+    val rows = (1 to 3000).map(i =>
+      (s"g${i % 7}", rnd.nextInt(40).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(9)
+    val got = Relational.topKPerGroup(df, "g", "v", "id", 5)
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(t => (-t._2, t._3)).take(5).zipWithIndex
+        .map { case ((_, v, id), i) => (g, i + 1, id, v) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == exp)
+    // bounded state: the aggregator never holds more than 2k pairs
+    val agg = new Relational.TopKAgg(3)
+    val buf = (1 to 100).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i.toDouble, i.toLong)))
+    assert(buf.length < 6)
+  }
 }

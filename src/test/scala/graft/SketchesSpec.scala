@@ -99,6 +99,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS estimates never undercount and are partition-invariant") {
+    val items = (1 to 120).flatMap(i => Seq.fill(i)(s"tok$i"))
+    val df = scala.util.Random.shuffle(items).toDF("item")
+    val counters = Sketches.cmsCounters(df.repartition(6), "item", 64)
+    // counter table is bounded by d*w regardless of input size
+    assert(counters.count() <= Sketches.CmsDepth * 64)
+    val probes = ((1 to 120 by 13).map(i => s"tok$i") :+ "absent").toDF("item")
+    val est = Sketches.cmsEstimates(counters, probes, "item", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    probes.collect().map(_.getString(0)).foreach { tk =>
+      assert(est(tk) >= exact.getOrElse(tk, 0L), s"CMS undercounted $tk")
+    }
+    // layout-independence: counters are a commutative count per bucket
+    val counters2 = Sketches.cmsCounters(df.repartition(17), "item", 64)
+    assert(Sketches.cmsEstimates(counters2, probes, "item", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == est)
+  }
+
   test("zOrderValue interleaves bits (independent reference)") {
     def ref(x: Long, y: Long, bits: Int): Long =
       (0 until bits).foldLeft(0L) { (acc, i) =>
