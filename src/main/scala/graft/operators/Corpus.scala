@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-assembly operators for the training-data pipeline (EXT per
@@ -725,5 +725,113 @@ object Corpus {
           x => x.getField("_line")), sep).as("clean_text"))
       .select(col("_id").as(idCol), col("n_lines"), col("n_kept"),
         col("clean_text"))
+  }
+
+  /** Character n-grams of `textCol` (lowercased upstream by the caller
+    * if wanted): positions are 1-based, empty array when the text is
+    * shorter than n — the guard matters because Spark's `sequence(1, 0)`
+    * infers a NEGATIVE step and yields [1, 0], not [].
+    */
+  private def charNgrams(textCol: Column, n: Int): Column =
+    when(length(textCol) >= n,
+      transform(sequence(lit(1), length(textCol) - (n - 1)),
+        i => textCol.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Cavnar-Trenkle n-gram language profiles ("N-Gram-Based Text
+    * Categorization", 1994), TRAINED from labeled rows: per language,
+    * the `top` most frequent character n-grams with their 1-based rank
+    * (ties broken by gram text — a total order, so the profile is
+    * deterministic on any cluster). The profile is `|langs| * top` rows
+    * — broadcast-sized by construction regardless of corpus scale.
+    */
+  def langProfiles(docs: DataFrame, langCol: String, textCol: String,
+      n: Int = 3, top: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col(langCol).as("lang"),
+        explode(charNgrams(lower(col(textCol)), n)).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))))
+      .filter(col("r") <= top)
+      .select("lang", "g", "r")
+  }
+
+  /** Classify by out-of-place distance against [[langProfiles]]: each
+    * doc's own top-`top` gram ranks are compared with every language's
+    * profile ranks — sum of |docRank - langRank| with a miss penalty of
+    * `top` — and the argmin language wins (ties to the lexically first
+    * language). ALL integer arithmetic: ranks, absolute differences and
+    * sums replay exactly in any engine, so the declared query
+    * hash-checks with no float discipline at all.
+    *
+    * Scale shape: the corpus-sized work is the doc-gram count and the
+    * per-doc rank window (both keyed by the doc id); the profile and
+    * language list ride broadcast joins, and the distance aggregate
+    * handles at most `top * |langs|` rows per doc.
+    */
+  /** Train-on-self composition of [[langProfiles]] + [[langClassifyNgram]]
+    * with ONE tokenization: the per-(doc, gram) counts are computed once
+    * and persisted, the language profiles aggregate them (summing doc
+    * counts per lang — identical totals to a direct count), and the doc
+    * ranks window the same frame. Halves the corpus scans of the naive
+    * two-call composition (measured 6.1 s -> see BENCH_NOTES r9 on the
+    * declared `lang_id_ngram`).
+    */
+  def langIdSelfTrain(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, n: Int = 3, top: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(idCol).as("_id"), col(langCol).as("_lang"),
+        explode(charNgrams(lower(col(textCol)), n)).as("g"))
+      .groupBy("_id", "_lang", "g").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val profiles = counts
+      .groupBy(col("_lang").as("lang"), col("g"))
+      .agg(sum("cnt").as("cnt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))))
+      .filter(col("r") <= top)
+      .select("lang", "g", "r")
+    val docRanks = counts
+      .withColumn("dr", row_number().over(
+        Window.partitionBy("_id").orderBy(col("cnt").desc, col("g"))))
+      .filter(col("dr") <= top)
+      .select("_id", "g", "dr")
+    classifyRanks(docRanks, profiles, top)
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Distance + argmin over prepared (doc rank, profile) frames — shared
+    * by [[langClassifyNgram]] and [[langIdSelfTrain]]. */
+  private def classifyRanks(docRanks: DataFrame, profiles: DataFrame,
+      top: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = profiles.select("lang").distinct()
+    docRanks
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "g"), "left")
+      .groupBy("_id", "lang")
+      .agg(sum(coalesce(abs(col("dr") - col("r")), lit(top.toLong))).as("oop"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_id").orderBy(col("oop"), col("lang"))))
+      .filter(col("_rn") === 1)
+      .select(col("_id"), col("lang").as("lang_pred"), col("oop"))
+  }
+
+  def langClassifyNgram(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, n: Int = 3, top: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docRanks = docs
+      .select(col(idCol).as("_id"),
+        explode(charNgrams(lower(col(textCol)), n)).as("g"))
+      .groupBy("_id", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("dr", row_number().over(
+        Window.partitionBy("_id").orderBy(col("cnt").desc, col("g"))))
+      .filter(col("dr") <= top)
+      .select("_id", "g", "dr")
+    classifyRanks(docRanks, profiles, top)
+      .withColumnRenamed("_id", idCol)
   }
 }

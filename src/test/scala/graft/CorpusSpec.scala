@@ -349,4 +349,33 @@ class CorpusSpec extends SparkSpec {
     assert(out.length == 2)
     out.foreach { case (_, nl, nk, ct) => assert(nl == 1L && nk == 0L && ct == "") }
   }
+
+  test("langClassifyNgram: near-perfect on actually-distinct languages") {
+    // three toy languages with disjoint character inventories — the
+    // signal the synthetic corpus's lang labels lack (see lang_id_ngram)
+    val rnd = new scala.util.Random(5)
+    def sentence(words: Seq[String]) =
+      (1 to 30).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val aWords = Seq("alpha", "apple", "arrow", "attic")
+    val bWords = Seq("búho", "bérêt", "bóveda", "bébé")
+    val cWords = Seq("零一二", "三四五", "六七八", "九十百")
+    val docs = (1 to 60).map { i =>
+      val (lang, ws) = (i % 3) match {
+        case 0 => ("aa", aWords); case 1 => ("bb", bWords); case _ => ("cc", cWords)
+      }
+      (i.toLong, lang, sentence(ws))
+    }.toDF("doc_id", "lang", "text")
+    val prof = Corpus.langProfiles(docs, "lang", "text", top = 50)
+    assert(prof.groupBy("lang").count().collect().forall(_.getLong(1) <= 50))
+    val pred = Corpus.langClassifyNgram(docs, "doc_id", "text", prof, top = 50)
+    val joined = pred.join(docs, Seq("doc_id"))
+    val acc = joined.filter(col("lang_pred") === col("lang")).count().toDouble /
+      joined.count()
+    assert(acc >= 0.95, s"accuracy $acc on separable languages")
+    // determinism: identical result at another partitioning
+    val pred2 = Corpus.langClassifyNgram(docs.repartition(7), "doc_id", "text",
+      prof, top = 50)
+    assert(pred2.orderBy("doc_id").collect().toSeq ==
+      pred.orderBy("doc_id").collect().toSeq)
+  }
 }
