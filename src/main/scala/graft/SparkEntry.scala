@@ -1697,6 +1697,19 @@ object SparkEntry {
           (col("lang") === col("lang_pred")).as("correct"), col("oop"))
         .orderBy("doc_id")
     }),
+    // EXT peak-concurrency sweep (Events.maxConcurrency): +1/-1 deltas,
+    // day-clipped intervals so the running-sum window partitions by day
+    // (never one global ordered window) — integer epoch-micros
+    // throughout, half-open interval tie discipline
+    "concurrency_daily" -> ((s, dir) =>
+      Events.maxConcurrency(t(s, dir, "events"), "event_id", "ts", 300)),
+    // EXT exact per-group percentile bands (Stats.percentileBands):
+    // percentile_disc at rank ceil(q*n) via exact integer rank
+    // arithmetic — one group-key shuffle, broadcast quantile table
+    "latency_bands" -> ((s, dir) =>
+      Stats.percentileBands(t(s, dir, "events"), "event_type", "value",
+        Seq(50 -> 100, 90 -> 100, 95 -> 100, 99 -> 100))
+        .orderBy("event_type", "q")),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3600,5 +3613,39 @@ object SparkEntry {
         |  doc.lang = b.lang_pred AS correct, b.oop
         |FROM b JOIN documents doc USING (doc_id)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // sweep mirror: same day-clip, same (t, delta, id) tie order
+    "concurrency_daily" -> {
+      val durUs = 300L * 1000000L
+      val dayUs = 86400L * 1000000L
+      s"""WITH s AS (SELECT event_id, epoch_us(ts) AS s, epoch_us(ts) + $durUs AS e FROM events),
+         | d AS (SELECT event_id, s, e,
+         |         unnest(generate_series(s - s % $dayUs,
+         |           (e - 1) - (e - 1) % $dayUs, $dayUs)) AS d0 FROM s),
+         | c AS (SELECT event_id, d0, greatest(s, d0) AS cs,
+         |         least(e, d0 + $dayUs) AS ce FROM d),
+         | x AS (SELECT event_id, d0, cs AS t, 1 AS delta FROM c
+         |       UNION ALL SELECT event_id, d0, ce, -1 FROM c),
+         | f AS (SELECT * FROM x WHERE t < d0 + $dayUs),
+         | r AS (SELECT d0, t, SUM(delta) OVER (PARTITION BY d0
+         |         ORDER BY t, delta, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |       FROM f),
+         | m AS (SELECT d0, t, run, MAX(run) OVER (PARTITION BY d0) AS mc FROM r)
+         |SELECT CAST(make_timestamp(d0) AS DATE) AS day,
+         |  CAST(mc AS BIGINT) AS max_concurrency,
+         |  make_timestamp(MIN(t)) AS peak_ts
+         |FROM m WHERE run = mc GROUP BY d0, mc ORDER BY day""".stripMargin
+    },
+    "latency_bands" ->
+      """WITH r AS (SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM events),
+        | t(q, qn, qd) AS (VALUES (CAST(50 AS DOUBLE) / 100, 50, 100),
+        |    (CAST(90 AS DOUBLE) / 100, 90, 100),
+        |    (CAST(95 AS DOUBLE) / 100, 95, 100),
+        |    (CAST(99 AS DOUBLE) / 100, 99, 100))
+        |SELECT event_type, t.q, value
+        |FROM r JOIN t ON rn * qd >= qn * n AND (rn - 1) * qd < qn * n
+        |ORDER BY event_type, q""".stripMargin,
   )
 }

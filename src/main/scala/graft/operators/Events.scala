@@ -150,4 +150,55 @@ object Events {
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
+
+  /** Peak concurrency per day: each event holds a resource for
+    * `durSeconds`, and the classic +1/-1 sweep (sorted deltas, running
+    * sum) finds each day's maximum simultaneous holders and the earliest
+    * instant it is reached. Intervals are CLIPPED to day boundaries and
+    * exploded over the (at most two, for sub-day durations) days they
+    * touch, so the sweep window partitions by day — bounded partitions
+    * at any scale, never one global ordered window. Half-open interval
+    * semantics: at equal timestamps the -1 applies before the +1
+    * (delta-ascending tie), with the event id as the final total
+    * tie-break; all arithmetic is integer epoch-micros.
+    *
+    * Output: (day, max_concurrency, peak_ts).
+    */
+  def maxConcurrency(events: DataFrame, idCol: String, tsCol: String,
+      durSeconds: Int): DataFrame = {
+    require(durSeconds >= 1, s"maxConcurrency: need durSeconds>=1, got $durSeconds")
+    val durUs = durSeconds * 1000000L
+    val dayUs = 86400L * 1000000L
+    val s = events.select(col(idCol).as("_id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("_s"),
+      (unix_micros(col(tsCol).cast("timestamp")) + durUs).as("_e"))
+    // covered days (inclusive of a day touched only by the tail)
+    val deltas = s
+      .select(col("_id"), col("_s"), col("_e"),
+        explode(sequence(col("_s") - pmod(col("_s"), lit(dayUs)),
+          col("_e") - 1L - pmod(col("_e") - 1L, lit(dayUs)), lit(dayUs)))
+          .as("_d0"))
+      .select(col("_id"), col("_d0"),
+        greatest(col("_s"), col("_d0")).as("_cs"),
+        least(col("_e"), col("_d0") + dayUs).as("_ce"))
+      .select(col("_id"), col("_d0"),
+        explode(array(
+          struct(col("_cs").as("t"), lit(1).as("delta")),
+          struct(col("_ce").as("t"), lit(-1).as("delta")))).as("x"))
+      .select(col("_id"), col("_d0"), col("x.t").as("t"), col("x.delta").as("delta"))
+      // a clip that lands exactly on the day end contributes nothing
+      .filter(col("t") < col("_d0") + dayUs)
+    val w = Window.partitionBy("_d0")
+      .orderBy(col("t"), col("delta"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = deltas.withColumn("run", sum(col("delta")).over(w))
+      .withColumn("mc", max(col("run")).over(Window.partitionBy("_d0")))
+    run.filter(col("run") === col("mc"))
+      .groupBy(col("_d0"))
+      .agg(first(col("mc")).as("max_concurrency"), min(col("t")).as("_pt"))
+      .select(timestamp_micros(col("_d0")).cast("date").as("day"),
+        col("max_concurrency"),
+        timestamp_micros(col("_pt")).as("peak_ts"))
+      .orderBy("day")
+  }
 }

@@ -106,4 +106,34 @@ object Stats {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** EXACT per-group percentile bands (the P50/P95/P99 dashboard row):
+    * discrete percentile_disc semantics — the value at rank ceil(q*n)
+    * within each group's ascending order. Ranks are exact integer
+    * arithmetic from (numerator, denominator) rationals and the picked
+    * value is a row value (never interpolated), so the result is
+    * engine-portable with no float discipline. One shuffle: the rank
+    * window and count share the group-key partition; the tiny quantile
+    * table rides a broadcast nested-loop join.
+    */
+  def percentileBands(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall { case (n, d) => n > 0 && n <= d },
+      "quantiles must be rationals in (0, 1]")
+    val s = df.sparkSession
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val targets = s.createDataFrame(qs.map { case (qn, qd) =>
+      (qn.toDouble / qd, qn.toLong, qd.toLong)
+    }).toDF("q", "_qn", "_qd")
+    ranked
+      .join(broadcast(targets),
+        col("_rn") * col("_qd") >= col("_qn") * col("_n") &&
+          (col("_rn") - 1) * col("_qd") < col("_qn") * col("_n"))
+      .select(col(groupCol), col("q"), col(valueCol).as("value"))
+  }
 }

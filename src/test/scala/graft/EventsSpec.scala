@@ -88,4 +88,32 @@ class EventsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected one hash exchange, plan:\n$plan")
   }
+
+  test("maxConcurrency: sweep counts overlaps, clips day boundaries") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // three overlapping 300s holds peaking at 3 from 10:02:00
+      (1L, t("2024-03-01 10:00:00")),
+      (2L, t("2024-03-01 10:01:00")),
+      (3L, t("2024-03-01 10:02:00")),
+      // an isolated one later the same day
+      (4L, t("2024-03-01 20:00:00")),
+      // crosses midnight: counts on BOTH days (peak 1 on day 2 at 00:00)
+      (5L, t("2024-03-02 23:58:00")),
+      // back-to-back half-open: 6 ends exactly when 7 starts -> no overlap
+      (6L, t("2024-03-03 09:00:00")),
+      (7L, t("2024-03-03 09:05:00"))
+    ).toDF("event_id", "ts")
+    val out = Events.maxConcurrency(ev, "event_id", "ts", 300)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getTimestamp(2).toString))
+    assert(out.toSeq == Seq(
+      ("2024-03-01", 3L, "2024-03-01 10:02:00.0"),
+      ("2024-03-02", 1L, "2024-03-02 23:58:00.0"),
+      // day 3's peak is the midnight tail of event 5, not 6/7 (earliest
+      // instant wins among equal maxima; 6 ends exactly as 7 starts, so
+      // the half-open sweep never reads 2)
+      ("2024-03-03", 1L, "2024-03-03 00:00:00.0")))
+  }
 }

@@ -78,4 +78,18 @@ class StatsSpec extends SparkSpec {
     val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1)).toDF("x", "y")
     assert(math.abs(Stats.corrDf(df, "x", "y").collect().head.getDouble(0) - 1.0) < 1e-9)
   }
+
+  test("percentileBands: exact rank-ceil values per group, tie-stable") {
+    // group a: 1..100 -> p50=50, p95=95, p99=99; group b: all-equal ties
+    val rows = (1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(_ => ("b", 7.0))
+    val df = rows.toDF("g", "v").repartition(5)
+    val out = Stats.percentileBands(df, "g", "v",
+        Seq(50 -> 100, 95 -> 100, 99 -> 100))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("a", 0.5, 50.0), ("a", 0.95, 95.0), ("a", 0.99, 99.0),
+      ("b", 0.5, 7.0), ("b", 0.95, 7.0), ("b", 0.99, 7.0)))
+  }
 }
