@@ -113,6 +113,30 @@ object Scale {
       .bitwiseAND(lit((nShards - 1).toLong))
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytes` files — the maintenance pass every long-lived lake
+    * needs (streaming sinks and per-partition writers accrete small
+    * files; at 100 TB the scan's task-scheduling overhead and namenode
+    * pressure are dominated by file COUNT, not bytes). Reads the source
+    * listing's total size, repartitions to ceil(total/target), and
+    * writes to a NEW directory — never in place, so a failed rewrite
+    * leaves the source untouched (swap is the caller's atomic rename).
+    * Row content is preserved exactly; ordering is not (parquet files
+    * carry no inter-file order contract).
+    */
+  def compactTo(spark: SparkSession, srcPath: String, destPath: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(srcPath != destPath, "compactTo never rewrites in place")
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val total = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val nFiles = math.max(1, ((total + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(srcPath)
+      .repartition(nFiles)
+      .write.mode("errorifexists").parquet(destPath)
+  }
+
   /** Write the final training shards: one directory per shard
     * (`shard=K/`), rows within a shard in the deterministic md5 order —
     * the global-shuffle step at the end of a curation pipeline, as a

@@ -90,10 +90,21 @@ object Sketches {
     * step mirrored in the oracle), plus the exact-integer estimator
     * internals (denom, zero_regs) that make the result auditable.
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
-    val regs = df
-      .groupBy((groupCols.map(col) :+ hllRegister(valueCol).as("reg")): _*)
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame =
+    hllFinalize(hllRegisterFrame(df, groupCols, valueCol), groupCols)
+
+  /** The mergeable state: per (group, register) max-rho. This frame is
+    * what a STREAMING aggregation maintains incrementally
+    * ([[graft.streaming.StreamOps.hllWindowRegisters]]) — max is
+    * monotone, so update-mode micro-batches converge to exactly the
+    * batch frame, and [[hllFinalize]] turns either into estimates.
+    */
+  def hllRegisterFrame(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame =
+    df.groupBy((groupCols.map(col) :+ hllRegister(valueCol).as("reg")): _*)
       .agg(max(hllRho(valueCol)).as("rmax"))
+
+  /** Estimator fold over a register frame (reg, rmax per group). */
+  def hllFinalize(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val g = regs
       .groupBy(groupCols.map(col): _*)
       .agg(

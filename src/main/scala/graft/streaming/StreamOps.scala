@@ -75,6 +75,28 @@ object StreamOps {
         col("event_type"), col("cnt"), col("value_sum"))
   }
 
+  /** Streaming HLL state: per (event-time window, register) max-rho —
+    * the [[graft.operators.Sketches.hllRegisterFrame]] shape maintained
+    * incrementally. The state is BOUNDED: 2^p = 256 rows per window no
+    * matter how many events arrive, and max is monotone, so update-mode
+    * micro-batches converge to exactly the batch register frame
+    * (spec-asserted stream == batch). Finalize a read-side snapshot with
+    * `Sketches.hllFinalize(regs, Seq("win_start"))` — approximate
+    * distinct-users-per-window without ever storing a user set, the
+    * streaming cardinality posture at any scale. Works unchanged on a
+    * batch frame.
+    */
+  def hllWindowRegisters(events: DataFrame, tsCol: String, windowDur: String,
+      valueCol: String, watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(window(col(tsCol), windowDur).as("win"),
+        graft.operators.Sketches.hllRegister(col(valueCol)).as("reg"))
+      .agg(max(graft.operators.Sketches.hllRho(col(valueCol))).as("rmax"))
+      .select(col("win.start").as("win_start"), col("reg"), col("rmax"))
+  }
+
   /** Streaming value_counts analogue: running per-key totals (complete
     * output mode in streaming).
     */

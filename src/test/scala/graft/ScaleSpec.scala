@@ -128,6 +128,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compactTo: many small files collapse, rows preserved exactly") {
+    val src = java.nio.file.Files.createTempDirectory("graft_cmp_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_cmp_dst").toString + "/out"
+    (1 to 2000).map(i => (i.toLong, s"payload $i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 64)
+    Scale.compactTo(spark, src, dst, targetBytes = 1L << 30)
+    assert(parquetFiles(dst) == 1, "1 GiB target should yield one file")
+    val back = spark.read.parquet(dst)
+    assert(back.count() == 2000)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == (1L to 2000L))
+    // never in place
+    intercept[IllegalArgumentException] { Scale.compactTo(spark, src, src) }
+  }
+
   test("writeShards: one dir per shard, md5-stable membership and order") {
     val docs = (1 to 500).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString

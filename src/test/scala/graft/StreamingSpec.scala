@@ -37,6 +37,36 @@ class StreamingSpec extends SparkSpec {
     assert(perRowWindows == 2L * evs.size) // each event in exactly 2 windows
   }
 
+  test("hllWindowRegisters: stream state equals batch; finalize matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.take(60): _*)
+    val q = StreamOps.hllWindowRegisters(mem.toDF(), "ts", "10 minutes", "value")
+      .writeStream.format("memory").queryName("hll_regs").outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(60): _*) // late-arriving second half updates maxes
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_regs")
+      .orderBy("win_start", "reg").collect().map(_.toSeq).toSeq
+    val batchRegs = StreamOps.hllWindowRegisters(evs.toDF(), "ts", "10 minutes", "value")
+    assert(streamed == batchRegs.orderBy("win_start", "reg").collect().map(_.toSeq).toSeq)
+    assert(streamed.nonEmpty)
+    // bounded state: never more than 256 registers per window
+    assert(spark.table("hll_regs").groupBy("win_start").count()
+      .collect().forall(_.getLong(1) <= 256))
+    // the register frame finalizes to the same estimates the one-shot
+    // batch sketch produces
+    val est = graft.operators.Sketches.hllFinalize(batchRegs, Seq("win_start"))
+      .orderBy("win_start").collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Sketches.hllDistinct(
+        evs.toDF().select(window(col("ts"), "10 minutes").getField("start").as("win_start"),
+          col("value")),
+        Seq("win_start"), col("value"))
+      .orderBy("win_start").collect().map(_.toSeq).toSeq
+    assert(est == direct)
+  }
+
   test("dedupStream: state-backed exact dedup equals batch dropDuplicates") {
     implicit val sqlCtx = spark.sqlContext
     val dup = evs ++ evs.take(10)
