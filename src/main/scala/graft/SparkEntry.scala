@@ -1710,6 +1710,40 @@ object SparkEntry {
       Stats.percentileBands(t(s, dir, "events"), "event_type", "value",
         Seq(50 -> 100, 90 -> 100, 95 -> 100, 99 -> 100))
         .orderBy("event_type", "q")),
+    // EXT TPC-H Q1 pricing summary — the canonical scan+aggregate
+    // headline: one pass, map-side partial agg into 6ish groups. Money
+    // discipline: factors cast to DECIMAL BEFORE multiplying (exact
+    // scale-4/6 products, the cube_revenue lesson); the scale-6 charge
+    // sum is emitted as exact MICRO-unit BIGINT — a scale-6 decimal sum
+    // cast to double exceeds 2^53 at bench SF and DuckDB's int128->
+    // double rounding differs by 1 ulp from Spark's
+    "q1_pricing_summary" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(12,2)")
+      val discPrice = (dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("decimal(18,4)")
+      val chargeMicro = (discPrice *
+        (lit(1).cast("decimal(12,2)") + dec(col("l_tax"))) *
+        lit(1000000)).cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"),
+          discPrice.as("_dp"), chargeMicro.as("_cm"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("_dp")).cast("double").as("sum_disc_price"),
+          sum(col("_cm")).as("sum_charge_micro"),
+          (sum(col("l_quantity").cast(DEC)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(col("l_extendedprice").cast(DEC)).cast("double") / count(lit(1)))
+            .as("avg_price"),
+          (sum(col("l_discount").cast(DEC)).cast("double") / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3636,6 +3670,19 @@ object SparkEntry {
          |  make_timestamp(MIN(t)) AS peak_ts
          |FROM m WHERE run = mc GROUP BY d0, mc ORDER BY day""".stripMargin
     },
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_micro,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "latency_bands" ->
       """WITH r AS (SELECT event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,

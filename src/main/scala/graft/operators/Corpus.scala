@@ -804,14 +804,25 @@ object Corpus {
   }
 
   /** Distance + argmin over prepared (doc rank, profile) frames — shared
-    * by [[langClassifyNgram]] and [[langIdSelfTrain]]. */
+    * by [[langClassifyNgram]] and [[langIdSelfTrain]].
+    *
+    * The profile rides a broadcast join, and a broadcast is a PROMISE
+    * the side stays driver-sized at any corpus scale — so the profile
+    * is capped at `MaxLangs * top` rows by an explicit ordered limit
+    * (the nearestCentroidAssign maxLabels discipline): the cap is the
+    * documented contract (at most [[MaxLangs]] languages), not a hack,
+    * and a corpus with more distinct lang labels loses the
+    * lexicographically-last ones rather than OOMing an executor.
+    */
+  val MaxLangs = 64
   private def classifyRanks(docRanks: DataFrame, profiles: DataFrame,
       top: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val langs = profiles.select("lang").distinct()
+    val capped = profiles.orderBy(col("lang"), col("r")).limit(MaxLangs * top)
+    val langs = capped.select("lang").distinct()
     docRanks
       .crossJoin(broadcast(langs))
-      .join(broadcast(profiles), Seq("lang", "g"), "left")
+      .join(broadcast(capped), Seq("lang", "g"), "left")
       .groupBy("_id", "lang")
       .agg(sum(coalesce(abs(col("dr") - col("r")), lit(top.toLong))).as("oop"))
       .withColumn("_rn", row_number().over(

@@ -24,6 +24,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag)]"))
   }
 
+  test("q1_pricing_summary: shipdate pushed to the scan, one partial-agg pass") {
+    val plan = planOf("q1_pricing_summary")
+    // date cutoff reaches the parquet scan (row-group/page skipping)
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      plan.take(800))
+    // map-side combine: partial aggregate below the exchange
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      plan.take(800))
+    // only Q1's 7 columns are read
+    assert(!plan.contains("l_partkey") && !plan.contains("l_suppkey"),
+      "scan should prune unused lineitem columns")
+  }
+
   test("diag_coo: row==col filter is pushed into the scan, not post-aggregation") {
     val plan = planOf("diag_coo")
     // the equality filter must appear before aggregation (scan-level Filter)
@@ -87,7 +100,10 @@ class PlanSpec extends SparkSpec {
     // not scale hazards
     // rolling_revenue_7d's RANGE frame rides the per-DAY aggregate
     // (<= |distinct days| rows at any SF — same class as smoothing)
-    val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d")
+    // quantiles_binned_chars' cumulative window rides the FIXED 256-bin
+    // histogram (bounded by the grid, not the data)
+    val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
+      "quantiles_binned_chars")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)
