@@ -1744,6 +1744,44 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    // EXT TPC-H Q3 shipping priority (adapted: o_orderpriority carried
+    // where TPC-H has o_shippriority) — segment-filtered 3-table star,
+    // decimal-exact revenue, global top-10 compiling to
+    // TakeOrderedAndProject (never a full sort); dimension side
+    // broadcast decided by AQE, no hints
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-06-15").cast("date")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ords = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > cut)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)"))).as("_rev"))
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("_rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    // EXT int8 scalar-quantized ANN (Ann.sqQuantize/sqTopK): the
+    // index stores dim BYTES + one scale per vector (4-8x smaller),
+    // similarity is integer dots (scale cancels in cosine) — sqrt and
+    // one division are the only floats, so the quantized search
+    // hash-checks against the oracle's exact replay
+    "ann_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.sqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3683,6 +3721,39 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "ann_sq_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | mz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        | qz AS (SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN [CAST(0 AS BIGINT) for i in range(1, 65)]
+        |         ELSE [CAST(round(v[i] * 127 / ma) AS BIGINT) for i in range(1, 65)] END AS qv
+        |    FROM mz),
+        | n AS (SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qn2 FROM qz),
+        | c AS (SELECT * FROM n WHERE qn2 > 0),
+        | q AS (SELECT * FROM c WHERE vec_id < 5),
+        | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS DOUBLE) /
+        |      (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.qn2 AS DOUBLE))) AS cos_sq
+        |    FROM q, c WHERE c.vec_id <> q.vec_id),
+        | r AS (SELECT query_id, neighbor_id, cos_sq,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sq DESC, neighbor_id) AS INT) AS rank FROM s)
+        |SELECT query_id, neighbor_id, cos_sq, rank FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "latency_bands" ->
       """WITH r AS (SELECT event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,

@@ -664,4 +664,56 @@ object Ann {
       .select(col("_id").as(idCol), col("_lab").as(labelCol),
         col("_plab").as("pred"))
   }
+
+  /** Int8 scalar quantization (the FAISS `SQ8` / production "symmetric
+    * per-vector" scheme): q_i = round(x_i * 127 / max|x|) — the index
+    * stores dim BYTES plus one scale per vector instead of 4*dim float
+    * bytes, and similarity becomes INTEGER arithmetic. The per-vector
+    * scale cancels in cosine, so the approximate score is
+    * idot / (sqrt(|qa|^2) * sqrt(|qb|^2)) over three EXACT integers —
+    * sqrt and one division are the only floats, both correctly-rounded
+    * IEEE ops, so the whole quantized search replays bit-for-bit in
+    * the oracle (round() ties away from zero in both engines).
+    * Zero vectors quantize to all-zero and are excluded from scoring
+    * (norm 0 — no defined direction), mirrored in the oracle.
+    */
+  def sqQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    emb.select(col(idCol),
+        when(maxabs === 0, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x => round(x * 127.0 / maxabs).cast("int")))
+          .as("qv"))
+      .withColumn("qn2", aggregate(col("qv"), lit(0L),
+        (acc, x) => acc + x.cast("long") * x.cast("long")))
+  }
+
+  /** Brute-force top-k over the int8-quantized corpus: the memory-bound
+    * scan costs dim int8-multiplies per pair instead of dim float
+    * multiplies over 4x the bytes. Same shape as [[bruteForceTopK]]
+    * (broadcast query side, per-query rank window) with the scores from
+    * [[sqQuantize]] integer dots.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = sqQuantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qv").as("cqv"), col("qn2").as("cn2"))
+      .filter(col("cn2") > 0)
+    val q = sqQuantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("qqv"), col("qn2").as("qn2"))
+      .filter(col("qn2") > 0)
+    val idot = aggregate(
+      zip_with(col("qqv"), col("cqv"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (idot.cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("cos_sq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sq").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sq"),
+        col("rank").cast("int").as("rank"))
+  }
 }

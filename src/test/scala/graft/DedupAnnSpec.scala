@@ -822,4 +822,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.length == 5)
     out.foreach { case (_, lab, pred) => assert(lab == pred) }
   }
+
+  test("sqQuantize/sqTopK: int8 scores track exact cosine, high recall") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val qz = Ann.sqQuantize(emb, "vec_id", "embedding")
+    // codes bounded to int8 range; at least one component saturates at
+    // +-127 per nonzero vector (the max-abs one by construction)
+    val rows = qz.limit(50).collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Int](1)
+      assert(qv.forall(x => x >= -127 && x <= 127))
+      assert(qv.exists(x => math.abs(x) == 127))
+    }
+    val queries = emb.filter(col("vec_id") < 20)
+    val approx = Ann.sqTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // per-pair score error small for 64-dim int8
+    val exactMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    approx.foreach { case (q, n, c, _) =>
+      exactMap.get((q, n)).foreach(e => assert(math.abs(c - e) < 0.05,
+        s"($q,$n) sq=$c exact=$e"))
+    }
+    // recall@3 against the exact top-3
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hit = approx.count { case (q, n, _, _) => exactSets(q).contains(n) }
+    assert(hit.toDouble / approx.length >= 0.8,
+      s"sq recall ${hit.toDouble / approx.length}")
+  }
 }
