@@ -1782,6 +1782,12 @@ object SparkEntry {
       Ann.sqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")
     }),
+    // EXT join-key skew diagnostic (Stats.keySkewProfile): distinct
+    // keys, hottest-key share, exact Gini over per-key frequencies —
+    // the saltedJoin go/no-go numbers; global rank via the two-phase
+    // range rank, never a partition-less window
+    "key_skew_orders" -> ((s, dir) =>
+      Stats.keySkewProfile(t(s, dir, "orders"), "o_custkey")),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3754,6 +3760,19 @@ object SparkEntry {
         |      ORDER BY cos_sq DESC, neighbor_id) AS INT) AS rank FROM s)
         |SELECT query_id, neighbor_id, cos_sq, rank FROM r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "key_skew_orders" ->
+      """WITH c AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        | r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS r FROM c),
+        | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(SUM(c) AS BIGINT) AS total,
+        |         CAST(MAX(c) AS BIGINT) AS max_cnt,
+        |         CAST(SUM(r * c) AS BIGINT) AS s1 FROM r)
+        |SELECT n_keys, total, max_cnt,
+        |  CAST(max_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS top1_share,
+        |  (2.0 * CAST(s1 AS DOUBLE)) /
+        |    (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE)) -
+        |    CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
     "latency_bands" ->
       """WITH r AS (SELECT event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,

@@ -107,6 +107,31 @@ object Stats {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Join-key skew diagnostic — the numbers that tell you whether a key
+    * needs [[Scale.saltedJoin]] before the 100 TB run: distinct-key
+    * count, hottest-key share, and the exact Gini coefficient of the
+    * per-key frequency distribution (0 = uniform, ->1 = one hot key).
+    * The global frequency rank rides
+    * [[Relational.twoPhaseDenseIds]] (range partition + local ranks +
+    * collected offsets — never a partition-less window over the
+    * data-sized count frame), S1/N/T are exact integer sums, and the
+    * Gini is four mirrored IEEE ops over them — hash-portable.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_c"))
+    val ranked = Relational.twoPhaseDenseIds(counts, Seq("_c", "_k"), as = "_r")
+    ranked
+      .agg(count(lit(1)).as("n_keys"), sum("_c").as("total"),
+        max("_c").as("max_cnt"), sum(col("_r") * col("_c")).as("_s1"))
+      .select(col("n_keys"), col("total"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("total").cast("double"))
+          .as("top1_share"),
+        ((lit(2.0) * col("_s1").cast("double")) /
+          (col("n_keys").cast("double") * col("total").cast("double")) -
+          (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+          .as("gini"))
+  }
+
   /** EXACT per-group percentile bands (the P50/P95/P99 dashboard row):
     * discrete percentile_disc semantics — the value at rank ceil(q*n)
     * within each group's ascending order. Ranks are exact integer

@@ -79,6 +79,19 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(Stats.corrDf(df, "x", "y").collect().head.getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("keySkewProfile: uniform keys near zero Gini, hot key drives it up") {
+    val uniform = (1 to 1000).map(i => Tuple1((i % 100).toLong)).toDF("k")
+    val u = Stats.keySkewProfile(uniform, "k").head()
+    assert(u.getLong(0) == 100 && u.getLong(1) == 1000 && u.getLong(2) == 10)
+    assert(math.abs(u.getDouble(4)) < 1e-9, s"uniform gini ${u.getDouble(4)}")
+    // one key owns half the rows
+    val hot = ((1 to 500).map(_ => 1L) ++ (1 to 500).map(i => (i % 100 + 2).toLong))
+      .map(Tuple1(_)).toDF("k")
+    val h = Stats.keySkewProfile(hot, "k").head()
+    assert(h.getDouble(3) == 0.5) // top1_share
+    assert(h.getDouble(4) > 0.4, s"hot gini ${h.getDouble(4)}")
+  }
+
   test("percentileBands: exact rank-ceil values per group, tie-stable") {
     // group a: 1..100 -> p50=50, p95=95, p99=99; group b: all-equal ties
     val rows = (1 to 100).map(i => ("a", i.toDouble)) ++
