@@ -1788,6 +1788,79 @@ object SparkEntry {
     // range rank, never a partition-less window
     "key_skew_orders" -> ((s, dir) =>
       Stats.keySkewProfile(t(s, dir, "orders"), "o_custkey")),
+    // EXT sketch-union overlap (Sketches.hllOverlap): en-vs-de distinct
+    // vocabulary overlap via register-max HLL union + inclusion-
+    // exclusion — cross-corpus overlap at sketch cost (|sets|*256 state
+    // rows), never a distinct-join; estimator replayed exactly
+    "hll_vocab_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      Sketches.hllOverlap(toks, "lang", col("tok"), "en", "de")
+    }),
+    // TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    // customer over one quarter, top 20. Star shape: the date filter
+    // prunes orders BEFORE the fact join, nation broadcasts, and the
+    // top-20 is a TakeOrderedAndProject (no global sort materialized)
+    "q10_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("_rev"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q18 (large-volume orders): orders whose total quantity
+    // exceeds the threshold, with the customer. The HAVING prunes on
+    // the grouped fact FIRST (tiny survivor set), then joins the dims —
+    // never the other way around
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(30,2)")).cast("double")
+          .as("sum_qty"))
+        .filter(col("sum_qty") > 200.0)
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+    // EXT streaming grouped top-k (StreamOps.topKStream): k rows of
+    // per-group state inside mapGroupsWithState, monotone merge — the
+    // streaming twin of Relational.TopKAgg; declared batch-symmetric,
+    // StreamingSpec drives the MemoryStream path to the same answer
+    "topk_stream" -> ((s, dir) => {
+      import s.implicits._
+      val items = t(s, dir, "events")
+        .select(col("event_type").as("g"), col("value").as("v"),
+          col("event_id").as("id"))
+        .as[graft.streaming.RankedItem]
+      graft.streaming.StreamOps.topKStream(items, 5)
+        .toDF("event_type", "rank", "event_id", "value")
+        .orderBy("event_type", "rank")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3784,5 +3857,38 @@ object SparkEntry {
         |SELECT event_type, t.q, value
         |FROM r JOIN t ON rn * qd >= qn * n AND (rn - 1) * qd < qn * n
         |ORDER BY event_type, q""".stripMargin,
+    "hll_vocab_overlap" -> Sketches.hllOverlapOracleSql(
+      """(SELECT lang, tok FROM (
+        |   SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |   FROM documents) u WHERE tok <> '') toks""".stripMargin,
+      "lang", "tok", "en", "de"),
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) > 200.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "topk_stream" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
   )
 }

@@ -163,6 +163,85 @@ object Sketches {
        |FROM e""".stripMargin
   }
 
+  /** Two-set distinct overlap from ONE pass: per-set HLL estimates, a
+    * register-max union merge, and inclusion-exclusion intersection /
+    * Jaccard estimates. This is the identity that makes HLL the right
+    * sketch for cross-corpus overlap at 100 TB — the union of two
+    * sketches is the elementwise register max [Flajolet et al. 2007,
+    * §4], so overlap between corpora costs one scan of each and
+    * |sets|*256 rows of exchanged state, never a distinct-join. The
+    * union rows are derived from the SAME register frame by a max
+    * re-group (at most 2*256 rows), so the input is scanned once.
+    *
+    * Output: one row — (set_a, set_b, est_a, est_b, est_union,
+    * est_intersection, est_jaccard). Intersection can come back
+    * negative on disjoint sets (inclusion-exclusion over noisy
+    * estimates — reported as-is, the standard estimator).
+    */
+  def hllOverlap(df: DataFrame, setCol: String, valueCol: Column,
+      setA: String, setB: String): DataFrame = {
+    val regs = hllRegisterFrame(
+      df.filter(col(setCol).isin(setA, setB)), Seq(setCol), valueCol)
+    val unionRegs = regs.groupBy("reg").agg(max("rmax").as("rmax"))
+      .select(lit("__union").as(setCol), col("reg"), col("rmax"))
+    val est = hllFinalize(regs.unionByName(unionRegs), Seq(setCol))
+    est.agg(
+        max(when(col(setCol) === setA, col("est_distinct"))).as("est_a"),
+        max(when(col(setCol) === setB, col("est_distinct"))).as("est_b"),
+        max(when(col(setCol) === "__union", col("est_distinct")))
+          .as("est_union"))
+      .withColumn("est_intersection",
+        (col("est_a") + col("est_b")) - col("est_union"))
+      .withColumn("est_jaccard", col("est_intersection") / col("est_union"))
+      .select(lit(setA).as("set_a"), lit(setB).as("set_b"), col("est_a"),
+        col("est_b"), col("est_union"), col("est_intersection"),
+        col("est_jaccard"))
+  }
+
+  /** Oracle replay of [[hllOverlap]] — same register/estimator SQL as
+    * [[hllOracleSql]] with a union re-group spliced between `r` and the
+    * finalize chain; generated from the same constants so the engines
+    * agree bit-for-bit (the +,-,/ of the inclusion-exclusion step are
+    * single IEEE double ops in both engines, in the same order).
+    */
+  def hllOverlapOracleSql(from: String, setExpr: String, valExpr: String,
+      setA: String, setB: String): String = {
+    val nib = (k: Int) => s"(instr('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+    val wTerms = (3 to 14)
+      .map(k => s"${nib(k)} * power(16, ${14 - k})").mkString(" + ")
+    val rhoCase = s"CASE WHEN w <= 0 THEN $RhoMax " +
+      (1 to HllWBits).map(r => s"WHEN w >= ${1L << (HllWBits - r)} THEN $r")
+        .mkString(" ") + " END"
+    val lcList = HllLinearCounting.map(d => s"${d}e0").mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT $setExpr AS g, md5($valExpr) AS hx FROM $from
+       |           WHERE $setExpr IN ('$setA', '$setB')),
+       | b AS (SELECT g, ${nib(1)} * 16 + ${nib(2)} AS reg,
+       |         CAST($wTerms AS BIGINT) AS w FROM v),
+       | r AS (SELECT g, reg, MAX($rhoCase) AS rmax FROM b GROUP BY 1, 2),
+       | ru AS (SELECT '__union' AS g, reg, MAX(rmax) AS rmax FROM r GROUP BY 2),
+       | rr AS (SELECT * FROM r UNION ALL SELECT * FROM ru),
+       | a AS (SELECT g, COUNT(*) AS present,
+       |         CAST(SUM(CAST(power(2, $RhoMax - rmax) AS BIGINT)) AS BIGINT) AS dpresent
+       |       FROM rr GROUP BY 1),
+       | f AS (SELECT g, $HllM - present AS zero_regs,
+       |         dpresent + ($HllM - present) * ${1L << RhoMax} AS denom FROM a),
+       | e AS (SELECT g, zero_regs, denom,
+       |         $HllAlphaNum / CAST(denom AS DOUBLE) AS rawe,
+       |         list_extract($lcList,
+       |           CAST(greatest(zero_regs, 1) AS INT)) AS lc FROM f),
+       | est AS (SELECT g,
+       |         CASE WHEN zero_regs > 0 AND rawe <= ${2.5 * HllM} THEN lc
+       |              ELSE rawe END AS est FROM e),
+       | sel AS (SELECT MAX(CASE WHEN g = '$setA' THEN est END) AS est_a,
+       |                MAX(CASE WHEN g = '$setB' THEN est END) AS est_b,
+       |                MAX(CASE WHEN g = '__union' THEN est END) AS est_union
+       |         FROM est)
+       |SELECT '$setA' AS set_a, '$setB' AS set_b, est_a, est_b, est_union,
+       |       (est_a + est_b) - est_union AS est_intersection,
+       |       ((est_a + est_b) - est_union) / est_union AS est_jaccard
+       |FROM sel""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Misra-Gries heavy hitters
   // ---------------------------------------------------------------------

@@ -22,6 +22,9 @@ case class MinhashSigDecision(doc_id: Long, band: Int, matched_id: Long, est_jac
 case class SigMember(id: Long, sig: String)
 case class SigBucketState(members: List[SigMember])
 
+/** One element of a grouped top-k stream: (group, value, id). */
+case class RankedItem(g: String, v: Double, id: Long)
+
 case class DocSig(doc_id: Long, simhash: Long)
 /** matched_id = the smallest earlier doc within hamming range IN THIS
   * BUCKET, -1 if the doc is novel here. Per-doc reduction over a doc's
@@ -715,5 +718,55 @@ object StreamOps {
           .when(col("_cdc_f") =!= col("_cdc_fn"), "changed"))
       .filter(col("status").isNotNull)
       .select(docs.columns.map(col).toSeq :+ col("status"): _*)
+  }
+
+  /** Fold one batch of (value, id) pairs into a bounded top-k buffer —
+    * the SAME (value desc, id asc) contract and 2k-amortized compaction
+    * as [[graft.operators.Relational.TopKAgg]], shared by the batch and
+    * streaming paths below so the two can never drift.
+    */
+  private def foldTopK(init: List[(Double, Long)],
+      it: Iterator[(Double, Long)], k: Int): List[(Double, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.from(init)
+    def compact(): Unit = {
+      val top = buf.sortBy(t => (-t._1, t._2)).take(k)
+      buf.clear(); buf ++= top
+    }
+    it.foreach { e => buf += e; if (buf.length >= 2 * k) compact() }
+    compact()
+    buf.toList
+  }
+
+  /** Streaming grouped top-k: per-group state is the k best (value, id)
+    * pairs — a MONOTONE merge (today's top-k of state ++ batch is the
+    * true running top-k), so update-mode micro-batches converge to
+    * exactly the batch answer regardless of batch boundaries, and state
+    * is bounded at k rows per live group (RocksDB-provider-safe at
+    * corpus-scale group cardinality). Output: (g, rank, id, v), the
+    * CURRENT top-k per group each time the group appears in a batch.
+    * Works unchanged on a batch frame (one iterator pass, empty initial
+    * state — the declared `topk_stream` query runs it batch-symmetric;
+    * StreamingSpec asserts final stream state == batch).
+    */
+  def topKStream(items: Dataset[RankedItem], k: Int): DataFrame = {
+    require(k >= 1, s"topKStream: k must be positive, got $k")
+    val sess = items.sparkSession
+    import sess.implicits._
+    items.groupByKey(_.g)
+      .mapGroupsWithState[List[(Double, Long)], (String, List[(Double, Long)])](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[RankedItem],
+         state: GroupState[List[(Double, Long)]]) =>
+          val merged = foldTopK(state.getOption.getOrElse(Nil),
+            it.map(e => (e.v, e.id)), k)
+          state.update(merged)
+          (g, merged)
+      }
+      .flatMap { case (g, tops) =>
+        tops.iterator.zipWithIndex.map { case ((v, id), i) =>
+          (g, i + 1, id, v)
+        }
+      }
+      .toDF("g", "rank", "id", "v")
   }
 }

@@ -45,6 +45,27 @@ class SketchesSpec extends SparkSpec {
     assert(est == est2)
   }
 
+  test("hllOverlap: union/intersection estimates track true overlap") {
+    // A = 1..3000, B = 2001..5000 -> union 5000, intersection 1000
+    val a = (1 to 3000).map(i => ("A", s"v$i"))
+    val b = (2001 to 5000).map(i => ("B", s"v$i"))
+    val row = Sketches.hllOverlap((a ++ b).toDF("s", "v"), "s", col("v"), "A", "B")
+      .head()
+    val (estA, estB, estU, estI) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    assert(math.abs(estA - 3000) / 3000 < 0.2, s"est_a $estA")
+    assert(math.abs(estB - 3000) / 3000 < 0.2, s"est_b $estB")
+    assert(math.abs(estU - 5000) / 5000 < 0.2, s"est_union $estU")
+    // intersection inherits BOTH sets' error: loose 3-sigma-ish bound
+    assert(math.abs(estI - 1000) < 1200, s"est_intersection $estI")
+    // the union estimate is exactly what a one-set sketch over the
+    // union'd values gives (register-max merge identity)
+    val direct = Sketches.hllDistinct(
+        (a ++ b).map { case (_, v) => ("u", v) }.toDF("s", "v"), Seq("s"), col("v"))
+      .select("est_distinct").head().getDouble(0)
+    assert(estU == direct)
+  }
+
   test("hllDistinct small range takes the linear-counting branch") {
     val df = (1 to 15).map(i => ("g", s"u$i")).toDF("grp", "v")
     val row = Sketches.hllDistinct(df, Seq("grp"), col("v"))

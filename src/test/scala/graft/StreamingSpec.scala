@@ -624,4 +624,37 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(3)).toMap
     assert(v((1L, 0)) == false && v((1L, 1)) == true && v((1L, 2)) == true)
   }
+
+  test("topKStream: update-mode stream converges to the batch top-k across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // values arranged so the top-k CHANGES in the second batch (late
+    // large values evict early ones) — convergence, not append luck
+    val all = (0 until 60).map(i =>
+      graft.streaming.RankedItem(s"g${i % 3}", ((i * 37) % 100).toDouble, i.toLong))
+    val (b1, b2) = all.splitAt(30)
+    val mem = MemoryStream[graft.streaming.RankedItem]
+    val q = StreamOps.topKStream(mem.toDS(), 4)
+      .writeStream.format("memory").queryName("topk_out").outputMode("update").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each update; the LAST update
+    // per group is the converged verdict
+    val updates = spark.table("topk_out").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // each batch emits the group's full current top-4, appended in batch
+    // order — the trailing 4 rows per group are the converged verdict
+    val finalPerGroup = updates.zipWithIndex
+      .groupBy(_._1._1)
+      .map { case (g, rows) => g -> rows.sortBy(_._2).map(_._1).takeRight(4) }
+    val batch = StreamOps.topKStream(all.toDS(), 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    finalPerGroup.foreach { case (g, got) =>
+      assert(got.toSeq == batch(g).sortBy(_._2).toSeq, s"group $g diverged")
+    }
+    assert(batch.size == 3)
+    // bounded state: the batch path emits exactly k rows per group
+    assert(batch.values.forall(_.length == 4))
+  }
 }
