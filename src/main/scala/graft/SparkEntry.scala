@@ -1861,6 +1861,32 @@ object SparkEntry {
         .toDF("event_type", "rank", "event_id", "value")
         .orderBy("event_type", "rank")
     }),
+    // EXT near-dup-aware quality-selective dedup: per duplicate cluster
+    // keep the HIGHEST-quality member (quality desc, doc_id ties), not
+    // the smallest id — the canonical-pick a curation pipeline actually
+    // wants; singletons keep themselves. Reuses the ngram-Jaccard pair
+    // join + min-label components + the shared portable quality score
+    "cluster_best_quality" -> ((s, dir) => {
+      val docs = injectedDocs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9,
+        maxShingleDf = Some(128))
+      val clusters = Dedup.dedupClusters(pairs)
+      val scored = docs.withColumn("quality",
+        TextFunctions.qualityScore(col("text")))
+      val mem = scored.join(clusters, scored("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("quality"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      mem.withColumn("_rk", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .filter(col("_rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("best_doc"),
+          col("quality"), col("n_members"))
+        .orderBy("cluster_id")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3890,5 +3916,26 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
         |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "cluster_best_quality" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         | pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+         | reach AS (SELECT src AS id, src AS r FROM edges
+         |   UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         | cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         | base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM u),
+         | c AS (SELECT doc_id, $qualityComponentsSql,
+         |  ${stops(TextFunctions.EnStops)} AS stop_en
+         | FROM base),
+         | q AS (SELECT doc_id, $qualityExprSql AS quality FROM c),
+         | m AS (SELECT u.doc_id, COALESCE(cl.cluster_id, u.doc_id) AS cluster_id
+         |       FROM u LEFT JOIN cl ON cl.id = u.doc_id),
+         | jq AS (SELECT m.cluster_id, m.doc_id, q.quality FROM m JOIN q USING (doc_id)),
+         | r AS (SELECT cluster_id, doc_id, quality,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rk,
+         |        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |       FROM jq)
+         |SELECT cluster_id, doc_id AS best_doc, quality, n_members
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
   )
 }
