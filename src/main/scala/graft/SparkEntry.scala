@@ -1887,6 +1887,51 @@ object SparkEntry {
           col("quality"), col("n_members"))
         .orderBy("cluster_id")
     }),
+    // EXT leakage-safe train/val/test split: the split hash is taken on
+    // the near-dup CLUSTER id, not the doc id, so near-duplicates can
+    // never straddle train and test (the contamination a doc-level
+    // split silently ships). Singletons hash their own id — identical
+    // to split_assign for them
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = injectedDocs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9,
+        maxShingleDf = Some(128))
+      val clusters = Dedup.dedupClusters(pairs)
+      val mem = docs.select("doc_id")
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      Corpus.assignSplit(mem, "cluster_id")
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    }),
+    // TPC-H Q19 (disjunctive predicate star): the OR of brand/quantity/
+    // size conjunctions references BOTH join sides, so the disjunction
+    // itself cannot push down — but its single-side ENVELOPES can, and
+    // are applied explicitly before the join (l_quantity <= 30; brand
+    // IN-list + p_size <= 15 shrink part to a broadcastable sliver)
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("_rev"))
+      val pt = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size") >= 1 && col("p_size") <= 15)
+        .select("p_partkey", "p_brand", "p_size")
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" &&
+            col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+        .agg(sum(col("_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -3937,5 +3982,34 @@ object SparkEntry {
          |       FROM jq)
          |SELECT cluster_id, doc_id AS best_doc, quality, n_members
          |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "split_leakage_safe" -> {
+      val bounds = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        .scanLeft(("", 0.0)) { case ((_, acc), (n, f)) => (n, acc + f) }.tail
+      val cases = bounds.init
+        .map { case (n, hi) => s"WHEN uu < ${"%.17e".formatLocal(java.util.Locale.ROOT, hi)} THEN '$n'" }
+        .mkString(" ")
+      s"""WITH RECURSIVE $ngramPairCtes,
+         | pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+         | reach AS (SELECT src AS id, src AS r FROM edges
+         |   UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         | cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         | m AS (SELECT u.doc_id, COALESCE(cl.cluster_id, u.doc_id) AS cluster_id
+         |       FROM u LEFT JOIN cl ON cl.id = u.doc_id),
+         | d AS (SELECT doc_id, cluster_id,
+         |  CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || cluster_id), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+         |    / 281474976710656.0 AS uu
+         |  FROM m)
+         |SELECT doc_id, cluster_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
   )
 }
