@@ -1932,6 +1932,19 @@ object SparkEntry {
         .agg(sum(col("_rev")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+    // EXT sliding-window distinct users at sketch cost
+    // (StreamOps.hllWindowRegisters slide + Sketches.hllFinalize): each
+    // event lands in exactly dur/slide=2 windows, per-window state is
+    // <=256 register rows regardless of traffic — the streaming
+    // cardinality dashboard shape; estimator replayed exactly
+    "hll_sliding_users" -> ((s, dir) => {
+      val regs = graft.streaming.StreamOps.hllWindowRegisters(
+        t(s, dir, "events"), "ts", "2 hours", "user_id",
+        slide = Some("1 hour"))
+      Sketches.hllFinalize(regs, Seq("win_start"))
+        .select("win_start", "zero_regs", "denom", "est_distinct")
+        .orderBy("win_start")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -4011,5 +4024,13 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "hll_sliding_users" ->
+      s"""SELECT g AS win_start, zero_regs, denom, est_distinct FROM (
+         |${Sketches.hllOracleSql(
+            """(SELECT unnest([w0, w0 - INTERVAL 1 HOUR]) AS win_start, user_id
+              |   FROM (SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) * 1000000) AS w0,
+              |                user_id FROM events) b0) ex""".stripMargin,
+            "win_start", "g", "CAST(user_id AS VARCHAR)")})
+         |ORDER BY win_start""".stripMargin,
   )
 }

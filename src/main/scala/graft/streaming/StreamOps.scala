@@ -90,11 +90,16 @@ object StreamOps {
     * batch frame.
     */
   def hllWindowRegisters(events: DataFrame, tsCol: String, windowDur: String,
-      valueCol: String, watermark: String = "1 hour"): DataFrame = {
+      valueCol: String, watermark: String = "1 hour",
+      slide: Option[String] = None): DataFrame = {
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
     withWm
-      .groupBy(window(col(tsCol), windowDur).as("win"),
+      .groupBy(win.as("win"),
         graft.operators.Sketches.hllRegister(col(valueCol)).as("reg"))
       .agg(max(graft.operators.Sketches.hllRho(col(valueCol))).as("rmax"))
       .select(col("win.start").as("win_start"), col("reg"), col("rmax"))

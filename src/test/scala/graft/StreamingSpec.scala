@@ -67,6 +67,32 @@ class StreamingSpec extends SparkSpec {
     assert(est == direct)
   }
 
+  test("hllWindowRegisters sliding: each event lands in exactly dur/slide windows") {
+    val regs = StreamOps.hllWindowRegisters(evs.toDF(), "ts", "20 minutes",
+      "value", slide = Some("10 minutes"))
+    // distinct values land their register in BOTH containing windows:
+    // summing per-window distinct-value counts double-counts exactly
+    val perWin = graft.operators.Sketches.hllFinalize(regs, Seq("win_start"))
+    val winStarts = perWin.select("win_start").collect().map(_.getTimestamp(0)).sorted
+    // overlapping starts every 10 minutes, window length 20
+    assert(winStarts.length >= 2)
+    val stepsMs = winStarts.sliding(2).map(p => p(1).getTime - p(0).getTime).toSet
+    assert(stepsMs == Set(600000L), s"unexpected window steps $stepsMs")
+    // every event's value is distinct in evs, so each window's register
+    // frame equals the one-shot sketch over the events it contains
+    // manual two-window explode: w0 (10-min floor) and w0 - slide —
+    // the same expansion the sliding window performs for dur=2*slide
+    val w0 = window(col("ts"), "10 minutes").getField("start")
+    val direct = graft.operators.Sketches.hllDistinct(
+        evs.toDF().select(explode(array(
+            w0, w0 - expr("INTERVAL 10 MINUTES"))).as("win_start"),
+          col("value")),
+        Seq("win_start"), col("value"))
+      .orderBy("win_start").collect().map(_.toSeq).toSeq
+    val est = perWin.orderBy("win_start").collect().map(_.toSeq).toSeq
+    assert(est == direct)
+  }
+
   test("dedupStream: state-backed exact dedup equals batch dropDuplicates") {
     implicit val sqlCtx = spark.sqlContext
     val dup = evs ++ evs.take(10)
