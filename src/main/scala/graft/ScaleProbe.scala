@@ -542,6 +542,30 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("rqtrain")) {
+      // train the residual-PQ codebook the declared ann_rq_topk query
+      // embeds as a literal:
+      // runMain graft.ScaleProbe rqtrain <sfDir> [m] [k] [nCentroids]
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+      val m = args.drop(2).headOption.map(_.toInt).getOrElse(4)
+      val k = args.drop(3).headOption.map(_.toInt).getOrElse(16)
+      val nc = args.drop(4).headOption.map(_.toInt).getOrElse(8)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cb = graft.operators.Ann.rqTrain(emb, "vec_id", "embedding", m, k, nc)
+      println(cb.map(sub => sub.map(c =>
+        c.mkString("Seq(", ", ", ")")).mkString("Seq(\n    ", ",\n    ", ")"))
+        .mkString("Seq(\n  ", ",\n  ", ")"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("against")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)

@@ -1945,6 +1945,17 @@ object SparkEntry {
         .select("win_start", "zero_regs", "denom", "est_distinct")
         .orderBy("win_start")
     }),
+    // EXT IVF + residual-PQ ANN (Ann.rqTopK, FAISS IndexIVFPQ shape):
+    // codes quantize the RESIDUAL x - c(cell) against the frozen
+    // RqCodebook — smaller per-cell variance than whole-vector codes at
+    // the same m x k budget; per-(query, probed-cell) ADC tables keep
+    // the residual geometry aligned cell by cell
+    "ann_rq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.rqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        RqCodebook.arr, 3, nCentroids = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -4032,5 +4043,33 @@ object SparkEntry {
               |                user_id FROM events) b0) ex""".stripMargin,
             "win_start", "g", "CAST(user_id AS VARCHAR)")})
          |ORDER BY win_start""".stripMargin,
+    // residual-PQ mirror: the ivf cell CTEs in NORMALIZED space + the
+    // residual subtraction + encode/ADC generated from RqCodebook
+    "ann_rq_topk" -> {
+      val normCte = PqSqlBits.normCte
+      import RqSqlBits.{cbCols, codes, dts, adist}
+      s"""WITH rcb AS (SELECT $cbCols),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | n AS ($normCte),
+         | cents AS (SELECT vec_id AS cid, nv AS cvec FROM n ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
+         | ca AS (SELECT n.vec_id, ct.cid, ${cosSql("n.nv", "ct.cvec")} AS ccos FROM n, cents ct),
+         | assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca) WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca WHERE vec_id < 5) WHERE rn <= 2),
+         | cr AS (SELECT a.vec_id AS neighbor_id, a.cid,
+         |         list_transform(range(1, 65), i -> n.nv[i] - ct.cvec[i]) AS rv
+         |        FROM assign a JOIN n ON n.vec_id = a.vec_id JOIN cents ct ON ct.cid = a.cid),
+         | c AS (SELECT neighbor_id, cid, $codes AS codes FROM cr, rcb),
+         | qr AS (SELECT p.query_id, p.cid,
+         |         list_transform(range(1, 65), i -> n.nv[i] - ce.cvec[i]) AS rv
+         |        FROM probe p JOIN n ON n.vec_id = p.query_id JOIN cents ce ON ce.cid = p.cid),
+         | q AS (SELECT query_id, cid, $dts FROM qr, rcb),
+         | s AS (SELECT q.query_id, c.neighbor_id, ROUND($adist, 6) AS adist
+         |       FROM q JOIN c USING (cid) WHERE c.neighbor_id <> q.query_id),
+         | r AS (SELECT query_id, neighbor_id, adist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
   )
 }

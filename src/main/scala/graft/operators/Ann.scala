@@ -247,16 +247,24 @@ object Ann {
     val nv = corpus
       .select(l2norm(col(vecCol).cast("array<double>")).as("nv"))
       .filter(aggregate(col("nv"), lit(0.0d), (a, x) => a + x * x) > 0d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fitSubspaces(nv, m, ds, k, seed, maxIter)
+  }
+
+  /** Per-subspace Lloyd fits over a single array<double> column `nv` —
+    * the shared training core of [[pqTrain]] (whole normalized vectors)
+    * and [[rqTrain]] (cell residuals). */
+  private def fitSubspaces(nv: DataFrame, m: Int, ds: Int, k: Int,
+      seed: Long, maxIter: Int): Array[Array[Array[Double]]] = {
+    val cached = nv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try (0 until m).toArray.map { i =>
-      val sub = nv.select(org.apache.spark.ml.functions.array_to_vector(
+      val sub = cached.select(org.apache.spark.ml.functions.array_to_vector(
         slice(col("nv"), i * ds + 1, ds)).as("features"))
       new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed + i).setMaxIter(maxIter)
         .setFeaturesCol("features")
         .fit(sub)
         .clusterCenters.map(_.toArray)
-    } finally nv.unpersist()
+    } finally cached.unpersist()
   }
 
   /** PQ codes for a normalized vector: per subspace, the 1-based index
@@ -417,6 +425,89 @@ object Ann {
     // engines' fold orders agree to ~1 ulp but not always bitwise, so
     // both rank (and emit) the identical quantized value, with the
     // integer neighbor_id tie-break underneath
+    val quant = scored.withColumn("adist", round(col("_ad"), 6)).drop("_ad")
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    quant.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("_rk").as("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Residual quantization (IVF+RQ — FAISS's IndexIVFPQ encodes the
+  // RESIDUAL x - c(cell), not x itself; Jégou-Douze-Schmid TPAMI'11
+  // §IV.B). Residuals concentrate near the origin with far smaller
+  // per-cell variance than the raw vectors, so the same m x k codebook
+  // budget quantizes them with lower error — the accuracy half of the
+  // IVF-PQ composition that ivfPqTopK (whole-vector codes) leaves on
+  // the table.
+
+  /** Cell assignment + normalized-space residuals under the SAME
+    * md5-sampled centroids as [[ivfTopK]] (seeded, engine-replayable).
+    * Residuals live in l2-normalized space on BOTH the corpus and query
+    * side: r = nv(x) - nv(centroid), so ADC over residual codes
+    * approximates ||nv(q) - nv(x)||^2 = 2 - 2*cos within a cell.
+    * Returns (residuals: id/cid/rv, cents: cid/cvec-normalized).
+    */
+  private def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, seed: String): (DataFrame, DataFrame) = {
+    val nvf = df.select(col(idCol).as("_rid"),
+      l2norm(col(vecCol).cast("array<double>")).as("nv"))
+    val cents = nvf
+      .orderBy(md5(concat(lit(seed + ":"), col("_rid").cast("string"))), col("_rid"))
+      .limit(nCentroids)
+      .select(col("_rid").as("cid"), col("nv").as("cvec"))
+    val assigned = nearestCells(nvf, cents, "_rid", "nv", 1, keep = Seq(col("nv")))
+    val res = assigned.join(broadcast(cents), Seq("cid"))
+      .select(col("_rid"), col("cid"),
+        zip_with(col("nv"), col("cvec"), (x, c) => x - c).as("rv"))
+    (res, cents)
+  }
+
+  /** Train a residual-PQ codebook: assign cells, subtract the cell
+    * centroid, fit `k` centroids per contiguous subspace of the
+    * RESIDUAL. Same frozen-literal workflow as [[pqTrain]]
+    * (`ScaleProbe rqtrain` prints Scala source).
+    */
+  def rqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 4,
+      k: Int = 16, nCentroids: Int = 8, seed: Long = 42L,
+      maxIter: Int = 20): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol).cast("array<double>"))).head().getInt(0)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val (res, _) = residualFrame(corpus, idCol, vecCol, nCentroids, seed.toString)
+    fitSubspaces(res.select(col("rv").as("nv")), m, dim / m, k, seed, maxIter)
+  }
+
+  /** IVF + residual-PQ top-k: probe `nProbe` cells per query, score
+    * candidates by ADC over RESIDUAL codes — the query's distance
+    * tables are built per probed cell from (nv(q) - centroid), so the
+    * residual geometry matches the corpus encoding cell by cell.
+    *
+    * Scale shape: identical joins to [[ivfPqTopK]] (cell equi-join
+    * only; each neighbor lives in exactly one cell so pairs are unique
+    * by construction), plus one broadcast of the per-(query, cell)
+    * tables (nProbe * m * k doubles per query — tiny). The corpus-side
+    * artifact an index build writes is (cid, m codes) per row.
+    */
+  def rqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Array[Double]]], k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2, seed: String = "42"): DataFrame = {
+    val (cres, cents) = residualFrame(corpus, idCol, vecCol, nCentroids, seed)
+    val enc = cres.select(col("_rid").as("neighbor_id"), col("cid"),
+      pqCodes(col("rv"), codebook).as("codes"))
+    val qnv = queries.select(col(idCol).as("query_id"),
+      l2norm(col(vecCol).cast("array<double>")).as("qnv"))
+    val probed = nearestCells(qnv, cents, "query_id", "qnv", nProbe,
+      keep = Seq(col("qnv"), col("cvec")))
+    val qt = probed
+      .select(col("query_id"), col("cid"),
+        zip_with(col("qnv"), col("cvec"), (x, c) => x - c).as("_qr"))
+      .select(col("query_id"), col("cid"),
+        pqDistTables(col("_qr"), codebook).as("dt"))
+    val scored = enc.join(broadcast(qt), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
+          lit(0.0d), (a, x) => a + x).as("_ad"))
+    // round(6) before ranking — suite-wide quantize-before-rank
     val quant = scored.withColumn("adist", round(col("_ad"), 6)).drop("_ad")
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
     quant.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)

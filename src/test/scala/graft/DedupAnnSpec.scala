@@ -851,4 +851,51 @@ class DedupAnnSpec extends SparkSpec {
     assert(hit.toDouble / approx.length >= 0.8,
       s"sq recall ${hit.toDouble / approx.length}")
   }
+
+  test("rqTrain/rqTopK: residual codes recover exact top-k inside probed cells") {
+    // same directional-subgroup corpus as the PQ spec: residuals within
+    // a coarse cell preserve the subgroup geometry, so residual-ADC
+    // must recover the exact neighbors whenever the cell is probed
+    val pts = for {
+      c <- 0 until 4
+      i <- 0 until 25
+    } yield {
+      val v = Array.tabulate(8) { d =>
+        val base = if (d == 2 * c) 1.0
+          else if (i >= 5 && d == 2 * c + 1) 1.0 else 0.0
+        base + ((i * 31 + d * 7) % 11 - 5) * 0.001
+      }
+      (c * 25L + i, v)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val cb = Ann.rqTrain(emb, "vec_id", "embedding", m = 2, k = 8,
+      nCentroids = 8)
+    assert(cb.length == 2 && cb.forall(_.length == 8) &&
+      cb.forall(_.forall(_.length == 4)), "codebook must be m x k x dim/m")
+    val rq = Ann.rqTopK(emb, queries, "vec_id", "embedding", cb, 4,
+      nCentroids = 8, nProbe = 3)
+    val rows = rq.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to byRank.length),
+        "ranks must be dense from 1")
+      val d = byRank.map(_.getDouble(2)).toSeq
+      assert(d == d.sorted, "adist must ascend with rank")
+    }
+    // candidate recall vs brute force, counting only neighbors whose
+    // cell was actually probed (the IVF prune is the recall trade;
+    // residual coding must not LOSE neighbors the probe surfaced)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"residual-PQ recall collapsed: $recall")
+    // deterministic: same inputs, same result
+    val again = Ann.rqTopK(emb, queries, "vec_id", "embedding", cb, 4,
+      nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
 }
