@@ -1956,6 +1956,14 @@ object SparkEntry {
         RqCodebook.arr, 3, nCentroids = 8, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+    // EXT cross-source similarity matrix (Dedup.groupSimilarityMatrix):
+    // one k=16 md5-minima signature per SOURCE, pairwise agreement =
+    // MinHash Jaccard estimate of shingle overlap — corpus-size-free
+    // pair stage (|sources|^2/2 over broadcast signatures)
+    "source_similarity" -> ((s, dir) =>
+      Dedup.groupSimilarityMatrix(t(s, dir, "documents"), "source", "text",
+          k = 16)
+        .orderBy("group_a", "group_b")),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -4070,6 +4078,22 @@ object SparkEntry {
          | r AS (SELECT query_id, neighbor_id, adist,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    "source_similarity" -> {
+      val minCols = (0 until 16)
+        .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+        .mkString(", ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         | shr AS (SELECT DISTINCT source AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |         FROM w WHERE len(ws) >= 3),
+         | mh AS (SELECT jid, $minCols FROM shr GROUP BY jid),
+         | p AS (SELECT a.jid AS group_a, b.jid AS group_b, $agree AS agree
+         |       FROM mh a JOIN mh b ON a.jid < b.jid)
+         |SELECT group_a, group_b, CAST(agree AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM p ORDER BY group_a, group_b""".stripMargin
     },
   )
 }

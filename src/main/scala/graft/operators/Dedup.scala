@@ -498,6 +498,37 @@ object Dedup {
     verifyJaccardOnCandidates(cands, sh, threshold)
   }
 
+  /** Corpus-level MinHash similarity matrix: ONE signature per GROUP
+    * (k md5-slice minima over the group's distinct shingle set) and the
+    * pairwise agreement fraction — the unbiased MinHash estimate of
+    * shingle-set Jaccard between groups [Broder 1997]. The sketch view
+    * of cross-source overlap: after one corpus scan the retained state
+    * is |groups| rows of k 8-char slices, and the pair stage is a
+    * broadcast nested-loop over |groups|^2/2 — groups are sources /
+    * shards / snapshots, inherently few; corpus SIZE never enters the
+    * pair stage. Output: (group_a, group_b, est_jaccard) for all pairs
+    * group_a < group_b, est = agreeing minima / k.
+    */
+  def groupSimilarityMatrix(docs: DataFrame, groupCol: String,
+      textCol: String, k: Int = 16, shingleK: Int = 3): DataFrame = {
+    require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
+    val sh = docs
+      .select(col(groupCol).cast("string").as("jid"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sigs = md5SliceSigFrame(sh, k)
+    val a = sigs.select(col("jid").as("group_a") +:
+      (0 until k).map(i => col(s"h$i").as(s"_a$i")): _*)
+    val b = sigs.select(col("jid").as("group_b") +:
+      (0 until k).map(i => col(s"h$i").as(s"_b$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (agree.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+  }
+
   /** The md5-slice band signatures for a (jid, sh) shingle frame: one
     * (jid, band, bsig) row per document and band. One projection
     * materializes the k/4 md5s; the k min-aggregates slice them

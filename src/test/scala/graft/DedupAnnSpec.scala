@@ -852,6 +852,26 @@ class DedupAnnSpec extends SparkSpec {
       s"sq recall ${hit.toDouble / approx.length}")
   }
 
+  test("groupSimilarityMatrix: identical groups 1.0, disjoint near 0, symmetric-free") {
+    val docs = Seq(
+      (1L, "ga", "alpha beta gamma delta epsilon zeta"),
+      (2L, "gb", "alpha beta gamma delta epsilon zeta"), // ga == gb
+      (3L, "gc", "one two three four five six seven"),   // disjoint from ga/gb
+      (4L, "ga", "eta theta iota kappa lambda"),
+      (5L, "gb", "eta theta iota kappa lambda")
+    ).toDF("doc_id", "grp", "text")
+    val m = Dedup.groupSimilarityMatrix(docs, "grp", "text", k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // each unordered pair exactly once, a < b
+    assert(m.keySet == Set(("ga", "gb"), ("ga", "gc"), ("gb", "gc")))
+    assert(m(("ga", "gb")) == 1.0, s"identical shingle sets must agree on every minimum: $m")
+    assert(m(("ga", "gc")) <= 0.25, s"disjoint groups estimated high: $m")
+    // estimate is always a multiple of 1/k in [0, 1]
+    m.values.foreach { v =>
+      assert(v >= 0.0 && v <= 1.0 && (v * 16).isWhole)
+    }
+  }
+
   test("rqTrain/rqTopK: residual codes recover exact top-k inside probed cells") {
     // same directional-subgroup corpus as the PQ spec: residuals within
     // a coarse cell preserve the subgroup geometry, so residual-ADC
