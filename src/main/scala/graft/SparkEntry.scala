@@ -1964,6 +1964,28 @@ object SparkEntry {
       Dedup.groupSimilarityMatrix(t(s, dir, "documents"), "source", "text",
           k = 16)
         .orderBy("group_a", "group_b")),
+    // EXT bottom-k sketch, sample readout (Sketches.kmvBottomK): a
+    // DETERMINISTIC uniform sample of distinct users per event type —
+    // stable across runs and partitionings (hash-priority order), the
+    // debugging sample a pipeline can diff between builds
+    "kmv_sample_users" -> ((s, dir) => {
+      Sketches.kmvBottomK(t(s, dir, "events"), Seq("event_type"),
+          col("user_id"), 32)
+        .select(col("event_type"), col("rank"), col("value").as("user_id"))
+        .orderBy("event_type", "rank")
+    }),
+    // EXT bottom-k sketch, estimator readout: KMV distinct estimate
+    // (k-1)/u_k beside the exact count — mergeable like the HLL twin
+    // but carrying an actual value sample
+    "kmv_distinct_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bk = Sketches.kmvBottomK(ev, Seq("event_type"), col("user_id"), 32)
+      Sketches.kmvDistinct(bk, Seq("event_type"), 32)
+        .join(ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact_distinct")),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
   )
 
   /** The phrase dictionary `phrase_hits` tags with — a LITERAL shared by
@@ -4095,5 +4117,32 @@ object SparkEntry {
          |SELECT group_a, group_b, CAST(agree AS DOUBLE) / 16.0 AS est_jaccard
          |FROM p ORDER BY group_a, group_b""".stripMargin
     },
+    "kmv_sample_users" ->
+      """WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS value FROM events),
+        | p AS (SELECT event_type, value,
+        |   CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || value), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+        |     / 281474976710656.0 AS u
+        |  FROM d),
+        | r AS (SELECT event_type, value, u,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, value) AS INT) AS rank FROM p)
+        |SELECT event_type, rank, value AS user_id
+        |FROM r WHERE rank <= 32 ORDER BY event_type, rank""".stripMargin,
+    "kmv_distinct_events" ->
+      """WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS value FROM events),
+        | p AS (SELECT event_type, value,
+        |   CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || value), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+        |     / 281474976710656.0 AS u
+        |  FROM d),
+        | r AS (SELECT event_type, value, u,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, value) AS rank FROM p),
+        | s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(u) AS umax
+        |       FROM r WHERE rank <= 32 GROUP BY 1),
+        | ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |        FROM events GROUP BY 1)
+        |SELECT s.event_type, n_kept,
+        |  CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE CAST(31 AS DOUBLE) / umax END AS est_distinct,
+        |  exact_distinct
+        |FROM s JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
   )
 }

@@ -243,6 +243,46 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // K-minimum-values (bottom-k) sketch
+  // ---------------------------------------------------------------------
+
+  /** Bottom-k sketch [Bar-Yossef et al. 2002]: per group, the k smallest
+    * md5-hash priorities over the DISTINCT values. One structure, two
+    * readouts: (a) a deterministic, partition-invariant uniform sample
+    * of distinct values (bottom-k of a union is the bottom-k of the
+    * bottom-ks — mergeable, so map-side partial aggregation bounds the
+    * exchange at |groups|*k rows), and (b) the KMV distinct estimate
+    * (k-1)/u_k from the k-th smallest priority. The priority is the
+    * first 48 md5 bits as a double in [0,1) — the same hash-to-uniform
+    * replay as Corpus.assignSplit, exact in any engine.
+    * Output: (groupCols..., rank, value, u), rank 1..k by (u, value).
+    */
+  def kmvBottomK(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      k: Int, seed: String = "42"): DataFrame = {
+    require(k >= 2, s"kmvBottomK: need k>=2, got $k")
+    val d = df.select((groupCols.map(col) :+ valueCol.cast("string").as("value")): _*)
+      .distinct()
+    val u = conv(substring(md5(concat(lit(seed + ":"), col("value"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2, 48))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("u"), col("value"))
+    d.withColumn("u", u)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** KMV distinct estimate from a [[kmvBottomK]] frame: exact n_kept
+    * when the group has fewer than k distinct values (the sketch holds
+    * all of them), else (k-1)/u_k. */
+  def kmvDistinct(bottomK: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    bottomK.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("u")).as("_umax"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("_umax")))
+      .drop("_umax")
+
+  // ---------------------------------------------------------------------
   // Misra-Gries heavy hitters
   // ---------------------------------------------------------------------
 

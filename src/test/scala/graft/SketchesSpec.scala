@@ -66,6 +66,42 @@ class SketchesSpec extends SparkSpec {
     assert(estU == direct)
   }
 
+  test("kmvBottomK: partition-invariant sample, estimator within KMV error") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"user$i")).toDF("grp", "v")
+      .union((1 to n by 3).map(i => ("g", s"user$i")).toDF("grp", "v")) // dups
+    val k = 64
+    val bk = Sketches.kmvBottomK(df, Seq("grp"), col("v"), k)
+    val sample = bk.orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(sample.length == k)
+    assert(sample.distinct.length == k, "sample must be of DISTINCT values")
+    // layout-independence: same k values at any partitioning
+    val sample13 = Sketches.kmvBottomK(df.repartition(13), Seq("grp"), col("v"), k)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(sample == sample13)
+    // estimator: (k-1)/u_k, std err ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+    val est = Sketches.kmvDistinct(bk, Seq("grp"), k)
+      .select("est_distinct").head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.4, s"KMV est $est too far from $n")
+    // merge property: bottom-k of a union == bottom-k of the two
+    // halves' bottom-ks stacked
+    val (h1, h2) = ((1 to n / 2), (n / 2 + 1 to n))
+    def bot(r: Range) = Sketches.kmvBottomK(
+      r.map(i => ("g", s"user$i")).toDF("grp", "v"), Seq("grp"), col("v"), k)
+    val stacked = Sketches.kmvBottomK(
+      bot(h1).select(col("grp"), col("value").as("v"))
+        .union(bot(h2).select(col("grp"), col("value").as("v"))),
+      Seq("grp"), col("v"), k)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(stacked == sample)
+    // small group: sketch holds everything, estimate is exact
+    val tiny = (1 to 10).map(i => ("t", s"x$i")).toDF("grp", "v")
+    val te = Sketches.kmvDistinct(
+      Sketches.kmvBottomK(tiny, Seq("grp"), col("v"), k), Seq("grp"), k)
+    val r = te.head()
+    assert(r.getLong(1) == 10L && r.getDouble(2) == 10.0)
+  }
+
   test("hllDistinct small range takes the linear-counting branch") {
     val df = (1 to 15).map(i => ("g", s"u$i")).toDF("grp", "v")
     val row = Sketches.hllDistinct(df, Seq("grp"), col("v"))
