@@ -510,13 +510,19 @@ object Dedup {
     * group_a < group_b, est = agreeing minima / k.
     */
   def groupSimilarityMatrix(docs: DataFrame, groupCol: String,
-      textCol: String, k: Int = 16, shingleK: Int = 3): DataFrame = {
+      textCol: String, k: Int = 16, shingleK: Int = 3,
+      maxGroups: Int = 1024): DataFrame = {
     require(k % 4 == 0, s"k ($k) must be a multiple of 4 (4 slices per md5)")
     val sh = docs
       .select(col(groupCol).cast("string").as("jid"),
         explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("sh"))
       .distinct()
-    val sigs = md5SliceSigFrame(sh, k)
+    // the limit is the broadcast contract (the langProfiles pattern):
+    // groups are sources/shards — inherently few — and the cap makes
+    // the promise PROVABLE in the plan; a >maxGroups corpus keeps the
+    // first maxGroups in jid order (raise the cap deliberately, the
+    // pair stage is O(maxGroups^2))
+    val sigs = md5SliceSigFrame(sh, k).orderBy("jid").limit(maxGroups)
     val a = sigs.select(col("jid").as("group_a") +:
       (0 until k).map(i => col(s"h$i").as(s"_a$i")): _*)
     val b = sigs.select(col("jid").as("group_b") +:

@@ -275,6 +275,27 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected <=4 hash exchanges, got $exchanges\n" + plan.take(1500))
   }
 
+  test("q19_disjunctive_revenue: envelopes pushed to both scans, part side broadcasts") {
+    val df = SparkEntry.queries("q19_disjunctive_revenue")(spark, sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    // the single-side envelopes of the cross-side OR reach the scans
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      "l_quantity envelope not pushed to the lineitem scan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*p_brand[^\\]]*\\].*"),
+      "brand IN-list envelope not pushed to the part scan")
+    // the brand-filtered part sliver broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q10/q18: top-k compiles to TakeOrderedAndProject, never a global sort") {
+    Seq("q10_returned_items", "q18_large_orders").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("TakeOrderedAndProject"), s"$name: ${plan.take(500)}")
+    }
+  }
+
   test("no broadcast hint wraps an unbounded grouped aggregate") {
     // a broadcast() hint is a promise the side stays driver-sized at any
     // corpus scale. A global aggregate (1 row), a LIMIT, or a literal
