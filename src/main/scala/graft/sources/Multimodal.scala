@@ -272,6 +272,69 @@ object Multimodal {
     }
   }
 
+  /** REAL audio SAMPLE decode for uncompressed PCM WAV — pure byte
+    * math, no codec library: walk the RIFF chunks to `fmt ` (require
+    * wFormatTag=1 PCM, 8-bit unsigned or 16-bit signed LE) and `data`,
+    * then fold every sample into amplitude features. This closes the
+    * sample-decode gap for the uncompressed half of the audio story;
+    * compressed audio (MP3/AAC) and all video sample decode remain
+    * metadata-only (documented stub — no codec libs in this
+    * container). Samples normalized to [-1, 1].
+    * Returns Some((frames, rms, peak, zero_crossings)); zero crossings
+    * counted on the interleaved stream (mono-equivalent for ch=1).
+    */
+  private[graft] def wavSamples(b: Array[Byte]): Option[(Long, Double, Double, Long)] = {
+    if (b == null || b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12L
+    var fmtTag = 0; var channels = 0; var bits = 0
+    var dataOff = -1L; var dataSize = -1L
+    while (off + 8 <= b.length && (fmtTag == 0 || dataOff < 0)) {
+      val id = fourCC(b, off.toInt)
+      val sz = leInt(b, off.toInt + 4) & 0xffffffffL
+      if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+        fmtTag = leShort(b, off.toInt + 8)
+        channels = leShort(b, off.toInt + 10)
+        bits = leShort(b, off.toInt + 22)
+      } else if (id == "data") { dataOff = off + 8; dataSize = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (fmtTag != 1 || channels <= 0 || (bits != 8 && bits != 16) ||
+        dataOff < 0) return None
+    // bound by the actual buffer — a truncated blob decodes what it has
+    val end = math.min(dataOff + dataSize, b.length.toLong).toInt
+    val stride = bits / 8
+    val n = (end - dataOff.toInt) / stride
+    if (n <= 0) return None
+    var i = 0
+    var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+    var prevSign = 0
+    while (i < n) {
+      val o = dataOff.toInt + i * stride
+      val s =
+        if (bits == 16) ((b(o) & 0xff) | (b(o + 1) << 8)).toShort / 32768.0
+        else ((b(o) & 0xff) - 128) / 128.0
+      sumSq += s * s
+      val a = math.abs(s); if (a > peak) peak = a
+      val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+      if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    Some((n.toLong / channels, math.sqrt(sumSq / n), peak, crossings))
+  }
+
+  private val audioFeaturesUdf = udf((b: Array[Byte]) => wavSamples(b))
+
+  /** Attach PCM amplitude features: null for anything that is not
+    * uncompressed PCM WAV (the compressed/video stub boundary). */
+  def withAudioFeatures(df: DataFrame, mediaCol: String,
+      as: String = "audio"): DataFrame =
+    df.withColumn(as,
+      audioFeaturesUdf(col(mediaCol)).cast(
+        "struct<frames:bigint,rms:double,peak:double,zero_crossings:bigint>"))
+
   private val decodeUdf = udf((b: Array[Byte]) => decodeBytes(b))
 
   /** Pixel-decoded metadata struct (ImageIO; null for undecodable blobs). */

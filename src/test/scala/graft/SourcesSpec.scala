@@ -207,6 +207,55 @@ class SourcesSpec extends SparkSpec {
     assert(Multimodal.wavMeta(null).isEmpty)
   }
 
+  test("Multimodal: REAL PCM sample decode — amplitude features from raw bytes") {
+    // full-scale-ish square wave at +/-16384: rms = 0.5 exactly, peak =
+    // 0.5, one crossing per half-period boundary
+    val frames = 1000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    (0 until frames).foreach { i =>
+      val v: Short = if ((i / 10) % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((n, rms, peak, crossings)) = Multimodal.wavSamples(bos.toByteArray)
+    assert(n == frames)
+    assert(math.abs(rms - 0.5) < 1e-12, s"rms $rms")
+    assert(peak == 0.5)
+    assert(crossings == frames / 10 - 1, s"crossings $crossings")
+    // the JDK stereo fixture decodes too: frames per CHANNEL, peak bounded
+    val stereo = encodeWav(channels = 2, sampleRate = 8000, frames = 4000)
+    val Some((n2, rms2, peak2, _)) = Multimodal.wavSamples(stereo)
+    assert(n2 == 4000 && rms2 > 0 && peak2 <= 1.0)
+    // 8-bit unsigned path: constant 255 decodes to (255-128)/128
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      8000f, 8, 1, false, false) // unsigned 8-bit
+    val pcm8 = Array.fill[Byte](100)(255.toByte)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val Some((n8, rms8, peak8, c8)) = Multimodal.wavSamples(bos8.toByteArray)
+    assert(n8 == 100 && c8 == 0)
+    assert(math.abs(peak8 - 127.0 / 128.0) < 1e-12 && math.abs(rms8 - peak8) < 1e-12)
+    // non-PCM and truncation degrade to None / partial decode, never throw
+    assert(Multimodal.wavSamples("RIFFxxxxAIFF----".getBytes).isEmpty)
+    assert(Multimodal.wavSamples(null).isEmpty)
+    // the Spark surface: a frame with mixed blobs gets features only
+    // for PCM WAV rows
+    import spark.implicits._
+    val df = Seq((1L, bos.toByteArray), (2L, "not audio".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.withAudioFeatures(df, "media")
+      .select("id", "audio.rms").collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) == false && out(2L) == true)
+  }
+
   test("Multimodal: REAL video codec — MP4 ftyp/moov box parse, v0 and v1 layouts") {
     val ftyp = mp4Box("ftyp", "isom".getBytes, beI(0x200), "isomiso2".getBytes)
     def tkhdV0(w: Int, h: Int) = mp4Box("tkhd",
