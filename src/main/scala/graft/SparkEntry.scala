@@ -1964,6 +1964,26 @@ object SparkEntry {
       Dedup.groupSimilarityMatrix(t(s, dir, "documents"), "source", "text",
           k = 16)
         .orderBy("group_a", "group_b")),
+    // EXT stream-stream interval join (StreamOps.intervalJoinStream):
+    // view->click attribution within 10 minutes per user — the
+    // watermark-evictable stateful join; declared batch-symmetric
+    // (key SMJ + residual time filter), StreamingSpec drives both
+    // sides as real MemoryStreams
+    "attribution_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      graft.streaming.StreamOps.intervalJoinStream(views, clicks,
+          "user_id", "c_user_id", "view_ts", "click_ts", "10 minutes")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_micros(col("click_ts").cast("timestamp")) -
+            unix_micros(col("view_ts").cast("timestamp")) as "lag_micros")
+        .orderBy("user_id", "view_id", "click_id")
+    }),
     // EXT bottom-k sketch, sample readout (Sketches.kmvBottomK): a
     // DETERMINISTIC uniform sample of distinct users per event type —
     // stable across runs and partitionings (hash-priority order), the
@@ -4117,6 +4137,14 @@ object SparkEntry {
          |SELECT group_a, group_b, CAST(agree AS DOUBLE) / 16.0 AS est_jaccard
          |FROM p ORDER BY group_a, group_b""".stripMargin
     },
+    "attribution_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        | c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id,
+        |  CAST(epoch_us(click_ts) - epoch_us(view_ts) AS BIGINT) AS lag_micros
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 10 MINUTE
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
     "kmv_sample_users" ->
       """WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS value FROM events),
         | p AS (SELECT event_type, value,

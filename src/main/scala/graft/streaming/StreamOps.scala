@@ -725,6 +725,32 @@ object StreamOps {
       .select(docs.columns.map(col).toSeq :+ col("status"): _*)
   }
 
+  /** Stream-STREAM interval join (attribution shape): each left event
+    * matches right events with the same key whose timestamp falls in
+    * [left.ts, left.ts + within]. The one stateful-join capability the
+    * stream-static family cannot express — and the time bound is what
+    * makes it deployable: with BOTH sides watermarked, Spark evicts a
+    * buffered row as soon as the watermark passes its join window, so
+    * state is bounded by (event rate x within), never by stream length.
+    * Works unchanged on batch frames (plain key equi-join + residual
+    * time filter — an SMJ on the key at any scale; StreamingSpec
+    * asserts stream == batch).
+    *
+    * Column names of the two sides must not collide (pre-rename);
+    * `rightKey` is dropped from the output (it equals `leftKey`).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      within: String, watermark: String = "1 hour"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r,
+        l(leftKey) === r(rightKey) &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+      .drop(rightKey)
+  }
+
   /** Fold one batch of (value, id) pairs into a bounded top-k buffer —
     * the SAME (value desc, id asc) contract and 2k-amortized compaction
     * as [[graft.operators.Relational.TopKAgg]], shared by the batch and

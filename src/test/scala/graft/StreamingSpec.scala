@@ -651,6 +651,45 @@ class StreamingSpec extends SparkSpec {
     assert(v((1L, 0)) == false && v((1L, 1)) == true && v((1L, 2)) == true)
   }
 
+  test("intervalJoinStream: stream-stream join equals batch, across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    case class V(user_id: Long, view_id: Long, view_ts: Timestamp)
+    case class C(c_user_id: Long, click_id: Long, click_ts: Timestamp)
+    def ts(min: Int, sec: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    val views = (0 until 20).map(i => (i % 5L, 100L + i, ts(i)))
+    val clicks = (0 until 20).map(i => (i % 5L, 200L + i, ts(i, 30)))
+    val memV = MemoryStream[(Long, Long, Timestamp)]
+    val memC = MemoryStream[(Long, Long, Timestamp)]
+    val sv = memV.toDF().toDF("user_id", "view_id", "view_ts")
+    val sc = memC.toDF().toDF("c_user_id", "click_id", "click_ts")
+    val q = StreamOps.intervalJoinStream(sv, sc, "user_id", "c_user_id",
+        "view_ts", "click_ts", "3 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    // matching pairs split ACROSS batches: views first, clicks later
+    memV.addData(views.take(10): _*); q.processAllAvailable()
+    memC.addData(clicks.take(10): _*); q.processAllAvailable()
+    memV.addData(views.drop(10): _*); memC.addData(clicks.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ij_out")
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamOps.intervalJoinStream(
+        views.toDF("user_id", "view_id", "view_ts"),
+        clicks.toDF("c_user_id", "click_id", "click_ts"),
+        "user_id", "c_user_id", "view_ts", "click_ts", "3 minutes")
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+    // the time bound actually excludes: a click 3.5 min after its view
+    // must not pair (view at :00, click at i+3 min :30 same user exists
+    // only via other views) — verify one concrete exclusion
+    assert(!batch.contains((0L, 100L, 200L + 15)),
+      "click 15.5 min after view 0 must be outside the 3-minute window")
+  }
+
   test("topKStream: update-mode stream converges to the batch top-k across batches") {
     implicit val sqlCtx = spark.sqlContext
     // values arranged so the top-k CHANGES in the second batch (late
