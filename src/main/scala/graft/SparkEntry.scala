@@ -1964,6 +1964,38 @@ object SparkEntry {
       Dedup.groupSimilarityMatrix(t(s, dir, "documents"), "source", "text",
           k = 16)
         .orderBy("group_a", "group_b")),
+    // TPC-H Q4 (order priority checking): EXISTS compiles to a LEFT
+    // SEMI join — the fact side streams through probe-only, no
+    // duplicate inflation, no distinct; date filter prunes orders first
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val late = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 days"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q6 (forecast revenue change): the pure-pushdown shape — a
+    // single scan whose three predicates all reach the parquet reader,
+    // one partial-agg pass, zero joins
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
     // EXT stream-stream interval join (StreamOps.intervalJoinStream):
     // view->click attribution within 10 minutes per user — the
     // watermark-evictable stateful join; declared batch-symmetric
@@ -4137,6 +4169,22 @@ object SparkEntry {
          |SELECT group_a, group_b, CAST(agree AS DOUBLE) / 16.0 AS est_jaccard
          |FROM p ORDER BY group_a, group_b""".stripMargin
     },
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "attribution_join" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),
         | c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click')

@@ -296,6 +296,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q4_order_priority: EXISTS compiles to a left-semi join") {
+    val plan = planOf("q4_order_priority")
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q6_forecast_revenue: all three predicates reach the scan, zero joins") {
+    // read the scan's PushedFilters METADATA, not the plan string —
+    // toString truncates long filter lists and hides later columns
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val pushed = scansOf(df.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c not in PushedFilters: $pushed")
+    }
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "Q6 must be a single-scan aggregate")
+  }
+
   test("no broadcast hint wraps an unbounded grouped aggregate") {
     // a broadcast() hint is a promise the side stays driver-sized at any
     // corpus scale. A global aggregate (1 row), a LIMIT, or a literal
