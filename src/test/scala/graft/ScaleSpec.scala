@@ -162,4 +162,39 @@ class ScaleSpec extends SparkSpec {
       Scale.writeShards(docs.withColumn("shard", lit(1)), "doc_id", 8, dir)
     }
   }
+
+  test("runtime bloom-filter join pruning: a selective dim filter reaches the fact side") {
+    // the 100 TB lever the optimizer gives for free: a shuffle join
+    // with a selective dimension filter injects bloom_filter_might_contain
+    // on the FACT scan, so non-matching fact rows die at the scan, not
+    // at the join. Thresholds lowered so the rule fires at test scale;
+    // on a real cluster the 10 MB / 10 GB defaults gate it to genuinely
+    // big scans.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force a shuffle join: broadcast joins skip runtime filters
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_partkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_size") === 1).select("p_partkey")
+      val j = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+          optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${optimized.take(1500)}")
+      // and the filtered join still returns the right rows
+      val expected = fact.join(dim.hint("broadcast"),
+        col("l_partkey") === col("p_partkey")).count()
+      assert(j.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -651,6 +651,31 @@ class StreamingSpec extends SparkSpec {
     assert(v((1L, 0)) == false && v((1L, 1)) == true && v((1L, 2)) == true)
   }
 
+  test("sessionizeBatch agrees with Spark's native session_window grouping") {
+    // two users, sessions of 3/2/1 events separated by >gap quiet; all
+    // inter-event gaps strictly off the 5-minute boundary (the two
+    // formulations disagree only AT exact-gap ties: ours keeps `<= gap`
+    // together, session_window's half-open [start, last+gap) splits)
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 01:$min%02d:00")
+    val rows = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(2)), (1L, 12L, ts(4)),  // session A
+      (1L, 13L, ts(20)), (1L, 14L, ts(21)),                  // session B
+      (2L, 20L, ts(5)),                                      // session C
+      (2L, 21L, ts(30)), (2L, 22L, ts(33))                   // session D
+    ).toDF("user_id", "event_id", "ts")
+    val custom = StreamOps.sessionizeBatch(rows, "user_id", "ts", "event_id", 5)
+      .groupBy("user_id", "session_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val native = rows
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(custom == native, s"custom $custom vs native $native")
+    assert(custom(1L) == Seq(2L, 3L) && custom(2L) == Seq(1L, 2L))
+  }
+
   test("intervalJoinStream: stream-stream join equals batch, across batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     case class V(user_id: Long, view_id: Long, view_ts: Timestamp)
