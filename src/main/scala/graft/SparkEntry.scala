@@ -2038,6 +2038,24 @@ object SparkEntry {
           Seq("event_type"))
         .orderBy("event_type")
     }),
+    // EXT RAG-prep chunking (Corpus.chunkDocuments): 32-token windows,
+    // 8-token overlap, expression-only — the map-side row multiplier
+    // that feeds an embedding/indexing stage; no shuffle anywhere
+    "chunk_documents" -> ((s, dir) =>
+      Corpus.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id")),
+    // EXT JL sign-projection ANN (Ann.jlTopK): both sides project
+    // through the deterministic +-1 matrix (native fused-loop
+    // expression, matrix is a plan constant), exact cosine top-k in the
+    // 16-dim space — 4x cheaper distances than the 64-dim brute path,
+    // and the projection composes in front of ANY of the index variants
+    "ann_jl_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.jlTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
+          JlSigns16)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // TPC-H Q7 (volume shipping, lifted to regions so every SF is
     // populated): the two bounded region+nation dims broadcast into
     // supplier/customer; the fact-side order join shuffles on its key,
@@ -2725,7 +2743,43 @@ object SparkEntry {
        | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
        |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
 
+  /** The 16x64 JL sign matrix the declared `ann_jl_topk` query projects
+    * through — generated once from [[graft.operators.Ann.jlSigns]]; the
+    * oracle's literal sign rows come from this same value.
+    */
+  private val JlSigns16: Array[Array[Double]] = graft.operators.Ann.jlSigns(16, 64)
+
+  private def jlSignsSqlRows: String =
+    JlSigns16.zipWithIndex.map { case (row, d) =>
+      s"($d, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
+    "chunk_documents" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | n AS (SELECT doc_id, ws, len(ws) AS nw,
+        |        1 + GREATEST(0, CAST(FLOOR((len(ws) - 32 + 23) / 24.0) AS INT)) AS nc FROM w),
+        | e AS (SELECT doc_id, ws, nw, CAST(unnest(range(0, nc)) AS INT) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(LEAST(32, nw - chunk_id * 24) AS INT) AS n_tokens,
+        |  array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "ann_jl_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | sg AS (SELECT * FROM (VALUES $jlSignsSqlRows) AS t(d, s)),
+         | p AS (SELECT vec_id, list(y ORDER BY d) AS pv FROM (
+         |        SELECT e.vec_id, sg.d, list_sum(list_transform(range(1, 65), i -> e.v[i] * sg.s[i])) AS y
+         |        FROM e, sg) yy GROUP BY vec_id),
+         | q AS (SELECT * FROM p WHERE vec_id < 5),
+         | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   list_sum(list_transform(range(1, 17), i -> q.pv[i] * c.pv[i])) /
+         |   (sqrt(list_sum(list_transform(range(1, 17), i -> q.pv[i] * q.pv[i]))) *
+         |    sqrt(list_sum(list_transform(range(1, 17), i -> c.pv[i] * c.pv[i])))) AS cos
+         |   FROM q, p c WHERE c.vec_id <> q.vec_id),
+         | r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |        FROM s)
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "smooth_gaussian" -> smoothGaussianSql,
     "split_overlap" ->
       """WITH r AS (SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events),

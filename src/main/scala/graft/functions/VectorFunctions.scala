@@ -54,6 +54,49 @@ object VectorFunctions {
     ColumnOps.toColumn2(CosineSimilarity(_, _))(
       a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
 
+  /** Static kernel for [[SignedProjection]]: row d of the output is the
+    * ascending-index dot of the input with sign row d — the summation
+    * order DuckDB's `list_sum(list_transform(range(...), ...))` uses, so
+    * projected coordinates match bitwise across engines.
+    */
+  def signedProjectOf(v: ArrayData, signs: Array[Array[Double]]): ArrayData = {
+    val x = v.toDoubleArray()
+    val out = new Array[Any](signs.length)
+    var d = 0
+    while (d < signs.length) {
+      val s = signs(d)
+      var acc = 0.0
+      var i = 0
+      while (i < s.length && i < x.length) { acc += x(i) * s(i); i += 1 }
+      out(d) = acc
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Johnson-Lindenstrauss sign projection as a native expression: the
+    * +-1 matrix rides along as a codegen reference object (a per-stage
+    * closure constant — never shuffled, never joined), one fused loop
+    * per output coordinate. Cosine is scale-invariant, so the 1/sqrt(d')
+    * JL factor is omitted entirely.
+    */
+  case class SignedProjection(child: Expression, signs: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      signedProjectOf(v.asInstanceOf[ArrayData], signs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jlsigns", signs, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorFunctions.signedProjectOf($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): SignedProjection =
+      copy(child = c)
+  }
+
+  def signedProject(a: Column, signs: Array[Array[Double]]): Column =
+    ColumnOps.toColumn(SignedProjection(_, signs))(a.cast(ArrayType(DoubleType)))
+
   /** Builtin-HOF dot product: `aggregate(zip_with(a,b,*), 0d, +)`. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

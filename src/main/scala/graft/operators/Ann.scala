@@ -112,6 +112,46 @@ object Ann {
     * n^2. Recall/cost tunes with (nCentroids, nProbe) exactly like an
     * IVF index.
     */
+  /** Deterministic +-1 Johnson-Lindenstrauss sign matrix: sign(d, j) =
+    * parity of the first hex digit of md5("jl:d:j"). Single-sourced: the
+    * declared query projects through this matrix and the DuckDB oracle's
+    * literal sign rows are generated FROM it, so both engines replay the
+    * identical projection (database-friendly JL per Achlioptas 2003 —
+    * +-1 entries lose nothing vs Gaussian ones).
+    */
+  def jlSigns(outDim: Int, inDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (d, j) =>
+      val h = md.digest(s"jl:$d:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** JL-projected brute-force top-k: both sides project through the SAME
+    * sign matrix (a fused-loop native expression; cosine is
+    * scale-invariant so the 1/sqrt(d') factor is dropped), then exact
+    * cosine top-k in the d'-dim space. At scale this is the read-cost
+    * reducer in front of any index: projection is a map-side expression
+    * (no shuffle, matrix ships as a plan constant) and every downstream
+    * distance costs d'/d of the full one.
+    *
+    * Honest caveat, measured: JL preserves RELATIVE geometry only to
+    * ~1/sqrt(d') cosine noise (d'=16 -> ~0.25). On clustered corpora
+    * (in-cluster cos >> cross) that noise is harmless — DedupAnnSpec
+    * shows projected neighbors never leave the query's cluster, and
+    * exact duplicates keep cos = 1 bit-exactly. On NEAR-ORTHOGONAL
+    * corpora (all pairwise cos within +-0.35, as the synthetic
+    * embeddings table is) top-k through d'=16 is ~rank-random (probed:
+    * pairwise corr 0.46, top-5 recall 0.06) — size d' to the gap you
+    * need, don't treat 16 as a default.
+    */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, signs: Array[Array[Double]]): DataFrame = {
+    def proj(df: DataFrame) = df.select(col(idCol),
+      VectorFunctions.signedProject(col(vecCol), signs).as("_pv"))
+    bruteForceTopK(proj(corpus), proj(queries), idCol, "_pv", k)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
       seed: String = "42"): DataFrame = {

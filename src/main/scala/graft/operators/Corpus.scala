@@ -121,6 +121,38 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** RAG-prep token-window chunking: fixed `chunkSize`-token windows
+    * advancing by `chunkSize - overlap`, ragged last window, every token
+    * covered exactly once by some window start (HF-tokenizer
+    * `return_overflowing_tokens` semantics: n_chunks =
+    * 1 + ceil((len - chunkSize) / stride) when len > chunkSize).
+    *
+    * Expression-only (split/sequence/explode/slice) so chunking stays
+    * inside whole-stage codegen and shuffles NOTHING: the explosion is a
+    * map-side row multiplier of ~len/stride, and at 100 TB the chunked
+    * frame writes straight back to parquet partitioned however the caller
+    * wants — there is no key to skew on.
+    * Output: (id, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.select(col(idCol), toks.as("_w"))
+      .select(col(idCol), col("_w"),
+        (lit(1) + greatest(lit(0),
+          floor((size(col("_w")) - chunkSize + (stride - 1)).cast("double") / stride)
+            .cast("int"))).as("_nc"))
+      .select(col(idCol), col("_w"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(chunkSize), size(col("_w")) - col("chunk_id") * stride)
+          .as("n_tokens"),
+        array_join(slice(col("_w"), col("chunk_id") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, lengthCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")

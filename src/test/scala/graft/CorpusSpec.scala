@@ -378,4 +378,36 @@ class CorpusSpec extends SparkSpec {
     assert(pred2.orderBy("doc_id").collect().toSeq ==
       pred.orderBy("doc_id").collect().toSeq)
   }
+
+  test("chunkDocuments: full coverage, overlap contract, ragged tail, determinism") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens -> 4 chunks
+      (2L, (1 to 32).map(i => s"x$i").mkString(" ")),  // exactly one window
+      (3L, (1 to 33).map(i => s"y$i").mkString(" ")),  // one past -> 2 chunks
+      (4L, "solo"),                                    // single token
+      (5L, (1 to 24).map(i => s"z$i").mkString(" "))   // under one window
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, "doc_id", "text", 32, 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // chunk counts: 1 + ceil((len-32)/24) when len > 32 else 1
+    assert(byDoc(1L).length == 4 && byDoc(2L).length == 1 &&
+      byDoc(3L).length == 2 && byDoc(4L).length == 1 && byDoc(5L).length == 1)
+    // every token of doc 1 appears in some chunk, in order
+    val allToks = byDoc(1L).flatMap(_.getString(3).split(" ")).distinct
+    assert(allToks.length == 100)
+    // consecutive chunks share exactly `overlap` tokens (non-tail)
+    val c0 = byDoc(1L)(0).getString(3).split(" ")
+    val c1 = byDoc(1L)(1).getString(3).split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+    // ragged tail: doc 3's second chunk has 33 - 24 = 9 tokens
+    assert(byDoc(3L)(1).getInt(2) == 9 &&
+      byDoc(3L)(1).getString(3).split(" ").length == 9)
+    // n_tokens always matches the materialized chunk
+    assert(out.forall(r => r.getInt(2) == r.getString(3).split(" ").length))
+    // partitioning-independent
+    val out2 = Corpus.chunkDocuments(docs.repartition(5), "doc_id", "text", 32, 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(out2.toSeq == out.toSeq)
+  }
 }

@@ -918,4 +918,38 @@ class DedupAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == got)
   }
+
+  test("jlTopK: deterministic signs; separable clusters survive projection; exact dups stay cos=1") {
+    val signs = Ann.jlSigns(16, 64)
+    assert(signs.length == 16 && signs.forall(_.length == 64))
+    assert(signs.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(Ann.jlSigns(16, 64).map(_.toSeq).toSeq == signs.map(_.toSeq).toSeq)
+    // sign rows are balanced-ish and mutually distinct (md5 actually mixing)
+    assert(signs.map(_.toSeq).distinct.length == 16)
+    assert(signs.forall(r => math.abs(r.sum) <= 24))
+
+    // clustered data: 3 tight clusters around orthogonal-ish centers.
+    // JL preserves RELATIVE geometry, so with in-cluster cos ~0.99 and
+    // cross ~0, every projected top-k neighbor stays in-cluster.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(3)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.05 * rnd.nextGaussian()).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 6)
+    val jl = Ann.jlTopK(df, q, "vec_id", "embedding", 5, signs).collect()
+    assert(jl.length == 30)
+    assert(jl.forall(r => (r.getLong(1) % 3) == (r.getLong(0) % 3)),
+      "projected neighbors left the query's cluster")
+
+    // exact duplicates project to exactly-parallel vectors: top-1 of a
+    // duplicated real corpus has cos == 1 under the projection too
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dup = emb.withColumn("vec_id", col("vec_id") + 100000)
+    val top1 = Ann.jlTopK(emb.unionByName(dup), emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 1, signs).collect()
+    assert(top1.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
 }
