@@ -2038,6 +2038,16 @@ object SparkEntry {
           Seq("event_type"))
         .orderBy("event_type")
     }),
+    // EXT integrity manifest (Scale.contentFingerprints): per-bucket
+    // count + order-independent 48-bit XOR fingerprint — 8 bytes of
+    // aggregation state per bucket, map-side combining, layout- and
+    // partitioning-independent, so a replica's manifest from another
+    // cluster matches bit for bit; copy verification = one scan + a
+    // 64-row diff
+    "partition_fingerprints" -> ((s, dir) =>
+      graft.operators.Scale.contentFingerprints(
+          t(s, dir, "documents"), "doc_id", "text", 64)
+        .orderBy("bucket")),
     // EXT RAG-prep chunking (Corpus.chunkDocuments): 32-token windows,
     // 8-token overlap, expression-only — the map-side row multiplier
     // that feeds an embedding/indexing stage; no shuffle anywhere
@@ -2755,6 +2765,14 @@ object SparkEntry {
     }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    "partition_fingerprints" ->
+      """WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text) AS hx FROM documents),
+        | b AS (SELECT CAST(((instr('0123456789abcdef', substr(hx, 13, 1)) - 1) * 16 +
+        |                    (instr('0123456789abcdef', substr(hx, 14, 1)) - 1)) % 64 AS INT) AS bucket,
+        |        CAST(list_sum([(instr('0123456789abcdef', substr(hx, k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT) AS h
+        |       FROM h)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(h) AS fingerprint
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "chunk_documents" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         | n AS (SELECT doc_id, ws, len(ws) AS nw,

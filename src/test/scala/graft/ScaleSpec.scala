@@ -197,4 +197,38 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("contentFingerprints: layout-independent, corruption-sensitive, mergeable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Scale.contentFingerprints(docs, "doc_id", "text", 64)
+      .orderBy("bucket").collect().toSeq
+    // partitioning and row order never change the manifest
+    val b = Scale.contentFingerprints(
+        docs.repartition(13).sortWithinPartitions(col("text")),
+        "doc_id", "text", 64)
+      .orderBy("bucket").collect().toSeq
+    assert(a == b)
+    // a single corrupted payload flips exactly one bucket
+    val corrupted = docs.withColumn("text",
+      when(col("doc_id") === 7, concat(col("text"), lit("X")))
+        .otherwise(col("text")))
+    val c = Scale.contentFingerprints(corrupted, "doc_id", "text", 64)
+      .orderBy("bucket").collect().toSeq
+    val diff = a.zip(c).count { case (x, y) => x != y }
+    assert(diff >= 1 && diff <= 2, s"corruption touched $diff buckets")
+    // mergeable: xor/count of two disjoint halves == whole
+    val h1 = Scale.contentFingerprints(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 64).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h2 = Scale.contentFingerprints(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", 64).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = (h1.keySet ++ h2.keySet).map { k =>
+      val (n1, f1) = h1.getOrElse(k, (0L, 0L))
+      val (n2, f2) = h2.getOrElse(k, (0L, 0L))
+      k -> ((n1 + n2, f1 ^ f2))
+    }.toMap
+    val whole = a.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged == whole)
+  }
 }
