@@ -2038,6 +2038,52 @@ object SparkEntry {
           Seq("event_type"))
         .orderBy("event_type")
     }),
+    // EXT stupid-backoff trigram LM scoring (Brants et al. 2007): eval
+    // docs (doc_id%7==0) scored under counts from the REST, so the
+    // backoff chain actually fires on unseen trigrams/bigrams. All
+    // count tables are data-sized shuffle joins (AQE may broadcast the
+    // small ones — never hinted); the (N, V) totals ride a broadcast
+    // 1-row aggregate. Unigram floor is add-one over (N + V) so no
+    // -inf leaves the log.
+    "trigram_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      val ev = docs.filter(col("doc_id") % 7 === 0)
+      def ngrams(df: DataFrame, n: Int, names: Seq[String]): DataFrame = df
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            j => struct((0 until n).map(o => element_at(col("w"), j + o)
+              .as(names(o))): _*))).as("g"))
+        .select(col("doc_id") +: names.map(nm => col(s"g.$nm").as(nm)): _*)
+      val tri = ngrams(train, 3, Seq("a", "b", "c"))
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
+      val bi = ngrams(train, 2, Seq("a", "b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      val uni = train.select(explode(col("w")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("c1"))
+      val tot = train.select(explode(col("w")).as("u"))
+        .agg(count(lit(1)).as("_N"), count_distinct(col("u")).as("_V"))
+      ngrams(ev, 3, Seq("a", "b", "c"))
+        .join(tri, Seq("a", "b", "c"), "left")
+        .join(bi.select(col("a"), col("b"), col("c2").as("c_ab")),
+          Seq("a", "b"), "left")
+        .join(bi.select(col("a").as("b"), col("b").as("c"), col("c2").as("c_bc")),
+          Seq("b", "c"), "left")
+        .join(uni.select(col("u").as("b"), col("c1").as("u_b")), Seq("b"), "left")
+        .join(uni.select(col("u").as("c"), col("c1").as("u_c")), Seq("c"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("_score",
+          when(col("c3").isNotNull, col("c3").cast("double") / col("c_ab"))
+            .when(col("c_bc").isNotNull, lit(0.4) * col("c_bc") / col("u_b"))
+            .otherwise(lit(0.16) * (coalesce(col("u_c"), lit(0)) + 1) /
+              (col("_N") + col("_V"))))
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("_score"))), 6).as("logprob_bo"),
+          count(lit(1)).as("n_trigrams"))
+        .orderBy("doc_id")
+    }),
     // EXT integrity manifest (Scale.contentFingerprints): per-bucket
     // count + order-independent 48-bit XOR fingerprint — 8 bytes of
     // aggregation state per bucket, map-side combining, layout- and
@@ -2765,6 +2811,30 @@ object SparkEntry {
     }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    "trigram_backoff" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        | tr AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+        | ev AS (SELECT * FROM d WHERE doc_id % 7 = 0),
+        | t3 AS (SELECT ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c, COUNT(*) AS c3
+        |        FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM tr WHERE len(ws) >= 3) x GROUP BY 1,2,3),
+        | b2 AS (SELECT ws[i] AS a, ws[i+1] AS b, COUNT(*) AS c2
+        |        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tr WHERE len(ws) >= 2) x GROUP BY 1,2),
+        | u1 AS (SELECT u, COUNT(*) AS c1 FROM (SELECT unnest(ws) AS u FROM tr) x GROUP BY 1),
+        | nt AS (SELECT COUNT(*) AS n, COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM tr) x),
+        | e3 AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM ev WHERE len(ws) >= 3) x),
+        | sc AS (SELECT e3.doc_id,
+        |         CASE WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / ab.c2
+        |              WHEN bc.c2 IS NOT NULL THEN 0.4 * bc.c2 / ub.c1
+        |              ELSE 0.16 * (COALESCE(uc.c1, 0) + 1) / (nt.n + nt.v) END AS score
+        |        FROM e3
+        |        LEFT JOIN t3 ON t3.a = e3.a AND t3.b = e3.b AND t3.c = e3.c
+        |        LEFT JOIN b2 ab ON ab.a = e3.a AND ab.b = e3.b
+        |        LEFT JOIN b2 bc ON bc.a = e3.b AND bc.b = e3.c
+        |        LEFT JOIN u1 ub ON ub.u = e3.b
+        |        LEFT JOIN u1 uc ON uc.u = e3.c, nt)
+        |SELECT doc_id, ROUND(AVG(LN(score)), 6) AS logprob_bo, CAST(COUNT(*) AS BIGINT) AS n_trigrams
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "partition_fingerprints" ->
       """WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text) AS hx FROM documents),
         | b AS (SELECT CAST(((instr('0123456789abcdef', substr(hx, 13, 1)) - 1) * 16 +
