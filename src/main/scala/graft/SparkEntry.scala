@@ -2038,6 +2038,40 @@ object SparkEntry {
           Seq("event_type"))
         .orderBy("event_type")
     }),
+    // EXT late-interaction retrieval (Retrieval.maxSimTopK, ColBERT
+    // shape): vocab x query-vocab similarity matrix (query side
+    // broadcast — bounded by the query set), all-integer md5 sign
+    // agreement so scores are dyadic-exact; corpus cost linear in
+    // distinct (doc, token) pairs, never doc x doc
+    "maxsim_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Retrieval.maxSimTopK(docs, docs.filter(col("doc_id") < 3),
+          "doc_id", "text", 5)
+        .orderBy("query_id", "rank")
+    }),
+    // OLAP ROLLUP over the geo hierarchy (region > nation): Expand
+    // runs over the ALREADY-joined star — the decimal total is
+    // projected before the rollup so each grouping set copies the
+    // value (same Expand discipline as cube_revenue); dims broadcast
+    "rollup_nation_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("_tp"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("_tp")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("gid"), col("revenue"), col("n"))
+        .orderBy("gid", "region", "nation")
+    }),
     // EXT stupid-backoff trigram LM scoring (Brants et al. 2007): eval
     // docs (doc_id%7==0) scored under counts from the REST, so the
     // backoff chain actually fires on unseen trigrams/bigrams. All
@@ -2811,6 +2845,38 @@ object SparkEntry {
     }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    "maxsim_topk" ->
+      """WITH ct AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents),
+        | qt AS (SELECT DISTINCT doc_id AS query_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS qtk
+        |        FROM documents WHERE doc_id < 3),
+        | vb AS (SELECT tk,
+        |         CAST(list_sum([(instr('0123456789abcdef', substr(md5(tk), p, 1)) - 1) * power(16, 8 - p) for p in range(1, 9)]) AS BIGINT) AS t1,
+        |         CAST(list_sum([(instr('0123456789abcdef', substr(md5(tk), 8 + p, 1)) - 1) * power(16, 8 - p) for p in range(1, 9)]) AS BIGINT) AS t2
+        |        FROM (SELECT DISTINCT tk FROM ct) x),
+        | qv AS (SELECT qtk,
+        |         CAST(list_sum([(instr('0123456789abcdef', substr(md5(qtk), p, 1)) - 1) * power(16, 8 - p) for p in range(1, 9)]) AS BIGINT) AS q1,
+        |         CAST(list_sum([(instr('0123456789abcdef', substr(md5(qtk), 8 + p, 1)) - 1) * power(16, 8 - p) for p in range(1, 9)]) AS BIGINT) AS q2
+        |        FROM (SELECT DISTINCT qtk FROM qt) x),
+        | sims AS (SELECT tk, qtk,
+        |           CAST(32 - bit_count(xor(t1, q1)) - bit_count(xor(t2, q2)) AS DOUBLE) / 32 AS cos
+        |          FROM vb, qv),
+        | m AS (SELECT ct.doc_id, s.qtk, MAX(s.cos) AS m FROM ct JOIN sims s USING (tk) GROUP BY 1, 2),
+        | sc AS (SELECT qt.query_id, m.doc_id, SUM(m.m) AS maxsim
+        |        FROM qt JOIN m USING (qtk) WHERE m.doc_id <> qt.query_id GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, maxsim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT query_id, doc_id, maxsim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "rollup_nation_revenue" ->
+      """SELECT coalesce(r_name, '(all)') AS region,
+        |       coalesce(n_name, '(all)') AS nation,
+        |       CAST(GROUPING(r_name, n_name) AS INT) AS gid,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, region, nation""".stripMargin,
     "trigram_backoff" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         | tr AS (SELECT * FROM d WHERE doc_id % 7 <> 0),

@@ -223,4 +223,55 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), round(col("_mmr"), 6).as("mmr"),
         col("rank"))
   }
+
+  /** ColBERT-style late-interaction MaxSim top-k (Khattab & Zaharia
+    * 2020 shape, type-level): score(q, d) = sum over q's distinct
+    * tokens of the max similarity to any of d's distinct tokens. Token
+    * similarity here is the agreement of the two tokens' 64-bit md5
+    * sign patterns, cos = (32 - hamming/2)/32... precisely
+    * (32 - popcount(xor))/32 over two 32-bit halves — ALL-INTEGER until
+    * one exact dyadic division, so scores are engine-portable with no
+    * float discipline at all (sums of k/32 are exact in binary).
+    *
+    * Scale shape: the similarity matrix is VOCAB x QUERY-VOCAB — never
+    * doc x doc, never positional. The query vocabulary (bounded by the
+    * query set, small by definition) broadcasts; corpus token lists
+    * join the matrix on the token key; the two aggregations shuffle on
+    * (doc, qtoken) then (query, doc). Corpus cost is linear in distinct
+    * (doc, token) pairs — the late-interaction contract.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    def toks(df: DataFrame, idAs: String, tkAs: String) = df
+      .select(col(idCol).as(idAs),
+        explode(split(trim(col(textCol)), "\\s+")).as(tkAs))
+      .distinct()
+    def bits(c: Column): (Column, Column) = {
+      val h = md5(c.cast("binary"))
+      (conv(substring(h, 1, 8), 16, 10).cast("long"),
+        conv(substring(h, 9, 8), 16, 10).cast("long"))
+    }
+    val ct = toks(corpus, "doc_id", "tk")
+    val qt = toks(queries, "query_id", "qtk")
+    val (t1, t2) = bits(col("tk"))
+    val (q1, q2) = bits(col("qtk"))
+    val sims = ct.select("tk").distinct()
+      .select(col("tk"), t1.as("_t1"), t2.as("_t2"))
+      .crossJoin(broadcast(qt.select("qtk").distinct()
+        .select(col("qtk"), q1.as("_q1"), q2.as("_q2"))))
+      .select(col("tk"), col("qtk"),
+        ((lit(32) - expr("bit_count(_t1 ^ _q1)") - expr("bit_count(_t2 ^ _q2)"))
+          .cast("double") / 32).as("cos"))
+    val m = ct.join(sims, Seq("tk"))
+      .groupBy("doc_id", "qtk").agg(max(col("cos")).as("_m"))
+    val scored = qt.join(m, Seq("qtk"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(sum(col("_m")).as("maxsim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("maxsim"),
+        col("rank").cast("int").as("rank"))
+  }
 }

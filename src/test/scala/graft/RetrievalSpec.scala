@@ -117,4 +117,33 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getLong(1))
     assert(mmr.toSeq == brute.toSeq)
   }
+
+  test("maxSimTopK: exact token cover ranks first with score |q|; scores dyadic-exact and bounded") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),        // full cover of the query
+      (11L, "alpha beta zzz qqq"),            // partial cover
+      (12L, "unrelated words only here"),     // no cover
+      (13L, "delta gamma beta alpha extra")   // full cover, extra tokens
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Retrieval.maxSimTopK(corpus, q, "doc_id", "text", 4)
+      .orderBy("rank").collect()
+    assert(out.length == 4)
+    // full-cover docs: every query token finds an identical corpus
+    // token -> per-token max = 1 -> score = 4 exactly (dyadic sums)
+    val top2 = out.take(2).map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top2.map(_._1).toSet == Set(10L, 13L))
+    assert(top2.forall(_._2 == 4.0))
+    // tie-break: lower doc_id first
+    assert(out(0).getLong(1) == 10L)
+    // every per-token max is in [-1, 1], so |score| <= |q| always
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 4.0))
+    // partial cover beats no cover
+    val byDoc = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byDoc(11L) > byDoc(12L))
+    // self-exclusion: querying within the corpus never returns itself
+    val self = Retrieval.maxSimTopK(corpus, corpus.filter(col("doc_id") === 10),
+      "doc_id", "text", 10).collect()
+    assert(!self.exists(r => r.getLong(1) == 10L))
+  }
 }
