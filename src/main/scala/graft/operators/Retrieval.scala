@@ -241,7 +241,7 @@ object Retrieval {
     * (doc, token) pairs — the late-interaction contract.
     */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      textCol: String, k: Int = 5): DataFrame = {
+      textCol: String, k: Int = 5, maxQueryVocab: Int = 4096): DataFrame = {
     def toks(df: DataFrame, idAs: String, tkAs: String) = df
       .select(col(idCol).as(idAs),
         explode(split(trim(col(textCol)), "\\s+")).as(tkAs))
@@ -255,9 +255,16 @@ object Retrieval {
     val qt = toks(queries, "query_id", "qtk")
     val (t1, t2) = bits(col("tk"))
     val (q1, q2) = bits(col("qtk"))
+    // `maxQueryVocab` is the broadcast contract made explicit (same
+    // discipline as the langProfiles cap): MaxSim's cost model assumes
+    // the QUERY vocabulary is small; the deterministic orderBy+limit
+    // bounds the hinted side, and a query set big enough to hit it is
+    // the caller using the wrong operator (scores for dropped tokens
+    // would silently vanish — raise the cap consciously, not the size)
     val sims = ct.select("tk").distinct()
       .select(col("tk"), t1.as("_t1"), t2.as("_t2"))
       .crossJoin(broadcast(qt.select("qtk").distinct()
+        .orderBy("qtk").limit(maxQueryVocab)
         .select(col("qtk"), q1.as("_q1"), q2.as("_q2"))))
       .select(col("tk"), col("qtk"),
         ((lit(32) - expr("bit_count(_t1 ^ _q1)") - expr("bit_count(_t2 ^ _q2)"))
