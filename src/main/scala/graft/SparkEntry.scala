@@ -1665,6 +1665,45 @@ object SparkEntry {
           coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
         .orderBy("token")
     }),
+    // EXT sketch-estimated join cardinality (Sketches.cmsJoinSize):
+    // min-over-rows inner product of the two sides' d=3 x w=64 CMS
+    // counters — "how big is orders x lineitem on orderkey" answered
+    // from two constant-size sketches, never shuffling either fact
+    // table on the key; exact side = Σ f_a·f_b from per-side groupBys
+    // (itself join-free). The estimate never undercounts.
+    "cms_join_size" -> ((s, dir) => {
+      val est = Sketches.cmsJoinSize(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey", 64)
+      val fa = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("fa"))
+      val fb = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("fb"))
+      val exact = fa.join(fb, Seq("k"))
+        .agg(sum(col("fa") * col("fb")).as("exact_size"))
+      est.crossJoin(broadcast(exact))
+    }),
+    // EXT AMS tug-of-war F2 (Sketches.amsF2): the self-join size of
+    // events on user_id from d=5 signed running sums — a d-row exchange
+    // at any stream length, the key never grouped; median of the
+    // squares is an exact integer (d odd). Exact F2 joined for the
+    // error readout (1-row broadcast cross).
+    "ams_f2_events" -> ((s, dir) => {
+      val est = Sketches.amsF2(t(s, dir, "events"), "user_id", d = 5)
+      val exact = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("_c"))
+        .agg(sum(col("_c") * col("_c")).as("exact_size"))
+      est.crossJoin(broadcast(exact))
+    }),
+    // EXT Markov event-transition matrix (Events.eventTransitions):
+    // per-user adjacent pairs under a TOTAL (ts, event_id) order, one
+    // user-key window + one (from,to) roll-up; the probability
+    // normalization runs over the |types|^2 aggregate — constant at any
+    // stream length. prob = one division of two exact BIGINTs.
+    "event_transitions" -> ((s, dir) =>
+      Events.eventTransitions(t(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")),
     // EXT bounded-state grouped top-k (Relational.topKPerGroup): the
     // mergeable-aggregate formulation — map-side partial keeps <=~2k
     // rows per group per task, the exchange carries |groups|*k rows
@@ -4514,6 +4553,44 @@ object SparkEntry {
          |  COALESCE(exact_cnt, 0) AS exact_cnt
          |FROM est LEFT JOIN ex USING (item) ORDER BY token""".stripMargin
     },
+    "cms_join_size" -> {
+      val b = Sketches.cmsBucket64OracleExpr _
+      s"""WITH j AS (SELECT CAST(unnest(range(0, ${Sketches.CmsDepth})) AS INT) AS row),
+         | ca AS (SELECT j.row, ${b("md5(CAST(j.row AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))")} AS bucket,
+         |          CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM orders, j GROUP BY 1, 2),
+         | cb AS (SELECT j.row, ${b("md5(CAST(j.row AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR))")} AS bucket,
+         |          CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM lineitem, j GROUP BY 1, 2),
+         | ip AS (SELECT ca.row, SUM(ca.cnt * cb.cnt) AS ip
+         |        FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+         |        GROUP BY 1),
+         | e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+         | fa AS (SELECT o_orderkey AS k, COUNT(*) AS fa FROM orders GROUP BY 1),
+         | fb AS (SELECT l_orderkey AS k, COUNT(*) AS fb FROM lineitem GROUP BY 1),
+         | x AS (SELECT CAST(SUM(fa * fb) AS BIGINT) AS exact_size
+         |       FROM fa JOIN fb USING (k))
+         |SELECT est, exact_size FROM e, x""".stripMargin
+    },
+    "ams_f2_events" -> {
+      val sg = Sketches.amsSignOracleExpr(
+        "md5('s' || CAST(j.row AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))")
+      s"""WITH j AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS row),
+         | s AS (SELECT j.row, SUM($sg) AS sj FROM events, j GROUP BY 1),
+         | e AS (SELECT CAST(MEDIAN(sj * sj) AS BIGINT) AS est FROM s),
+         | x AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size
+         |       FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+         |SELECT est, exact_size FROM e, x""".stripMargin
+    },
+    "event_transitions" ->
+      """WITH p AS (SELECT event_type AS f,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events),
+        | c AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM p WHERE t IS NOT NULL GROUP BY 1, 2)
+        |SELECT f AS from_type, t AS to_type, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "topk_per_segment" ->
       """SELECT c_mktsegment AS segment, CAST(rank AS INT) AS rank,
         |  o_orderkey, o_totalprice FROM (

@@ -201,4 +201,36 @@ object Events {
         timestamp_micros(col("_pt")).as("peak_ts"))
       .orderBy("day")
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every ordered adjacent pair of a user's events,
+    * count the (from_type, to_type) transition and normalize per
+    * from-state. The sequence order is total — (ts, idCol) — so the
+    * matrix is deterministic under duplicate timestamps. Output:
+    * (from_type, to_type, cnt, prob), prob = cnt / Σ_to cnt — a single
+    * division of two exact BIGINTs (engine-portable, no float
+    * aggregation order anywhere).
+    *
+    * Scale shape (100 TB): the lead window partitions by the USER key
+    * (bounded per-partition state — never a global ordered window), the
+    * pair roll-up is one map-side-combinable (from, to) groupBy, and
+    * the per-from normalization window runs over the |types|² aggregate
+    * — constant-size at any stream length.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("_from"))
+      .withColumn("_to", lead(col("_from"), 1).over(w))
+      .filter(col("_to").isNotNull)
+      .groupBy(col("_from"), col("_to"))
+      .agg(count(lit(1)).as("cnt"))
+    val norm = Window.partitionBy(col("_from"))
+    pairs
+      .withColumn("prob",
+        col("cnt").cast("double") / sum(col("cnt")).over(norm).cast("double"))
+      .select(col("_from").as("from_type"), col("_to").as("to_type"),
+        col("cnt"), col("prob"))
+  }
 }

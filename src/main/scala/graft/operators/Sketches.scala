@@ -500,6 +500,63 @@ object Sketches {
     s"((instr('0123456789abcdef', substr($hexExpr, 15, 1)) - 1) % 4) * 16" +
       s" + (instr('0123456789abcdef', substr($hexExpr, 16, 1)) - 1)"
 
+  /** CMS join-cardinality estimate: |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is
+    * estimated by min_j Σ_b a_j[b]·b_j[b] — the inner product of the
+    * two sides' row-j counters (the sketch-dot-product identity of
+    * Cormode-Muthukrishnan §4.2). Collisions only ADD mass, so each
+    * row's product overcounts and the min over the d rows is — like the
+    * point estimate — an upper bound that never undercounts. All exact
+    * integer arithmetic; the oracle replays bit-for-bit.
+    *
+    * Scale shape (100 TB): each side collapses to d·w counters in one
+    * map-side-combinable pass; the product + min run over two
+    * CONSTANT-size sketches. This answers "how big would this join be"
+    * without shuffling either fact table on the join key — the
+    * pre-flight check before committing a cluster to the real join.
+    */
+  def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      w: Int): DataFrame = {
+    val ca = cmsCounters(a.select(col(aCol).cast("string").as("_it")), "_it", w)
+    val cb = cmsCounters(b.select(col(bCol).cast("string").as("_it")), "_it", w)
+      .withColumnRenamed("cnt", "cntb")
+    ca.join(cb, Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt") * col("cntb")).as("_ip"))
+      .agg(min(col("_ip")).as("est"))
+  }
+
+  /** AMS (tug-of-war) F2 sketch: d independent ±1 sign functions from
+    * the portable md5 hash; each estimator is S_j = Σ_x sign_j(x) over
+    * every OCCURRENCE, and E[S_j²] = F2 = Σ_v f(v)² — the self-join
+    * size (Alon-Matias-Szegedy '96). The returned estimate is the
+    * median of the d squares (d odd → an exact integer element, no
+    * interpolation). Output: one row (est).
+    *
+    * Scale shape (100 TB): the whole sketch is d running signed sums —
+    * a map-side-combinable aggregate whose exchange carries d rows at
+    * any stream length; the self-join size is estimated without ever
+    * grouping on the key.
+    */
+  def amsF2(df: DataFrame, itemCol: String, d: Int = 5): DataFrame = {
+    require(d >= 1 && d % 2 == 1, s"amsF2: need odd d>=1, got $d")
+    def sign(j: Int): Column =
+      lit(1L) - lit(2L) * TextFunctions.md5Bits64(
+        concat(lit(s"s$j:"), col(itemCol).cast("string"))).bitwiseAND(lit(1L))
+    df.select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"), sign(j).as("s"))): _*)).as("rs"))
+      .groupBy(col("rs.row").as("row"))
+      .agg(sum(col("rs.s")).as("_S"))
+      .agg(sort_array(collect_list(col("_S") * col("_S"))).as("_e"))
+      .select(element_at(col("_e"), (d + 1) / 2).as("est"))
+  }
+
+  /** Oracle-side ±1 sign for [[amsF2]]: parity of md5 hex nibble 16 =
+    * bit 0 of the big-endian 64-bit prefix [[TextFunctions.md5Bits64]]
+    * reads.
+    */
+  def amsSignOracleExpr(hexExpr: String): String =
+    s"1 - 2 * ((instr('0123456789abcdef', substr($hexExpr, 16, 1)) - 1) % 2)"
+
   // ---------------------------------------------------------------------
   // Z-order (Morton) interleaving
   // ---------------------------------------------------------------------

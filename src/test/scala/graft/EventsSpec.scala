@@ -116,4 +116,33 @@ class EventsSpec extends SparkSpec {
       // the half-open sweep never reads 2)
       ("2024-03-03", 1L, "2024-03-03 00:00:00.0")))
   }
+
+  test("eventTransitions: per-user adjacency, totals normalize, ts ties broken by id") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: a -> b -> a; user 2: b -> b; user 3 has one event (no pair)
+      (1L, t("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "b"),
+      (3L, t("2024-01-01 10:02:00"), 1L, "a"),
+      // same-ts pair for user 2: order decided by event_id (4 before 5)
+      (5L, t("2024-01-01 11:00:00"), 2L, "b"),
+      (4L, t("2024-01-01 11:00:00"), 2L, "c"),
+      (6L, t("2024-01-01 12:00:00"), 3L, "a"),
+      // user 4: a -> c, splitting the from-a mass with user 1's a -> b
+      (7L, t("2024-01-01 13:00:00"), 4L, "a"),
+      (8L, t("2024-01-01 13:05:00"), 4L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.eventTransitions(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 0.5),
+      ("a", "c", 1L, 0.5),
+      ("b", "a", 1L, 1.0),
+      // user 2: id 4 (c) precedes id 5 (b) at the SAME ts -> c->b only
+      ("c", "b", 1L, 1.0)))
+    // probabilities per from-state sum to 1
+    val sums = out.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    sums.foreach { case (f, s) => assert(math.abs(s - 1.0) < 1e-12, s"from $f sums $s") }
+  }
 }

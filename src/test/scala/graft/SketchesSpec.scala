@@ -205,4 +205,47 @@ class SketchesSpec extends SparkSpec {
       "((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 + " +
       "((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32")
   }
+
+  test("cmsJoinSize: never undercounts, exact on collision-free keys") {
+    // fa = {a:2, b:1}, fb = {a:3, c:4} -> true join size 6
+    val a = Seq("a", "a", "b").toDF("k")
+    val b = Seq("a", "a", "a", "c", "c", "c", "c").toDF("k")
+    val est = Sketches.cmsJoinSize(a, "k", b, "k", 64).head().getLong(0)
+    assert(est >= 6, s"CMS join estimate $est undercounts the true 6")
+    // three items into 64 buckets: collisions possible but the min over
+    // d=3 independent rows keeps the bound tight here
+    assert(est <= 6 + 2 * 4 + 1 * 3, s"est $est looser than worst pairwise collision")
+  }
+
+  test("cmsJoinSize: estimates a realistic FK join within CMS error") {
+    val keys = (1 to 300).map(_.toString)
+    val a = keys.toDF("k") // dimension: one row per key
+    val b = keys.flatMap(k => Seq.fill(1 + k.length)(k)).toDF("k") // fact
+    val exact = keys.map(k => 1 + k.length).sum
+    val est = Sketches.cmsJoinSize(a, "k", b, "k", 1024).head().getLong(0)
+    assert(est >= exact && est <= (exact * 1.5).toLong,
+      s"est $est vs exact $exact outside [1x, 1.5x]")
+  }
+
+  test("amsF2: exact on a singleton stream, unbiased-ish on a zipf stream") {
+    // single distinct value repeated n times: every sign sum is ±n,
+    // every square exactly n² — the estimator is exact by construction
+    val n = 37
+    val one = Seq.fill(n)("v").toDF("x")
+    assert(Sketches.amsF2(one, "x").head().getLong(0) == n.toLong * n)
+    // zipf-ish: f = 100,50,25,12,6 -> F2 = 12965; median-of-5 should
+    // land within a loose 3x band (variance of AMS is O(F2²/d))
+    val freqs = Seq("a" -> 100, "b" -> 50, "c" -> 25, "d" -> 12, "e" -> 6)
+    val df = freqs.flatMap { case (v, f) => Seq.fill(f)(v) }.toDF("x")
+    val f2 = freqs.map { case (_, f) => f.toLong * f }.sum
+    val est = Sketches.amsF2(df, "x", d = 9).head().getLong(0)
+    assert(est >= f2 / 3 && est <= f2 * 3, s"est $est vs F2 $f2")
+  }
+
+  test("amsF2: partition-invariant (signed sums commute)") {
+    val vals = (1 to 200).map(i => s"v${i % 17}")
+    val e1 = Sketches.amsF2(vals.toDF("x").repartition(1), "x").head().getLong(0)
+    val e8 = Sketches.amsF2(vals.toDF("x").repartition(8), "x").head().getLong(0)
+    assert(e1 == e8)
+  }
 }
