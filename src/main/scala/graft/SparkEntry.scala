@@ -578,6 +578,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("bin_id"), col("pos_in_bin"))
         .orderBy("doc_id")
     }),
+    // EXT token-budget selection (Corpus.selectTokenBudget): the same
+    // ~3000 tokens of this corpus on any engine at any cluster size —
+    // docs on the md5(id) line, prefix kept while the running total
+    // fits. The global cumsum is two-phase: 256 md5-uniform buckets,
+    // offsets from a window over the 256-row aggregate (grid-bounded),
+    // per-row sums windowed WITHIN buckets — never a global ordered
+    // window (the oracle replays it as one, same numbers).
+    "token_budget_select" -> ((s, dir) =>
+      Corpus.selectTokenBudget(t(s, dir, "documents"), "doc_id", "text", 3000L)
+        .orderBy("cum_tokens")),
     // EXT Gopher-style quality gate (TextFunctions.gopherFilter): five
     // published rules -> keep flag + failed-rule audit string. The words
     // array is materialized in its own projection BEFORE the struct so
@@ -3284,6 +3294,17 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_tokens, bin_id, CAST(pos_in_bin AS INT) AS pos_in_bin
         |FROM pack ORDER BY doc_id""".stripMargin,
+    // global running sum over the md5 order — DuckDB (single-node) may
+    // use the plain window the Spark side two-phases away
+    "token_budget_select" ->
+      """WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum_tokens FROM b)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 3000 ORDER BY cum_tokens""".stripMargin,
     // Gopher gate mirror: same divisions on the same doubles, CASE order
     // = GopherRuleNames order, concat_ws skipping the NULL (passed) rules
     "gopher_filter" ->

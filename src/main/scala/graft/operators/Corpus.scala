@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-assembly operators for the training-data pipeline (EXT per
@@ -885,5 +886,46 @@ object Corpus {
       .select("_id", "g", "dr")
     classifyRanks(docRanks, profiles, top)
       .withColumnRenamed("_id", idCol)
+  }
+
+  /** Deterministic token-budget selection (EXT — "give me exactly ~N
+    * tokens of this corpus, the same N tokens on every engine and
+    * every cluster size"): documents are laid on the md5(id) line —
+    * a uniform deterministic shuffle — and the prefix whose cumulative
+    * token count stays within `budgetTokens` is kept. A doc is kept iff
+    * the running total INCLUDING it fits; the order (and therefore the
+    * selected set) is engine-portable.
+    *
+    * Scale shape (100 TB): the global running sum is TWO-PHASE — the
+    * md5 high byte buckets rows into 256 md5-uniform (skew-free by
+    * construction) groups; per-bucket totals aggregate map-side, the
+    * exclusive bucket-offset cumulative window rides that 256-row
+    * aggregate (bounded by the grid, not the data), and the per-row
+    * running sum windows WITHIN each bucket. Never a global ordered
+    * window; the bucket prefix of the hash makes phase-2 order
+    * consistent with the global md5 order.
+    *
+    * Output: (idCol, n_tokens, cum_tokens) for the selected prefix.
+    */
+  def selectTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"selectTokenBudget: budget >= 0, got $budgetTokens")
+    val base = docs.select(col(idCol),
+      md5(col(idCol).cast("string").cast("binary")).as("_h"),
+      graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("n_tokens"))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val offsets = base.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt"))
+      .withColumn("_off", coalesce(sum(col("_bt")).over(
+        Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    // offsets is <= 256 rows by the grid — AQE broadcasts it at runtime
+    // (no hint: the hint sweep can't see the bucket domain is fixed)
+    val w = Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))
+    base.join(offsets, Seq("_b"))
+      .withColumn("cum_tokens", col("_off") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
   }
 }

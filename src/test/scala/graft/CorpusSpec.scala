@@ -410,4 +410,33 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id", "chunk_id").collect()
     assert(out2.toSeq == out.toSeq)
   }
+
+  test("selectTokenBudget: two-phase cumsum == global-window reference, prefix monotone") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0 until 400)
+      .map(i => (i.toLong, Seq.fill(1 + i % 7)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def reference(budget: Long) = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("h"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.orderBy(col("h"), col("doc_id"))))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("cum_tokens").collect().toSeq
+    val got = Corpus.selectTokenBudget(docs, "doc_id", "text", 500L)
+      .orderBy("cum_tokens").collect().toSeq
+    assert(got == reference(500L))
+    assert(got.nonEmpty && got.size < 400, "budget should select a strict prefix")
+    // monotone: a bigger budget keeps a superset, same order
+    val bigger = Corpus.selectTokenBudget(docs, "doc_id", "text", 900L)
+      .orderBy("cum_tokens").collect().toSeq
+    assert(bigger.take(got.size) == got)
+    // degenerate budgets
+    assert(Corpus.selectTokenBudget(docs, "doc_id", "text", 0L).count() == 0)
+    // partitioning-independent
+    val gotP = Corpus.selectTokenBudget(docs.repartition(7), "doc_id", "text", 500L)
+      .orderBy("cum_tokens").collect().toSeq
+    assert(gotP == got)
+  }
 }

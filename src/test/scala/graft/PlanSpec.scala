@@ -102,8 +102,11 @@ class PlanSpec extends SparkSpec {
     // (<= |distinct days| rows at any SF — same class as smoothing)
     // quantiles_binned_chars' cumulative window rides the FIXED 256-bin
     // histogram (bounded by the grid, not the data)
+    // token_budget_select's offset window rides the FIXED 256-bucket
+    // md5-prefix aggregate (same grid-bounded class); the per-row sums
+    // window WITHIN buckets
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
-      "quantiles_binned_chars")
+      "quantiles_binned_chars", "token_budget_select")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)
