@@ -1714,6 +1714,19 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT market-basket association rules (Assoc.associationRules,
+    // Agrawal-Srikant '94 statistics): orders are baskets, parts items;
+    // the pair stage self-joins the deduped (basket,item) frame on the
+    // CO-PARTITIONED basket key with a maxBasket skew guard ahead of
+    // the explosion; support/confidence/lift are fixed-operand-order
+    // divisions of exact BIGINTs; top-50 by lift under a total
+    // tie-break compiles to TakeOrderedAndProject
+    "assoc_rules_parts" -> ((s, dir) =>
+      graft.operators.Assoc.associationRules(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minPairCount = 2L)
+        .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+        .limit(50)),
     // EXT bounded-state grouped top-k (Relational.topKPerGroup): the
     // mergeable-aggregate formulation — map-side partial keeps <=~2k
     // rows per group per task, the exchange carries |groups|*k rows
@@ -4603,6 +4616,25 @@ object SparkEntry {
          |       FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
          |SELECT est, exact_size FROM e, x""".stripMargin
     },
+    "assoc_rules_parts" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS itm FROM lineitem),
+        | sz AS (SELECT bk, COUNT(*) AS n FROM it GROUP BY 1),
+        | ok AS (SELECT it.bk, it.itm FROM it JOIN sz USING (bk) WHERE sz.n <= 256),
+        | pr AS (SELECT a.itm AS ia, b.itm AS ib, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        |        FROM ok a JOIN ok b ON a.bk = b.bk AND a.itm < b.itm GROUP BY 1, 2),
+        | pf AS (SELECT * FROM pr WHERE pair_cnt >= 2),
+        | ic AS (SELECT itm, CAST(COUNT(*) AS BIGINT) AS ic FROM it GROUP BY 1),
+        | nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM it),
+        | bo AS (SELECT ia AS a, ib AS c, pair_cnt FROM pf
+        |        UNION ALL SELECT ib, ia, pair_cnt FROM pf),
+        | r AS (SELECT bo.a AS antecedent, bo.c AS consequent, pair_cnt,
+        |   CAST(pair_cnt AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        |   CAST(pair_cnt AS DOUBLE) / CAST(ca.ic AS DOUBLE) AS confidence,
+        |   (CAST(pair_cnt AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        |     / (CAST(ca.ic AS DOUBLE) * CAST(cb.ic AS DOUBLE)) AS lift
+        |   FROM bo JOIN ic ca ON bo.a = ca.itm JOIN ic cb ON bo.c = cb.itm, nb)
+        |SELECT antecedent, consequent, pair_cnt, support, confidence, lift
+        |FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin,
     "event_transitions" ->
       """WITH p AS (SELECT event_type AS f,
         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t

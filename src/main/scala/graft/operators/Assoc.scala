@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining (EXT per SURVEY north star; no
+  * reference analog — the classic Agrawal-Srikant '94 support/
+  * confidence statistics, the co-occurrence layer under recommenders
+  * and query-expansion tables).
+  *
+  * The miner is deliberately the two-stage SQL shape, not FP-growth:
+  * at 100 TB the bottleneck is the pair exchange, and the pair count is
+  * Σ_basket |b|·(|b|-1)/2 — linear in the data for bounded basket
+  * sizes (enforced by `maxBasket`), so the hash-aggregate formulation
+  * is the scalable one. Tree-building single-machine FP-growth would
+  * serialize exactly the part Spark parallelizes for free.
+  */
+object Assoc {
+
+  /** Distinct unordered co-occurrence pairs with counts: one row per
+    * (a < b) item pair appearing together in at least `minCount`
+    * baskets. Stage 1 dedups (basket, item); stage 2 self-joins on the
+    * basket key (co-partitioned — ONE exchange feeds both sides);
+    * stage 3 is a map-side-combinable pair roll-up.
+    *
+    * `maxBasket` drops baskets larger than the bound BEFORE the pair
+    * explosion — the skew guard: a single 10⁶-item basket would emit
+    * 5·10¹¹ pairs. Dropped-basket count is the caller's audit surface
+    * via [[basketSizes]].
+    */
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 1L, maxBasket: Int = 256): DataFrame = {
+    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    val sized = items
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_bk")))
+      .filter(col("_n") <= maxBasket)
+      .select("_bk", "_it")
+    val l = sized
+    val r = sized.select(col("_bk"), col("_it").as("_it2"))
+    l.join(r, Seq("_bk"))
+      .filter(col("_it") < col("_it2"))
+      .groupBy(col("_it").as("item_a"), col("_it2").as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+  }
+
+  /** Per-basket distinct-item sizes — the audit companion to
+    * [[coOccurrencePairs]]'s `maxBasket` drop.
+    */
+  def basketSizes(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.select(col(basketCol).as("basket"), col(itemCol).as("_it")).distinct()
+      .groupBy("basket").agg(count(lit(1)).as("n_items"))
+
+  /** Association rules a -> b over the co-occurrence pairs: BOTH
+    * directions of every qualifying pair, with
+    * support = pair/n, confidence = pair/cnt(a), lift = conf/(cnt(b)/n).
+    * All three are single divisions/products of exact BIGINTs in a
+    * fixed operand order — engine-portable doubles, no float
+    * aggregation anywhere.
+    *
+    * Scale shape: item counts are one roll-up of the deduped
+    * (basket, item) frame; the join of |pairs| against |items| is
+    * AQE-decided (the item side is a data-sized grouped aggregate —
+    * never hinted); n_baskets rides in as a 1-row broadcast cross.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L, maxBasket: Int = 256): DataFrame = {
+    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    val nB = items.select(col("_bk")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val itemCnt = items.groupBy(col("_it")).agg(count(lit(1)).as("_ic"))
+    val pairs = coOccurrencePairs(df, basketCol, itemCol, minPairCount, maxBasket)
+    val both = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("pair_cnt"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("pair_cnt")))
+    both
+      .join(itemCnt.select(col("_it").as("antecedent"), col("_ic").as("_ca")),
+        Seq("antecedent"))
+      .join(itemCnt.select(col("_it").as("consequent"), col("_ic").as("_cb")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nB))
+      .select(col("antecedent"), col("consequent"), col("pair_cnt"),
+        (col("pair_cnt").cast("double") / col("_n").cast("double")).as("support"),
+        (col("pair_cnt").cast("double") / col("_ca").cast("double")).as("confidence"),
+        ((col("pair_cnt").cast("double") * col("_n").cast("double"))
+          / (col("_ca").cast("double") * col("_cb").cast("double"))).as("lift"))
+  }
+}
