@@ -1095,6 +1095,17 @@ object SparkEntry {
           Seq("spark", "window", "hash", "merge"), k = 20)
         .orderBy("rank")
     }),
+    // EXT pseudo-relevance feedback (Retrieval.prfExpandedTopK, RM3
+    // shape): BM25 round 1 -> top-5 feedback docs vote expansion terms
+    // by exact total tf (integer rank, total tie-break) -> BM25 round 2
+    // over the expanded set via the terms-FRAME variant (LEFT SEMI term
+    // filter — the expansion never touches the driver). Both rounds the
+    // BM25 scale shape; quantized-score ranking throughout.
+    "bm25_prf_topk" -> ((s, dir) => {
+      Retrieval.prfExpandedTopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "stream"), k = 10, kFeedback = 5, nExpand = 3)
+        .orderBy("rank")
+    }),
     // EXT hybrid lexical+embedding retrieval via reciprocal-rank fusion
     // (Retrieval.rrfFuse): BM25 ranks and brute-force cosine ranks for
     // vec 0's embedding, fused as sum(1/(60+rank)) — rank-only, so no
@@ -3776,6 +3787,34 @@ object SparkEntry {
          | r AS (SELECT doc_id, bm25,
          |        CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM agg)
          |SELECT doc_id, bm25, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "bm25_prf_topk" -> {
+      // two BM25 chains over shared (dl, N, avgdl) stats; round-1 term
+      // predicate is the literal list, round-2's is the terms CTE
+      def chain(p: String, pred: String) =
+        s"""${p}tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           |        FROM toks WHERE $pred GROUP BY 1, 2, 3),
+           | ${p}dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ${p}tf GROUP BY 1),
+           | ${p}sc AS (SELECT doc_id, LN(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1)
+           |          / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) AS c
+           |        FROM ${p}tf JOIN ${p}dft USING (tok), st),
+           | ${p}agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM ${p}sc GROUP BY 1)""".stripMargin
+      s"""WITH bl AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         | dls AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM bl),
+         | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dls),
+         | toks AS (SELECT doc_id, dl, unnest(ws) AS tok FROM dls),
+         | ${chain("q1", "tok IN ('spark', 'stream')")},
+         | fb AS (SELECT doc_id FROM (SELECT doc_id,
+         |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM q1agg) WHERE r <= 5),
+         | ex AS (SELECT tok AS term FROM toks JOIN fb USING (doc_id)
+         |        WHERE tok NOT IN ('spark', 'stream')
+         |        GROUP BY 1 ORDER BY COUNT(*) DESC, tok LIMIT 3),
+         | terms AS (SELECT 'spark' AS term UNION ALL SELECT 'stream'
+         |           UNION ALL SELECT term FROM ex),
+         | ${chain("q2", "tok IN (SELECT term FROM terms)")},
+         | r AS (SELECT doc_id, bm25,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM q2agg)
+         |SELECT doc_id, bm25, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
     // RRF mirror: the bm25 CTEs' top-50 ranks + the ann_cosine_topk
     // CTEs' top-50 ranks for query vec 0, fused as sum(1/(60+rank));
     // CAST(1 AS DOUBLE) keeps the division in double like Spark's

@@ -76,6 +76,82 @@ object Retrieval {
       .select(col("_id").as(idCol), col("bm25"), col("rank"))
   }
 
+  /** [[bm25TopK]] against a term FRAME (one `term` column) instead of a
+    * literal bag — the shape query-expansion pipelines need, where the
+    * term set is itself the output of a ranking stage and never touches
+    * the driver. The token filter becomes a LEFT SEMI join; the caller
+    * guarantees the frame is bounded (a literal set, a LIMIT, a
+    * grouped-agg-over-limit) so AQE broadcasts it at runtime — no hint,
+    * per the suite's hint rule.
+    */
+  def bm25TopKTerms(docs: DataFrame, idCol: String, textCol: String,
+      termsDf: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0 && k1 > 0 && b >= 0 && b <= 1,
+      s"bm25TopKTerms: need k>0, k1>0, 0<=b<=1; got k=$k k1=$k1 b=$b")
+    val base = docs.select(col(idCol).as("_id"),
+        split(trim(col(textCol)), "\\s+").as("_toks"))
+      .withColumn("_dl", size(col("_toks")))
+    val stats = base.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    val tf = base
+      .select(col("_id"), col("_dl"), explode(col("_toks")).as("_tok"))
+      .join(termsDf.select(col("term").as("_tok")).distinct(),
+        Seq("_tok"), "left_semi")
+      .groupBy(col("_id"), col("_dl"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfT = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    tf.join(dfT, Seq("_tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_c",
+        col("_idf") * col("_tf") * lit(k1 + 1) /
+          (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col("_id"))
+      .agg(round(sum(col("_c")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("_id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("_id").asc)))
+      .select(col("_id").as(idCol), col("bm25"), col("rank"))
+  }
+
+  /** Pseudo-relevance-feedback retrieval (RM3 shape, Lavrenko-Croft
+    * relevance models simplified to the integer-portable core): round 1
+    * ranks with [[bm25TopK]]; the top `kFeedback` docs "vote" expansion
+    * terms by TOTAL term frequency across the feedback set (exact
+    * integers, (cnt DESC, term) total order, top `nExpand`, original
+    * terms excluded); round 2 re-ranks the corpus with the expanded
+    * term set. Unweighted union of original + expansion is the
+    * documented simplification (RM3's interpolation weight λ would put
+    * a float on every score; the ranking behavior — recall widening via
+    * co-occurring vocabulary — is preserved).
+    *
+    * Scale shape (100 TB): both rounds are the BM25 shape (corpus
+    * shuffle only on query-term-matching tokens); the feedback-doc text
+    * fetch is a LEFT SEMI join against a k-row TakeOrdered result;
+    * expansion is a groupBy over k documents' tokens. Nothing touches
+    * the driver.
+    */
+  def prfExpandedTopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, kFeedback: Int = 5, nExpand: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kFeedback > 0 && nExpand >= 0,
+      s"prfExpandedTopK: need kFeedback>0, nExpand>=0, got $kFeedback/$nExpand")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r1 = bm25TopK(docs, idCol, textCol, terms, kFeedback, k1, b)
+    val fb = docs.join(r1.select(col(idCol)), Seq(idCol), "left_semi")
+    val expansion = fb
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(!col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("term")).limit(nExpand)
+      .select("term")
+    val allTerms = terms.distinct.toDF("term").unionByName(expansion)
+    bm25TopKTerms(docs, idCol, textCol, allTerms, k, k1, b)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
     * fuse pre-ranked lists — each `(name, frame)` must expose `idCol`
     * and an integer `rankCol` — by `sum over lists of 1/(kRrf + rank)`,

@@ -146,4 +146,30 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", 10).collect()
     assert(!self.exists(r => r.getLong(1) == 10L))
   }
+
+  test("prfExpandedTopK: expansion terms widen recall to co-occurring vocabulary") {
+    // 'cat' docs all mention 'feline'; doc 4 says only 'feline' — round
+    // 1 can't see it, the expanded query can
+    val docs = Seq(
+      (1L, "cat cat feline purr"),
+      (2L, "cat feline whisker"),
+      (3L, "cat feline"),
+      (4L, "feline feline sleeps"),
+      (5L, "dog bark fetch"),
+      (6L, "dog growl bone")
+    ).toDF("doc_id", "text")
+    val r1 = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!r1.contains(4L), "plain bm25 cannot reach the feline-only doc")
+    val prf = Retrieval.prfExpandedTopK(docs, "doc_id", "text", Seq("cat"),
+      k = 10, kFeedback = 3, nExpand = 1)
+    val ids = prf.collect().map(_.getLong(0)).toSet
+    assert(ids.contains(4L), "expansion term 'feline' should retrieve doc 4")
+    assert(!ids.contains(5L) && !ids.contains(6L), "dog docs stay irrelevant")
+    // nExpand = 0 degrades to plain bm25 (same doc set)
+    val noExp = Retrieval.prfExpandedTopK(docs, "doc_id", "text", Seq("cat"),
+      k = 10, kFeedback = 3, nExpand = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(noExp == r1)
+  }
 }
