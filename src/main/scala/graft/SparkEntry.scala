@@ -1725,6 +1725,16 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT robust outliers (Stats.madOutliers, Iglewicz-Hoaglin modified
+    // z-score): median/MAD are exact percentile_disc elements at
+    // integer rank ceil(n/2) — the outliers cannot inflate the spread
+    // estimate the way they inflate a stddev z-score; only the final
+    // fixed-order subtract/multiply/divide is float. Two keyed-window
+    // passes on the same group partitioning.
+    "mad_outliers" -> ((s, dir) =>
+      Stats.madOutliers(t(s, dir, "events"),
+          "event_type", "value", "event_id", cutoff = 3.5)
+        .orderBy("event_type", "event_id")),
     // EXT market-basket association rules (Assoc.associationRules,
     // Agrawal-Srikant '94 statistics): orders are baskets, parts items;
     // the pair stage self-joins the deduped (basket,item) frame on the
@@ -4674,6 +4684,28 @@ object SparkEntry {
         |   FROM bo JOIN ic ca ON bo.a = ca.itm JOIN ic cb ON bo.c = cb.itm, nb)
         |SELECT antecedent, consequent, pair_cnt, support, confidence, lift
         |FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin,
+    // same rank-arithmetic percentile_disc as the Spark side (rn*2>=n,
+    // (rn-1)*2<n picks the element at ceil(n/2)); 6.745e-1 in
+    // e-notation per the decimal-literal invariant
+    "mad_outliers" ->
+      """WITH v AS (SELECT event_type, event_id, value FROM events),
+        | r1 AS (SELECT event_type, value,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),
+        | med AS (SELECT event_type, value AS med FROM r1
+        |         WHERE rn * 2 >= n AND (rn - 1) * 2 < n),
+        | d AS (SELECT v.event_type, event_id, value, med,
+        |        ABS(value - med) AS dev FROM v JOIN med USING (event_type)),
+        | r2 AS (SELECT event_type, dev,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+        | mad AS (SELECT event_type, dev AS mad FROM r2
+        |         WHERE rn * 2 >= n AND (rn - 1) * 2 < n),
+        | z AS (SELECT d.event_type, event_id, value, med, mad.mad,
+        |        (6.745e-1 * (value - med)) / mad.mad AS mz
+        |       FROM d JOIN mad USING (event_type) WHERE mad.mad > 0)
+        |SELECT event_type, event_id, value, med, mad, mz FROM z
+        |WHERE ABS(mz) > 3.5 ORDER BY event_type, event_id""".stripMargin,
     "event_transitions" ->
       """WITH p AS (SELECT event_type AS f,
         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t

@@ -161,4 +161,40 @@ object Stats {
           (col("_rn") - 1) * col("_qd") < col("_qn") * col("_n"))
       .select(col(groupCol), col("q"), col(valueCol).as("value"))
   }
+
+  /** Robust per-group outliers via the MAD modified z-score
+    * (Iglewicz-Hoaglin '93): M = 0.6745·(x − median) / MAD with
+    * |M| > cutoff flagged — immune to the outliers themselves (unlike
+    * a mean/stddev z-score, where one 10⁶x spike inflates σ and hides
+    * its siblings). Median and MAD are EXACT percentile_disc elements
+    * at integer rank ceil(n/2) (the [[percentileBands]] rank
+    * arithmetic), so the only floats are the final fixed-operand-order
+    * subtract/multiply/divide — engine-portable. Groups with MAD = 0
+    * (a majority-constant column) are excluded: M is undefined there,
+    * the documented Iglewicz-Hoaglin edge.
+    *
+    * Scale shape (100 TB): two keyed-window percentile passes over the
+    * SAME group partitioning plus a |groups|-row join back (AQE
+    * broadcast — a grouped aggregate is never hinted). No global
+    * window, no driver math.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, s"madOutliers: need cutoff>0, got $cutoff")
+    val base = df.select(col(groupCol), col(idCol), col(valueCol).cast("double"))
+    val med = percentileBands(base, groupCol, valueCol, Seq((1, 2)))
+      .select(col(groupCol), col("value").as("_med"))
+    val dev = base.join(med, Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    val mad = percentileBands(dev.select(col(groupCol), col("_dev")),
+        groupCol, "_dev", Seq((1, 2)))
+      .select(col(groupCol), col("value").as("_mad"))
+    dev.join(mad, Seq(groupCol))
+      .filter(col("_mad") > 0.0)
+      .withColumn("mz",
+        (lit(0.6745) * (col(valueCol) - col("_med"))) / col("_mad"))
+      .filter(abs(col("mz")) > cutoff)
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("_med").as("med"), col("_mad").as("mad"), col("mz"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{avg, col, stddev_pop}
 import org.apache.spark.sql.types._
 import graft.operators.Stats
 
@@ -104,5 +105,27 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("a", 0.5, 50.0), ("a", 0.95, 95.0), ("a", 0.99, 99.0),
       ("b", 0.5, 7.0), ("b", 0.95, 7.0), ("b", 0.99, 7.0)))
+  }
+
+  test("madOutliers: flags what a stddev z-score masks; MAD=0 groups excluded") {
+    // g: [1,1,2,2,3,100] -> med=2 (rank 3 of 6), devs sorted
+    // [0,0,1,1,1,98] -> mad=1; M(100)=0.6745*98=66.1. The classic
+    // z-score is (100-18.17)/40.2 = 2.0 — UNDER a 3.5 cutoff: the
+    // spike inflates sigma enough to hide itself. MAD does not.
+    val df = Seq(
+      ("g", 1L, 1.0), ("g", 2L, 1.0), ("g", 3L, 2.0),
+      ("g", 4L, 2.0), ("g", 5L, 3.0), ("g", 6L, 100.0),
+      // constant-majority group: mad = 0 -> excluded entirely
+      ("z", 7L, 5.0), ("z", 8L, 5.0), ("z", 9L, 5.0), ("z", 10L, 9.0)
+    ).toDF("grp", "id", "v")
+    val out = Stats.madOutliers(df, "grp", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
+    assert(out.length == 1 && out(0)._1 == "g" && out(0)._2 == 6L)
+    assert(math.abs(out(0)._3 - 0.6745 * 98.0) < 1e-9)
+    // sanity: the plain z-score of the same point really is masked
+    val stats = df.filter(col("grp") === "g")
+      .agg(avg(col("v")), stddev_pop(col("v"))).head()
+    val z = (100.0 - stats.getDouble(0)) / stats.getDouble(1)
+    assert(z < 3.5, s"plain z $z should sit under the cutoff (the mask)")
   }
 }
