@@ -25,6 +25,16 @@ case class SigBucketState(members: List[SigMember])
 /** One element of a grouped top-k stream: (group, value, id). */
 case class RankedItem(g: String, v: Double, id: Long)
 
+/** A typed event for the transition stream: (user, id, event-time
+  * micros, type).
+  */
+case class TypedEvent(user_id: Long, event_id: Long, tsMicros: Long,
+    event_type: String)
+/** Per-user carry state: the latest event seen (total (ts, id) order). */
+case class LastEvent(tsMicros: Long, event_id: Long, event_type: String)
+/** One observed transition edge (pre-aggregation). */
+case class TransitionEdge(from_type: String, to_type: String)
+
 case class DocSig(doc_id: Long, simhash: Long)
 /** matched_id = the smallest earlier doc within hamming range IN THIS
   * BUCKET, -1 if the doc is novel here. Per-doc reduction over a doc's
@@ -799,5 +809,39 @@ object StreamOps {
         }
       }
       .toDF("g", "rank", "id", "v")
+  }
+
+  /** Streaming twin of [[graft.operators.Events.eventTransitions]]:
+    * per-user LAST-event state (one tiny row per live user) bridges
+    * micro-batch boundaries, so the pair an epoch boundary would sever
+    * is still emitted; within a batch events sort by the same total
+    * (ts, id) order as the batch operator. Emits raw transition edges
+    * in Append mode — counting/normalizing is one groupBy downstream
+    * (kept out of the stream on purpose: each edge is emitted exactly
+    * once, so a batch-side roll-up loses nothing and the stream state
+    * stays O(|users|), not O(|types|²·|users|)).
+    *
+    * Assumes per-user event-time monotone delivery ACROSS batches (the
+    * keyed-log contract); an event older than the user's carried state
+    * would pair out of order — buffer-and-watermark reordering is a
+    * different operator.
+    */
+  def transitionsStream(events: Dataset[TypedEvent]): DataFrame = {
+    val sess = events.sparkSession
+    import sess.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[TypedEvent], state: GroupState[LastEvent]) => {
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var prev = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[TransitionEdge]
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransitionEdge(p.event_type, e.event_type))
+            prev = Some(LastEvent(e.tsMicros, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
+      .toDF()
   }
 }

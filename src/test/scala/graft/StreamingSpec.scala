@@ -747,4 +747,34 @@ class StreamingSpec extends SparkSpec {
     // bounded state: the batch path emits exactly k rows per group
     assert(batch.values.forall(_.length == 4))
   }
+
+  test("transitionsStream: cross-batch pairs survive, counts equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TypedEvent
+    val types = Array("a", "b", "c")
+    val tevs = (0 until 90).map { i =>
+      TypedEvent(i % 5, i.toLong, 1700000000000000L + i * 1000000L,
+        types((i * 7) % 3))
+    }
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamOps.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out").outputMode("append").start()
+    // split mid-stream: per-user adjacency straddles the batch boundary
+    val (b1, b2) = tevs.splitAt(41)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_out")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchDf = tevs
+      .map(e => (e.user_id, new Timestamp(e.tsMicros / 1000), e.event_id, e.event_type))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val batch = graft.operators.Events
+      .eventTransitions(batchDf, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // 90 events over 5 users -> 85 transitions total
+    assert(streamed.values.sum == 85L)
+  }
 }
