@@ -1043,6 +1043,17 @@ object SparkEntry {
         .select("doc_id", "dsir_logweight", "gumbel_key")
         .orderBy(col("gumbel_key").desc, col("doc_id"))
     }),
+    // EXT stratified weighted draw (Sampling.gumbelTopKPerGroup):
+    // 4 docs per source, length-weighted (logw = ln n_chars), WITHOUT
+    // replacement — the per-stratum Gumbel-max trick riding the
+    // bounded-state TopKAgg (|groups|*k exchange rows, never a
+    // per-stratum sort shuffle)
+    "gumbel_sample_sources" -> ((s, dir) =>
+      Sampling.gumbelTopKPerGroup(
+          t(s, dir, "documents").select(col("source"), col("doc_id"),
+            log(col("n_chars").cast("double")).as("lw")),
+          "source", "doc_id", "lw", k = 4)
+        .orderBy("source", "rank")),
     // EXT ingest-time DSIR scoring (StreamOps.dsirScoreStream): held-out
     // docs score against the BUILD-ONCE corpus distribution table via a
     // literal lookup array — expression-only, stateless, zero shuffles
@@ -3780,6 +3791,17 @@ object SparkEntry {
         |        FROM dw)
         |SELECT doc_id, dsir_logweight, gumbel_key FROM g
         |ORDER BY gumbel_key DESC, doc_id LIMIT 64""".stripMargin,
+    "gumbel_sample_sources" ->
+      """WITH d AS (SELECT source, doc_id, LN(CAST(n_chars AS DOUBLE)) AS lw FROM documents),
+        | g AS (SELECT source, doc_id, ROUND(lw - LN(-LN(
+        |    CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || doc_id), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+        |    / power(2, 48))), 6) AS gumbel_key
+        |   FROM d),
+        | r AS (SELECT source, doc_id, gumbel_key,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY gumbel_key DESC, doc_id) AS rank FROM g)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, gumbel_key
+        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),

@@ -247,4 +247,24 @@ object Sampling {
       .orderBy(col("gumbel_key").desc, col(keyCol))
       .limit(k)
   }
+
+  /** Stratified [[gumbelTopK]]: an independent weighted
+    * WITHOUT-replacement draw of k rows per group (Gumbel-max per
+    * stratum — equivalent to Efraimidis-Spirakis A-ES keys, same
+    * deterministic md5 uniform, same round(6)-then-rank float
+    * discipline). The per-group top-k rides
+    * [[Relational.topKPerGroup]]'s mergeable bounded-state aggregate:
+    * map-side partials keep <=~2k pairs per group per task and the
+    * exchange carries |groups|·k rows — never a per-group sort of the
+    * whole stratum. Output: (groupCol, rank, keyCol, gumbel_key).
+    */
+  def gumbelTopKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      logWeightCol: String, k: Int, seed: String = "42"): DataFrame = {
+    require(k > 0, "need k > 0")
+    val u = conv(substring(md5(concat(lit(seed + ":"), col(keyCol).cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2, 48))
+    val keyed = df.withColumn("gumbel_key",
+      round(col(logWeightCol) - log(-log(u)), 6))
+    Relational.topKPerGroup(keyed, groupCol, "gumbel_key", keyCol, k)
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Sampling
 
 /** Ports the reference sampler tests (FIXTURES.md A1 /
@@ -112,5 +113,34 @@ class SamplingSpec extends SparkSpec {
       Sampling.sampleWeightedWithReplacement(df, 5, "w", "id")
     }
     assert(e.getMessage.contains("2^48"))
+  }
+
+  test("gumbelTopKPerGroup: per-stratum without-replacement draw == window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 300).map { i =>
+      (s"g${i % 3}", i.toLong, math.log(1.0 + i % 50))
+    }.toDF("grp", "id", "lw")
+    val got = Sampling.gumbelTopKPerGroup(df, "grp", "id", "lw", k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    // reference: same keys ranked by a per-group window
+    val u = conv(substring(md5(concat(lit("42:"), col("id").cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2, 48))
+    val ref = df.withColumn("gk", round(col("lw") - log(-log(u)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("grp").orderBy(col("gk").desc, col("id"))))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(4), r.getLong(1))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(got == ref)
+    // 5 DISTINCT members per group (without replacement), all 3 strata
+    val byG = got.groupBy(_._1)
+    assert(byG.keySet == Set("g0", "g1", "g2"))
+    byG.values.foreach(rows => assert(rows.map(_._3).distinct.size == 5))
+    // seed changes the draw
+    val other = Sampling.gumbelTopKPerGroup(df, "grp", "id", "lw", k = 5, seed = "7")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(other != got)
   }
 }
