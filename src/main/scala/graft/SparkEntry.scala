@@ -1746,6 +1746,19 @@ object SparkEntry {
       Stats.madOutliers(t(s, dir, "events"),
           "event_type", "value", "event_id", cutoff = 3.5)
         .orderBy("event_type", "event_id")),
+    // EXT contingency analysis (Stats.contingencyAnalysis): MI, NMI,
+    // chi-squared and Cramér's V between event_type and day-of-week —
+    // ONE corpus shuffle (the cell groupBy); chi² via the
+    // observed-cells identity n·Σo²/(r·c) − n (no category grid, no
+    // cross-join); float sums as ordered folds over the sorted cell
+    // list; day-of-week from pure integer epoch-day arithmetic (both
+    // engines' dayofweek() builtins disagree on numbering)
+    "contingency_events" -> ((s, dir) =>
+      Stats.contingencyAnalysis(
+        t(s, dir, "events").select(col("event_type"),
+          pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))) + 4,
+            lit(7)).as("dow")),
+        "event_type", "dow")),
     // EXT market-basket association rules (Assoc.associationRules,
     // Agrawal-Srikant '94 statistics): orders are baskets, parts items;
     // the pair stage self-joins the deduped (basket,item) frame on the
@@ -4706,6 +4719,31 @@ object SparkEntry {
         |   FROM bo JOIN ic ca ON bo.a = ca.itm JOIN ic cb ON bo.c = cb.itm, nb)
         |SELECT antecedent, consequent, pair_cnt, support, confidence, lift
         |FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin,
+    "contingency_events" ->
+      """WITH src AS (SELECT event_type AS a,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS b FROM events),
+        | c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM src GROUP BY 1, 2),
+        | ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+        | cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+        | nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |        CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+        |        CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM c),
+        | t AS (SELECT a, b,
+        |        (CAST(o AS DOUBLE) / n) * LN((CAST(o AS DOUBLE) * n) / (CAST(ra AS DOUBLE) * cb)) AS mt,
+        |        (CAST(o AS DOUBLE) * o) / (CAST(ra AS DOUBLE) * cb) AS ct
+        |       FROM c JOIN ra USING (a) JOIN cb USING (b), nn),
+        | f AS (SELECT list_sum(list(mt ORDER BY a, b)) AS mi,
+        |              list_sum(list(ct ORDER BY a, b)) AS cs FROM t),
+        | ea AS (SELECT list_sum(list(0 - (CAST(ra AS DOUBLE) / n) * LN(CAST(ra AS DOUBLE) / n) ORDER BY a)) AS h FROM ra, nn),
+        | eb AS (SELECT list_sum(list(0 - (CAST(cb AS DOUBLE) / n) * LN(CAST(cb AS DOUBLE) / n) ORDER BY b)) AS h FROM cb, nn)
+        |SELECT n, (ka - 1) * (kb - 1) AS dof, ROUND(mi, 6) AS mi,
+        |  CASE WHEN ea.h > 0 AND eb.h > 0
+        |       THEN ROUND(mi / sqrt(ea.h * eb.h), 6) END AS nmi,
+        |  ROUND(CAST(n AS DOUBLE) * cs - CAST(n AS DOUBLE), 6) AS chi2,
+        |  CASE WHEN LEAST(ka, kb) > 1
+        |       THEN ROUND(sqrt((CAST(n AS DOUBLE) * cs - CAST(n AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * (LEAST(ka, kb) - 1))), 6) END AS cramers_v
+        |FROM f, nn, ea, eb""".stripMargin,
     // same rank-arithmetic percentile_disc as the Spark side (rn*2>=n,
     // (rn-1)*2<n picks the element at ceil(n/2)); 6.745e-1 in
     // e-notation per the decimal-literal invariant

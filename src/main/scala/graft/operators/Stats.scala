@@ -197,4 +197,81 @@ object Stats {
       .select(col(groupCol), col(idCol), col(valueCol),
         col("_med").as("med"), col("_mad").as("mad"), col("mz"))
   }
+
+  /** Ordered left fold of a double field over a SORTED struct list —
+    * the engine-portable float-sum idiom (both engines add the same
+    * terms in the same ascending key order; a hash aggregate would sum
+    * in partition order and diverge bitwise).
+    */
+  private def orderedSum(structs: Column, field: String): Column =
+    aggregate(transform(sort_array(structs), x => x.getField(field)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Contingency-table analysis of two categorical columns: mutual
+    * information, normalized MI, the chi-squared independence statistic
+    * and Cramér's V, from EXACT cell/margin counts. χ² uses the
+    * observed-cells identity Σ_all (o−e)²/e = n·Σ_obs o²/(r_a·c_b) − n,
+    * so empty cells never need materializing — no category-grid
+    * cross-join anywhere. Float sums run as ordered folds over the
+    * (a, b)-sorted cell list (engine-portable bitwise); final stats are
+    * round(6)-quantized per the suite's ln discipline. NMI is null when
+    * either marginal entropy is 0 (a single-category column).
+    *
+    * Output (one row): (n, dof, mi, nmi, chi2, cramers_v).
+    *
+    * Scale shape (100 TB): ONE corpus-sized shuffle — the (a, b) cell
+    * groupBy (map-side combinable). Margins, totals, entropies and the
+    * folds all run over the bounded cell/margin aggregates; the joins
+    * of cells against margins are AQE-decided; every crossJoin is
+    * against a broadcast 1-row aggregate.
+    */
+  def contingencyAnalysis(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = cells.groupBy("_a").agg(sum("_o").as("_ra"))
+    val cb = cells.groupBy("_b").agg(sum("_o").as("_cb"))
+    val tots = cells.agg(sum("_o").as("_n"),
+      countDistinct("_a").as("_ka"), countDistinct("_b").as("_kb"))
+    val o = col("_o").cast("double")
+    val n = col("_n").cast("double")
+    val raD = col("_ra").cast("double")
+    val cbD = col("_cb").cast("double")
+    val terms = cells.join(ra, Seq("_a")).join(cb, Seq("_b"))
+      .crossJoin(broadcast(tots))
+      .select(struct(col("_a"), col("_b"),
+        ((o / n) * log((o * n) / (raD * cbD))).as("_mt"),
+        ((o * o) / (raD * cbD)).as("_ct")).as("_s"),
+        col("_n"), col("_ka"), col("_kb"))
+    val folded = terms
+      .agg(collect_list(col("_s")).as("_l"),
+        max(col("_n")).as("_n"), max(col("_ka")).as("_ka"),
+        max(col("_kb")).as("_kb"))
+      .select(col("_n"), col("_ka"), col("_kb"),
+        orderedSum(col("_l"), "_mt").as("_mi"),
+        (col("_n").cast("double") * orderedSum(col("_l"), "_ct")
+          - col("_n").cast("double")).as("_chi2"))
+    def marginEntropy(m: DataFrame, key: String, tot: String) = m
+      .crossJoin(broadcast(tots.select("_n")))
+      .select(struct(col(key),
+        (lit(0.0) - (col(tot).cast("double") / col("_n").cast("double"))
+          * log(col(tot).cast("double") / col("_n").cast("double"))).as("_ht"))
+        .as("_s"))
+      .agg(collect_list(col("_s")).as("_l"))
+      .select(orderedSum(col("_l"), "_ht").as("h"))
+    val ha = marginEntropy(ra, "_a", "_ra").withColumnRenamed("h", "_hA")
+    val hb = marginEntropy(cb, "_b", "_cb").withColumnRenamed("h", "_hB")
+    folded.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("_n").as("n"),
+        ((col("_ka") - 1) * (col("_kb") - 1)).as("dof"),
+        round(col("_mi"), 6).as("mi"),
+        when(col("_hA") > 0.0 && col("_hB") > 0.0,
+          round(col("_mi") / sqrt(col("_hA") * col("_hB")), 6)).as("nmi"),
+        round(col("_chi2"), 6).as("chi2"),
+        // min(ka,kb)=1 (a single-category column) => V undefined (null),
+        // and ANSI mode would otherwise raise on the 0 divisor
+        when(least(col("_ka"), col("_kb")) > 1,
+          round(sqrt(col("_chi2") /
+            (col("_n").cast("double") * (least(col("_ka"), col("_kb")) - 1))), 6))
+          .as("cramers_v"))
+  }
 }

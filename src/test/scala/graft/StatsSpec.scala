@@ -128,4 +128,26 @@ class StatsSpec extends SparkSpec {
     val z = (100.0 - stats.getDouble(0)) / stats.getDouble(1)
     assert(z < 3.5, s"plain z $z should sit under the cutoff (the mask)")
   }
+
+  test("contingencyAnalysis: perfect dependence, independence, degenerate NMI") {
+    // perfect 2x2 dependence (a == b): MI = ln 2, chi2 = n, V = 1
+    val dep = (0 until 40).map(i => (if (i % 2 == 0) "x" else "y",
+      if (i % 2 == 0) "x" else "y")).toDF("a", "b")
+    val d = Stats.contingencyAnalysis(dep, "a", "b").head()
+    assert(d.getLong(0) == 40L && d.getLong(1) == 1L)
+    assert(math.abs(d.getDouble(2) - math.log(2.0)) < 1e-6, "MI = ln 2")
+    assert(math.abs(d.getDouble(3) - 1.0) < 1e-6, "NMI = 1")
+    assert(math.abs(d.getDouble(4) - 40.0) < 1e-6, "chi2 = n")
+    assert(math.abs(d.getDouble(5) - 1.0) < 1e-6, "V = 1")
+    // exact independence (balanced product): everything 0
+    val ind = (for (i <- 0 until 10; j <- 0 until 4)
+      yield (s"a${i % 2}", s"b${j % 2}")).toDF("a", "b")
+    val e = Stats.contingencyAnalysis(ind, "a", "b").head()
+    assert(math.abs(e.getDouble(2)) < 1e-9 && math.abs(e.getDouble(4)) < 1e-9
+      && math.abs(e.getDouble(5)) < 1e-9)
+    // single-category column: H = 0 -> NMI and V null, dof 0
+    val deg = Seq(("only", "p"), ("only", "q"), ("only", "p")).toDF("a", "b")
+    val g = Stats.contingencyAnalysis(deg, "a", "b").head()
+    assert(g.getLong(1) == 0L && g.isNullAt(3) && g.isNullAt(5))
+  }
 }
