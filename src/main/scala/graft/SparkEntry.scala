@@ -1759,6 +1759,14 @@ object SparkEntry {
           pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))) + 4,
             lit(7)).as("dow")),
         "event_type", "dow")),
+    // EXT Benford first-digit audit (Stats.benfordAudit): leading-digit
+    // shares of o_totalprice vs log10(1+1/d), per-digit chi² terms —
+    // the forensic-accounting screen. Digit extraction is EXACT integer
+    // arithmetic (cents div 10^(digits-1), digit count from string
+    // length — never float log10); one 9-group map-side aggregate
+    "benford_totalprice" -> ((s, dir) =>
+      Stats.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
     // EXT market-basket association rules (Assoc.associationRules,
     // Agrawal-Srikant '94 statistics): orders are baskets, parts items;
     // the pair stage self-joins the deduped (basket,item) frame on the
@@ -4719,6 +4727,27 @@ object SparkEntry {
         |   FROM bo JOIN ic ca ON bo.a = ca.itm JOIN ic cb ON bo.c = cb.itm, nb)
         |SELECT antecedent, consequent, pair_cnt, support, confidence, lift
         |FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin,
+    "benford_totalprice" -> {
+      // the same doubles Spark's lit(log10(1+1/d)) evaluates, in
+      // e-notation so DuckDB strtod-parses them (decimal-literal
+      // invariant)
+      val lits = (1 to 9).map(d =>
+        s"WHEN $d THEN ${"%.17e".formatLocal(java.util.Locale.ROOT, math.log10(1.0 + 1.0 / d))}")
+        .mkString(" ")
+      s"""WITH c AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c FROM orders),
+         | d AS (SELECT CAST(FLOOR(c / power(10, length(CAST(c AS VARCHAR)) - 1)) AS INT) AS digit
+         |       FROM c WHERE c > 0),
+         | g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+         | nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+         | e AS (SELECT digit, cnt, n,
+         |        CAST(n AS DOUBLE) * (CASE digit $lits END) AS e,
+         |        (CASE digit $lits END) AS p FROM g, nn)
+         |SELECT digit, cnt,
+         |  ROUND(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_p,
+         |  ROUND(p, 6) AS exp_p,
+         |  ROUND(((CAST(cnt AS DOUBLE) - e) * (CAST(cnt AS DOUBLE) - e)) / e, 6) AS chi_term
+         |FROM e ORDER BY digit""".stripMargin
+    },
     "contingency_events" ->
       """WITH src AS (SELECT event_type AS a,
         |    (CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS b FROM events),

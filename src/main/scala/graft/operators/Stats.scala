@@ -225,6 +225,45 @@ object Stats {
     * of cells against margins are AQE-decided; every crossJoin is
     * against a broadcast 1-row aggregate.
     */
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
+    * standard forensic-accounting screen): observed leading-digit
+    * shares of a positive amount column vs the Benford expectation
+    * p_d = log10(1 + 1/d), with the per-digit χ² contribution. The
+    * digit is extracted in EXACT integer arithmetic — amounts go to
+    * integer cents via the portable round-away-from-zero, and the
+    * leading digit is cents div 10^(digits−1) with the digit count
+    * from the integer's string length (never float log10, whose 1-ulp
+    * error flips the digit at exact powers of ten). Expectations are
+    * compile-time literals shared with the oracle.
+    *
+    * Output: (digit, cnt, obs_p, exp_p, chi_term), 9 rows.
+    *
+    * Scale shape (100 TB): one map-side-combinable 9-group aggregate;
+    * the total rides back as a 1-row broadcast cross.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val lead = floor(col("_c") / pow(lit(10.0),
+      length(col("_c").cast("string")) - 1)).cast("int")
+    val counts = df
+      .select(cents.as("_c"))
+      .filter(col("_c") > 0)
+      .select(lead.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("_n"))
+    val expP = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+    val expCol = expP.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(tot))
+      .withColumn("_e", col("_n").cast("double") * expCol)
+      .select(col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("_n").cast("double"), 6).as("obs_p"),
+        round(expCol, 6).as("exp_p"),
+        round((col("cnt").cast("double") - col("_e"))
+          * (col("cnt").cast("double") - col("_e")) / col("_e"), 6).as("chi_term"))
+  }
+
   def contingencyAnalysis(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
       .agg(count(lit(1)).as("_o"))

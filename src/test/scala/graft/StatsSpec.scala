@@ -150,4 +150,24 @@ class StatsSpec extends SparkSpec {
     val g = Stats.contingencyAnalysis(deg, "a", "b").head()
     assert(g.getLong(1) == 0L && g.isNullAt(3) && g.isNullAt(5))
   }
+
+  test("benfordAudit: exact integer digit extraction; powers of two track Benford") {
+    // hand-checkable digits: 1, 19.99, 900.5, 0.07 -> 1, 1, 9, 7
+    val known = Seq(1.0, 19.99, 900.5, 0.07, -5.0, 0.0).toDF("v")
+    val got = Stats.benfordAudit(known, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 2L, 9 -> 1L, 7 -> 1L), "negatives and zero dropped")
+    // 2^0..2^40 as amounts: leading digits follow Benford closely
+    val pows = (0 to 40).map(k => math.pow(2.0, k)).toDF("v")
+    val out = Stats.benfordAudit(pows, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._2).sum == 41L)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-5)
+    out.foreach { case (d, _, obs, exp, chi) =>
+      assert(d >= 1 && d <= 9 && chi >= 0.0)
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / d)) < 1e-6)
+      assert(math.abs(obs - exp) < 0.06, s"digit $d off Benford: $obs vs $exp")
+    }
+  }
 }
