@@ -1736,6 +1736,24 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT streaming transition edges applied to a batch frame (the
+    // suite strategy for stream lambdas — the same
+    // flatMapGroupsWithState code path StreamingSpec drives through
+    // MemoryStream batches): per-user carry state -> raw edges -> one
+    // downstream roll-up; counts == the window-based batch operator
+    "event_transitions_stream" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val typed = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
+          col("event_type"))
+        .as[graft.streaming.TypedEvent]
+      graft.streaming.StreamOps.transitionsStream(typed)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("from_type", "to_type")
+    }),
     // EXT robust outliers (Stats.madOutliers, Iglewicz-Hoaglin modified
     // z-score): median/MAD are exact percentile_disc elements at
     // integer rank ceil(n/2) — the outliers cannot inflate the spread
@@ -2222,6 +2240,33 @@ object SparkEntry {
           coalesce(col("n_name"), lit("(all)")).as("nation"),
           col("gid"), col("revenue"), col("n"))
         .orderBy("gid", "region", "nation")
+    }),
+    // EXT GROUPING SETS (the third Expand shape beside cube/rollup):
+    // HETEROGENEOUS sets — by region, by order priority, and the grand
+    // total — mixing independent dimensions no rollup nesting can
+    // express; ONE scan through the Expand operator instead of a UNION
+    // of three aggregations. Same projected-decimal discipline.
+    "grouping_sets_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("_tp"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("o_orderpriority")), Seq()),
+          col("r_name"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("_tp")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("gid"), col("revenue"), col("n"))
+        .orderBy("gid", "region", "priority")
     }),
     // EXT stupid-backoff trigram LM scoring (Brants et al. 2007): eval
     // docs (doc_id%7==0) scored under counts from the REST, so the
@@ -3052,6 +3097,17 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, region, nation""".stripMargin,
+    "grouping_sets_revenue" ->
+      """SELECT coalesce(r_name, '(all)') AS region,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       CAST(GROUPING(r_name, o_orderpriority) AS INT) AS gid,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+        |ORDER BY gid, region, priority""".stripMargin,
     "trigram_backoff" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         | tr AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
@@ -4804,6 +4860,13 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "event_transitions_stream" ->
+      """WITH p AS (SELECT event_type AS f,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events)
+        |SELECT f AS from_type, t AS to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p WHERE t IS NOT NULL GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
     "topk_per_segment" ->
       """SELECT c_mktsegment AS segment, CAST(rank AS INT) AS rank,
         |  o_orderkey, o_totalprice FROM (
