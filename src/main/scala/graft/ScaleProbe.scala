@@ -320,6 +320,34 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("assoc")) {
+      // adversarial mega-basket probe for Assoc.coOccurrencePairs:
+      // runMain graft.ScaleProbe assoc [<sfDir>]
+      // lineitem baskets + ONE injected basket with 12000 distinct
+      // items (~72M pairs on its own). Capped (maxBasket=256) must stay
+      // at the clean-corpus cost; uncapped shows the blowup the guard
+      // removes.
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+      val base = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+      val mega = spark.range(12000)
+        .select(lit(-1L).as("bk"), (col("id") + 10000000L).as("it"))
+      val poisoned = base.unionByName(mega)
+      import graft.operators.Assoc
+      time("clean_capped") { Assoc.coOccurrencePairs(base, "bk", "it", 2L, 256) }
+      time("poisoned_capped") { Assoc.coOccurrencePairs(poisoned, "bk", "it", 2L, 256) }
+      time("poisoned_uncapped") {
+        Assoc.coOccurrencePairs(poisoned, "bk", "it", 2L, Int.MaxValue)
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("chunkret")) {
       // stage-wise timing of the chunk_retrieval pipeline at a given sf:
       // runMain graft.ScaleProbe chunkret [<sfDir>]

@@ -25,8 +25,12 @@ object Assoc {
     *
     * `maxBasket` drops baskets larger than the bound BEFORE the pair
     * explosion — the skew guard: a single 10⁶-item basket would emit
-    * 5·10¹¹ pairs. Dropped-basket count is the caller's audit surface
-    * via [[basketSizes]].
+    * 5·10¹¹ pairs. Probed adversarially (ScaleProbe assoc, sf0.1
+    * lineitem + ONE injected 12k-item basket): capped stays at the
+    * clean-corpus 2.4 s, uncapped takes 234.7 s through the 72M
+    * poisoned pairs — the guard is load-bearing, not defensive.
+    * Dropped-basket count is the caller's audit surface via
+    * [[basketSizes]].
     */
   def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long = 1L, maxBasket: Int = 256): DataFrame =
