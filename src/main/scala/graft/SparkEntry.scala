@@ -1736,6 +1736,21 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT CUSUM change-point detection (Events.cusumAlarms, Page '54):
+    // a level shift injected the suite's dup-injection way (error
+    // events from Jan 20 doubled) and caught by the integer-exact
+    // reflected running sum — alarms fire 2-4 days after onset at
+    // every SF while un-shifted types stay quiet at bench scale. The
+    // sequential walk is an expression-level fold over each type's
+    // day-sorted counts (bounded by |days|), never a stream recursion.
+    "cusum_error_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+      val shifted = ev.unionByName(ev.filter(
+        col("event_type") === "error" &&
+          col("ts").cast("date") >= lit("2024-01-20").cast("date")))
+      Events.cusumAlarms(shifted, "event_type", "ts", hMult = 2)
+        .orderBy("event_type", "day")
+    }),
     // EXT streaming transition edges applied to a batch frame (the
     // suite strategy for stream lambdas — the same
     // flatMapGroupsWithState code path StreamingSpec drives through
@@ -4860,6 +4875,31 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // recursive-CTE walk of the same integer CUSUM path (rn-chained,
+    // one step per day), alarms where s > h = 2*ref
+    "cusum_error_shift" ->
+      """WITH RECURSIVE u AS (SELECT event_type, ts FROM events
+        |   UNION ALL
+        |   SELECT event_type, ts FROM events
+        |   WHERE event_type = 'error' AND CAST(ts AS DATE) >= DATE '2024-01-20'),
+        | dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2),
+        | st AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+        |        CAST(COUNT(*) AS BIGINT) AS nd FROM dc GROUP BY 1),
+        | p AS (SELECT event_type, (tot + nd - 1) // nd AS ref,
+        |       2 * ((tot + nd - 1) // nd) AS h FROM st),
+        | r AS (SELECT dc.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY day) AS rn FROM dc),
+        | c AS (SELECT r.event_type, r.day, r.rn,
+        |        GREATEST(0, r.cnt - p.ref) AS s
+        |       FROM r JOIN p USING (event_type) WHERE rn = 1
+        |       UNION ALL
+        |       SELECT r.event_type, r.day, r.rn,
+        |        GREATEST(0, c.s + r.cnt - p.ref)
+        |       FROM c JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1
+        |            JOIN p ON p.event_type = r.event_type)
+        |SELECT c.event_type, c.day, c.s FROM c JOIN p USING (event_type)
+        |WHERE c.s > p.h ORDER BY event_type, day""".stripMargin,
     "event_transitions_stream" ->
       """WITH p AS (SELECT event_type AS f,
         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t

@@ -217,6 +217,57 @@ object Events {
     * the per-from normalization window runs over the |types|² aggregate
     * — constant-size at any stream length.
     */
+  /** CUSUM change-point alarms over daily event counts (Page 1954, the
+    * upper one-sided scheme): per type, S_t = max(0, S_{t−1} + x_t − k)
+    * with reference k = ceil(mean daily count) and decision threshold
+    * h = hMult·k; days where S_t > h are alarms. ALL integer
+    * arithmetic — counts, the ceil-mean via (tot+nd−1) div nd, the
+    * reflected running sum — so the path replays exactly in any
+    * engine (the oracle walks it with a recursive CTE).
+    *
+    * The sequential recursion is not window-expressible, so the walk
+    * runs as an EXPRESSION-LEVEL fold (`aggregate`) over each type's
+    * day-sorted count list — bounded by |days| per type (the
+    * per-day-aggregate class, same as the smoothing/rolling windows),
+    * never a row-level recursion over the stream.
+    *
+    * Output: (typeCol, day, s) for alarm days only.
+    *
+    * Scale shape (100 TB): ONE corpus shuffle (the (type, day)
+    * groupBy, map-side combinable); stats, the fold and the alarm
+    * filter all run over the per-day aggregate.
+    */
+  def cusumAlarms(events: DataFrame, typeCol: String, tsCol: String,
+      hMult: Int = 2): DataFrame = {
+    require(hMult >= 1, s"cusumAlarms: need hMult>=1, got $hMult")
+    val daily = events
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+    val stats = daily.groupBy(col("_t"))
+      .agg(sum(col("_cnt")).as("_tot"), count(lit(1)).as("_nd"))
+      .select(col("_t"),
+        floor((col("_tot") + col("_nd") - 1) / col("_nd")).cast("long").as("_ref"))
+      .withColumn("_h", col("_ref") * hMult)
+    val zero = struct(lit(0L).as("s"),
+      array().cast("array<struct<day:date,s:bigint>>").as("path"))
+    val folded = daily.join(stats, Seq("_t"))
+      .groupBy(col("_t"))
+      .agg(sort_array(collect_list(struct(col("_day"), col("_cnt")))).as("_l"),
+        max(col("_ref")).as("_ref"), max(col("_h")).as("_h"))
+      .select(col("_t"), col("_h"),
+        aggregate(col("_l"), zero, (acc, x) => {
+          val s2 = greatest(lit(0L),
+            acc.getField("s") + x.getField("_cnt") - col("_ref"))
+          struct(s2.as("s"),
+            concat(acc.getField("path"),
+              array(struct(x.getField("_day").as("day"), s2.as("s")))).as("path"))
+        }).getField("path").as("_p"))
+    folded
+      .select(col("_t"), col("_h"), explode(col("_p")).as("_e"))
+      .filter(col("_e.s") > col("_h"))
+      .select(col("_t").as(typeCol), col("_e.day").as("day"), col("_e.s").as("s"))
+  }
+
   def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))

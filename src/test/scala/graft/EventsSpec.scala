@@ -145,4 +145,22 @@ class EventsSpec extends SparkSpec {
     val sums = out.groupBy(_._1).view.mapValues(_.map(_._4).sum)
     sums.foreach { case (f, s) => assert(math.abs(s - 1.0) < 1e-12, s"from $f sums $s") }
   }
+
+  test("cusumAlarms: hand-walked path, alarm after the shift, flat stream silent") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // type g: 4,4,4,4,24,24 per day -> ref = ceil(64/6) = 11, h = 22;
+    // S = 0,0,0,0,13,26 -> single alarm on day 6 (26 > 22)
+    val g = (1 to 6).flatMap { d =>
+      val n = if (d <= 4) 4 else 24
+      (0 until n).map(i => ("g", t(f"2024-02-0$d 10:00:${i % 60}%02d")))
+    }
+    // type flat: constant 6/day -> ref 6, S pinned at 0, never alarms
+    val flat = (1 to 6).flatMap { d =>
+      (0 until 6).map(i => ("flat", t(f"2024-02-0$d 11:00:0$i")))
+    }
+    val ev = (g ++ flat).toDF("event_type", "ts")
+    val out = Events.cusumAlarms(ev, "event_type", "ts", hMult = 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(("g", "2024-02-06", 26L)))
+  }
 }
