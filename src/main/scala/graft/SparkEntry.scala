@@ -1736,6 +1736,15 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT interpolated percentiles (Stats.percentileBandsCont, the
+    // PERCENTILE_CONT twin of latency_bands): bracket row by exact
+    // integer rank arithmetic, fraction as an exact remainder, v_hi
+    // from a lead() on the same group window — one rank pass + a
+    // broadcast 3-row target join, same scale shape as the disc form
+    "latency_bands_cont" -> ((s, dir) =>
+      Stats.percentileBandsCont(t(s, dir, "events"), "event_type", "value",
+          Seq(50 -> 100, 95 -> 100, 99 -> 100))
+        .orderBy("event_type", "q")),
     // EXT CUSUM change-point detection (Events.cusumAlarms, Page '54):
     // a level shift injected the suite's dup-injection way (error
     // events from Jan 20 doubled) and caught by the integer-exact
@@ -4875,6 +4884,23 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "latency_bands_cont" -> {
+      // q literals in e-notation = the exact doubles Spark's
+      // qn.toDouble/qd evaluates (decimal-literal invariant)
+      val rows = Seq((50, 100), (95, 100), (99, 100)).map { case (qn, qd) =>
+        s"(${"%.17e".formatLocal(java.util.Locale.ROOT, qn.toDouble / qd)}, $qn, $qd)"
+      }.mkString(", ")
+      s"""WITH r AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+         |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |        LEAD(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY value) AS vn,
+         |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM events),
+         | t AS (SELECT * FROM (VALUES $rows) v0(q, qn, qd)),
+         | s AS (SELECT event_type, q, v, vn, qn * (n - 1) - (rn - 1) * qd AS rem, qd
+         |       FROM r JOIN t ON (rn - 1) * qd <= qn * (n - 1) AND qn * (n - 1) < rn * qd)
+         |SELECT event_type, q,
+         |  v + (CAST(rem AS DOUBLE) / qd) * (COALESCE(vn, v) - v) AS value
+         |FROM s ORDER BY event_type, q""".stripMargin
+    },
     // recursive-CTE walk of the same integer CUSUM path (rn-chained,
     // one step per day), alarms where s > h = 2*ref
     "cusum_error_shift" ->

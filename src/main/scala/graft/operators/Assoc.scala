@@ -38,17 +38,23 @@ object Assoc {
       df.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct(),
       minCount, maxBasket)
 
+  /** The maxBasket size guard over an already-deduped (_bk, _it)
+    * frame — shared by the pair and triple stages.
+    */
+  private def sizedItems(items: DataFrame, maxBasket: Int): DataFrame =
+    items
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_bk")))
+      .filter(col("_n") <= maxBasket)
+      .select("_bk", "_it")
+
   /** Pair stage over an ALREADY-deduped (_bk, _it) frame — shared with
     * [[associationRules]] so the dedup shuffle (and its persist) runs
     * once per query, not once per consumer.
     */
   private def pairsFromItems(items: DataFrame, minCount: Long,
       maxBasket: Int): DataFrame = {
-    val sized = items
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_bk")))
-      .filter(col("_n") <= maxBasket)
-      .select("_bk", "_it")
+    val sized = sizedItems(items, maxBasket)
     val l = sized
     val r = sized.select(col("_bk"), col("_it").as("_it2"))
     l.join(r, Seq("_bk"))
@@ -56,6 +62,34 @@ object Assoc {
       .groupBy(col("_it").as("item_a"), col("_it2").as("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minCount)
+  }
+
+  /** Frequent ordered triples (a < b < c) — the order-3 itemset stage:
+    * three-way self-join on the co-partitioned basket key (the one
+    * exchange still feeds every side), C(|b|,3) rows per basket, so
+    * `maxBasket` matters cubically here (default tightened to 64:
+    * C(64,3) ≈ 42k rows per worst-case basket vs C(256,3) ≈ 2.7M).
+    *
+    * Spec-only (no declared query): the synthetic order/part space has
+    * NO repeated triple at bench SF (probed: max triple count 1 at
+    * sf0.1 — collision probability falls as the part space grows), and
+    * the oracle's three-way join would dominate Verify wall-clock for
+    * an empty answer. The mechanism is covered by AssocSpec; a real
+    * retail corpus would declare this exactly like the pair query.
+    */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 2L, maxBasket: Int = 64): DataFrame = {
+    val sized = sizedItems(
+      df.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct(),
+      maxBasket)
+    val b = sized.select(col("_bk"), col("_it").as("_it2"))
+    val c = sized.select(col("_bk"), col("_it").as("_it3"))
+    sized.join(b, Seq("_bk")).filter(col("_it") < col("_it2"))
+      .join(c, Seq("_bk")).filter(col("_it2") < col("_it3"))
+      .groupBy(col("_it").as("item_a"), col("_it2").as("item_b"),
+        col("_it3").as("item_c"))
+      .agg(count(lit(1)).as("triple_cnt"))
+      .filter(col("triple_cnt") >= minCount)
   }
 
   /** Per-basket distinct-item sizes — the audit companion to

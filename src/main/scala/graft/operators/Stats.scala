@@ -162,6 +162,44 @@ object Stats {
       .select(col(groupCol), col("q"), col(valueCol).as("value"))
   }
 
+  /** Interpolated grouped percentiles — the PERCENTILE_CONT twin of
+    * [[percentileBands]] (which is PERCENTILE_DISC). SQL-standard
+    * position p = q·(n−1): the bracket row is found by EXACT integer
+    * rank arithmetic on the rational q = qn/qd ((rn−1)·qd ≤ qn·(n−1) <
+    * rn·qd), the fractional part is an exact integer remainder over qd
+    * (one division — same ints, same double on any engine), and the
+    * interpolation v_lo + frac·(v_hi − v_lo) is fixed-operand-order.
+    * v_hi rides every row as a lead() over the SAME group window — no
+    * second lookup join. Output: (groupCol, q, value).
+    *
+    * Scale shape: identical to [[percentileBands]] — one keyed-window
+    * rank pass + a broadcast |qs|-row target join.
+    */
+  def percentileBandsCont(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
+      "quantiles must be rationals in [0, 1]")
+    val s = df.sparkSession
+    val w = Window.partitionBy(groupCol).orderBy(col("_v"))
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_vn", lead(col("_v"), 1).over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val targets = s.createDataFrame(qs.map { case (qn, qd) =>
+      (qn.toDouble / qd, qn.toLong, qd.toLong)
+    }).toDF("q", "_qn", "_qd")
+    val pos = col("_qn") * (col("_n") - 1) // integer position*qd
+    ranked
+      .join(broadcast(targets),
+        (col("_rn") - 1) * col("_qd") <= pos && pos < col("_rn") * col("_qd"))
+      .withColumn("_rem", pos - (col("_rn") - 1) * col("_qd"))
+      .select(col(groupCol), col("q"),
+        (col("_v") + (col("_rem").cast("double") / col("_qd").cast("double"))
+          * (coalesce(col("_vn"), col("_v")) - col("_v"))).as("value"))
+  }
+
   /** Robust per-group outliers via the MAD modified z-score
     * (Iglewicz-Hoaglin '93): M = 0.6745·(x − median) / MAD with
     * |M| > cutoff flagged — immune to the outliers themselves (unlike

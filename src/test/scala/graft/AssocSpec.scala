@@ -53,4 +53,25 @@ class AssocSpec extends SparkSpec {
     assert(rules(("x", "z"))._4 == rules(("z", "x"))._4)
     assert(rules(("x", "z"))._3 == 2.0 / 3.0)
   }
+
+  test("frequentTriples: ordered triples, counts, cubic guard") {
+    // b1={x,y,z,w} b2={x,y,z} b3={x,y,w}: (x,y,z) twice, (x,y,w) twice,
+    // (x,z,w)/(y,z,w)/(x,y,z,w)-subsets once
+    val tdf = Seq(
+      ("b1", "x"), ("b1", "y"), ("b1", "z"), ("b1", "w"),
+      ("b2", "x"), ("b2", "y"), ("b2", "z"),
+      ("b3", "x"), ("b3", "y"), ("b3", "w")
+    ).toDF("bk", "it")
+    val got = Assoc.frequentTriples(tdf, "bk", "it", minCount = 2L)
+      .orderBy("item_a", "item_b", "item_c")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // lexicographic item order: {x,y,w} canonicalizes to (w,x,y)
+    assert(got.toSeq == Seq(("w", "x", "y", 2L), ("x", "y", "z", 2L)))
+    // the guard drops a poisoned basket before the cubic explosion
+    val mega = (1 to 80).map(i => ("big", s"i$i")).toDF("bk", "it").union(tdf)
+    val guarded = Assoc.frequentTriples(mega, "bk", "it", minCount = 2L, maxBasket = 10)
+      .orderBy("item_a", "item_b", "item_c")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(guarded.toSeq == got.toSeq)
+  }
 }

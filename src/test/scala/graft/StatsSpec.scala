@@ -151,6 +151,20 @@ class StatsSpec extends SparkSpec {
     assert(g.getLong(1) == 0L && g.isNullAt(3) && g.isNullAt(5))
   }
 
+  test("percentileBandsCont: SQL-standard interpolation at q*(n-1)") {
+    val df = Seq(("a", 0.0), ("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+      ("b", 7.0)).toDF("grp", "v")
+    val out = Stats.percentileBandsCont(df, "grp", "v",
+        Seq(1 -> 10, 1 -> 4, 1 -> 2, 1 -> 1))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      // n=5: p = q*4 -> 0.4, 1.0, 2.0, 4.0
+      ("a", 0.1, 4.0), ("a", 0.25, 10.0), ("a", 0.5, 20.0), ("a", 1.0, 40.0),
+      // singleton group: every quantile is the value
+      ("b", 0.1, 7.0), ("b", 0.25, 7.0), ("b", 0.5, 7.0), ("b", 1.0, 7.0)))
+  }
+
   test("benfordAudit: exact integer digit extraction; powers of two track Benford") {
     // hand-checkable digits: 1, 19.99, 900.5, 0.07 -> 1, 1, 9, 7
     val known = Seq(1.0, 19.99, 900.5, 0.07, -5.0, 0.0).toDF("v")
