@@ -1760,6 +1760,33 @@ object SparkEntry {
       Events.cusumAlarms(shifted, "event_type", "ts", hMult = 2)
         .orderBy("event_type", "day")
     }),
+    // EXT streaming CUSUM applied to a batch frame (suite strategy):
+    // daily counts stream-static-joined with FROZEN (ref, h) derived
+    // once from the corpus; one long of per-key state carries the
+    // reflected sum across batches — the lambda is hash-checked
+    // against the same recursive-CTE path as the batch operator
+    "cusum_stream_shift" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+      val shifted = ev.unionByName(ev.filter(
+        col("event_type") === "error" &&
+          col("ts").cast("date") >= lit("2024-01-20").cast("date")))
+      val daily = shifted
+        .groupBy(col("event_type").as("key"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val refs = daily.groupBy(col("key"))
+        .agg(sum(col("cnt")).as("_tot"), count(lit(1)).as("_nd"))
+        .select(col("key"),
+          floor((col("_tot") + col("_nd") - 1) / col("_nd")).cast("long").as("ref"))
+        .withColumn("h", col("ref") * 2)
+      val points = daily.join(refs, Seq("key"))
+        .select(col("key"), col("day"), col("cnt"), col("ref"), col("h"))
+        .as[graft.streaming.CusumPoint]
+      graft.streaming.StreamOps.cusumStream(points)
+        .toDF("event_type", "day", "s")
+        .orderBy("event_type", "day")
+    }),
     // EXT streaming transition edges applied to a batch frame (the
     // suite strategy for stream lambdas — the same
     // flatMapGroupsWithState code path StreamingSpec drives through
@@ -4901,6 +4928,30 @@ object SparkEntry {
          |  v + (CAST(rem AS DOUBLE) / qd) * (COALESCE(vn, v) - v) AS value
          |FROM s ORDER BY event_type, q""".stripMargin
     },
+    // the stream lambda walks the identical path -> identical oracle
+    "cusum_stream_shift" ->
+      """WITH RECURSIVE u AS (SELECT event_type, ts FROM events
+        |   UNION ALL
+        |   SELECT event_type, ts FROM events
+        |   WHERE event_type = 'error' AND CAST(ts AS DATE) >= DATE '2024-01-20'),
+        | dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2),
+        | st AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+        |        CAST(COUNT(*) AS BIGINT) AS nd FROM dc GROUP BY 1),
+        | p AS (SELECT event_type, (tot + nd - 1) // nd AS ref,
+        |       2 * ((tot + nd - 1) // nd) AS h FROM st),
+        | r AS (SELECT dc.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY day) AS rn FROM dc),
+        | c AS (SELECT r.event_type, r.day, r.rn,
+        |        GREATEST(0, r.cnt - p.ref) AS s
+        |       FROM r JOIN p USING (event_type) WHERE rn = 1
+        |       UNION ALL
+        |       SELECT r.event_type, r.day, r.rn,
+        |        GREATEST(0, c.s + r.cnt - p.ref)
+        |       FROM c JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1
+        |            JOIN p ON p.event_type = r.event_type)
+        |SELECT c.event_type, c.day, c.s FROM c JOIN p USING (event_type)
+        |WHERE c.s > p.h ORDER BY event_type, day""".stripMargin,
     // recursive-CTE walk of the same integer CUSUM path (rn-chained,
     // one step per day), alarms where s > h = 2*ref
     "cusum_error_shift" ->

@@ -30,6 +30,15 @@ case class RankedItem(g: String, v: Double, id: Long)
   */
 case class TypedEvent(user_id: Long, event_id: Long, tsMicros: Long,
     event_type: String)
+
+/** One (key, day) count with its FROZEN CUSUM parameters riding along
+  * (joined stream-static upstream, the against-family pattern):
+  * reference k and decision threshold h.
+  */
+case class CusumPoint(key: String, day: java.sql.Date, cnt: Long,
+    ref: Long, h: Long)
+/** An alarm: the reflected running sum s exceeded h on `day`. */
+case class CusumAlarm(key: String, day: java.sql.Date, s: Long)
 /** Per-user carry state: the latest event seen (total (ts, id) order). */
 case class LastEvent(tsMicros: Long, event_id: Long, event_type: String)
 /** One observed transition edge (pre-aggregation). */
@@ -826,6 +835,34 @@ object StreamOps {
     * would pair out of order — buffer-and-watermark reordering is a
     * different operator.
     */
+  /** Streaming twin of [[graft.operators.Events.cusumAlarms]]: the
+    * reflected running sum S = max(0, S + cnt − ref) carried as ONE
+    * long of per-key state across micro-batches, alarms (S > h)
+    * emitted in Append mode. The reference/threshold are FROZEN inputs
+    * riding each point (a stream-static join upstream, the
+    * against-family pattern) — an online ceil-mean would make the
+    * statistic drift with the very anomaly it is trying to flag.
+    * Within a batch, points sort by day; across batches the keyed-log
+    * monotone-delivery contract applies (same as
+    * [[transitionsStream]]).
+    */
+  def cusumStream(points: Dataset[CusumPoint]): Dataset[CusumAlarm] = {
+    val sess = points.sparkSession
+    import sess.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[CusumPoint], state: GroupState[Long]) => {
+          val sorted = it.toSeq.sortBy(_.day.getTime)
+          var s = state.getOption.getOrElse(0L)
+          val out = sorted.flatMap { p =>
+            s = math.max(0L, s + p.cnt - p.ref)
+            if (s > p.h) Some(CusumAlarm(key, p.day, s)) else None
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   def transitionsStream(events: Dataset[TypedEvent]): DataFrame = {
     val sess = events.sparkSession
     import sess.implicits._

@@ -777,4 +777,33 @@ class StreamingSpec extends SparkSpec {
     // 90 events over 5 users -> 85 transitions total
     assert(streamed.values.sum == 85L)
   }
+
+  test("cusumStream: S carries across the batch boundary; alarms == batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CusumPoint
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-03-$d%02d")
+    // g: 4,4,4,4,24,24 with ref 11, h 22 -> alarm only on day 6 (s=26);
+    // the shift spans the batch split, so day 6's alarm NEEDS day 5's
+    // carried s=13
+    val pts = Seq(4, 4, 4, 4, 24, 24).zipWithIndex.map { case (c, i) =>
+      CusumPoint("g", day(i + 1), c.toLong, 11L, 22L)
+    }
+    val mem = MemoryStream[CusumPoint]
+    val q = StreamOps.cusumStream(mem.toDS())
+      .writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    val (b1, b2) = pts.splitAt(5)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_out").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSeq
+    assert(streamed == Seq(("g", "2024-03-06", 26L)))
+    // equal to the batch operator on the equivalent raw events
+    val ev = pts.flatMap(p => (0 until p.cnt.toInt).map(i =>
+      ("g", new Timestamp(p.day.getTime + i * 1000L))))
+      .toDF("event_type", "ts")
+    val batch = graft.operators.Events.cusumAlarms(ev, "event_type", "ts", hMult = 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSeq
+    assert(batch == streamed)
+  }
 }
