@@ -1736,6 +1736,22 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT A/B two-proportion z-test (Stats.abTestProportions):
+    // deterministic md5-parity arms over events, conversion =
+    // value > 100 — an A/A calibration readout (|z| small); ONE
+    // map-side global aggregate, no shuffle beyond the combine
+    "ab_test_value" -> ((s, dir) =>
+      Stats.abTestProportions(t(s, dir, "events"), "event_id",
+        col("value") > 100)),
+    // EXT Kaplan-Meier survival (Events.kaplanMeier, KM 1958):
+    // hours-to-first-purchase per user with right censoring at end of
+    // observation; ONE ordered fold over the observation-window grid
+    // carries the at-risk count AND the survival product (no
+    // partition-less window); integer time buckets, round(6) survival
+    "kaplan_meier_purchase" -> ((s, dir) =>
+      Events.kaplanMeier(t(s, dir, "events"), "user_id", "ts",
+          col("event_type") === "purchase")
+        .orderBy("t")),
     // EXT interpolated percentiles (Stats.percentileBandsCont, the
     // PERCENTILE_CONT twin of latency_bands): bracket row by exact
     // integer rank arithmetic, fraction as an exact remainder, v_hi
@@ -4911,6 +4927,47 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "ab_test_value" -> {
+      val parity = "(instr('0123456789abcdef', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2"
+      s"""WITH o AS (SELECT $parity AS b,
+         |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS x FROM events),
+         | a AS (SELECT CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |        CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |        CAST(SUM(CASE WHEN b = 0 THEN x ELSE 0 END) AS BIGINT) AS x_a,
+         |        CAST(SUM(CASE WHEN b = 1 THEN x ELSE 0 END) AS BIGINT) AS x_b FROM o)
+         |SELECT n_a, n_b, x_a, x_b,
+         |  ROUND(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+         |  ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+         |  ROUND((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |       - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+         |FROM a""".stripMargin
+    },
+    // recursive-CTE mirror of the KM fold: rn-chained steps carrying
+    // (nr, s); first step's 1.0 * x == x bitwise, so the shapes agree
+    "kaplan_meier_purchase" ->
+      """WITH RECURSIVE u AS (SELECT user_id, MIN(epoch_us(ts)) AS start,
+        |        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS dus
+        |      FROM events GROUP BY 1),
+        | m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+        | o AS (SELECT CASE WHEN dus IS NOT NULL THEN (dus - start) // 3600000000
+        |              ELSE (mx - start) // 3600000000 END AS t,
+        |        CASE WHEN dus IS NOT NULL THEN 1 ELSE 0 END AS death FROM u, m),
+        | tb AS (SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+        |        CAST(SUM(1 - death) AS BIGINT) AS c FROM o GROUP BY 1),
+        | r0 AS (SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM tb),
+        | tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM tb),
+        | km AS (SELECT r0.t, r0.d, r0.c, r0.rn, tot.n AS nr,
+        |         (1 - CAST(r0.d AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS s
+        |        FROM r0, tot WHERE rn = 1
+        |        UNION ALL
+        |        SELECT r0.t, r0.d, r0.c, r0.rn, km.nr - km.d - km.c,
+        |         km.s * (1 - CAST(r0.d AS DOUBLE) / CAST(km.nr - km.d - km.c AS DOUBLE))
+        |        FROM km JOIN r0 ON r0.rn = km.rn + 1)
+        |SELECT t, nr AS n_risk, d AS deaths, ROUND(s, 6) AS survival
+        |FROM km WHERE d > 0 ORDER BY t""".stripMargin,
     "latency_bands_cont" -> {
       // q literals in e-notation = the exact doubles Spark's
       // qn.toDouble/qd evaluates (decimal-literal invariant)

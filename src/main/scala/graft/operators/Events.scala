@@ -202,6 +202,75 @@ object Events {
       .orderBy("day")
   }
 
+  /** Kaplan-Meier survival estimator (Kaplan & Meier 1958) for
+    * time-to-event with right censoring: per subject, the clock starts
+    * at their FIRST event; "death" is their first event satisfying
+    * `deathCond`; subjects with no such event are censored at the end
+    * of observation (the global max timestamp). Time is bucketed to
+    * integer `unitMicros` units (default hours) — all integer
+    * arithmetic up to the survival product.
+    *
+    * S(t) = Π_{t_i <= t, d_i > 0} (1 − d_i/n_i) runs as ONE ordered
+    * fold over the bounded time-bucket table that carries BOTH the
+    * at-risk count (subjects not yet dead or censored) and the running
+    * product — no partition-less window, no second pass; term order is
+    * ascending t on both engines, so the double product replays
+    * bitwise (multiplication is IEEE-exact per op; d=0 rows multiply
+    * by exact 1.0 — an identity). Output: (t, n_risk, deaths,
+    * survival) for death steps only, survival round(6)-quantized.
+    *
+    * Scale shape (100 TB): one user-key groupBy (first event / first
+    * death / censor time), a 1-row broadcast max, one
+    * map-side-combinable bucket roll-up bounded by the OBSERVATION
+    * WINDOW (hours in range — a grid, not the data), and the fold over
+    * that grid.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      deathCond: Column, unitMicros: Long = 3600000000L): DataFrame = {
+    require(unitMicros >= 1, s"kaplanMeier: need unitMicros>=1, got $unitMicros")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(us).as("_start"),
+        min(when(deathCond, us)).as("_dus"))
+    val maxTs = events.agg(max(us).as("_mx"))
+    val obs = perUser.crossJoin(broadcast(maxTs))
+      .select(
+        when(col("_dus").isNotNull,
+          floor((col("_dus") - col("_start")) / unitMicros))
+          .otherwise(floor((col("_mx") - col("_start")) / unitMicros))
+          .cast("long").as("_t"),
+        col("_dus").isNotNull.cast("long").as("_death"))
+    val buckets = obs.groupBy(col("_t"))
+      .agg(sum(col("_death")).as("_d"),
+        sum(lit(1L) - col("_death")).as("_c"))
+    val zero = struct(
+      lit(0L).as("rem"), // filled from the total below
+      lit(1.0).as("surv"),
+      array().cast("array<struct<t:bigint,nr:bigint,d:bigint,s:double>>").as("path"))
+    buckets
+      .agg(sort_array(collect_list(struct(col("_t"), col("_d"), col("_c")))).as("_l"),
+        (sum(col("_d")) + sum(col("_c"))).as("_n"))
+      .select(aggregate(col("_l"),
+        struct(col("_n").as("rem"), lit(1.0).as("surv"),
+          zero.getField("path").as("path")),
+        (acc, x) => {
+          val nr = acc.getField("rem")
+          val s2 = acc.getField("surv") *
+            (lit(1.0) - x.getField("_d").cast("double") / nr.cast("double"))
+          struct(
+            (nr - x.getField("_d") - x.getField("_c")).as("rem"),
+            s2.as("surv"),
+            concat(acc.getField("path"),
+              array(struct(x.getField("_t").as("t"), nr.as("nr"),
+                x.getField("_d").as("d"), s2.as("s")))).as("path"))
+        }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .filter(col("_e.d") > 0)
+      .select(col("_e.t").as("t"), col("_e.nr").as("n_risk"),
+        col("_e.d").as("deaths"), round(col("_e.s"), 6).as("survival"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for every ordered adjacent pair of a user's events,
     * count the (from_type, to_type) transition and normalize per

@@ -263,6 +263,40 @@ object Stats {
     * of cells against margins are AQE-decided; every crossJoin is
     * against a broadcast 1-row aggregate.
     */
+  /** Two-proportion z-test over a DETERMINISTIC 50/50 md5 split (the
+    * A/B harness statistic): units are assigned arm by the parity of
+    * the portable md5 hash of `idCol` under `seed` (re-runnable on any
+    * engine/cluster — assignment is data, not RNG state), conversions
+    * counted exactly, and the pooled z = (p_a − p_b) /
+    * sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) computed in fixed operand order
+    * (division/sqrt are IEEE-exact). With no real treatment this is an
+    * A/A calibration readout — |z| should be small. Output one row:
+    * (n_a, n_b, x_a, x_b, p_a, p_b, z), rates and z round(6).
+    *
+    * Scale shape (100 TB): ONE map-side-combinable global aggregate —
+    * no join, no window, no shuffle beyond the 1-row combine.
+    */
+  def abTestProportions(df: DataFrame, idCol: String, convCond: Column,
+      seed: String = "ab"): DataFrame = {
+    val arm = graft.functions.TextFunctions.md5Bits64(
+      concat(lit(seed + ":"), col(idCol).cast("string"))).bitwiseAND(lit(1L))
+    val agg0 = df
+      .select(arm.as("_b"), convCond.cast("long").as("_x"))
+      .agg(sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_b") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_b") === 0L, col("_x")).otherwise(0L)).as("x_a"),
+        sum(when(col("_b") === 1L, col("_x")).otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    agg0.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round((pa - pb) / se, 6).as("z"))
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
     * standard forensic-accounting screen): observed leading-digit
     * shares of a positive amount column vs the Benford expectation

@@ -146,6 +146,30 @@ class EventsSpec extends SparkSpec {
     sums.foreach { case (f, s) => assert(math.abs(s - 1.0) < 1e-12, s"from $f sums $s") }
   }
 
+  test("kaplanMeier: hand-computed curve with censoring") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1, u2: purchase 2h after first event -> death t=2
+      (1L, t("2024-04-01 08:00:00"), "view"),
+      (1L, t("2024-04-01 10:00:00"), "purchase"),
+      (2L, t("2024-04-01 08:00:00"), "view"),
+      (2L, t("2024-04-01 10:00:00"), "purchase"),
+      // u3: never purchases; active until the global max -> censored t=4
+      (3L, t("2024-04-01 08:00:00"), "view"),
+      (3L, t("2024-04-01 12:00:00"), "view"),
+      // u4: purchase 1h in -> death t=1
+      (4L, t("2024-04-01 08:00:00"), "view"),
+      (4L, t("2024-04-01 09:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.kaplanMeier(ev, "user_id", "ts",
+        col("event_type") === "purchase")
+      .orderBy("t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // S(1) = 1 - 1/4 = 0.75 ; S(2) = 0.75 * (1 - 2/3) = 0.25;
+    // the censored-only bucket t=4 emits no step
+    assert(out.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 2L, 0.25)))
+  }
+
   test("cusumAlarms: hand-walked path, alarm after the shift, flat stream silent") {
     def t(s: String) = Timestamp.valueOf(s)
     // type g: 4,4,4,4,24,24 per day -> ref = ceil(64/6) = 11, h = 22;

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{avg, col, stddev_pop}
+import org.apache.spark.sql.functions.{avg, col, concat, lit, stddev_pop}
 import org.apache.spark.sql.types._
 import graft.operators.Stats
 
@@ -163,6 +163,28 @@ class StatsSpec extends SparkSpec {
       ("a", 0.1, 4.0), ("a", 0.25, 10.0), ("a", 0.5, 20.0), ("a", 1.0, 40.0),
       // singleton group: every quantile is the value
       ("b", 0.1, 7.0), ("b", 0.25, 7.0), ("b", 0.5, 7.0), ("b", 1.0, 7.0)))
+  }
+
+  test("abTestProportions: counts partition exactly; arm-aligned effect maxes z") {
+    import graft.functions.TextFunctions
+    val df = (1L to 1000L).toDF("id")
+    // null effect: conversion independent of arm (id % 3 == 0)
+    val aa = Stats.abTestProportions(df, "id", col("id") % 3 === 0).head()
+    assert(aa.getLong(0) + aa.getLong(1) == 1000L)
+    assert(aa.getLong(2) + aa.getLong(3) == 333L)
+    assert(math.abs(aa.getDouble(6)) < 3.0, s"A/A z should be small: ${aa.getDouble(6)}")
+    // perfectly arm-aligned conversion: p_a = 1, p_b = 0, huge z
+    val armCond = TextFunctions.md5Bits64(
+      concat(lit("ab:"), col("id").cast("string"))).bitwiseAND(lit(1L)) === 0L
+    val ab = Stats.abTestProportions(df, "id", armCond).head()
+    assert(ab.getDouble(4) == 1.0 && ab.getDouble(5) == 0.0)
+    assert(ab.getDouble(6) > 10.0)
+    // z recomputed from the emitted exact counts matches
+    val (na, nb, xa, xb) = (aa.getLong(0), aa.getLong(1), aa.getLong(2), aa.getLong(3))
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(aa.getDouble(6) - z) < 1e-6)
   }
 
   test("benfordAudit: exact integer digit extraction; powers of two track Benford") {
