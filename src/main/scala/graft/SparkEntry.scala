@@ -1736,6 +1736,20 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT Mann-Whitney U (Stats.mannWhitney): click vs error values,
+    // midrank tie correction — cell-based, so every float term is an
+    // exact dyadic (order-free sums); the cumulative window rides the
+    // measurement-grid-bounded cell table
+    "mann_whitney_value" -> ((s, dir) =>
+      Stats.mannWhitney(t(s, dir, "events"), "event_type", "value",
+        "click", "error")),
+    // EXT simple OLS trend (Stats.olsSimple): value-cents regressed on
+    // hour-of-stream — five exact BIGINT moment sums in ONE map-side
+    // aggregate, doubles only in the final fixed-order combination
+    "ols_value_trend" -> ((s, dir) =>
+      Stats.olsSimple(t(s, dir, "events"),
+        floor(unix_micros(col("ts").cast("timestamp")) / 3600000000L) - 473352L,
+        round(col("value") * 100))),
     // EXT A/B two-proportion z-test (Stats.abTestProportions):
     // deterministic md5-parity arms over events, conversion =
     // value > 100 — an A/A calibration readout (|z| small); ONE
@@ -4927,6 +4941,47 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "mann_whitney_value" ->
+      """WITH s AS (SELECT value AS v,
+        |        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        |       FROM events WHERE event_type IN ('click', 'error')),
+        | c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS na,
+        |        CAST(SUM(1 - a) AS BIGINT) AS nb FROM s GROUP BY 1),
+        | w AS (SELECT v, na, nb, na + nb AS t,
+        |        CAST(COALESCE(SUM(na + nb) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |       FROM c),
+        | a AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+        |        SUM(CAST(na AS DOUBLE) * (CAST(cb AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2)) AS ra,
+        |        CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM w)
+        |SELECT n_a, n_b,
+        |  ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2 AS u_a,
+        |  ROUND((ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+        |    / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12)
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1)
+        |        - CAST(tt AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)))), 6) AS z
+        |FROM a""".stripMargin,
+    "ols_value_trend" ->
+      """WITH o AS (SELECT (epoch_us(ts) // 3600000000) - 473352 AS x,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS y FROM events),
+        | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy FROM o)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM a""".stripMargin,
     "ab_test_value" -> {
       val parity = "(instr('0123456789abcdef', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2"
       s"""WITH o AS (SELECT $parity AS b,

@@ -263,6 +263,86 @@ object Stats {
     * of cells against margins are AQE-decided; every crossJoin is
     * against a broadcast 1-row aggregate.
     */
+  /** Mann-Whitney U (Wilcoxon rank-sum) between two groups, with the
+    * midrank tie correction — the nonparametric two-sample test. The
+    * computation is CELL-BASED: samples collapse to one row per
+    * distinct value (bounded by the measurement grid, not the row
+    * count), midranks come from a cumulative window over that cell
+    * table, and R_a = Σ na_i·midrank_i sums terms that are all exact
+    * dyadic doubles (integers and half-integers far below 2^52), so
+    * the float sum is EXACT and order-independent — no ordered-fold
+    * machinery needed. The tie term Σ(t³−t) is pure integer. z uses
+    * the tie-corrected variance (n_a·n_b/12)·((N+1) − T/(N(N−1))).
+    * Output one row: (n_a, n_b, u_a, z), z round(6).
+    *
+    * Scale shape (100 TB): one value-cell groupBy (map-side
+    * combinable), the cumulative window over the GRID-bounded cell
+    * table, one global aggregate.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "mannWhitney: groups must differ")
+    val s = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("_v"),
+        (col(groupCol) === groupA).cast("long").as("_a"))
+    val cells = s.groupBy(col("_v"))
+      .agg(sum(col("_a")).as("_na"), sum(lit(1L) - col("_a")).as("_nb"))
+      .withColumn("_t", col("_na") + col("_nb"))
+    val wcum = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("_cb",
+      coalesce(sum(col("_t")).over(wcum), lit(0L)))
+    val agg0 = ranked.agg(
+      sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
+      sum(col("_na").cast("double") *
+        (col("_cb").cast("double") + (col("_t").cast("double") + 1) / 2)).as("_ra"),
+      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tt"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val ua = col("_ra") - na * (na + 1) / 2
+    val varU = (na * nb / 12) *
+      ((nn + 1) - col("_tt").cast("double") / (nn * (nn - 1)))
+    agg0.select(col("n_a"), col("n_b"), ua.as("u_a"),
+      round((ua - na * nb / 2) / sqrt(varU), 6).as("z"))
+  }
+
+  /** Simple OLS y ~ a + b·x from EXACT integer moments: the caller
+    * maps x and y to integer units (hours, cents); Σx, Σy, Σxy, Σx²,
+    * Σy² aggregate as exact BIGINTs (map-side combinable, one pass),
+    * and slope/intercept/r² combine the five sums in doubles at the
+    * END in fixed operand order — the moment sums are
+    * order-independent integers, so there is no float-aggregation
+    *-order hazard anywhere. The n·Σxy − Σx·Σy numerators are formed
+    * AFTER the double cast (BIGINT products would overflow ~10⁶ rows
+    * earlier). Output one row: (n, slope, intercept, r2), round(6).
+    *
+    * Scale shape (100 TB): one global aggregate, nothing else.
+    */
+  def olsSimple(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val agg0 = df.select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val nD = col("n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val sxx = col("_sxx").cast("double")
+    val syy = col("_syy").cast("double")
+    val covN = nD * sxy - sx * sy
+    val varXN = nD * sxx - sx * sx
+    val varYN = nD * syy - sy * sy
+    // degenerate-variance guards (ANSI x/0): constant x -> no fit,
+    // constant y -> r2 undefined
+    agg0.select(col("n"),
+      when(varXN > 0, round(covN / varXN, 6)).as("slope"),
+      when(varXN > 0, round((sy - (covN / varXN) * sx) / nD, 6)).as("intercept"),
+      when(varXN > 0 && varYN > 0, round((covN * covN) / (varXN * varYN), 6))
+        .as("r2"))
+  }
+
   /** Two-proportion z-test over a DETERMINISTIC 50/50 md5 split (the
     * A/B harness statistic): units are assigned arm by the parity of
     * the portable md5 hash of `idCol` under `seed` (re-runnable on any

@@ -105,8 +105,11 @@ class PlanSpec extends SparkSpec {
     // token_budget_select's offset window rides the FIXED 256-bucket
     // md5-prefix aggregate (same grid-bounded class); the per-row sums
     // window WITHIN buckets
+    // mann_whitney_value's cumulative window rides the value-CELL
+    // aggregate — bounded by the 2-decimal measurement grid (<= 20001
+    // cells), not the row count
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
-      "quantiles_binned_chars", "token_budget_select")
+      "quantiles_binned_chars", "token_budget_select", "mann_whitney_value")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)

@@ -187,6 +187,37 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(aa.getDouble(6) - z) < 1e-6)
   }
 
+  test("olsSimple: exact fit recovered, r2 = 1 on a noiseless line") {
+    val df = (0L to 100L).map(x => (x, 3 * x + 7)).toDF("x", "y")
+    val r = Stats.olsSimple(df, col("x"), col("y")).head()
+    assert(r.getLong(0) == 101L)
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 7.0 && r.getDouble(3) == 1.0)
+    // flat y: slope 0, intercept = the constant, r2 undefined (null)
+    val flat = (0L to 50L).map(x => (x, 42L)).toDF("x", "y")
+    val f = Stats.olsSimple(flat, col("x"), col("y")).head()
+    assert(f.getDouble(1) == 0.0 && f.getDouble(2) == 42.0 && f.isNullAt(3))
+    // constant x: no fit at all
+    val cx = (0L to 50L).map(y => (5L, y)).toDF("x", "y")
+    val g = Stats.olsSimple(cx, col("x"), col("y")).head()
+    assert(g.isNullAt(1) && g.isNullAt(2) && g.isNullAt(3))
+  }
+
+  test("mannWhitney: hand-computed U and tie-corrected z") {
+    // A=[1,1], B=[1,2]: U_a = #(a>b) + 0.5*#(a=b) = 1;
+    // T = 3^3-3 = 24, var = (4/12)*(5 - 24/12) = 1, z = (1-2)/1 = -1
+    val df = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    val r = Stats.mannWhitney(df, "g", "v", "A", "B").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, s"U_a ${r.getDouble(2)}")
+    assert(r.getDouble(3) == -1.0, s"z ${r.getDouble(3)}")
+    // complete separation: A all below B -> U_a = 0, z < 0
+    val sep = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val s = Stats.mannWhitney(sep, "g", "v", "A", "B").head()
+    assert(s.getDouble(2) == 0.0)
+    assert(math.abs(s.getDouble(3) - (-2.0 / math.sqrt(4.0 / 12 * 5))) < 1e-6)
+  }
+
   test("benfordAudit: exact integer digit extraction; powers of two track Benford") {
     // hand-checkable digits: 1, 19.99, 900.5, 0.07 -> 1, 1, 9, 7
     val known = Seq(1.0, 19.99, 900.5, 0.07, -5.0, 0.0).toDF("v")
