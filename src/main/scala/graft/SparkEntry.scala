@@ -1736,6 +1736,13 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT daily-count autocorrelation (Events.acfDaily): lags 1-7 of
+    // the event-volume series, integer-exact via the n-scaled form
+    // (n·x−S products — the rational mean never becomes a float); one
+    // stream roll-up, everything else over the |days| aggregate
+    "acf_daily_events" -> ((s, dir) =>
+      Events.acfDaily(t(s, dir, "events"), "ts", maxLag = 7)
+        .orderBy("lag")),
     // EXT Mann-Whitney U (Stats.mannWhitney): click vs error values,
     // midrank tie correction — cell-based, so every float term is an
     // exact dyadic (order-free sums); the cumulative window rides the
@@ -4941,6 +4948,18 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "acf_daily_events" ->
+      """WITH dc AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |       FROM events GROUP BY 1),
+        | t0 AS (SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM dc),
+        | c AS (SELECT (day - DATE '1970-01-01') AS d, n * x - s AS c FROM dc, t0),
+        | den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM c),
+        | l AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+        | num AS (SELECT lag, CAST(SUM(a.c * b.c) AS BIGINT) AS num
+        |         FROM c a CROSS JOIN l JOIN c b ON b.d = a.d + l.lag
+        |         GROUP BY 1)
+        |SELECT lag, ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r
+        |FROM num, den ORDER BY lag""".stripMargin,
     "mann_whitney_value" ->
       """WITH s AS (SELECT value AS v,
         |        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a

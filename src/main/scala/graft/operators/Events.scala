@@ -202,6 +202,41 @@ object Events {
       .orderBy("day")
   }
 
+  /** Autocorrelation of the daily event-count series at lags 1..maxLag
+    * — the seasonality screen. INTEGER-EXACT via the n-scaled form:
+    * with S = Σx and day count n, r_k = Σ(n·x_t − S)(n·x_{t+k} − S) /
+    * Σ(n·x_t − S)² — every product and sum is an exact BIGINT (the
+    * rational mean never materializes as a float), and the single
+    * final division is engine-portable. Denominator over the FULL
+    * series (the standard ACF normalization); output
+    * (lag, r round(6)).
+    *
+    * Scale shape (100 TB): one (day) roll-up of the stream, then
+    * everything — the lag self-join included — runs over the
+    * |days|-bounded aggregate.
+    */
+  def acfDaily(events: DataFrame, tsCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"acfDaily: need maxLag>=1, got $maxLag")
+    val daily = events
+      .groupBy(col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_x"))
+    val tot = daily.agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+    val centered = daily.crossJoin(broadcast(tot))
+      .select(datediff(col("_day"), lit("1970-01-01").cast("date")).as("_d"),
+        (col("_n") * col("_x") - col("_s")).as("_c"))
+    val den = centered.agg(sum(col("_c") * col("_c")).as("_den"))
+    val lags = daily.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val rhs = centered.select(col("_d").as("_d2"), col("_c").as("_c2"))
+    centered.crossJoin(broadcast(lags))
+      .join(rhs, col("_d2") === col("_d") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(sum(col("_c") * col("_c2")).as("_num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"),
+        round(col("_num").cast("double") / col("_den").cast("double"), 6).as("r"))
+  }
+
   /** Kaplan-Meier survival estimator (Kaplan & Meier 1958) for
     * time-to-event with right censoring: per subject, the clock starts
     * at their FIRST event; "death" is their first event satisfying

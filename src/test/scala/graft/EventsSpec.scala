@@ -146,6 +146,20 @@ class EventsSpec extends SparkSpec {
     sums.foreach { case (f, s) => assert(math.abs(s - 1.0) < 1e-12, s"from $f sums $s") }
   }
 
+  test("acfDaily: period-2 alternating series gives r(1) < 0 < r(2)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // daily counts 3,1,3,1,3,1 over six days
+    val ev = (1 to 6).flatMap { d =>
+      val n = if (d % 2 == 1) 3 else 1
+      (0 until n).map(i => t(f"2024-05-0$d 0$i:00:00"))
+    }.toDF("ts")
+    val out = Events.acfDaily(ev, "ts", maxLag = 2)
+      .orderBy("lag").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // centered (n-scaled): c = 6x - 12 -> +6,-6,... ; den = 6*36 = 216
+    // r(1) = 5*(-36)/216 = -0.833333 ; r(2) = 4*36/216 = 0.666667
+    assert(out.toSeq == Seq((1, -0.833333), (2, 0.666667)))
+  }
+
   test("kaplanMeier: hand-computed curve with censoring") {
     def t(s: String) = Timestamp.valueOf(s)
     val ev = Seq(

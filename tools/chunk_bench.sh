@@ -25,7 +25,7 @@ CHUNKS=(
 "pagerank_suppliers,hits_suppliers,q5_nation_revenue,rolling_revenue_7d,acctbal_deciles,q1_pricing_summary,q10_returned_items,q18_large_orders,q19_disjunctive_revenue,q4_order_priority,q6_forecast_revenue"
 "group_bar_hist,group_hist_price,hist2d_qty_price,human_readable,pie_log10_orders,two_level_pie,pivot_status,smooth_gaussian,topk_orders,topk_per_segment,vc_quantity_bins,vc_returnflag,weighted_avg,media_frames"
 "q7_region_volume,q8_market_share,q9_product_profit,q11_important_parts,q12_priority_lag,q13_customer_distribution,q14_promo_revenue,q15_top_supplier,q16_supplier_cnt,q17_small_qty_revenue,q20_red_part_suppliers,q21_waiting_supplier,q22_global_sales,q2_min_cost_supp"
-"json_events,running_total_user,sessions_user,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace,dsir_score_stream,asof_join_events,range_join_events,event_anomalies,mad_outliers,contingency_events,benford_totalprice,retention_cohorts,funnel_stages,funnel_times,dau_wau,hll_distinct_events,zorder_events,concurrency_daily,latency_bands,latency_bands_cont,topk_stream,hll_sliding_users,attribution_join,kmv_sample_users,kmv_distinct_events,ams_f2_events,event_transitions,event_transitions_stream,cusum_error_shift,cusum_stream_shift,kaplan_meier_purchase,ab_test_value,ols_value_trend,mann_whitney_value"
+"json_events,running_total_user,sessions_user,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace,dsir_score_stream,asof_join_events,range_join_events,event_anomalies,mad_outliers,contingency_events,benford_totalprice,retention_cohorts,funnel_stages,funnel_times,dau_wau,hll_distinct_events,zorder_events,concurrency_daily,latency_bands,latency_bands_cont,topk_stream,hll_sliding_users,attribution_join,kmv_sample_users,kmv_distinct_events,ams_f2_events,event_transitions,event_transitions_stream,cusum_error_shift,cusum_stream_shift,kaplan_meier_purchase,ab_test_value,ols_value_trend,mann_whitney_value,acf_daily_events"
 )
 
 steal_sample() { # 5-second steal-cores + load1 sample
