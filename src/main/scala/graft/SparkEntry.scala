@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{ByteFunctions, Formatting, TextFunctions}
-import graft.operators.{Ann, Coo, Corpus, Dedup, Events, Graph, Relational, Retrieval, Sampling, Sketches, Stats, VizPrep, Windows}
+import graft.operators.{Ann, Checks, Coo, Corpus, Dedup, Events, Graph, Relational, Retrieval, Sampling, Sketches, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1736,6 +1736,24 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT declarative data-quality suite (Checks.check, the Deequ
+    // shape): six constraints over orders compile to ONE aggregation
+    // pass (+ a LEFT ANTI for referential integrity) — row predicates
+    // as conditional counts, uniqueness as count-vs-exact-distinct.
+    // The per-constraint scalars are 1-row driver reads (the
+    // stratified-allocation precedent), re-shaped into the report
+    "dq_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      Checks.check(orders, Seq(
+          Checks.NotNull("o_orderkey"),
+          Checks.Unique("o_orderkey"),
+          Checks.InSet("o_orderstatus", Seq("F", "O", "P")),
+          Checks.InRange("o_totalprice", 0.0, 1000000.0),
+          Checks.References("o_custkey", t(s, dir, "customer"), "c_custkey"),
+          Checks.Satisfies("priority_format",
+            col("o_orderpriority").rlike("^[1-5]-"))))
+        .orderBy("constraint")
+    }),
     // EXT daily-count autocorrelation (Events.acfDaily): lags 1-7 of
     // the event-volume series, integer-exact via the n-scaled form
     // (n·x−S products — the rational mean never becomes a float); one
@@ -4948,6 +4966,27 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "dq_orders" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS checked FROM orders),
+        | u AS (
+        |  SELECT 'in_range(o_totalprice)' AS c,
+        |    CAST(SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 1000000 THEN 0 ELSE 1 END) AS BIGINT) AS v
+        |  FROM orders
+        |  UNION ALL SELECT 'in_set(o_orderstatus)',
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'not_null(o_orderkey)',
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'priority_format',
+        |    CAST(SUM(CASE WHEN COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'references(o_custkey)',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'unique(o_orderkey)',
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+        |      - SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |SELECT c AS "constraint", v AS violations, checked, v = 0 AS pass
+        |FROM u, t ORDER BY c""".stripMargin,
     "acf_daily_events" ->
       """WITH dc AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
         |       FROM events GROUP BY 1),
