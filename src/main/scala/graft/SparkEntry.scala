@@ -1736,6 +1736,13 @@ object SparkEntry {
       Events.eventTransitions(t(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
+    // EXT embedding drift (Ann.meanVectorDrift): cosine between the
+    // two label-halves' mean vectors — quantized-integer per-dim sums
+    // (exact, order-free), count factors cancel, exchange bounded at
+    // 2*dim rows; the snapshot-vs-snapshot space monitor
+    "embedding_drift" -> ((s, dir) =>
+      graft.operators.Ann.meanVectorDrift(t(s, dir, "embeddings"),
+        "embedding", col("label") < 5)),
     // EXT declarative data-quality suite (Checks.check, the Deequ
     // shape): six constraints over orders compile to ONE aggregation
     // pass (+ a LEFT ANTI for referential integrity) — row predicates
@@ -4966,6 +4973,23 @@ object SparkEntry {
         |SELECT f AS from_type, t AS to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY f) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "embedding_drift" ->
+      """WITH q AS (SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS g,
+        |        CAST(t.i - 1 AS INT) AS d,
+        |        CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 4096) AS BIGINT) AS qv
+        |       FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+        | s AS (SELECT g, d, CAST(SUM(qv) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+        | j AS (SELECT a.s AS sa, b.s AS sb, a.c AS ca, b.c AS cb
+        |       FROM s a JOIN s b ON a.d = b.d AND a.g = 1 AND b.g = 0),
+        | f AS (SELECT CAST(SUM(sa * sb) AS BIGINT) AS dot,
+        |        CAST(SUM(sa * sa) AS BIGINT) AS na,
+        |        CAST(SUM(sb * sb) AS BIGINT) AS nb,
+        |        MAX(ca) AS n_a, MAX(cb) AS n_b FROM j)
+        |SELECT n_a, n_b,
+        |  ROUND(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_means
+        |FROM f""".stripMargin,
     "dq_orders" ->
       """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS checked FROM orders),
         | u AS (

@@ -847,4 +847,46 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos_sq"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Embedding-distribution drift between two corpus halves: the
+    * cosine between the two MEAN vectors — the standard
+    * "did my embedding space move" monitor between snapshots /
+    * sources / time windows. Components are quantized to `scale`
+    * integer units (round-away-from-zero — portable), so the per-dim
+    * sums are EXACT order-free BIGINTs; the count factors cancel in
+    * the cosine, so the dot/norms run directly on the scaled integer
+    * sums and only the final sqrt/division are float. The 2⁻¹² default
+    * quantization (~2.4e-4 relative) is far below any drift worth
+    * alarming on. Output one row: (n_a, n_b, cos_means).
+    *
+    * Scale shape (100 TB): one (half, dim) groupBy of the exploded
+    * components — map-side combinable, exchange bounded at 2·dim rows;
+    * everything after runs on that aggregate. The integer dot is exact
+    * while |Σq| stays under ~3e9 per dim (10⁹ vectors at default
+    * scale); beyond that, quantize coarser.
+    */
+  def meanVectorDrift(vecs: DataFrame, vecCol: String, splitCond: Column,
+      scale: Int = 4096): DataFrame = {
+    require(scale >= 1, s"meanVectorDrift: need scale>=1, got $scale")
+    val q = vecs
+      .select(splitCond.cast("int").as("_g"),
+        posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .select(col("_g"), col("_d"),
+        round(col("_x").cast("double") * scale).cast("long").as("_q"))
+    val sums = q.groupBy(col("_g"), col("_d"))
+      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_c"))
+    val a = sums.filter(col("_g") === 1)
+      .select(col("_d"), col("_s").as("_sa"), col("_c").as("_ca"))
+    val b = sums.filter(col("_g") === 0)
+      .select(col("_d"), col("_s").as("_sb"), col("_c").as("_cb"))
+    a.join(b, Seq("_d"))
+      .agg(sum(col("_sa") * col("_sb")).as("_dot"),
+        sum(col("_sa") * col("_sa")).as("_na"),
+        sum(col("_sb") * col("_sb")).as("_nb"),
+        max(col("_ca")).as("n_a"), max(col("_cb")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("_dot").cast("double") /
+          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), 6)
+          .as("cos_means"))
+  }
 }

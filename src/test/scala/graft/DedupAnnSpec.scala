@@ -952,4 +952,25 @@ class DedupAnnSpec extends SparkSpec {
       "vec_id", "embedding", 1, signs).collect()
     assert(top1.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
   }
+
+  test("meanVectorDrift: identical halves cos 1, negated halves cos -1, orthogonal ~0") {
+    def mk(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("id", "v").withColumn("g", col("id") % 2 === 0)
+    // both halves drawn from the same two vectors -> identical means
+    val base = Seq(0.5f, -0.25f, 0.125f, 0.75f)
+    val same = mk((0L until 40L).map(i => (i, base.map(x => x + (i % 2) * 0f))))
+    val s = graft.operators.Ann.meanVectorDrift(same, "v", col("g")).head()
+    assert(s.getLong(0) == 20L && s.getLong(1) == 20L)
+    assert(math.abs(s.getDouble(2) - 1.0) < 1e-9)
+    // one half exactly negated -> cos -1
+    val neg = mk((0L until 40L).map(i =>
+      (i, if (i % 2 == 0) base else base.map(-_))))
+    assert(math.abs(graft.operators.Ann.meanVectorDrift(neg, "v", col("g"))
+      .head().getDouble(2) + 1.0) < 1e-9)
+    // orthogonal means: [1,0,0,0] vs [0,1,0,0]
+    val orth = mk((0L until 40L).map(i =>
+      (i, if (i % 2 == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f))))
+    assert(math.abs(graft.operators.Ann.meanVectorDrift(orth, "v", col("g"))
+      .head().getDouble(2)) < 1e-9)
+  }
 }
