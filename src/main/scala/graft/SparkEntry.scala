@@ -1789,6 +1789,35 @@ object SparkEntry {
     "ab_test_value" -> ((s, dir) =>
       Stats.abTestProportions(t(s, dir, "events"), "event_id",
         col("value") > 100)),
+    // EXT Spearman rank correlation (Stats.spearman): quantity vs
+    // price-cents over lineitem — exact integer 2·midranks from the
+    // (x,y) CELL table, five BIGINT moment sums, doubles only in the
+    // final fixed-order combination (the OLS discipline rank-ified)
+    "spearman_qty_price" -> ((s, dir) =>
+      Stats.spearman(t(s, dir, "lineitem"),
+        col("l_quantity"), round(col("l_extendedprice") * 100))),
+    // EXT two-sample Kolmogorov-Smirnov (Stats.ksTest): click vs error
+    // value distributions — D as the exact integer max |ca·nb − cb·na|
+    // over the value-cell CDF grid; the 5% asymptotic critical value
+    // and rejection readout ride the same exact integers
+    "ks_value_click_error" -> ((s, dir) =>
+      Stats.ksTest(t(s, dir, "events"), "event_type", "value",
+        "click", "error")),
+    // EXT Gini concentration (Stats.gini): per-customer spend-cents
+    // inequality — Lorenz rank sums in exact BIGINTs over the
+    // spend-cell table (ties as closed-form rank-run sums), one
+    // division at the readout
+    "gini_customer_spend" -> ((s, dir) =>
+      Stats.gini(
+        t(s, dir, "orders").groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend")),
+        col("spend"))),
+    // EXT Kruskal-Wallis rank ANOVA (Stats.kruskalWallis): does value
+    // differ across ALL event types — k-sample Mann-Whitney with exact
+    // integer rank sums; the only order-sensitive float reduction
+    // (Σ R²/n over k group rows) is an ordered fold, contingency-style
+    "kruskal_value_types" -> ((s, dir) =>
+      Stats.kruskalWallis(t(s, dir, "events"), "event_type", "value")),
     // EXT Kaplan-Meier survival (Events.kaplanMeier, KM 1958):
     // hours-to-first-purchase per user with right censoring at end of
     // observation; ONE ordered fold over the observation-window grid
@@ -5064,6 +5093,95 @@ object SparkEntry {
         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         |FROM a""".stripMargin,
+    "spearman_qty_price" ->
+      """WITH p AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+        |        CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        | mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS m FROM p GROUP BY 1),
+        | rx AS (SELECT x, 2 * CAST(COALESCE(SUM(m) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          + m + 1 AS r2x FROM mx),
+        | my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS m FROM p GROUP BY 1),
+        | ry AS (SELECT y, 2 * CAST(COALESCE(SUM(m) OVER (ORDER BY y
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          + m + 1 AS r2y FROM my),
+        | a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(c * r2x) AS BIGINT) AS sx,
+        |        CAST(SUM(c * r2y) AS BIGINT) AS sy,
+        |        CAST(SUM(c * r2x * r2y) AS BIGINT) AS sxy,
+        |        CAST(SUM(c * r2x * r2x) AS BIGINT) AS sxx,
+        |        CAST(SUM(c * r2y * r2y) AS BIGINT) AS syy
+        |       FROM p JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |       THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM a""".stripMargin,
+    "ks_value_click_error" ->
+      """WITH s AS (SELECT value AS v,
+        |        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        |       FROM events WHERE event_type IN ('click', 'error')),
+        | c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS na,
+        |        CAST(SUM(1 - a) AS BIGINT) AS nb FROM s GROUP BY 1),
+        | w AS (SELECT
+        |        CAST(SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |        CAST(SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        |        CAST(SUM(na) OVER () AS BIGINT) AS ta,
+        |        CAST(SUM(nb) OVER () AS BIGINT) AS tb FROM c),
+        | a AS (SELECT MAX(ta) AS n_a, MAX(tb) AS n_b,
+        |        CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS d_num FROM w)
+        |SELECT n_a, n_b, d_num,
+        |  ROUND(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+        |  ROUND(1.358e0 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS d_crit,
+        |  (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |    > (1.358e0 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))) AS reject
+        |FROM a""".stripMargin,
+    "gini_customer_spend" ->
+      """WITH s AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |       FROM orders GROUP BY 1),
+        | c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+        | r AS (SELECT v, c, CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |       FROM c),
+        | a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(v * c) AS BIGINT) AS total,
+        |        CAST(SUM(v * (c * cb + (c * (c + 1)) // 2)) AS BIGINT) AS sr FROM r)
+        |SELECT n, total,
+        |  CASE WHEN total > 0
+        |       THEN ROUND((2e0 * CAST(sr AS DOUBLE)
+        |           - (CAST(n AS DOUBLE) + 1) * CAST(total AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+        |  END AS gini
+        |FROM a""".stripMargin,
+    "kruskal_value_types" ->
+      """WITH c AS (SELECT event_type AS g, value AS v,
+        |        CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        | vm AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1),
+        | r AS (SELECT v, t, 2 * CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          + t + 1 AS r2 FROM vm),
+        | grp AS (SELECT g, CAST(SUM(c.c) AS BIGINT) AS ng,
+        |        CAST(SUM(c.c * r.r2) AS BIGINT) AS r2g
+        |       FROM c JOIN r USING (v) GROUP BY 1),
+        | tt AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM r),
+        | f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |        list_sum(list(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) / 4e0
+        |          / CAST(ng AS DOUBLE) ORDER BY g)) AS rr FROM grp)
+        |SELECT k, n,
+        |  CASE WHEN (1e0 - CAST(tt AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+        |       THEN ROUND((12e0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * rr
+        |           - 3e0 * (CAST(n AS DOUBLE) + 1))
+        |         / (1e0 - CAST(tt AS DOUBLE)
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+        |  END AS h
+        |FROM f, tt""".stripMargin,
     "ab_test_value" -> {
       val parity = "(instr('0123456789abcdef', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2"
       s"""WITH o AS (SELECT $parity AS b,

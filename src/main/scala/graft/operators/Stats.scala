@@ -465,4 +465,189 @@ object Stats {
             (col("_n").cast("double") * (least(col("_ka"), col("_kb")) - 1))), 6))
           .as("cramers_v"))
   }
+
+  /** Spearman rank correlation of two INTEGER-valued columns (the
+    * caller maps measurements to integer units — counts, cents), with
+    * midrank tie handling. Ranks are carried as the EXACT integer
+    * 2·midrank (= 2·cum_before + tie_count + 1, always whole), and
+    * Pearson is affine-invariant so ρ over 2·rank equals ρ over rank.
+    * The five moment sums (Σc·r2x, Σc·r2x·r2y, …) are exact BIGINTs
+    * over the (x,y) CELL table (one row per distinct pair — bounded by
+    * the measurement grid, not the row count); doubles appear only in
+    * the final fixed-operand-order combination, exactly the
+    * [[olsSimple]] discipline. BIGINT bound: Σc·r2² ≤ 4n³, safe to
+    * n ≈ 1.3e6 rows; past that, coarsen the value grid (quantize)
+    * before ranking — the estimator is rank-based, so any
+    * order-preserving quantization that keeps ties distinct is exact.
+    *
+    * Output one row: (n, rho), rho round(6), null when either margin
+    * is constant (zero rank variance).
+    *
+    * Scale shape (100 TB): one (x,y)-cell groupBy (map-side
+    * combinable); the two marginal rank windows ride GRID-bounded
+    * marginal tables; one global aggregate. No per-row sort anywhere.
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val pairs = df.select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .groupBy("_x", "_y").agg(count(lit(1)).as("_c"))
+    def rank2(marg: DataFrame, key: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(key)).rowsBetween(Window.unboundedPreceding, -1)
+      marg.withColumn("_cb", coalesce(sum(col("_m")).over(w), lit(0L)))
+        .select(col(key),
+          (lit(2L) * col("_cb") + col("_m") + lit(1L)).as(out))
+    }
+    val rx = rank2(pairs.groupBy("_x").agg(sum("_c").as("_m")), "_x", "_r2x")
+    val ry = rank2(pairs.groupBy("_y").agg(sum("_c").as("_m")), "_y", "_r2y")
+    val agg0 = pairs.join(rx, Seq("_x")).join(ry, Seq("_y"))
+      .agg(sum(col("_c")).as("n"),
+        sum(col("_c") * col("_r2x")).as("_sx"),
+        sum(col("_c") * col("_r2y")).as("_sy"),
+        sum(col("_c") * col("_r2x") * col("_r2y")).as("_sxy"),
+        sum(col("_c") * col("_r2x") * col("_r2x")).as("_sxx"),
+        sum(col("_c") * col("_r2y") * col("_r2y")).as("_syy"))
+    val nD = col("n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    val covN = nD * col("_sxy").cast("double") - sx * sy
+    val varXN = nD * col("_sxx").cast("double") - sx * sx
+    val varYN = nD * col("_syy").cast("double") - sy * sy
+    agg0.select(col("n"),
+      when(varXN > 0 && varYN > 0,
+        round(covN / sqrt(varXN * varYN), 6)).as("rho"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test between two groups of a value
+    * column: D = max_v |F_a(v) − F_b(v)|, computed EXACTLY — the max
+    * runs over the integer cross-products |ca·n_b − cb·n_a| (never a
+    * float CDF), and only the final readout divides. Cell-based like
+    * [[mannWhitney]]: one row per distinct value, cumulative counts
+    * from inclusive windows over the grid-bounded cell table. The
+    * rejection readout compares D against the asymptotic 5% critical
+    * value c(0.05)·sqrt((n_a+n_b)/(n_a·n_b)), c = 1.358 — every float
+    * op is a correctly-rounded single step on exact integers, so both
+    * engines produce bit-identical doubles.
+    *
+    * Output one row: (n_a, n_b, d_num, d, d_crit, reject) with
+    * d_num the exact integer max |ca·n_b − cb·n_a|, d and d_crit
+    * round(6).
+    *
+    * Scale shape (100 TB): one value-cell groupBy (map-side
+    * combinable), two windows over the GRID-bounded cell table, one
+    * global aggregate.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "ksTest: groups must differ")
+    val s = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("_v"),
+        (col(groupCol) === groupA).cast("long").as("_a"))
+    val cells = s.groupBy(col("_v"))
+      .agg(sum(col("_a")).as("_na"), sum(lit(1L) - col("_a")).as("_nb"))
+    val wIncl = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = cells
+      .withColumn("_ca", sum(col("_na")).over(wIncl))
+      .withColumn("_cb", sum(col("_nb")).over(wIncl))
+      .withColumn("_ta", sum(col("_na")).over(wAll))
+      .withColumn("_tb", sum(col("_nb")).over(wAll))
+    val agg0 = cum.agg(
+      max(col("_ta")).as("n_a"), max(col("_tb")).as("n_b"),
+      max(abs(col("_ca") * col("_tb") - col("_cb") * col("_ta"))).as("d_num"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val d = col("d_num").cast("double") / (na * nb)
+    val dCrit = lit(1.358) * sqrt((na + nb) / (na * nb))
+    agg0.select(col("n_a"), col("n_b"), col("d_num"),
+      round(d, 6).as("d"), round(dCrit, 6).as("d_crit"),
+      (d > dCrit).as("reject"))
+  }
+
+  /** Gini coefficient of an integer-valued non-negative amount column
+    * (cents, tokens): G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the
+    * ascending-sorted amounts — computed entirely in EXACT BIGINTs
+    * from the VALUE-CELL table. A cell (v, c) whose c ties occupy
+    * ranks cb+1 … cb+c contributes v·(c·cb + c(c+1)/2) to Σ i·x₍ᵢ₎
+    * (c(c+1) is always even — the shift is exact). Only the final
+    * G readout divides. BIGINT bound: Σ i·x ≤ n²·v̄ — safe while
+    * n²·total_amount ≤ 9.2e18 per partition of the ledger; shard by
+    * entity class and Gini-decompose past that.
+    *
+    * Output one row: (n, total, gini), gini round(6), null when the
+    * total is 0 (all-zero amounts have no Lorenz curve).
+    *
+    * Scale shape (100 TB): one value-cell groupBy (map-side
+    * combinable), one cumulative window over the GRID-bounded cell
+    * table, one global aggregate.
+    */
+  def gini(df: DataFrame, valueCol: Column): DataFrame = {
+    val cells = df.select(valueCol.cast("long").as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("_cb", coalesce(sum(col("_c")).over(w), lit(0L)))
+    val agg0 = ranked.agg(
+      sum(col("_c")).as("n"),
+      sum(col("_v") * col("_c")).as("total"),
+      sum(col("_v") * (col("_c") * col("_cb") +
+        shiftright(col("_c") * (col("_c") + 1L), 1))).as("_sr"))
+    val nD = col("n").cast("double")
+    val sD = col("total").cast("double")
+    agg0.select(col("n"), col("total"),
+      when(col("total") > 0,
+        round((lit(2.0) * col("_sr").cast("double") - (nD + 1) * sD) / (nD * sD), 6))
+        .as("gini"))
+  }
+
+  /** Kruskal-Wallis one-way rank ANOVA across k groups, with midrank
+    * ties and the tie correction — the k-sample extension of
+    * [[mannWhitney]]. Per-group rank sums are carried as the exact
+    * integer Σc·(2·midrank) over the (group, value) cell table; the
+    * only order-sensitive float reduction — Σ_g R_g²/n_g over the k
+    * group rows — runs as an ordered fold over the group-sorted struct
+    * list (engine-portable bitwise, the [[contingencyAnalysis]]
+    * idiom; k is bounded by the category count, so the fold list is
+    * tiny). H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1), then divided by
+    * the tie factor 1 − Σ(t³−t)/(N³−N). BIGINT bound: N³ < 9.2e18 →
+    * N ≤ 2.1e6; past that the tie term needs DECIMAL(38).
+    *
+    * Output one row: (k, n, h), h round(6), null when every value is
+    * tied (tie factor 0).
+    *
+    * Scale shape (100 TB): one (group,value)-cell groupBy (map-side
+    * combinable); the rank window rides the GRID-bounded value
+    * marginal; the fold list has one entry per GROUP.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    val vm = cells.groupBy("_v").agg(sum("_c").as("_t"))
+    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vm.withColumn("_cbv", coalesce(sum(col("_t")).over(w), lit(0L)))
+      .select(col("_v"),
+        (lit(2L) * col("_cbv") + col("_t") + lit(1L)).as("_r2"),
+        col("_t"))
+    val grp = cells.join(ranked.select("_v", "_r2"), Seq("_v"))
+      .groupBy("_g")
+      .agg(sum(col("_c")).as("_ng"), sum(col("_c") * col("_r2")).as("_r2g"))
+    val ties = ranked.agg(
+      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tt"))
+    // per-group term (R2g/2)²/ng = R2g²/(4·ng), folded in group order
+    val term = (col("_r2g").cast("double") * col("_r2g").cast("double"))
+      ./(lit(4.0))./(col("_ng").cast("double"))
+    val folded = grp
+      .select(struct(col("_g"), term.as("_kt")).as("_s"), col("_ng"))
+      .agg(collect_list(col("_s")).as("_l"),
+        sum(col("_ng")).as("n"), count(lit(1)).as("k"))
+      .select(col("k"), col("n"),
+        aggregate(transform(sort_array(col("_l")), x => x.getField("_kt")),
+          lit(0.0), (acc, x) => acc + x).as("_rr"))
+    val nD = col("n").cast("double")
+    val h0 = lit(12.0) / (nD * (nD + 1)) * col("_rr") - lit(3.0) * (nD + 1)
+    val tieF = lit(1.0) - col("_tt").cast("double") /
+      (nD * nD * nD - nD)
+    folded.crossJoin(broadcast(ties))
+      .select(col("k"), col("n"),
+        when(tieF > 0, round(h0 / tieF, 6)).as("h"))
+  }
 }

@@ -237,4 +237,53 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(obs - exp) < 0.06, s"digit $d off Benford: $obs vs $exp")
     }
   }
+
+  test("spearman: monotone = 1, inverse = -1, hand-tied case, constant margin null") {
+    val mono = (1L to 50L).map(x => (x, x * x)).toDF("x", "y")
+    val r = Stats.spearman(mono, col("x"), col("y")).head()
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 1.0)
+    val inv = (1L to 50L).map(x => (x, 100L - x)).toDF("x", "y")
+    assert(Stats.spearman(inv, col("x"), col("y")).head().getDouble(1) == -1.0)
+    // ranks x=[1.5,1.5,3], y=[1,2.5,2.5] -> rho = 0.75/1.5 = 0.5
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    assert(Stats.spearman(tied, col("x"), col("y")).head().getDouble(1) == 0.5)
+    val cx = (1L to 10L).map(y => (7L, y)).toDF("x", "y")
+    assert(Stats.spearman(cx, col("x"), col("y")).head().isNullAt(1))
+  }
+
+  test("ksTest: complete separation D=1, identical samples D=0") {
+    val sep = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r = Stats.ksTest(sep, "g", "v", "A", "B").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getDouble(3) == 1.0)
+    // d_crit = 1.358*sqrt(4/4) = 1.358 > 1 -> not rejected at n=2
+    assert(math.abs(r.getDouble(4) - 1.358) < 1e-6 && !r.getBoolean(5))
+    val same = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)).toDF("g", "v")
+    val s = Stats.ksTest(same, "g", "v", "A", "B").head()
+    assert(s.getLong(2) == 0L && s.getDouble(3) == 0.0 && !s.getBoolean(5))
+  }
+
+  test("gini: equal amounts 0, one-holder (n-1)/n, zero total null") {
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("v")
+    assert(Stats.gini(eq, col("v")).head().getDouble(2) == 0.0)
+    val one = Seq(0L, 0L, 0L, 10L).toDF("v")
+    val r = Stats.gini(one, col("v")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L && r.getDouble(2) == 0.75)
+    val z = Seq(0L, 0L).toDF("v")
+    assert(Stats.gini(z, col("v")).head().isNullAt(2))
+  }
+
+  test("kruskalWallis: hand case H=2.4, one group H=0, all-tied null") {
+    // A=[1,2], B=[3,4]: R_A=3, R_B=7, H = 12/20*(9/2+49/2) - 15 = 2.4
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "g", "v").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) - 2.4) < 1e-9, s"H ${r.getDouble(2)}")
+    // a single group carries no between-group signal: H = 0 exactly
+    val single = (1L to 20L).map(v => ("A", v.toDouble)).toDF("g", "v")
+    assert(Stats.kruskalWallis(single, "g", "v").head().getDouble(2) == 0.0)
+    // every value tied: tie factor 0 -> H undefined (null)
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(tied, "g", "v").head().isNullAt(2))
+  }
 }
