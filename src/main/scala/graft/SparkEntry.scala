@@ -1054,6 +1054,69 @@ object SparkEntry {
             log(col("n_chars").cast("double")).as("lw")),
           "source", "doc_id", "lw", k = 4)
         .orderBy("source", "rank")),
+    // EXT STREAMING weighted reservoir (backlog #2): the same
+    // per-source Gumbel-max draw run through StreamOps.topKStream's
+    // cross-batch bounded state — the key is deterministic data (md5
+    // uniform), so merging per-batch top-ks IS the corpus-level
+    // without-replacement draw regardless of batch boundaries; k rows
+    // of state per live source. Batch-symmetric here (suite strategy);
+    // the oracle is the same window rank as gumbel_sample_sources.
+    "gumbel_sample_stream" -> ((s, dir) => {
+      import s.implicits._
+      val u = conv(substring(md5(concat(lit("42:"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast("double") / lit(math.pow(2, 48))
+      val items = t(s, dir, "documents")
+        .select(col("source").as("g"),
+          round(log(col("n_chars").cast("double")) - log(-log(u)), 6).as("v"),
+          col("doc_id").as("id"))
+        .as[graft.streaming.RankedItem]
+      graft.streaming.StreamOps.topKStream(items, 4)
+        .toDF("source", "rank", "doc_id", "gumbel_key")
+        .orderBy("source", "rank")
+    }),
+    // EXT type-token ratio (TextFunctions.typeCount): per-doc lexical
+    // diversity — distinct-token share, the boilerplate/template-spam
+    // flag; both counts are single map-side array expressions, the
+    // division exact-integer one-step, round(6)
+    "ttr_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          graft.functions.TextFunctions.typeCount(col("text"))
+            .cast("long").as("n_types"))
+        .withColumn("ttr", when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)))
+        .orderBy("doc_id")),
+    // EXT HLL set difference (Sketches.hllSetDiff, backlog #2): how
+    // much of src0's vocabulary is NOT in src1's and vice versa — the
+    // inclusion-exclusion identity one subtraction past hllOverlap,
+    // from the SAME two constant-size sketches (nothing new shuffled)
+    "hll_set_diff" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      Sketches.hllSetDiff(toks, "source", col("tok"), "src0", "src1")
+    }),
+    // EXT common-neighbor link prediction (Graph.commonNeighbors):
+    // supplier pairs serving the same customers over the
+    // lineitem⋈orders bipartite graph — shared-customer counts and
+    // capped-set Jaccard; hub customers (>64 suppliers) dropped ahead
+    // of the co-partitioned pair self-join (the maxShingleDf trade).
+    // Top-30 under a total (cn desc, id_a, id_b) order —
+    // TakeOrderedAndProject, never a global sort
+    "link_pred_suppliers" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("o_custkey"))
+      Graph.commonNeighbors(edges, "l_suppkey", "o_custkey", maxDegree = 64)
+        .orderBy(col("cn").desc, col("id_a"), col("id_b"))
+        .limit(30)
+    }),
     // EXT ingest-time DSIR scoring (StreamOps.dsirScoreStream): held-out
     // docs score against the BUILD-ONCE corpus distribution table via a
     // literal lookup array — expression-only, stateless, zero shuffles
@@ -4021,6 +4084,48 @@ object SparkEntry {
         |          ORDER BY gumbel_key DESC, doc_id) AS rank FROM g)
         |SELECT source, CAST(rank AS INT) AS rank, doc_id, gumbel_key
         |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin,
+    // stream reservoir == the batch window rank (cross-batch top-k
+    // state is a monotone merge of deterministic keys)
+    "gumbel_sample_stream" ->
+      """WITH d AS (SELECT source, doc_id, LN(CAST(n_chars AS DOUBLE)) AS lw FROM documents),
+        | g AS (SELECT source, doc_id, ROUND(lw - LN(-LN(
+        |    CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || doc_id), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+        |    / power(2, 48))), 6) AS gumbel_key
+        |   FROM d),
+        | r AS (SELECT source, doc_id, gumbel_key,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY gumbel_key DESC, doc_id) AS rank FROM g)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, gumbel_key
+        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin,
+    "ttr_docs" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) END AS n_types,
+        |  CASE WHEN length(trim(text)) > 0
+        |       THEN ROUND(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) END AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "hll_set_diff" -> Sketches.hllSetDiffOracleSql(
+      """(SELECT source, tok FROM (
+        |   SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |   FROM documents WHERE source IN ('src0', 'src1')) u
+        |  WHERE tok <> '') toks""".stripMargin,
+      "source", "tok", "src0", "src1"),
+    "link_pred_suppliers" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS id, o_custkey AS nb
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | hub AS (SELECT nb FROM e GROUP BY nb HAVING COUNT(*) <= 64),
+        | ek AS (SELECT e.id, e.nb FROM e JOIN hub USING (nb)),
+        | deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM ek GROUP BY 1),
+        | p AS (SELECT x.id AS id_a, y.id AS id_b, CAST(COUNT(*) AS BIGINT) AS cn
+        |       FROM ek x JOIN ek y ON x.nb = y.nb AND x.id < y.id GROUP BY 1, 2),
+        | j AS (SELECT id_a, id_b, cn, da.d AS deg_a, db.d AS deg_b,
+        |        ROUND(CAST(cn AS DOUBLE) / CAST(da.d + db.d - cn AS DOUBLE), 6) AS jaccard
+        |       FROM p JOIN deg da ON da.id = id_a JOIN deg db ON db.id = id_b)
+        |SELECT id_a, id_b, cn, deg_a, deg_b, jaccard FROM j
+        |ORDER BY cn DESC, id_a, id_b LIMIT 30""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
         | tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),

@@ -20,6 +20,15 @@ object TextFunctions {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
+  /** DISTINCT whitespace-token count (vocabulary "types"); 0 for
+    * empty/blank strings. n_types/n_tokens is the type-token ratio —
+    * the lexical-diversity quality feature (low TTR flags boilerplate
+    * and template spam). Map-side only: the distinct runs inside one
+    * array expression per row, never a shuffle. */
+  def typeCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(array_distinct(split(trim(c), "\\s+"))))
+
   /** Count of punctuation chars (.,!?;:). */
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[.,!?;:]", ""))

@@ -212,4 +212,51 @@ object Graph {
     edges
       .filter(col(attr).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(attr).cast("string").as("label"))
+
+  /** Common-neighbor link prediction over a bipartite edge list
+    * (entity, neighbor): for every entity pair sharing ≥1 neighbor,
+    * the shared-neighbor count and the Jaccard of their (capped)
+    * neighbor sets — the classic "suppliers serving the same
+    * customers" / "users touching the same items" candidate generator.
+    *
+    * Shape is the LSH-band candidate pattern: edges dedup to one row
+    * per (entity, neighbor), HUB NEIGHBORS above `maxDegree` are
+    * dropped before the pair stage (a neighbor of degree d contributes
+    * d(d−1)/2 pairs — one mega-hub is quadratic; the cap trades those
+    * low-signal pairs away, same recall trade as Dedup's maxShingleDf,
+    * and the emitted degrees/Jaccard are consistently those of the
+    * CAPPED sets), and the pair stage is a self-equi-join on the
+    * neighbor key co-partitioned by one exchange. cn and degrees are
+    * exact BIGINTs; jaccard = cn/(dₐ+d_b−cn) is one exact-integer
+    * division, round(6).
+    *
+    * Output: (id_a, id_b, cn, deg_a, deg_b, jaccard), id_a < id_b.
+    *
+    * Scale shape (100 TB): dedup groupBy + neighbor-degree groupBy
+    * reuse one exchange; the self-join shuffles once on the neighbor
+    * key with the skew bounded by `maxDegree`; the pair roll-up is
+    * map-side combinable.
+    */
+  def commonNeighbors(edges: DataFrame, idCol: String, neighborCol: String,
+      maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 2, s"commonNeighbors: maxDegree must be >= 2, got $maxDegree")
+    val e = edges.select(col(idCol).as("_id"), col(neighborCol).as("_nb"))
+      .distinct()
+    val hubs = e.groupBy("_nb").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") <= maxDegree)
+      .select("_nb")
+    val kept = e.join(hubs, Seq("_nb"))
+    val deg = kept.groupBy("_id").agg(count(lit(1)).as("_d"))
+    val pairs = kept.as("x")
+      .join(kept.as("y"),
+        col("x._nb") === col("y._nb") && col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .agg(count(lit(1)).as("cn"))
+    pairs
+      .join(deg.select(col("_id").as("id_a"), col("_d").as("deg_a")), Seq("id_a"))
+      .join(deg.select(col("_id").as("id_b"), col("_d").as("deg_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cn"), col("deg_a"), col("deg_b"),
+        round(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"), 6).as("jaccard"))
+  }
 }

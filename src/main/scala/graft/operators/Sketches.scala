@@ -242,6 +242,30 @@ object Sketches {
        |FROM sel""".stripMargin
   }
 
+  /** Set-DIFFERENCE readout over the same two HLL sketches as
+    * [[hllOverlap]]: est(A∖B) = est(A∪B) − est(B) and symmetrically —
+    * the inclusion-exclusion identity one step further. Nothing new is
+    * scanned or shuffled: the registers, union re-group and estimator
+    * are [[hllOverlap]]'s, and each difference is ONE extra IEEE
+    * subtraction of already-final doubles (engine-portable bitwise).
+    * Negative estimates are possible at small cardinality (HLL noise);
+    * they are emitted raw — clamping is a presentation choice the
+    * caller owns.
+    */
+  def hllSetDiff(df: DataFrame, setCol: String, valueCol: Column,
+      setA: String, setB: String): DataFrame =
+    hllOverlap(df, setCol, valueCol, setA, setB)
+      .withColumn("est_diff_a", col("est_union") - col("est_b"))
+      .withColumn("est_diff_b", col("est_union") - col("est_a"))
+
+  /** Oracle twin of [[hllSetDiff]] — wraps [[hllOverlapOracleSql]] and
+    * applies the same two subtractions. */
+  def hllSetDiffOracleSql(from: String, setExpr: String, valExpr: String,
+      setA: String, setB: String): String =
+    s"""SELECT *, est_union - est_b AS est_diff_a,
+       |       est_union - est_a AS est_diff_b
+       |FROM (${hllOverlapOracleSql(from, setExpr, valExpr, setA, setB)}) o""".stripMargin
+
   // ---------------------------------------------------------------------
   // K-minimum-values (bottom-k) sketch
   // ---------------------------------------------------------------------

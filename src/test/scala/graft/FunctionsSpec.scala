@@ -66,6 +66,15 @@ class FunctionsSpec extends SparkSpec {
     assert(c.toSeq == Seq(0, 0, 1, 3))
   }
 
+  test("typeCount: distinct tokens, blank-safe; TTR pairs with tokenCount") {
+    val df = Seq("", "   ", "one", "a a b", " a  a\ta ").toDF("t")
+    val c = df.select(TextFunctions.typeCount(col("t"))).collect().map(_.getInt(0))
+    assert(c.toSeq == Seq(0, 0, 1, 2, 1))
+    val both = df.select(TextFunctions.typeCount(col("t")),
+      TextFunctions.tokenCount(col("t"))).collect()
+    both.foreach(r => assert(r.getInt(0) <= r.getInt(1), "types never exceed tokens"))
+  }
+
   test("wordShingles / charNgrams counts and short-input guard") {
     val df = Seq("a b c d", "a b", "").toDF("t")
     val sh = df.select(TextFunctions.wordShingles(col("t"), 3)).collect().map(_.getSeq[String](0))

@@ -61,6 +61,27 @@ class LongTailSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("Graph.commonNeighbors: shared counts, capped-set jaccard, hub drop") {
+    // entities 1,2,3 over neighbors a,b,c: 1-{a,b}, 2-{a,b}, 3-{b}
+    val edges = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "b"),
+      (1L, "a")) // duplicate edge must not double-count
+      .toDF("id", "nb")
+    val out = Graph.commonNeighbors(edges, "id", "nb")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out((1L, 2L)) == (2L, 2L, 2L, 1.0))
+    assert(out((1L, 3L)) == (1L, 2L, 1L, 0.5))
+    assert(out((2L, 3L)) == (1L, 2L, 1L, 0.5))
+    // cap at 2: hub neighbor b (degree 3) dropped -> only (1,2) via a,
+    // and the emitted degrees are those of the CAPPED sets
+    val capped = Graph.commonNeighbors(edges, "id", "nb", maxDegree = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(capped == Map((1L, 2L) -> (1L, 1L, 1L, 1.0)))
+  }
+
   test("Graph.hits: the authority every hub endorses wins; pure sources score hub-only") {
     // h1, h2 both point at a; h1 also points at b
     val edges = Seq(("h1", "a"), ("h2", "a"), ("h1", "b")).toDF("src", "dst")

@@ -66,6 +66,19 @@ class SketchesSpec extends SparkSpec {
     assert(estU == direct)
   }
 
+  test("hllSetDiff: inclusion-exclusion identity holds exactly; tracks true difference") {
+    // A = 1..3000, B = 2001..5000 -> A\B = 2000, B\A = 2000
+    val a = (1 to 3000).map(i => ("A", s"v$i"))
+    val b = (2001 to 5000).map(i => ("B", s"v$i"))
+    val row = Sketches.hllSetDiff((a ++ b).toDF("s", "v"), "s", col("v"), "A", "B")
+      .head()
+    val (estA, estB, estU) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val (dA, dB) = (row.getDouble(7), row.getDouble(8))
+    assert(dA == estU - estB && dB == estU - estA, "exact identity on final doubles")
+    assert(math.abs(dA - 2000) < 1200, s"est_diff_a $dA")
+    assert(math.abs(dB - 2000) < 1200, s"est_diff_b $dB")
+  }
+
   test("kmvBottomK: partition-invariant sample, estimator within KMV error") {
     val n = 5000
     val df = (1 to n).map(i => ("g", s"user$i")).toDF("grp", "v")
