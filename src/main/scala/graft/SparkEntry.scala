@@ -1881,6 +1881,55 @@ object SparkEntry {
     // (Σ R²/n over k group rows) is an ordered fold, contingency-style
     "kruskal_value_types" -> ((s, dir) =>
       Stats.kruskalWallis(t(s, dir, "events"), "event_type", "value")),
+    // EXT one-way ANOVA F (Stats.anovaF): value-cents across event
+    // types — exact BIGINT group moments in ONE pass, the sole
+    // order-sensitive float reduction (Σ S²/n over k group rows) an
+    // ordered fold; the parametric twin of kruskal_value_types
+    "anova_value_types" -> ((s, dir) =>
+      Stats.anovaF(t(s, dir, "events"), "event_type",
+        round(col("value") * 100))),
+    // EXT EWMA daily smoother (Events.ewmaDaily): α=0.3 per-type
+    // smoothed daily counts — the recursion as an expression fold over
+    // the |days|-bounded aggregate (invariant 37), α/β as separate
+    // literals so no engine derives 1−α; oracle = recursive CTE
+    "ewma_daily_counts" -> ((s, dir) =>
+      Events.ewmaDaily(t(s, dir, "events"), "event_type", "ts",
+          alpha = 0.3, beta = 0.7)
+        .orderBy("event_type", "day")),
+    // EXT Fano burstiness (Events.fanoDaily): per-type dispersion
+    // index of daily counts — (n·Σx² − S²)/(n·S) from three exact
+    // BIGINT sums, one division at the readout
+    "fano_event_types" -> ((s, dir) =>
+      Events.fanoDaily(t(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type")),
+    // EXT SCD2 dimension build (Events.scd2Islands): per-user
+    // event_type regimes as [valid_from, valid_to) validity intervals
+    // — gaps-and-islands under the total (ts, event_id) order; one
+    // key exchange reused by both windows and the island roll-up
+    "scd2_user_type" -> ((s, dir) =>
+      Events.scd2Islands(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("user_id", "valid_from", "event_type")),
+    // EXT Zipf slope (Stats.olsSimple over log-log ranks): the corpus
+    // power-law readout — top-1000 tokens by (freq desc, tok), ln rank
+    // and ln freq quantized to exact integer MICRO-units before the
+    // five-BIGINT-moment OLS (the round-then-rank ln discipline; the
+    // shared 1e6 scale cancels in slope and r²). The top-k is a
+    // TakeOrderedAndProject over the vocab-bounded frequency table,
+    // never a corpus sort
+    "zipf_slope_tokens" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = freq.orderBy(col("freq").desc, col("tok")).limit(1000)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("tok"))))
+      Stats.olsSimple(top,
+        round(log(col("rank").cast("double")) * 1e6),
+        round(log(col("freq").cast("double")) * 1e6))
+    }),
     // EXT Kaplan-Meier survival (Events.kaplanMeier, KM 1958):
     // hours-to-first-purchase per user with right censoring at end of
     // observation; ONE ordered fold over the observation-window grid
@@ -5287,6 +5336,91 @@ object SparkEntry {
         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
         |  END AS h
         |FROM f, tt""".stripMargin,
+    "anova_value_types" ->
+      """WITH o AS (SELECT event_type AS g,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS x FROM events),
+        | grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |        CAST(SUM(x) AS BIGINT) AS sg,
+        |        CAST(SUM(x * x) AS BIGINT) AS qg FROM o GROUP BY 1),
+        | f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |        CAST(SUM(sg) AS BIGINT) AS stot, CAST(SUM(qg) AS BIGINT) AS qtot,
+        |        list_sum(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |          / CAST(ng AS DOUBLE) ORDER BY g)) AS rr FROM grp)
+        |SELECT k, n,
+        |  ROUND(rr - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ssb,
+        |  ROUND(CAST(qtot AS DOUBLE) - rr, 6) AS ssw,
+        |  CASE WHEN k > 1 AND (CAST(qtot AS DOUBLE) - rr) > 0
+        |       THEN ROUND(((rr - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / (CAST(k AS DOUBLE) - 1))
+        |         / ((CAST(qtot AS DOUBLE) - rr) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  END AS f
+        |FROM f""".stripMargin,
+    "ewma_daily_counts" ->
+      """WITH RECURSIVE dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        | r AS (SELECT dc.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY day) AS rn FROM dc),
+        | c AS (SELECT event_type, day, cnt, rn, CAST(cnt AS DOUBLE) AS s
+        |       FROM r WHERE rn = 1
+        |       UNION ALL
+        |       SELECT r.event_type, r.day, r.cnt, r.rn,
+        |        3e-1 * CAST(r.cnt AS DOUBLE) + 7e-1 * c.s
+        |       FROM c JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1)
+        |SELECT event_type, day, cnt, ROUND(s, 6) AS ewma
+        |FROM c ORDER BY event_type, day""".stripMargin,
+    "fano_event_types" ->
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
+        |        CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q
+        |       FROM dc GROUP BY 1)
+        |SELECT event_type, days,
+        |  CASE WHEN s > 0 THEN ROUND(CAST(s AS DOUBLE) / CAST(days AS DOUBLE), 6) END AS mean,
+        |  CASE WHEN s > 0 THEN ROUND((CAST(days AS DOUBLE) * CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(days AS DOUBLE) * CAST(s AS DOUBLE)), 6) END AS fano
+        |FROM a ORDER BY event_type""".stripMargin,
+    "scd2_user_type" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |        LAG(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev FROM events),
+        | c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+        |          THEN 1 ELSE 0 END AS chg FROM m),
+        | g AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |       FROM c),
+        | i AS (SELECT user_id, grp, event_type, MIN(ts) AS valid_from,
+        |        CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+        |  n_events
+        |FROM i ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "zipf_slope_tokens" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        | f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+        |       WHERE tok <> '' GROUP BY 1),
+        | r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM f),
+        | k AS (SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |        CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |       FROM r WHERE rank <= 1000),
+        | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy FROM k)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM a""".stripMargin,
     "ab_test_value" -> {
       val parity = "(instr('0123456789abcdef', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2"
       s"""WITH o AS (SELECT $parity AS b,

@@ -372,6 +372,112 @@ object Events {
       .select(col("_t").as(typeCol), col("_e.day").as("day"), col("_e.s").as("s"))
   }
 
+  /** Per-type EWMA of the daily event-count series: s_t = α·x_t +
+    * β·s_{t−1}, s_0 = x_0 — the standard monitoring smoother. The
+    * sequential recursion runs as an expression-level fold over each
+    * type's day-sorted counts (invariant: bounded by |days|, never a
+    * stream recursion), emitting the full smoothed path. α and β are
+    * passed as SEPARATE literals — deriving β = 1−α at runtime is a
+    * float op the two engines could round differently; as literals
+    * both parse to identical doubles and every step is the same three
+    * IEEE ops in the same order, so the path replays bitwise and
+    * round(6) quantizes only at the emit.
+    *
+    * Output: (typeCol, day, cnt, ewma), one row per (type, day).
+    *
+    * Scale shape (100 TB): one daily roll-up (map-side combinable);
+    * the fold rides the |days|-bounded per-type aggregate.
+    */
+  def ewmaDaily(events: DataFrame, typeCol: String, tsCol: String,
+      alpha: Double = 0.3, beta: Double = 0.7): DataFrame = {
+    require(math.abs(alpha + beta - 1.0) < 1e-9,
+      s"ewmaDaily: alpha + beta must be 1, got $alpha + $beta")
+    val daily = events
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+    val zero = struct(lit(true).as("init"), lit(0.0).as("s"),
+      array().cast("array<struct<day:date,cnt:bigint,s:double>>").as("path"))
+    daily.groupBy(col("_t"))
+      .agg(sort_array(collect_list(struct(col("_day"), col("_cnt")))).as("_l"))
+      .select(col("_t"),
+        aggregate(col("_l"), zero, (acc, x) => {
+          val s2 = when(acc.getField("init"), x.getField("_cnt").cast("double"))
+            .otherwise(lit(alpha) * x.getField("_cnt").cast("double")
+              + lit(beta) * acc.getField("s"))
+          struct(lit(false).as("init"), s2.as("s"),
+            concat(acc.getField("path"),
+              array(struct(x.getField("_day").as("day"),
+                x.getField("_cnt").as("cnt"), s2.as("s")))).as("path"))
+        }).getField("path").as("_p"))
+      .select(col("_t").as(typeCol), explode(col("_p")).as("_e"))
+      .select(col(typeCol), col("_e.day").as("day"), col("_e.cnt").as("cnt"),
+        round(col("_e.s"), 6).as("ewma"))
+  }
+
+  /** Type-2 slowly-changing-dimension build (SCD2) from a change
+    * stream: per key, consecutive events with the SAME attribute value
+    * collapse into one validity interval [valid_from, valid_to) —
+    * valid_to is the NEXT regime's start, null while current. The
+    * islands come from the gaps-and-islands idiom (change flag →
+    * running change count → group), under the suite's TOTAL
+    * (ts, idCol) order so regime boundaries are deterministic under
+    * timestamp ties.
+    *
+    * Output: (keyCol, attrCol, valid_from, valid_to, n_events).
+    *
+    * Scale shape (100 TB): both windows and the island roll-up
+    * partition by the entity key — one hash exchange on keyCol reused
+    * across all three steps, no global sort anywhere.
+    */
+  def scd2Islands(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val marked = events
+      .select(col(keyCol), col(tsCol), col(idCol), col(attrCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col("_prev") =!= col(attrCol), 1L)
+          .otherwise(0L))
+      .withColumn("_grp",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = marked
+      .groupBy(col(keyCol), col("_grp"), col(attrCol))
+      .agg(min(col(tsCol)).as("valid_from"), count(lit(1)).as("n_events"))
+    val wIsl = Window.partitionBy(col(keyCol)).orderBy(col("_grp"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wIsl))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+
+  /** Fano factor (index of dispersion) of each type's daily count
+    * series: variance/mean = (n·Σx² − S²)/(n·S) — 1 for a Poisson
+    * process, >1 for bursty arrivals, <1 for regular ones. All three
+    * moment sums are exact BIGINTs (order-free); the single division
+    * happens at the readout, round(6). Types with zero total have no
+    * defined factor (null).
+    *
+    * Output: (typeCol, days, mean, fano).
+    *
+    * Scale shape (100 TB): one daily roll-up, one |types|-row
+    * aggregate on top — both map-side combinable.
+    */
+  def fanoDaily(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_x"))
+    val agg0 = daily.groupBy(col("_t"))
+      .agg(count(lit(1)).as("days"), sum(col("_x")).as("_s"),
+        sum(col("_x") * col("_x")).as("_q"))
+    val nD = col("days").cast("double")
+    val sD = col("_s").cast("double")
+    agg0.select(col("_t").as(typeCol), col("days"),
+      when(col("_s") > 0, round(sD / nD, 6)).as("mean"),
+      when(col("_s") > 0,
+        round((nD * col("_q").cast("double") - sD * sD) / (nD * sD), 6))
+        .as("fano"))
+  }
+
   def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))

@@ -599,6 +599,49 @@ object Stats {
         .as("gini"))
   }
 
+  /** One-way ANOVA F across k groups of an INTEGER-valued measurement
+    * (the caller maps to integer units — cents, counts), the parametric
+    * twin of [[kruskalWallis]]. Per-group n_g, Σx, Σx² aggregate as
+    * exact BIGINTs in ONE map-side-combinable pass; the only
+    * order-sensitive float reduction — Σ_g (Σx_g)²/n_g over the k
+    * group rows — runs as an ordered fold over the group-sorted struct
+    * list (the [[contingencyAnalysis]] idiom). SSB = Σ_g S_g²/n_g −
+    * S²/N and SSW = Q − Σ_g S_g²/n_g then combine exact totals with
+    * the folded term in fixed operand order. BIGINT bound: Σx² ≤
+    * n·x_max² — safe while n·x_max² < 9.2e18; coarsen units past that.
+    *
+    * Output one row: (k, n, ssb, ssw, f), round(6); f null when k < 2
+    * or SSW = 0 (no within-group variance).
+    *
+    * Scale shape (100 TB): one grouped moment aggregate (map-side
+    * combinable); the fold list has one entry per GROUP.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val grp = df.select(col(groupCol).as("_g"), valueCol.cast("long").as("_x"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_ng"), sum(col("_x")).as("_sg"),
+        sum(col("_x") * col("_x")).as("_qg"))
+    val term = col("_sg").cast("double") * col("_sg").cast("double") /
+      col("_ng").cast("double")
+    val folded = grp
+      .select(struct(col("_g"), term.as("_at")).as("_s"),
+        col("_ng"), col("_sg"), col("_qg"))
+      .agg(collect_list(col("_s")).as("_l"), count(lit(1)).as("k"),
+        sum(col("_ng")).as("n"), sum(col("_sg")).as("_stot"),
+        sum(col("_qg")).as("_qtot"))
+      .select(col("k"), col("n"), col("_stot"), col("_qtot"),
+        orderedSum(col("_l"), "_at").as("_rr"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("_rr") - col("_stot").cast("double") *
+      col("_stot").cast("double") / nD
+    val ssw = col("_qtot").cast("double") - col("_rr")
+    folded.select(col("k"), col("n"),
+      round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"),
+      when(col("k") > 1 && ssw > 0,
+        round((ssb / (kD - 1)) / (ssw / (nD - kD)), 6)).as("f"))
+  }
+
   /** Kruskal-Wallis one-way rank ANOVA across k groups, with midrank
     * ties and the tie correction — the k-sample extension of
     * [[mannWhitney]]. Per-group rank sums are carried as the exact

@@ -184,6 +184,55 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 2L, 0.25)))
   }
 
+  test("ewmaDaily: seeds on the first day, hand-walked smoothing") {
+    // day1 x=2, day2 x=4: s1=2, s2=0.3*4+0.7*2=2.6
+    val ev = Seq(("a", ts(1)), ("a", ts(1, 5)),
+      ("a", ts(2)), ("a", ts(2, 1)), ("a", ts(2, 2)), ("a", ts(2, 3)))
+      .toDF("et", "ts")
+    val out = Events.ewmaDaily(ev, "et", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("2024-01-01", 2L, 2.0), ("2024-01-02", 4L, 2.6)))
+    // alpha=1 tracks the raw series exactly
+    val track = Events.ewmaDaily(ev, "et", "ts", alpha = 1.0, beta = 0.0)
+      .orderBy("day").collect().map(r => r.getDouble(3))
+    assert(track.toSeq == Seq(2.0, 4.0))
+  }
+
+  test("fanoDaily: constant series 0, hand case 0.5") {
+    val flat = Seq(("a", ts(1)), ("a", ts(2)), ("a", ts(3))).toDF("et", "ts")
+    val f0 = Events.fanoDaily(flat, "et", "ts").head()
+    assert(f0.getLong(1) == 3L && f0.getDouble(2) == 1.0 && f0.getDouble(3) == 0.0)
+    // daily counts [1,3]: mean 2, pop var 1 -> fano 0.5
+    val bursty = Seq(("b", ts(1)),
+      ("b", ts(2)), ("b", ts(2, 1)), ("b", ts(2, 2))).toDF("et", "ts")
+    val f1 = Events.fanoDaily(bursty, "et", "ts").head()
+    assert(f1.getDouble(2) == 2.0 && f1.getDouble(3) == 0.5)
+  }
+
+  test("scd2Islands: consecutive same-value runs collapse into validity intervals") {
+    // user 1: A,A,B,A -> [A 2, B 1, A 1]; interval chain closed by next start
+    val ev = Seq(
+      (1L, ts(1), 10L, "A"), (1L, ts(2), 11L, "A"),
+      (1L, ts(3), 12L, "B"), (1L, ts(4), 13L, "A"),
+      (2L, ts(5), 14L, "C")).toDF("user_id", "ts", "event_id", "et")
+    val out = Events.scd2Islands(ev, "user_id", "ts", "event_id", "et")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(out.length == 4)
+    assert(out(0) == ((1L, "A", ts(1), Some(ts(3)), 2L)))
+    assert(out(1) == ((1L, "B", ts(3), Some(ts(4)), 1L)))
+    assert(out(2) == ((1L, "A", ts(4), None, 1L)))
+    assert(out(3) == ((2L, "C", ts(5), None, 1L)))
+    // a ts tie is broken by event_id, so regimes stay deterministic
+    val tie = Seq((3L, ts(1), 2L, "B"), (3L, ts(1), 1L, "A"))
+      .toDF("user_id", "ts", "event_id", "et")
+    val t2 = Events.scd2Islands(tie, "user_id", "ts", "event_id", "et")
+      .orderBy("valid_from", "et").collect().map(_.getString(1))
+    assert(t2.toSeq == Seq("A", "B"))
+  }
+
   test("cusumAlarms: hand-walked path, alarm after the shift, flat stream silent") {
     def t(s: String) = Timestamp.valueOf(s)
     // type g: 4,4,4,4,24,24 per day -> ref = ceil(64/6) = 11, h = 22;

@@ -273,6 +273,23 @@ class StatsSpec extends SparkSpec {
     assert(Stats.gini(z, col("v")).head().isNullAt(2))
   }
 
+  test("anovaF: hand case F=13.5; zero within-variance null") {
+    // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 4L), ("B", 5L), ("B", 6L)).toDF("g", "v")
+    val r = Stats.anovaF(df, "g", col("v")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 13.5 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 13.5, s"F ${r.getDouble(4)}")
+    // constant within groups: SSW = 0 -> F undefined
+    val const = Seq(("A", 1L), ("A", 1L), ("B", 5L), ("B", 5L)).toDF("g", "v")
+    val c = Stats.anovaF(const, "g", col("v")).head()
+    assert(c.getDouble(3) == 0.0 && c.isNullAt(4))
+    // one group: k=1 -> F undefined
+    assert(Stats.anovaF(df.filter(col("g") === "A"), "g", col("v"))
+      .head().isNullAt(4))
+  }
+
   test("kruskalWallis: hand case H=2.4, one group H=0, all-tied null") {
     // A=[1,2], B=[3,4]: R_A=3, R_B=7, H = 12/20*(9/2+49/2) - 15 = 2.4
     val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
