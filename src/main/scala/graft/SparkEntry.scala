@@ -1657,22 +1657,11 @@ object SparkEntry {
           col("_q").as("quality"), col("q_rank"))
         .orderBy("doc_id")
     }),
-    "quality_classifier" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val junk = docs.filter(col("doc_id") % 5 === 2)
-        .select((col("doc_id") + 400000).as("doc_id"),
-          concat(col("text"), lit(" !!! ### ,,, ;;; !!!")).as("text"))
-      val w = QcWeights
-      val z = (1 to 4).foldLeft(lit(w.head): Column) { (acc, i) =>
-        acc + lit(w(i)) * element_at(col("_f"), i)
-      }
-      docs.unionByName(junk)
-        .withColumn("_f", TextFunctions.qualityFeatures(col("text")))
-        .select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_clean"))
+    "quality_classifier" -> ((s, dir) =>
+      qcScored(s, dir)
+        .select(col("doc_id"), col("p_clean"))
         .withColumn("keep", col("p_clean") >= 0.5)
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // EXT ingest-time CDC (StreamOps.cdcClassifyStream, batch-symmetric
     // here like the other *_stream queries): v2 docs classified
     // added/changed against the 40-byte/doc base fingerprint index —
@@ -1930,6 +1919,61 @@ object SparkEntry {
         round(log(col("rank").cast("double")) * 1e6),
         round(log(col("freq").cast("double")) * 1e6))
     }),
+    // EXT classifier ROC-AUC (Stats.aucRank): the learned quality
+    // filter evaluated against its injected ground truth via the
+    // Mann-Whitney rank identity — exact dyadic rank sums over the
+    // round(6) score grid, midrank tie convention
+    "classifier_auc" -> ((s, dir) =>
+      Stats.aucRank(qcScored(s, dir), col("p_clean"), col("is_clean"))),
+    // EXT classifier confusion metrics (Stats.binaryClassMetrics):
+    // exact TP/FP/FN/TN in one pass; precision/recall/accuracy and F1
+    // (via 2TP/(2TP+FP+FN) — a SINGLE exact-integer division, never
+    // the stacked p·r composition) at threshold 0.5
+    "classifier_prf" -> ((s, dir) =>
+      Stats.binaryClassMetrics(qcScored(s, dir),
+        col("p_clean") >= 0.5, col("is_clean"))),
+    // EXT calibration (reliability) table: decile score bins vs
+    // observed clean rate — avg_p from an exact DECIMAL(20,6) sum of
+    // the round(6) scores (order-free), obs_rate one exact division
+    "classifier_calibration" -> ((s, dir) =>
+      qcScored(s, dir)
+        .select(least(floor(col("p_clean") * 10), lit(9L)).cast("long").as("bin"),
+          col("p_clean").cast("decimal(20,6)").as("_p"),
+          col("is_clean").cast("long").as("_pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("_p")).cast("double").as("_sp"),
+          sum(col("_pos")).as("_np"))
+        .select(col("bin"), col("n"),
+          round(col("_sp") / col("n").cast("double"), 6).as("avg_p"),
+          round(col("_np").cast("double") / col("n").cast("double"), 6).as("obs_rate"))
+        .orderBy("bin")),
+    // EXT Theil-Sen robust trend (Stats.theilSen): median pairwise
+    // slope of the daily event-count series — outlier-resistant OLS
+    // complement; the pair stage rides the |days|² grid behind a
+    // broadcast, each slope one exact-integer division, median by
+    // exact rank arithmetic under a total order
+    "theil_sen_daily" -> ((s, dir) =>
+      Stats.theilSen(
+        t(s, dir, "events")
+          .groupBy(datediff(col("ts").cast("date"),
+            to_date(lit("1970-01-01"))).as("d"))
+          .agg(count(lit(1)).as("x")),
+        "d", "x")),
+    // EXT hapax ratio (corpus-quality signal): per-source share of
+    // vocabulary appearing exactly once — high hapax = diverse/noisy,
+    // low = templated; two map-side-combinable roll-ups
+    "hapax_ratio_sources" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("_f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("_f") === 1, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("hapax_ratio",
+          round(col("hapax").cast("double") / col("vocab").cast("double"), 6))
+        .orderBy("source")),
     // EXT Kaplan-Meier survival (Events.kaplanMeier, KM 1958):
     // hours-to-first-purchase per user with right censoring at end of
     // observation; ONE ordered fold over the observation-window grid
@@ -2964,6 +3008,54 @@ object SparkEntry {
     */
   private val QcWeights: Seq[Double] =
     Seq(-8.840501, -6.294045, -3.868260, 18.738033, -0.085477)
+
+  /** The learned-quality-filter evaluation corpus: documents plus one
+    * injected junk twin per %5 doc (ids offset by 400000 — the offset
+    * IS the ground-truth label), scored by the frozen QcWeights
+    * logistic. Shared by `quality_classifier` and the classifier-eval
+    * queries (`classifier_auc`/`classifier_prf`/
+    * `classifier_calibration`); the oracles mirror it as the u/f/s
+    * CTE chain — a recipe change here must change those in lockstep.
+    */
+  private def qcScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val junk = docs.filter(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" !!! ### ,,, ;;; !!!")).as("text"))
+    val w = QcWeights
+    val z = (1 to 4).foldLeft(lit(w.head): Column) { (acc, i) =>
+      acc + lit(w(i)) * element_at(col("_f"), i)
+    }
+    docs.unionByName(junk)
+      .withColumn("_f", TextFunctions.qualityFeatures(col("text")))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_clean"),
+        (col("doc_id") < 400000).as("is_clean"))
+  }
+
+  /** Oracle CTE chain replaying [[qcScored]] — the u/base/c/f/s SQL the
+    * quality_classifier oracle uses, factored so the classifier-eval
+    * oracles stay in lockstep with it. Yields table `s(doc_id,
+    * p_clean)`; label = doc_id < 400000.
+    */
+  private def qcScoredSql: String = {
+    val w = QcWeights
+    val z = s"${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3 + ${w(4)} * x4"
+    s"""u AS (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT doc_id + 400000, text || ' !!! ### ,,, ;;; !!!'
+       |      FROM documents WHERE doc_id % 5 = 2),
+       | base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM u),
+       | c AS (SELECT doc_id, $qualityComponentsSql,
+       |  ${stops(TextFunctions.EnStops)} AS stop_en
+       | FROM base),
+       | f AS (SELECT doc_id,
+       |   LEAST(CAST(token_cnt AS DOUBLE) / 100.0, 1.0) AS x1,
+       |   LEAST((CASE WHEN token_cnt > 0 THEN nonspace / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0) AS x2,
+       |   1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct_cnt AS DOUBLE) / chars ELSE 1.0 END) * 10.0, 1.0) AS x3,
+       |   LEAST((CASE WHEN token_cnt > 0 THEN CAST(stop_en AS DOUBLE) / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) AS x4
+       |  FROM c),
+       | s AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-($z))), 6) AS p_clean FROM f)""".stripMargin
+  }
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -4955,25 +5047,75 @@ object SparkEntry {
         |        FROM documents)
         |SELECT r.doc_id, r.lang FROM r JOIN alloc USING (lang)
         |WHERE rk <= nl ORDER BY doc_id""".stripMargin,
-    "quality_classifier" -> {
-      val w = QcWeights
-      val z = s"${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3 + ${w(4)} * x4"
-      s"""WITH u AS (SELECT doc_id, text FROM documents
-         |           UNION ALL SELECT doc_id + 400000, text || ' !!! ### ,,, ;;; !!!'
-         |           FROM documents WHERE doc_id % 5 = 2),
-         | base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM u),
-         | c AS (SELECT doc_id, $qualityComponentsSql,
-         |  ${stops(TextFunctions.EnStops)} AS stop_en
-         | FROM base),
-         | f AS (SELECT doc_id,
-         |   LEAST(CAST(token_cnt AS DOUBLE) / 100.0, 1.0) AS x1,
-         |   LEAST((CASE WHEN token_cnt > 0 THEN nonspace / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0) AS x2,
-         |   1.0 - LEAST((CASE WHEN chars > 0 THEN CAST(punct_cnt AS DOUBLE) / chars ELSE 1.0 END) * 10.0, 1.0) AS x3,
-         |   LEAST((CASE WHEN token_cnt > 0 THEN CAST(stop_en AS DOUBLE) / CAST(token_cnt AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) AS x4
-         |  FROM c),
-         | s AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-($z))), 6) AS p_clean FROM f)
-         |SELECT doc_id, p_clean, p_clean >= 0.5 AS keep FROM s ORDER BY doc_id""".stripMargin
-    },
+    "quality_classifier" ->
+      s"""WITH $qcScoredSql
+         |SELECT doc_id, p_clean, p_clean >= 0.5 AS keep FROM s ORDER BY doc_id""".stripMargin,
+    "classifier_auc" ->
+      s"""WITH $qcScoredSql,
+         | lab AS (SELECT p_clean AS v,
+         |        CASE WHEN doc_id < 400000 THEN 1 ELSE 0 END AS pos FROM s),
+         | cell AS (SELECT v, CAST(SUM(pos) AS BIGINT) AS np,
+         |        CAST(SUM(1 - pos) AS BIGINT) AS nn FROM lab GROUP BY 1),
+         | wd AS (SELECT v, np, nn, np + nn AS t,
+         |        CAST(COALESCE(SUM(np + nn) OVER (ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |       FROM cell),
+         | a AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |        SUM(CAST(np AS DOUBLE) * (CAST(cb AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2)) AS rp
+         |       FROM wd)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN ROUND((rp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+         |         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         |  END AS auc
+         |FROM a""".stripMargin,
+    "classifier_prf" ->
+      s"""WITH $qcScoredSql,
+         | m AS (SELECT p_clean >= 0.5 AS y, doc_id < 400000 AS l FROM s),
+         | a AS (SELECT
+         |        CAST(SUM(CASE WHEN y AND l THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |        CAST(SUM(CASE WHEN y AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |        CAST(SUM(CASE WHEN NOT y AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |        CAST(SUM(CASE WHEN NOT y AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |       FROM m)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN ROUND(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1,
+         |  CASE WHEN tp + fp + fn + tn > 0 THEN ROUND(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) END AS accuracy
+         |FROM a""".stripMargin,
+    "classifier_calibration" ->
+      s"""WITH $qcScoredSql,
+         | m AS (SELECT LEAST(CAST(FLOOR(p_clean * 10) AS BIGINT), 9) AS bin,
+         |        CAST(p_clean AS DECIMAL(20,6)) AS p,
+         |        CASE WHEN doc_id < 400000 THEN 1 ELSE 0 END AS pos FROM s),
+         | a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(p) AS DOUBLE) AS sp, CAST(SUM(pos) AS BIGINT) AS np
+         |       FROM m GROUP BY 1)
+         |SELECT bin, n, ROUND(sp / CAST(n AS DOUBLE), 6) AS avg_p,
+         |  ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate
+         |FROM a ORDER BY bin""".stripMargin,
+    "theil_sen_daily" ->
+      """WITH dc AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+        |        CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        | p AS (SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s,
+        |        a.d AS xa, b.d AS xb
+        |       FROM dc a JOIN dc b ON a.d < b.d),
+        | r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, xa, xb) AS rn,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS n FROM p)
+        |SELECT n AS n_pairs, ROUND(s, 6) AS sen_slope
+        |FROM r WHERE rn * 2 >= n AND (rn - 1) * 2 < n""".stripMargin,
+    "hapax_ratio_sources" ->
+      """WITH toks AS (SELECT source,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        | f AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS fr FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        | a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |        CAST(SUM(CASE WHEN fr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |       FROM f GROUP BY 1)
+        |SELECT source, vocab, hapax,
+        |  ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS hapax_ratio
+        |FROM a ORDER BY source""".stripMargin,
     // HLL replay generated from the SAME constants as the Spark path
     // (register/rho from md5 nibbles, exact-integer denominator,
     // interpolated alpha numerator and linear-counting literals)

@@ -642,6 +642,106 @@ object Stats {
         round((ssb / (kD - 1)) / (ssw / (nD - kD)), 6)).as("f"))
   }
 
+  /** ROC-AUC from scores and binary labels via the rank identity
+    * AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) — the Mann-Whitney U statistic
+    * normalized, with midrank tie handling (ties contribute ½, the
+    * standard trapezoidal convention). CELL-based like [[mannWhitney]]:
+    * one row per distinct score (bounded by the score grid — quantized
+    * model outputs, not row count), every float term an exact dyadic,
+    * so the rank sum is exact and order-free.
+    *
+    * Output one row: (n_pos, n_neg, auc), auc round(6), null when
+    * either class is empty.
+    *
+    * Scale shape (100 TB): one score-cell groupBy (map-side
+    * combinable), one cumulative window over the GRID-bounded cell
+    * table, one global aggregate.
+    */
+  def aucRank(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val s = df.select(scoreCol.as("_v"), labelCol.cast("long").as("_p"))
+    val cells = s.groupBy(col("_v"))
+      .agg(sum(col("_p")).as("_np"), sum(lit(1L) - col("_p")).as("_nn"))
+      .withColumn("_t", col("_np") + col("_nn"))
+    val wcum = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("_cb",
+      coalesce(sum(col("_t")).over(wcum), lit(0L)))
+    val agg0 = ranked.agg(
+      sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
+      sum(col("_np").cast("double") *
+        (col("_cb").cast("double") + (col("_t").cast("double") + 1) / 2)).as("_rp"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    agg0.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("_rp") - np * (np + 1) / 2) / (np * nn), 6)).as("auc"))
+  }
+
+  /** Confusion-matrix metrics of a binary prediction against a binary
+    * label: exact TP/FP/FN/TN counts from ONE map-side-combinable
+    * aggregate, with precision, recall, F1 and accuracy each as a
+    * SINGLE division of exact integers (F1 via the 2TP/(2TP+FP+FN)
+    * identity — never the p·r composition, which would stack three
+    * rounded float ops), round(6); a zero denominator yields null.
+    *
+    * Output one row: (tp, fp, fn, tn, precision, recall, f1, accuracy).
+    */
+  def binaryClassMetrics(df: DataFrame, predCol: Column, labelCol: Column): DataFrame = {
+    val agg0 = df.select(predCol.cast("boolean").as("_y"),
+        labelCol.cast("boolean").as("_l"))
+      .agg(
+        sum(when(col("_y") && col("_l"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_y") && !col("_l"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("_y") && col("_l"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("_y") && !col("_l"), 1L).otherwise(0L)).as("tn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+    agg0.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"),
+      ratio(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"))
+  }
+
+  /** Theil-Sen robust slope of an integer series (x strictly ordered
+    * integer positions, y integer values): the MEDIAN of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i) — outlier-resistant where OLS is not
+    * (breakdown point 29%). The pair stage is a self-join over the
+    * SERIES GRID (days, hours — bounded, never raw rows; n_pairs =
+    * g(g−1)/2), each slope ONE exact-integer division, and the median
+    * picked by the suite's exact rank arithmetic (rn·2 ≥ n ∧
+    * (rn−1)·2 < n) under a TOTAL (slope, x_i, x_j) order so ties are
+    * deterministic.
+    *
+    * Output one row: (n_pairs, sen_slope), slope round(6).
+    *
+    * Scale shape (100 TB): the caller aggregates raw rows to the grid
+    * first (one map-side roll-up); the pair join and rank window ride
+    * the |grid|² pair table — 365 days is 66k pairs, trivial forever.
+    */
+  def theilSen(series: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val a = series.select(col(xCol).cast("long").as("_xa"),
+      col(yCol).cast("long").as("_ya"))
+    val b = series.select(col(xCol).cast("long").as("_xb"),
+      col(yCol).cast("long").as("_yb"))
+    // the pair stage is grid × grid: broadcast one side so the plan is
+    // a BroadcastNestedLoopJoin over the bounded grid, never a
+    // CartesianProduct shuffle
+    val slopes = a.join(broadcast(b), col("_xa") < col("_xb"))
+      .select((col("_yb") - col("_ya")).cast("double")
+          ./((col("_xb") - col("_xa")).cast("double")).as("_s"),
+        col("_xa"), col("_xb"))
+    val w = Window.orderBy(col("_s"), col("_xa"), col("_xb"))
+    slopes
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("_rn") * 2 >= col("_n") && (col("_rn") - 1) * 2 < col("_n"))
+      .select(col("_n").as("n_pairs"), round(col("_s"), 6).as("sen_slope"))
+  }
+
   /** Kruskal-Wallis one-way rank ANOVA across k groups, with midrank
     * ties and the tie correction — the k-sample extension of
     * [[mannWhitney]]. Per-group rank sums are carried as the exact

@@ -273,6 +273,42 @@ class StatsSpec extends SparkSpec {
     assert(Stats.gini(z, col("v")).head().isNullAt(2))
   }
 
+  test("aucRank: perfect=1, reversed=0, all-tied=0.5, empty class null") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("sc", "lab")
+    val p = Stats.aucRank(perfect, col("sc"), col("lab")).head()
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L && p.getDouble(2) == 1.0)
+    val reversed = Seq((0.1, true), (0.9, false)).toDF("sc", "lab")
+    assert(Stats.aucRank(reversed, col("sc"), col("lab")).head().getDouble(2) == 0.0)
+    val tied = Seq((0.5, true), (0.5, false), (0.5, true)).toDF("sc", "lab")
+    assert(Stats.aucRank(tied, col("sc"), col("lab")).head().getDouble(2) == 0.5)
+    val onecls = Seq((0.5, true), (0.6, true)).toDF("sc", "lab")
+    assert(Stats.aucRank(onecls, col("sc"), col("lab")).head().isNullAt(2))
+  }
+
+  test("binaryClassMetrics: hand counts and single-division metrics") {
+    // y:T l:T x2 | y:T l:F x1 | y:F l:T x1 | y:F l:F x2
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false)).toDF("y", "l")
+    val r = Stats.binaryClassMetrics(df, col("y"), col("l")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 0.666667)
+    assert(r.getDouble(6) == 0.666667 && r.getDouble(7) == 0.666667)
+    // nothing predicted positive: precision undefined, recall 0
+    val nopos = Seq((false, true), (false, false)).toDF("y", "l")
+    val n = Stats.binaryClassMetrics(nopos, col("y"), col("l")).head()
+    assert(n.isNullAt(4) && n.getDouble(5) == 0.0)
+  }
+
+  test("theilSen: exact slope on a line; one outlier cannot move the median") {
+    val line = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L), (5L, 10L)).toDF("x", "y")
+    val r = Stats.theilSen(line, "x", "y").head()
+    assert(r.getLong(0) == 10L && r.getDouble(1) == 2.0)
+    // y(3) corrupted to 100: 8 of 10 pair slopes still 2 -> median 2
+    val outlier = Seq((1L, 2L), (2L, 4L), (3L, 100L), (4L, 8L), (5L, 10L)).toDF("x", "y")
+    assert(Stats.theilSen(outlier, "x", "y").head().getDouble(1) == 2.0)
+  }
+
   test("anovaF: hand case F=13.5; zero within-variance null") {
     // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5
     val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
