@@ -341,6 +341,17 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "id_a", "id_b")
         .orderBy("node")
     }),
+    // EXT label-propagation communities (Graph.labelPropagation) over
+    // the same near-dup pair graph — majority-vote community detection
+    // with the self-vote that makes fixed-sweep synchronous LPA
+    // deterministic (bare neighbor votes oscillate on isolated pairs);
+    // 2 sweeps, replayed sweep-for-sweep by chained oracle CTEs
+    "lpa_communities" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Graph.labelPropagation(pairs, "id_a", "id_b", iterations = 2)
+        .orderBy("node")
+    }),
     // EXT edit-distance record linkage (Dedup.fuzzyMatchPairs —
     // SymSpell deletion-neighborhood blocking, recall-guaranteed at
     // distance 1): part entities (name+brand+type+size, ~unique) plus
@@ -441,6 +452,39 @@ object SparkEntry {
           k = 12, bands = 2, shingleK = 3, threshold = 0.8,
           maxBucket = Some(64))
         .orderBy("id_a", "id_b")
+    }),
+    // EXT blocking-quality evaluation: the dedup pipeline graded
+    // against its own injected ground truth — pair-recall (which
+    // injected exact-dup pairs did banded LSH + verify keep) and
+    // reduction ratio (pairs emitted vs the n(n−1)/2 a naive all-pairs
+    // pass would score). Truth = the %7 injections whose docs are
+    // shingleable (≥3 tokens — a 2-token doc can never enter the
+    // candidate stage, in either engine). All counts are 1-row
+    // aggregates riding broadcast crosses; the metrics are single
+    // exact-integer divisions
+    "blocking_quality" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupPairsMd5(injectedDocs(s, dir),
+          "doc_id", "text", k = 12, bands = 2, shingleK = 3,
+          threshold = 0.8, maxBucket = Some(64))
+        .select("id_a", "id_b")
+      val truth = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0 &&
+          size(split(trim(col("text")), "\\s+")) >= 3)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 100000).as("id_b"))
+      val nd = injectedDocs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val np = pairs.agg(count(lit(1)).as("n_pairs"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nf = truth.join(pairs, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      val ndD = col("n_docs").cast("double")
+      nd.crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+        .crossJoin(broadcast(nf))
+        .select(col("n_docs"), col("n_pairs"), col("n_truth"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall"),
+          round(lit(1.0) - col("n_pairs").cast("double") / (ndD * (ndD - 1) / 2), 9)
+            .as("reduction_ratio"))
     }),
     // EXT cross-corpus near-dup: incoming batch (exact copies of the %7
     // docs + %11 docs with one appended token, J ~ 0.97) matched against
@@ -3057,6 +3101,38 @@ object SparkEntry {
        | s AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-($z))), 6) AS p_clean FROM f)""".stripMargin
   }
 
+  /** The md5-minhash banded-LSH pair CTE chain (u → shingles → 12
+    * min-hashes → 2 bands → capped buckets → candidates → exact-Jaccard
+    * verify as table `j`) — the DuckDB replay of
+    * [[graft.operators.Dedup.minhashNearDupPairsMd5]] on [[injectedDocs]].
+    * Shared by the `minhash_pairs` oracle and the `blocking_quality`
+    * eval so the two can never drift.
+    */
+  private def minhashPairsMd5Ctes: String = {
+    val minCols = (0 until 12)
+      .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ")
+    val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
+    val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
+    s"""u AS (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+       | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM u),
+       | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+       |        FROM w WHERE len(ws) >= 3),
+       | mh AS (SELECT jid, $minCols FROM sh GROUP BY jid),
+       | banded AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mh
+       |            UNION ALL SELECT jid, 1 AS band, $sig1 AS bsig FROM mh),
+       | ok AS (SELECT band, bsig FROM banded GROUP BY band, bsig HAVING COUNT(*) <= 64),
+       | bc AS (SELECT banded.* FROM banded JOIN ok USING (band, bsig)),
+       | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM bc a JOIN bc b
+       |          ON a.band = b.band AND a.bsig = b.bsig AND a.jid < b.jid),
+       | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
+       | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
+       |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
+       | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)""".stripMargin
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private def columnStatsSql(table: String, cols: Seq[(String, String)]): String =
@@ -3555,31 +3631,26 @@ object SparkEntry {
         | nib AS (SELECT doc_id, j // 4 AS nb, SUM(CASE WHEN s > 0 THEN (1 << (j % 4)) ELSE 0 END) AS nv FROM s GROUP BY 1, 2)
         |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY nb DESC) AS simhash
         |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "minhash_pairs" -> {
-      val minCols = (0 until 12)
-        .map(i => s"MIN(substr(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS h$i")
-        .mkString(", ")
-      val sig0 = (0 until 6).map(i => s"h$i").mkString(" || ")
-      val sig1 = (6 until 12).map(i => s"h$i").mkString(" || ")
-      s"""WITH u AS (SELECT doc_id, text FROM documents
-         |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
-         | w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM u),
-         | sh AS (SELECT DISTINCT doc_id AS jid, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-         |        FROM w WHERE len(ws) >= 3),
-         | mh AS (SELECT jid, $minCols FROM sh GROUP BY jid),
-         | banded AS (SELECT jid, 0 AS band, $sig0 AS bsig FROM mh
-         |            UNION ALL SELECT jid, 1 AS band, $sig1 AS bsig FROM mh),
-         | ok AS (SELECT band, bsig FROM banded GROUP BY band, bsig HAVING COUNT(*) <= 64),
-         | bc AS (SELECT banded.* FROM banded JOIN ok USING (band, bsig)),
-         | cand AS (SELECT DISTINCT a.jid AS id_a, b.jid AS id_b FROM bc a JOIN bc b
-         |          ON a.band = b.band AND a.bsig = b.bsig AND a.jid < b.jid),
-         | sizes AS (SELECT jid, COUNT(*) AS sz FROM sh GROUP BY 1),
-         | inter AS (SELECT id_a, id_b, COUNT(*) AS i FROM cand
-         |           JOIN sh x ON x.jid = id_a JOIN sh y ON y.jid = id_b AND x.sh = y.sh GROUP BY 1, 2),
-         | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-         |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
-    },
+    "minhash_pairs" ->
+      s"""WITH $minhashPairsMd5Ctes
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "blocking_quality" ->
+      s"""WITH $minhashPairsMd5Ctes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         | truth AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+         |           WHERE doc_id % 7 = 0
+         |             AND len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+         | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM u),
+         | np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p),
+         | nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         | nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth t
+         |        WHERE EXISTS (SELECT 1 FROM p
+         |                      WHERE p.id_a = t.id_a AND p.id_b = t.id_b))
+         |SELECT n_docs, n_pairs, n_truth, n_found,
+         |  ROUND(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+         |  ROUND(1e0 - CAST(n_pairs AS DOUBLE)
+         |    / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1) / 2), 9) AS reduction_ratio
+         |FROM nd, np, nt, nf""".stripMargin,
     "embedding_near_dup" ->
       s"""WITH ${lshBucketCtesAuto(8, 128)},
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -4881,6 +4952,25 @@ object SparkEntry {
          |   UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // LPA mirror: the same 2 sweeps unrolled — undirected+self edges,
+    // per-sweep (node,label) counts and the (count desc, label) argmax
+    "lpa_communities" ->
+      s"""WITH $ngramPairCtes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+         |        UNION SELECT id_a, id_a FROM p UNION SELECT id_b, id_b FROM p),
+         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM ed),
+         | c1 AS (SELECT e.a, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM ed e JOIN l0 l ON l.id = e.b GROUP BY 1, 2),
+         | n1 AS (SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
+         |          ORDER BY c DESC, lbl) AS rn FROM c1),
+         | l1 AS (SELECT a AS id, lbl FROM n1 WHERE rn = 1),
+         | c2 AS (SELECT e.a, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM ed e JOIN l1 l ON l.id = e.b GROUP BY 1, 2),
+         | n2 AS (SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
+         |          ORDER BY c DESC, lbl) AS rn FROM c2),
+         | l2 AS (SELECT a AS id, lbl FROM n2 WHERE rn = 1)
+         |SELECT id AS node, lbl AS community FROM l2 ORDER BY node""".stripMargin,
     "dedup_canonical" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph data prep (reference `networkx.py:21-151` draw_graph): the graph
@@ -212,6 +213,45 @@ object Graph {
     edges
       .filter(col(attr).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(attr).cast("string").as("label"))
+
+  /** Synchronous label-propagation community detection (Raghavan '07
+    * made deterministic): every node starts labeled with its own id;
+    * each sweep relabels a node with the MOST FREQUENT label among its
+    * neighbors AND ITSELF, ties broken by the smallest label. The
+    * self-vote is what makes fixed-sweep synchronous LPA usable: a
+    * bare neighbor vote oscillates with period 2 on any isolated pair
+    * (u,v swap labels forever), while with the self-vote a pair/clique
+    * converges to its min id in one sweep and denser mixed regions
+    * settle by majority. Fully deterministic — replayed sweep-for-sweep
+    * by the oracle's chained CTEs.
+    *
+    * Output: (node, community) — community = the converged label.
+    *
+    * Scale shape (100 TB): per sweep ONE (node, label) count groupBy +
+    * one per-node argmax window, both partitioned by the node key;
+    * iterations is a small constant (near-dup graphs: quasi-clique
+    * diameter 2-4).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"labelPropagation: need iterations >= 1, got $iterations")
+    val und0 = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .unionByName(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
+    // self-edge per vertex = the self-vote
+    val und = und0.unionByName(und0.select(col("_a"), col("_a").as("_b")))
+      .distinct()
+    var labels = und.select(col("_a").as("_id")).distinct()
+      .select(col("_id"), col("_id").as("_lbl"))
+    val w = Window.partitionBy(col("_a")).orderBy(col("_c").desc, col("_lbl"))
+    for (_ <- 1 to iterations) {
+      labels = und.join(labels, und("_b") === labels("_id"))
+        .groupBy(col("_a"), col("_lbl")).agg(count(lit(1)).as("_c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_a").as("_id"), col("_lbl"))
+    }
+    labels.select(col("_id").as("node"), col("_lbl").as("community"))
+  }
 
   /** Common-neighbor link prediction over a bipartite edge list
     * (entity, neighbor): for every entity pair sharing ≥1 neighbor,

@@ -61,6 +61,25 @@ class LongTailSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("Graph.labelPropagation: pairs/cliques/stars converge to min id; self-vote kills oscillation") {
+    // K3 {1,2,3} + isolated pair {5,6} + star 10-{11,12,13} + chain 20-21-22
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L), (21L, 22L))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L,                      // a bare vote would swap forever
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // deterministic under edge direction/duplication
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .unionByName(edges)
+    val out2 = Graph.labelPropagation(rev, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
   test("Graph.commonNeighbors: shared counts, capped-set jaccard, hub drop") {
     // entities 1,2,3 over neighbors a,b,c: 1-{a,b}, 2-{a,b}, 3-{b}
     val edges = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "b"),
