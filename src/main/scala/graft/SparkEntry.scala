@@ -1935,6 +1935,24 @@ object SparkEntry {
     "fano_event_types" -> ((s, dir) =>
       Events.fanoDaily(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
+    // EXT dow-adjusted anomalies (Events.dowAdjustedAnomalies): a
+    // doubled error day (the cusum injection) judged against ITS
+    // weekday's distribution — residuals as exact n·x−S integers, MAD
+    // by rank arithmetic per (type, dow) cell; the deseasonalized
+    // complement of event_anomalies/mad_outliers
+    "dow_anomalies" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+      // a single spiked day in an n=4 weekday cell has residual
+      // EXACTLY 3x the baseline days' (|n·m−S| = 3·|b−m| when the other
+      // 3 days are equal) — at mult 3 the alarm is unreachable by
+      // construction, so the January calendar (4-5 days per dow) runs
+      // at 2.5
+      val spike = ev.filter(col("event_type") === "error" &&
+        col("ts").cast("date") === lit("2024-01-20").cast("date"))
+      val shifted = ev.unionByName(spike).unionByName(spike)
+      Events.dowAdjustedAnomalies(shifted, "event_type", "ts", madMult = 2.5)
+        .orderBy("event_type", "day")
+    }),
     // EXT SCD2 dimension build (Events.scd2Islands): per-user
     // event_type regimes as [valid_from, valid_to) validity intervals
     // — gaps-and-islands under the total (ts, event_id) order; one
@@ -2003,6 +2021,13 @@ object SparkEntry {
             to_date(lit("1970-01-01"))).as("d"))
           .agg(count(lit(1)).as("x")),
         "d", "x")),
+    // EXT RAKE keyword extraction (Corpus.rakeKeywords, Rose 2010):
+    // corpus-level candidate phrases split on stopwords+punctuation,
+    // word deg/freq scores round(9)-quantized to exact DECIMAL so the
+    // per-phrase sums are order-free, top-20 under a total order
+    "rake_keywords" -> ((s, dir) =>
+      Corpus.rakeKeywords(t(s, dir, "documents"), "text",
+        TextFunctions.EnStops, maxPhraseWords = 4, k = 20)),
     // EXT hapax ratio (corpus-quality signal): per-source share of
     // vocabulary appearing exactly once — high hapax = diverse/noisy,
     // low = templated; two map-side-combinable roll-ups
@@ -5195,6 +5220,26 @@ object SparkEntry {
         |        CAST(COUNT(*) OVER () AS BIGINT) AS n FROM p)
         |SELECT n AS n_pairs, ROUND(s, 6) AS sen_slope
         |FROM r WHERE rn * 2 >= n AND (rn - 1) * 2 < n""".stripMargin,
+    "rake_keywords" -> {
+      val stopRe = "\\b(" + TextFunctions.EnStops.mkString("|") + ")\\b|[.,!?;:]"
+      s"""WITH ph0 AS (SELECT unnest(string_split(
+         |        regexp_replace(lower(text), '$stopRe', chr(1), 'g'), chr(1))) AS p
+         |       FROM documents),
+         | ph AS (SELECT trim(p) AS phrase FROM ph0 WHERE trim(p) <> ''),
+         | phf AS (SELECT phrase, regexp_split_to_array(phrase, '\\s+') AS ws,
+         |        CAST(len(regexp_split_to_array(phrase, '\\s+')) AS BIGINT) AS l
+         |       FROM ph
+         |       WHERE len(regexp_split_to_array(phrase, '\\s+')) <= 4),
+         | w AS (SELECT unnest(ws) AS word, l FROM phf),
+         | ws9 AS (SELECT word, CAST(ROUND(CAST(CAST(SUM(l) AS BIGINT) AS DOUBLE)
+         |          / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE), 9) AS DECIMAL(20,9)) AS s9
+         |       FROM w GROUP BY 1),
+         | dph AS (SELECT DISTINCT phrase FROM phf),
+         | dw AS (SELECT phrase, unnest(regexp_split_to_array(phrase, '\\s+')) AS word FROM dph),
+         | sc AS (SELECT phrase, SUM(s9) AS s FROM dw JOIN ws9 USING (word) GROUP BY 1)
+         |SELECT phrase, ROUND(CAST(s AS DOUBLE), 6) AS score
+         |FROM sc ORDER BY s DESC, phrase LIMIT 20""".stripMargin
+    },
     "hapax_ratio_sources" ->
       """WITH toks AS (SELECT source,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
@@ -5612,6 +5657,27 @@ object SparkEntry {
         |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
         |    / (CAST(days AS DOUBLE) * CAST(s AS DOUBLE)), 6) END AS fano
         |FROM a ORDER BY event_type""".stripMargin,
+    "dow_anomalies" ->
+      """WITH u AS (SELECT event_type, ts FROM events
+        |   UNION ALL SELECT event_type, ts FROM events
+        |   WHERE event_type = 'error' AND CAST(ts AS DATE) = DATE '2024-01-20'
+        |   UNION ALL SELECT event_type, ts FROM events
+        |   WHERE event_type = 'error' AND CAST(ts AS DATE) = DATE '2024-01-20'),
+        | dc AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS x FROM u GROUP BY 1, 2),
+        | dw AS (SELECT *, (day - DATE '1970-01-01' + 4) % 7 AS dow FROM dc),
+        | st AS (SELECT t, dow, CAST(COUNT(*) AS BIGINT) AS nd,
+        |        CAST(SUM(x) AS BIGINT) AS sd FROM dw GROUP BY 1, 2),
+        | r AS (SELECT dw.*, nd, nd * x - sd AS res FROM dw JOIN st USING (t, dow)),
+        | rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY t, dow ORDER BY ABS(res)) AS rn,
+        |        COUNT(*) OVER (PARTITION BY t, dow) AS n FROM r),
+        | mad AS (SELECT t, dow, CAST(ABS(res) AS BIGINT) AS mad FROM rk
+        |         WHERE rn * 2 >= n AND (rn - 1) * 2 < n)
+        |SELECT t AS event_type, day, x AS cnt, nd AS n_dow,
+        |  CAST(res AS BIGINT) AS resid_scaled, mad AS mad_scaled
+        |FROM r JOIN mad USING (t, dow)
+        |WHERE mad > 0 AND CAST(ABS(res) AS DOUBLE) > 2.5e0 * CAST(mad AS DOUBLE)
+        |ORDER BY event_type, day""".stripMargin,
     "scd2_user_type" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |        LAG(event_type) OVER (PARTITION BY user_id

@@ -928,4 +928,54 @@ object Corpus {
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Corpus-level RAKE keyword extraction (Rose et al. 2010): candidate
+    * phrases are the maximal stopword/punctuation-free runs of the
+    * lowercased text (capped at `maxPhraseWords` — RAKE's degenerate-
+    * run guard); each word scores deg/freq where freq counts phrase
+    * memberships and deg sums the lengths of its phrases (the
+    * co-occurrence credit); a phrase scores the sum of its member-word
+    * scores (with multiplicity). Top-k phrases under a total
+    * (score desc, phrase) order.
+    *
+    * Float discipline: deg/freq is ONE exact-integer division,
+    * round(9)-quantized to DECIMAL(20,9) so the per-phrase sum is
+    * exact and order-free in both engines; the emitted score is
+    * round(6) of the exact decimal.
+    *
+    * Output: (phrase, score), k rows.
+    *
+    * Scale shape (100 TB): one phrase explode (map-side), one word
+    * groupBy, one distinct-phrase groupBy, a broadcast-sized word-stat
+    * join (vocab-bounded), and a TakeOrderedAndProject top-k — no
+    * global sort, no per-doc state.
+    */
+  def rakeKeywords(docs: DataFrame, textCol: String, stopwords: Seq[String],
+      maxPhraseWords: Int = 4, k: Int = 20): DataFrame = {
+    require(stopwords.nonEmpty, "rakeKeywords: need a stopword list")
+    require(k >= 1 && maxPhraseWords >= 1, "rakeKeywords: need k, maxPhraseWords >= 1")
+    val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b|[.,!?;:]"
+    val phrases = docs
+      .select(explode(split(
+        regexp_replace(lower(col(textCol)), stopRe, "\u0001"), "\u0001")).as("_p0"))
+      .select(trim(col("_p0")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("_ws", split(col("phrase"), "\\s+"))
+      .withColumn("_len", size(col("_ws")).cast("long"))
+      .filter(col("_len") <= maxPhraseWords)
+    val wstats = phrases.select(explode(col("_ws")).as("word"), col("_len"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("_freq"), sum(col("_len")).as("_deg"))
+      .select(col("word"),
+        round(col("_deg").cast("double") / col("_freq").cast("double"), 9)
+          .cast("decimal(20,9)").as("_s9"))
+    val scored = phrases.select("phrase").distinct()
+      .select(col("phrase"), explode(split(col("phrase"), "\\s+")).as("word"))
+      .join(wstats, Seq("word"))
+      .groupBy("phrase").agg(sum(col("_s9")).as("_sc"))
+    scored
+      .orderBy(col("_sc").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), round(col("_sc").cast("double"), 6).as("score"))
+  }
 }

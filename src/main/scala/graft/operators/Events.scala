@@ -414,6 +414,50 @@ object Events {
         round(col("_e.s"), 6).as("ewma"))
   }
 
+  /** Day-of-week-adjusted volume anomalies: a Monday spike should be
+    * judged against Mondays (weekly seasonality would otherwise drown
+    * or fake alarms). Per (type, dow) cell the residual is carried as
+    * the EXACT integer n·x − S (the n-scaled form — the rational
+    * dow-mean never becomes a float), MAD = the exact
+    * percentile_disc median of |n·x − S| within the cell (rank
+    * arithmetic, [[graft.operators.Stats]] mad_outliers discipline),
+    * and a day flags when |n·x − S| > mult·MAD with MAD > 0. Dow from
+    * integer epoch-day arithmetic ((day + 4) % 7 — engine builtins
+    * disagree on numbering).
+    *
+    * Output: (typeCol, day, cnt, n_dow, resid_scaled, mad_scaled),
+    * flagged days only.
+    *
+    * Scale shape (100 TB): one daily roll-up (map-side combinable);
+    * everything downstream — dow stats, rank window, MAD join — rides
+    * the |days|-bounded aggregate.
+    */
+  def dowAdjustedAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      madMult: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_dow",
+        pmod(datediff(col("_day"), to_date(lit("1970-01-01"))) + 4, lit(7)))
+    val stats = daily.groupBy(col("_t"), col("_dow"))
+      .agg(count(lit(1)).as("_nd"), sum(col("_x")).as("_sd"))
+    val resid = daily.join(stats, Seq("_t", "_dow"))
+      .withColumn("_r", col("_nd") * col("_x") - col("_sd"))
+    val wRank = Window.partitionBy(col("_t"), col("_dow")).orderBy(abs(col("_r")))
+    val wN = Window.partitionBy(col("_t"), col("_dow"))
+    val mad = resid
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("_n", count(lit(1)).over(wN))
+      .filter(col("_rn") * 2 >= col("_n") && (col("_rn") - 1) * 2 < col("_n"))
+      .select(col("_t"), col("_dow"), abs(col("_r")).as("_mad"))
+    resid.join(mad, Seq("_t", "_dow"))
+      .filter(col("_mad") > 0 &&
+        abs(col("_r")).cast("double") > lit(madMult) * col("_mad").cast("double"))
+      .select(col("_t").as(typeCol), col("_day").as("day"), col("_x").as("cnt"),
+        col("_nd").as("n_dow"), col("_r").as("resid_scaled"),
+        col("_mad").as("mad_scaled"))
+  }
+
   /** Type-2 slowly-changing-dimension build (SCD2) from a change
     * stream: per key, consecutive events with the SAME attribute value
     * collapse into one validity interval [valid_from, valid_to) —

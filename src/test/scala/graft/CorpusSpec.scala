@@ -379,6 +379,23 @@ class CorpusSpec extends SparkSpec {
       pred.orderBy("doc_id").collect().toSeq)
   }
 
+  test("rakeKeywords: deg/freq scoring, stopword/punct split, phrase-length cap") {
+    // phrases: "quick fox" (x1), "fox" (x1) -> quick deg2/f1=2, fox deg3/f2=1.5
+    val docs = Seq("the quick fox and the fox").toDF("text")
+    val out = Corpus.rakeKeywords(docs, "text", Seq("the", "and", "of", "a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(out.toSeq == Seq("quick fox" -> 3.5, "fox" -> 1.5))
+    // punctuation splits phrases; a 5-word run is dropped by the cap
+    val p = Seq("alpha beta. gamma delta epsilon zeta eta").toDF("text")
+    val out2 = Corpus.rakeKeywords(p, "text", Seq("the"), maxPhraseWords = 4)
+      .collect().map(_.getString(0))
+    assert(out2.toSeq == Seq("alpha beta"))
+    // case-insensitive: uppercase stopwords still delimit
+    val c = Seq("The Quick FOX").toDF("text")
+    assert(Corpus.rakeKeywords(c, "text", Seq("the", "and", "of", "a"))
+      .collect().map(_.getString(0)).toSeq == Seq("quick fox"))
+  }
+
   test("chunkDocuments: full coverage, overlap contract, ragged tail, determinism") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens -> 4 chunks

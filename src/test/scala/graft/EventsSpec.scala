@@ -184,6 +184,19 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 2L, 0.25)))
   }
 
+  test("dowAdjustedAnomalies: spike flagged within its weekday cell, constant series silent") {
+    // five Mondays, counts 2,2,2,2,12: residual 5x-20 = 40 vs MAD 10
+    def mon(d: Int, n: Int) = (1 to n).map(_ => ("e", ts(d)))
+    val ev = (mon(1, 2) ++ mon(8, 2) ++ mon(15, 2) ++ mon(22, 2) ++ mon(29, 12))
+      .toDF("et", "ts")
+    val out = Events.dowAdjustedAnomalies(ev, "et", "ts", madMult = 2.5)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("2024-01-29", 12L, 40L, 10L)))
+    // all-equal weekday cells: MAD 0 -> nothing can flag
+    val flat = (mon(1, 2) ++ mon(8, 2) ++ mon(15, 2)).toDF("et", "ts")
+    assert(Events.dowAdjustedAnomalies(flat, "et", "ts").count() == 0L)
+  }
+
   test("ewmaDaily: seeds on the first day, hand-walked smoothing") {
     // day1 x=2, day2 x=4: s1=2, s2=0.3*4+0.7*2=2.6
     val ev = Seq(("a", ts(1)), ("a", ts(1, 5)),
