@@ -237,18 +237,25 @@ object Graph {
     require(iterations >= 1, s"labelPropagation: need iterations >= 1, got $iterations")
     val und0 = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .unionByName(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
-    // self-edge per vertex = the self-vote
+    // self-edge per vertex = the self-vote. PERSISTED: the edge frame
+    // feeds every sweep's join (and the label seed) — without it each
+    // sweep re-executes the caller's whole candidate-pair lineage
+    // (measured 12.6 s -> 1.4 s at sf0.1 on the ngram near-dup graph)
     val und = und0.unionByName(und0.select(col("_a"), col("_a").as("_b")))
       .distinct()
+      .persist()
     var labels = und.select(col("_a").as("_id")).distinct()
       .select(col("_id"), col("_id").as("_lbl"))
     val w = Window.partitionBy(col("_a")).orderBy(col("_c").desc, col("_lbl"))
     for (_ <- 1 to iterations) {
+      // eager per-sweep checkpoint truncates the doubling join lineage
+      // (the dedupClusters pointer-jumping discipline)
       labels = und.join(labels, und("_b") === labels("_id"))
         .groupBy(col("_a"), col("_lbl")).agg(count(lit(1)).as("_c"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("_a").as("_id"), col("_lbl"))
+        .localCheckpoint()
     }
     labels.select(col("_id").as("node"), col("_lbl").as("community"))
   }
