@@ -352,6 +352,25 @@ object SparkEntry {
       Graph.labelPropagation(pairs, "id_a", "id_b", iterations = 2)
         .orderBy("node")
     }),
+    // EXT modularity readout (Graph.modularity): how good are the LPA
+    // communities — Q in the rearranged ALL-INTEGER form
+    // (4m·intra − Σd_c²)/(4m²), one division, no per-community float
+    // sum; pairs persisted so LPA and the readout share one lineage
+    "lpa_modularity" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128)).persist()
+      Graph.modularity(pairs, "id_a", "id_b",
+        Graph.labelPropagation(pairs, "id_a", "id_b", iterations = 2),
+        "node", "community")
+    }),
+    // EXT degree assortativity (Graph.degreeAssortativity, Newman '02):
+    // do near-dup hubs attach to hubs — endpoint-degree Pearson over
+    // both orientations, exact BIGINT moments, the OLS discipline
+    "graph_assortativity" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Graph.degreeAssortativity(pairs, "id_a", "id_b")
+    }),
     // EXT edit-distance record linkage (Dedup.fuzzyMatchPairs —
     // SymSpell deletion-neighborhood blocking, recall-guaranteed at
     // distance 1): part entities (name+brand+type+size, ~unique) plus
@@ -3332,6 +3351,28 @@ object SparkEntry {
       | j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
       |       FROM inter JOIN sizes sa ON sa.jid = id_a JOIN sizes sb ON sb.jid = id_b)""".stripMargin
 
+  /** The LPA oracle scaffold: [[ngramPairCtes]] + thresholded pairs +
+    * undirected-with-self edges + the two label-propagation sweeps
+    * unrolled (final labels in table `l2(id, lbl)`, pairs in `p`).
+    * Shared by `lpa_communities` and `lpa_modularity`.
+    */
+  private def lpaSweepCtes: String =
+    s"""$ngramPairCtes,
+       | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+       | ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+       |        UNION SELECT id_a, id_a FROM p UNION SELECT id_b, id_b FROM p),
+       | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM ed),
+       | c1 AS (SELECT e.a, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM ed e JOIN l0 l ON l.id = e.b GROUP BY 1, 2),
+       | n1 AS (SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
+       |          ORDER BY c DESC, lbl) AS rn FROM c1),
+       | l1 AS (SELECT a AS id, lbl FROM n1 WHERE rn = 1),
+       | c2 AS (SELECT e.a, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM ed e JOIN l1 l ON l.id = e.b GROUP BY 1, 2),
+       | n2 AS (SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
+       |          ORDER BY c DESC, lbl) AS rn FROM c2),
+       | l2 AS (SELECT a AS id, lbl FROM n2 WHERE rn = 1)""".stripMargin
+
   /** Shared scaffold of the two cross-corpus MinHash oracles
     * (`minhash_against`, `minhash_against_stream`): corpus + injected
     * incoming docs -> shingles per side -> k=12 md5-slice minima ->
@@ -4980,22 +5021,48 @@ object SparkEntry {
     // LPA mirror: the same 2 sweeps unrolled — undirected+self edges,
     // per-sweep (node,label) counts and the (count desc, label) argmax
     "lpa_communities" ->
+      s"""WITH $lpaSweepCtes
+         |SELECT id AS node, lbl AS community FROM l2 ORDER BY node""".stripMargin,
+    // modularity mirror: the rearranged all-integer form
+    // (4m·intra − Σd_c²)/(4m²) over the same sweeps' final labels
+    "lpa_modularity" ->
+      s"""WITH $lpaSweepCtes,
+         | m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |        CAST(SUM(CASE WHEN ca.lbl = cb.lbl THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+         |       FROM p JOIN l2 ca ON ca.id = p.id_a JOIN l2 cb ON cb.id = p.id_b),
+         | bo AS (SELECT id_a AS u FROM p UNION ALL SELECT id_b FROM p),
+         | dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM bo GROUP BY 1),
+         | dcs AS (SELECT lbl, CAST(SUM(d) AS BIGINT) AS dc
+         |        FROM dg JOIN l2 ON l2.id = dg.u GROUP BY 1),
+         | s2 AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS sdc2 FROM dcs)
+         |SELECT m, intra_edges,
+         |  CASE WHEN m > 0
+         |       THEN ROUND(CAST(4 * m * intra_edges - sdc2 AS DOUBLE)
+         |         / (4e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+         |  END AS q
+         |FROM m1, s2""".stripMargin,
+    // assortativity mirror: endpoint-degree Pearson over both edge
+    // orientations, exact integer moments
+    "graph_assortativity" ->
       s"""WITH $ngramPairCtes,
          | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
-         | ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
-         |        UNION SELECT id_a, id_a FROM p UNION SELECT id_b, id_b FROM p),
-         | l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM ed),
-         | c1 AS (SELECT e.a, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
-         |        FROM ed e JOIN l0 l ON l.id = e.b GROUP BY 1, 2),
-         | n1 AS (SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
-         |          ORDER BY c DESC, lbl) AS rn FROM c1),
-         | l1 AS (SELECT a AS id, lbl FROM n1 WHERE rn = 1),
-         | c2 AS (SELECT e.a, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
-         |        FROM ed e JOIN l1 l ON l.id = e.b GROUP BY 1, 2),
-         | n2 AS (SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
-         |          ORDER BY c DESC, lbl) AS rn FROM c2),
-         | l2 AS (SELECT a AS id, lbl FROM n2 WHERE rn = 1)
-         |SELECT id AS node, lbl AS community FROM l2 ORDER BY node""".stripMargin,
+         | bo AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+         | dg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM bo GROUP BY 1),
+         | en AS (SELECT du.d AS du, dv.d AS dv
+         |       FROM bo JOIN dg du ON du.id = bo.u JOIN dg dv ON dv.id = bo.v),
+         | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+         |        CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+         |        CAST(SUM(du * dv) AS BIGINT) AS sxy,
+         |        CAST(SUM(du * du) AS BIGINT) AS sxx,
+         |        CAST(SUM(dv * dv) AS BIGINT) AS syy FROM en)
+         |SELECT CAST(n2 // 2 AS BIGINT) AS m,
+         |  CASE WHEN (CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |        AND (CAST(n2 AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |       THEN ROUND((CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / sqrt((CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |           * (CAST(n2 AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  END AS r
+         |FROM a""".stripMargin,
     "dedup_canonical" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),

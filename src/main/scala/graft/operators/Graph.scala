@@ -260,6 +260,88 @@ object Graph {
     labels.select(col("_id").as("node"), col("_lbl").as("community"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the undirected edge set, each edge counted
+    * in both orientations (the standard symmetrization). Positive =
+    * hubs attach to hubs, negative = hub-and-spoke. Degrees and all
+    * five moment sums are exact BIGINTs over the edge-end table
+    * ([[graft.operators.Stats.olsSimple]] discipline); doubles only in
+    * the final fixed-order combination. Null when degree variance is 0
+    * (regular graph). Output one row: (m, r) with m the undirected
+    * edge count.
+    *
+    * Scale shape (100 TB): edge dedup + one degree groupBy + one
+    * degree join per side + one global aggregate — all on the edge
+    * key space.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .distinct()
+    val both = e.unionByName(e.select(col("_v").as("_u"), col("_u").as("_v")))
+    val deg = both.groupBy(col("_u").as("_id")).agg(count(lit(1)).as("_d"))
+    val ends = both
+      .join(deg.select(col("_id").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_id").as("_v"), col("_d").as("_dv")), Seq("_v"))
+    val agg0 = ends.agg(count(lit(1)).as("_n2"),
+      sum(col("_du")).as("_sx"), sum(col("_dv")).as("_sy"),
+      sum(col("_du") * col("_dv")).as("_sxy"),
+      sum(col("_du") * col("_du")).as("_sxx"),
+      sum(col("_dv") * col("_dv")).as("_syy"))
+    val nD = col("_n2").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    val covN = nD * col("_sxy").cast("double") - sx * sy
+    val varXN = nD * col("_sxx").cast("double") - sx * sx
+    val varYN = nD * col("_syy").cast("double") - sy * sy
+    agg0.select((col("_n2") / 2).cast("long").as("m"),
+      when(varXN > 0 && varYN > 0,
+        round(covN / sqrt(varXN * varYN), 6)).as("r"))
+  }
+
+  /** Newman modularity Q of a community assignment over an undirected
+    * graph — EXACTLY, as one division of two BIGINTs: Q = Σ_c(e_c/m −
+    * (d_c/2m)²) rearranges to (4m·e_intra − Σ_c d_c²)/(4m²), where
+    * e_intra counts intra-community edges, d_c sums member degrees and
+    * m counts undirected edges — so the per-community float sum (the
+    * usual ordering hazard) never exists. BIGINT bound: 4m² < 9.2e18 →
+    * m ≤ 1.5e9 edges per evaluated graph; past that promote the two
+    * totals to DECIMAL(38,0). Output one row: (m, intra_edges, q),
+    * q round(6), null for an empty edge set.
+    *
+    * Scale shape (100 TB): edge dedup, one two-sided assignment join,
+    * one degree groupBy, one per-community roll-up — every stage keyed,
+    * no window, no fold.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .distinct()
+    val a = assign.select(col(nodeCol).as("_id"), col(commCol).as("_c"))
+    val withC = e
+      .join(a.select(col("_id").as("_u"), col("_c").as("_cu")), Seq("_u"))
+      .join(a.select(col("_id").as("_v"), col("_c").as("_cv")), Seq("_v"))
+    val mIntra = withC.agg(count(lit(1)).as("m"),
+      sum(when(col("_cu") === col("_cv"), 1L).otherwise(0L)).as("intra_edges"))
+    val both = e.unionByName(e.select(col("_v").as("_u"), col("_u").as("_v")))
+    val deg = both.groupBy(col("_u").as("_id")).agg(count(lit(1)).as("_d"))
+    val dc2 = deg.join(a, Seq("_id"))
+      .groupBy(col("_c")).agg(sum(col("_d")).as("_dc"))
+      .agg(sum(col("_dc") * col("_dc")).as("_sdc2"))
+    mIntra.crossJoin(broadcast(dc2))
+      .select(col("m"), col("intra_edges"),
+        when(col("m") > 0,
+          round((lit(4L) * col("m") * col("intra_edges") - col("_sdc2"))
+            .cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6))
+          .as("q"))
+  }
+
   /** Common-neighbor link prediction over a bipartite edge list
     * (entity, neighbor): for every entity pair sharing ≥1 neighbor,
     * the shared-neighbor count and the Jaccard of their (capped)

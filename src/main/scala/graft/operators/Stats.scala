@@ -721,11 +721,21 @@ object Stats {
     * first (one map-side roll-up); the pair join and rank window ride
     * the |grid|² pair table — 365 days is 66k pairs, trivial forever.
     */
-  def theilSen(series: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def theilSen(series: DataFrame, xCol: String, yCol: String,
+      maxGrid: Int = 100000): DataFrame = {
+    // theilSen is a GRID operator — the caller aggregates raw rows to
+    // the series grid first. Enforce that loudly (one count action),
+    // then bound the broadcast side with a LIMIT the validation makes
+    // vacuous: the plan carries a structural row bound (never a hint
+    // on an unbounded aggregate), and a misused raw frame fails here
+    // instead of broadcasting a corpus
+    val n = series.count()
+    require(n <= maxGrid,
+      s"theilSen: series has $n rows — aggregate to the grid first (max $maxGrid)")
     val a = series.select(col(xCol).cast("long").as("_xa"),
       col(yCol).cast("long").as("_ya"))
     val b = series.select(col(xCol).cast("long").as("_xb"),
-      col(yCol).cast("long").as("_yb"))
+      col(yCol).cast("long").as("_yb")).limit(maxGrid)
     // the pair stage is grid × grid: broadcast one side so the plan is
     // a BroadcastNestedLoopJoin over the bounded grid, never a
     // CartesianProduct shuffle

@@ -80,6 +80,26 @@ class LongTailSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("Graph.modularity: two clean triangles Q=0.5, one-community Q=0") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("src", "dst")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    val r = Graph.modularity(edges, "src", "dst", good, "node", "community").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 6L && r.getDouble(2) == 0.5)
+    val one = good.select(col("node"), lit(1L).as("community"))
+    val r2 = Graph.modularity(edges, "src", "dst", one, "node", "community").head()
+    assert(r2.getDouble(2) == 0.0)
+  }
+
+  test("Graph.degreeAssortativity: star is -1, regular graph undefined") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star, "src", "dst").head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == -1.0)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.degreeAssortativity(tri, "src", "dst").head().isNullAt(1))
+  }
+
   test("Graph.commonNeighbors: shared counts, capped-set jaccard, hub drop") {
     // entities 1,2,3 over neighbors a,b,c: 1-{a,b}, 2-{a,b}, 3-{b}
     val edges = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "b"),

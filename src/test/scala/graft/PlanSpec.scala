@@ -108,8 +108,18 @@ class PlanSpec extends SparkSpec {
     // mann_whitney_value's cumulative window rides the value-CELL
     // aggregate — bounded by the 2-decimal measurement grid (<= 20001
     // cells), not the row count
+    // ks_value_click_error / kruskal_value_types ride the same value
+    // cells; spearman_qty_price the two MARGINAL grids (50 quantities /
+    // price cents); gini_customer_spend the spend-cell table;
+    // classifier_auc the round(6) score grid — all grid-bounded, the
+    // mann_whitney class
+    // theil_sen_daily's median window rides the |days|^2 pair table of
+    // a count-validated grid (theilSen requires <= maxGrid rows before
+    // the broadcast pair stage)
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
-      "quantiles_binned_chars", "token_budget_select", "mann_whitney_value")
+      "quantiles_binned_chars", "token_budget_select", "mann_whitney_value",
+      "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
+      "gini_customer_spend", "classifier_auc", "theil_sen_daily")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)
