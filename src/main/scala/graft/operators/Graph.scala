@@ -275,11 +275,16 @@ object Graph {
     * key space.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the edge set feeds the degree groupBy AND both sides of the
+    // endpoint join — persisted so a caller's expensive candidate-pair
+    // lineage executes once (7.6 -> 1.5 s at sf0.1 on the ngram graph),
+    // the invariant-35 exception again
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("_u"),
         greatest(col(srcCol), col(dstCol)).as("_v"))
       .filter(col("_u") =!= col("_v"))
       .distinct()
+      .persist()
     val both = e.unionByName(e.select(col("_v").as("_u"), col("_u").as("_v")))
     val deg = both.groupBy(col("_u").as("_id")).agg(count(lit(1)).as("_d"))
     val ends = both
