@@ -29,6 +29,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Literal query bags for `retrieval_eval` — ONE definition feeds the
+    * Spark run/qrels frames AND the generated oracle's VALUES list, so
+    * the two sides can never drift.
+    */
+  private val RetrievalEvalQueries: Seq[(String, Seq[String])] = Seq(
+    "q_exec" -> Seq("spark", "window"),
+    "q_storage" -> Seq("hash", "merge"),
+    "q_stream" -> Seq("stream", "scan"))
+
   /** The dedup-query corpus: documents plus one injected duplicate of
     * every %7 doc (ids offset by 100000). ONE definition shared by every
     * dedup/clustering query and the ScaleProbe minhashk probe — the
@@ -2047,6 +2056,109 @@ object SparkEntry {
     "rake_keywords" -> ((s, dir) =>
       Corpus.rakeKeywords(t(s, dir, "documents"), "text",
         TextFunctions.EnStops, maxPhraseWords = 4, k = 20)),
+    // EXT offline IR evaluation (Retrieval.bm25PerQuery +
+    // Retrieval.rankingEval): 3 literal query bags ranked in ONE corpus
+    // pass (batch BM25 — shared tf/df, per-query window top-10), judged
+    // against graded qrels (rel = #distinct query terms present in the
+    // doc), reporting nDCG@10 / MRR@10 / recall@10 per query. DCG uses
+    // the 12-decimal LITERAL discount table on both engines — exact
+    // decimal sums, divisions only at the round(6) readout
+    "retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val queries = RetrievalEvalQueries
+        .flatMap { case (q, ts) => ts.map(t0 => (q, t0)) }
+        .toDF("query_id", "term")
+      val docs = t(s, dir, "documents")
+      val run = Retrieval.bm25PerQuery(docs, "doc_id", "text", queries, k = 10)
+      val qrels = docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .distinct()
+        .join(queries, Seq("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+      Retrieval.rankingEval(run, qrels, "doc_id", k = 10)
+        .orderBy("query_id")
+    }),
+    // EXT inter-rater agreement (Stats.cohenKappa): chance-corrected
+    // agreement between a length rater (n_chars >= 300) and a lexical-
+    // diversity rater (2·|distinct tokens| >= |tokens| — an INTEGER
+    // comparison, no float ratio) — the labeling-QA metric for
+    // heuristic-vs-heuristic audit before spending model labels
+    "cohen_kappa_docs" -> ((s, dir) =>
+      Stats.cohenKappa(
+        t(s, dir, "documents")
+          .select(col("n_chars"), split(trim(col("text")), "\\s+").as("_w"))
+          .select((col("n_chars") >= 300).as("_a"),
+            (size(array_distinct(col("_w"))) * 2 >= size(col("_w"))).as("_b")),
+        col("_a"), col("_b"))),
+    // EXT 2-D skyline / Pareto frontier (Relational.skyline2d): parts
+    // not dominated under (min retailprice, max size) — the
+    // "best-tradeoff shortlist" OLAP shape. Grid-agg + ONE bounded
+    // window over distinct prices, never the O(n²) dominance join; the
+    // spec proves equivalence to the brute-force definition
+    "pareto_parts" -> ((s, dir) =>
+      Relational.skyline2d(
+        t(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice", "p_size")
+        .orderBy("p_partkey")),
+    // EXT smoothed target encoding (Stats.targetEncode, Micci-Barreca
+    // 2001): c_mktsegment encoded by customer lifetime spend (exact
+    // floored-cents BIGINTs; customers with no orders count as 0),
+    // shrunk toward the global mean with m=50 — the leakage-averse
+    // categorical feature for tabular training pipelines
+    "target_encode_segment" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100)).as("_cents"))
+      val y = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"), coalesce(col("_cents"), lit(0L)).as("_y"))
+      Stats.targetEncode(y, "c_mktsegment", col("_y"), m = 50.0)
+        .orderBy("c_mktsegment")
+    }),
+    // EXT local clustering coefficient (Graph.clusteringCoefficient,
+    // Watts-Strogatz '98) over the near-dup pair graph: lcc=1 marks a
+    // doc inside a duplicate CLIQUE, lcc~0 a chain of borderline
+    // matches — the per-node transitivity readout next to
+    // dup_triangles' raw counts; T and d from the SAME capped edge set
+    "dup_clustering_coef" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Graph.clusteringCoefficient(pairs, "id_a", "id_b")
+        .orderBy("node")
+    }),
+    // EXT winsorized mean (Stats.winsorizedMean): per-status order
+    // value with p5/p95 tails CLAMPED, not dropped — the robust
+    // location estimate for spend dashboards; exact percentile_disc
+    // rank picks on floored cents, BIGINT clamped sum, one division
+    "winsorized_mean_status" -> ((s, dir) =>
+      Stats.winsorizedMean(
+        t(s, dir, "orders").select(col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).as("_cents")),
+        "o_orderstatus", col("_cents"))
+        .orderBy("o_orderstatus")),
+    // EXT Holt double exponential smoothing (Events.holtDaily): level +
+    // TREND per type/day with a one-step forecast — ewma's recursion
+    // with a second carried state; α'/β' as separate literals, oracle =
+    // recursive CTE replaying the exact float sequence
+    "holt_daily_counts" -> ((s, dir) =>
+      Events.holtDaily(t(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type", "day")),
+    // EXT frequent consecutive length-3 sequences (Events.
+    // tripleSequences): the sequential-pattern readout the bigram
+    // Markov matrix can't see (view->click->purchase vs view->click->
+    // error differ only at depth 3); one user-key shuffle, |types|³-
+    // bounded pattern space, TakeOrdered top-20
+    "seq_triples_events" -> ((s, dir) =>
+      Events.tripleSequences(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id", k = 20)),
+    // EXT Simpson diversity (Stats.simpsonDiversity, unbiased form):
+    // per-source language diversity — the mixture-balance audit next
+    // to hapax's vocabulary signal; exact n_i(n_i−1) moments, one
+    // division
+    "simpson_diversity_sources" -> ((s, dir) =>
+      Stats.simpsonDiversity(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source")),
     // EXT hapax ratio (corpus-quality signal): per-source share of
     // vocabulary appearing exactly once — high hapax = diverse/noisy,
     // low = templated; two map-side-combinable roll-ups
@@ -5307,6 +5419,171 @@ object SparkEntry {
          |SELECT phrase, ROUND(CAST(s AS DOUBLE), 6) AS score
          |FROM sc ORDER BY s DESC, phrase LIMIT 20""".stripMargin
     },
+    "retrieval_eval" -> {
+      val qm = RetrievalEvalQueries
+        .flatMap { case (q, ts) => ts.map(t0 => s"('$q', '$t0')") }
+        .mkString(", ")
+      val disc = Retrieval.NdcgDiscounts.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, ${d.toPlainString})" }
+        .mkString(", ")
+      s"""WITH qm(query_id, tok) AS (VALUES $qm),
+         | disc(r, d) AS (VALUES $disc),
+         | bl AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         | dls AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM bl),
+         | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dls),
+         | toks AS (SELECT doc_id, dl, unnest(ws) AS tok FROM dls),
+         | qtf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM toks WHERE tok IN (SELECT tok FROM qm) GROUP BY 1, 2, 3),
+         | dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+         | sc AS (SELECT qm.query_id, doc_id,
+         |          LN(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1)
+         |          / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) AS c
+         |        FROM qtf JOIN dft USING (tok) JOIN qm USING (tok), st),
+         | agg AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25 FROM sc GROUP BY 1, 2),
+         | run AS (SELECT query_id, doc_id,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+         |        FROM agg),
+         | qrels AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+         |        FROM (SELECT DISTINCT doc_id, tok FROM toks) dt JOIN qm USING (tok)
+         |        GROUP BY 1, 2),
+         | top AS (SELECT r.query_id, r.doc_id, r.rank, q.rel
+         |        FROM run r LEFT JOIN qrels q USING (query_id, doc_id) WHERE r.rank <= 10),
+         | pq AS (SELECT query_id,
+         |          SUM(COALESCE((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1, 0) * d) AS dcg,
+         |          MIN(CASE WHEN rel >= 1 THEN rank END) AS fr,
+         |          SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS hits
+         |        FROM top JOIN disc ON disc.r = top.rank GROUP BY 1),
+         | irn AS (SELECT query_id, doc_id, rel,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+         |        FROM qrels),
+         | ideal AS (SELECT query_id,
+         |          SUM(((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1) * d) AS idcg
+         |        FROM irn JOIN disc ON disc.r = irn.rn WHERE rn <= 10 GROUP BY 1),
+         | nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels GROUP BY 1)
+         |SELECT pq.query_id,
+         |  ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg,
+         |  ROUND(COALESCE(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS mrr,
+         |  ROUND(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE), 6) AS recall,
+         |  n_rel
+         |FROM pq JOIN ideal USING (query_id) JOIN nr USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
+    "cohen_kappa_docs" ->
+      """WITH r AS (SELECT n_chars >= 300 AS a,
+        |        len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 2
+        |          >= len(regexp_split_to_array(trim(text), '\s+')) AS b
+        |       FROM documents),
+        | c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |        CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |        CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |        CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |       FROM r),
+        | k AS (SELECT n, n11, n10, n01, n00,
+        |        CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |        CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        |       FROM c)
+        |SELECT n, n11, n10, n01, n00, ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+        |  CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM k""".stripMargin,
+    "pareto_parts" ->
+      """WITH g AS (SELECT p_retailprice AS pr, MAX(p_size) AS mg FROM part GROUP BY 1),
+        | v AS (SELECT pr, mg,
+        |        MAX(mg) OVER (ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |       FROM g)
+        |SELECT p_retailprice, p_partkey, p_size
+        |FROM part JOIN v ON p_retailprice = pr
+        |WHERE p_size = mg AND (rm IS NULL OR rm < p_size)
+        |ORDER BY p_partkey""".stripMargin,
+    "target_encode_segment" ->
+      """WITH sp AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |       FROM orders GROUP BY 1),
+        | j AS (SELECT c_mktsegment, COALESCE(cents, 0) AS y
+        |       FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+        | per AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS sy FROM j GROUP BY 1),
+        | g AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sy) AS BIGINT) AS ty FROM per)
+        |SELECT c_mktsegment, n,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  ROUND((CAST(sy AS DOUBLE) + 50.0 * (CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) + 50.0), 6) AS enc
+        |FROM per, g ORDER BY c_mktsegment""".stripMargin,
+    // lcc mirror: the dup_triangles wedge CTEs + the capped degree
+    // roll-up over the SAME edge set
+    "dup_clustering_coef" ->
+      s"""WITH $ngramPairCtes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | canon AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+         |           FROM p WHERE id_a <> id_b),
+         | degn AS (SELECT n FROM (SELECT unnest([lo, hi]) AS n FROM canon) t
+         |          GROUP BY n HAVING COUNT(*) <= 4096),
+         | e AS (SELECT lo, hi FROM canon
+         |       JOIN degn dl ON dl.n = canon.lo JOIN degn dh ON dh.n = canon.hi),
+         | deg AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         |         FROM (SELECT unnest([lo, hi]) AS n FROM e) t GROUP BY 1),
+         | tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+         |         FROM e ab JOIN e bc ON bc.lo = ab.hi
+         |         JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+         | tc AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS nt
+         |        FROM (SELECT unnest([a, b, c]) AS n FROM tri) t GROUP BY 1)
+         |SELECT deg.node, degree, COALESCE(nt, 0) AS n_triangles,
+         |  CASE WHEN degree >= 2 THEN ROUND(CAST(2 * COALESCE(nt, 0) AS DOUBLE)
+         |    / CAST(degree * (degree - 1) AS DOUBLE), 6) END AS lcc
+         |FROM deg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin,
+    "winsorized_mean_status" ->
+      """WITH v AS (SELECT o_orderstatus AS g,
+        |        CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        | r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY g) AS n FROM v),
+        | c AS (SELECT g,
+        |        MAX(CASE WHEN rn * 20 >= 1 * n AND (rn - 1) * 20 < 1 * n THEN v END) AS lo,
+        |        MAX(CASE WHEN rn * 20 >= 19 * n AND (rn - 1) * 20 < 19 * n THEN v END) AS hi
+        |       FROM r GROUP BY 1),
+        | cl AS (SELECT r.g, c.lo, c.hi, GREATEST(c.lo, LEAST(c.hi, r.v)) AS cv
+        |        FROM r JOIN c ON r.g = c.g)
+        |SELECT g AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, lo, hi,
+        |  ROUND(CAST(CAST(SUM(cv) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS wmean
+        |FROM cl GROUP BY g, lo, hi ORDER BY g""".stripMargin,
+    "holt_daily_counts" ->
+      """WITH RECURSIVE dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        | r AS (SELECT dc.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY day) AS rn FROM dc),
+        | c AS (SELECT event_type, day, cnt, rn, CAST(cnt AS DOUBLE) AS s,
+        |        CAST(0 AS DOUBLE) AS b
+        |       FROM r WHERE rn = 1
+        |       UNION ALL
+        |       SELECT r.event_type, r.day, r.cnt, r.rn,
+        |        3e-1 * CAST(r.cnt AS DOUBLE) + 7e-1 * (c.s + c.b),
+        |        2e-1 * ((3e-1 * CAST(r.cnt AS DOUBLE) + 7e-1 * (c.s + c.b)) - c.s)
+        |          + 8e-1 * c.b
+        |       FROM c JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1)
+        |SELECT event_type, day, cnt, ROUND(s, 6) AS level, ROUND(b, 6) AS trend,
+        |  ROUND(s + b, 6) AS forecast
+        |FROM c ORDER BY event_type, day""".stripMargin,
+    "seq_triples_events" ->
+      """WITH t AS (SELECT user_id, event_type AS s1,
+        |        LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+        |        LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        |       FROM events),
+        | c AS (SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS cnt FROM t
+        |       WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1, 2, 3),
+        | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c)
+        |SELECT s1, s2, s3, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS support
+        |FROM c, tot ORDER BY cnt DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+    "simpson_diversity_sources" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM documents GROUP BY 1, 2),
+        | a AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS k_cats,
+        |        CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS pp FROM c GROUP BY 1)
+        |SELECT source, n, k_cats,
+        |  CASE WHEN n >= 2 THEN ROUND(CAST(1 AS DOUBLE)
+        |    - CAST(pp AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) END AS simpson
+        |FROM a ORDER BY source""".stripMargin,
     "hapax_ratio_sources" ->
       """WITH toks AS (SELECT source,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),

@@ -414,6 +414,93 @@ object Events {
         round(col("_e.s"), 6).as("ewma"))
   }
 
+  /** Holt double exponential smoothing (Holt 1957) of per-type daily
+    * counts — [[ewmaDaily]] plus a TREND term, the standard one-step
+    * capacity forecaster:
+    *   s₁ = x₁, b₁ = 0;
+    *   sᵢ = α·xᵢ + α'·(sᵢ₋₁ + bᵢ₋₁),
+    *   bᵢ = β·(sᵢ − sᵢ₋₁) + β'·bᵢ₋₁.
+    * α'/β' are passed as SEPARATE literals (never derived 1−α — the
+    * ewma discipline) so the oracle's recursive CTE replays the exact
+    * float sequence bit-for-bit; round(6) only at the readout. The
+    * recursion is an expression fold over the |days|-bounded daily
+    * aggregate (invariant: sequential recursions that aren't
+    * window-expressible fold over a sorted collect_list of a bounded
+    * grid).
+    *
+    * Output: (typeCol, day, cnt, level, trend, forecast) where
+    * forecast = sᵢ + bᵢ (the next-day prediction from that day).
+    *
+    * Scale shape (100 TB): one map-side-combinable daily roll-up;
+    * the fold list is |days| entries per type.
+    */
+  def holtDaily(events: DataFrame, typeCol: String, tsCol: String,
+      alpha: Double = 0.3, alphaC: Double = 0.7,
+      beta: Double = 0.2, betaC: Double = 0.8): DataFrame = {
+    require(math.abs(alpha + alphaC - 1.0) < 1e-9 &&
+      math.abs(beta + betaC - 1.0) < 1e-9,
+      s"holtDaily: complements must pair to 1, got $alpha+$alphaC $beta+$betaC")
+    val daily = events
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+    val zero = struct(lit(true).as("init"), lit(0.0).as("s"), lit(0.0).as("b"),
+      array().cast("array<struct<day:date,cnt:bigint,s:double,b:double>>")
+        .as("path"))
+    daily.groupBy(col("_t"))
+      .agg(sort_array(collect_list(struct(col("_day"), col("_cnt")))).as("_l"))
+      .select(col("_t"),
+        aggregate(col("_l"), zero, (acc, x) => {
+          val xd = x.getField("_cnt").cast("double")
+          val s2 = when(acc.getField("init"), xd)
+            .otherwise(lit(alpha) * xd +
+              lit(alphaC) * (acc.getField("s") + acc.getField("b")))
+          val b2 = when(acc.getField("init"), lit(0.0))
+            .otherwise(lit(beta) * (s2 - acc.getField("s")) +
+              lit(betaC) * acc.getField("b"))
+          struct(lit(false).as("init"), s2.as("s"), b2.as("b"),
+            concat(acc.getField("path"),
+              array(struct(x.getField("_day").as("day"),
+                x.getField("_cnt").as("cnt"), s2.as("s"), b2.as("b"))))
+              .as("path"))
+        }).getField("path").as("_p"))
+      .select(col("_t").as(typeCol), explode(col("_p")).as("_e"))
+      .select(col(typeCol), col("_e.day").as("day"), col("_e.cnt").as("cnt"),
+        round(col("_e.s"), 6).as("level"), round(col("_e.b"), 6).as("trend"),
+        round(col("_e.s") + col("_e.b"), 6).as("forecast"))
+  }
+
+  /** Frequent consecutive length-3 event-type sequences (the
+    * sequential-pattern readout event_transitions' bigram matrix can't
+    * see): per user, events in total (ts, idCol) order yield every
+    * consecutive (e₁,e₂,e₃) window; patterns are counted corpus-wide
+    * and reported with support = cnt / total windows. Top `k` under
+    * the (cnt DESC, s1, s2, s3) total order.
+    *
+    * Scale shape (100 TB): ONE shuffle on the user key (the lead
+    * window), then a map-side-combinable pattern groupBy over the
+    * |types|³-bounded key space; total-window count rides a broadcast
+    * 1-row aggregate; top-k compiles to TakeOrderedAndProject.
+    */
+  def tripleSequences(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"tripleSequences: need k>0, got $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val triples = events
+      .select(col(userCol), col(typeCol).as("s1"), col(tsCol), col(idCol))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+    val counts = triples.groupBy("s1", "s2", "s3")
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("s1"), col("s2"), col("s3"), col("cnt"),
+        round(col("cnt").cast("double") / col("_tot").cast("double"), 6)
+          .as("support"))
+      .orderBy(col("cnt").desc, col("s1"), col("s2"), col("s3"))
+      .limit(k)
+  }
+
   /** Day-of-week-adjusted volume anomalies: a Monday spike should be
     * judged against Mondays (weekly seasonality would otherwise drown
     * or fake alarms). Per (type, dow) cell the residual is carried as

@@ -205,6 +205,56 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient (Watts-Strogatz '98): per node,
+    * lcc = 2·T / (d·(d−1)) — the share of the node's neighbor pairs
+    * that are themselves connected (1 inside a clique, 0 on a star
+    * hub). Triangles via the same ordered wedge join as
+    * [[triangleCounts]]; degree over the same capped canonical edge
+    * set, so T and d describe the SAME graph. Nodes with d = 1 report
+    * lcc null (no neighbor pair exists). The division is exact-integer
+    * operands at the round(6) readout.
+    *
+    * Output: (node, degree, n_triangles, lcc) for every capped node.
+    *
+    * Scale shape (100 TB): identical to [[triangleCounts]] — the
+    * `maxDegree` window-count guard bounds the Θ(Σ deg²) wedge stage,
+    * ONE persisted capped edge frame feeds the wedge join and the
+    * degree roll-up (three consumers on one lineage), and everything
+    * else is equi-joins and map-side-combinable counts.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 4096): DataFrame = {
+    require(maxDegree >= 2,
+      s"clusteringCoefficient: need maxDegree>=2, got $maxDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val capped = canon.select(explode(array(col("lo"), col("hi"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") <= maxDegree)
+      .select(col("n"))
+    val e = canon
+      .join(capped.withColumnRenamed("n", "lo"), Seq("lo"))
+      .join(capped.withColumnRenamed("n", "hi"), Seq("hi"))
+      .select("lo", "hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = e.select(col("lo").as("a"), col("hi").as("b"))
+      .join(e.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
+      .join(e.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round((lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"), 6)).as("lcc"))
+  }
+
   /** Edge-label extraction (`networkx.py:144-149`): (src, dst, label)
     * from an edge attribute, nulls dropped like the reference's
     * non-null label filter.

@@ -357,4 +357,43 @@ object Relational {
     }
     frames.reduce((a, b) => a.join(b, keys, "inner"))
   }
+
+  /** 2-D skyline (Pareto frontier, Börzsönyi ICDE'01): rows not
+    * dominated under (minimize `costCol`, maximize `gainCol`) — row p is
+    * dominated iff some q has cost <= p.cost AND gain >= p.gain with at
+    * least one strict. Ties on both dimensions are co-frontier (no
+    * strict dominance either way).
+    *
+    * Algorithm (never the O(n²) NOT-EXISTS): aggregate to the DISTINCT
+    * cost grid with max gain per cost, sweep ONE running-max window over
+    * the grid (strictly-cheaper best gain), then join the verdict back.
+    * A point survives iff it holds its cost level's max gain AND beats
+    * every strictly cheaper level's max.
+    *
+    * Scale shape (100 TB): the raw-row work is one map-side-combinable
+    * groupBy(cost) and one equi-join back; the ordered window runs over
+    * the distinct-cost GRID only (domain-bounded — catalog prices, SLA
+    * tiers — never row-cardinality), the same bounded-grid contract as
+    * theilSen. The spec asserts equivalence to the brute-force dominance
+    * definition.
+    */
+  def skyline2d(df: DataFrame, costCol: String, gainCol: String,
+      maxGrid: Int = 1000000): DataFrame = {
+    val grid = df.groupBy(col(costCol))
+      .agg(max(col(gainCol)).as("_mg"))
+    // the sweep window is partition-less BY DESIGN but runs over the
+    // distinct-cost GRID, not rows — enforce the bounded-grid contract
+    // loudly (one count action over the aggregate), the theilSen idiom
+    val g = grid.count()
+    require(g <= maxGrid,
+      s"skyline2d: $g distinct $costCol levels — the sweep grid must be " +
+        s"domain-bounded (max $maxGrid); bucket the cost dimension first")
+    val w = Window.orderBy(col(costCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdict = grid.withColumn("_rm", max(col("_mg")).over(w))
+    df.join(verdict, Seq(costCol))
+      .filter(col(gainCol) === col("_mg") &&
+        (col("_rm").isNull || col("_rm") < col(gainCol)))
+      .drop("_mg", "_rm")
+  }
 }

@@ -357,4 +357,119 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("maxsim"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** [[bm25TopK]] for a BATCH of queries in one corpus pass: `queries`
+    * is a (query_id, term) frame (a literal bag per query); output is
+    * (query_id, idCol, bm25, rank) with per-query top-k. Per-term df is
+    * global (documents containing the term — query-independent), so tf
+    * and df are computed ONCE across the union of all query vocabularies
+    * and the per-query score sum is a groupBy after a broadcast join to
+    * the (query_id, term) map. This is the batch-evaluation shape:
+    * scoring q queries costs one corpus scan, not q.
+    *
+    * Scale shape (100 TB): the corpus-sized shuffle is the token-semi-
+    * join-filtered tf groupBy (rows ∝ query-term occurrences); the
+    * per-query rank is a window PARTITIONED BY query_id over only the
+    * scored docs of that query — parallel across queries, never a
+    * global sort.
+    */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0 && k1 > 0 && b >= 0 && b <= 1,
+      s"bm25PerQuery: need k>0, k1>0, 0<=b<=1; got k=$k k1=$k1 b=$b")
+    val qmap = queries.select(col("query_id"), col("term").as("_tok")).distinct()
+    val base = docs.select(col(idCol).as("_id"),
+        split(trim(col(textCol)), "\\s+").as("_toks"))
+      .withColumn("_dl", size(col("_toks")))
+    val stats = base.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    val tf = base
+      .select(col("_id"), col("_dl"), explode(col("_toks")).as("_tok"))
+      .join(qmap.select("_tok").distinct(), Seq("_tok"), "left_semi")
+      .groupBy(col("_id"), col("_dl"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfT = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val scored = tf.join(dfT, Seq("_tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_c",
+        col("_idf") * col("_tf") * lit(k1 + 1) /
+          (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .join(qmap, Seq("_tok")) // fan out per query containing the term
+      .groupBy(col("query_id"), col("_id"))
+      .agg(round(sum(col("_c")), 6).as("bm25"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_id").as(idCol), col("bm25"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** nDCG@k discount table 1/log2(r+1), r = 1..10, as 12-decimal
+    * LITERALS (not engine `log` calls): both Spark and the SQL oracle
+    * multiply exact integer gains by the same decimal constants, so the
+    * DCG sums are order-free exact decimals and the 1-ulp `ln`
+    * divergence between JVM and DuckDB (invariant: never emit a raw
+    * ln-derived double) cannot touch the result.
+    */
+  val NdcgDiscounts: Seq[java.math.BigDecimal] = Seq(
+    "1.000000000000", "0.630929753571", "0.500000000000", "0.430676558073",
+    "0.386852807235", "0.356207187108", "0.333333333333", "0.315464876786",
+    "0.301029995664", "0.289064826318").map(new java.math.BigDecimal(_))
+
+  /** Offline ranking-quality evaluation (the IR-eval half every
+    * retrieval pipeline needs next to its ranker): given a `run`
+    * (query_id, idCol, rank) and graded relevance judgments `qrels`
+    * (query_id, idCol, rel >= 1), computes per query
+    *   - nDCG@k with gains 2^rel - 1 and the literal discount table,
+    *   - MRR@k (reciprocal rank of the first relevant hit, 0 if none),
+    *   - recall@k (relevant retrieved / total relevant),
+    *   - n_rel (judgment-set size).
+    * Float discipline: DCG/IDCG are exact decimal sums of
+    * int-gain x decimal-discount products; every division happens once
+    * at the readout on doubles and is round(6)-quantized.
+    *
+    * Scale shape (100 TB): the run is at most q*k rows (tiny); qrels is
+    * judgment-sized. Everything after the left join is per-query
+    * aggregation; IDCG's window is partitioned by query over
+    * judgment-set rows. No corpus-sized operation at all — corpus cost
+    * lives in the ranker that produced the run.
+    */
+  def rankingEval(run: DataFrame, qrels: DataFrame, idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscounts.size,
+      s"rankingEval: need 1<=k<=${NdcgDiscounts.size}, got $k")
+    val disc = array(NdcgDiscounts.take(k).map(d => lit(d)): _*)
+    // 2^rel − 1 as exact BIGINT (functions.shiftleft only takes a
+    // literal shift amount, so go through the SQL form)
+    val gain = (r: Column) => expr("shiftleft(cast(1 as bigint), " +
+      s"cast(${r.toString} as int))") - lit(1L)
+    val top = run.filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col(idCol), col("rel")),
+        Seq("query_id", idCol), "left")
+    val perQ = top.groupBy("query_id").agg(
+      sum(coalesce(gain(col("rel")), lit(0L)) *
+        element_at(disc, col("rank"))).as("_dcg"),
+      min(when(col("rel") >= 1, col("rank"))).as("_first"),
+      sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("_hits"))
+    val wid = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col(idCol).asc)
+    val ideal = qrels
+      .withColumn("_rn", row_number().over(wid))
+      .filter(col("_rn") <= k)
+      .groupBy("query_id")
+      .agg(sum(gain(col("rel")) * element_at(disc, col("_rn"))).as("_idcg"))
+    val nrel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    perQ.join(ideal, Seq("query_id")).join(nrel, Seq("query_id"))
+      .select(col("query_id"),
+        round(col("_dcg").cast("double") / col("_idcg").cast("double"), 6)
+          .as("ndcg"),
+        round(coalesce(lit(1.0) / col("_first").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        round(col("_hits").cast("double") / col("n_rel").cast("double"), 6)
+          .as("recall"),
+        col("n_rel"))
+  }
 }

@@ -803,4 +803,129 @@ object Stats {
       .select(col("k"), col("n"),
         when(tieF > 0, round(h0 / tieF, 6)).as("h"))
   }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * two binary raters (the labeling-pipeline QA metric: does the
+    * heuristic rater agree with the model rater beyond what their
+    * marginals force?). All four confusion cells and both marginals are
+    * exact BIGINT counts from ONE pass; p_o, p_e and kappa are three
+    * divisions at the readout (IEEE-deterministic given identical exact
+    * operands), round(6)-quantized.
+    *
+    * Output one row: (n, n11, n10, n01, n00, po, pe, kappa); kappa is
+    * null when p_e = 1 (both raters constant — agreement undefined).
+    *
+    * Scale shape (100 TB): a single map-side-combinable aggregate; the
+    * result is one row. Nothing else.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.select(raterA.cast("boolean").as("_a"),
+        raterB.cast("boolean").as("_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_a") && col("_b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("_a") && !col("_b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("_a") && col("_b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("_a") && !col("_b"), 1L).otherwise(0L)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") /
+      (nD * nD)
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** Per-group winsorized mean — the robust location estimate that
+    * clamps (never drops) tails: values below the qLo percentile are
+    * raised to it, values above qHi lowered to it, then averaged.
+    * Percentiles are EXACT percentile_disc picks via the suite's
+    * integer rank arithmetic (rn·qd ≥ qn·n ∧ (rn−1)·qd < qn·n) on an
+    * exact-integer value column; the clamped sum is a BIGINT, so the
+    * only float is the one round(6) division at the readout.
+    *
+    * Output per group: (groupCol, n, lo, hi, wmean).
+    *
+    * Scale shape (100 TB): the rank window and the final aggregate
+    * share the group-key partition (one shuffle + exchange reuse); the
+    * two cut points come from conditional aggregation on the SAME
+    * ranked pass — no quantile-table join, no second scan.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, value: Column,
+      qLo: (Int, Int) = (1, 20), qHi: (Int, Int) = (19, 20)): DataFrame = {
+    require(qLo._1 > 0 && qLo._1 <= qLo._2 && qHi._1 > 0 && qHi._1 <= qHi._2,
+      s"winsorizedMean: quantiles must be rationals in (0,1], got $qLo $qHi")
+    val w = Window.partitionBy(groupCol).orderBy(col("_v"))
+    val ranked = df.select(col(groupCol), value.cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    def pick(qn: Int, qd: Int): Column =
+      max(when(col("_rn") * qd >= lit(qn) * col("_n") &&
+        (col("_rn") - 1) * qd < lit(qn) * col("_n"), col("_v")))
+    val cuts = ranked.groupBy(groupCol)
+      .agg(pick(qLo._1, qLo._2).as("lo"), pick(qHi._1, qHi._2).as("hi"))
+    ranked.join(cuts, Seq(groupCol))
+      .select(col(groupCol), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("_v"))).as("_c"))
+      .groupBy(groupCol, "lo", "hi")
+      .agg(count(lit(1)).as("n"), sum(col("_c")).as("_s"))
+      .select(col(groupCol), col("n"), col("lo"), col("hi"),
+        round(col("_s").cast("double") / col("n").cast("double"), 6)
+          .as("wmean"))
+  }
+
+  /** Per-group Simpson diversity (Simpson 1949, the unbiased finite-
+    * sample form): 1 − Σ nᵢ(nᵢ−1) / (N(N−1)) over category counts —
+    * the probability two draws WITHOUT replacement differ. 0 for a
+    * single-category group, → 1 under many even categories. Entirely
+    * exact-integer until the one round(6) division (groups of one row
+    * report null — no pair to draw).
+    *
+    * Output per group: (groupCol, n, k_cats, simpson).
+    *
+    * Scale shape (100 TB): two map-side-combinable roll-ups
+    * ((group, cat) counts then group moments) — the hapax/vocab shape.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String, catCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(catCol)).agg(count(lit(1)).as("_c"))
+      .groupBy(groupCol)
+      .agg(sum(col("_c")).as("n"), count(lit(1)).as("k_cats"),
+        sum(col("_c") * (col("_c") - 1L)).as("_pp"))
+      .select(col(groupCol), col("n"), col("k_cats"),
+        when(col("n") >= 2,
+          round(lit(1.0) - col("_pp").cast("double") /
+            (col("n") * (col("n") - 1L)).cast("double"), 6)).as("simpson"))
+
+  /** Smoothed (Bayesian) target encoding of a categorical column
+    * (Micci-Barreca 2001 — the standard leakage-averse categorical
+    * feature for tabular training pipelines): per category,
+    * enc = (sum_y + m·global_mean) / (n + m), shrinking small
+    * categories toward the global mean. `y` must be an exact integer
+    * column (the suite's cents/scaled convention) so both sums are
+    * order-free BIGINTs; global_mean and the encoding are divisions at
+    * the readout, round(6)-quantized.
+    *
+    * Output per category: (catCol, n, mean, enc).
+    *
+    * Scale shape (100 TB): one map-side-combinable groupBy over the
+    * category key plus a 1-row global aggregate broadcast back — two
+    * exchanges total, no window, no skew exposure (the groupBy key IS
+    * the category, and the per-category state is two longs).
+    */
+  def targetEncode(df: DataFrame, catCol: String, y: Column,
+      m: Double = 10.0): DataFrame = {
+    require(m >= 0, s"targetEncode: need m>=0, got $m")
+    val per = df.select(col(catCol), y.cast("long").as("_y"))
+      .groupBy(catCol)
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("_sy"))
+    val glob = per.agg(sum(col("n")).as("_tn"), sum(col("_sy")).as("_ty"))
+    per.crossJoin(broadcast(glob))
+      .select(col(catCol), col("n"),
+        round(col("_sy").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round((col("_sy").cast("double") + lit(m) *
+            (col("_ty").cast("double") / col("_tn").cast("double"))) /
+          (col("n").cast("double") + lit(m)), 6).as("enc"))
+  }
 }

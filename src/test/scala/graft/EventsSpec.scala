@@ -212,6 +212,42 @@ class EventsSpec extends SparkSpec {
     assert(track.toSeq == Seq(2.0, 4.0))
   }
 
+  test("holtDaily: seeds (x1, 0), hand-walked level/trend/forecast, constant series has zero trend") {
+    // daily counts 2, 4, 6:
+    // s1=2 b1=0; s2=.3*4+.7*2=2.6 b2=.2*.6=.12; s3=.3*6+.7*2.72=3.704
+    // b3=.2*1.104+.8*.12=.3168
+    def day(d: Int, n: Int) = (1 to n).map(_ => ("a", ts(d)))
+    val ev = (day(1, 2) ++ day(2, 4) ++ day(3, 6)).toDF("et", "ts")
+    val out = Events.holtDaily(ev, "et", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((2L, 2.0, 0.0, 2.0), (4L, 2.6, 0.12, 2.72),
+      (6L, 3.704, 0.3168, 4.0208)))
+    // constant series: the level locks on and the trend stays 0
+    val flat = (day(1, 3) ++ day(2, 3) ++ day(3, 3)).toDF("et", "ts")
+    val f = Events.holtDaily(flat, "et", "ts").collect()
+    assert(f.forall(r => r.getDouble(3) == 3.0 && r.getDouble(4) == 0.0))
+  }
+
+  test("tripleSequences: consecutive windows per user, support over total windows, short users contribute none") {
+    // user 1: A B C D -> (A,B,C), (B,C,D); user 2: A B -> nothing
+    val ev = Seq(
+      (1L, "A", ts(1), 1L), (1L, "B", ts(2), 2L),
+      (1L, "C", ts(3), 3L), (1L, "D", ts(4), 4L),
+      (2L, "A", ts(1), 5L), (2L, "B", ts(2), 6L))
+      .toDF("user_id", "et", "ts", "id")
+    val out = Events.tripleSequences(ev, "user_id", "et", "ts", "id")
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(("A", "B", "C") -> (1L, 0.5), ("B", "C", "D") -> (1L, 0.5)))
+    // same-ts rows fall back to the id tie-break: order is deterministic
+    val tied = Seq((1L, "X", ts(1), 1L), (1L, "Y", ts(1), 2L),
+      (1L, "Z", ts(1), 3L)).toDF("user_id", "et", "ts", "id")
+    val t3 = Events.tripleSequences(tied, "user_id", "et", "ts", "id").collect()
+    assert(t3.length == 1 && t3(0).getString(0) == "X" &&
+      t3(0).getString(1) == "Y" && t3(0).getString(2) == "Z")
+  }
+
   test("fanoDaily: constant series 0, hand case 0.5") {
     val flat = Seq(("a", ts(1)), ("a", ts(2)), ("a", ts(3))).toDF("et", "ts")
     val f0 = Events.fanoDaily(flat, "et", "ts").head()

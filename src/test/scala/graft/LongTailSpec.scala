@@ -61,6 +61,26 @@ class LongTailSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("Graph.clusteringCoefficient: clique 1, cycle 0, pendant null, T and d from the same capped graph") {
+    // K4 on 1-4 + pendant 5 on node 1 + 4-cycle 6-7-8-9
+    val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((1L, 5L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 6L)))
+      .toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(2L) == ((3L, 3L, Some(1.0)))) // pure clique corner
+    assert(out(1L) == ((4L, 3L, Some(0.5)))) // clique + pendant: 3/(4·3/2)
+    assert(out(5L) == ((1L, 0L, None)))      // degree 1: undefined
+    assert(out(6L) == ((2L, 0L, Some(0.0)))) // cycles are triangle-free
+    // capping node 1 (degree 4) out removes it AND its wedge triangles
+    val capped = Graph.clusteringCoefficient(edges, "src", "dst", maxDegree = 3)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some(r.getDouble(3)))).toMap
+    assert(!capped.contains(1L))
+    assert(capped(2L) == Some(1.0), "2-3-4 still closes its own triangle")
+  }
+
   test("Graph.labelPropagation: pairs/cliques/stars converge to min id; self-vote kills oscillation") {
     // K3 {1,2,3} + isolated pair {5,6} + star 10-{11,12,13} + chain 20-21-22
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L),

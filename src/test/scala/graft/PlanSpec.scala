@@ -116,10 +116,14 @@ class PlanSpec extends SparkSpec {
     // theil_sen_daily's median window rides the |days|^2 pair table of
     // a count-validated grid (theilSen requires <= maxGrid rows before
     // the broadcast pair stage)
+    // pareto_parts' sweep window rides the count-validated distinct-
+    // price grid (skyline2d requires <= maxGrid levels — domain-bounded
+    // catalog prices, never row cardinality)
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
       "quantiles_binned_chars", "token_budget_select", "mann_whitney_value",
       "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
-      "gini_customer_spend", "classifier_auc", "theil_sen_daily")
+      "gini_customer_spend", "classifier_auc", "theil_sen_daily",
+      "pareto_parts")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)

@@ -126,4 +126,28 @@ class RelationalSpec extends SparkSpec {
     val buf = (1 to 100).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i.toDouble, i.toLong)))
     assert(buf.length < 6)
   }
+
+  test("skyline2d: grid-sweep equals the brute-force dominance definition (incl. ties on both axes)") {
+    // deterministic pseudo-random points with deliberate collisions on
+    // both dimensions so strict/non-strict tie handling is exercised
+    val pts = (0 until 200).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (i.toLong, (h % 17).toInt, ((h / 17) % 13).toInt) // (id, cost, gain)
+    }
+    val df = pts.toDF("id", "cost", "gain").repartition(7)
+    val got = Relational.skyline2d(df, "cost", "gain")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    assert(got == brute, s"sweep=$got brute=$brute")
+    assert(got.nonEmpty, "a finite point set always has a frontier")
+    // co-frontier duplicates survive together: two identical best points
+    val dup = Seq((1L, 0, 99), (2L, 0, 99), (3L, 5, 5)).toDF("id", "cost", "gain")
+    val ids = Relational.skyline2d(dup, "cost", "gain")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+  }
 }

@@ -172,4 +172,48 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(noExp == r1)
   }
+
+  test("bm25PerQuery: batch run matches per-query bm25TopK scores and ranks") {
+    val queries = Seq(("qa", "spark"), ("qa", "window"),
+      ("qb", "hash"), ("qb", "merge")).toDF("query_id", "term")
+    val batch = Retrieval.bm25PerQuery(docs, "doc_id", "text", queries, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    for ((q, ts) <- Seq("qa" -> Seq("spark", "window"), "qb" -> Seq("hash", "merge"))) {
+      val single = Retrieval.bm25TopK(docs, "doc_id", "text", ts, k = 10)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+      assert(batch.collect { case ((`q`, id), v) => id -> v }.toMap == single,
+        s"batch result for $q must equal the single-query ranker")
+    }
+  }
+
+  test("rankingEval: perfect ranking gets ndcg=mrr=recall=1; reversed ranking is penalized; miss gets 0") {
+    val qrels = Seq(("q", 1L, 2L), ("q", 2L, 1L)).toDF("query_id", "doc_id", "rel")
+    def run(pairs: (Long, Int)*) =
+      pairs.map { case (d, r) => ("q", d, r) }.toDF("query_id", "doc_id", "rank")
+    val perfect = Retrieval.rankingEval(run(1L -> 1, 2L -> 2), qrels, "doc_id").collect()(0)
+    assert(perfect.getDouble(1) == 1.0 && perfect.getDouble(2) == 1.0 &&
+      perfect.getDouble(3) == 1.0 && perfect.getLong(4) == 2L)
+    val reversed = Retrieval.rankingEval(run(2L -> 1, 1L -> 2), qrels, "doc_id").collect()(0)
+    assert(reversed.getDouble(1) < 1.0 && reversed.getDouble(1) > 0.5)
+    assert(reversed.getDouble(2) == 1.0, "first hit still at rank 1")
+    // irrelevant-only run: ndcg 0, mrr 0, recall 0
+    val miss = Retrieval.rankingEval(run(9L -> 1, 8L -> 2), qrels, "doc_id").collect()(0)
+    assert(miss.getDouble(1) == 0.0 && miss.getDouble(2) == 0.0 && miss.getDouble(3) == 0.0)
+  }
+
+  test("rankingEval: graded gains — swapping a rel=2 above a rel=1 raises ndcg; discounts beyond k ignored") {
+    val qrels = Seq(("q", 1L, 1L), ("q", 2L, 3L)).toDF("query_id", "doc_id", "rel")
+    def ev(first: Long, second: Long) = Retrieval.rankingEval(
+      Seq(("q", first, 1), ("q", second, 2)).toDF("query_id", "doc_id", "rank"),
+      qrels, "doc_id").collect()(0).getDouble(1)
+    assert(ev(2L, 1L) == 1.0, "high-gain doc first is the ideal order")
+    assert(ev(1L, 2L) < ev(2L, 1L))
+    // rank beyond k is filtered, not an array-index error
+    val far = Retrieval.rankingEval(
+      Seq(("q", 2L, 1), ("q", 1L, 99)).toDF("query_id", "doc_id", "rank"),
+      qrels, "doc_id").collect()(0)
+    assert(far.getDouble(3) == 0.5, "only the in-window hit counts toward recall")
+  }
 }

@@ -339,4 +339,75 @@ class StatsSpec extends SparkSpec {
     val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0)).toDF("g", "v")
     assert(Stats.kruskalWallis(tied, "g", "v").head().isNullAt(2))
   }
+
+  test("cohenKappa: perfect agreement 1, independence ~0, constant raters null") {
+    import org.apache.spark.sql.functions.col
+    val perfect = Seq((true, true), (false, false), (true, true), (false, false))
+      .toDF("a", "b")
+    val rp = Stats.cohenKappa(perfect, col("a"), col("b")).head()
+    assert(rp.getDouble(7) == 1.0 && rp.getDouble(5) == 1.0)
+    // statistically independent raters: po == pe -> kappa 0
+    val indep = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val ri = Stats.cohenKappa(indep, col("a"), col("b")).head()
+    assert(ri.getDouble(7) == 0.0)
+    // both raters constant-true: pe = 1, kappa undefined (null), po = 1
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val rc = Stats.cohenKappa(const, col("a"), col("b")).head()
+    assert(rc.isNullAt(7) && rc.getDouble(5) == 1.0)
+    // hand case: n11=2 n10=1 n01=1 n00=4 -> po=.75 pe=(3*3+5*5)/64=.53125
+    val hand = Seq((true, true), (true, true), (true, false), (false, true),
+      (false, false), (false, false), (false, false), (false, false)).toDF("a", "b")
+    val rh = Stats.cohenKappa(hand, col("a"), col("b")).head()
+    assert(math.abs(rh.getDouble(7) - (0.75 - 0.53125) / (1 - 0.53125)) < 1e-6)
+  }
+
+  test("winsorizedMean: p5/p95 clamp, outlier magnitude cannot move the mean") {
+    import org.apache.spark.sql.functions.col
+    // 1..20: p5 pick = rank 1 (v=1), p95 pick = rank 19 (v=19); 20 -> 19
+    val df = (1L to 20L).map(v => ("g", v)).toDF("g", "v")
+    val r = Stats.winsorizedMean(df, "g", col("v")).head()
+    assert(r.getLong(1) == 20L && r.getLong(2) == 1L && r.getLong(3) == 19L)
+    assert(r.getDouble(4) == 209.0 / 20)
+    // a million-scale outlier lands on the same clamp
+    val out = ((1L to 19L) :+ 1000000L).map(v => ("g", v)).toDF("g", "v")
+    assert(Stats.winsorizedMean(out, "g", col("v")).head().getDouble(4)
+      == 209.0 / 20)
+    // per-group independence
+    val two = ((1L to 20L).map(v => ("a", v)) ++ Seq(("b", 7L), ("b", 7L)))
+      .toDF("g", "v")
+    val m = Stats.winsorizedMean(two, "g", col("v"))
+      .collect().map(r2 => r2.getString(0) -> r2.getDouble(4)).toMap
+    assert(m("b") == 7.0)
+  }
+
+  test("simpsonDiversity: single category 0, even pair 2/3, singleton group null") {
+    val df = (Seq.fill(2)(("s1", "a")) ++ Seq.fill(2)(("s1", "b")) ++
+      Seq.fill(3)(("s2", "a")) ++ Seq(("s3", "z"))).toDF("g", "c")
+    val out = Stats.simpsonDiversity(df, "g", "c").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // s1: 1 - (2+2)/12 = 0.666667 (round 6); s2 single cat: 0
+    assert(out("s1") == ((4L, 2L, Some(0.666667))))
+    assert(out("s2") == ((3L, 1L, Some(0.0))))
+    assert(out("s3") == ((1L, 1L, None)))
+  }
+
+  test("targetEncode: shrinkage toward global mean, m=0 is the raw mean, small categories shrink harder") {
+    import org.apache.spark.sql.functions.col
+    // cat A: 4 rows mean 100; cat B: 1 row mean 0; global mean 80
+    val df = (Seq.fill(4)(("A", 100L)) :+ ("B", 0L)).toDF("c", "y")
+    val raw = Stats.targetEncode(df, "c", col("y"), m = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(raw == Map("A" -> 100.0, "B" -> 0.0))
+    val enc = Stats.targetEncode(df, "c", col("y"), m = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // A: (400 + 80)/5 = 96; B: (0 + 80)/2 = 40
+    assert(enc("A") == 96.0 && enc("B") == 40.0)
+    // shrinkage is monotone in m and bounded by the global mean
+    val enc10 = Stats.targetEncode(df, "c", col("y"), m = 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(enc10("A") < enc("A") && enc10("A") > 80.0)
+    assert(enc10("B") > enc("B") && enc10("B") < 80.0)
+  }
 }
