@@ -2159,6 +2159,24 @@ object SparkEntry {
     "simpson_diversity_sources" -> ((s, dir) =>
       Stats.simpsonDiversity(t(s, dir, "documents"), "source", "lang")
         .orderBy("source")),
+    // EXT fixed-sweep k-core peeling (Graph.kCore, Seidman '83) over
+    // the near-dup pair graph: the 2-core keeps docs whose duplication
+    // is corroborated by >= 2 neighbors after 4 peel rounds — isolated
+    // pairs and chain ends (single borderline matches) fall away;
+    // oracle = the 4 sweeps unrolled as chained CTEs
+    "kcore_dup_graph" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Graph.kCore(pairs, "id_a", "id_b", k = 2, sweeps = 4)
+        .orderBy("node")
+    }),
+    // EXT TextRank keywords (Corpus.textRankKeywords, Mihalcea-Tarau
+    // '04): PageRank over the window-2 word co-occurrence graph — the
+    // graph-centrality complement of RAKE's frequency scores; the
+    // sweeps shuffle on the VOCABULARY-bounded word key
+    "textrank_keywords" -> ((s, dir) =>
+      Corpus.textRankKeywords(t(s, dir, "documents"), "text",
+        TextFunctions.EnStops, iterations = 3, k = 20)),
     // EXT hapax ratio (corpus-quality signal): per-source share of
     // vocabulary appearing exactly once — high hapax = diverse/noisy,
     // low = templated; two map-side-combinable roll-ups
@@ -3531,7 +3549,11 @@ object SparkEntry {
     * would otherwise evaluate `1 - 0.85` in decimal (exactly 0.15),
     * diverging from Scala's `1.0 - damping` double by one ulp.
     */
-  private def pageRankSql(iterations: Int, damping: Double, quantize: Int): String = {
+  /** The PageRank sweep chain (nodes..r$iterations) over an already-
+    * defined `e(src, dst)` CTE — shared by the supplier-graph query and
+    * the TextRank word-graph query.
+    */
+  private def pageRankChain(iterations: Int, damping: Double, quantize: Int): String = {
     val tele = s"CAST(${1.0 - damping} AS DOUBLE)"
     val d = s"CAST($damping AS DOUBLE)"
     val sweeps = (1 to iterations).map { i =>
@@ -3540,16 +3562,19 @@ object SparkEntry {
          | r$i AS (SELECT nodes.id, ROUND($tele / nn.n + $d * COALESCE(CAST(c$i.s AS DOUBLE), 0.0), $quantize) AS r
          |        FROM nodes LEFT JOIN c$i ON c$i.id = nodes.id, nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-       |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
-       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    s"""nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        | deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
        | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
        | r0 AS (SELECT id, ROUND(CAST(1.0 AS DOUBLE) / nn.n, $quantize) AS r FROM nodes, nn),
-       |$sweeps
-       |SELECT id AS node, r AS rank FROM r$iterations ORDER BY node""".stripMargin
+       |$sweeps""".stripMargin
   }
+
+  private def pageRankSql(iterations: Int, damping: Double, quantize: Int): String =
+    s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       | ${pageRankChain(iterations, damping, quantize)}
+       |SELECT id AS node, r AS rank FROM r$iterations ORDER BY node""".stripMargin
 
   /** Two-sweep Lloyd replay over any `e(vec_id, v)` source SQL —
     * mirrors [[graft.operators.Ann.kmeansFixed]] (md5 seeds, argmax
@@ -5584,6 +5609,35 @@ object SparkEntry {
         |  CASE WHEN n >= 2 THEN ROUND(CAST(1 AS DOUBLE)
         |    - CAST(pp AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) END AS simpson
         |FROM a ORDER BY source""".stripMargin,
+    // k-core mirror: the dup pair CTEs + 4 peel sweeps unrolled
+    "kcore_dup_graph" -> {
+      val peels = (1 to 4).map { i =>
+        s""" d$i AS (SELECT n FROM (SELECT unnest([lo, hi]) AS n FROM e${i - 1}) t
+           |        GROUP BY n HAVING COUNT(*) >= 2),
+           | e$i AS (SELECT lo, hi FROM e${i - 1}
+           |        JOIN d$i a ON a.n = e${i - 1}.lo JOIN d$i b ON b.n = e${i - 1}.hi)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ngramPairCtes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | e0 AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+         |        FROM p WHERE id_a <> id_b),
+         |$peels
+         |SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM (SELECT unnest([lo, hi]) AS n FROM e4) t
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+    "textrank_keywords" -> {
+      val stopsIn = TextFunctions.EnStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH wl AS (SELECT [w FOR w IN regexp_split_to_array(lower(trim(text)), '\\s+')
+         |            IF length(w) >= 3 AND w NOT IN ($stopsIn)] AS ws FROM documents),
+         | pr0 AS (SELECT unnest([ws[i] || chr(9) || ws[i + 1] FOR i IN range(1, len(ws))]) AS s
+         |        FROM wl WHERE len(ws) >= 2),
+         | pp AS (SELECT split_part(s, chr(9), 1) AS w1, split_part(s, chr(9), 2) AS w2
+         |        FROM pr0 WHERE split_part(s, chr(9), 1) <> split_part(s, chr(9), 2)),
+         | e AS (SELECT w1 AS src, w2 AS dst FROM pp UNION SELECT w2, w1 FROM pp),
+         | ${pageRankChain(3, 0.85, 9)}
+         |SELECT id AS term, r AS score FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
+    },
     "hapax_ratio_sources" ->
       """WITH toks AS (SELECT source,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),

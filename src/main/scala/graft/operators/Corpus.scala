@@ -978,4 +978,48 @@ object Corpus {
       .limit(k)
       .select(col("phrase"), round(col("_sc").cast("double"), 6).as("score"))
   }
+
+  /** TextRank keyword extraction (Mihalcea-Tarau '04) — the graph-based
+    * complement of [[rakeKeywords]]'s frequency scoring: candidate
+    * words (lowercased, >= 3 chars, non-stopword, ORDER PRESERVED by
+    * the array filter) vote for their within-window-2 co-occurrence
+    * neighbors via PageRank; a word ranks high when it co-occurs with
+    * other high-ranking words, not merely when it is frequent. The
+    * co-occurrence graph is symmetrized and deduped, then scored by
+    * [[Graph.pageRank]] (teleport floor, per-sweep round(quantize)
+    * quantization — the engine-portable float discipline), and the
+    * top `k` terms are taken under the (score DESC, term) total order.
+    *
+    * Output: (term, score), score on the round(quantize) grid.
+    *
+    * Scale shape (100 TB): tokenize + pair generation are one map-side
+    * pass (zip_with over adjacent offsets — no explode-then-self-join);
+    * the edge distinct and every PageRank sweep shuffle on the WORD
+    * key, which is VOCABULARY-bounded (Heaps' law, not corpus-size);
+    * top-k compiles to TakeOrderedAndProject.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+      stopwords: Seq[String], iterations: Int = 3, k: Int = 20,
+      damping: Double = 0.85, quantize: Int = 9): DataFrame = {
+    require(stopwords.nonEmpty, "textRankKeywords: need a stopword list")
+    require(k >= 1 && iterations >= 1,
+      s"textRankKeywords: need k, iterations >= 1; got k=$k it=$iterations")
+    val stopsLit = array(stopwords.map(lit): _*)
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) >= 3 && !array_contains(stopsLit, w))
+    val toks = docs.select(ws.as("_ws")).filter(size(col("_ws")) >= 2)
+    val pairs = toks.select(explode(zip_with(
+        slice(col("_ws"), lit(1), size(col("_ws")) - 1),
+        slice(col("_ws"), lit(2), size(col("_ws")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("_p"))
+      .select(col("_p.a").as("w1"), col("_p.b").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    Graph.pageRank(edges, "src", "dst", iterations, damping, quantize)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("term"), col("rank").as("score"))
+  }
 }

@@ -255,6 +255,49 @@ object Graph {
             (col("degree") * (col("degree") - 1L)).cast("double"), 6)).as("lcc"))
   }
 
+  /** Fixed-sweep k-core peeling (Seidman '83): repeatedly drop every
+    * node with degree < k (and its edges) for `sweeps` synchronous
+    * rounds, then report the surviving nodes with their core-subgraph
+    * degree. The k-core separates cohesive structure from chains and
+    * pendants — on a near-dup graph, the 2-core is the set of docs
+    * whose duplication is CORROBORATED by at least two independent
+    * neighbors (isolated pairs and chain ends peel away). Fixed sweeps
+    * (not a convergence loop) keep the computation exactly replayable
+    * by the oracle's unrolled CTEs — the labelPropagation discipline;
+    * a graph whose peeling hasn't settled by `sweeps` rounds yields the
+    * same intermediate both sides.
+    *
+    * Output: (node, core_degree) over the surviving edge set.
+    *
+    * Scale shape (100 TB): per sweep ONE map-side-combinable degree
+    * count plus two LEFT SEMI equi-joins back to the edge list;
+    * localCheckpoint after every sweep cuts the lineage (the LPA/
+    * pointer-jumping discipline) so sweep s never re-executes sweeps
+    * 1..s-1.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, sweeps: Int = 4): DataFrame = {
+    require(k >= 1 && sweeps >= 1,
+      s"kCore: need k>=1, sweeps>=1; got k=$k sweeps=$sweeps")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    var e = canon.localCheckpoint()
+    for (_ <- 1 to sweeps) {
+      val keep = e.select(explode(array(col("lo"), col("hi"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k)
+        .select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("n", "hi"), Seq("hi"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Edge-label extraction (`networkx.py:144-149`): (src, dst, label)
     * from an edge attribute, nulls dropped like the reference's
     * non-null label filter.

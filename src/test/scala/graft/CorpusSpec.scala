@@ -456,4 +456,30 @@ class CorpusSpec extends SparkSpec {
       .orderBy("cum_tokens").collect().toSeq
     assert(gotP == got)
   }
+
+  test("textRankKeywords: co-occurrence hub outranks a frequent-but-isolated word; stopwords and short words excluded") {
+    // 'core' co-occurs with many distinct words; 'spam' repeats but
+    // only ever next to itself/one partner; stopwords glue phrases
+    val docs = Seq(
+      "the core engine and the core planner and the core optimizer",
+      "core runtime of the core scheduler",
+      "spam spam spam spam spam spam filter",
+      "ab xy" // sub-3-char tokens must vanish entirely
+    ).map(Tuple1(_)).toDF("text")
+    val out = Corpus.textRankKeywords(docs, "text",
+      Seq("the", "and", "of", "a"), iterations = 3, k = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val terms = out.map(_._1).toSet
+    assert(!terms.exists(Set("the", "and", "of", "ab", "xy").contains))
+    val score = out.toMap
+    assert(score("core") > score("spam"),
+      s"hub must beat isolated repetition: $score")
+    // rank order is (score desc, term) total
+    assert(out.head._1 == "core")
+    // determinism under repartition
+    val again = Corpus.textRankKeywords(docs.repartition(5), "text",
+      Seq("the", "and", "of", "a"), iterations = 3, k = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(again.toSeq == out.toSeq)
+  }
 }

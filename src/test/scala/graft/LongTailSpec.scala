@@ -61,6 +61,26 @@ class LongTailSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("Graph.kCore: cliques survive, chains and isolated pairs peel away, degrees are core-subgraph degrees") {
+    // K4 on 1-4, a chain 5-6-7-8, an isolated pair 9-10, and a pendant
+    // 11 hanging off clique node 1
+    val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((5L, 6L), (6L, 7L), (7L, 8L), (9L, 10L), (1L, 11L)))
+      .toDF("src", "dst")
+    val core2 = Graph.kCore(edges, "src", "dst", k = 2, sweeps = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only the K4 survives the 2-core; its degrees exclude the peeled pendant
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the 4-core of K4 is empty (every node has degree 3)
+    assert(Graph.kCore(edges, "src", "dst", k = 4, sweeps = 2).count() == 0L)
+    // a 6-cycle IS its own 2-core: peeling removes nothing
+    val cyc = (0 until 6).map(i => (i.toLong + 20, ((i + 1) % 6).toLong + 20))
+      .toDF("src", "dst")
+    val c2 = Graph.kCore(cyc, "src", "dst", k = 2, sweeps = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.size == 6 && c2.values.forall(_ == 2L))
+  }
+
   test("Graph.clusteringCoefficient: clique 1, cycle 0, pendant null, T and d from the same capped graph") {
     // K4 on 1-4 + pendant 5 on node 1 + 4-cycle 6-7-8-9
     val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
