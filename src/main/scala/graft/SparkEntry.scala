@@ -2177,6 +2177,48 @@ object SparkEntry {
     "textrank_keywords" -> ((s, dir) =>
       Corpus.textRankKeywords(t(s, dir, "documents"), "text",
         TextFunctions.EnStops, iterations = 3, k = 20)),
+    // EXT native session windows (Spark's session_window gap-merge):
+    // per-user 30-min-gap sessions as ONE stateless aggregate — the
+    // Spark-first statement of what sessionizeBatch derives with
+    // lag+cumsum (which the oracle replays; new session iff
+    // gap >= 30 min, matching the half-open [start, last+gap) merge)
+    "session_window_stats" -> ((s, dir) => {
+      val us = unix_micros(col("_ts"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("_ts"))
+        .groupBy(col("user_id"), session_window(col("_ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(us).as("session_start_us"), max(us).as("_end"))
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          (col("_end") - col("session_start_us")).as("span_micros"))
+        .orderBy("user_id", "session_start_us")
+    }),
+    // EXT rolling correlation (Events.rollingCorrDaily): 7-day trailing
+    // Pearson r between click and error DAILY counts — six exact BIGINT
+    // window moments over one shared RANGE frame on the day grid, one
+    // fixed-order float readout
+    "rolling_corr_7d" -> ((s, dir) =>
+      Events.rollingCorrDaily(t(s, dir, "events"), "event_type", "ts",
+        "click", "error")
+        .orderBy("day")),
+    // EXT per-source language-mix divergence (Stats.chi2Divergence):
+    // goodness-of-fit χ² of each source's lang distribution against the
+    // corpus marginal via the observed-cells identity — the
+    // "which sources drifted" data-quality screen; category-sorted
+    // float fold, everything else exact integers
+    "lang_chi2_sources" -> ((s, dir) =>
+      Stats.chi2Divergence(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source")),
+    // EXT position-based multi-touch attribution (Events.
+    // positionAttribution, U-shaped 40/20/40): credit over the touches
+    // before each user's FIRST purchase — the fractional-credit
+    // complement of attribution_join's last-interval match; round(9)
+    // decimal credits so per-type sums are order-free
+    "attribution_position" -> ((s, dir) =>
+      Events.positionAttribution(t(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id", "purchase",
+        Seq("view", "click", "signup", "error"))
+        .orderBy("event_type")),
     // EXT hapax ratio (corpus-quality signal): per-source share of
     // vocabulary appearing exactly once — high hapax = diverse/noisy,
     // low = templated; two map-side-combinable roll-ups
@@ -5638,6 +5680,72 @@ object SparkEntry {
          | ${pageRankChain(3, 0.85, 9)}
          |SELECT id AS term, r AS score FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
     },
+    // session_window mirror: gap-merge replayed as lag+cumsum; new
+    // session iff gap >= 30 min (the half-open [start, last+gap) merge)
+    "session_window_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        | l AS (SELECT user_id, us,
+        |        LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+        | s AS (SELECT user_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |       FROM l),
+        | g AS (SELECT user_id, us, SUM(ns) OVER (PARTITION BY user_id
+        |        ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_micros
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "rolling_corr_7d" ->
+      """WITH dc AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |       FROM events GROUP BY 1),
+        | m AS (SELECT d, x, y,
+        |        CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |        CAST(SUM(x) OVER w AS BIGINT) AS sx, CAST(SUM(y) OVER w AS BIGINT) AS sy,
+        |        CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+        |        CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+        |       FROM dc WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT DATE '1970-01-01' + CAST(d AS INT) AS day, x, y, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM m ORDER BY day""".stripMargin,
+    "lang_chi2_sources" ->
+      """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |       FROM documents GROUP BY 1, 2),
+        | ng AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ng FROM cells GROUP BY 1),
+        | tc AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS tc FROM cells GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        | t AS (SELECT cells.source, ng.ng, cells.lang,
+        |        (CAST(o * o AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / (CAST(ng AS DOUBLE) * CAST(tc AS DOUBLE)) AS term
+        |       FROM cells JOIN ng USING (source) JOIN tc USING (lang), tot)
+        |SELECT source, ng AS n,
+        |  ROUND(list_sum(list(term ORDER BY lang)) - CAST(ng AS DOUBLE), 6) AS chi2
+        |FROM t GROUP BY source, ng ORDER BY source""".stripMargin,
+    "attribution_position" ->
+      """WITH conv AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS cts FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        | tch AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |       FROM events JOIN conv ON user_id = u
+        |       WHERE event_type IN ('view', 'click', 'signup', 'error')
+        |         AND epoch_us(ts) < cts),
+        | r AS (SELECT user_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS m
+        |       FROM tch),
+        | wt AS (SELECT event_type,
+        |        CASE WHEN m = 1 THEN CAST(1 AS DOUBLE)
+        |             WHEN m = 2 THEN CAST(0.5 AS DOUBLE)
+        |             WHEN rn = 1 OR rn = m THEN CAST(0.4 AS DOUBLE)
+        |             ELSE CAST(0.2 AS DOUBLE) / CAST(m - 2 AS DOUBLE) END AS w
+        |       FROM r)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  ROUND(CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS credit
+        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin,
     "hapax_ratio_sources" ->
       """WITH toks AS (SELECT source,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),

@@ -469,6 +469,95 @@ object Events {
         round(col("_e.s") + col("_e.b"), 6).as("forecast"))
   }
 
+  /** Rolling Pearson correlation of two event types' DAILY counts over
+    * a trailing `windowDays` frame — the dashboard question "are errors
+    * tracking clicks this week?". Both series come out of ONE daily
+    * roll-up (conditional sums — no join of two filtered scans); the
+    * six window sums (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs over
+    * one shared RANGE frame; r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²)·
+    * √(nΣy²−Σy²)) is a fixed-order double expression at the readout
+    * (sqrt and division are IEEE-exact on identical operands),
+    * round(6), null when either variance is 0. BIGINT bound:
+    * n·Σx² needs x ≤ ~3e7 per day at a 7-day frame; past that, cast
+    * the moment sums to DECIMAL(38).
+    *
+    * Output: (day, x, y, n_days, corr).
+    *
+    * Scale shape (100 TB): the corpus-sized work is the single daily
+    * roll-up (map-side combinable); the ordered window rides the
+    * |days|-bounded GRID — the rolling_revenue_7d class.
+    */
+  def rollingCorrDaily(events: DataFrame, typeCol: String, tsCol: String,
+      typeA: String, typeB: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 2, s"rollingCorrDaily: need windowDays>=2, got $windowDays")
+    val daily = events
+      .groupBy(datediff(col(tsCol).cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("_d"))
+      .agg(sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("x"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy(col("_d")).rangeBetween(-(windowDays - 1), 0)
+    val m = daily.select(col("_d"), col("x"), col("y"),
+      count(lit(1)).over(w).as("_n"),
+      sum(col("x")).over(w).as("_sx"), sum(col("y")).over(w).as("_sy"),
+      sum(col("x") * col("x")).over(w).as("_sxx"),
+      sum(col("y") * col("y")).over(w).as("_syy"),
+      sum(col("x") * col("y")).over(w).as("_sxy"))
+    val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    m.select(
+      date_add(to_date(lit("1970-01-01")), col("_d").cast("int")).as("day"),
+      col("x"), col("y"), col("_n").as("n_days"),
+      when(vx > 0 && vy > 0,
+        round(num / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+        .as("corr"))
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution: for each user
+    * that converted, the touch events STRICTLY BEFORE the first
+    * conversion share credit 40% first touch / 40% last / 20% split
+    * across the middles (1 touch → 1.0, 2 touches → 0.5 each — the
+    * degenerate cases where first and last collide). The last-touch
+    * complement of `attribution_join`'s interval join. Per-touch
+    * weights are round(9)-quantized to exact DECIMAL so the per-type
+    * credit sums are order-free; readout round(6).
+    *
+    * Output per touch type: (typeCol, n_touches, credit).
+    *
+    * Scale shape (100 TB): one conversion-time aggregate + an equi-join
+    * back on the user key, one user-keyed rank window over the touch
+    * rows, one map-side-combinable credit groupBy. Journey length only
+    * bounds the WINDOW partition, never driver state.
+    */
+  def positionAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, convType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "positionAttribution: touchTypes must be non-empty and exclude convType")
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("_u")).agg(min(micros).as("_cts"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(typeCol), micros.as("_ts"), col(idCol))
+      .join(conv, col(userCol) === col("_u"))
+      .filter(col("_ts") < col("_cts"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_ts"), col(idCol))
+    val weighted = touches
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col(userCol))))
+      .withColumn("_wt",
+        when(col("_m") === 1, lit(1.0))
+          .when(col("_m") === 2, lit(0.5))
+          .when(col("_rn") === 1 || col("_rn") === col("_m"), lit(0.4))
+          .otherwise(lit(0.2) / (col("_m") - 2).cast("double")))
+    weighted
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round(col("_wt"), 9).cast("decimal(20,9)")).as("_c"))
+      .select(col(typeCol), col("n_touches"),
+        round(col("_c").cast("double"), 6).as("credit"))
+  }
+
   /** Frequent consecutive length-3 event-type sequences (the
     * sequential-pattern readout event_transitions' bigram matrix can't
     * see): per user, events in total (ts, idCol) order yield every

@@ -897,6 +897,40 @@ object Stats {
           round(lit(1.0) - col("_pp").cast("double") /
             (col("n") * (col("n") - 1L)).cast("double"), 6)).as("simpson"))
 
+  /** Per-group χ² divergence of a categorical distribution from the
+    * corpus-wide marginal (goodness-of-fit screening — "which sources'
+    * language mix drifted?"). Uses the observed-cells identity
+    * Σ_all (o−e)²/e = Σ_obs o²·N/(n_g·tot_c) − n_g (empty cells
+    * contribute o²/e = 0, so no category grid is materialized — the
+    * [[contingencyAnalysis]] discipline). All counts exact BIGINTs;
+    * each term is one fixed-order double expression; the per-group sum
+    * folds over the category-sorted struct list (bounded by the
+    * category count) so the float reduction is engine-portable.
+    *
+    * Output per group: (groupCol, n, chi2), chi2 round(6). Degrees of
+    * freedom = (categories − 1) are the caller's lookup.
+    *
+    * Scale shape (100 TB): one (group, cat) cell groupBy (map-side
+    * combinable), two marginal roll-ups, a broadcast 1-row total; the
+    * fold list has one entry per OBSERVED category of the group.
+    */
+  def chi2Divergence(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("_g"), col(catCol).as("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val ng = cells.groupBy("_g").agg(sum("_o").as("_ng"))
+    val tc = cells.groupBy("_c").agg(sum("_o").as("_tc"))
+    val tot = cells.agg(sum("_o").as("_n"))
+    val term = (col("_o") * col("_o")).cast("double") * col("_n").cast("double") /
+      (col("_ng").cast("double") * col("_tc").cast("double"))
+    cells.join(ng, Seq("_g")).join(tc, Seq("_c")).crossJoin(broadcast(tot))
+      .select(col("_g"), col("_ng"), struct(col("_c"), term.as("_t")).as("_s"))
+      .groupBy("_g", "_ng")
+      .agg(collect_list(col("_s")).as("_l"))
+      .select(col("_g").as(groupCol), col("_ng").as("n"),
+        round(orderedSum(col("_l"), "_t") - col("_ng").cast("double"), 6)
+          .as("chi2"))
+  }
+
   /** Smoothed (Bayesian) target encoding of a categorical column
     * (Micci-Barreca 2001 — the standard leakage-averse categorical
     * feature for tabular training pipelines): per category,

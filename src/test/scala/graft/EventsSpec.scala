@@ -248,6 +248,56 @@ class EventsSpec extends SparkSpec {
       t3(0).getString(1) == "Y" && t3(0).getString(2) == "Z")
   }
 
+  test("rollingCorrDaily: perfect co-movement 1, perfect anti-movement -1, flat series null") {
+    // clicks 1,2,3 / errors 2,4,6 per day: r = 1 in every >=2-day window
+    def mk(d: Int, clicks: Int, errors: Int) =
+      (1 to clicks).map(_ => ("click", ts(d))) ++
+        (1 to errors).map(_ => ("error", ts(d)))
+    val up = (mk(1, 1, 2) ++ mk(2, 2, 4) ++ mk(3, 3, 6)).toDF("et", "ts")
+    val r = Events.rollingCorrDaily(up, "et", "ts", "click", "error")
+      .orderBy("day").collect()
+    assert(r(0).isNullAt(4), "1-day window has zero variance")
+    assert(r(1).getDouble(4) == 1.0 && r(2).getDouble(4) == 1.0)
+    // clicks rise while errors fall: r = -1
+    val down = (mk(1, 1, 3) ++ mk(2, 2, 2) ++ mk(3, 3, 1)).toDF("et", "ts")
+    val rd = Events.rollingCorrDaily(down, "et", "ts", "click", "error")
+      .orderBy("day").collect()
+    assert(rd(2).getDouble(4) == -1.0)
+    // a flat series has zero variance: corr undefined
+    val flat = (mk(1, 2, 1) ++ mk(2, 2, 5) ++ mk(3, 2, 3)).toDF("et", "ts")
+    assert(Events.rollingCorrDaily(flat, "et", "ts", "click", "error")
+      .collect().forall(_.isNullAt(4)))
+  }
+
+  test("positionAttribution: U-shaped 40/20/40, degenerate 1- and 2-touch journeys, post-conversion touches excluded") {
+    // user 1: view,click,view,signup then purchase, then a view AFTER
+    // user 2: click then purchase (single touch); user 3: never converts
+    val ev = Seq(
+      (1L, "view", ts(1, 1), 1L), (1L, "click", ts(1, 2), 2L),
+      (1L, "view", ts(1, 3), 3L), (1L, "signup", ts(1, 4), 4L),
+      (1L, "purchase", ts(1, 5), 5L), (1L, "view", ts(1, 6), 6L),
+      (2L, "click", ts(2, 1), 7L), (2L, "purchase", ts(2, 2), 8L),
+      (3L, "view", ts(3, 1), 9L))
+      .toDF("user_id", "et", "ts", "id")
+    val out = Events.positionAttribution(ev, "user_id", "et", "ts", "id",
+      "purchase", Seq("view", "click", "signup"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 1 (m=4): view .4 + view .1 | click .1 | signup .4
+    // user 2 (m=1): click 1.0
+    assert(out("view") == ((2L, 0.5)))
+    assert(out("click") == ((2L, 1.1)))
+    assert(out("signup") == ((1L, 0.4)))
+    // total credit = number of converting users with >=1 touch
+    assert(math.abs(out.values.map(_._2).sum - 2.0) < 1e-9)
+    // 2-touch journey splits 0.5/0.5
+    val two = Seq((9L, "view", ts(1, 1), 1L), (9L, "click", ts(1, 2), 2L),
+      (9L, "purchase", ts(1, 3), 3L)).toDF("user_id", "et", "ts", "id")
+    val o2 = Events.positionAttribution(two, "user_id", "et", "ts", "id",
+      "purchase", Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(o2 == Map("view" -> 0.5, "click" -> 0.5))
+  }
+
   test("fanoDaily: constant series 0, hand case 0.5") {
     val flat = Seq(("a", ts(1)), ("a", ts(2)), ("a", ts(3))).toDF("et", "ts")
     val f0 = Events.fanoDaily(flat, "et", "ts").head()

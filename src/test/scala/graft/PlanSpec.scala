@@ -119,11 +119,13 @@ class PlanSpec extends SparkSpec {
     // pareto_parts' sweep window rides the count-validated distinct-
     // price grid (skyline2d requires <= maxGrid levels — domain-bounded
     // catalog prices, never row cardinality)
+    // rolling_corr_7d's RANGE frame rides the per-DAY aggregate — the
+    // rolling_revenue_7d class
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
       "quantiles_binned_chars", "token_budget_select", "mann_whitney_value",
       "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
       "gini_customer_spend", "classifier_auc", "theil_sen_daily",
-      "pareto_parts")
+      "pareto_parts", "rolling_corr_7d")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)

@@ -362,6 +362,22 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rh.getDouble(7) - (0.75 - 0.53125) / (1 - 0.53125)) < 1e-6)
   }
 
+  test("chi2Divergence: groups matching the marginal score 0, a skewed group scores its hand value") {
+    // two groups with IDENTICAL category mixes: each matches the
+    // marginal exactly -> chi2 = 0 for both
+    val even = (Seq.fill(2)(("g1", "a")) ++ Seq.fill(2)(("g1", "b")) ++
+      Seq.fill(4)(("g2", "a")) ++ Seq.fill(4)(("g2", "b"))).toDF("g", "c")
+    val e = Stats.chi2Divergence(even, "g", "c")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(e == Map("g1" -> 0.0, "g2" -> 0.0))
+    // g1 all-a vs g2 all-b (4 rows each): marginal is 50/50, so each
+    // group's chi2 = sum o^2*N/(ng*tc) - ng = 16*8/(4*4) - 4 = 4
+    val skew = (Seq.fill(4)(("g1", "a")) ++ Seq.fill(4)(("g2", "b"))).toDF("g", "c")
+    val s = Stats.chi2Divergence(skew, "g", "c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(s.toSet == Set(("g1", 4L, 4.0), ("g2", 4L, 4.0)))
+  }
+
   test("winsorizedMean: p5/p95 clamp, outlier magnitude cannot move the mean") {
     import org.apache.spark.sql.functions.col
     // 1..20: p5 pick = rank 1 (v=1), p95 pick = rank 19 (v=19); 20 -> 19
