@@ -33,6 +33,12 @@ object SparkEntry {
     * Spark run/qrels frames AND the generated oracle's VALUES list, so
     * the two sides can never drift.
     */
+  /** Literal PSI bin edges for `psi_value_drift` — ONE definition feeds
+    * Stats.psi's when-chain AND the generated oracle's CASE sum, so the
+    * binning can never drift between engines.
+    */
+  private val PsiEdges: Seq[Double] = Seq(5, 10, 20, 40, 80, 160, 320)
+
   private val RetrievalEvalQueries: Seq[(String, Seq[String])] = Seq(
     "q_exec" -> Seq("spark", "window"),
     "q_storage" -> Seq("hash", "merge"),
@@ -2218,6 +2224,36 @@ object SparkEntry {
       Events.positionAttribution(t(s, dir, "events"), "user_id",
         "event_type", "ts", "event_id", "purchase",
         Seq("view", "click", "signup", "error"))
+        .orderBy("event_type")),
+    // EXT PSI drift monitor (Stats.psi): events.value distribution,
+    // first half of January (ref) vs second half (cur), fixed literal
+    // bin edges shared with the oracle via PsiEdges — the scorecard
+    // population-shift audit next to embedding_drift's vector monitor
+    "psi_value_drift" -> ((s, dir) =>
+      Stats.psi(t(s, dir, "events"), col("value"),
+          col("ts").cast("date") <= lit("2024-01-15").cast("date"), PsiEdges)
+        .orderBy("bin")),
+    // EXT cumulative gain/lift deciles (Stats.liftGain) of the learned
+    // quality classifier on its injected eval labels — the targeting
+    // readout next to classifier_auc; NTILE(10) under the (score desc,
+    // doc_id) total order
+    "lift_gain_deciles" -> ((s, dir) => {
+      val sc = qcScored(s, dir)
+      Stats.liftGain(sc, col("p_clean"), col("is_clean"), col("doc_id"))
+        .orderBy("decile")
+    }),
+    // EXT conditional next-step entropy (Events.transitionEntropy):
+    // journey predictability per source state — shares the transition
+    // matrix's total-ordered lead lineage, |types|²-bounded fold
+    "cond_entropy_transitions" -> ((s, dir) =>
+      Events.transitionEntropy(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+        .orderBy("from_type")),
+    // EXT forecast backtest (Events.forecastEval): naive vs
+    // seasonal-naive(7) MAE/MASE/sMAPE on the per-type daily counts —
+    // the "is weekly seasonality worth modeling" gate for holt/HW
+    "forecast_eval_mase" -> ((s, dir) =>
+      Events.forecastEval(t(s, dir, "events"), "event_type", "ts", season = 7)
         .orderBy("event_type")),
     // EXT hapax ratio (corpus-quality signal): per-source share of
     // vocabulary appearing exactly once — high hapax = diverse/noisy,
@@ -5746,6 +5782,83 @@ object SparkEntry {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
         |  ROUND(CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS credit
         |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PSI mirror: bin = branch-free CASE sum over the SAME PsiEdges
+    "psi_value_drift" -> {
+      val binSql = PsiEdges
+        .map(e => s"(CASE WHEN value >= $e THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT CAST($binSql AS BIGINT) AS bin,
+         |        CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS r
+         |       FROM events),
+         | c AS (SELECT bin, CAST(SUM(r) AS BIGINT) AS n_ref,
+         |        CAST(SUM(1 - r) AS BIGINT) AS n_cur FROM b GROUP BY 1),
+         | t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+         |        CAST(SUM(n_cur) AS BIGINT) AS tc FROM c),
+         | p AS (SELECT bin, n_ref, n_cur,
+         |        CAST(n_ref AS DOUBLE) / tr AS pr,
+         |        CAST(n_cur AS DOUBLE) / tc AS pc FROM c, t)
+         |SELECT bin, n_ref, n_cur, ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+         |  ROUND((pc - pr) * ln((pc + 1e-6) / (pr + 1e-6)), 6) AS psi_term
+         |FROM p ORDER BY bin""".stripMargin
+    },
+    // gain/lift mirror: the qcScored CTE chain + NTILE under the same
+    // (p_clean DESC, doc_id) total order; window SUM(BIGINT) cast back
+    // per invariant 36
+    "lift_gain_deciles" ->
+      s"""WITH $qcScoredSql,
+         | r AS (SELECT doc_id, p_clean, (doc_id < 400000) AS y,
+         |        NTILE(10) OVER (ORDER BY p_clean DESC, (doc_id < 400000) DESC, doc_id) AS decile FROM s),
+         | d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |       FROM r GROUP BY 1),
+         | cc AS (SELECT decile, n, n_pos,
+         |        CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         |        CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+         |        CAST(SUM(n) OVER () AS BIGINT) AS tn,
+         |        CAST(SUM(n_pos) OVER () AS BIGINT) AS tp FROM d)
+         |SELECT decile, n, n_pos, cum_n, cum_pos,
+         |  ROUND(CAST(cum_pos AS DOUBLE) / tp, 6) AS gain,
+         |  ROUND((CAST(cum_pos AS DOUBLE) / tp)
+         |    / (CAST(cum_n AS DOUBLE) / tn), 6) AS lift
+         |FROM cc ORDER BY decile""".stripMargin,
+    // conditional-entropy mirror: the transition cell CTEs + a
+    // next-type-ordered list_sum fold
+    "cond_entropy_transitions" ->
+      """WITH p AS (SELECT event_type AS f,
+        |        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |       FROM events),
+        | c AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+        | m AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS k_next FROM c GROUP BY 1),
+        | terms AS (SELECT f, t,
+        |        -(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n) AS term
+        |       FROM c JOIN m USING (f))
+        |SELECT f AS from_type, MAX(m.n) AS n, MAX(m.k_next) AS k_next,
+        |  ROUND(list_sum(list(term ORDER BY t)), 6) AS h_next
+        |FROM terms JOIN m USING (f) GROUP BY f ORDER BY from_type""".stripMargin,
+    // forecast-backtest mirror: lag(1)/lag(7) over observed days,
+    // exact integer |e| sums, day-ordered sMAPE fold
+    "forecast_eval_mase" ->
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        | l AS (SELECT event_type, day, cnt,
+        |        LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+        |        LAG(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS ps,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |       FROM dc),
+        | e AS (SELECT event_type, day, cnt, p1, ps FROM l WHERE rn > 7),
+        | a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |        CAST(SUM(ABS(cnt - p1)) AS BIGINT) AS s1,
+        |        CAST(SUM(ABS(cnt - ps)) AS BIGINT) AS ss,
+        |        list_sum(list(2.0 * ABS(cnt - ps) / (cnt + ps) ORDER BY day)) AS sm
+        |       FROM e GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |  ROUND(CAST(s1 AS DOUBLE) / n_eval, 6) AS mae_naive,
+        |  ROUND(CAST(ss AS DOUBLE) / n_eval, 6) AS mae_snaive,
+        |  CASE WHEN s1 > 0 THEN ROUND(CAST(ss AS DOUBLE) / CAST(s1 AS DOUBLE), 6) END AS mase,
+        |  ROUND(sm / n_eval, 6) AS smape_snaive
+        |FROM a ORDER BY event_type""".stripMargin,
     "hapax_ratio_sources" ->
       """WITH toks AS (SELECT source,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),

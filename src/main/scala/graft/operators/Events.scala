@@ -714,4 +714,91 @@ object Events {
       .select(col("_from").as("from_type"), col("_to").as("to_type"),
         col("cnt"), col("prob"))
   }
+
+  /** Conditional next-step entropy H(next | cur) per source state of
+    * the user journey — the predictability readout the raw transition
+    * matrix ([[eventTransitions]]) doesn't surface (a state whose
+    * followers are uniform is a dead signal for sequence models; one
+    * near-deterministic is a rule). Same (ts, id)-total-ordered lead
+    * lineage; per-state entropy −Σ (c/n)·ln(c/n) runs as an ordered
+    * fold over the next-type-sorted cell list (engine-portable float
+    * sum), round(6) per the ln discipline.
+    *
+    * Output: (from_type, n, k_next, h_next) — n = transitions out,
+    * k_next = distinct successors, h_next in nats.
+    *
+    * Scale shape (100 TB): one user-key window shuffle (shared with the
+    * transition matrix), then a |types|²-bounded cell aggregate — the
+    * fold list has one entry per successor TYPE, never per event.
+    */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val cells = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("_from"))
+      .withColumn("_to", lead(col("_from"), 1).over(w))
+      .filter(col("_to").isNotNull)
+      .groupBy(col("_from"), col("_to"))
+      .agg(count(lit(1)).as("_c"))
+    val m = Window.partitionBy(col("_from"))
+    val p = col("_c").cast("double") / col("n").cast("double")
+    cells
+      .withColumn("n", sum(col("_c")).over(m))
+      .select(col("_from"), col("n"), struct(col("_to"), (-p * log(p)).as("_t")).as("_s"))
+      .groupBy(col("_from"), col("n"))
+      .agg(count(lit(1)).as("k_next"), collect_list(col("_s")).as("_l"))
+      .select(col("_from").as("from_type"), col("n"), col("k_next"),
+        round(aggregate(transform(sort_array(col("_l")), x => x.getField("_t")),
+          lit(0.0), (acc, x) => acc + x), 6).as("h_next"))
+  }
+
+  /** Backtest of the two no-parameter forecasters every real series
+    * gets compared against — naive (yesterday) and seasonal-naive
+    * (same weekday last week) — on the per-type daily count series.
+    * Errors are exact BIGINT |y − ŷ| over the days where BOTH lags
+    * exist (row_number > season over observed days); MAE and the MASE
+    * ratio (MAE_snaive / MAE_naive — is weekly seasonality worth
+    * modeling at all?) are IEEE-exact divisions; sMAPE's per-day
+    * 2|e|/(y+ŷ) terms (each an exact int/int division) fold in day
+    * order. All readouts round(6); MASE null when MAE_naive = 0.
+    *
+    * Output: (event_type, n_eval, mae_naive, mae_snaive, mase,
+    * smape_snaive).
+    *
+    * Scale shape (100 TB): the daily roll-up is the only corpus-sized
+    * shuffle (map-side combinable); lags ride a |types|·|days| frame.
+    */
+  def forecastEval(events: DataFrame, typeCol: String, tsCol: String,
+      season: Int = 7): DataFrame = {
+    require(season >= 1, s"forecastEval: need season>=1, got $season")
+    val daily = events
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col("_t")).orderBy(col("_day"))
+    val lagged = daily
+      .withColumn("_p1", lag(col("_cnt"), 1).over(w))
+      .withColumn("_ps", lag(col("_cnt"), season).over(w))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > season)
+    val smTerm = lit(2.0) * abs(col("_cnt") - col("_ps")).cast("double") /
+      (col("_cnt") + col("_ps")).cast("double")
+    val agg = lagged
+      .select(col("_t"), abs(col("_cnt") - col("_p1")).as("_a1"),
+        abs(col("_cnt") - col("_ps")).as("_as"),
+        struct(col("_day"), smTerm.as("_m")).as("_s"))
+      .groupBy("_t")
+      .agg(count(lit(1)).as("n_eval"), sum(col("_a1")).as("_s1"),
+        sum(col("_as")).as("_ss"), collect_list(col("_s")).as("_l"))
+    agg.select(col("_t").as(typeCol), col("n_eval"),
+      round(col("_s1").cast("double") / col("n_eval").cast("double"), 6)
+        .as("mae_naive"),
+      round(col("_ss").cast("double") / col("n_eval").cast("double"), 6)
+        .as("mae_snaive"),
+      when(col("_s1") > 0L,
+        round(col("_ss").cast("double") / col("_s1").cast("double"), 6))
+        .as("mase"),
+      round(aggregate(transform(sort_array(col("_l")), x => x.getField("_m")),
+        lit(0.0), (acc, x) => acc + x) / col("n_eval").cast("double"), 6)
+        .as("smape_snaive"))
+  }
 }

@@ -962,4 +962,110 @@ object Stats {
             (col("_ty").cast("double") / col("_tn").cast("double"))) /
           (col("n").cast("double") + lit(m)), 6).as("enc"))
   }
+
+  /** Population Stability Index (the scorecard-monitoring standard,
+    * Siddiqi 2006) between a reference and a current population of one
+    * numeric column over FIXED literal bin edges — the distribution-
+    * drift audit next to [[graft.operators.Ann.meanVectorDrift]]'s
+    * embedding-space monitor. Bin id = #edges <= value (a branch-free
+    * sum of comparisons — identical arithmetic on both engines); both
+    * period counts come from ONE pass (conditional sums); p_ref/p_cur
+    * are exact BIGINT/BIGINT divisions; the PSI contribution
+    * (p_cur − p_ref)·ln((p_cur+ε)/(p_ref+ε)) uses ε = 1e-6 so empty
+    * bins stay finite, round(6) per the suite's ln discipline.
+    *
+    * Output: (bin, n_ref, n_cur, p_ref, p_cur, psi_term) per bin.
+    *
+    * Scale shape (100 TB): one map-side-combinable groupBy on a
+    * |edges|+1-bounded key; totals ride a broadcast 1-row aggregate.
+    */
+  def psi(df: DataFrame, value: Column, isRef: Column,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      s"psi: edges must be non-empty ascending, got $edges")
+    val bin = edges.map(e => when(value >= lit(e), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val c = df.select(bin.as("bin"), isRef.as("_r"))
+      .groupBy("bin")
+      .agg(sum(when(col("_r"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("_r"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = c.agg(sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
+    val pr = col("n_ref").cast("double") / col("_tr").cast("double")
+    val pc = col("n_cur").cast("double") / col("_tc").cast("double")
+    c.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
+        round((pc - pr) * log((pc + lit(1e-6)) / (pr + lit(1e-6))), 6)
+          .as("psi_term"))
+  }
+
+  /** Exact integer ceil(a / b) on BIGINT columns without a data-sized
+    * sort or an ANSI division hazard: (a+b−1) is rounded down to a
+    * multiple of b via pmod, and the final double division of exact
+    * multiples below 2^53 is IEEE-exact.
+    */
+  private def ceilDiv(a: Column, b: Column): Column =
+    ((a + b - 1 - pmod(a + b - 1, b)) / b).cast("long")
+
+  /** Cumulative gain & lift by score decile (the campaign-targeting
+    * readout next to classifier_auc's rank view). Semantics = NTILE
+    * over rows ordered (score DESC, label DESC, id) — remainder rows
+    * land in the earlier buckets, ties resolve label-first — but the
+    * plan never sorts rows: rows within a (round(6) score, label) CELL
+    * are interchangeable under that order, so the NTILE geometry
+    * (first n%B buckets hold n/B+1 rows) is replayed arithmetically
+    * over cell spans — each cell's global position range splits across
+    * the <= B buckets it straddles, the same trick classifier_auc uses
+    * for rank sums. All counts exact BIGINT; gain = cum_pos/total_pos
+    * and lift = gain/(cum_n/total_n) are IEEE-exact divisions, round(6).
+    *
+    * Output: (decile, n, n_pos, cum_n, cum_pos, gain, lift).
+    *
+    * Scale shape (100 TB): ONE map-side-combinable cell aggregate; the
+    * partition-less windows ride the score-GRID-bounded cell list and
+    * the B-row decile frame, never rows.
+    */
+  def liftGain(df: DataFrame, score: Column, label: Column, id: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"liftGain: need buckets>=2, got $buckets")
+    val cells = df.select(score.as("_s"), label.cast("boolean").as("_y"))
+      .groupBy("_s", "_y").agg(count(lit(1)).as("_c"))
+    val cw = Window.orderBy(col("_s").desc, col("_y").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("_c")).as("_n"),
+      sum(when(col("_y"), col("_c")).otherwise(0L)).as("_tp"))
+    // NTILE geometry from the 1-row total: q = n div B, r = n mod B;
+    // bucket b covers positions ((b-1)q + min(b-1,r), bq + min(b,r)]
+    val q = col("_q")
+    val r = col("_r")
+    def bucketOf(p: Column): Column =
+      when(p <= r * (q + 1L), ceilDiv(p, q + 1L))
+        .otherwise(r + ceilDiv(p - r * (q + 1L), greatest(q, lit(1L))))
+    val spans = cells
+      .withColumn("_end", sum(col("_c")).over(cw))
+      .withColumn("_start", col("_end") - col("_c") + 1L)
+      .crossJoin(broadcast(tot))
+      .withColumn("_q", expr(s"_n div ${buckets}L"))
+      .withColumn("_r", col("_n") % lit(buckets.toLong))
+      .withColumn("decile", explode(sequence(bucketOf(col("_start")),
+        bucketOf(col("_end")))))
+      .withColumn("_bs",
+        (col("decile") - 1L) * q + least(col("decile") - 1L, r) + 1L)
+      .withColumn("_be", col("decile") * q + least(col("decile"), r))
+      .withColumn("_ov", least(col("_end"), col("_be")) -
+        greatest(col("_start"), col("_bs")) + 1L)
+    val d = spans.groupBy("decile")
+      .agg(sum(col("_ov")).as("n"),
+        sum(when(col("_y"), col("_ov")).otherwise(0L)).as("n_pos"),
+        first(col("_n")).as("_tn"), first(col("_tp")).as("_tpp"))
+    val dw = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gain = col("cum_pos").cast("double") / col("_tpp").cast("double")
+    d.withColumn("cum_n", sum(col("n")).over(dw))
+      .withColumn("cum_pos", sum(col("n_pos")).over(dw))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"), round(gain, 6).as("gain"),
+        round(gain / (col("cum_n").cast("double") / col("_tn").cast("double")),
+          6).as("lift"))
+  }
 }

@@ -349,4 +349,36 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
     assert(out.toSeq == Seq(("g", "2024-02-06", 26L)))
   }
+
+  test("transitionEntropy: mixed successor entropy, deterministic state 0, event_id tiebreak") {
+    // u1: a,b,a,b -> a->b x2, b->a x1; u2: a,c -> a->c x1
+    val ev = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "a"), (1L, ts(4), 4L, "b"),
+      (2L, ts(1), 5L, "a"), (2L, ts(2), 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.transitionEntropy(ev, "user_id", "ts", "event_type",
+        "event_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // H(a) = -(2/3)ln(2/3) - (1/3)ln(1/3) = 0.636514 at round(6)
+    assert(out("a") == ((3L, 2L, 0.636514)))
+    assert(out("b") == ((1L, 1L, 0.0)))
+    assert(!out.contains("c")) // terminal state: no outgoing transitions
+  }
+
+  test("forecastEval: hand-computed MAE/MASE/sMAPE over lagged daily counts") {
+    // daily counts 1,2,3,5 for one type; season=2 -> eval days 3,4
+    val ev = (Seq.fill(1)(1) ++ Seq.fill(2)(2) ++ Seq.fill(3)(3) ++
+      Seq.fill(5)(4)).zipWithIndex
+      .map { case (d, i) => ("x", ts(d, i % 24)) }
+      .toDF("event_type", "ts")
+    val r = Events.forecastEval(ev, "event_type", "ts", season = 2)
+      .collect().head
+    assert(r.getString(0) == "x" && r.getLong(1) == 2L)
+    // day3: |3-2|=1,|3-1|=2; day4: |5-3|=2,|5-2|=3
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 2.5)
+    assert(r.getDouble(4) == 1.666667)
+    // smape = (2*2/4 + 2*3/7)/2 = 0.928571
+    assert(r.getDouble(5) == 0.928571)
+  }
 }

@@ -121,11 +121,14 @@ class PlanSpec extends SparkSpec {
     // catalog prices, never row cardinality)
     // rolling_corr_7d's RANGE frame rides the per-DAY aggregate — the
     // rolling_revenue_7d class
+    // lift_gain_deciles' windows ride the round(6) score×label CELL
+    // aggregate (the classifier_auc class) and the 10-row decile frame
+    // — NTILE geometry is replayed over cell spans, never a row sort
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
       "quantiles_binned_chars", "token_budget_select", "mann_whitney_value",
       "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
       "gini_customer_spend", "classifier_auc", "theil_sen_daily",
-      "pareto_parts", "rolling_corr_7d")
+      "pareto_parts", "rolling_corr_7d", "lift_gain_deciles")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)

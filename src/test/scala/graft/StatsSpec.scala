@@ -426,4 +426,44 @@ class StatsSpec extends SparkSpec {
     assert(enc10("A") < enc("A") && enc10("A") > 80.0)
     assert(enc10("B") > enc("B") && enc10("B") < 80.0)
   }
+
+  test("psi: exact bin counts/ratios, empty-bin term finite via epsilon, shifted bin positive") {
+    import org.apache.spark.sql.functions.col
+    // ref: 5(b0), 15(b1), 25, 25(b2); cur: 5, 5(b0), 25(b2) — bin1 empty in cur
+    val df = Seq((5.0, true), (15.0, true), (25.0, true), (25.0, true),
+      (5.0, false), (5.0, false), (25.0, false)).toDF("v", "r")
+    val out = Stats.psi(df, col("v"), col("r"), Seq(10.0, 20.0)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L)._1 == 1L && out(0L)._2 == 2L)
+    assert(out(0L)._3 == 0.25 && out(1L)._3 == 0.25 && out(2L)._3 == 0.5)
+    assert(out(0L)._4 == 0.666667 && out(1L)._4 == 0.0)
+    // growth in bin0 and disappearance of bin1 both show positive drift
+    assert(out(0L)._5 > 0.0 && out(1L)._5 > 0.0 && !out(1L)._5.isInfinite)
+  }
+
+  test("liftGain: ntile split, cumulative gain/lift, final bucket lift 1") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 0.9, true), (2L, 0.8, true), (3L, 0.2, false),
+      (4L, 0.1, true)).toDF("id", "p", "y")
+    val out = Stats.liftGain(df, col("p"), col("y"), col("id"), buckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(1L) == ((2L, 2L, 2L, 2L, 0.666667, 1.333333)))
+    assert(out(2L) == ((2L, 1L, 4L, 3L, 1.0, 1.0)))
+  }
+
+  test("liftGain: a tie cell straddling a bucket boundary splits by NTILE geometry, label-first") {
+    import org.apache.spark.sql.functions.col
+    // 5 rows, one score: order is label DESC -> 2 pos then 3 neg;
+    // buckets=2 -> sizes 3,2 (remainder to the first bucket)
+    val df = Seq((1L, true), (2L, true), (3L, false), (4L, false),
+      (5L, false)).map { case (i, y) => (i, 0.5, y) }.toDF("id", "p", "y")
+    val out = Stats.liftGain(df, col("p"), col("y"), col("id"), buckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(1L) == ((3L, 2L, 3L, 2L, 1.0, 1.666667)))
+    assert(out(2L) == ((2L, 0L, 5L, 2L, 1.0, 1.0)))
+  }
 }
