@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{ByteFunctions, Formatting, TextFunctions}
-import graft.operators.{Ann, Checks, Coo, Corpus, Dedup, Events, Graph, Relational, Retrieval, Sampling, Sketches, Stats, VizPrep, Windows}
+import graft.operators.{Ann, Assoc, Checks, Coo, Corpus, Dedup, Events, Graph, Relational, Retrieval, Sampling, Sketches, Stats, VizPrep, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2255,6 +2255,40 @@ object SparkEntry {
     "forecast_eval_mase" -> ((s, dir) =>
       Events.forecastEval(t(s, dir, "events"), "event_type", "ts", season = 7)
         .orderBy("event_type")),
+    // EXT item-item cosine recommender (Assoc.itemSimilarity, Sarwar
+    // '01): "also bought" top-5 neighbors per part from order baskets —
+    // the normalized complement of assoc_rules' confidence/lift; ranked
+    // on the round(6) cosine grid, co-partitioned pair stage behind the
+    // maxBasket guard
+    "item_similarity_parts" -> ((s, dir) =>
+      Assoc.itemSimilarity(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          k = 5, minPairCount = 2L, maxBasket = 256)
+        .orderBy("item", "rank")),
+    // EXT multi-source BFS distance labeling (Graph.bfsHops) over the
+    // near-dup pair graph: exact hop distance from the %50 seed docs
+    // within 3 sweeps — the contamination blast-radius readout; oracle
+    // = the sweeps unrolled as min-relaxation CTEs
+    "bfs_hops_dup_graph" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
+        .orderBy("node")
+    }),
+    // EXT Jensen-Shannon divergence (ByteFunctions.js_divergence):
+    // symmetric bounded [0,1]-bits complement of kl_en_de over the same
+    // corpus byte histograms — no ε smoothing (M > 0 wherever P or Q is)
+    "js_divergence_en_de" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val histAgg = udaf(new ByteFunctions.ByteHistogramAgg,
+        org.apache.spark.sql.Encoders.BINARY)
+      val hEn = docs.filter(col("lang") === "en")
+        .agg(histAgg(col("text").cast("binary")).as("h1"))
+      val hDe = docs.filter(col("lang") === "de")
+        .agg(histAgg(col("text").cast("binary")).as("h2"))
+      hEn.crossJoin(hDe)
+        .select(round(ByteFunctions.js_divergence(col("h1"), col("h2")), 6)
+          .as("jsd"))
+    }),
     // EXT hapax ratio (corpus-quality signal): per-source share of
     // vocabulary appearing exactly once — high hapax = diverse/noisy,
     // low = templated; two map-side-combinable roll-ups
@@ -5859,6 +5893,63 @@ object SparkEntry {
         |  CASE WHEN s1 > 0 THEN ROUND(CAST(ss AS DOUBLE) / CAST(s1 AS DOUBLE), 6) END AS mase,
         |  ROUND(sm / n_eval, 6) AS smape_snaive
         |FROM a ORDER BY event_type""".stripMargin,
+    // item-similarity mirror: deduped baskets -> size guard -> pair
+    // self-join -> both directions -> one-sqrt cosine on the exact
+    // count product -> per-item rank on the round(6) grid
+    "item_similarity_parts" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        | sized AS (SELECT bk, it FROM (SELECT bk, it,
+        |        COUNT(*) OVER (PARTITION BY bk) AS n FROM items) WHERE n <= 256),
+        | pop AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM sized GROUP BY 1),
+        | pairs AS (SELECT a.it AS ia, b.it AS ib, CAST(COUNT(*) AS BIGINT) AS pc
+        |       FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        | sym AS (SELECT ia AS item, ib AS neighbor, pc FROM pairs
+        |         UNION ALL SELECT ib, ia, pc FROM pairs),
+        | sc AS (SELECT item, neighbor, pc AS pair_cnt,
+        |        ROUND(CAST(pc AS DOUBLE) / sqrt(CAST(p1.cnt * p2.cnt AS DOUBLE)), 6) AS cosine
+        |       FROM sym JOIN pop p1 ON p1.it = item JOIN pop p2 ON p2.it = neighbor),
+        | r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |        ORDER BY cosine DESC, neighbor) AS INT) AS rank FROM sc)
+        |SELECT item, neighbor, pair_cnt, cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+    // BFS mirror: the dup pair CTEs + 3 min-relaxation sweeps unrolled
+    "bfs_hops_dup_graph" -> {
+      val sweeps = (1 to 3).map { i =>
+        s""" d$i AS (SELECT node, MIN(dist) AS dist FROM (
+           |        SELECT node, dist FROM d${i - 1}
+           |        UNION ALL SELECT e.dst AS node, CAST($i AS BIGINT) AS dist
+           |        FROM d${i - 1} f JOIN e ON e.src = f.node WHERE f.dist = ${i - 1}
+           |       ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ngramPairCtes,
+         | p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | e0 AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+         |        FROM p WHERE id_a <> id_b),
+         | e AS (SELECT lo AS src, hi AS dst FROM e0 UNION ALL SELECT hi, lo FROM e0),
+         | n0 AS (SELECT DISTINCT src AS node FROM e),
+         | d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM n0 WHERE node % 50 = 0),
+         |$sweeps
+         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+    },
+    // JSD mirror: observed-code full join (absent codes are exact +0.0
+    // terms on the Spark side's 256-grid fold), ONE combined per-code
+    // term, code-ordered list_sum, 0.5 factor after the fold
+    "js_divergence_en_de" ->
+      """WITH b1 AS (SELECT ascii(c) AS code, COUNT(*) AS cnt
+        |            FROM (SELECT unnest(string_split(text, '')) AS c FROM documents WHERE lang = 'en') GROUP BY 1),
+        | b2 AS (SELECT ascii(c) AS code, COUNT(*) AS cnt
+        |        FROM (SELECT unnest(string_split(text, '')) AS c FROM documents WHERE lang = 'de') GROUP BY 1),
+        | n1 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM b1),
+        | n2 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM b2),
+        | g AS (SELECT COALESCE(b1.code, b2.code) AS code,
+        |        COALESCE(b1.cnt, 0) AS c1, COALESCE(b2.cnt, 0) AS c2
+        |       FROM b1 FULL JOIN b2 ON b1.code = b2.code),
+        | terms AS (SELECT code,
+        |    (CASE WHEN c1 > 0 THEN (c1 / n1.n) * log2((c1 / n1.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END)
+        |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
+        |   FROM g, n1, n2)
+        |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
     "hapax_ratio_sources" ->
       """WITH toks AS (SELECT source,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),

@@ -114,6 +114,33 @@ object ByteFunctions {
   def kl_divergence(a: Column, b: Column): Column =
     ColumnOps.toColumn2(KlDivergence(_, _))(a, b)
 
+  /** Jensen-Shannon divergence (in bits) between two 256-bin byte
+    * histograms — the SYMMETRIC, bounded-[0,1] complement of
+    * [[kl_divergence]]: JSD = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, which
+    * needs no ε smoothing (M > 0 wherever P or Q is). Composed from
+    * codegen'd higher-order functions, not a new expression: a fixed
+    * ascending fold over the 256-code grid (zero cells contribute an
+    * exact +0.0, so an oracle that only materializes observed codes
+    * sums bitwise-identically), one combined per-code term to keep the
+    * engines' operation order in lockstep. Emit round(6) per the
+    * suite's log discipline.
+    */
+  def js_divergence(h1: Column, h2: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val n1 = aggregate(h1, lit(0L), (a, x) => a + x).cast("double")
+    val n2 = aggregate(h2, lit(0L), (a, x) => a + x).cast("double")
+    val terms = transform(sequence(lit(0), lit(255)), i => {
+      val c1 = element_at(h1, i + 1).cast("double")
+      val c2 = element_at(h2, i + 1).cast("double")
+      val p = c1 / n1
+      val q = c2 / n2
+      val m = (p + q) / lit(2.0)
+      when(c1 > 0, p * log2(p / m)).otherwise(lit(0.0)) +
+        when(c2 > 0, q * log2(q / m)).otherwise(lit(0.0))
+    })
+    lit(0.5) * aggregate(terms, lit(0.0), (a, x) => a + x)
+  }
+
   /** Corpus-level byte histogram: sums per-blob histograms across rows.
     * Buffer merge = vector add (map-side partial aggregation). Register
     * with `functions.udaf` / `spark.udf.register`.

@@ -140,4 +140,48 @@ object Assoc {
         ((col("pair_cnt").cast("double") * col("_n").cast("double"))
           / (col("_ca").cast("double") * col("_cb").cast("double"))).as("lift"))
   }
+
+  /** Item-item cosine similarity with per-item top-k — the
+    * neighborhood model under "customers also bought" recommenders
+    * (Sarwar et al. '01), the normalized complement of
+    * [[associationRules]]'s directional confidence/lift: cosine
+    * = pair_cnt / √(cnt_a·cnt_b) treats each item as a binary basket
+    * vector, so mega-popular items stop dominating every neighbor
+    * list. The BIGINT count product is exact below 2^53 and feeds ONE
+    * sqrt and one division (IEEE-exact, engine-portable raw); ranking
+    * happens on the round(6) cosine grid with a neighbor-id tie-break
+    * (total order — never raw-float rank).
+    *
+    * Output: (item, neighbor, pair_cnt, cosine, rank) for rank <= k,
+    * both directions of every pair.
+    *
+    * Scale shape (100 TB): the pair stage is [[coOccurrencePairs]]'s
+    * co-partitioned basket self-join behind the maxBasket skew guard;
+    * the top-k window partitions BY ITEM (never global); popularity
+    * joins are AQE-decided against the grouped item roll-up.
+    */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 5, minPairCount: Long = 2L, maxBasket: Int = 256): DataFrame = {
+    require(k >= 1, s"itemSimilarity: need k>=1, got $k")
+    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    val itemCnt = items.groupBy(col("_it")).agg(count(lit(1)).as("_ic"))
+    val pairs = pairsFromItems(items, minPairCount, maxBasket)
+    val both = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("pair_cnt"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("pair_cnt")))
+    val scored = both
+      .join(itemCnt.select(col("_it").as("item"), col("_ic").as("_ca")),
+        Seq("item"))
+      .join(itemCnt.select(col("_it").as("neighbor"), col("_ic").as("_cb")),
+        Seq("neighbor"))
+      .select(col("item"), col("neighbor"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") /
+          sqrt((col("_ca") * col("_cb")).cast("double")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -298,6 +298,46 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Fixed-sweep multi-source BFS distance labeling: every node
+    * matching `seed` starts at distance 0; sweep s relaxes one hop, so
+    * after `sweeps` rounds each reached node carries its EXACT hop
+    * distance min(d(node, any seed)) <= sweeps — the blast-radius
+    * question over a near-dup graph ("how far does contamination
+    * spread through transitive similarity?") that k-core's density
+    * view can't answer. Deterministic (min-relaxation is order-free),
+    * replayed sweep-for-sweep by the oracle's chained CTEs.
+    *
+    * Output: (node, dist) for reached nodes only, dist in [0, sweeps].
+    *
+    * Scale shape (100 TB): per sweep ONE frontier-edge equi-join + a
+    * (node, dist) min-groupBy; localCheckpoint cuts the iterative
+    * lineage exactly like kCore/LPA; the frontier join sends only
+    * nodes at distance s-1, never the whole reached set.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seed: Column, sweeps: Int = 3): DataFrame = {
+    require(sweeps >= 1, s"bfsHops: need sweeps>=1, got $sweeps")
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct()
+    var dist = nodes.filter(seed)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (s <- 1 to sweeps) {
+      val frontier = dist.filter(col("dist") === (s - 1))
+        .join(und, dist("node") === und("src"))
+        .select(und("dst").as("node"), lit(s.toLong).as("dist"))
+      dist = dist.unionByName(frontier)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Edge-label extraction (`networkx.py:144-149`): (src, dst, label)
     * from an edge attribute, nulls dropped like the reference's
     * non-null label filter.

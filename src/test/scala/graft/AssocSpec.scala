@@ -74,4 +74,29 @@ class AssocSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(guarded.toSeq == got.toSeq)
   }
+
+  test("itemSimilarity: exact cosine from count product, both directions, top-k rank") {
+    // x,y together in 2 of: x in 3 baskets, y in 2 -> cos = 2/sqrt(6)
+    val df = Seq(
+      ("b1", "x"), ("b1", "y"),
+      ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "z"), ("b4", "z")).toDF("bk", "it")
+    val out = Assoc.itemSimilarity(df, "bk", "it", k = 5, minPairCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // only the (x,y) pair reaches minPairCount=2; both directions emitted
+    assert(out.keySet == Set(("x", "y"), ("y", "x")))
+    assert(out(("x", "y")) == ((2L, 0.816497, 1)))
+    assert(out(("y", "x")) == ((2L, 0.816497, 1)))
+    // rank orders by cosine desc with neighbor tie-break
+    val multi = Seq(
+      ("c1", "a"), ("c1", "b"), ("c2", "a"), ("c2", "b"),  // a-b twice
+      ("c3", "a"), ("c3", "c"), ("c4", "a"), ("c4", "c"),
+      ("c5", "a"), ("c5", "c"), ("c6", "c")).toDF("bk", "it")
+    val ranks = Assoc.itemSimilarity(multi, "bk", "it", k = 1, minPairCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a: cos(a,c)=3/sqrt(5*4)=0.67, cos(a,b)=2/sqrt(5*2)=0.63 -> c first
+    assert(ranks("a") == "c")
+  }
 }

@@ -60,6 +60,19 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(kl) < 1e-4) // only the 1e-7 smoothing term remains
   }
 
+  test("js_divergence: identical 0, disjoint 1 bit, symmetric, bounded") {
+    def h(s: String) = ByteFunctions.byte_histogram(lit(s.getBytes("UTF-8")))
+    val row = Seq(1).toDF("i").select(
+      ByteFunctions.js_divergence(h("aaa"), h("aaa")).as("same"),
+      ByteFunctions.js_divergence(h("aaa"), h("bb")).as("disj"),
+      ByteFunctions.js_divergence(h("ab"), h("abbb")).as("m1"),
+      ByteFunctions.js_divergence(h("abbb"), h("ab")).as("m2")).head()
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getDouble(1) == 1.0) // disjoint supports: exactly 1 bit
+    assert(row.getDouble(2) == row.getDouble(3)) // symmetric
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 1.0)
+  }
+
   test("tokenCount edge cases") {
     val df = Seq("", "   ", "one", " a  b\tc ").toDF("t")
     val c = df.select(TextFunctions.tokenCount(col("t"))).collect().map(_.getInt(0))

@@ -81,6 +81,22 @@ class LongTailSpec extends SparkSpec {
     assert(c2.size == 6 && c2.values.forall(_ == 2L))
   }
 
+  test("Graph.bfsHops: exact hop distances, min over multiple seeds, sweep bound respected") {
+    // path 0-1-2-3-4-5 plus seed 100 attached at 4; seeds = {0, 100}
+    val edges = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (100L, 4L))).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, "src", "dst", col("node") % 100 === 0,
+        sweeps = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 3 is 3 hops from 0 but 2 from 100 (3-4-100): min wins
+    assert(out == Map(0L -> 0L, 100L -> 0L, 1L -> 1L, 4L -> 1L,
+      2L -> 2L, 5L -> 2L, 3L -> 2L))
+    // 1 sweep reaches only direct neighbors
+    val one = Graph.bfsHops(edges, "src", "dst", col("node") === 0L, sweeps = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("Graph.clusteringCoefficient: clique 1, cycle 0, pendant null, T and d from the same capped graph") {
     // K4 on 1-4 + pendant 5 on node 1 + 4-cycle 6-7-8-9
     val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
