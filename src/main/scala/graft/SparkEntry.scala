@@ -39,6 +39,11 @@ object SparkEntry {
     */
   private val PsiEdges: Seq[Double] = Seq(5, 10, 20, 40, 80, 160, 320)
 
+  /** Literal n_chars bucket edges for `feature_mi_rank`'s length
+    * feature — shared between the Spark when-chain and the oracle.
+    */
+  private val FeatureMiLenEdges: Seq[Long] = Seq(150L, 300L, 450L)
+
   private val RetrievalEvalQueries: Seq[(String, Seq[String])] = Seq(
     "q_exec" -> Seq("spark", "window"),
     "q_storage" -> Seq("hash", "merge"),
@@ -2273,6 +2278,46 @@ object SparkEntry {
         "text", 3, 0.9, maxShingleDf = Some(128))
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
+    }),
+    // EXT additive Holt-Winters (Events.holtWintersDaily, Winters '60):
+    // level+trend+7 weekly seasonals over the daily counts — the
+    // seasonal member of the EWMA -> Holt -> HW forecasting family;
+    // honest one-step-ahead `fitted`, oracle = recursive CTE carrying
+    // the rotating seasonal list
+    "holt_winters_daily" -> ((s, dir) =>
+      Events.holtWintersDaily(t(s, dir, "events"), "event_type", "ts", m = 7)
+        .orderBy("event_type", "day")),
+    // EXT feature ranking by mutual information (Stats.
+    // contingencyAnalysis reused per feature): which metadata predicts
+    // `lang` — source (real signal) vs a length bucket (weak) vs a
+    // doc_id shard (noise floor); the feature-selection readout
+    "feature_mi_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def mi(tag: String, feat: Column) =
+        Stats.contingencyAnalysis(docs.select(feat.as("f"), col("lang")),
+            "f", "lang")
+          .select(lit(tag).as("feature"), col("n"), col("dof"), col("mi"),
+            col("nmi"), col("chi2"), col("cramers_v"))
+      val lenBucket = FeatureMiLenEdges
+        .map(e => when(col("n_chars") >= e, 1L).otherwise(0L)).reduce(_ + _)
+      mi("len_bucket", lenBucket)
+        .unionByName(mi("shard10", col("doc_id") % 10))
+        .unionByName(mi("source", col("source")))
+        .orderBy("feature")
+    }),
+    // EXT reciprocal best match (mutual nearest neighbors) over the
+    // item-item cosine table: pairs where EACH is the other's top-1 —
+    // the high-precision core of a merge proposal, vs itemSimilarity's
+    // recall-oriented top-k
+    "mutual_nn_parts" -> ((s, dir) => {
+      val top1 = Assoc.itemSimilarity(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", k = 1, minPairCount = 2L)
+      top1.select(col("item").as("item_a"), col("neighbor").as("item_b"),
+          col("cosine"))
+        .join(top1.select(col("neighbor").as("item_a"),
+          col("item").as("item_b")), Seq("item_a", "item_b"))
+        .filter(col("item_a") < col("item_b"))
+        .orderBy("item_a")
     }),
     // EXT Jensen-Shannon divergence (ByteFunctions.js_divergence):
     // symmetric bounded [0,1]-bits complement of kl_en_de over the same
@@ -5950,6 +5995,104 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // Holt-Winters mirror: deterministic first-season init (mean level,
+    // zero trend, y−level seasonals in day order), then the recursion
+    // chained on rn carrying the rotating DOUBLE[] seasonal list; s2 is
+    // computed ONCE in a nested subquery so b/cn/c reuse the same value
+    "holt_winters_daily" ->
+      """WITH RECURSIVE dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        | r AS (SELECT dc.*, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY day) AS rn FROM dc),
+        | base AS (SELECT event_type, CAST(SUM(cnt) AS DOUBLE) / 7e0 AS s
+        |       FROM r WHERE rn <= 7 GROUP BY 1),
+        | cinit AS (SELECT r.event_type, base.s,
+        |        list(CAST(cnt AS DOUBLE) - base.s ORDER BY rn) AS c
+        |       FROM r JOIN base USING (event_type) WHERE rn <= 7
+        |       GROUP BY r.event_type, base.s),
+        | rec AS (
+        |   SELECT event_type, CAST(7 AS BIGINT) AS rn, s, 0e0 AS b, c,
+        |          CAST(NULL AS DATE) AS day, CAST(NULL AS BIGINT) AS cnt,
+        |          0e0 AS cn, 0e0 AS fit
+        |   FROM cinit
+        |   UNION ALL
+        |   SELECT event_type, rn, s2 AS s,
+        |          2e-1 * (s2 - sp) + 8e-1 * bp AS b,
+        |          cp[2:7] || [1e-1 * (y - s2) + 9e-1 * c0] AS c,
+        |          day, cnt,
+        |          1e-1 * (y - s2) + 9e-1 * c0 AS cn,
+        |          fit
+        |   FROM (SELECT q.*, 3e-1 * (q.y - q.c0) + 7e-1 * (q.sp + q.bp) AS s2,
+        |                q.sp + q.bp + q.c0 AS fit
+        |         FROM (SELECT r.event_type, r.rn, r.day, r.cnt,
+        |                CAST(r.cnt AS DOUBLE) AS y, rec.c[1] AS c0,
+        |                rec.s AS sp, rec.b AS bp, rec.c AS cp
+        |               FROM rec JOIN r ON r.event_type = rec.event_type
+        |                AND r.rn = rec.rn + 1) q) qq)
+        |SELECT event_type, day, cnt, ROUND(s, 6) AS level,
+        |  ROUND(b, 6) AS trend, ROUND(cn, 6) AS seasonal,
+        |  ROUND(fit, 6) AS fitted
+        |FROM rec WHERE day IS NOT NULL ORDER BY event_type, day""".stripMargin,
+    // feature-MI mirror: the contingency_events CTE chain instantiated
+    // per feature (suffixed CTE names), tags UNION'd; the length-bucket
+    // CASE sum shares FeatureMiLenEdges with the Spark when-chain
+    "feature_mi_rank" -> {
+      val lenSql = FeatureMiLenEdges
+        .map(e => s"(CASE WHEN n_chars >= $e THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def block(tag: String, featSql: String): String =
+        s""" src_$tag AS (SELECT $featSql AS a, lang AS b FROM documents),
+           | c_$tag AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM src_$tag GROUP BY 1, 2),
+           | ra_$tag AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM c_$tag GROUP BY 1),
+           | cb_$tag AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM c_$tag GROUP BY 1),
+           | nn_$tag AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+           |        CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+           |        CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM c_$tag),
+           | t_$tag AS (SELECT a, b,
+           |        (CAST(o AS DOUBLE) / n) * LN((CAST(o AS DOUBLE) * n) / (CAST(ra AS DOUBLE) * cb)) AS mt,
+           |        (CAST(o AS DOUBLE) * o) / (CAST(ra AS DOUBLE) * cb) AS ct
+           |       FROM c_$tag JOIN ra_$tag USING (a) JOIN cb_$tag USING (b), nn_$tag),
+           | f_$tag AS (SELECT list_sum(list(mt ORDER BY a, b)) AS mi,
+           |        list_sum(list(ct ORDER BY a, b)) AS cs FROM t_$tag),
+           | ea_$tag AS (SELECT list_sum(list(0 - (CAST(ra AS DOUBLE) / n) * LN(CAST(ra AS DOUBLE) / n) ORDER BY a)) AS h FROM ra_$tag, nn_$tag),
+           | eb_$tag AS (SELECT list_sum(list(0 - (CAST(cb AS DOUBLE) / n) * LN(CAST(cb AS DOUBLE) / n) ORDER BY b)) AS h FROM cb_$tag, nn_$tag),
+           | out_$tag AS (SELECT '$tag' AS feature, n, (ka - 1) * (kb - 1) AS dof,
+           |  ROUND(mi, 6) AS mi,
+           |  CASE WHEN ea_$tag.h > 0 AND eb_$tag.h > 0
+           |       THEN ROUND(mi / sqrt(ea_$tag.h * eb_$tag.h), 6) END AS nmi,
+           |  ROUND(CAST(n AS DOUBLE) * cs - CAST(n AS DOUBLE), 6) AS chi2,
+           |  CASE WHEN LEAST(ka, kb) > 1
+           |       THEN ROUND(sqrt((CAST(n AS DOUBLE) * cs - CAST(n AS DOUBLE))
+           |         / (CAST(n AS DOUBLE) * (LEAST(ka, kb) - 1))), 6) END AS cramers_v
+           |  FROM f_$tag, nn_$tag, ea_$tag, eb_$tag)""".stripMargin
+      s"""WITH ${block("len_bucket", lenSql)},
+         |${block("shard10", "doc_id % 10")},
+         |${block("source", "source")}
+         |SELECT * FROM (SELECT * FROM out_len_bucket
+         |  UNION ALL SELECT * FROM out_shard10
+         |  UNION ALL SELECT * FROM out_source) u ORDER BY feature""".stripMargin
+    },
+    // mutual-NN mirror: the item-similarity CTEs at k=1 + reciprocal
+    // self-join, canonical a < b
+    "mutual_nn_parts" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        | sized AS (SELECT bk, it FROM (SELECT bk, it,
+        |        COUNT(*) OVER (PARTITION BY bk) AS n FROM items) WHERE n <= 256),
+        | pop AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM sized GROUP BY 1),
+        | pairs AS (SELECT a.it AS ia, b.it AS ib, CAST(COUNT(*) AS BIGINT) AS pc
+        |       FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        | sym AS (SELECT ia AS item, ib AS neighbor, pc FROM pairs
+        |         UNION ALL SELECT ib, ia, pc FROM pairs),
+        | sc AS (SELECT item, neighbor,
+        |        ROUND(CAST(pc AS DOUBLE) / sqrt(CAST(p1.cnt * p2.cnt AS DOUBLE)), 6) AS cosine
+        |       FROM sym JOIN pop p1 ON p1.it = item JOIN pop p2 ON p2.it = neighbor),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+        |        ORDER BY cosine DESC, neighbor) AS rank FROM sc),
+        | t1 AS (SELECT item, neighbor, cosine FROM r WHERE rank = 1)
+        |SELECT a.item AS item_a, a.neighbor AS item_b, a.cosine
+        |FROM t1 a JOIN t1 b ON a.item = b.neighbor AND a.neighbor = b.item
+        |WHERE a.item < a.neighbor ORDER BY item_a""".stripMargin,
     "hapax_ratio_sources" ->
       """WITH toks AS (SELECT source,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),

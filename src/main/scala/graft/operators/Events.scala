@@ -469,6 +469,87 @@ object Events {
         round(col("_e.s") + col("_e.b"), 6).as("forecast"))
   }
 
+  /** Additive Holt-Winters triple exponential smoothing (Winters '60)
+    * over the per-type daily count series, period `m` — the seasonal
+    * extension of [[holtDaily]] (which a weekly-cycled series defeats:
+    * its trend chases the cycle). Deterministic init from the FIRST m
+    * observed days: level = their mean, trend = 0, seasonal_j = y_j −
+    * level; from day m+1 the classic recursion runs as an expression
+    * fold over the |days|-bounded per-type grid, carrying the m
+    * seasonal indices as a rotating array. `fitted` is the one-step-
+    * ahead forecast (s + b + c_{t−m}) made BEFORE seeing y_t — the
+    * honest backtest column. All smoothing constants and complements
+    * are SEPARATE literals (α'=1−α etc.) so the oracle's recursive CTE
+    * replays the float sequence bitwise; emissions round(6).
+    *
+    * Output: (typeCol, day, cnt, level, trend, seasonal, fitted) for
+    * observed days after the init season, ordered by the caller.
+    *
+    * Scale shape (100 TB): identical to holtDaily — ONE daily roll-up
+    * shuffle, then a per-type fold whose state is m+2 doubles; the
+    * sequential recursion is inherent to the model, bounded by |days|,
+    * never by rows.
+    */
+  def holtWintersDaily(events: DataFrame, typeCol: String, tsCol: String,
+      m: Int = 7,
+      alpha: Double = 0.3, alphaC: Double = 0.7,
+      beta: Double = 0.2, betaC: Double = 0.8,
+      gamma: Double = 0.1, gammaC: Double = 0.9): DataFrame = {
+    require(m >= 2, s"holtWintersDaily: need m>=2, got $m")
+    require(math.abs(alpha + alphaC - 1.0) < 1e-9 &&
+      math.abs(beta + betaC - 1.0) < 1e-9 &&
+      math.abs(gamma + gammaC - 1.0) < 1e-9,
+      "holtWintersDaily: complements must pair to 1")
+    val daily = events
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+    val pathT = "array<struct<day:date,cnt:bigint,s:double,b:double," +
+      "cn:double,fit:double>>"
+    val zero = struct(
+      array().cast("array<double>").as("buf"),
+      lit(0.0).as("s"), lit(0.0).as("b"),
+      array().cast("array<double>").as("c"),
+      array().cast(pathT).as("path"))
+    daily.groupBy(col("_t"))
+      .agg(sort_array(collect_list(struct(col("_day"), col("_cnt")))).as("_l"))
+      .select(col("_t"),
+        aggregate(col("_l"), zero, (acc, x) => {
+          val y = x.getField("_cnt").cast("double")
+          val buf = acc.getField("buf")
+          val c = acc.getField("c")
+          val s = acc.getField("s")
+          val b = acc.getField("b")
+          // phase 3 (run): rotate seasonals, emit a path row
+          val c0 = element_at(c, 1)
+          val fit = s + b + c0
+          val s2 = lit(alpha) * (y - c0) + lit(alphaC) * (s + b)
+          val b2 = lit(beta) * (s2 - s) + lit(betaC) * b
+          val cn = lit(gamma) * (y - s2) + lit(gammaC) * c0
+          val run = struct(buf.as("buf"), s2.as("s"), b2.as("b"),
+            concat(slice(c, 2, m - 1), array(cn)).as("c"),
+            concat(acc.getField("path"), array(struct(
+              x.getField("_day").as("day"), x.getField("_cnt").as("cnt"),
+              s2.as("s"), b2.as("b"), cn.as("cn"), fit.as("fit")))).as("path"))
+          // phase 2 (init completes): first m values known -> level/seasonals
+          val ys = concat(buf, array(y))
+          val s0 = aggregate(ys, lit(0.0), (a, v) => a + v) / lit(m.toDouble)
+          val init = struct(buf.as("buf"), s0.as("s"), lit(0.0).as("b"),
+            transform(ys, v => v - s0).as("c"),
+            acc.getField("path").as("path"))
+          // phase 1 (buffering the first season)
+          val buffer = struct(concat(buf, array(y)).as("buf"), s.as("s"),
+            b.as("b"), c.as("c"), acc.getField("path").as("path"))
+          when(size(c) > 0, run)
+            .when(size(buf) === m - 1, init)
+            .otherwise(buffer)
+        }).getField("path").as("_p"))
+      .select(col("_t").as(typeCol), explode(col("_p")).as("_e"))
+      .select(col(typeCol), col("_e.day").as("day"), col("_e.cnt").as("cnt"),
+        round(col("_e.s"), 6).as("level"), round(col("_e.b"), 6).as("trend"),
+        round(col("_e.cn"), 6).as("seasonal"),
+        round(col("_e.fit"), 6).as("fitted"))
+  }
+
   /** Rolling Pearson correlation of two event types' DAILY counts over
     * a trailing `windowDays` frame — the dashboard question "are errors
     * tracking clicks this week?". Both series come out of ONE daily

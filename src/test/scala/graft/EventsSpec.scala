@@ -366,6 +366,39 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains("c")) // terminal state: no outgoing transitions
   }
 
+  test("holtWintersDaily: hand-walked recursion at m=2, constant series is flat") {
+    // counts 4, 2, 6, 8 on days 1..4 (one event row per unit)
+    val ev = Seq(4, 2, 6, 8).zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => ("x", ts(d + 1, i % 24)))
+    }.toDF("event_type", "ts")
+    val out = Events.holtWintersDaily(ev, "event_type", "ts", m = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // init: s0 = 3, c = [1, -1]; replay the same IEEE ops in Scala
+    var (s, b) = (3.0, 0.0)
+    var c = Seq(1.0, -1.0)
+    val exp = Seq((3, 6L), (4, 8L)).map { case (d, y) =>
+      val c0 = c.head
+      val fit = s + b + c0
+      val s2 = 0.3 * (y - c0) + 0.7 * (s + b)
+      val b2 = 0.2 * (s2 - s) + 0.8 * b
+      val cn = 0.1 * (y - s2) + 0.9 * c0
+      c = c.tail :+ cn; s = s2; b = b2
+      (f"2024-01-0$d", y, math.rint(s2 * 1e6) / 1e6,
+        math.rint(b2 * 1e6) / 1e6, math.rint(cn * 1e6) / 1e6,
+        math.rint(fit * 1e6) / 1e6)
+    }
+    assert(out.toSeq == exp)
+    // constant series: zero trend/seasonal, fitted = the constant
+    val flat = (1 to 6).flatMap(d => (0 until 5).map(i => ("f", ts(d, i))))
+      .toDF("event_type", "ts")
+    val fo = Events.holtWintersDaily(flat, "event_type", "ts", m = 2)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    assert(fo.forall(_ == ((5.0, 0.0, 0.0, 5.0))))
+  }
+
   test("forecastEval: hand-computed MAE/MASE/sMAPE over lagged daily counts") {
     // daily counts 1,2,3,5 for one type; season=2 -> eval days 3,4
     val ev = (Seq.fill(1)(1) ++ Seq.fill(2)(2) ++ Seq.fill(3)(3) ++
