@@ -2279,6 +2279,29 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT exact Shapley attribution (Events.shapleyAttribution): the
+    // axiomatically fair credit division position rules approximate —
+    // the 2^4-subset coalition game over pre-conversion channel sets,
+    // integer factorial weights, ONE division at the readout; the
+    // efficiency axiom is spec-asserted
+    "shapley_attribution" -> ((s, dir) =>
+      Events.shapleyAttribution(t(s, dir, "events"), "user_id", "event_type",
+          "ts", "purchase", Seq("view", "click", "signup", "error"))
+        .orderBy("channel")),
+    // EXT contrastive triplet generation (Corpus.contrastiveTriplets):
+    // exact-dup groups become (anchor, positive) pairs; negatives are
+    // md5-drawn from a broadcast 64-doc pool, re-ranked per anchor —
+    // the reproducible training-set step after dedup
+    "contrastive_triplets" -> ((s, dir) => {
+      val pairs = injectedDocs(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("anchor_id"),
+          max(col("doc_id")).as("positive_id"), count(lit(1)).as("_n"))
+        .filter(col("_n") >= 2)
+        .select("anchor_id", "positive_id")
+      Corpus.contrastiveTriplets(pairs, "anchor_id", "positive_id",
+          t(s, dir, "documents"), "doc_id", poolSize = 64, negK = 2)
+        .orderBy("anchor_id", "neg_rank")
+    }),
     // EXT additive Holt-Winters (Events.holtWintersDaily, Winters '60):
     // level+trend+7 weekly seasonals over the daily counts — the
     // seasonal member of the EWMA -> Holt -> HW forecasting family;
@@ -5995,6 +6018,56 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // Shapley mirror: mask/subset arithmetic on range(16), factorial
+    // weights generated from the same fact() the Spark side uses
+    "shapley_attribution" -> {
+      val n = 4
+      def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+      val wCases = (0 until n)
+        .map(s0 => s"WHEN ${s0} THEN ${fact(s0) * fact(n - 1 - s0)}")
+        .mkString(" ")
+      s"""WITH conv AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS cts FROM events
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         | tch AS (SELECT DISTINCT user_id, event_type FROM events
+         |       JOIN conv ON user_id = u
+         |       WHERE event_type IN ('view', 'click', 'signup', 'error')
+         |         AND epoch_us(ts) < cts),
+         | mk AS (SELECT conv.u, COALESCE(SUM(CASE event_type
+         |          WHEN 'view' THEN 1 WHEN 'click' THEN 2
+         |          WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END), 0) AS mask
+         |       FROM conv LEFT JOIN tch ON tch.user_id = conv.u GROUP BY 1),
+         | m AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM mk GROUP BY 1),
+         | s AS (SELECT unnest(range(0, 16)) AS sv),
+         | v AS (SELECT sv, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v
+         |       FROM s LEFT JOIN m ON (mask & sv) = mask GROUP BY sv),
+         | ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+         |        ('signup', 4), ('error', 8)) AS t(channel, bit)),
+         | terms AS (SELECT channel,
+         |        (CASE bit_count(vs.sv) $wCases END) * (vi.v - vs.v) AS t
+         |       FROM ch JOIN v vs ON (vs.sv & bit) = 0
+         |       JOIN v vi ON vi.sv = (vs.sv | bit)),
+         | agg AS (SELECT channel, CAST(SUM(t) AS BIGINT) AS numer
+         |       FROM terms GROUP BY 1)
+         |SELECT channel, numer,
+         |  ROUND(CAST(numer AS DOUBLE) / ${fact(n)}e0, 6) AS shapley
+         |FROM agg ORDER BY channel""".stripMargin
+    },
+    // triplet mirror: the u dup-group CTE, md5-ranked pool, per-anchor
+    // md5(anchor:cand) re-rank
+    "contrastive_triplets" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+        | p AS (SELECT MIN(doc_id) AS anchor_id, MAX(doc_id) AS positive_id
+        |       FROM u GROUP BY text HAVING COUNT(*) >= 2),
+        | pool AS (SELECT doc_id AS cand FROM documents
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
+        | j AS (SELECT anchor_id, positive_id, cand,
+        |        ROW_NUMBER() OVER (PARTITION BY anchor_id, positive_id
+        |          ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(cand AS VARCHAR)), cand) AS rn
+        |       FROM p JOIN pool ON cand <> anchor_id AND cand <> positive_id)
+        |SELECT anchor_id, positive_id, cand AS negative_id,
+        |  CAST(rn AS INT) AS neg_rank
+        |FROM j WHERE rn <= 2 ORDER BY anchor_id, neg_rank""".stripMargin,
     // Holt-Winters mirror: deterministic first-season init (mean level,
     // zero trend, y−level seasonals in day order), then the recursion
     // chained on rn carrying the rotating DOUBLE[] seasonal list; s2 is

@@ -1022,4 +1022,47 @@ object Corpus {
       .limit(k)
       .select(col("node").as("term"), col("rank").as("score"))
   }
+
+  /** Deterministic (anchor, positive, negative) triplet generation for
+    * contrastive embedding training — the step after dedup: known
+    * near-dup pairs become the positives, negatives are md5-drawn so
+    * the SAME corpus always yields the SAME training set (resumable,
+    * auditable, engine-portable). Negatives come from a fixed-size
+    * md5-ranked corpus pool (the sample_at_most shape) broadcast
+    * against the anchors; per anchor the pool re-ranks by
+    * md5(anchor:candidate) — an independent uniform draw per anchor —
+    * excluding the anchor and its positive, keeping `negK`.
+    *
+    * In-batch negatives (the usual cheap trick) silently turn
+    * near-dups into "negatives"; an explicit pool drawn AFTER dedup
+    * avoids that failure mode and makes the draw reproducible.
+    *
+    * Output: (anchor_id, positive_id, negative_id, neg_rank).
+    *
+    * Scale shape (100 TB): the pool is a TakeOrdered top-`poolSize`
+    * (no global sort materialized) and is broadcast — the anchor-side
+    * join is map-side; the rank window partitions BY ANCHOR over
+    * poolSize rows.
+    */
+  def contrastiveTriplets(pairs: DataFrame, anchorCol: String, posCol: String,
+      corpus: DataFrame, idCol: String,
+      poolSize: Int = 64, negK: Int = 2): DataFrame = {
+    require(poolSize > negK && negK >= 1,
+      s"contrastiveTriplets: need poolSize > negK >= 1, got $poolSize/$negK")
+    val pool = corpus.select(col(idCol).as("_cand"))
+      .orderBy(md5(col("_cand").cast("string")), col("_cand"))
+      .limit(poolSize)
+    val a = pairs.select(col(anchorCol).as("anchor_id"),
+      col(posCol).as("positive_id"))
+    val w = Window.partitionBy(col("anchor_id"), col("positive_id"))
+      .orderBy(md5(concat(col("anchor_id").cast("string"), lit(":"),
+        col("_cand").cast("string"))), col("_cand"))
+    a.join(broadcast(pool),
+        col("_cand") =!= col("anchor_id") &&
+          col("_cand") =!= col("positive_id"))
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= negK)
+      .select(col("anchor_id"), col("positive_id"),
+        col("_cand").as("negative_id"), col("neg_rank"))
+  }
 }

@@ -469,6 +469,75 @@ object Events {
         round(col("_e.s") + col("_e.b"), 6).as("forecast"))
   }
 
+  /** EXACT Shapley-value channel attribution (Shapley '53 applied to
+    * the marketing coalition game, cf. Zhao et al. '18) — the
+    * axiomatically fair division position rules approximate: each
+    * converting user contributes their PRE-conversion channel SET to a
+    * 2^n-subset game with v(S) = #conversions reachable using channels
+    * in S alone (masks ⊆ S), and channel i gets
+    * Σ_{S∌i} |S|!(n−1−|S|)!·(v(S∪i)−v(S)) / n!. With n = |channels|
+    * small (the real-world case), everything after ONE user-level
+    * distinct is arithmetic on a 2^n-row frame: factorial weights are
+    * integer literals, v() differences exact BIGINTs, and the single
+    * division by n! happens at the round(6) readout. Efficiency axiom
+    * (Σ shapley = v(full) − v(∅)) is spec-asserted.
+    *
+    * Output: (channel, numer, shapley) per channel — numer the exact
+    * integer numerator (×n!), the auditable half.
+    *
+    * Scale shape (100 TB): conv join + per-user distinct are the only
+    * corpus-sized exchanges (the attribution_join shape); the subset
+    * game rides 2^n- and n·2^(n−1)-row literals.
+    */
+  def shapleyAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, convType: String, channels: Seq[String]): DataFrame = {
+    val n = channels.length
+    require(n >= 1 && n <= 16 && !channels.contains(convType),
+      s"shapleyAttribution: need 1..16 channels excluding convType")
+    val spark = events.sparkSession
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("_u")).agg(min(micros).as("_cts"))
+    val touched = events.filter(col(typeCol).isin(channels: _*))
+      .select(col(userCol).as("_tu"), col(typeCol).as("_ty"), micros.as("_ts"))
+      .join(conv, col("_tu") === col("_u"))
+      .filter(col("_ts") < col("_cts"))
+      .select(col("_tu"), col("_ty")).distinct()
+    val bitOf = channels.zipWithIndex
+      .map { case (c, i) => when(col("_ty") === c, lit(1L << i)).otherwise(0L) }
+      .reduce(_ + _)
+    val masks = conv.join(touched, col("_u") === col("_tu"), "left")
+      .groupBy(col("_u"))
+      .agg(coalesce(sum(when(col("_ty").isNotNull, bitOf)), lit(0L)).as("_mask"))
+    val m = masks.groupBy(col("_mask")).agg(count(lit(1)).as("_c"))
+    val subsets = spark.range(0, 1L << n).select(col("id").as("_sv"))
+    // no broadcast hint on m: it IS 2^n-bounded (mask domain), but the
+    // planner can't know that — AQE sees the 16-row aggregate at
+    // runtime and broadcasts on its own
+    val v = subsets.join(m,
+        col("_mask").bitwiseAND(col("_sv")) === col("_mask"), "left")
+      .groupBy(col("_sv")).agg(coalesce(sum(col("_c")), lit(0L)).as("_v"))
+      .withColumn("_pc", expr("bit_count(_sv)"))
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val wCase = (1 until n).foldLeft(
+        when(col("vs._pc") === 0, lit(fact(0) * fact(n - 1)))) { (acc, s0) =>
+      acc.when(col("vs._pc") === s0, lit(fact(s0) * fact(n - 1 - s0)))
+    }
+    import spark.implicits._
+    val ch = channels.zipWithIndex.map { case (c, i) => (c, 1L << i) }
+      .toDF("channel", "_bit")
+    val terms = ch.join(v.as("vs"),
+        col("vs._sv").bitwiseAND(col("_bit")) === 0L)
+      .join(v.as("vi"),
+        col("vi._sv") === col("vs._sv").bitwiseOR(col("_bit")))
+      .select(col("channel"),
+        (wCase * (col("vi._v") - col("vs._v"))).as("_t"))
+    terms.groupBy(col("channel")).agg(sum(col("_t")).as("numer"))
+      .select(col("channel"), col("numer"),
+        round(col("numer").cast("double") / lit(fact(n).toDouble), 6)
+          .as("shapley"))
+  }
+
   /** Additive Holt-Winters triple exponential smoothing (Winters '60)
     * over the per-type daily count series, period `m` — the seasonal
     * extension of [[holtDaily]] (which a weekly-cycled series defeats:

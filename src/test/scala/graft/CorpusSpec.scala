@@ -482,4 +482,28 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("contrastiveTriplets: exclusion, exact negK per pair, pool-bounded, deterministic") {
+    val corpus = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "p")
+    val out = Corpus.contrastiveTriplets(pairs, "a", "p", corpus, "doc_id",
+        poolSize = 4, negK = 2)
+      .orderBy("anchor_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // two negatives per pair, never the anchor or its positive
+    assert(out.length == 4)
+    assert(out.forall { case (a, p, n, _) => n != a && n != p })
+    assert(out.map(_._4).toSeq == Seq(1, 2, 1, 2))
+    // negatives come from the md5-least poolSize ids only
+    val pool = corpus.select(md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id")).orderBy("h", "doc_id").limit(4)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.forall { case (_, _, n, _) => pool.contains(n) })
+    // per-anchor draws are independent: same pool, different order
+    val again = Corpus.contrastiveTriplets(pairs.repartition(3), "a", "p",
+        corpus.repartition(4), "doc_id", poolSize = 4, negK = 2)
+      .orderBy("anchor_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(again.toSeq == out.toSeq)
+  }
 }

@@ -366,6 +366,28 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains("c")) // terminal state: no outgoing transitions
   }
 
+  test("shapleyAttribution: hand-solved 4-channel game, efficiency axiom holds") {
+    // u1: view+click pre-purchase (mask 3); u2: view (mask 1);
+    // u3: bare purchase (mask 0); u4: click AFTER purchase (mask 0)
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "view"), (2L, ts(2), "purchase"),
+      (3L, ts(1), "purchase"),
+      (4L, ts(1), "purchase"), (4L, ts(2), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.shapleyAttribution(ev, "user_id", "event_type", "ts",
+        "purchase", Seq("view", "click", "signup", "error"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // view carries mask1 alone (all 24 weight) + mask3 jointly (12);
+    // click only the joint half; signup/error nothing
+    assert(out("view") == ((36L, 1.5)))
+    assert(out("click") == ((12L, 0.5)))
+    assert(out("signup") == ((0L, 0.0)) && out("error") == ((0L, 0.0)))
+    // efficiency: total credit = v(full) - v(empty) = 4 - 2
+    assert(out.values.map(_._2).sum == 2.0)
+  }
+
   test("holtWintersDaily: hand-walked recursion at m=2, constant series is flat") {
     // counts 4, 2, 6, 8 on days 1..4 (one event row per unit)
     val ev = Seq(4, 2, 6, 8).zipWithIndex.flatMap { case (n, d) =>
