@@ -2279,6 +2279,48 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT Fellegi-Sunter linkage weights (Dedup.fellegiSunterWeights):
+    // m/u probabilities and log2 Bayes-factor weights learned from
+    // labeled blocked pairs — customers vs a deterministically
+    // perturbed re-registration copy, blocked on nationkey (the %5
+    // nation perturbation makes real matches MISS the block, the
+    // honest ER failure mode)
+    "fellegi_sunter_weights" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("akey"),
+        col("c_nationkey").as("anation"), col("c_mktsegment").as("aseg"),
+        floor(col("c_acctbal") / 1000.0).as("abal"))
+      val b = t(s, dir, "customer").select(
+        (col("c_custkey") + 1000000L).as("bkey"),
+        when(col("c_custkey") % 5 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("bnation"),
+        when(col("c_custkey") % 3 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("bseg"),
+        when(col("c_custkey") % 7 === 0, floor(col("c_acctbal") / 1000.0) + 1)
+          .otherwise(floor(col("c_acctbal") / 1000.0)).as("bbal"))
+      val pairs = a.join(b, col("anation") === col("bnation"))
+      Dedup.fellegiSunterWeights(pairs,
+          col("bkey") === col("akey") + 1000000L,
+          Seq("mktsegment" -> (col("aseg") === col("bseg")),
+            "bal_bucket" -> (col("abal") === col("bbal"))))
+        .orderBy("field")
+    }),
+    // EXT difference-in-differences (Events.diffInDiff): the error
+    // series' post-Jan-16 shift net of whatever moved the click
+    // control — the causal quantification next to cusum's detection
+    "diff_in_diff_daily" -> ((s, dir) =>
+      Events.diffInDiff(t(s, dir, "events"), "event_type", "ts",
+        treated = "error", control = "click", cutover = "2024-01-16")),
+    // EXT deterministic Poisson bootstrap CI (Stats.poissonBootstrapCI,
+    // Chamandy '12): 95% CI of the mean daily count per event type —
+    // md5-derived Poisson(1) weights over the day grid, 200 replicates,
+    // integer ceil-rank percentile picks
+    "bootstrap_ci_daily" -> ((s, dir) =>
+      Stats.poissonBootstrapCI(
+          t(s, dir, "events")
+            .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).as("cnt")),
+          "event_type", "day", col("cnt"), reps = 200, confPct = 95)
+        .orderBy("event_type")),
     // EXT exact Shapley attribution (Events.shapleyAttribution): the
     // axiomatically fair credit division position rules approximate —
     // the 2^4-subset coalition game over pre-conversion channel sets,
@@ -6018,6 +6060,95 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // Fellegi-Sunter mirror: the same perturbed copy, nation-blocked
+    // pairs, ONE conditional aggregate, guarded log2 weights
+    "fellegi_sunter_weights" ->
+      """WITH a AS (SELECT c_custkey AS akey, c_nationkey AS anation,
+        |        c_mktsegment AS aseg, FLOOR(c_acctbal / 1000.0) AS abal FROM customer),
+        | b AS (SELECT c_custkey + 1000000 AS bkey,
+        |        CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS bnation,
+        |        CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END AS bseg,
+        |        CASE WHEN c_custkey % 7 = 0 THEN FLOOR(c_acctbal / 1000.0) + 1
+        |             ELSE FLOOR(c_acctbal / 1000.0) END AS bbal
+        |       FROM customer),
+        | p AS (SELECT (aseg = bseg) AS agseg, (abal = bbal) AS agbal,
+        |        (bkey = akey + 1000000) AS ismatch
+        |       FROM a JOIN b ON anation = bnation),
+        | agg AS (SELECT
+        |    CAST(SUM(CASE WHEN ismatch THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(SUM(CASE WHEN NOT ismatch THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(SUM(CASE WHEN ismatch AND agseg THEN 1 ELSE 0 END) AS BIGINT) AS ma_seg,
+        |    CAST(SUM(CASE WHEN NOT ismatch AND agseg THEN 1 ELSE 0 END) AS BIGINT) AS ua_seg,
+        |    CAST(SUM(CASE WHEN ismatch AND agbal THEN 1 ELSE 0 END) AS BIGINT) AS ma_bal,
+        |    CAST(SUM(CASE WHEN NOT ismatch AND agbal THEN 1 ELSE 0 END) AS BIGINT) AS ua_bal
+        |   FROM p),
+        | fields AS (
+        |   SELECT 'mktsegment' AS field, nm, nu, ma_seg AS ma, ua_seg AS ua FROM agg
+        |   UNION ALL SELECT 'bal_bucket', nm, nu, ma_bal, ua_bal FROM agg)
+        |SELECT field, nm AS n_match, nu AS n_nonmatch,
+        |  CASE WHEN nm > 0 THEN ROUND(CAST(ma AS DOUBLE) / nm, 6) END AS m,
+        |  CASE WHEN nu > 0 THEN ROUND(CAST(ua AS DOUBLE) / nu, 6) END AS u,
+        |  CASE WHEN ma > 0 AND ua > 0
+        |       THEN ROUND(log2((CAST(ma AS DOUBLE) / nm) / (CAST(ua AS DOUBLE) / nu)), 6) END AS w_agree,
+        |  CASE WHEN nm > ma AND nu > ua AND nm > 0 AND nu > 0
+        |       THEN ROUND(log2((1.0 - CAST(ma AS DOUBLE) / nm) / (1.0 - CAST(ua AS DOUBLE) / nu)), 6) END AS w_disagree
+        |FROM fields ORDER BY field""".stripMargin,
+    // DiD mirror: one conditional aggregate over the two daily series,
+    // the same fixed-order mean algebra
+    "diff_in_diff_daily" ->
+      """WITH dc AS (SELECT event_type AS tpe, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        |       WHERE event_type IN ('error', 'click') GROUP BY 1, 2),
+        | f AS (SELECT tpe, day >= DATE '2024-01-16' AS post, cnt FROM dc),
+        | a AS (SELECT
+        |    CAST(SUM(CASE WHEN tpe = 'error' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_days_pre,
+        |    CAST(SUM(CASE WHEN tpe = 'error' AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_days_post,
+        |    CAST(SUM(CASE WHEN tpe = 'error' AND NOT post THEN cnt ELSE 0 END) AS BIGINT) AS tp0,
+        |    CAST(SUM(CASE WHEN tpe = 'error' AND post THEN cnt ELSE 0 END) AS BIGINT) AS tp1,
+        |    CAST(SUM(CASE WHEN tpe = 'click' AND NOT post THEN cnt ELSE 0 END) AS BIGINT) AS cp0,
+        |    CAST(SUM(CASE WHEN tpe = 'click' AND post THEN cnt ELSE 0 END) AS BIGINT) AS cp1,
+        |    CAST(SUM(CASE WHEN tpe = 'click' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS nc0,
+        |    CAST(SUM(CASE WHEN tpe = 'click' AND post THEN 1 ELSE 0 END) AS BIGINT) AS nc1
+        |   FROM f)
+        |SELECT n_days_pre, n_days_post,
+        |  ROUND(CAST(tp0 AS DOUBLE) / n_days_pre, 6) AS treated_pre,
+        |  ROUND(CAST(tp1 AS DOUBLE) / n_days_post, 6) AS treated_post,
+        |  ROUND(CAST(cp0 AS DOUBLE) / nc0, 6) AS control_pre,
+        |  ROUND(CAST(cp1 AS DOUBLE) / nc1, 6) AS control_post,
+        |  ROUND((CAST(tp1 AS DOUBLE) / n_days_post - CAST(tp0 AS DOUBLE) / n_days_pre)
+        |    - (CAST(cp1 AS DOUBLE) / nc1 - CAST(cp0 AS DOUBLE) / nc0), 6) AS did
+        |FROM a""".stripMargin,
+    // bootstrap mirror: the gumbel md5->uint48 idiom, the SAME
+    // PoissonCum double literals (Double.toString round-trips), integer
+    // ceil-rank percentile picks
+    "bootstrap_ci_daily" -> {
+      val wSql = graft.operators.Stats.PoissonCum
+        .map(t0 => s"(CASE WHEN u >= $t0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH dc AS (SELECT event_type AS g, CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+         |        CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         | obs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |        CAST(SUM(x) AS BIGINT) AS sx FROM dc GROUP BY 1),
+         | rep AS (SELECT g, k, x, unnest(range(0, 200)) AS b FROM dc),
+         | uw AS (SELECT g, b, x,
+         |    CAST(list_sum([(instr('0123456789abcdef', substr(md5('42:' || b || ':' || g || ':' || k), i, 1)) - 1) * power(16, 12 - i) for i in range(1, 13)]) AS BIGINT) / power(2, 48) AS u
+         |   FROM rep),
+         | ww AS (SELECT g, b, x, $wSql AS w FROM uw),
+         | mb AS (SELECT g, b, CAST(SUM(w) AS BIGINT) AS sw,
+         |        CAST(SUM(w * x) AS BIGINT) AS swx FROM ww GROUP BY 1, 2),
+         | mm AS (SELECT g, b, CAST(swx AS DOUBLE) / sw AS m FROM mb WHERE sw > 0),
+         | rk AS (SELECT g, b, m,
+         |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, b) AS rn,
+         |        COUNT(*) OVER (PARTITION BY g) AS nb FROM mm),
+         | ci AS (SELECT g, CAST(MAX(nb) AS BIGINT) AS n_reps,
+         |        MAX(CASE WHEN rn = (nb * 25 + 999) // 1000 THEN m END) AS lo,
+         |        MAX(CASE WHEN rn = (nb * 975 + 999) // 1000 THEN m END) AS hi
+         |       FROM rk GROUP BY 1)
+         |SELECT ci.g AS event_type, obs.n_rows, ci.n_reps,
+         |  ROUND(CAST(sx AS DOUBLE) / n_rows, 6) AS mean_obs,
+         |  ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi
+         |FROM ci JOIN obs USING (g) ORDER BY event_type""".stripMargin
+    },
     // Shapley mirror: mask/subset arithmetic on range(16), factorial
     // weights generated from the same fact() the Spark side uses
     "shapley_attribution" -> {

@@ -1431,4 +1431,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Fellegi-Sunter record-linkage weight estimation (Fellegi-Sunter
+    * '69 — the probabilistic-ER standard under Splink and every census
+    * matcher): over LABELED candidate pairs, per comparison field f,
+    * m_f = P(agree | match) and u_f = P(agree | non-match), and the
+    * log2 Bayes-factor weights w_agree = log2(m/u), w_disagree =
+    * log2((1−m)/(1−u)) a scorer adds per observed (dis)agreement.
+    * All four probabilities are exact BIGINT ratios out of ONE
+    * conditional aggregate over the pair frame (no per-field passes);
+    * weights are guarded CASE-around-division (a degenerate field with
+    * u = 0 or m = 1 yields null, never ±inf or an ANSI raise),
+    * round(6) per the log discipline.
+    *
+    * Output per field: (field, n_match, n_nonmatch, m, u, w_agree,
+    * w_disagree).
+    *
+    * Scale shape (100 TB): the caller brings blocked pairs (an
+    * equi-join on the blocking key — the ER shape); this is one
+    * map-side-combinable aggregate over them, 1 row out per field.
+    */
+  def fellegiSunterWeights(pairs: DataFrame, isMatch: Column,
+      agreements: Seq[(String, Column)]): DataFrame = {
+    require(agreements.nonEmpty, "fellegiSunterWeights: need >= 1 field")
+    val aggs = Seq(
+      sum(when(isMatch, 1L).otherwise(0L)).as("_nm"),
+      sum(when(!isMatch, 1L).otherwise(0L)).as("_nu")) ++
+      agreements.flatMap { case (f, p) => Seq(
+        sum(when(isMatch && p, 1L).otherwise(0L)).as(s"_ma_$f"),
+        sum(when(!isMatch && p, 1L).otherwise(0L)).as(s"_ua_$f")) }
+    val one = pairs.agg(aggs.head, aggs.tail: _*)
+    val fields = explode(array(agreements.map { case (f, _) =>
+      struct(lit(f).as("field"), col(s"_ma_$f").as("_ma"),
+        col(s"_ua_$f").as("_ua")) }: _*))
+    val m = col("_ma").cast("double") / col("_nm").cast("double")
+    val u = col("_ua").cast("double") / col("_nu").cast("double")
+    one.select(col("_nm"), col("_nu"), fields.as("_f"))
+      .select(col("_f.field").as("field"), col("_f._ma").as("_ma"),
+        col("_f._ua").as("_ua"), col("_nm"), col("_nu"))
+      .select(col("field"), col("_nm").as("n_match"),
+        col("_nu").as("n_nonmatch"),
+        when(col("_nm") > 0L, round(m, 6)).as("m"),
+        when(col("_nu") > 0L, round(u, 6)).as("u"),
+        when(col("_ma") > 0L && col("_ua") > 0L, round(log2(m / u), 6))
+          .as("w_agree"),
+        when(col("_nm") > col("_ma") && col("_nu") > col("_ua") &&
+            col("_nm") > 0L && col("_nu") > 0L,
+          round(log2((lit(1.0) - m) / (lit(1.0) - u)), 6)).as("w_disagree"))
+  }
 }

@@ -469,6 +469,54 @@ object Events {
         round(col("_e.s") + col("_e.b"), 6).as("forecast"))
   }
 
+  /** Difference-in-differences (Card-Krueger '94 shape) on two event
+    * types' daily count series around a literal cutover date: the
+    * causal-reading companion to cusum's detection — CUSUM says WHEN
+    * the error series shifted, DiD says HOW MUCH of the shift survives
+    * after subtracting whatever moved the control series too.
+    * did = (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post −
+    * ȳ_control,pre); all four means are exact BIGINT/BIGINT divisions
+    * from ONE conditional aggregate (no joins, no second scan), the
+    * three subtractions are fixed-order IEEE, round(6) readouts.
+    *
+    * Output one row: (n_days_pre, n_days_post, treated_pre,
+    * treated_post, control_pre, control_post, did).
+    *
+    * Scale shape (100 TB): the daily roll-up is the only corpus-sized
+    * exchange; the DiD algebra runs on a 1-row global aggregate.
+    */
+  def diffInDiff(events: DataFrame, typeCol: String, tsCol: String,
+      treated: String, control: String, cutover: String): DataFrame = {
+    require(treated != control, "diffInDiff: treated must differ from control")
+    val daily = events
+      .filter(col(typeCol).isin(treated, control))
+      .groupBy(col(typeCol).as("_t"), col(tsCol).cast("date").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_post", col("_day") >= lit(cutover).cast("date"))
+    def s(t: String, post: Boolean) =
+      sum(when(col("_t") === t && col("_post") === post, col("_cnt"))
+        .otherwise(0L))
+    def n(post: Boolean) =
+      sum(when(col("_t") === treated && col("_post") === post, 1L)
+        .otherwise(0L))
+    val agg = daily.agg(
+      n(false).as("n_days_pre"), n(true).as("n_days_post"),
+      s(treated, false).as("_tp0"), s(treated, true).as("_tp1"),
+      s(control, false).as("_cp0"), s(control, true).as("_cp1"),
+      sum(when(col("_t") === control && !col("_post"), 1L).otherwise(0L))
+        .as("_nc0"),
+      sum(when(col("_t") === control && col("_post"), 1L).otherwise(0L))
+        .as("_nc1"))
+    val tPre = col("_tp0").cast("double") / col("n_days_pre").cast("double")
+    val tPost = col("_tp1").cast("double") / col("n_days_post").cast("double")
+    val cPre = col("_cp0").cast("double") / col("_nc0").cast("double")
+    val cPost = col("_cp1").cast("double") / col("_nc1").cast("double")
+    agg.select(col("n_days_pre"), col("n_days_post"),
+      round(tPre, 6).as("treated_pre"), round(tPost, 6).as("treated_post"),
+      round(cPre, 6).as("control_pre"), round(cPost, 6).as("control_post"),
+      round((tPost - tPre) - (cPost - cPre), 6).as("did"))
+  }
+
   /** EXACT Shapley-value channel attribution (Shapley '53 applied to
     * the marketing coalition game, cf. Zhao et al. '18) — the
     * axiomatically fair division position rules approximate: each

@@ -999,6 +999,80 @@ object Stats {
           .as("psi_term"))
   }
 
+  /** Cumulative Poisson(1) thresholds used by [[poissonBootstrapCI]] —
+    * computed once here and embedded as the SAME double literals in
+    * both engines (Double.toString round-trips, so the SQL literal
+    * parses back bit-identically).
+    */
+  val PoissonCum: Seq[Double] = {
+    val pmf = Iterator.iterate((math.exp(-1.0), 1)) { case (p, k) =>
+      (p / k, k + 1) }.map(_._1).take(9).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Deterministic Poisson bootstrap CI (Chamandy et al. '12 — THE
+    * distributed bootstrap: resampling with replacement needs global
+    * coordination, but Binomial(n, 1/n) → Poisson(1) per row makes
+    * every replicate weight a LOCAL draw) for the per-group mean of a
+    * value column. Replicate weights are md5-derived (seed:b:group:key
+    * → uint48/2^48 → inverse Poisson CDF via the literal [[PoissonCum]]
+    * thresholds, a branch-free comparison sum) so the SAME data always
+    * yields the SAME CI — engine-portable, no RNG state anywhere.
+    * Replicate means are exact BIGINT·weight sums with ONE division;
+    * the CI picks are percentile_disc rank arithmetic over the B
+    * replicate means under a (mean, b) total order, with INTEGER
+    * ceil-rank computation (never float — ceil(0.025·200) in doubles
+    * is 6, not 5).
+    *
+    * Output per group: (groupCol, n_rows, n_reps, mean_obs, ci_lo,
+    * ci_hi) at the given two-sided confidence.
+    *
+    * Scale shape (100 TB): input is expected GROUPED (a daily/cell
+    * aggregate — grid-bounded); the replicate explosion is
+    * |grid|·B rows of longs, map-side generated (explode, no join);
+    * one (group, b) roll-up + a per-group B-row rank window.
+    */
+  def poissonBootstrapCI(df: DataFrame, groupCol: String, keyCol: String,
+      value: Column, reps: Int = 200, confPct: Int = 95,
+      seed: String = "42"): DataFrame = {
+    require(reps >= 40 && confPct >= 50 && confPct < 100,
+      s"poissonBootstrapCI: need reps>=40, 50<=confPct<100; got $reps/$confPct")
+    val base = df.select(col(groupCol).as("_g"), col(keyCol).as("_k"),
+      value.cast("long").as("_x"))
+    val obs = base.groupBy("_g").agg(count(lit(1)).as("n_rows"),
+      sum(col("_x")).as("_sx"))
+    val u = conv(substring(md5(concat_ws(":", lit(seed),
+        col("_b").cast("string"), col("_g").cast("string"),
+        col("_k").cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2, 48))
+    val w = PoissonCum.map(t => when(u >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = base
+      .withColumn("_b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("_w", w)
+      .groupBy(col("_g"), col("_b"))
+      .agg(sum(col("_w")).as("_sw"), sum(col("_w") * col("_x")).as("_swx"))
+      .filter(col("_sw") > 0L)
+      .select(col("_g"),
+        (col("_swx").cast("double") / col("_sw").cast("double")).as("_mb"),
+        col("_b"))
+    val rw = Window.partitionBy(col("_g")).orderBy(col("_mb"), col("_b"))
+    val tail = (100 - confPct) * 5L // per-side permille: e.g. 95 -> 25
+    val ranked = means.withColumn("_rn", row_number().over(rw))
+      .withColumn("_nb", count(lit(1)).over(Window.partitionBy(col("_g"))))
+    val loR = ceilDiv(col("_nb") * tail, lit(1000L))
+    val hiR = ceilDiv(col("_nb") * (1000L - tail), lit(1000L))
+    ranked.groupBy(col("_g"))
+      .agg(max(col("_nb")).as("n_reps"),
+        max(when(col("_rn") === loR, col("_mb"))).as("_lo"),
+        max(when(col("_rn") === hiR, col("_mb"))).as("_hi"))
+      .join(obs, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n_rows"), col("n_reps"),
+        round(col("_sx").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mean_obs"),
+        round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
+  }
+
   /** Exact integer ceil(a / b) on BIGINT columns without a data-sized
     * sort or an ANSI division hazard: (a+b−1) is rounded down to a
     * multiple of b via pmod, and the final double division of exact

@@ -973,4 +973,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(math.abs(graft.operators.Ann.meanVectorDrift(orth, "v", col("g"))
       .head().getDouble(2)) < 1e-9)
   }
+
+  test("fellegiSunterWeights: hand-counted m/u, symmetric log2 weights, degenerate fields null") {
+    // 4 matches (3 agree on f1), 8 non-matches (2 agree on f1);
+    // f2: all matches agree (m=1), no non-match agrees (u=0)
+    val pairs = (
+      (1 to 3).map(i => (true, true, true)) ++ Seq((true, false, true)) ++
+      (1 to 2).map(i => (false, true, false)) ++
+      (1 to 6).map(i => (false, false, false)))
+      .toDF("ismatch", "ag1", "ag2")
+    val out = Dedup.fellegiSunterWeights(pairs, col("ismatch"),
+        Seq("f1" -> col("ag1"), "f2" -> col("ag2")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f1 = out("f1")
+    assert((f1.getLong(1), f1.getLong(2)) == ((4L, 8L)))
+    assert((f1.getDouble(3), f1.getDouble(4)) == ((0.75, 0.25)))
+    // m/u = 3 -> log2 = 1.584963; (1-m)/(1-u) = 1/3 -> the negation
+    assert(f1.getDouble(5) == 1.584963 && f1.getDouble(6) == -1.584963)
+    val f2 = out("f2")
+    assert((f2.getDouble(3), f2.getDouble(4)) == ((1.0, 0.0)))
+    assert(f2.isNullAt(5) && f2.isNullAt(6)) // u=0 and m=1: both guarded
+  }
 }

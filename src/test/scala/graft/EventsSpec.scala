@@ -366,6 +366,26 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains("c")) // terminal state: no outgoing transitions
   }
 
+  test("diffInDiff: hand case — treated +6, control +1, did 5; parallel trends gives 0") {
+    // days 1,2 pre; days 3,4 post (cutover = day 3)
+    def mk(tpe: String, day: Int, n: Int) =
+      (0 until n).map(i => (tpe, ts(day, i % 24)))
+    val ev = (mk("t", 1, 2) ++ mk("t", 2, 4) ++ mk("t", 3, 8) ++ mk("t", 4, 10) ++
+      mk("c", 1, 1) ++ mk("c", 2, 3) ++ mk("c", 3, 2) ++ mk("c", 4, 4))
+      .toDF("event_type", "ts")
+    val r = Events.diffInDiff(ev, "event_type", "ts", "t", "c", "2024-01-03")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getDouble(2), r.getDouble(3)) == ((3.0, 9.0)))
+    assert((r.getDouble(4), r.getDouble(5)) == ((2.0, 3.0)))
+    assert(r.getDouble(6) == 5.0)
+    // parallel trends: both series rise by exactly +2 -> did exactly 0
+    val par = (mk("t", 1, 2) ++ mk("t", 3, 4) ++ mk("c", 1, 3) ++ mk("c", 3, 5))
+      .toDF("event_type", "ts")
+    assert(Events.diffInDiff(par, "event_type", "ts", "t", "c", "2024-01-02")
+      .collect().head.getDouble(6) == 0.0)
+  }
+
   test("shapleyAttribution: hand-solved 4-channel game, efficiency axiom holds") {
     // u1: view+click pre-purchase (mask 3); u2: view (mask 1);
     // u3: bare purchase (mask 0); u4: click AFTER purchase (mask 0)

@@ -454,6 +454,28 @@ class StatsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 4L, 3L, 1.0, 1.0)))
   }
 
+  test("poissonBootstrapCI: constant series collapses to a point CI, ranks are integer-exact, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // constant value: every replicate mean is exactly the constant
+    val const = (1 to 30).map(d => ("a", s"k$d", 7L)).toDF("g", "k", "x")
+    val c = Stats.poissonBootstrapCI(const, "g", "k", col("x"), reps = 40)
+      .collect().head
+    assert(c.getLong(1) == 30L)             // n_rows
+    assert(c.getDouble(3) == 7.0)           // mean_obs
+    assert(c.getDouble(4) == 7.0 && c.getDouble(5) == 7.0) // point CI
+    // varying series: CI brackets the observed mean, lo <= hi,
+    // identical on re-run (no RNG state)
+    val varied = (1 to 30).map(d => ("b", s"k$d", (d % 7 + 1).toLong))
+      .toDF("g", "k", "x")
+    val r1 = Stats.poissonBootstrapCI(varied, "g", "k", col("x"), reps = 40)
+      .collect().head
+    assert(r1.getDouble(4) <= r1.getDouble(3) &&
+      r1.getDouble(3) <= r1.getDouble(5))
+    val r2 = Stats.poissonBootstrapCI(varied.repartition(5), "g", "k",
+      col("x"), reps = 40).collect().head
+    assert(r1.toSeq == r2.toSeq)
+  }
+
   test("liftGain: a tie cell straddling a bucket boundary splits by NTILE geometry, label-first") {
     import org.apache.spark.sql.functions.col
     // 5 rows, one score: order is label DESC -> 2 pos then 3 neg;
