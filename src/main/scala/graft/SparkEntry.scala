@@ -2279,6 +2279,45 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT two-group log-rank test (Events.logRankTest, Mantel '66):
+    // even vs odd users' time-to-first-purchase curves — the
+    // significance companion to kaplan_meier; exact risk sets from a
+    // grid-window prefix sum, t-ordered E/V folds
+    "log_rank_purchase" -> ((s, dir) =>
+      Events.logRankTest(t(s, dir, "events"), "user_id", "ts",
+        col("event_type") === "purchase", pmod(col("user_id"), lit(2)) === 0)),
+    // EXT k-anonymity audit: quasi-identifier (nation, segment,
+    // balance-bucket) group sizes over customer — the privacy screen a
+    // training-data release runs before shipping structured records
+    "k_anonymity_audit" -> ((s, dir) => {
+      val qi = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).as("_bb"))
+        .agg(count(lit(1)).as("_c"))
+      qi.agg(sum(col("_c")).as("n"), count(lit(1)).as("n_groups"),
+          min(col("_c")).as("k_min"),
+          sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+          sum(when(col("_c") < 5L, col("_c")).otherwise(0L)).as("_below"))
+        .select(col("n"), col("n_groups"), col("k_min"), col("n_singletons"),
+          round(col("_below").cast("double") / col("n").cast("double"), 6)
+            .as("pct_below_5"))
+    }),
+    // EXT per-segment Welch uplift (Stats.welchUplift): heterogeneous
+    // treatment effect of the md5-assigned arm on purchase VALUE by
+    // customer segment — the segment-drilldown next to ab_test_value's
+    // global proportion z
+    "uplift_by_segment" -> ((s, dir) => {
+      val arm = TextFunctions.md5Bits64(
+        concat(lit("up:"), col("user_id").cast("string")))
+        .bitwiseAND(lit(1L))
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey"))
+      Stats.welchUplift(ev, "c_mktsegment", arm, col("value"))
+        .orderBy("c_mktsegment")
+    }),
     // EXT language-ID confusion metrics: the heuristic langId evaluated
     // against the corpus's true lang — per-class tp / precision /
     // recall / F1 from exact counts (F1 = 2tp/(n_true+n_pred), a single
@@ -6147,6 +6186,84 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // log-rank mirror: the kaplan_meier per-user CTEs split by parity,
+    // prefix-sum risk sets, t-ordered list_sum folds for E1/V
+    "log_rank_purchase" ->
+      """WITH pu AS (SELECT user_id, MIN(epoch_us(ts)) AS start,
+        |        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS dus
+        |       FROM events GROUP BY 1),
+        | mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+        | obs AS (SELECT CAST(FLOOR((COALESCE(dus, m) - start) / 3600000000) AS BIGINT) AS t,
+        |        dus IS NOT NULL AS death, (user_id % 2 = 0) AS g1 FROM pu, mx),
+        | b AS (SELECT t,
+        |        CAST(SUM(CASE WHEN g1 AND death THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |        CAST(SUM(CASE WHEN g1 AND NOT death THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(SUM(CASE WHEN NOT g1 AND death THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |        CAST(SUM(CASE WHEN NOT g1 AND NOT death THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |       FROM obs GROUP BY 1),
+        | tt AS (SELECT CAST(SUM(d1 + c1) AS BIGINT) AS bn1,
+        |        CAST(SUM(d2 + c2) AS BIGINT) AS bn2 FROM b),
+        | r AS (SELECT t, d1, d2, bn1, bn2,
+        |        bn1 - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+        |        bn2 - CAST(COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2
+        |       FROM b, tt),
+        | terms AS (SELECT t, d1, bn1, bn2,
+        |        CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) AS e,
+        |        CASE WHEN n1 + n2 > 1 THEN
+        |          CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |          * (1.0 - CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |          * ((CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+        |            / (CAST(n1 + n2 AS DOUBLE) - 1.0)) ELSE 0.0 END AS v
+        |       FROM r WHERE d1 + d2 > 0),
+        | f AS (SELECT MAX(bn1) AS n1, MAX(bn2) AS n2,
+        |        CAST(SUM(d1) AS BIGINT) AS o1,
+        |        list_sum(list(e ORDER BY t)) AS es,
+        |        list_sum(list(v ORDER BY t)) AS vs FROM terms)
+        |SELECT n1, n2, o1, ROUND(es, 6) AS e1, ROUND(vs, 6) AS v,
+        |  CASE WHEN vs > 0 THEN ROUND((CAST(o1 AS DOUBLE) - es) / sqrt(vs), 6) END AS z
+        |FROM f""".stripMargin,
+    // k-anonymity mirror: QI group sizes + the four audit scalars
+    "k_anonymity_audit" ->
+      """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+        |        FLOOR(c_acctbal / 1000.0) AS bb, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM customer GROUP BY 1, 2, 3),
+        | a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |        CAST(MIN(c) AS BIGINT) AS k_min,
+        |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |        CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS below
+        |       FROM qi)
+        |SELECT n, n_groups, k_min, n_singletons,
+        |  ROUND(CAST(below AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pct_below_5
+        |FROM a""".stripMargin,
+    // uplift mirror: the ab md5-parity arm, DECIMAL moment sums, the
+    // same fixed-order Welch algebra
+    "uplift_by_segment" ->
+      """WITH ev AS (SELECT user_id, value FROM events WHERE event_type = 'purchase'),
+        | j AS (SELECT c_mktsegment AS seg, CAST(value AS DECIMAL(15,2)) AS x,
+        |        (instr('0123456789abcdef', substr(md5('up:' || CAST(user_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b
+        |       FROM ev JOIN customer ON user_id = c_custkey),
+        | a AS (SELECT seg,
+        |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |        CAST(SUM(CASE WHEN b = 0 THEN x END) AS DOUBLE) AS sxa,
+        |        CAST(SUM(CASE WHEN b = 1 THEN x END) AS DOUBLE) AS sxb,
+        |        CAST(SUM(CASE WHEN b = 0 THEN x * x END) AS DOUBLE) AS ssa,
+        |        CAST(SUM(CASE WHEN b = 1 THEN x * x END) AS DOUBLE) AS ssb
+        |       FROM j GROUP BY 1)
+        |SELECT seg AS c_mktsegment, n_a, n_b,
+        |  ROUND(sxa / CAST(n_a AS DOUBLE), 6) AS mean_a,
+        |  ROUND(sxb / CAST(n_b AS DOUBLE), 6) AS mean_b,
+        |  ROUND(sxb / CAST(n_b AS DOUBLE) - sxa / CAST(n_a AS DOUBLE), 6) AS uplift,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |      ((ssa - sxa * sxa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |      + ((ssb - sxb * sxb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) > 0.0
+        |    THEN ROUND((sxb / CAST(n_b AS DOUBLE) - sxa / CAST(n_a AS DOUBLE))
+        |      / sqrt(((ssa - sxa * sxa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |        + ((ssb - sxb * sxb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 6) END AS z
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
     // confusion mirror: the text_profile lang CASE over the same stops
     // counts, exact marginal roll-ups, guarded precision
     "lang_confusion" -> {

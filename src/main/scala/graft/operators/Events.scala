@@ -469,6 +469,75 @@ object Events {
         round(col("_e.s") + col("_e.b"), 6).as("forecast"))
   }
 
+  /** Two-group log-rank test (Mantel '66) — the significance companion
+    * to [[kaplanMeier]]: are the two arms' time-to-event curves the
+    * same? Per death-time bucket t, group 1 is expected to carry
+    * e1_t = d_t·n1_t/n_t of the d_t deaths under H0, with
+    * hypergeometric variance v_t = d_t·p·(1−p)·(n_t−d_t)/(n_t−1),
+    * p = n1_t/n_t; z = (O1 − E1)/√V. At-risk counts are EXACT BIGINTs
+    * from a cumulative window over the time-grid bucket aggregate (no
+    * fold needed — risk sets are prefix sums); E1/V accumulate as
+    * t-ordered float folds (engine-portable); O1 is an exact integer.
+    *
+    * Output one row: (n1, n2, o1, e1, v, z); z null when V = 0.
+    *
+    * Scale shape (100 TB): the per-user min-pass is the only
+    * corpus-sized exchange (the kaplanMeier shape); the window and
+    * folds ride the OBSERVATION-WINDOW grid, never rows.
+    */
+  def logRankTest(events: DataFrame, userCol: String, tsCol: String,
+      deathCond: Column, group1: Column,
+      unitMicros: Long = 3600000000L): DataFrame = {
+    require(unitMicros >= 1, s"logRankTest: need unitMicros>=1")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(us).as("_start"), min(when(deathCond, us)).as("_dus"))
+    val maxTs = events.agg(max(us).as("_mx"))
+    val obs = perUser.crossJoin(broadcast(maxTs))
+      .select(
+        when(col("_dus").isNotNull,
+          floor((col("_dus") - col("_start")) / unitMicros))
+          .otherwise(floor((col("_mx") - col("_start")) / unitMicros))
+          .cast("long").as("_t"),
+        col("_dus").isNotNull.as("_death"), group1.as("_g1"))
+    val b = obs.groupBy(col("_t")).agg(
+      sum(when(col("_g1") && col("_death"), 1L).otherwise(0L)).as("_d1"),
+      sum(when(col("_g1") && !col("_death"), 1L).otherwise(0L)).as("_c1"),
+      sum(when(!col("_g1") && col("_death"), 1L).otherwise(0L)).as("_d2"),
+      sum(when(!col("_g1") && !col("_death"), 1L).otherwise(0L)).as("_c2"))
+    val tot = b.agg(sum(col("_d1") + col("_c1")).as("_N1"),
+      sum(col("_d2") + col("_c2")).as("_N2"))
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = b.crossJoin(broadcast(tot))
+      .withColumn("_n1", col("_N1") -
+        coalesce(sum(col("_d1") + col("_c1")).over(w), lit(0L)))
+      .withColumn("_n2", col("_N2") -
+        coalesce(sum(col("_d2") + col("_c2")).over(w), lit(0L)))
+      .filter(col("_d1") + col("_d2") > 0L)
+    val dt = (col("_d1") + col("_d2")).cast("double")
+    val nt = (col("_n1") + col("_n2")).cast("double")
+    val p = col("_n1").cast("double") / nt
+    val e1t = dt * p
+    val vt = when(col("_n1") + col("_n2") > 1L,
+      dt * p * (lit(1.0) - p) *
+        ((nt - dt) / (nt - lit(1.0)))).otherwise(lit(0.0))
+    val folded = risk
+      .select(col("_d1"), col("_N1"), col("_N2"),
+        struct(col("_t"), e1t.as("_e"), vt.as("_v")).as("_s"))
+      .agg(max(col("_N1")).as("n1"), max(col("_N2")).as("n2"),
+        sum(col("_d1")).as("o1"), collect_list(col("_s")).as("_l"))
+    def osum(f: String) =
+      aggregate(transform(sort_array(col("_l")), x => x.getField(f)),
+        lit(0.0), (acc, x) => acc + x)
+    folded.select(col("n1"), col("n2"), col("o1"),
+      round(osum("_e"), 6).as("e1"), round(osum("_v"), 6).as("v"),
+      when(osum("_v") > 0.0,
+        round((col("o1").cast("double") - osum("_e")) / sqrt(osum("_v")), 6))
+        .as("z"))
+  }
+
   /** Difference-in-differences (Card-Krueger '94 shape) on two event
     * types' daily count series around a literal cutover date: the
     * causal-reading companion to cusum's detection — CUSUM says WHEN

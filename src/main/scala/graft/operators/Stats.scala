@@ -999,6 +999,48 @@ object Stats {
           .as("psi_term"))
   }
 
+  /** Per-segment Welch z uplift (the heterogeneous-treatment-effect
+    * readout on top of [[abTestProportions]]'s global proportion test):
+    * a deterministic md5 arm assignment, then per segment the
+    * difference of CONTINUOUS means with the Welch standard error
+    * √(s²_a/n_a + s²_b/n_b). First and second moments are exact
+    * DECIMAL sums on the 2-decimal value grid (order-free — value² is
+    * exact at 4 decimals); variances/means/z are fixed-order double
+    * expressions at the readout, round(6); z null unless both arms
+    * have n ≥ 2 and the SE is positive.
+    *
+    * Output per segment: (segCol, n_a, n_b, mean_a, mean_b, uplift, z).
+    *
+    * Scale shape (100 TB): ONE map-side-combinable segment aggregate
+    * after the caller's join; nothing else.
+    */
+  def welchUplift(df: DataFrame, segCol: String, arm: Column,
+      value: Column): DataFrame = {
+    val x = value.cast("decimal(15,2)")
+    val agg0 = df
+      .select(col(segCol), arm.as("_b"), x.as("_x"), (x * x).as("_xx"))
+      .groupBy(col(segCol))
+      .agg(
+        sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_b") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_b") === 0L, col("_x"))).cast("double").as("_sxa"),
+        sum(when(col("_b") === 1L, col("_x"))).cast("double").as("_sxb"),
+        sum(when(col("_b") === 0L, col("_xx"))).cast("double").as("_ssa"),
+        sum(when(col("_b") === 1L, col("_xx"))).cast("double").as("_ssb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("_sxa") / na
+    val mb = col("_sxb") / nb
+    val va = (col("_ssa") - col("_sxa") * col("_sxa") / na) / (na - lit(1.0))
+    val vb = (col("_ssb") - col("_sxb") * col("_sxb") / nb) / (nb - lit(1.0))
+    val se2 = va / na + vb / nb
+    agg0.select(col(segCol), col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(mb - ma, 6).as("uplift"),
+      when(col("n_a") >= 2L && col("n_b") >= 2L && se2 > 0.0,
+        round((mb - ma) / sqrt(se2), 6)).as("z"))
+  }
+
   /** Cumulative Poisson(1) thresholds used by [[poissonBootstrapCI]] —
     * computed once here and embedded as the SAME double literals in
     * both engines (Double.toString round-trips, so the SQL literal

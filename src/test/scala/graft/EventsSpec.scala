@@ -366,6 +366,27 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains("c")) // terminal state: no outgoing transitions
   }
 
+  test("logRankTest: hand-walked risk sets, E/V accumulation, censoring") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 (odd, grp2): purchase at +1.5h; u2 (even, grp1): purchase at
+    // +2.5h; u3 (odd, grp2): censored at the observation end (+2.5h)
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), "view"),
+      (1L, t("2024-01-01 01:30:00"), "purchase"),
+      (2L, t("2024-01-01 00:00:00"), "view"),
+      (2L, t("2024-01-01 02:30:00"), "purchase"),
+      (3L, t("2024-01-01 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Events.logRankTest(ev, "user_id", "ts",
+      col("event_type") === "purchase", pmod(col("user_id"), lit(2)) === 0)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 1L)))
+    // t=1: e1 = 1/3, v = 2/9; t=2: e1 += 1/2, v += 1/4
+    assert(r.getDouble(3) == 0.833333 && r.getDouble(4) == 0.472222)
+    val e = 1.0 / 3 + 0.5; val v = 2.0 / 9 + 0.25
+    assert(r.getDouble(5) == math.rint((1.0 - e) / math.sqrt(v) * 1e6) / 1e6)
+  }
+
   test("diffInDiff: hand case — treated +6, control +1, did 5; parallel trends gives 0") {
     // days 1,2 pre; days 3,4 post (cutover = day 3)
     def mk(tpe: String, day: Int, n: Int) =

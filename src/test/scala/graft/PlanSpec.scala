@@ -124,11 +124,14 @@ class PlanSpec extends SparkSpec {
     // lift_gain_deciles' windows ride the round(6) score×label CELL
     // aggregate (the classifier_auc class) and the 10-row decile frame
     // — NTILE geometry is replayed over cell spans, never a row sort
+    // log_rank_purchase's prefix-sum window rides the OBSERVATION-
+    // WINDOW time-grid bucket aggregate (the kaplan_meier grid class)
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
       "quantiles_binned_chars", "token_budget_select", "mann_whitney_value",
       "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
       "gini_customer_spend", "classifier_auc", "theil_sen_daily",
-      "pareto_parts", "rolling_corr_7d", "lift_gain_deciles")
+      "pareto_parts", "rolling_corr_7d", "lift_gain_deciles",
+      "log_rank_purchase")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = collectBad(plan)

@@ -454,6 +454,24 @@ class StatsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 4L, 3L, 1.0, 1.0)))
   }
 
+  test("welchUplift: hand Welch z per segment, degenerate arm null") {
+    import org.apache.spark.sql.functions.col
+    // seg X: arm0 {1,3} (m=2, s2=2), arm1 {5,9} (m=7, s2=8):
+    // uplift 5, se2 = 1 + 4 = 5, z = sqrt(5)
+    val df = Seq(("X", 0L, 1.0), ("X", 0L, 3.0), ("X", 1L, 5.0),
+      ("X", 1L, 9.0), ("Y", 0L, 2.0), ("Y", 0L, 4.0), ("Y", 1L, 6.0))
+      .toDF("seg", "b", "v")
+    val out = Stats.welchUplift(df, "seg", col("b"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("X")
+    assert((x.getLong(1), x.getLong(2)) == ((2L, 2L)))
+    assert((x.getDouble(3), x.getDouble(4), x.getDouble(5)) == ((2.0, 7.0, 5.0)))
+    assert(x.getDouble(6) == math.rint(5.0 / math.sqrt(5.0) * 1e6) / 1e6)
+    // Y: single-row arm b=1 -> z null, means still exact
+    val y = out("Y")
+    assert(y.getDouble(3) == 3.0 && y.getDouble(4) == 6.0 && y.isNullAt(6))
+  }
+
   test("poissonBootstrapCI: constant series collapses to a point CI, ranks are integer-exact, deterministic") {
     import org.apache.spark.sql.functions.col
     // constant value: every replicate mean is exactly the constant
