@@ -2279,6 +2279,77 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT ANN recall evaluation: LSH top-10 judged against the brute
+    // cosine ground truth per query — the quality gate that decides
+    // whether an index's recall/cost point is shippable; recall =
+    // |LSH ∩ brute| / k_actual, all exact counts
+    "ann_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Ann.lshTopK(emb, q, "vec_id", "embedding", 10,
+          planes = Some(graft.functions.VectorFunctions.md5SignPlanes(8, 4, 64)))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+        .orderBy("query_id")
+    }),
+    // EXT cohort LTV curves: cumulative purchase revenue per first-
+    // event week cohort by week offset, normalized per user — the
+    // retention table's revenue-weighted sibling; integer epoch-week
+    // arithmetic (never engine week-start), exact DECIMAL revenue
+    "cohort_ltv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val eday = datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(eday).as("_fd"))
+        .select(col("user_id"), expr("_fd div 7").as("_cw"))
+      val sizes = first.groupBy(col("_cw")).agg(count(lit(1)).as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), eday.as("_d"),
+          col("value").cast("decimal(30,2)").as("_v"))
+        .withColumn("_w", expr("_d div 7"))
+        .join(first, Seq("user_id"))
+        .groupBy(col("_cw"), (col("_w") - col("_cw")).as("week_offset"))
+        .agg(sum(col("_v")).as("_rev"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_cw"))
+        .orderBy(col("week_offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rev.withColumn("_cum", sum(col("_rev")).over(w))
+        .join(sizes, Seq("_cw"))
+        .select(col("_cw").as("cohort_week"), col("week_offset"), col("n_users"),
+          col("_cum").cast("double").as("cum_revenue"),
+          round(col("_cum").cast("double") / col("n_users").cast("double"), 6)
+            .as("ltv"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+    // EXT daily latency percentiles: exact P50/P95/P99 of value per
+    // day via percentile_disc rank arithmetic (integer ceil picks, the
+    // mad_outliers discipline) — the ops-dashboard trend line
+    "latency_daily_p95" -> ((s, dir) => {
+      val day = col("ts").cast("date").as("day")
+      val ranked = t(s, dir, "events")
+        .select(day, col("value"), col("event_id"))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+            .orderBy(col("value"), col("event_id"))))
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("day"))))
+      def pick(pct: Int) = max(when(
+        col("_rn") * 100 >= col("_n") * pct &&
+          (col("_rn") - 1) * 100 < col("_n") * pct, col("value")))
+      ranked.groupBy(col("day"))
+        .agg(max(col("_n")).as("n"), pick(50).as("p50"), pick(95).as("p95"),
+          pick(99).as("p99"))
+        .orderBy("day")
+    }),
     // EXT two-group log-rank test (Events.logRankTest, Mantel '66):
     // even vs odd users' time-to-first-purchase curves — the
     // significance companion to kaplan_meier; exact risk sets from a
@@ -6186,6 +6257,61 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // ANN-recall mirror: the lsh bucket CTEs and the brute chain share
+    // ONE e table; per-query left-join overlap count
+    "ann_recall_eval" ->
+      s"""WITH ${lshBucketCtes(8, 4)},
+         | cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |          FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         | sl AS (SELECT query_id, neighbor_id, ${cosSql("eq.v", "ec.v")} AS cos
+         |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
+         | rl AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sl),
+         | lsh AS (SELECT query_id, neighbor_id FROM rl WHERE rank <= 10),
+         | sb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${cosSql("q.v", "c.v")} AS cos
+         |       FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         | rb AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sb),
+         | brute AS (SELECT query_id, neighbor_id FROM rb WHERE rank <= 10)
+         |SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         |FROM brute b LEFT JOIN lsh l
+         |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+    // LTV mirror: integer epoch-week arithmetic, DECIMAL revenue sums,
+    // per-cohort cumulative window
+    "cohort_ltv" ->
+      """WITH f AS (SELECT user_id,
+        |        MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS fd FROM events GROUP BY 1),
+        | fc AS (SELECT user_id, CAST(fd // 7 AS BIGINT) AS cw FROM f),
+        | sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users FROM fc GROUP BY 1),
+        | rv AS (SELECT fc.cw,
+        |        CAST(((CAST(ts AS DATE) - DATE '1970-01-01') // 7) - fc.cw AS BIGINT) AS week_offset,
+        |        SUM(CAST(value AS DECIMAL(30,2))) AS rev
+        |       FROM events JOIN fc USING (user_id)
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | cm AS (SELECT cw, week_offset,
+        |        CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY week_offset
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+        |       FROM rv)
+        |SELECT cw AS cohort_week, week_offset, n_users, cum AS cum_revenue,
+        |  ROUND(cum / CAST(n_users AS DOUBLE), 6) AS ltv
+        |FROM cm JOIN sz USING (cw) ORDER BY cohort_week, week_offset""".stripMargin,
+    // daily-percentile mirror: the mad_outliers rank-pick discipline at
+    // 50/95/99 per day
+    "latency_daily_p95" ->
+      """WITH r AS (SELECT CAST(ts AS DATE) AS day, value,
+        |        ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+        |          ORDER BY value, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n FROM events)
+        |SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rn * 100 >= n * 50 AND (rn - 1) * 100 < n * 50 THEN value END) AS p50,
+        |  MAX(CASE WHEN rn * 100 >= n * 95 AND (rn - 1) * 100 < n * 95 THEN value END) AS p95,
+        |  MAX(CASE WHEN rn * 100 >= n * 99 AND (rn - 1) * 100 < n * 99 THEN value END) AS p99
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     // log-rank mirror: the kaplan_meier per-user CTEs split by parity,
     // prefix-sum risk sets, t-ordered list_sum folds for E1/V
     "log_rank_purchase" ->
