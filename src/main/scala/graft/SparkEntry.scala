@@ -2279,6 +2279,43 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT classical additive decomposition (Events.
+    // classicalDecomposition): centered MA-7 trend + epoch-day-position
+    // seasonal index + residual on the daily counts — the pre-STL
+    // textbook method; edges null like statsmodels
+    "classical_decomposition" -> ((s, dir) =>
+      Events.classicalDecomposition(t(s, dir, "events"), "event_type", "ts",
+          m = 7)
+        .orderBy("event_type", "day")),
+    // EXT weighted blast radius (Graph.bellmanFordHops): Bellman-Ford
+    // over the near-dup graph with dissimilarity weights 1 − jaccard —
+    // bfs_hops' metric sibling (a 0.99 edge and a 0.70 edge stop being
+    // interchangeable); 3 relaxation sweeps, oracle = unrolled min CTEs
+    "bellman_ford_dup" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(injectedDocs(s, dir), "doc_id",
+        "text", 3, 0.9, maxShingleDf = Some(128))
+      Graph.bellmanFordHops(pairs, "id_a", "id_b",
+          lit(1.0) - col("jaccard"), col("node") % 50 === 0, sweeps = 3)
+        .orderBy("node")
+    }),
+    // EXT l-diversity audit: within (nation, segment) QI groups, how
+    // diverse is the sensitive balance bucket — k-anonymity's
+    // companion (a k-anonymous group with ONE sensitive value still
+    // leaks it)
+    "l_diversity_audit" -> ((s, dir) => {
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("_n"),
+          count_distinct(floor(col("c_acctbal") / 1000.0)).as("_l"))
+      g.agg(sum(col("_n")).as("n"), count(lit(1)).as("n_groups"),
+          min(col("_l")).as("l_min"),
+          sum(when(col("_l") < 3L, 1L).otherwise(0L)).as("n_groups_below_3"),
+          sum(when(col("_l") < 3L, col("_n")).otherwise(0L)).as("_below"))
+        .select(col("n"), col("n_groups"), col("l_min"),
+          col("n_groups_below_3"),
+          round(col("_below").cast("double") / col("n").cast("double"), 6)
+            .as("pct_rows_below_3"))
+    }),
     // EXT ANN recall evaluation: LSH top-10 judged against the brute
     // cosine ground truth per query — the quality gate that decides
     // whether an index's recall/cost point is shippable; recall =
@@ -6257,6 +6294,68 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // decomposition mirror: centered ROWS window over observed days,
+    // named-window SUM cast back per invariant 36, day-ordered seasonal
+    // fold per (type, epoch-day position)
+    "classical_decomposition" ->
+      """WITH dc AS (SELECT event_type,
+        |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        | tr AS (SELECT event_type, d, cnt,
+        |        CAST(SUM(cnt) OVER w AS BIGINT) AS ws,
+        |        COUNT(*) OVER w AS wn
+        |       FROM dc WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | tt AS (SELECT event_type, d, cnt,
+        |        CASE WHEN wn = 7 THEN CAST(ws AS DOUBLE) / 7e0 END AS trend FROM tr),
+        | dd AS (SELECT event_type, d, cnt, trend,
+        |        CAST(cnt AS DOUBLE) - trend AS det, d % 7 AS pos FROM tt),
+        | se AS (SELECT event_type, pos,
+        |        list_sum(list(det ORDER BY d)) / CAST(COUNT(*) AS DOUBLE) AS seas
+        |       FROM dd WHERE det IS NOT NULL GROUP BY 1, 2)
+        |SELECT dd.event_type, DATE '1970-01-01' + CAST(dd.d AS INT) AS day, cnt,
+        |  ROUND(trend, 6) AS trend, ROUND(seas, 6) AS seasonal,
+        |  ROUND(det - seas, 6) AS residual
+        |FROM dd LEFT JOIN se ON se.event_type = dd.event_type AND se.pos = dd.pos
+        |ORDER BY dd.event_type, day""".stripMargin,
+    // Bellman-Ford mirror: the dup pair CTEs with 1 − jaccard weights,
+    // canonical min-weight undirected edges, 3 relaxation sweeps
+    "bellman_ford_dup" -> {
+      val sweeps = (1 to 3).map { i =>
+        s""" d$i AS (SELECT node, MIN(dist) AS dist FROM (
+           |        SELECT node, dist FROM d${i - 1}
+           |        UNION ALL SELECT e.dst AS node, f.dist + e.w AS dist
+           |        FROM d${i - 1} f JOIN e ON e.src = f.node
+           |       ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ngramPairCtes,
+         | p AS (SELECT id_a, id_b, 1e0 - jaccard AS w FROM j
+         |       WHERE jaccard >= 0.9 AND id_a <> id_b),
+         | e0 AS (SELECT DISTINCT least(id_a, id_b) AS lo,
+         |        greatest(id_a, id_b) AS hi, w FROM p),
+         | e AS (SELECT src, dst, MIN(w) AS w FROM (
+         |        SELECT lo AS src, hi AS dst, w FROM e0
+         |        UNION ALL SELECT hi, lo, w FROM e0) GROUP BY 1, 2),
+         | n0 AS (SELECT DISTINCT src AS node FROM e),
+         | d0 AS (SELECT node, CAST(0 AS DOUBLE) AS dist FROM n0 WHERE node % 50 = 0),
+         |$sweeps
+         |SELECT node, ROUND(dist, 6) AS dist FROM d3 ORDER BY node""".stripMargin
+    },
+    // l-diversity mirror: distinct sensitive buckets per QI group
+    "l_diversity_audit" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(COUNT(DISTINCT FLOOR(c_acctbal / 1000.0)) AS BIGINT) AS l
+        |       FROM customer GROUP BY 1, 2),
+        | a AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |        CAST(MIN(l) AS BIGINT) AS l_min,
+        |        CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_3,
+        |        CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS below
+        |       FROM g)
+        |SELECT n, n_groups, l_min, n_groups_below_3,
+        |  ROUND(CAST(below AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pct_rows_below_3
+        |FROM a""".stripMargin,
     // ANN-recall mirror: the lsh bucket CTEs and the brute chain share
     // ONE e table; per-query left-join overlap count
     "ann_recall_eval" ->

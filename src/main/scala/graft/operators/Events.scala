@@ -469,6 +469,60 @@ object Events {
         round(col("_e.s") + col("_e.b"), 6).as("forecast"))
   }
 
+  /** Classical additive time-series decomposition (the pre-STL
+    * textbook method): trend = centered moving average over a full
+    * season (only emitted where the window is complete — edges stay
+    * null like statsmodels'), detrended = y − trend, seasonal index =
+    * per-season-position mean of the detrended values (day-ordered
+    * float fold — engine-portable), residual = detrended − seasonal.
+    * The season position uses integer epoch-day arithmetic, never an
+    * engine dow builtin (invariant 38). m must be odd so the centered
+    * window is symmetric.
+    *
+    * Output: (typeCol, day, cnt, trend, seasonal, residual) — trend
+    * and residual null on the first/last (m−1)/2 days.
+    *
+    * Scale shape (100 TB): the daily roll-up is the only corpus-sized
+    * exchange; the MA window and position folds ride the per-type day
+    * grid.
+    */
+  def classicalDecomposition(events: DataFrame, typeCol: String,
+      tsCol: String, m: Int = 7): DataFrame = {
+    require(m >= 3 && m % 2 == 1, s"classicalDecomposition: need odd m>=3")
+    val half = m / 2
+    val daily = events
+      .groupBy(col(typeCol).as("_t"),
+        datediff(col(tsCol).cast("date"), to_date(lit("1970-01-01"))).as("_d"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col("_t")).orderBy(col("_d"))
+      .rowsBetween(-half, half)
+    val trended = daily
+      .withColumn("_ws", sum(col("_cnt")).over(w))
+      .withColumn("_wn", count(lit(1)).over(w))
+      .withColumn("_trend",
+        when(col("_wn") === m,
+          col("_ws").cast("double") / lit(m.toDouble)))
+      .withColumn("_det", col("_cnt").cast("double") - col("_trend"))
+      .withColumn("_pos", pmod(col("_d"), lit(m)))
+    val seas = trended.filter(col("_det").isNotNull)
+      .select(col("_t"), col("_pos"), struct(col("_d"), col("_det")).as("_s"))
+      .groupBy(col("_t"), col("_pos"))
+      .agg(count(lit(1)).as("_pn"), collect_list(col("_s")).as("_l"))
+      .select(col("_t"), col("_pos"),
+        (aggregate(transform(sort_array(col("_l")), x => x.getField("_det")),
+          lit(0.0), (acc, x) => acc + x) / col("_pn").cast("double"))
+          .as("_seas"))
+    trended.join(seas, Seq("_t", "_pos"), "left")
+      .select(col("_t").as(typeCol),
+        to_date(lit("1970-01-01")).cast("date").as("_epoch"),
+        col("_d"), col("_cnt").as("cnt"),
+        round(col("_trend"), 6).as("trend"),
+        round(col("_seas"), 6).as("seasonal"),
+        round(col("_det") - col("_seas"), 6).as("residual"))
+      .select(col(typeCol), date_add(col("_epoch"), col("_d").cast("int")).as("day"),
+        col("cnt"), col("trend"), col("seasonal"), col("residual"))
+  }
+
   /** Two-group log-rank test (Mantel '66) — the significance companion
     * to [[kaplanMeier]]: are the two arms' time-to-event curves the
     * same? Per death-time bucket t, group 1 is expected to carry

@@ -338,6 +338,51 @@ object Graph {
     dist
   }
 
+  /** Fixed-sweep Bellman-Ford single/multi-source WEIGHTED distances —
+    * [[bfsHops]]'s metric sibling (hop counts treat a 0.99-Jaccard
+    * near-dup edge and a borderline 0.70 one identically; a
+    * dissimilarity weight makes the blast radius metric-aware). Each
+    * sweep relaxes every edge once: dist' = min(dist, min_src(dist_src
+    * + w)) — after k sweeps every node holds the exact min-weight path
+    * distance over paths of <= k edges. Deterministic: the per-path
+    * float sum accumulates in sweep order on both engines, and min
+    * over identical value sets is order-free. Weights must be
+    * non-negative (checked NOT per-row — caller contract, documented).
+    *
+    * Output: (node, dist) for reached nodes, dist round(6) at emission
+    * (intermediate state stays raw so path sums never requantize).
+    *
+    * Scale shape (100 TB): per sweep ONE dist-edge equi-join + a min
+    * groupBy, localCheckpoint per round (the kCore/bfsHops iteration
+    * discipline). Unlike bfsHops there is no frontier cut — a weighted
+    * relaxation can improve settled nodes, so every sweep streams the
+    * full dist set (still |V|-bounded rows).
+    */
+  def bellmanFordHops(edges: DataFrame, srcCol: String, dstCol: String,
+      weight: Column, seed: Column, sweeps: Int = 3): DataFrame = {
+    require(sweeps >= 1, s"bellmanFordHops: need sweeps>=1, got $sweeps")
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        weight.cast("double").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"),
+        weight.cast("double").as("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct()
+    var dist = nodes.filter(seed)
+      .select(col("node"), lit(0.0).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to sweeps) {
+      val relaxed = dist.join(und, dist("node") === und("src"))
+        .select(und("dst").as("node"), (dist("dist") + und("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), round(col("dist"), 6).as("dist"))
+  }
+
   /** Edge-label extraction (`networkx.py:144-149`): (src, dst, label)
     * from an edge attribute, nulls dropped like the reference's
     * non-null label filter.

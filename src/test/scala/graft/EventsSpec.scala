@@ -366,6 +366,25 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains("c")) // terminal state: no outgoing transitions
   }
 
+  test("classicalDecomposition: exact centered MA, zero seasonal/residual on a pure trend") {
+    // counts 2,4,6,8,10 on days 1..5, m=3: trend = 4,6,8 inside, null
+    // at the edges; a perfectly linear series has zero detrended
+    // values, so every seasonal index and residual is exactly 0
+    val ev = Seq(2, 4, 6, 8, 10).zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => ("x", ts(d + 1, i % 24)))
+    }.toDF("event_type", "ts")
+    val out = Events.classicalDecomposition(ev, "event_type", "ts", m = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.map(_._2).toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+    assert(out.map(_._3).toSeq == Seq(None, Some(4.0), Some(6.0),
+      Some(8.0), None))
+    assert(out.map(_._4).toSeq == Seq(None, Some(0.0), Some(0.0),
+      Some(0.0), None))
+  }
+
   test("logRankTest: hand-walked risk sets, E/V accumulation, censoring") {
     def t(s: String) = Timestamp.valueOf(s)
     // u1 (odd, grp2): purchase at +1.5h; u2 (even, grp1): purchase at

@@ -97,6 +97,21 @@ class LongTailSpec extends SparkSpec {
     assert(one == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("Graph.bellmanFordHops: metric relaxation beats the direct edge, parallel edges take the min") {
+    val edges = Seq((1L, 2L, 0.1), (2L, 3L, 0.2), (1L, 3L, 0.5),
+      (1L, 2L, 0.05)).toDF("src", "dst", "w")
+    val d2 = Graph.bellmanFordHops(edges, "src", "dst", col("w"),
+        col("node") === 1L, sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 1->2 takes the 0.05 parallel edge; 1->2->3 (0.25) beats 1->3 (0.5)
+    assert(d2 == Map(1L -> 0.0, 2L -> 0.05, 3L -> 0.25))
+    // one sweep can only use single edges: 3 settles at the direct 0.5
+    val d1 = Graph.bellmanFordHops(edges, "src", "dst", col("w"),
+        col("node") === 1L, sweeps = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d1(3L) == 0.5)
+  }
+
   test("Graph.clusteringCoefficient: clique 1, cycle 0, pendant null, T and d from the same capped graph") {
     // K4 on 1-4 + pendant 5 on node 1 + 4-cycle 6-7-8-9
     val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
