@@ -44,6 +44,13 @@ object SparkEntry {
     */
   private val FeatureMiLenEdges: Seq[Long] = Seq(150L, 300L, 450L)
 
+  /** Literal RFM scoring edges for `rfm_segments` — ONE definition
+    * feeds both engines' branch-free bucket sums.
+    */
+  private val RfmREdges: Seq[Long] = Seq(90L, 365L, 730L, 1460L)
+  private val RfmFEdges: Seq[Long] = Seq(5L, 10L, 15L, 20L)
+  private val RfmMEdges: Seq[Long] = Seq(500000L, 1500000L, 3000000L, 4500000L)
+
   private val RetrievalEvalQueries: Seq[(String, Seq[String])] = Seq(
     "q_exec" -> Seq("spark", "window"),
     "q_storage" -> Seq("hash", "merge"),
@@ -2278,6 +2285,44 @@ object SparkEntry {
         "text", 3, 0.9, maxShingleDf = Some(128))
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
+    }),
+    // EXT dedup ROI report: cluster-size histogram over the exact-dup
+    // groups with the chars a keep-one policy saves — the "was the
+    // dedup pass worth it" readout every pipeline run logs
+    "dedup_savings" -> ((s, dir) => {
+      val g = injectedDocs(s, dir).groupBy(col("text"))
+        .agg(count(lit(1)).as("_s"))
+        .select(col("_s"), length(col("text")).cast("long").as("_len"))
+      g.groupBy(col("_s").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("_s") - 1L).as("n_dup_docs"),
+          sum((col("_s") - 1L) * col("_len")).as("chars_saved"))
+        .orderBy("cluster_size")
+    }),
+    // EXT RFM segmentation (the classic CRM cut): per-customer
+    // recency/frequency/monetary scored on literal edges (branch-free
+    // comparison sums — never a data-sized NTILE), segment cells with
+    // counts and average spend
+    "rfm_segments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("_last"),
+          count(lit(1)).as("_f"),
+          sum(col("o_totalprice").cast("decimal(30,2)")).as("_m"))
+      val mx = o.agg(max(col("o_orderdate").cast("date")).as("_mx"))
+      def bucket(c: Column, edges: Seq[Long]) =
+        edges.map(e => when(c >= lit(e), 1L).otherwise(0L)).reduce(_ + _)
+      per.crossJoin(broadcast(mx))
+        .select(
+          bucket(datediff(col("_mx"), col("_last")).cast("long"), RfmREdges)
+            .as("r_bucket"),
+          bucket(col("_f"), RfmFEdges).as("f_bucket"),
+          bucket(col("_m"), RfmMEdges).as("m_bucket"), col("_m"))
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("_m")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_monetary"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
     }),
     // EXT classical additive decomposition (Events.
     // classicalDecomposition): centered MA-7 trend + epoch-day-position
@@ -6294,6 +6339,35 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // dedup-savings mirror: the u dup-group CTE + size histogram
+    "dedup_savings" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+        | g AS (SELECT CAST(COUNT(*) AS BIGINT) AS s,
+        |        CAST(length(text) AS BIGINT) AS len FROM u GROUP BY text)
+        |SELECT s AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(s - 1) AS BIGINT) AS n_dup_docs,
+        |  CAST(SUM((s - 1) * len) AS BIGINT) AS chars_saved
+        |FROM g GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // RFM mirror: the same literal edges as branch-free CASE sums
+    "rfm_segments" -> {
+      def bSql(expr0: String, edges: Seq[Long]): String = edges
+        .map(e => s"(CASE WHEN $expr0 >= $e THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         |        CAST(COUNT(*) AS BIGINT) AS f,
+         |        SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS m
+         |       FROM orders GROUP BY 1),
+         | mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+         | sc AS (SELECT CAST(${bSql("(mxd - last_d)", RfmREdges)} AS BIGINT) AS r_bucket,
+         |        CAST(${bSql("f", RfmFEdges)} AS BIGINT) AS f_bucket,
+         |        CAST(${bSql("m", RfmMEdges)} AS BIGINT) AS m_bucket, m
+         |       FROM per, mx)
+         |SELECT r_bucket, f_bucket, m_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |  ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_monetary
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin
+    },
     // decomposition mirror: centered ROWS window over observed days,
     // named-window SUM cast back per invariant 36, day-ordered seasonal
     // fold per (type, epoch-day position)
