@@ -2286,6 +2286,51 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT Wilson score intervals (Wilson '27): per-type conversion
+    // rate (value > 100) with the CI that stays inside [0,1] at small
+    // n — the right interval for rate dashboards, vs the Wald CI every
+    // naive dashboard ships; exact counts, fixed-order float algebra
+    "wilson_ci_types" -> ((s, dir) => {
+      val a = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("x"))
+      val nD = col("n").cast("double")
+      val xD = col("x").cast("double")
+      val p = xD / nD
+      val z2 = lit(1.96) * lit(1.96)
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = lit(1.96) *
+        sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD)) / denom
+      a.select(col("event_type"), col("n"), col("x"),
+          round(p, 6).as("p_hat"),
+          round(center - half, 6).as("ci_lo"),
+          round(center + half, 6).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+    // EXT pairwise source JSD matrix: corpus mixture geometry — which
+    // sources' byte distributions are interchangeable and which are a
+    // different population; join-free pair explosion over the 1-row
+    // collected histogram list (never a theta self-join)
+    "source_jsd_matrix" -> ((s, dir) => {
+      val histAgg = udaf(new ByteFunctions.ByteHistogramAgg,
+        org.apache.spark.sql.Encoders.BINARY)
+      val hists = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(histAgg(col("text").cast("binary")).as("h"))
+      val one = hists
+        .agg(sort_array(collect_list(struct(col("source"), col("h")))).as("_l"))
+      one.select(explode(flatten(transform(col("_l"), a =>
+          filter(transform(col("_l"), b =>
+            struct(a.getField("source").as("sa"), b.getField("source").as("sb"),
+              a.getField("h").as("ha"), b.getField("h").as("hb"))),
+            pr => pr.getField("sa") < pr.getField("sb"))))).as("_p"))
+        .select(col("_p.sa").as("source_a"), col("_p.sb").as("source_b"),
+          round(ByteFunctions.js_divergence(col("_p.ha"), col("_p.hb")), 6)
+            .as("jsd"))
+        .orderBy("source_a", "source_b")
+    }),
     // EXT dedup ROI report: cluster-size histogram over the exact-dup
     // groups with the chars a keep-one policy saves — the "was the
     // dedup pass worth it" readout every pipeline run logs
@@ -6339,6 +6384,44 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // Wilson mirror: the same fixed-order interval algebra; z² stays
+    // the expression 1.96 * 1.96 so both engines fold the same double
+    "wilson_ci_types" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |       FROM events GROUP BY 1)
+        |SELECT event_type, n, x,
+        |  ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+        |  ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        |    - 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+        |  ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        |    + 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_hi
+        |FROM a ORDER BY event_type""".stripMargin,
+    // source-JSD mirror: per-source byte counts on a shared code grid,
+    // the js_divergence_en_de term generalized per (sa, sb) pair
+    "source_jsd_matrix" ->
+      """WITH src AS (SELECT DISTINCT source FROM documents),
+        | pr AS (SELECT a.source AS sa, b.source AS sb
+        |       FROM src a JOIN src b ON a.source < b.source),
+        | bc AS (SELECT source, ascii(c) AS code, COUNT(*) AS cnt
+        |       FROM (SELECT source, unnest(string_split(text, '')) AS c FROM documents)
+        |       GROUP BY 1, 2),
+        | nn AS (SELECT source, CAST(SUM(cnt) AS DOUBLE) AS n FROM bc GROUP BY 1),
+        | codes AS (SELECT DISTINCT code FROM bc),
+        | g AS (SELECT pr.sa, pr.sb, codes.code,
+        |        COALESCE(x.cnt, 0) AS c1, COALESCE(y.cnt, 0) AS c2
+        |       FROM pr CROSS JOIN codes
+        |       LEFT JOIN bc x ON x.source = pr.sa AND x.code = codes.code
+        |       LEFT JOIN bc y ON y.source = pr.sb AND y.code = codes.code),
+        | terms AS (SELECT sa, sb, code,
+        |    (CASE WHEN c1 > 0 THEN (c1 / na.n) * log2((c1 / na.n) / ((c1 / na.n + c2 / nb.n) / 2.0)) ELSE 0.0 END)
+        |  + (CASE WHEN c2 > 0 THEN (c2 / nb.n) * log2((c2 / nb.n) / ((c1 / na.n + c2 / nb.n) / 2.0)) ELSE 0.0 END) AS t
+        |   FROM g JOIN nn na ON na.source = g.sa JOIN nn nb ON nb.source = g.sb)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd
+        |FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // dedup-savings mirror: the u dup-group CTE + size histogram
     "dedup_savings" ->
       """WITH u AS (SELECT doc_id, text FROM documents
