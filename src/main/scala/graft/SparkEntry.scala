@@ -2286,6 +2286,14 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT Croston intermittent demand (Events.crostonDaily, Croston
+    // '72): the sparse-series forecaster — separate size/interval
+    // smoothers over high-value signup days, zero days carried as
+    // exact integer gaps; completes the EWMA/Holt/HW/seasonal family
+    "croston_sparse_demand" -> ((s, dir) =>
+      Events.crostonDaily(t(s, dir, "events"),
+          "ts", col("event_type") === "signup" && col("value") > 200.0)
+        .orderBy("day")),
     // EXT Wilson score intervals (Wilson '27): per-type conversion
     // rate (value > 100) with the CI that stays inside [0,1] at small
     // n — the right interval for rate dashboards, vs the Wald CI every
@@ -6384,6 +6392,26 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // Croston mirror: recursive CTE on demand-day row_number carrying
+    // (z, p); the same separate-literal smoothing constants
+    "croston_sparse_demand" ->
+      """WITH RECURSIVE d0 AS (SELECT CAST(MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) AS d0 FROM events),
+        | dem AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |        CAST(COUNT(*) AS BIGINT) AS q FROM events
+        |       WHERE event_type = 'signup' AND value > 200.0 GROUP BY 1),
+        | r AS (SELECT d, q, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM dem),
+        | rec AS (
+        |   SELECT rn, d, q, CAST(d - d0 + 1 AS BIGINT) AS tau,
+        |          CAST(q AS DOUBLE) AS z, CAST(d - d0 + 1 AS DOUBLE) AS p
+        |   FROM r, d0 WHERE rn = 1
+        |   UNION ALL
+        |   SELECT r.rn, r.d, r.q, CAST(r.d - rec.d AS BIGINT) AS tau,
+        |          2e-1 * CAST(r.q AS DOUBLE) + 8e-1 * rec.z,
+        |          2e-1 * CAST(r.d - rec.d AS DOUBLE) + 8e-1 * rec.p
+        |   FROM rec JOIN r ON r.rn = rec.rn + 1)
+        |SELECT DATE '1970-01-01' + CAST(d AS INT) AS day, q AS demand, tau,
+        |  ROUND(z, 6) AS z, ROUND(p, 6) AS p, ROUND(z / p, 6) AS forecast
+        |FROM rec ORDER BY day""".stripMargin,
     // Wilson mirror: the same fixed-order interval algebra; z² stays
     // the expression 1.96 * 1.96 so both engines fold the same double
     "wilson_ci_types" ->

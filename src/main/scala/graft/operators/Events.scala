@@ -469,6 +469,66 @@ object Events {
         round(col("_e.s") + col("_e.b"), 6).as("forecast"))
   }
 
+  /** Croston's method (Croston '72) — the intermittent-demand
+    * forecaster SES/Holt mishandle (smoothing zeros drives the level
+    * toward 0 between sparse spikes): two SEPARATE exponential
+    * smoothers, demand size z over non-zero days only and inter-demand
+    * interval p, forecast = z/p per demand point. Zero-demand days
+    * never enter the fold — the interval carries them as the exact
+    * integer gap τ, so the state is demand-day-bounded, not
+    * day-bounded. Deterministic init at the first demand: z = q₁,
+    * p = τ₁ = days since the observation start + 1. Smoothing
+    * constants are separate literals (α, 1−α) per the suite's float
+    * discipline; oracle = recursive CTE chained on the demand-day
+    * row_number.
+    *
+    * Output: (day, demand, tau, z, p, forecast) per demand day.
+    *
+    * Scale shape (100 TB): the daily demand roll-up is the only
+    * corpus-sized exchange; the fold list holds one entry per DEMAND
+    * day.
+    */
+  def crostonDaily(events: DataFrame, tsCol: String, demandCond: Column,
+      alpha: Double = 0.2, alphaC: Double = 0.8): DataFrame = {
+    require(math.abs(alpha + alphaC - 1.0) < 1e-9,
+      "crostonDaily: complements must pair to 1")
+    val eday = datediff(col(tsCol).cast("date"), to_date(lit("1970-01-01")))
+    val start = events.agg(min(eday).cast("long").as("_d0"))
+    val dem = events.filter(demandCond)
+      .groupBy(eday.cast("long").as("_d")).agg(count(lit(1)).as("_q"))
+    val pathT = "array<struct<d:bigint,q:bigint,tau:bigint,z:double,p:double>>"
+    val zero = struct(lit(true).as("init"), lit(0.0).as("z"),
+      lit(0.0).as("p"), lit(0L).as("last"),
+      array().cast(pathT).as("path"))
+    dem.crossJoin(broadcast(start))
+      .groupBy(col("_d0"))
+      .agg(sort_array(collect_list(struct(col("_d"), col("_q")))).as("_l"))
+      .select(col("_d0"),
+        aggregate(col("_l"), zero, (acc, x) => {
+          val d = x.getField("_d")
+          val q = x.getField("_q").cast("double")
+          val tauInit = d - col("_d0") + 1L
+          val tauRun = d - acc.getField("last")
+          val tau = when(acc.getField("init"), tauInit).otherwise(tauRun)
+          val z2 = when(acc.getField("init"), q)
+            .otherwise(lit(alpha) * q + lit(alphaC) * acc.getField("z"))
+          val p2 = when(acc.getField("init"), tauInit.cast("double"))
+            .otherwise(lit(alpha) * tauRun.cast("double") +
+              lit(alphaC) * acc.getField("p"))
+          struct(lit(false).as("init"), z2.as("z"), p2.as("p"),
+            d.as("last"),
+            concat(acc.getField("path"), array(struct(d.as("d"),
+              x.getField("_q").as("q"), tau.as("tau"), z2.as("z"),
+              p2.as("p")))).as("path"))
+        }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .select(date_add(to_date(lit("1970-01-01")), col("_e.d").cast("int"))
+          .as("day"),
+        col("_e.q").as("demand"), col("_e.tau").as("tau"),
+        round(col("_e.z"), 6).as("z"), round(col("_e.p"), 6).as("p"),
+        round(col("_e.z") / col("_e.p"), 6).as("forecast"))
+  }
+
   /** Classical additive time-series decomposition (the pre-STL
     * textbook method): trend = centered moving average over a full
     * season (only emitted where the window is complete — edges stay

@@ -366,6 +366,24 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains("c")) // terminal state: no outgoing transitions
   }
 
+  test("crostonDaily: init interval from observation start, gap-carried tau, hand EWMA") {
+    // observation starts day1 (a non-demand event); demand on day3
+    // (q=2) and day6 (q=3)
+    val ev = (Seq(("view", ts(1), 10.0)) ++
+      (0 until 2).map(i => ("signup", ts(3, i), 300.0)) ++
+      (0 until 3).map(i => ("signup", ts(6, i), 300.0)))
+      .toDF("event_type", "ts", "value")
+    val out = Events.crostonDaily(ev, "ts",
+        col("event_type") === "signup" && col("value") > 200.0)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // init: tau = 3 (day3 is the 3rd observed day), z=2, p=3
+    assert(out(0) == (("2024-01-03", 2L, 3L, 2.0, 3.0, 0.666667)))
+    // day6: tau=3, z = .2*3+.8*2 = 2.2, p = .2*3+.8*3 = 3.0
+    assert(out(1) == (("2024-01-06", 3L, 3L, 2.2, 3.0, 0.733333)))
+  }
+
   test("classicalDecomposition: exact centered MA, zero seasonal/residual on a pure trend") {
     // counts 2,4,6,8,10 on days 1..5, m=3: trend = 4,6,8 inside, null
     // at the edges; a perfectly linear series has zero detrended
