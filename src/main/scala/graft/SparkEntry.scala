@@ -2286,6 +2286,27 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT IVF recall evaluation: the md5-centroid IVF (nprobe=2/8)
+    // judged against brute cosine — ann_recall_eval's pattern on the
+    // clustered index; together they give the LSH-vs-IVF quality/cost
+    // comparison an index choice needs
+    "ann_recall_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Ann.ivfTopK(emb, q, "vec_id", "embedding", 10,
+          nCentroids = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+        .orderBy("query_id")
+    }),
     // EXT Croston intermittent demand (Events.crostonDaily, Croston
     // '72): the sparse-series forecaster — separate size/interval
     // smoothers over high-value signup days, zero days carried as
@@ -6392,6 +6413,34 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // IVF-recall mirror: the ann_ivf_topk CTE chain at k=10 judged
+    // against the brute chain over the shared e table
+    "ann_recall_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
+         | ca AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cvec")} AS ccos FROM e, cents c),
+         | assign AS (SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca) WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca WHERE vec_id < 5) WHERE rn <= 2),
+         | cand AS (SELECT DISTINCT query_id, neighbor_id FROM probe JOIN assign USING (cid) WHERE neighbor_id <> query_id),
+         | si AS (SELECT query_id, neighbor_id, ${cosSql("eq.v", "ec.v")} AS cos
+         |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
+         | ri AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM si),
+         | ivf AS (SELECT query_id, neighbor_id FROM ri WHERE rank <= 10),
+         | sb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${cosSql("q.v", "c.v")} AS cos
+         |       FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         | rb AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sb),
+         | brute AS (SELECT query_id, neighbor_id FROM rb WHERE rank <= 10)
+         |SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         |FROM brute b LEFT JOIN ivf l
+         |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     // Croston mirror: recursive CTE on demand-day row_number carrying
     // (z, p); the same separate-literal smoothing constants
     "croston_sparse_demand" ->
@@ -6410,7 +6459,8 @@ object SparkEntry {
         |          2e-1 * CAST(r.d - rec.d AS DOUBLE) + 8e-1 * rec.p
         |   FROM rec JOIN r ON r.rn = rec.rn + 1)
         |SELECT DATE '1970-01-01' + CAST(d AS INT) AS day, q AS demand, tau,
-        |  ROUND(z, 6) AS z, ROUND(p, 6) AS p, ROUND(z / p, 6) AS forecast
+        |  ROUND(z, 6) AS z, ROUND(p, 6) AS p, ROUND(z / p, 6) AS forecast,
+        |  ROUND((1.0 - 2e-1 / 2.0) * (z / p), 6) AS sba
         |FROM rec ORDER BY day""".stripMargin,
     // Wilson mirror: the same fixed-order interval algebra; z² stays
     // the expression 1.96 * 1.96 so both engines fold the same double

@@ -482,7 +482,8 @@ object Events {
     * discipline; oracle = recursive CTE chained on the demand-day
     * row_number.
     *
-    * Output: (day, demand, tau, z, p, forecast) per demand day.
+    * Output: (day, demand, tau, z, p, forecast, sba) per demand day —
+    * sba the Syntetos-Boylan bias-corrected (1−α/2)·z/p.
     *
     * Scale shape (100 TB): the daily demand roll-up is the only
     * corpus-sized exchange; the fold list holds one entry per DEMAND
@@ -526,7 +527,11 @@ object Events {
           .as("day"),
         col("_e.q").as("demand"), col("_e.tau").as("tau"),
         round(col("_e.z"), 6).as("z"), round(col("_e.p"), 6).as("p"),
-        round(col("_e.z") / col("_e.p"), 6).as("forecast"))
+        round(col("_e.z") / col("_e.p"), 6).as("forecast"),
+        // Syntetos-Boylan approximation: Croston's z/p is biased high;
+        // the (1 - alpha/2) factor is the standard correction
+        round(lit(1.0 - alpha / 2.0) * (col("_e.z") / col("_e.p")), 6)
+          .as("sba"))
   }
 
   /** Classical additive time-series decomposition (the pre-STL

@@ -377,11 +377,12 @@ class EventsSpec extends SparkSpec {
         col("event_type") === "signup" && col("value") > 200.0)
       .orderBy("day").collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
-    // init: tau = 3 (day3 is the 3rd observed day), z=2, p=3
-    assert(out(0) == (("2024-01-03", 2L, 3L, 2.0, 3.0, 0.666667)))
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // init: tau = 3 (day3 is the 3rd observed day), z=2, p=3;
+    // sba = 0.9 * forecast
+    assert(out(0) == (("2024-01-03", 2L, 3L, 2.0, 3.0, 0.666667, 0.6)))
     // day6: tau=3, z = .2*3+.8*2 = 2.2, p = .2*3+.8*3 = 3.0
-    assert(out(1) == (("2024-01-06", 3L, 3L, 2.2, 3.0, 0.733333)))
+    assert(out(1) == (("2024-01-06", 3L, 3L, 2.2, 3.0, 0.733333, 0.66)))
   }
 
   test("classicalDecomposition: exact centered MA, zero seasonal/residual on a pure trend") {
