@@ -2286,6 +2286,43 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT leakage-safe churn-label generation: features from days
+    // 1-14, label = any activity in days 15-30 — the temporal
+    // label-generation shape every supervised pipeline needs, with the
+    // cut enforced by ONE literal date on both engines
+    "churn_labels" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-15").cast("date")
+      val feat = ev.filter(col("ts").cast("date") < cut)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_type")).as("n_types"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          round(sum(col("value").cast("decimal(30,2)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_value"))
+      val active = ev.filter(col("ts").cast("date") >= cut)
+        .select(col("user_id")).distinct()
+        .withColumn("_a", lit(1L))
+      feat.join(active, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("n_purchases"), col("mean_value"),
+          coalesce(col("_a"), lit(0L)).as("label"))
+        .orderBy("user_id")
+    }),
+    // EXT stratified log-rank (Events.logRankStratified,
+    // Mantel-Haenszel): the arm comparison within customer segments,
+    // O/E/V summed across strata — valid under per-segment baseline
+    // hazards that would confound the pooled test; every window
+    // carries the stratum key (no global window)
+    "log_rank_stratified" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment")), col("user_id") === col("c_custkey"))
+      Events.logRankStratified(ev, "user_id", "ts",
+        col("event_type") === "purchase", pmod(col("user_id"), lit(2)) === 0,
+        col("c_mktsegment"))
+    }),
     // EXT IVF recall evaluation: the md5-centroid IVF (nprobe=2/8)
     // judged against brute cosine — ann_recall_eval's pattern on the
     // clustered index; together they give the LSH-vs-IVF quality/cost
@@ -6413,6 +6450,60 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // churn-label mirror: the same literal cut date on both windows
+    "churn_labels" ->
+      """WITH feat AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |        ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+        |       FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15' GROUP BY 1),
+        | act AS (SELECT DISTINCT user_id FROM events
+        |       WHERE CAST(ts AS DATE) >= DATE '2024-01-15')
+        |SELECT feat.user_id, n_events, n_types, n_purchases, mean_value,
+        |  CAST(CASE WHEN act.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM feat LEFT JOIN act ON act.user_id = feat.user_id
+        |ORDER BY feat.user_id""".stripMargin,
+    // stratified log-rank mirror: the pooled mirror with every CTE
+    // keyed by segment, contributions summed across strata
+    "log_rank_stratified" ->
+      """WITH ej AS (SELECT e.*, c.c_mktsegment AS st FROM events e
+        |       JOIN customer c ON e.user_id = c.c_custkey),
+        | pu AS (SELECT user_id, MIN(st) AS st, MIN(epoch_us(ts)) AS start,
+        |        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS dus
+        |       FROM ej GROUP BY 1),
+        | mx AS (SELECT MAX(epoch_us(ts)) AS m FROM ej),
+        | obs AS (SELECT st, CAST(FLOOR((COALESCE(dus, m) - start) / 3600000000) AS BIGINT) AS t,
+        |        dus IS NOT NULL AS death, (user_id % 2 = 0) AS g1 FROM pu, mx),
+        | b AS (SELECT st, t,
+        |        CAST(SUM(CASE WHEN g1 AND death THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |        CAST(SUM(CASE WHEN g1 AND NOT death THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(SUM(CASE WHEN NOT g1 AND death THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |        CAST(SUM(CASE WHEN NOT g1 AND NOT death THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |       FROM obs GROUP BY 1, 2),
+        | tt AS (SELECT st, CAST(SUM(d1 + c1) AS BIGINT) AS bn1,
+        |        CAST(SUM(d2 + c2) AS BIGINT) AS bn2 FROM b GROUP BY 1),
+        | r AS (SELECT b.st, t, d1, d2,
+        |        bn1 - CAST(COALESCE(SUM(d1 + c1) OVER (PARTITION BY b.st ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+        |        bn2 - CAST(COALESCE(SUM(d2 + c2) OVER (PARTITION BY b.st ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2
+        |       FROM b JOIN tt ON tt.st = b.st),
+        | terms AS (SELECT st, t, d1,
+        |        CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) AS e,
+        |        CASE WHEN n1 + n2 > 1 THEN
+        |          CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |          * (1.0 - CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |          * ((CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+        |            / (CAST(n1 + n2 AS DOUBLE) - 1.0)) ELSE 0.0 END AS v
+        |       FROM r WHERE d1 + d2 > 0),
+        | sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |        CAST(SUM(bn1) AS BIGINT) AS n1, CAST(SUM(bn2) AS BIGINT) AS n2 FROM tt),
+        | f AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+        |        list_sum(list(e ORDER BY st, t)) AS es,
+        |        list_sum(list(v ORDER BY st, t)) AS vs FROM terms)
+        |SELECT n_strata, n1, n2, o1, ROUND(es, 6) AS e1, ROUND(vs, 6) AS v,
+        |  CASE WHEN vs > 0 THEN ROUND((CAST(o1 AS DOUBLE) - es) / sqrt(vs), 6) END AS z
+        |FROM f, sz""".stripMargin,
     // IVF-recall mirror: the ann_ivf_topk CTE chain at k=10 judged
     // against the brute chain over the shared e table
     "ann_recall_ivf" ->

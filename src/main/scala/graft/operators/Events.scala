@@ -657,6 +657,79 @@ object Events {
         .as("z"))
   }
 
+  /** STRATIFIED log-rank test (Mantel-Haenszel form) — [[logRankTest]]
+    * with the comparison run WITHIN strata and the O/E/V contributions
+    * summed across them: the arm comparison stays valid when the
+    * strata (e.g. customer segment) have different baseline hazards
+    * that would confound the pooled test. `stratum` must be constant
+    * per user (taken as min() over the user's rows — deterministic).
+    * Same exactness discipline: per-stratum risk sets as prefix sums
+    * over the time-grid buckets, E/V as (stratum, t)-ordered folds,
+    * O1 exact.
+    *
+    * Output one row: (n_strata, n1, n2, o1, e1, v, z); z null at V=0.
+    *
+    * Scale shape (100 TB): identical to logRankTest except every
+    * window/groupBy carries the stratum key — all partitioned, no
+    * global window at all.
+    */
+  def logRankStratified(events: DataFrame, userCol: String, tsCol: String,
+      deathCond: Column, group1: Column, stratum: Column,
+      unitMicros: Long = 3600000000L): DataFrame = {
+    require(unitMicros >= 1, s"logRankStratified: need unitMicros>=1")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(us).as("_start"), min(when(deathCond, us)).as("_dus"),
+        min(stratum).as("_st"))
+    val maxTs = events.agg(max(us).as("_mx"))
+    val obs = perUser.crossJoin(broadcast(maxTs))
+      .select(col("_st"),
+        when(col("_dus").isNotNull,
+          floor((col("_dus") - col("_start")) / unitMicros))
+          .otherwise(floor((col("_mx") - col("_start")) / unitMicros))
+          .cast("long").as("_t"),
+        col("_dus").isNotNull.as("_death"), group1.as("_g1"))
+    val b = obs.groupBy(col("_st"), col("_t")).agg(
+      sum(when(col("_g1") && col("_death"), 1L).otherwise(0L)).as("_d1"),
+      sum(when(col("_g1") && !col("_death"), 1L).otherwise(0L)).as("_c1"),
+      sum(when(!col("_g1") && col("_death"), 1L).otherwise(0L)).as("_d2"),
+      sum(when(!col("_g1") && !col("_death"), 1L).otherwise(0L)).as("_c2"))
+    val tot = b.groupBy(col("_st"))
+      .agg(sum(col("_d1") + col("_c1")).as("_N1"),
+        sum(col("_d2") + col("_c2")).as("_N2"))
+    val w = Window.partitionBy(col("_st")).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = b.join(tot, Seq("_st"))
+      .withColumn("_n1", col("_N1") -
+        coalesce(sum(col("_d1") + col("_c1")).over(w), lit(0L)))
+      .withColumn("_n2", col("_N2") -
+        coalesce(sum(col("_d2") + col("_c2")).over(w), lit(0L)))
+      .filter(col("_d1") + col("_d2") > 0L)
+    val dt = (col("_d1") + col("_d2")).cast("double")
+    val nt = (col("_n1") + col("_n2")).cast("double")
+    val p = col("_n1").cast("double") / nt
+    val e1t = dt * p
+    val vt = when(col("_n1") + col("_n2") > 1L,
+      dt * p * (lit(1.0) - p) *
+        ((nt - dt) / (nt - lit(1.0)))).otherwise(lit(0.0))
+    val folded = risk
+      .select(col("_d1"), struct(col("_st"), col("_t"),
+        e1t.as("_e"), vt.as("_v")).as("_s"))
+      .agg(sum(col("_d1")).as("o1"), collect_list(col("_s")).as("_l"))
+    val sizes = tot.agg(count(lit(1)).as("n_strata"),
+      sum(col("_N1")).as("n1"), sum(col("_N2")).as("n2"))
+    def osum(f: String) =
+      aggregate(transform(sort_array(col("_l")), x => x.getField(f)),
+        lit(0.0), (acc, x) => acc + x)
+    folded.crossJoin(broadcast(sizes))
+      .select(col("n_strata"), col("n1"), col("n2"), col("o1"),
+        round(osum("_e"), 6).as("e1"), round(osum("_v"), 6).as("v"),
+        when(osum("_v") > 0.0,
+          round((col("o1").cast("double") - osum("_e")) / sqrt(osum("_v")), 6))
+          .as("z"))
+  }
+
   /** Difference-in-differences (Card-Krueger '94 shape) on two event
     * types' daily count series around a literal cutover date: the
     * causal-reading companion to cusum's detection — CUSUM says WHEN

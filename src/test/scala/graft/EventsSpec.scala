@@ -425,6 +425,31 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(5) == math.rint((1.0 - e) / math.sqrt(v) * 1e6) / 1e6)
   }
 
+  test("logRankStratified: one stratum reproduces the pooled test; strata split changes E/V, never O") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), "view"),
+      (1L, t("2024-01-01 01:30:00"), "purchase"),
+      (2L, t("2024-01-01 00:00:00"), "view"),
+      (2L, t("2024-01-01 02:30:00"), "purchase"),
+      (3L, t("2024-01-01 00:00:00"), "view"),
+      (4L, t("2024-01-01 00:00:00"), "view"),
+      (4L, t("2024-01-01 03:30:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val grp = pmod(col("user_id"), lit(2)) === 0
+    val pooled = Events.logRankTest(ev, "user_id", "ts",
+      col("event_type") === "purchase", grp).collect().head
+    val one = Events.logRankStratified(ev, "user_id", "ts",
+      col("event_type") === "purchase", grp, lit("all")).collect().head
+    assert(one.getLong(0) == 1L) // n_strata
+    assert(one.toSeq.drop(1) == pooled.toSeq) // identical beyond n_strata
+    // two strata: O1 is stratum-invariant, E/V change with the split
+    val two = Events.logRankStratified(ev, "user_id", "ts",
+      col("event_type") === "purchase", grp,
+      when(col("user_id") <= 2, "a").otherwise("b")).collect().head
+    assert(two.getLong(0) == 2L && two.getLong(3) == pooled.getLong(2))
+  }
+
   test("diffInDiff: hand case — treated +6, control +1, did 5; parallel trends gives 0") {
     // days 1,2 pre; days 3,4 post (cutover = day 3)
     def mk(tpe: String, day: Int, n: Int) =
