@@ -2286,6 +2286,26 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT year-over-year revenue growth (the time-intelligence OLAP
+    // readout next to cube/rollup's dimensional one): monthly revenue
+    // with the same-month-last-year comparison — the lag rides the
+    // (month)-partitioned year order, exact DECIMAL revenue, one
+    // division at the readout
+    "yoy_revenue_growth" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val monthly = o.groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,2)")).as("_rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("mo")).orderBy(col("yr"))
+      monthly.withColumn("_prev", lag(col("_rev"), 1).over(w))
+        .select(col("yr"), col("mo"), col("_rev").cast("double").as("revenue"),
+          col("_prev").cast("double").as("prev_year"),
+          when(col("_prev").isNotNull,
+            round(col("_rev").cast("double") / col("_prev").cast("double")
+              - lit(1.0), 6)).as("yoy_growth"))
+        .orderBy("yr", "mo")
+    }),
     // EXT leakage-safe churn-label generation: features from days
     // 1-14, label = any activity in days 15-30 — the temporal
     // label-generation shape every supervised pipeline needs, with the
@@ -6450,6 +6470,20 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // YoY mirror: month-partitioned year lag over the monthly roll-up
+    "yoy_revenue_growth" ->
+      """WITH m AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |        CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |        SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+        |       FROM orders GROUP BY 1, 2),
+        | l AS (SELECT yr, mo, rev,
+        |        LAG(rev, 1) OVER (PARTITION BY mo ORDER BY yr) AS prev
+        |       FROM m)
+        |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(prev AS DOUBLE) AS prev_year,
+        |  CASE WHEN prev IS NOT NULL
+        |       THEN ROUND(CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0, 6) END AS yoy_growth
+        |FROM l ORDER BY yr, mo""".stripMargin,
     // churn-label mirror: the same literal cut date on both windows
     "churn_labels" ->
       """WITH feat AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
