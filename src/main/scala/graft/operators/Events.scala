@@ -657,6 +657,115 @@ object Events {
         .as("z"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. '14 — the
+    * "data-driven attribution" model): journeys become a first-order
+    * Markov chain over START → channels → {CONV, NULL}; a channel's
+    * credit is its REMOVAL EFFECT — how much total conversion
+    * probability disappears when the channel is deleted (its
+    * transitions redirected to NULL) — normalized into shares. The
+    * position/Shapley rules divide credit among touched channels only;
+    * the Markov model also prices a channel's role as a PATHWAY.
+    *
+    * Spec-only (no declared query): the absorbing-chain solve is a
+    * |channels|×|channels| linear system — metadata-sized at ANY corpus
+    * scale — solved driver-side by Gaussian elimination on the counts
+    * of ONE distributed aggregate (the stratified-allocation
+    * driver-read precedent, Sampling.scala:101); no 30-line SQL
+    * mirror exists for elimination, so the invariants (hand chain,
+    * pathway pricing, untouched channel → 0) are ScalaTest-asserted
+    * instead.
+    *
+    * Output: (channel, removal_conv, effect, share) per channel.
+    *
+    * Scale shape (100 TB): the user-key window + the ≤(n+1)(n+2)-cell
+    * transition aggregate are the only corpus-sized work; the driver
+    * sees one tiny count matrix.
+    */
+  def markovRemovalAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, convType: String,
+      channels: Seq[String]): DataFrame = {
+    val n = channels.length
+    require(n >= 1 && !channels.contains(convType),
+      "markovRemovalAttribution: channels must exclude convType")
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val spark = events.sparkSession
+    // conversion time per user (null = never converts)
+    val conv = events.groupBy(col(userCol).as("_u"))
+      .agg(min(when(col(typeCol) === convType, micros)).as("_cts"))
+    val touches = events.filter(col(typeCol).isin(channels: _*))
+      .select(col(userCol).as("_tu"), col(typeCol).as("_ty"),
+        micros.as("_ts"), col(idCol).as("_id"))
+      .join(conv, col("_tu") === col("_u"))
+      .filter(col("_cts").isNull || col("_ts") < col("_cts"))
+    val w = Window.partitionBy(col("_tu")).orderBy(col("_ts"), col("_id"))
+    val seq0 = touches
+      .withColumn("_next", lead(col("_ty"), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+    // channel->channel plus last->absorber; START->first from _rn=1;
+    // users with no touches: START->absorber directly
+    val chTrans = seq0.select(col("_ty").as("_from"),
+      coalesce(col("_next"),
+        when(col("_cts").isNotNull, lit("CONV")).otherwise(lit("NULL")))
+        .as("_to"))
+    val startTrans = seq0.filter(col("_rn") === 1)
+      .select(lit("START").as("_from"), col("_ty").as("_to"))
+    val bare = conv.join(touches.select(col("_tu")).distinct(),
+        col("_u") === col("_tu"), "left_anti")
+      .select(lit("START").as("_from"),
+        when(col("_cts").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("_to"))
+    val counts = chTrans.unionByName(startTrans).unionByName(bare)
+      .groupBy("_from", "_to").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // driver-side: row-normalize, absorption via (I - M) a = pConv
+    val states = "START" +: channels
+    def p(f: String, t: String): Double = {
+      val tot = counts.collect { case ((`f`, _), c) => c }.sum
+      if (tot == 0L) 0.0 else counts.getOrElse((f, t), 0L).toDouble / tot
+    }
+    def convProb(removed: Set[String]): Double = {
+      // redirect transitions into removed channels to NULL; solve the
+      // 4x4 (I - M) a = pConV by Gaussian elimination, then propagate
+      // through START
+      val live = channels.filterNot(removed)
+      val m = live.size
+      val a = Array.ofDim[Double](m, m + 1)
+      for (i <- 0 until m) {
+        for (j <- 0 until m)
+          a(i)(j) = (if (i == j) 1.0 else 0.0) - p(live(i), live(j))
+        a(i)(m) = p(live(i), "CONV")
+      }
+      for (k <- 0 until m) { // partial-pivot elimination
+        val piv = (k until m).maxBy(r => math.abs(a(r)(k)))
+        val t = a(k); a(k) = a(piv); a(piv) = t
+        if (math.abs(a(k)(k)) > 1e-12) {
+          for (r <- k + 1 until m) {
+            val f = a(r)(k) / a(k)(k)
+            for (c <- k to m) a(r)(c) -= f * a(k)(c)
+          }
+        }
+      }
+      val sol = Array.ofDim[Double](m)
+      for (k <- m - 1 to 0 by -1) {
+        var s = a(k)(m)
+        for (c <- k + 1 until m) s -= a(k)(c) * sol(c)
+        sol(k) = if (math.abs(a(k)(k)) > 1e-12) s / a(k)(k) else 0.0
+      }
+      val byCh = live.zip(sol).toMap
+      p("START", "CONV") +
+        live.map(c => p("START", c) * byCh(c)).sum
+    }
+    val base = convProb(Set.empty)
+    val effects = channels.map(c => c -> (base - convProb(Set(c))))
+    val totEff = effects.map(_._2).sum
+    import spark.implicits._
+    effects.map { case (c, e) =>
+      (c, math.rint((base - e) * 1e6) / 1e6, math.rint(e * 1e6) / 1e6,
+        if (totEff > 0) math.rint(e / totEff * 1e6) / 1e6 else 0.0)
+    }.toDF("channel", "removal_conv", "effect", "share")
+  }
+
   /** STRATIFIED log-rank test (Mantel-Haenszel form) — [[logRankTest]]
     * with the comparison run WITHIN strata and the O/E/V contributions
     * summed across them: the arm comparison stays valid when the

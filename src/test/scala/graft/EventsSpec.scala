@@ -425,6 +425,27 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(5) == math.rint((1.0 - e) / math.sqrt(v) * 1e6) / 1e6)
   }
 
+  test("markovRemovalAttribution: hand-solved chain, pathway pricing, untouched channel zero") {
+    // u1: a -> conv; u2: a -> b -> conv; u3: b -> (no conv); u4: bare conv
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "conv"),
+      (2L, ts(1), 3L, "a"), (2L, ts(2), 4L, "b"), (2L, ts(3), 5L, "conv"),
+      (3L, ts(1), 6L, "b"),
+      (4L, ts(1), 7L, "conv"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.markovRemovalAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "conv", Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // base = 0.25 + 0.5*0.75 + 0.25*0.5 = 0.75;
+    // remove a -> 0.375 (a is also b's feeder); remove b -> 0.5
+    assert(out("a") == ((0.375, 0.375, 0.6)))
+    assert(out("b") == ((0.5, 0.25, 0.4)))
+    // channels never touched: removal changes nothing
+    assert(out("c") == ((0.75, 0.0, 0.0)))
+    assert(out("d") == ((0.75, 0.0, 0.0)))
+  }
+
   test("logRankStratified: one stratum reproduces the pooled test; strata split changes E/V, never O") {
     def t(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
