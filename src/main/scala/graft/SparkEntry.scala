@@ -2286,6 +2286,16 @@ object SparkEntry {
       Graph.bfsHops(pairs, "id_a", "id_b", col("node") % 50 === 0, sweeps = 3)
         .orderBy("node")
     }),
+    // EXT order-priority mix drift by year (Stats.chi2Divergence
+    // reused): which years' priority mix diverges from the overall
+    // marginal — lang_chi2's shape pointed at the OLAP schema; the
+    // process-change detector for an order pipeline
+    "priority_chi2_years" -> ((s, dir) =>
+      Stats.chi2Divergence(
+          t(s, dir, "orders").select(year(col("o_orderdate")).as("yr"),
+            col("o_orderpriority")),
+          "yr", "o_orderpriority")
+        .orderBy("yr")),
     // EXT year-over-year revenue growth (the time-intelligence OLAP
     // readout next to cube/rollup's dimensional one): monthly revenue
     // with the same-month-last-year comparison — the lag rides the
@@ -6470,6 +6480,22 @@ object SparkEntry {
         |  + (CASE WHEN c2 > 0 THEN (c2 / n2.n) * log2((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2.0)) ELSE 0.0 END) AS t
         |   FROM g, n1, n2)
         |SELECT ROUND(0.5 * list_sum(list(t ORDER BY code)), 6) AS jsd FROM terms""".stripMargin,
+    // priority-drift mirror: the lang_chi2 observed-cells identity on
+    // the (year, priority) cells
+    "priority_chi2_years" ->
+      """WITH cells AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |        o_orderpriority, CAST(COUNT(*) AS BIGINT) AS o
+        |       FROM orders GROUP BY 1, 2),
+        | ng AS (SELECT yr, CAST(SUM(o) AS BIGINT) AS ng FROM cells GROUP BY 1),
+        | tc AS (SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS tc FROM cells GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        | t AS (SELECT cells.yr, ng.ng, cells.o_orderpriority,
+        |        (CAST(o * o AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / (CAST(ng AS DOUBLE) * CAST(tc AS DOUBLE)) AS term
+        |       FROM cells JOIN ng USING (yr) JOIN tc USING (o_orderpriority), tot)
+        |SELECT yr, ng AS n,
+        |  ROUND(list_sum(list(term ORDER BY o_orderpriority)) - CAST(ng AS DOUBLE), 6) AS chi2
+        |FROM t GROUP BY yr, ng ORDER BY yr""".stripMargin,
     // YoY mirror: month-partitioned year lag over the monthly roll-up
     "yoy_revenue_growth" ->
       """WITH m AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
