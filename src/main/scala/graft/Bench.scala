@@ -156,9 +156,26 @@ object Bench {
         .mkString("{", ",", "}")
       val st = names.flatMap(n => Option(steals.get(n)).map(v => "\"" + n + "\":" + f"$v%.2f"))
         .mkString("{", ",", "}")
-      val total = names.flatMap(n => Option(results.get(n))).filter(_ >= 0).sum
+      val done = names.flatMap(n => Option(results.get(n)))
+      val total = done.filter(_ >= 0).sum
       val suiteSteal = f"${stealCores(suiteTicks0, cpuTicks())}%.2f"
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_cores":$st,"suite_steal_cores":$suiteSteal,"iters":$iters,"storage_peak_bytes":$storagePeak,"clear_cache":$clearCache,"status":"$status","sf":"$sfDir"}""")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_cores":$st,"suite_steal_cores":$suiteSteal,"iters":$iters,"storage_peak_bytes":$storagePeak,"clear_cache":$clearCache,"status":"$status","sf":"$sfDir"}"""
+      // The r8 record was lost to tail truncation: 278 per-query entries
+      // in one stdout line overflowed the capture and parsed as null.
+      // Two-channel emission instead: the FULL record goes to a file
+      // (SPARK_GRAFT_BENCH_OUT, default ./BENCH_full.json), and stdout
+      // ends with a COMPACT machine-parsable totals line — small enough
+      // that any tail capture holds it whole. The full line still prints
+      // FIRST on stdout for back-compat with log scrapers.
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+      try {
+        val w = new java.io.PrintWriter(outPath, "UTF-8")
+        try w.println(full) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+      println(full)
+      println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${done.length},"n_failed":${done.count(_ < 0)},"suite_steal_cores":$suiteSteal,"iters":$iters,"status":"$status","sf":"$sfDir","detail_file":"$outPath"}""")
       System.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit("aborted")))

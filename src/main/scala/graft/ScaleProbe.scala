@@ -640,6 +640,29 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("ivftrain")) {
+      // train the IVF coarse codebook the declared ann_ivf_kmeans_topk
+      // query embeds as a literal (graft.IvfCentroids):
+      // runMain graft.ScaleProbe ivftrain <sfDir> [nCentroids]
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+      val nc = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = graft.operators.Ann.ivfKmeansTrain(emb, "embedding", nc)
+      // java.lang.Double.toString round-trips exactly, so the pasted
+      // literal IS the trained codebook bit for bit
+      println(cents.map(c => c.mkString("Seq(", ", ", ")"))
+        .mkString("Seq(\n  ", ",\n  ", ")"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("rqtrain")) {
       // train the residual-PQ codebook the declared ann_rq_topk query
       // embeds as a literal:

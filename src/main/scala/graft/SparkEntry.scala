@@ -748,15 +748,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // EXT IVF-ANN with a REAL KMeans codebook — the production index
-    // build (Ann.ivfTopKKMeans). Learned centroids depend on float
-    // iteration order, so the result is not oracle-portable: declared
-    // ROWS-ONLY (no oracleSql entry — driver checks rows>0); recall
-    // >= 0.9 vs brute force and run-to-run determinism are
-    // spec-asserted (DedupAnnSpec "learned codebook beats md5").
+    // (Ann.ivfTopKWithCentroids over the FROZEN IvfCentroids literal,
+    // trained once offline by ScaleProbe ivftrain — the PqCodebook
+    // discipline). Freezing the Lloyd-trained centroids as constants
+    // makes the learned index oracle hash-portable: assignment/probing/
+    // rerank are exact cosine replays against pasted doubles. The live
+    // fit path (Ann.ivfTopKKMeans) stays spec-asserted in DedupAnnSpec
+    // (recall >= 0.9 vs brute force, run-to-run determinism).
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Ann.ivfTopKKMeans(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
-          nCentroids = 8, nProbe = 2)
+      Ann.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", 3, IvfCentroids.arr, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -2248,10 +2250,10 @@ object SparkEntry {
     // EXT cumulative gain/lift deciles (Stats.liftGain) of the learned
     // quality classifier on its injected eval labels — the targeting
     // readout next to classifier_auc; NTILE(10) under the (score desc,
-    // doc_id) total order
+    // label desc) cell order — rows within a cell are interchangeable
     "lift_gain_deciles" -> ((s, dir) => {
       val sc = qcScored(s, dir)
-      Stats.liftGain(sc, col("p_clean"), col("is_clean"), col("doc_id"))
+      Stats.liftGain(sc, col("p_clean"), col("is_clean"))
         .orderBy("decile")
     }),
     // EXT conditional next-step entropy (Events.transitionEntropy):
@@ -4563,6 +4565,29 @@ object SparkEntry {
          | r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // frozen-k-means IVF mirror: the ivf_topk CTE chain with the cents
+    // CTE generated from the IvfCentroids literal instead of md5
+    // sampling — same argmax-cosine assignment (cid-ascending
+    // tie-break), same nProbe=2 probing, same exact rerank
+    "ann_ivf_kmeans_topk" -> {
+      val centRows = IvfCentroids.sqlLists.zipWithIndex
+        .map { case (l, i) => s"($i, $l)" }.mkString(",\n   ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | cents AS (SELECT cid, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+         |   FROM (VALUES
+         |   $centRows) t(cid, cvec)),
+         | ca AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cvec")} AS ccos FROM e, cents c),
+         | assign AS (SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca) WHERE rn = 1),
+         | probe AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca WHERE vec_id < 5) WHERE rn <= 2),
+         | cand AS (SELECT DISTINCT query_id, neighbor_id FROM probe JOIN assign USING (cid) WHERE neighbor_id <> query_id),
+         | s AS (SELECT query_id, neighbor_id, ${cosSql("eq.v", "ec.v")} AS cos
+         |       FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = neighbor_id),
+         | r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
     // ADC replay of the frozen PqCodebook literal, single-sourced like
     // the BPE fold: same l2-normalize, same per-subspace squared-L2
     // folds (range-indexed list_sum — the validated ordered-fold mirror
@@ -6227,8 +6252,8 @@ object SparkEntry {
         |        2e-1 * ((3e-1 * CAST(r.cnt AS DOUBLE) + 7e-1 * (c.s + c.b)) - c.s)
         |          + 8e-1 * c.b
         |       FROM c JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1)
-        |SELECT event_type, day, cnt, ROUND(s, 6) AS level, ROUND(b, 6) AS trend,
-        |  ROUND(s + b, 6) AS forecast
+        |SELECT event_type, day, cnt, ROUND(s, 6) + 0e0 AS level,
+        |  ROUND(b, 6) + 0e0 AS trend, ROUND(s + b, 6) + 0e0 AS forecast
         |FROM c ORDER BY event_type, day""".stripMargin,
     "seq_triples_events" ->
       """WITH t AS (SELECT user_id, event_type AS s1,
@@ -6430,7 +6455,7 @@ object SparkEntry {
       """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
         | sized AS (SELECT bk, it FROM (SELECT bk, it,
         |        COUNT(*) OVER (PARTITION BY bk) AS n FROM items) WHERE n <= 256),
-        | pop AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM sized GROUP BY 1),
+        | pop AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
         | pairs AS (SELECT a.it AS ia, b.it AS ib, CAST(COUNT(*) AS BIGINT) AS pc
         |       FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
@@ -6700,8 +6725,8 @@ object SparkEntry {
         |        list_sum(list(det ORDER BY d)) / CAST(COUNT(*) AS DOUBLE) AS seas
         |       FROM dd WHERE det IS NOT NULL GROUP BY 1, 2)
         |SELECT dd.event_type, DATE '1970-01-01' + CAST(dd.d AS INT) AS day, cnt,
-        |  ROUND(trend, 6) AS trend, ROUND(seas, 6) AS seasonal,
-        |  ROUND(det - seas, 6) AS residual
+        |  ROUND(trend, 6) AS trend, ROUND(seas, 6) + 0e0 AS seasonal,
+        |  ROUND(det - seas, 6) + 0e0 AS residual
         |FROM dd LEFT JOIN se ON se.event_type = dd.event_type AND se.pos = dd.pos
         |ORDER BY dd.event_type, day""".stripMargin,
     // Bellman-Ford mirror: the dup pair CTEs with 1 − jaccard weights,
@@ -7002,7 +7027,7 @@ object SparkEntry {
         |  ROUND(CAST(cp0 AS DOUBLE) / nc0, 6) AS control_pre,
         |  ROUND(CAST(cp1 AS DOUBLE) / nc1, 6) AS control_post,
         |  ROUND((CAST(tp1 AS DOUBLE) / n_days_post - CAST(tp0 AS DOUBLE) / n_days_pre)
-        |    - (CAST(cp1 AS DOUBLE) / nc1 - CAST(cp0 AS DOUBLE) / nc0), 6) AS did
+        |    - (CAST(cp1 AS DOUBLE) / nc1 - CAST(cp0 AS DOUBLE) / nc0), 6) + 0e0 AS did
         |FROM a""".stripMargin,
     // bootstrap mirror: the gumbel md5->uint48 idiom, the SAME
     // PoissonCum double literals (Double.toString round-trips), integer
@@ -7119,9 +7144,9 @@ object SparkEntry {
         |                rec.s AS sp, rec.b AS bp, rec.c AS cp
         |               FROM rec JOIN r ON r.event_type = rec.event_type
         |                AND r.rn = rec.rn + 1) q) qq)
-        |SELECT event_type, day, cnt, ROUND(s, 6) AS level,
-        |  ROUND(b, 6) AS trend, ROUND(cn, 6) AS seasonal,
-        |  ROUND(fit, 6) AS fitted
+        |SELECT event_type, day, cnt, ROUND(s, 6) + 0e0 AS level,
+        |  ROUND(b, 6) + 0e0 AS trend, ROUND(cn, 6) + 0e0 AS seasonal,
+        |  ROUND(fit, 6) + 0e0 AS fitted
         |FROM rec WHERE day IS NOT NULL ORDER BY event_type, day""".stripMargin,
     // feature-MI mirror: the contingency_events CTE chain instantiated
     // per feature (suffixed CTE names), tags UNION'd; the length-bucket
@@ -7168,7 +7193,7 @@ object SparkEntry {
       """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
         | sized AS (SELECT bk, it FROM (SELECT bk, it,
         |        COUNT(*) OVER (PARTITION BY bk) AS n FROM items) WHERE n <= 256),
-        | pop AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM sized GROUP BY 1),
+        | pop AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
         | pairs AS (SELECT a.it AS ia, b.it AS ib, CAST(COUNT(*) AS BIGINT) AS pc
         |       FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),

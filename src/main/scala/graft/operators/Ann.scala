@@ -180,12 +180,26 @@ object Ann {
     */
   def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
-      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      seed: Long = 42L, maxIter: Int = 20): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k,
+      ivfKmeansTrain(corpus, vecCol, nCentroids, seed, maxIter), nProbe)
+
+  /** The index-build half of [[ivfTopKKMeans]] alone: fit the cosine
+    * k-means codebook and return the learned centroids (nCentroids x
+    * dim doubles). Train ONCE offline (ScaleProbe `ivftrain`), freeze
+    * the result as a literal, and query through
+    * [[ivfTopKWithCentroids]] — the PqCodebook discipline that makes
+    * the production k-means index oracle hash-portable: the centroids
+    * stop depending on float iteration order because they are pasted
+    * constants, and assignment/probing/rerank are exact replays.
+    */
+  def ivfKmeansTrain(corpus: DataFrame, vecCol: String,
+      nCentroids: Int = 8, seed: Long = 42L,
+      maxIter: Int = 20): Array[Array[Double]] = {
+    val cv = corpus.select(col(vecCol).cast("array<double>").as("cv"))
     // cosine KMeans REQUIRES non-zero-norm vectors (fit throws on one
     // all-zero embedding). Zero vectors are excluded from the fit only;
-    // they still flow through the cell assignment below, which tolerates
+    // they still flow through the cell assignment, which tolerates
     // them exactly like the md5-sampled variant does.
     val fitInput = cv
       .filter(aggregate(col("cv"), lit(0.0d), (a, x) => a + x * x) > 0d)
@@ -194,18 +208,35 @@ object Ann {
     // at least nCentroids non-zero vectors. limit() bounds the probe —
     // it scans only until nCentroids rows are found, not the corpus.
     require(fitInput.limit(nCentroids).count() == nCentroids,
-      s"ivfTopKKMeans needs >= $nCentroids non-zero-norm vectors to fit " +
+      s"ivfKmeansTrain needs >= $nCentroids non-zero-norm vectors to fit " +
         s"a $nCentroids-centroid cosine codebook (zero vectors are " +
         "excluded from the fit)")
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
-      .setDistanceMeasure("cosine") // cell assignment below is cosine too
+      .setDistanceMeasure("cosine") // cell assignment is cosine too
       .setFeaturesCol("features")
       .fit(fitInput)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF probe/rerank against a CALLER-SUPPLIED centroid table — the
+    * query half of the production k-means index ([[ivfKmeansTrain]]
+    * output, frozen as a literal like [[graft.PqCodebook]]) or any
+    * externally built coarse quantizer. Deterministic and
+    * engine-replayable: assignment/probing are argmax-cosine against
+    * literal centroids (cid-ascending tie-break), rerank is the exact
+    * cosine top-k.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKWithCentroids: empty centroid table")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toArray) }
+    val cents = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("cid", "cvec")
     ivfFromCentroids(cv, qv, cents, k, nProbe)
   }

@@ -153,7 +153,11 @@ object Assoc {
     * (total order — never raw-float rank).
     *
     * Output: (item, neighbor, pair_cnt, cosine, rank) for rank <= k,
-    * both directions of every pair.
+    * both directions of every pair. Item popularity (the cosine
+    * denominator) is the UN-guarded per-item basket count — true
+    * popularity, same convention as [[associationRules]]'s ic —
+    * while pair counts come from the maxBasket-guarded frame; the
+    * oracle mirrors both choices.
     *
     * Scale shape (100 TB): the pair stage is [[coOccurrencePairs]]'s
     * co-partitioned basket self-join behind the maxBasket skew guard;

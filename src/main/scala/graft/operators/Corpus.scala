@@ -1047,8 +1047,12 @@ object Corpus {
   def contrastiveTriplets(pairs: DataFrame, anchorCol: String, posCol: String,
       corpus: DataFrame, idCol: String,
       poolSize: Int = 64, negK: Int = 2): DataFrame = {
-    require(poolSize > negK && negK >= 1,
-      s"contrastiveTriplets: need poolSize > negK >= 1, got $poolSize/$negK")
+    // >= negK + 2: the anchor and its positive are excluded from the
+    // candidate pool, so a pool of exactly negK + 1 could silently
+    // yield fewer than negK negatives when both ids land in it
+    require(poolSize >= negK + 2 && negK >= 1,
+      s"contrastiveTriplets: need poolSize >= negK + 2, negK >= 1, " +
+        s"got $poolSize/$negK")
     val pool = corpus.select(col(idCol).as("_cand"))
       .orderBy(md5(col("_cand").cast("string")), col("_cand"))
       .limit(poolSize)

@@ -465,8 +465,12 @@ object Events {
         }).getField("path").as("_p"))
       .select(col("_t").as(typeCol), explode(col("_p")).as("_e"))
       .select(col(typeCol), col("_e.day").as("day"), col("_e.cnt").as("cnt"),
-        round(col("_e.s"), 6).as("level"), round(col("_e.b"), 6).as("trend"),
-        round(col("_e.s") + col("_e.b"), 6).as("forecast"))
+        // + 0.0 after round: β·(s₂−s)+β'·b can land on IEEE −0.0, and
+        // the oracle compare hashes representations — normalize the
+        // sign at emission on BOTH engines (−0.0 + 0.0 = +0.0)
+        (round(col("_e.s"), 6) + lit(0.0)).as("level"),
+        (round(col("_e.b"), 6) + lit(0.0)).as("trend"),
+        (round(col("_e.s") + col("_e.b"), 6) + lit(0.0)).as("forecast"))
   }
 
   /** Croston's method (Croston '72) — the intermittent-demand
@@ -582,8 +586,10 @@ object Events {
         to_date(lit("1970-01-01")).cast("date").as("_epoch"),
         col("_d"), col("_cnt").as("cnt"),
         round(col("_trend"), 6).as("trend"),
-        round(col("_seas"), 6).as("seasonal"),
-        round(col("_det") - col("_seas"), 6).as("residual"))
+        // + 0.0: seasonal/residual are subtraction-derived → can hit
+        // IEEE −0.0; normalized identically in the oracle SQL
+        (round(col("_seas"), 6) + lit(0.0)).as("seasonal"),
+        (round(col("_det") - col("_seas"), 6) + lit(0.0)).as("residual"))
       .select(col(typeCol), date_add(col("_epoch"), col("_d").cast("int")).as("day"),
         col("cnt"), col("trend"), col("seasonal"), col("residual"))
   }
@@ -884,7 +890,9 @@ object Events {
     agg.select(col("n_days_pre"), col("n_days_post"),
       round(tPre, 6).as("treated_pre"), round(tPost, 6).as("treated_post"),
       round(cPre, 6).as("control_pre"), round(cPost, 6).as("control_post"),
-      round((tPost - tPre) - (cPost - cPre), 6).as("did"))
+      // + 0.0: the double difference can hit IEEE −0.0; normalized
+      // identically in the oracle SQL
+      (round((tPost - tPre) - (cPost - cPre), 6) + lit(0.0)).as("did"))
   }
 
   /** EXACT Shapley-value channel attribution (Shapley '53 applied to
@@ -1032,9 +1040,13 @@ object Events {
         }).getField("path").as("_p"))
       .select(col("_t").as(typeCol), explode(col("_p")).as("_e"))
       .select(col(typeCol), col("_e.day").as("day"), col("_e.cnt").as("cnt"),
-        round(col("_e.s"), 6).as("level"), round(col("_e.b"), 6).as("trend"),
-        round(col("_e.cn"), 6).as("seasonal"),
-        round(col("_e.fit"), 6).as("fitted"))
+        // + 0.0 after round: trend/seasonal are subtraction-derived and
+        // can land on IEEE −0.0 (r8 failed on exactly one such sign
+        // bit) — normalize at emission on BOTH engines
+        (round(col("_e.s"), 6) + lit(0.0)).as("level"),
+        (round(col("_e.b"), 6) + lit(0.0)).as("trend"),
+        (round(col("_e.cn"), 6) + lit(0.0)).as("seasonal"),
+        (round(col("_e.fit"), 6) + lit(0.0)).as("fitted"))
   }
 
   /** Rolling Pearson correlation of two event types' DAILY counts over

@@ -98,6 +98,9 @@ object Graph {
     var ranks = nodes.select(col("_id"), init.as("_r"))
     var it = 0
     while (it < iterations) {
+      // release the previous round's cache once the new round is
+      // materialized — O(1) cache footprint in `iterations`
+      val prevRanks = if (it > 0) ranks else null
       val contribs = e.join(ranks.withColumnRenamed("_id", "_src"), Seq("_src"))
         .join(outDeg, Seq("_src"))
         .select(col("_dst").as("_id"),
@@ -109,6 +112,8 @@ object Graph {
           round(lit((1.0 - damping)) / n +
             lit(damping) * coalesce(col("_in"), lit(0.0)), quantize).as("_r"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
+      if (prevRanks != null) prevRanks.unpersist(false)
       it += 1
     }
     ranks.select(col("_id").as("node"), col("_r").as("rank"))
@@ -141,6 +146,11 @@ object Graph {
     var auths: DataFrame = null
     var it = 0
     while (it < iterations) {
+      // hold the previous round's caches until the new round is
+      // MATERIALIZED (count), then release them — cache footprint
+      // stays O(1) in `iterations` instead of leaking two frames/round
+      val prevHubs = if (it > 0) hubs else null
+      val prevAuths = auths
       val ar = e.join(hubs.withColumnRenamed("_id", "_src"), Seq("_src"))
         .groupBy(col("_dst").as("_id")).agg(dsum12(col("_hub")).as("_ar"))
       val at = ar.agg(dsum12(col("_ar")).as("_t"))
@@ -157,6 +167,9 @@ object Graph {
         .select(col("_id"),
           round(coalesce(col("_hr"), lit(0.0)) / col("_t"), quantize).as("_hub"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hubs.count()
+      if (prevHubs != null) prevHubs.unpersist(false)
+      if (prevAuths != null) prevAuths.unpersist(false)
       it += 1
     }
     hubs.join(auths, Seq("_id"))

@@ -1125,8 +1125,11 @@ object Stats {
 
   /** Cumulative gain & lift by score decile (the campaign-targeting
     * readout next to classifier_auc's rank view). Semantics = NTILE
-    * over rows ordered (score DESC, label DESC, id) — remainder rows
-    * land in the earlier buckets, ties resolve label-first — but the
+    * over rows ordered (score DESC, label DESC) — remainder rows
+    * land in the earlier buckets, ties resolve label-first, and rows
+    * WITHIN a (score, label) cell are interchangeable (every decile
+    * readout is cell-count arithmetic, so no per-row tiebreaker is
+    * needed or taken) — but the
     * plan never sorts rows: rows within a (round(6) score, label) CELL
     * are interchangeable under that order, so the NTILE geometry
     * (first n%B buckets hold n/B+1 rows) is replayed arithmetically
@@ -1141,7 +1144,7 @@ object Stats {
     * partition-less windows ride the score-GRID-bounded cell list and
     * the B-row decile frame, never rows.
     */
-  def liftGain(df: DataFrame, score: Column, label: Column, id: Column,
+  def liftGain(df: DataFrame, score: Column, label: Column,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"liftGain: need buckets>=2, got $buckets")
     val cells = df.select(score.as("_s"), label.cast("boolean").as("_y"))

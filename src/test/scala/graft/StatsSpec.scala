@@ -447,7 +447,7 @@ class StatsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, 0.9, true), (2L, 0.8, true), (3L, 0.2, false),
       (4L, 0.1, true)).toDF("id", "p", "y")
-    val out = Stats.liftGain(df, col("p"), col("y"), col("id"), buckets = 2)
+    val out = Stats.liftGain(df, col("p"), col("y"), buckets = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
     assert(out(1L) == ((2L, 2L, 2L, 2L, 0.666667, 1.333333)))
@@ -500,7 +500,7 @@ class StatsSpec extends SparkSpec {
     // buckets=2 -> sizes 3,2 (remainder to the first bucket)
     val df = Seq((1L, true), (2L, true), (3L, false), (4L, false),
       (5L, false)).map { case (i, y) => (i, 0.5, y) }.toDF("id", "p", "y")
-    val out = Stats.liftGain(df, col("p"), col("y"), col("id"), buckets = 2)
+    val out = Stats.liftGain(df, col("p"), col("y"), buckets = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
     assert(out(1L) == ((3L, 2L, 3L, 2L, 1.0, 1.666667)))
