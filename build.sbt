@@ -28,3 +28,35 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Parallel forked test groups: PlanSpec alone runs ~2m45 and the suite
+// sum is ~7m45 sequential — one JVM per group, groups in parallel,
+// brings the default `sbt test` under the 5-minute CI budget while
+// still running EVERY test (no tag-and-skip second profile). Grouping
+// is safe: suites share nothing across JVMs (conf mutations are
+// session-local, catalog table names are suite-local, temp dirs are
+// per-test), and each group's suites still run sequentially on its own
+// SharedSpark session exactly as before.
+def testGroupOf(name: String): Int = name match {
+  case "graft.PlanSpec" | "graft.ChecksSpec" | "graft.SamplingSpec" => 0
+  case "graft.DedupAnnSpec" | "graft.LongTailSpec" | "graft.ScaleSpec" |
+       "graft.JoinsSpec" => 1
+  case "graft.StreamingSpec" | "graft.WindowsSpec" |
+       "graft.ExtensionsSpec" => 2
+  case "graft.RetrievalSpec" | "graft.CorpusSpec" | "graft.SourcesSpec" |
+       "graft.EventsSpec" => 3
+  case _ => 4
+}
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value.groupBy(t => testGroupOf(t.name)).toSeq
+    .sortBy(_._1)
+    .map { case (g, ts) =>
+      Tests.Group(s"group-$g", ts,
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 5),
+  Tags.limitAll(16),
+)

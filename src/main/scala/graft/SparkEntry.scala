@@ -2752,6 +2752,18 @@ object SparkEntry {
       Events.shapleyAttribution(t(s, dir, "events"), "user_id", "event_type",
           "ts", "purchase", Seq("view", "click", "signup", "error"))
         .orderBy("channel")),
+    // EXT Markov removal-effect attribution (Events.
+    // markovRemovalAttribution, Anderl '14): journeys as an absorbing
+    // chain, credit = conversion probability lost when the channel is
+    // deleted. The driver-side solve is Cramer over FIXED-ORDER Leibniz
+    // determinants (MarkovSolve), so the oracle generated from the SAME
+    // permutation enumeration replays it bit-for-bit — a learned linear
+    // solve that still hash-checks.
+    "markov_removal" -> ((s, dir) =>
+      Events.markovRemovalAttribution(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", "purchase",
+          Seq("view", "click", "signup", "error"))
+        .orderBy("channel")),
     // EXT contrastive triplet generation (Corpus.contrastiveTriplets):
     // exact-dup groups become (anchor, positive) pairs; negatives are
     // md5-drawn from a broadcast 64-doc pool, re-ranked per anchor —
@@ -7093,6 +7105,94 @@ object SparkEntry {
          |SELECT channel, numer,
          |  ROUND(CAST(numer AS DOUBLE) / ${fact(n)}e0, 6) AS shapley
          |FROM agg ORDER BY channel""".stripMargin
+    },
+    // Markov removal mirror: the journey CTEs count START/channel/
+    // absorber transitions exactly like the Spark window pass; the
+    // absorbing-chain solve is replayed as Cramer over MarkovSolve's
+    // lexicographic Leibniz determinants — the SAME permutation
+    // enumeration the Scala driver-side solve folds, so every float
+    // lands bit-identically; floor(x*1e6+0.5)/1e6 is the shared
+    // half-up quantizer (rint's half-even has no DuckDB twin)
+    "markov_removal" -> {
+      val chs = Seq("view", "click", "signup", "error")
+      val states = "START" +: chs
+      val targets = chs :+ "CONV"
+      def low(s: String) = s.toLowerCase
+      def pcol(f: String, t: String) = s"p_${low(f)}_${low(t)}"
+      val aggCols = (states.flatMap(f => targets.map(t =>
+        s"CAST(SUM(CASE WHEN f = '$f' AND t = '$t' THEN c ELSE 0 END) AS BIGINT) AS c_${low(f)}_${low(t)}")) ++
+        states.map(f =>
+          s"CAST(SUM(CASE WHEN f = '$f' THEN c ELSE 0 END) AS BIGINT) AS t_${low(f)}"))
+        .mkString(",\n   ")
+      val pmCols = states.flatMap(f => targets.map(t =>
+        s"CASE WHEN t_${low(f)} = 0 THEN 0e0 ELSE CAST(c_${low(f)}_${low(t)} AS DOUBLE) / CAST(t_${low(f)} AS DOUBLE) END AS ${pcol(f, t)}"))
+        .mkString(",\n   ")
+      // conversion probability of the chain with `removed` deleted, as
+      // one scalar SQL expression over pm's columns — mirrors
+      // Events.markovRemovalAttribution.convProb term for term
+      def convProbSql(removed: Set[String]): String = {
+        val live = chs.filterNot(removed)
+        val m = live.size
+        def aEnt(i: Int, j: Int): String =
+          (if (i == j) "(1e0 - " else "(0e0 - ") + pcol(live(i), live(j)) + ")"
+        def bEnt(i: Int): String = pcol(live(i), "CONV")
+        val dA = graft.operators.MarkovSolve.detSql(m, aEnt)
+        val sols = (0 until m).map { k =>
+          val nk = graft.operators.MarkovSolve.detSql(m,
+            (i, j) => if (j == k) bEnt(i) else aEnt(i, j))
+          s"(CASE WHEN abs($dA) > 1e-12 THEN $nk / $dA ELSE 0e0 END)"
+        }
+        val walk = live.zipWithIndex
+          .map { case (c, i) => s"(${pcol("START", c)} * ${sols(i)})" }
+          .mkString("(0e0 + ", " + ", ")")
+        s"(${pcol("START", "CONV")} + $walk)"
+      }
+      def q6(x: String) = s"FLOOR(($x) * 1e6 + 5e-1) / 1e6 + 0e0"
+      val cpCols = (s"${convProbSql(Set.empty)} AS cp_base" +:
+        chs.map(c => s"${convProbSql(Set(c))} AS cp_${low(c)}"))
+        .mkString(",\n   ")
+      val tot = chs.map(c => s"(cp_base - cp_${low(c)})")
+        .mkString("(0e0 + ", " + ", ")")
+      val outRows = chs.map { c =>
+        s"""SELECT '$c' AS channel, ${q6(s"cp_${low(c)}")} AS removal_conv,
+           |  ${q6(s"cp_base - cp_${low(c)}")} AS effect,
+           |  CASE WHEN $tot > 0e0 THEN ${q6(s"(cp_base - cp_${low(c)}) / $tot")} ELSE 0e0 END AS share
+           |FROM cp""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH conv AS (SELECT user_id AS u,
+         |       MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS cts
+         |       FROM events GROUP BY 1),
+         | tch AS (SELECT e.user_id AS tu, e.event_type AS ty,
+         |        epoch_us(e.ts) AS ets, e.event_id AS id, c.cts
+         |       FROM events e JOIN conv c ON c.u = e.user_id
+         |       WHERE e.event_type IN (${chs.map("'" + _ + "'").mkString(", ")})
+         |        AND (c.cts IS NULL OR epoch_us(e.ts) < c.cts)),
+         | sq AS (SELECT tu, ty, cts,
+         |        LEAD(ty) OVER (PARTITION BY tu ORDER BY ets, id) AS nxt,
+         |        ROW_NUMBER() OVER (PARTITION BY tu ORDER BY ets, id) AS rn
+         |       FROM tch),
+         | trans AS (
+         |   SELECT ty AS f, COALESCE(nxt,
+         |     CASE WHEN cts IS NOT NULL THEN 'CONV' ELSE 'NULL' END) AS t FROM sq
+         |   UNION ALL
+         |   SELECT 'START', ty FROM sq WHERE rn = 1
+         |   UNION ALL
+         |   SELECT 'START', CASE WHEN conv.cts IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+         |   FROM conv LEFT JOIN (SELECT DISTINCT tu FROM tch) tt ON tt.tu = conv.u
+         |   WHERE tt.tu IS NULL),
+         | counts AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2),
+         | agg AS (SELECT
+         |   $aggCols
+         |  FROM counts),
+         | pm AS (SELECT
+         |   $pmCols
+         |  FROM agg),
+         | cp AS (SELECT
+         |   $cpCols
+         |  FROM pm)
+         |SELECT * FROM (
+         |$outRows
+         |) ORDER BY channel""".stripMargin
     },
     // triplet mirror: the u dup-group CTE, md5-ranked pool, per-anchor
     // md5(anchor:cand) re-rank

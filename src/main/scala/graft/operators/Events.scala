@@ -672,16 +672,21 @@ object Events {
     * position/Shapley rules divide credit among touched channels only;
     * the Markov model also prices a channel's role as a PATHWAY.
     *
-    * Spec-only (no declared query): the absorbing-chain solve is a
-    * |channels|×|channels| linear system — metadata-sized at ANY corpus
-    * scale — solved driver-side by Gaussian elimination on the counts
-    * of ONE distributed aggregate (the stratified-allocation
-    * driver-read precedent, Sampling.scala:101); no 30-line SQL
-    * mirror exists for elimination, so the invariants (hand chain,
-    * pathway pricing, untouched channel → 0) are ScalaTest-asserted
-    * instead.
+    * The absorbing-chain solve is a |channels|×|channels| linear
+    * system — metadata-sized at ANY corpus scale — solved driver-side
+    * on the counts of ONE distributed aggregate (the
+    * stratified-allocation driver-read precedent, Sampling.scala:101).
+    * The solve is Cramer's rule over FIXED-ORDER Leibniz determinants
+    * ([[MarkovSolve]]), not Gaussian elimination: pivoting picks its
+    * float path from data values, while the Leibniz term order is a
+    * constant of m — so the oracle SQL generated from the same
+    * permutation enumeration replays the solve bit-for-bit and the
+    * declared query is hash-checked, not rows-only. Requires
+    * |channels| <= 6 (m! terms per determinant).
     *
-    * Output: (channel, removal_conv, effect, share) per channel.
+    * Output: (channel, removal_conv, effect, share) per channel,
+    * each quantized by the portable floor(x*1e6 + 0.5)/1e6 half-up
+    * grid (math.rint's half-even tie rule has no DuckDB twin).
     *
     * Scale shape (100 TB): the user-key window + the ≤(n+1)(n+2)-cell
     * transition aggregate are the only corpus-sized work; the driver
@@ -691,8 +696,8 @@ object Events {
       typeCol: String, tsCol: String, idCol: String, convType: String,
       channels: Seq[String]): DataFrame = {
     val n = channels.length
-    require(n >= 1 && !channels.contains(convType),
-      "markovRemovalAttribution: channels must exclude convType")
+    require(n >= 1 && n <= 6 && !channels.contains(convType),
+      "markovRemovalAttribution: need 1..6 channels excluding convType")
     val micros = unix_micros(col(tsCol).cast("timestamp"))
     val spark = events.sparkSession
     // conversion time per user (null = never converts)
@@ -732,43 +737,30 @@ object Events {
     }
     def convProb(removed: Set[String]): Double = {
       // redirect transitions into removed channels to NULL; solve the
-      // 4x4 (I - M) a = pConV by Gaussian elimination, then propagate
-      // through START
+      // m x m (I - M) a = pConv by Cramer over fixed-order Leibniz
+      // determinants (engine-portable), then propagate through START
       val live = channels.filterNot(removed)
       val m = live.size
-      val a = Array.ofDim[Double](m, m + 1)
-      for (i <- 0 until m) {
-        for (j <- 0 until m)
-          a(i)(j) = (if (i == j) 1.0 else 0.0) - p(live(i), live(j))
-        a(i)(m) = p(live(i), "CONV")
+      def aEnt(i: Int, j: Int): Double =
+        (if (i == j) 1.0 else 0.0) - p(live(i), live(j))
+      def bEnt(i: Int): Double = p(live(i), "CONV")
+      val dA = MarkovSolve.det(m, aEnt)
+      val sol = (0 until m).map { k =>
+        if (math.abs(dA) > 1e-12)
+          MarkovSolve.det(m, (i, j) => if (j == k) bEnt(i) else aEnt(i, j)) / dA
+        else 0.0
       }
-      for (k <- 0 until m) { // partial-pivot elimination
-        val piv = (k until m).maxBy(r => math.abs(a(r)(k)))
-        val t = a(k); a(k) = a(piv); a(piv) = t
-        if (math.abs(a(k)(k)) > 1e-12) {
-          for (r <- k + 1 until m) {
-            val f = a(r)(k) / a(k)(k)
-            for (c <- k to m) a(r)(c) -= f * a(k)(c)
-          }
-        }
-      }
-      val sol = Array.ofDim[Double](m)
-      for (k <- m - 1 to 0 by -1) {
-        var s = a(k)(m)
-        for (c <- k + 1 until m) s -= a(k)(c) * sol(c)
-        sol(k) = if (math.abs(a(k)(k)) > 1e-12) s / a(k)(k) else 0.0
-      }
-      val byCh = live.zip(sol).toMap
       p("START", "CONV") +
-        live.map(c => p("START", c) * byCh(c)).sum
+        live.zipWithIndex.map { case (c, i) => p("START", c) * sol(i) }.sum
     }
     val base = convProb(Set.empty)
     val effects = channels.map(c => c -> (base - convProb(Set(c))))
     val totEff = effects.map(_._2).sum
+    // portable half-up quantization (+0.0 normalizes any signed zero)
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6 + 0.0
     import spark.implicits._
     effects.map { case (c, e) =>
-      (c, math.rint((base - e) * 1e6) / 1e6, math.rint(e * 1e6) / 1e6,
-        if (totEff > 0) math.rint(e / totEff * 1e6) / 1e6 else 0.0)
+      (c, q6(base - e), q6(e), if (totEff > 0) q6(e / totEff) else 0.0)
     }.toDF("channel", "removal_conv", "effect", "share")
   }
 

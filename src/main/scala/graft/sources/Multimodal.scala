@@ -174,6 +174,99 @@ object Multimodal {
     }
   }
 
+  /** Header-only MPEG-1/2/2.5 Layer III (MP3) metadata — REAL frame-
+    * header parse, no codec library: sync on 0xFFE, read version/
+    * bitrate/samplerate/channel-mode from the standard tables, then
+    * WALK the frame chain (each header declares its frame length) and
+    * sum samples-per-frame/sample-rate into the exact stream duration —
+    * so VBR streams report correctly, not a CBR guess. Only the 4-byte
+    * headers are read; SAMPLE decode (Huffman + IMDCT synthesis) is the
+    * documented permanent-by-environment stub — see COVERAGE.md.
+    * Returns Some((format, channels, sampleRate, durationMs)); requires
+    * >= 2 well-formed chained frames so random byte blobs that happen
+    * to contain a sync pattern can't masquerade as audio.
+    */
+  private[graft] def mp3Meta(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (b == null || b.length < 8) return None
+    // skip an ID3v2 tag if present (10-byte header + syncsafe size)
+    var off =
+      if (b(0) == 'I' && b(1) == 'D' && b(2) == '3' && b.length >= 10)
+        10L + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+      else 0L
+    val br1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val br2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    var frames = 0L
+    var sampleSum = 0.0
+    var ch = 0; var sr0 = 0
+    while (off + 4 <= b.length) {
+      val h0 = b(off.toInt) & 0xff; val h1 = b(off.toInt + 1) & 0xff
+      val h2 = b(off.toInt + 2) & 0xff; val h3 = b(off.toInt + 3) & 0xff
+      if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return endOfMp3(frames, ch, sr0, sampleSum)
+      val verBits = (h1 >> 3) & 0x3     // 0=2.5, 2=MPEG2, 3=MPEG1
+      val layerBits = (h1 >> 1) & 0x3   // 1=Layer III
+      if (verBits == 1 || layerBits != 1) return endOfMp3(frames, ch, sr0, sampleSum)
+      val brIdx = (h2 >> 4) & 0xf
+      val srIdx = (h2 >> 2) & 0x3
+      val padding = (h2 >> 1) & 0x1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return endOfMp3(frames, ch, sr0, sampleSum)
+      val mpeg1 = verBits == 3
+      val sr = (verBits match {
+        case 3 => Array(44100, 48000, 32000)
+        case 2 => Array(22050, 24000, 16000)
+        case _ => Array(11025, 12000, 8000)
+      })(srIdx)
+      val kbps = (if (mpeg1) br1 else br2)(brIdx)
+      val spf = if (mpeg1) 1152 else 576
+      val frameLen = spf / 8 * (kbps * 1000) / sr + padding
+      if (frameLen <= 4 || off + frameLen > b.length)
+        return endOfMp3(frames, ch, sr0, sampleSum)
+      if (frames == 0L) { ch = if (((h3 >> 6) & 0x3) == 3) 1 else 2; sr0 = sr }
+      frames += 1
+      sampleSum += spf.toDouble / sr
+      off += frameLen
+    }
+    endOfMp3(frames, ch, sr0, sampleSum)
+  }
+  private def endOfMp3(frames: Long, ch: Int, sr: Int,
+      sampleSum: Double): Option[(String, Int, Int, Long)] =
+    if (frames >= 2) Some(("mp3", ch, sr, (sampleSum * 1000.0).toLong)) else None
+
+  /** Header-only AAC ADTS metadata — same posture as [[mp3Meta]]: sync
+    * on 0xFFF, read the sampling-frequency index and channel config
+    * from the 7-byte fixed header, walk the declared frame lengths
+    * (1024 samples per AAC frame) and sum into the duration. Sample
+    * decode stays the documented stub.
+    */
+  private[graft] def aacMeta(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (b == null || b.length < 7) return None
+    val srTab = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000)
+    var off = 0L
+    var frames = 0L
+    var ch = 0; var sr0 = 0
+    while (off + 7 <= b.length) {
+      val h0 = b(off.toInt) & 0xff; val h1 = b(off.toInt + 1) & 0xff
+      val h2 = b(off.toInt + 2) & 0xff; val h3 = b(off.toInt + 3) & 0xff
+      val h4 = b(off.toInt + 4) & 0xff; val h5 = b(off.toInt + 5) & 0xff
+      if (h0 != 0xff || (h1 & 0xf6) != 0xf0) return endOfAac(frames, ch, sr0)
+      val srIdx = (h2 >> 2) & 0xf
+      if (srIdx >= srTab.length) return endOfAac(frames, ch, sr0)
+      val chanCfg = ((h2 & 0x1) << 2) | ((h3 >> 6) & 0x3)
+      val frameLen = ((h3 & 0x3) << 11) | (h4 << 3) | ((h5 >> 5) & 0x7)
+      if (frameLen < 7 || off + frameLen > b.length) return endOfAac(frames, ch, sr0)
+      if (frames == 0L) { ch = chanCfg; sr0 = srTab(srIdx) }
+      frames += 1
+      off += frameLen
+    }
+    endOfAac(frames, ch, sr0)
+  }
+  private def endOfAac(frames: Long, ch: Int,
+      sr: Int): Option[(String, Int, Int, Long)] =
+    if (frames >= 2 && sr > 0)
+      Some(("aac", ch, sr, (frames * 1024.0 / sr * 1000.0).toLong))
+    else None
+
   /** Header-only MP4/ISO-BMFF metadata — the video analogue of
     * [[imageMeta]]: require a leading `ftyp` box (major brand becomes
     * the format suffix), then walk top-level boxes to `moov` and read
@@ -250,8 +343,10 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) return ("empty", 0, 0, 0, 0L)
     imageMeta(bytes) match {
       case Some((fmt, w, h, c)) => (fmt, w, h, c, bytes.length.toLong)
-      case None => wavMeta(bytes) match {
-        // audio: no spatial dims; duration is real (dataSize/byteRate)
+      case None => wavMeta(bytes).orElse(mp3Meta(bytes)).orElse(aacMeta(bytes)) match {
+        // audio: no spatial dims; duration is real (WAV: dataSize/
+        // byteRate; MP3/AAC: frame-chain walk — compressed CONTAINERS
+        // now parse for real, only their sample decode stays stubbed)
         case Some((fmt, ch, _, durMs)) => (fmt, 0, 0, ch, durMs)
         case None => mp4Meta(bytes) match {
           // video: n_channels carries the TRACK count (schema reuse,

@@ -8,8 +8,15 @@ import org.apache.spark.sql.functions._
   */
 class PlanSpec extends SparkSpec {
 
+  // ONE QueryExecution per declared query, shared by every suite-wide
+  // sweep below — analysis + optimization of ~280 plans dominates this
+  // suite's cost, and three sweeps each rebuilding them tripled it
+  private lazy val allQe: Map[String, org.apache.spark.sql.execution.QueryExecution] =
+    SparkEntry.queries.keys.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).queryExecution).toMap
+
   private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    allQe(name).executedPlan.toString
 
   test("reindex_join: orders scan prunes to 2 columns and broadcasts the agg side") {
     val plan = planOf("reindex_join")
@@ -61,7 +68,7 @@ class PlanSpec extends SparkSpec {
 
   test("no query plan contains a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val plan = allQe(name).executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
@@ -133,7 +140,7 @@ class PlanSpec extends SparkSpec {
       "pareto_parts", "rolling_corr_7d", "lift_gain_deciles",
       "log_rank_purchase")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val plan = allQe(name).executedPlan
       val bad = collectBad(plan)
       assert(bad.isEmpty,
         s"$name funnels data through a partition-less window: ${bad.headOption.getOrElse("")}")
@@ -376,7 +383,7 @@ class PlanSpec extends SparkSpec {
       case other => other.children.exists(unboundedGroupedAgg)
     }
     SparkEntry.queries.keys.foreach { name =>
-      val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      val analyzed = allQe(name).analyzed
       analyzed.foreach {
         case h: ResolvedHint if h.hints.strategy.nonEmpty =>
           assert(!unboundedGroupedAgg(h.child),

@@ -99,6 +99,51 @@ class SourcesSpec extends SparkSpec {
     assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
   }
 
+  test("Multimodal: compressed audio containers parse for REAL; sample decode is the documented stub boundary") {
+    // CBR MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo: frameLen =
+    // 144 * 128000 / 44100 = 417; 3 chained frames -> 3*1152/44100 s
+    val mp3Frame = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte // sync + MPEG1 + Layer III
+      f(2) = 0x90.toByte                     // brIdx 9 (128k), srIdx 0, no pad
+      f(3) = 0x40.toByte                     // joint stereo
+      f
+    }
+    val mp3 = mp3Frame ++ mp3Frame ++ mp3Frame
+    assert(Multimodal.mp3Meta(mp3) == Some(("mp3", 2, 44100, 78L)))
+    assert(Multimodal.decodeBytes(mp3) == (("mp3", 0, 0, 2, 78L)))
+    // an ID3v2 tag prefix (10-byte header, 16-byte syncsafe body) skips
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 16) ++
+      new Array[Byte](16) ++ mp3
+    assert(Multimodal.mp3Meta(id3) == Some(("mp3", 2, 44100, 78L)))
+    // AAC ADTS, 44100 Hz, channel config 2, 3 frames of 64 bytes
+    val adtsFrame = {
+      val f = new Array[Byte](64)
+      f(0) = 0xff.toByte; f(1) = 0xf1.toByte // sync + MPEG4 + no CRC
+      f(2) = 0x50.toByte                     // profile LC, srIdx 4 (44100)
+      f(3) = 0x80.toByte                     // chanCfg 2, frameLen top bits
+      f(4) = 0x08.toByte                     // frameLen mid byte (64 >> 3)
+      f
+    }
+    val aac = adtsFrame ++ adtsFrame ++ adtsFrame
+    assert(Multimodal.aacMeta(aac) == Some(("aac", 2, 44100, 69L)))
+    assert(Multimodal.decodeBytes(aac) == (("aac", 0, 0, 2, 69L)))
+    // the PERMANENT-BY-ENVIRONMENT boundary (COVERAGE.md): container
+    // metadata above is real, but compressed SAMPLE decode (Huffman +
+    // IMDCT / AAC filterbank) needs codec libraries this environment
+    // does not ship — wavSamples stays PCM-WAV-only and the feature
+    // column is null for compressed payloads, never a fake waveform
+    assert(Multimodal.wavSamples(mp3).isEmpty && Multimodal.wavSamples(aac).isEmpty)
+    val df = Seq((1L, mp3), (2L, aac)).toDF("id", "media")
+    val feats = Multimodal.withAudioFeatures(df, "media").select("audio").collect()
+    assert(feats.forall(_.isNullAt(0)))
+    // a single orphan frame header is NOT claimed (anti-masquerade:
+    // >= 2 chained well-formed frames required)
+    assert(Multimodal.mp3Meta(mp3Frame).isEmpty && Multimodal.aacMeta(adtsFrame).isEmpty)
+    // unclaimed blobs still fall to the deterministic marked stub
+    assert(Multimodal.decodeBytes("not media at all, just text".getBytes)._1 == "fake/raw")
+  }
+
   private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
