@@ -330,6 +330,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    // EXT ROUGE-2 overlap triage (Dedup.rougeOverlap) of the ngram
+    // near-dup candidates: multiset bigram overlap grades what set
+    // Jaccard flattens — repeated grams count. Gram counts are one
+    // aggregate; the pair join is candidate-bounded
+    "rouge_overlap_pairs" -> ((s, dir) => {
+      val docs = injectedDocs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9,
+        maxShingleDf = Some(128))
+      Dedup.rougeOverlap(pairs, docs, "doc_id", "text", 2)
+        .orderBy("id_a", "id_b")
+    }),
     // EXT directed containment dedup (Dedup.containmentPairs): TRUNCATED
     // copies injected (first 300 chars of every 11th doc) — an excerpt
     // has containment ~1 toward its source while its whole-set Jaccard
@@ -1905,6 +1916,22 @@ object SparkEntry {
             col("o_orderpriority").rlike("^[1-5]-"))))
         .orderBy("constraint")
     }),
+    // EXT schema-wide referential-integrity audit (Checks.riAudit):
+    // every TPC-H FK edge as one anti-join vs the DISTINCT parent key +
+    // one 1-row aggregate — the "can I trust my joins" report a 100 TB
+    // warehouse runs nightly; fully distributed, no driver counting
+    "ri_audit" -> ((s, dir) => {
+      def tb(n: String) = t(s, dir, n)
+      Checks.riAudit(Seq(
+          ("customer.c_nationkey -> nation", tb("customer"), "c_nationkey", tb("nation"), "n_nationkey"),
+          ("lineitem.l_orderkey -> orders", tb("lineitem"), "l_orderkey", tb("orders"), "o_orderkey"),
+          ("lineitem.l_partkey -> part", tb("lineitem"), "l_partkey", tb("part"), "p_partkey"),
+          ("lineitem.l_suppkey -> supplier", tb("lineitem"), "l_suppkey", tb("supplier"), "s_suppkey"),
+          ("nation.n_regionkey -> region", tb("nation"), "n_regionkey", tb("region"), "r_regionkey"),
+          ("orders.o_custkey -> customer", tb("orders"), "o_custkey", tb("customer"), "c_custkey"),
+          ("supplier.s_nationkey -> nation", tb("supplier"), "s_nationkey", tb("nation"), "n_nationkey")))
+        .orderBy("fk")
+    }),
     // EXT daily-count autocorrelation (Events.acfDaily): lags 1-7 of
     // the event-volume series, integer-exact via the n-scaled form
     // (n·x−S products — the rational mean never becomes a float); one
@@ -2359,6 +2386,26 @@ object SparkEntry {
     // judged against brute cosine — ann_recall_eval's pattern on the
     // clustered index; together they give the LSH-vs-IVF quality/cost
     // comparison an index choice needs
+    // EXT PQ recall eval: ADC top-10 under the frozen PqCodebook vs
+    // exact brute-force top-10 — quantifies what the 64x compression
+    // costs in recall, the third member of the recall-eval family
+    // (LSH, IVF, PQ) a production index choice reads side by side
+    "ann_recall_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Ann.pqAdcTopK(emb, q, "vec_id", "embedding", PqCodebook.arr, 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+        .orderBy("query_id")
+    }),
     "ann_recall_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
@@ -2585,6 +2632,44 @@ object SparkEntry {
     // EXT k-anonymity audit: quasi-identifier (nation, segment,
     // balance-bucket) group sizes over customer — the privacy screen a
     // training-data release runs before shipping structured records
+    // EXT Fisher's exact test (Stats.fisherExactGreater): does the
+    // md5-split arm see MORE error-affected users than chance — the
+    // exact 2x2 answer where chi2/z are approximations. One aggregate;
+    // the hypergeometric tail folds on the 1-row frame
+    "fisher_exact" -> ((s, dir) => {
+      val perUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("_y"))
+      val arm = graft.functions.TextFunctions.md5Bits64(
+        concat(lit("fx:"), col("user_id").cast("string")))
+        .bitwiseAND(lit(1L))
+      Stats.fisherExactGreater(
+        perUser.select(arm.as("_arm"), (col("_y") === 1L).as("_out")),
+        col("_arm"), col("_out"))
+    }),
+    // EXT Benjamini-Hochberg FDR over one-vs-rest Welch z tests
+    // (Stats.bhFdrWelch): which event types' value distributions
+    // actually differ from the rest once m tests are corrected — the
+    // multiple-comparisons guardrail next to the single-pair ab_test.
+    // Normal CDF via the Abramowitz-Stegun polynomial (identical
+    // Horner float path both engines)
+    "bh_fdr_welch" -> ((s, dir) =>
+      Stats.bhFdrWelch(t(s, dir, "events"), "event_type", col("value"))
+        .orderBy("rank")),
+    // EXT t-closeness audit (Stats.tCloseness) — the distributional
+    // privacy member next to k-anonymity/l-diversity: worst QI groups
+    // by EMD between group and global ordered spend-band distribution.
+    // The sensitive band = integer digit count of the order total
+    // (string length of the floored BIGINT — exact on both engines,
+    // no libm log10 at power-of-ten boundaries)
+    "t_closeness_audit" -> ((s, dir) =>
+      Stats.tCloseness(
+        t(s, dir, "orders").select(
+          year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").as("prio"),
+          length(floor(col("o_totalprice")).cast("long").cast("string"))
+            .as("band")),
+        Seq("yr", "prio"), "band", topK = 10)),
     "k_anonymity_audit" -> ((s, dir) => {
       val qi = t(s, dir, "customer")
         .groupBy(col("c_nationkey"), col("c_mktsegment"),
@@ -5588,6 +5673,27 @@ object SparkEntry {
         |           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
         |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
+    // ROUGE mirror: the ngram pair CTEs for candidates, raw (non-
+    // distinct) bigram counts, LEAST-overlap sum, same p/r/f floats
+    "rouge_overlap_pairs" ->
+      s"""WITH $ngramPairCtes,
+         | rp AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9),
+         | w2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM u),
+         | g2 AS (SELECT doc_id AS gid, unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS g
+         |        FROM w2 WHERE len(ws) >= 2),
+         | gc AS (SELECT gid, g, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2),
+         | nt AS (SELECT gid, CAST(SUM(c) AS BIGINT) AS nn FROM gc GROUP BY 1),
+         | ov AS (SELECT rp.id_a, rp.id_b, CAST(SUM(LEAST(x.c, y.c)) AS BIGINT) AS overlap
+         |        FROM rp JOIN gc x ON x.gid = rp.id_a JOIN gc y ON y.gid = rp.id_b AND y.g = x.g
+         |        GROUP BY 1, 2),
+         | f AS (SELECT id_a, id_b, overlap, na.nn AS n_a, nb.nn AS n_b,
+         |        CAST(overlap AS DOUBLE) / CAST(nb.nn AS DOUBLE) AS p0,
+         |        CAST(overlap AS DOUBLE) / CAST(na.nn AS DOUBLE) AS r0
+         |       FROM ov JOIN nt na ON na.gid = id_a JOIN nt nb ON nb.gid = id_b)
+         |SELECT id_a, id_b, n_a, n_b, overlap,
+         |  ROUND(p0, 6) AS rouge2_p, ROUND(r0, 6) AS rouge2_r,
+         |  CASE WHEN p0 + r0 > 0e0 THEN ROUND(2e0 * p0 * r0 / (p0 + r0), 6) END AS rouge2_f
+         |FROM f ORDER BY id_a, id_b""".stripMargin,
     "ngram_jaccard_pairs" ->
       s"""WITH $ngramPairCtes
          |SELECT id_a, id_b, jaccard FROM j
@@ -6603,6 +6709,32 @@ object SparkEntry {
         |FROM f, sz""".stripMargin,
     // IVF-recall mirror: the ann_ivf_topk CTE chain at k=10 judged
     // against the brute chain over the shared e table
+    // PQ recall mirror: the frozen-codebook encode/ADC CTEs at k=10
+    // against the raw-cosine brute top-10
+    "ann_recall_pq" -> {
+      import PqSqlBits._
+      s"""WITH cb AS (SELECT $cbCols),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | n AS ($normCte),
+         | c AS (SELECT vec_id AS neighbor_id, $codes AS codes FROM n, cb),
+         | q AS (SELECT vec_id AS query_id, $dts FROM n, cb WHERE vec_id < 5),
+         | s AS (SELECT q.query_id, c.neighbor_id, ROUND($adist, 6) AS adist FROM q, c WHERE c.neighbor_id <> q.query_id),
+         | r AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s),
+         | pq AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+         | sb AS (SELECT q2.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |        ${cosSql("q2.v", "c2.v")} AS cos
+         |       FROM e q2, e c2 WHERE q2.vec_id < 5 AND c2.vec_id <> q2.vec_id),
+         | rb AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sb),
+         | brute AS (SELECT query_id, neighbor_id FROM rb WHERE rank <= 10)
+         |SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         |FROM brute b LEFT JOIN pq l
+         |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+    },
     "ann_recall_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          | cents AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY md5('42:' || vec_id), vec_id LIMIT 8),
@@ -6873,6 +7005,111 @@ object SparkEntry {
         |  CASE WHEN vs > 0 THEN ROUND((CAST(o1 AS DOUBLE) - es) / sqrt(vs), 6) END AS z
         |FROM f""".stripMargin,
     // k-anonymity mirror: QI group sizes + the four audit scalars
+    // Fisher mirror: same md5-parity arm, ln-factorial range folds,
+    // exp anchor, and the term-ratio tail as a recursive CTE stepping
+    // k -> k+1 with the identical float factor
+    "fisher_exact" -> {
+      def lfSql(x: String) =
+        s"(CASE WHEN ($x) >= 2 THEN list_sum(list_transform(range(2, CAST(($x) + 1 AS BIGINT)), i -> ln(CAST(i AS DOUBLE)))) ELSE 0e0 END)"
+      val lnp = s"${lfSql("r1")} - ${lfSql("a")} - ${lfSql("r1 - a")} + ${lfSql("r2")} - ${lfSql("c1 - a")} - ${lfSql("r2 - c1 + a")} - ${lfSql("n")} + ${lfSql("c1")} + ${lfSql("n - c1")}"
+      s"""WITH RECURSIVE u AS (SELECT user_id,
+         |       MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+         |      FROM events GROUP BY 1),
+         | t2 AS (SELECT (instr('0123456789abcdef', substr(md5('fx:' || CAST(user_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b, y FROM u),
+         | cnt AS (SELECT
+         |    CAST(SUM(CASE WHEN b = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         |    CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         |    CAST(SUM(y) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |   FROM t2),
+         | b0 AS (SELECT a AS k, exp($lnp) AS term, exp($lnp) AS s FROM cnt),
+         | rec AS (
+         |   SELECT k, term, s FROM b0
+         |   UNION ALL
+         |   SELECT r.k + 1,
+         |     r.term * (CAST((c.r1 - r.k) * (c.c1 - r.k) AS DOUBLE)
+         |       / CAST((r.k + 1) * (c.r2 - c.c1 + r.k + 1) AS DOUBLE)),
+         |     r.s + r.term * (CAST((c.r1 - r.k) * (c.c1 - r.k) AS DOUBLE)
+         |       / CAST((r.k + 1) * (c.r2 - c.c1 + r.k + 1) AS DOUBLE))
+         |   FROM rec r, cnt c WHERE r.k < LEAST(c.r1, c.c1))
+         |SELECT a, r1, r2, c1, n,
+         |  CASE WHEN r1 - a > 0 AND c1 - a > 0
+         |    THEN ROUND(CAST(a * (r2 - c1 + a) AS DOUBLE)
+         |      / CAST((r1 - a) * (c1 - a) AS DOUBLE), 6) END AS odds_ratio,
+         |  ROUND(rec.s, 6) AS p_greater
+         |FROM rec, cnt WHERE rec.k = LEAST(cnt.r1, cnt.c1)""".stripMargin
+    },
+    // BH-FDR mirror: same decimal moments, global-minus-group rest,
+    // identical A-S Horner polynomial and Sqrt2Pi literal, BH suffix
+    // minima as list folds over the p-sorted battery
+    "bh_fdr_welch" -> {
+      val s2pi = graft.operators.Stats.Sqrt2Pi
+      s"""WITH base AS (SELECT event_type AS g, CAST(value AS DECIMAL(15,2)) AS x
+         |       FROM events WHERE value IS NOT NULL),
+         | gg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         |        SUM(x * x) AS ss FROM base GROUP BY 1),
+         | tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(sx) AS ts, SUM(ss) AS tss FROM gg),
+         | w AS (SELECT g, n,
+         |        CAST(sx AS DOUBLE) AS sa, CAST(ts - sx AS DOUBLE) AS sb,
+         |        CAST(ss AS DOUBLE) AS ssa, CAST(tss - ss AS DOUBLE) AS ssb,
+         |        CAST(n AS DOUBLE) AS na, CAST(tn - n AS DOUBLE) AS nb
+         |       FROM gg, tt WHERE n >= 2),
+         | zr AS (SELECT g, n, sa / na AS ma,
+         |        (sa / na - sb / nb) / sqrt(
+         |          (ssa - sa * sa / na) / (na - 1e0) / na
+         |          + (ssb - sb * sb / nb) / (nb - 1e0) / nb) AS z
+         |       FROM w),
+         | pr AS (SELECT g, n, ma, z, abs(z) AS az,
+         |        1e0 / (1e0 + 0.2316419 * abs(z)) AS t FROM zr),
+         | sc AS (SELECT g, n, ROUND(ma, 6) AS mean, ROUND(z, 6) AS z,
+         |        ROUND(2e0 * (exp(-0.5 * az * az) / $s2pi)
+         |          * (((((1.330274429 * t + -1.821255978) * t + 1.781477937) * t
+         |            + -0.356563782) * t + 0.319381530) * t), 6) AS p
+         |       FROM pr),
+         | pk AS (SELECT list(struct_pack(p := p, g := g, n := n, mean := mean, z := z)
+         |          ORDER BY p, g) AS l FROM sc),
+         | ex AS (SELECT unnest(range(1, CAST(len(l) AS INT) + 1)) AS rk, l FROM pk),
+         | qq AS (SELECT l[rk].g AS event_type, l[rk].n AS n, l[rk].mean AS mean,
+         |        l[rk].z AS z, l[rk].p AS p, CAST(rk AS INT) AS rank,
+         |        ROUND(LEAST(1e0, list_min(list_transform(range(rk, len(l) + 1),
+         |          j -> l[j].p * CAST(len(l) AS DOUBLE) / CAST(j AS DOUBLE)))), 6) AS q
+         |       FROM ex)
+         |SELECT event_type, n, mean, z, p, rank, q, (q <= 0.05) AS significant
+         |FROM qq ORDER BY rank""".stripMargin
+    },
+    // t-closeness mirror: same cell/group/global aggregates, the grid
+    // completed by a cross join (values identical to the Spark side's
+    // map-lookup transform), EMD as the same m fresh prefix folds over
+    // the level-ordered d list
+    "t_closeness_audit" ->
+      """WITH src AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |        o_orderpriority AS prio,
+        |        length(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) AS band
+        |       FROM orders),
+        | cells AS (SELECT yr, prio, band, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM src GROUP BY 1, 2, 3),
+        | grp AS (SELECT yr, prio, CAST(SUM(c) AS BIGINT) AS ng FROM cells GROUP BY 1, 2),
+        | gl AS (SELECT band, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY 1),
+        | tm AS (SELECT CAST(SUM(gc) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS m FROM gl),
+        | grid AS (SELECT g.yr, g.prio, g.ng, l.band, COALESCE(c.c, 0) AS c, l.gc
+        |       FROM grp g CROSS JOIN gl l
+        |       LEFT JOIN cells c ON c.yr = g.yr AND c.prio = g.prio AND c.band = l.band),
+        | d AS (SELECT yr, prio, ng, band,
+        |        CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+        |          - CAST(gc AS DOUBLE) / CAST(n AS DOUBLE) AS d
+        |       FROM grid, tm),
+        | ls AS (SELECT yr, prio, CAST(MAX(ng) AS BIGINT) AS grp_n,
+        |        list(d ORDER BY band) AS dl FROM d GROUP BY 1, 2),
+        | emd AS (SELECT yr, prio, grp_n,
+        |        CASE WHEN m > 1 THEN
+        |          list_sum(list_transform(range(1, CAST(m + 1 AS INT)),
+        |            i -> abs(list_sum(list_slice(dl, 1, i)))))
+        |            / CAST(m - 1 AS DOUBLE)
+        |        ELSE 0e0 END AS emd
+        |       FROM ls, tm)
+        |SELECT yr, prio, grp_n AS n, ROUND(emd, 6) AS t_emd FROM emd
+        |ORDER BY ROUND(emd, 6) DESC, yr, prio LIMIT 10""".stripMargin,
     "k_anonymity_audit" ->
       """WITH qi AS (SELECT c_nationkey, c_mktsegment,
         |        FLOOR(c_acctbal / 1000.0) AS bb, CAST(COUNT(*) AS BIGINT) AS c
@@ -7518,6 +7755,34 @@ object SparkEntry {
         |  ROUND(CAST(dot AS DOUBLE)
         |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_means
         |FROM f""".stripMargin,
+    // RI mirror: per edge the same null/total aggregate + NOT EXISTS
+    // orphan count, generated from one edge list
+    "ri_audit" -> {
+      val edges = Seq(
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      val rows = edges.map { case (name, ch, ck, pa, pk) =>
+        s"""SELECT '$name' AS fk,
+           |  CAST(COUNT(*) AS BIGINT) AS child_rows,
+           |  CAST(SUM(CASE WHEN $ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ch c
+           |   WHERE c.$ck IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM $pa p WHERE p.$pk = c.$ck)) AS orphans
+           |FROM $ch""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH u AS (
+         |$rows
+         |)
+         |SELECT fk, child_rows, null_keys, orphans,
+         |  ROUND(CAST(orphans AS DOUBLE) / CAST(child_rows AS DOUBLE), 6) AS orphan_rate,
+         |  (orphans = 0 AND null_keys = 0) AS pass
+         |FROM u ORDER BY fk""".stripMargin
+    },
     "dq_orders" ->
       """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS checked FROM orders),
         | u AS (

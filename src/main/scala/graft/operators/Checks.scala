@@ -80,4 +80,31 @@ object Checks {
     }
     rows.toDF("constraint", "violations", "checked", "pass")
   }
+
+  /** Referential-integrity audit across a schema's FK edges — the
+    * warehouse-wide companion to a single [[References]] constraint:
+    * one row per edge with the child row count, null-key count, orphan
+    * count (non-null child keys absent from the parent) and rate.
+    * Fully distributed: per edge ONE anti-join against the
+    * DISTINCT-projected parent key (never the full parent row) plus one
+    * 1-row aggregate, combined via a broadcast 1-row cross — no
+    * driver-side counting, so a 100 TB fact table audits in one pass
+    * per edge. Edges are (label, child, childKey, parent, parentKey).
+    */
+  def riAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "Checks.riAudit: empty edge list")
+    edges.map { case (name, child, ck, parent, pk) =>
+      val base = child.agg(count(lit(1)).as("_n"),
+        sum(when(col(ck).isNull, 1L).otherwise(0L)).as("_nk"))
+      val orphans = child.select(col(ck)).filter(col(ck).isNotNull)
+        .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+        .agg(count(lit(1)).as("_o"))
+      base.crossJoin(broadcast(orphans))
+        .select(lit(name).as("fk"), col("_n").as("child_rows"),
+          col("_nk").as("null_keys"), col("_o").as("orphans"),
+          round(col("_o").cast("double") / col("_n").cast("double"), 6)
+            .as("orphan_rate"),
+          (col("_o") === 0L && col("_nk") === 0L).as("pass"))
+    }.reduce(_ unionByName _)
+  }
 }

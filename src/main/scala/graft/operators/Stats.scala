@@ -1187,4 +1187,194 @@ object Stats {
         round(gain / (col("cum_n").cast("double") / col("_tn").cast("double")),
           6).as("lift"))
   }
+
+  /** √(2π) frozen as a literal shared by both engines' normal-CDF
+    * replay (Double.toString round-trips bit-exactly). */
+  val Sqrt2Pi: Double = math.sqrt(2.0 * math.Pi)
+
+  /** Benjamini-Hochberg FDR over a battery of one-vs-rest Welch z
+    * tests — the "which segments actually differ" readout that a naive
+    * per-test alpha would overcall m times. Per group: Welch z of
+    * `value` vs the pooled REST (rest moments = exact decimal global
+    * minus group sums — one corpus pass, no second scan), two-sided
+    * p via the Abramowitz-Stegun 26.2.17 normal-CDF polynomial
+    * evaluated in Horner form (identical literal coefficients on both
+    * engines; exp parity at the round(6) grid is suite-proven), then
+    * BH: sort p ascending, q_i = min_{j>=i}(p_j·m/j) computed as m
+    * fresh suffix folds over the collected battery (m = |groups|,
+    * tiny) — never a data-sized window.
+    *
+    * Output: (group, n, mean, z, p, rank, q, significant) per group,
+    * p/q on the round(6) grid, rank on (p, group).
+    *
+    * Scale shape (100 TB): ONE decimal-moment aggregate is the only
+    * corpus-sized exchange; the battery is |groups| rows collected
+    * into a single struct list.
+    */
+  def bhFdrWelch(df: DataFrame, groupCol: String, value: Column,
+      alpha: Double = 0.05): DataFrame = {
+    val x = value.cast("decimal(15,2)")
+    val g = df.filter(value.isNotNull)
+      .select(col(groupCol).as("_g"), x.as("_x"), (x * x).as("_xx"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_xx")).as("_ss"))
+    val glob = g.agg(sum(col("_n")).as("_tn"), sum(col("_sx")).as("_ts"),
+      sum(col("_ss")).as("_tss"))
+    val j = g.crossJoin(broadcast(glob))
+    val na = col("_n").cast("double")
+    val nb = (col("_tn") - col("_n")).cast("double")
+    val sa = col("_sx").cast("double")
+    val sb = (col("_ts") - col("_sx")).cast("double")
+    val ssa = col("_ss").cast("double")
+    val ssb = (col("_tss") - col("_ss")).cast("double")
+    val ma = sa / na
+    val mb = sb / nb
+    val va = (ssa - sa * sa / na) / (na - lit(1.0))
+    val vb = (ssb - sb * sb / nb) / (nb - lit(1.0))
+    val se2 = va / na + vb / nb
+    val z = (ma - mb) / sqrt(se2)
+    // two-sided p = 2·φ(|z|)·AS-polynomial(t), t = 1/(1+0.2316419|z|),
+    // Horner form — the float path is identical character-for-character
+    // in the SQL mirror
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt + lit(0.319381530)) * tt
+    val p2 = lit(2.0) * (exp(lit(-0.5) * az * az) / lit(Sqrt2Pi)) * poly
+    val scored = j.filter(col("_n") >= 2L)
+      .select(col("_g"), col("_n"),
+        round(ma, 6).as("_mean"), round(z, 6).as("_z"),
+        round(p2, 6).as("_p"))
+    val packed = scored
+      .agg(sort_array(collect_list(struct(col("_p"), col("_g"), col("_n"),
+        col("_mean"), col("_z")))).as("_l"))
+    packed.select(posexplode(col("_l")).as(Seq("_i0", "_e")), col("_l"))
+      .withColumn("_rk", col("_i0") + 1)
+      .select(col("_e").getField("_g").as(groupCol),
+        col("_e").getField("_n").as("n"),
+        col("_e").getField("_mean").as("mean"),
+        col("_e").getField("_z").as("z"),
+        col("_e").getField("_p").as("p"),
+        col("_rk").cast("int").as("rank"),
+        round(least(lit(1.0),
+          aggregate(sequence(col("_rk"), size(col("_l")).cast("long")),
+            lit(Double.MaxValue), (acc, jj) =>
+              least(acc, element_at(col("_l"), jj.cast("int")).getField("_p") *
+                size(col("_l")).cast("double") / jj.cast("double")))), 6)
+          .as("q"))
+      .withColumn("significant", col("q") <= lit(alpha))
+  }
+
+  /** Fisher's exact test, one-sided greater (the 2×2 companion the
+    * asymptotic chi2/z tests can't replace at small or skewed cells):
+    * P[X >= a] for X ~ Hypergeom(n, r1, c1). All counts come from ONE
+    * corpus aggregate; the hypergeometric tail is computed on that
+    * single row as exact arithmetic with an engine-portable float
+    * path — ln-factorials as ascending ordered folds (Σ ln i, the
+    * list_sum-over-range idiom), the anchor pmf via one exp, and the
+    * tail by the term-ratio recursion t_{k+1} = t_k·(r1−k)(c1−k) /
+    * ((k+1)(r2−c1+k+1)) folded k = a..kmax — every multiply/divide on
+    * identical operands in identical order, so the DuckDB recursive
+    * CTE replays it bit-for-bit (round(6) absorbs exp's last-ulp).
+    *
+    * Output one row: (a, r1, r2, c1, n, odds_ratio, p_greater).
+    *
+    * Scale shape (100 TB): one aggregate; the tail fold is
+    * min(r1,c1)−a terms on a 1-row frame — driver-free, data-free.
+    */
+  def fisherExactGreater(df: DataFrame, arm: Column,
+      outcome: Column): DataFrame = {
+    val cnt = df.select(arm.cast("long").as("_b"),
+        outcome.cast("boolean").as("_y"))
+      .agg(
+        sum(when(col("_b") === 0L && col("_y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("r2"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("n"))
+    def lf(c: Column): Column =
+      when(c >= 2L, aggregate(sequence(lit(2L), c), lit(0.0),
+        (acc, i) => acc + log(i.cast("double")))).otherwise(lit(0.0))
+    val a = col("a"); val r1 = col("r1"); val r2 = col("r2")
+    val c1 = col("c1"); val n = col("n")
+    // one flat left-associative chain — mirrored character-for-character
+    val lnp = lf(r1) - lf(a) - lf(r1 - a) + lf(r2) - lf(c1 - a) -
+      lf(r2 - c1 + a) - lf(n) + lf(c1) + lf(n - c1)
+    val t0 = exp(lnp)
+    val kmax = least(r1, c1)
+    val stT = "struct<t:double,s:double>"
+    val p = when(kmax >= a + 1L,
+      aggregate(sequence(a + 1L, kmax),
+        struct(t0.as("t"), t0.as("s")).cast(stT), (st, k) => {
+          val num = ((r1 - k + 1L) * (c1 - k + 1L)).cast("double")
+          val den = (k * (r2 - c1 + k)).cast("double")
+          val t2 = st.getField("t") * (num / den)
+          struct(t2.as("t"), (st.getField("s") + t2).as("s")).cast(stT)
+        }).getField("s"))
+      .otherwise(t0)
+    val or = when(r1 - a > 0L && c1 - a > 0L,
+      round((a * (r2 - c1 + a)).cast("double") /
+        ((r1 - a) * (c1 - a)).cast("double"), 6))
+    cnt.select(a, r1, r2, c1, n, or.as("odds_ratio"),
+      round(p, 6).as("p_greater"))
+  }
+
+  /** t-closeness audit (Li et al. '07) — the distributional member of
+    * the privacy trio next to k-anonymity (group size) and l-diversity
+    * (distinct count): per quasi-identifier group, the Earth Mover's
+    * Distance between the group's ORDERED sensitive-attribute
+    * distribution and the global one, EMD = (1/(m−1))·Σᵢ|Σ_{j≤i}(pⱼ−qⱼ)|
+    * over the m ordered levels. A group can be large (k-safe) and
+    * varied (l-safe) yet still leak — e.g. every member in the top
+    * spending band — which only the EMD sees.
+    *
+    * `sensitiveCol` must be LOW-CARDINALITY ordered (a banded/bucketed
+    * attribute — caller contract): the level table rides a 1-row
+    * GLOBAL aggregate (broadcast-safe by the bounded-hint rule), each
+    * group folds its own level map against it, and the O(m²) prefix
+    * re-folds stay engine-portable (no window prefix sum, whose
+    * tree-aggregated float order DuckDB does not guarantee).
+    *
+    * Output: top-`topK` worst groups (qi..., n, t_emd), ranked on the
+    * round(6) grid with the qi tie-break — TakeOrderedAndProject,
+    * never a global sort.
+    *
+    * Scale shape (100 TB): ONE (qi, level) cell aggregate is the only
+    * corpus-sized exchange; groups fold m-length arrays; top-k is a
+    * limit, not a sort.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      topK: Int = 10): DataFrame = {
+    require(qiCols.nonEmpty && topK >= 1,
+      s"tCloseness: need qi columns and topK>=1")
+    val q = qiCols.map(col)
+    val cells = df.groupBy((q :+ col(sensitiveCol).as("_lvl")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val glob = cells.groupBy(col("_lvl")).agg(sum(col("_c")).as("_gc"))
+      .agg(sort_array(collect_list(struct(col("_lvl"), col("_gc")))).as("_gl"),
+        sum(col("_gc")).as("_n"))
+    val groups = cells.groupBy(q: _*)
+      .agg(sum(col("_c")).as("_ng"),
+        map_from_entries(collect_list(struct(col("_lvl"), col("_c"))))
+          .as("_cm"))
+    val withD = groups.crossJoin(broadcast(glob))
+      .withColumn("_dl", transform(col("_gl"), x =>
+        coalesce(element_at(col("_cm"), x.getField("_lvl")), lit(0L))
+          .cast("double") / col("_ng").cast("double") -
+          x.getField("_gc").cast("double") / col("_n").cast("double")))
+      .withColumn("_m", size(col("_dl")))
+    // EMD as m fresh prefix folds (m is tiny): each |Σ_{j<=i} d_j| is an
+    // ordered left fold over the level-sorted slice — bit-portable,
+    // unlike a cumulative window whose float association is engine-internal
+    val emd = when(col("_m") > 1,
+      aggregate(sequence(lit(1), col("_m")), lit(0.0), (acc, i) =>
+        acc + abs(aggregate(slice(col("_dl"), lit(1), i), lit(0.0),
+          (a, d) => a + d))) / (col("_m") - 1).cast("double"))
+      .otherwise(lit(0.0))
+    withD
+      .select((q :+ col("_ng").as("n") :+ round(emd, 6).as("t_emd")): _*)
+      .orderBy((col("t_emd").desc +: q.map(_.asc)): _*)
+      .limit(topK)
+  }
 }

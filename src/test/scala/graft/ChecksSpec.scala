@@ -48,4 +48,18 @@ class ChecksSpec extends SparkSpec {
       Seq(Satisfies("amt_gt0", col("amount") > 0))).head()
     assert(r.getLong(1) == 1L && !r.getBoolean(3))
   }
+
+  test("riAudit: orphans, null keys, and a clean edge") {
+    val child = Seq((1L, Option(10L)), (2L, Option(11L)), (3L, Option(99L)),
+      (4L, None)).toDF("id", "fk")
+    val parent = Seq(10L, 11L, 12L).toDF("pk")
+    val out = Checks.riAudit(Seq(("child.fk -> parent", child, "fk", parent, "pk")))
+      .head()
+    assert(out.getString(0) == "child.fk -> parent")
+    assert(out.getLong(1) == 4L && out.getLong(2) == 1L && out.getLong(3) == 1L)
+    assert(out.getDouble(4) == 0.25 && !out.getBoolean(5))
+    val clean = Checks.riAudit(Seq(
+      ("c2", child.filter(col("fk").isin(10L, 11L)), "fk", parent, "pk"))).head()
+    assert(clean.getLong(3) == 0L && clean.getBoolean(5))
+  }
 }

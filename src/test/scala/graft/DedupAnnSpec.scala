@@ -994,4 +994,19 @@ class DedupAnnSpec extends SparkSpec {
     assert((f2.getDouble(3), f2.getDouble(4)) == ((1.0, 0.0)))
     assert(f2.isNullAt(5) && f2.isNullAt(6)) // u=0 and m=1: both guarded
   }
+
+  test("rougeOverlap: multiset bigram overlap counts repetition Jaccard flattens") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c a b"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.rougeOverlap(pairs, docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    // doc1 bigrams {a b:2, b a:1, b c:1}, doc2 {a b:2, b c:1, c a:1}:
+    // overlap = min(2,2) + min(1,1) = 3 of 4 each side
+    assert(out((1L, 2L)) == ((4L, 4L, 3L, 0.75, 0.75, 0.75)))
+    // disjoint pair shares no gram -> drops (inner join semantics)
+    assert(!out.contains((1L, 3L)))
+  }
 }

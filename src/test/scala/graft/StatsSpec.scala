@@ -506,4 +506,57 @@ class StatsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 2L, 3L, 2L, 1.0, 1.666667)))
     assert(out(2L) == ((2L, 0L, 5L, 2L, 1.0, 1.0)))
   }
+
+  test("fisherExactGreater: hand-computed hypergeometric tail, odds ratio") {
+    // arm0: 3 of 5 hit; arm1: 1 of 5. P[X>=3], X~Hypergeom(10,5,4)
+    // = (C(5,3)C(5,1) + C(5,4)C(5,0)) / C(10,4) = 55/210
+    val df = (Seq.fill(3)((0L, true)) ++ Seq.fill(2)((0L, false)) ++
+      Seq.fill(1)((1L, true)) ++ Seq.fill(4)((1L, false)))
+      .toDF("arm", "out")
+    val r = Stats.fisherExactGreater(df, col("arm"), col("out")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 5L, 5L, 4L, 10L)))
+    assert(r.getDouble(6) == math.rint(55.0 / 210.0 * 1e6) / 1e6 ||
+      math.abs(r.getDouble(6) - 55.0 / 210.0) < 1e-6)
+    // OR = (a*d)/(b*c) = (3*4)/(2*1) = 6
+    assert(r.getDouble(5) == 6.0)
+    // certain event: a at the support minimum -> p = 1
+    val all = (Seq.fill(5)((0L, true)) ++ Seq.fill(5)((1L, true)))
+      .toDF("arm", "out")
+    assert(Stats.fisherExactGreater(all, col("arm"), col("out"))
+      .head().getDouble(6) == 1.0)
+  }
+
+  test("tCloseness: hand EMD on two 3-level groups; topK cut") {
+    val df = Seq(("g1", 1), ("g1", 1), ("g1", 2),
+      ("g2", 2), ("g2", 2), ("g2", 3)).toDF("qi", "lvl")
+    val out = Stats.tCloseness(df, Seq("qi"), "lvl", topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // global q = (2/6, 3/6, 1/6); g1 p = (2/3, 1/3, 0):
+    // prefixes 1/3, 1/6, 0 -> EMD = (1/3 + 1/6)/2 = 0.25 (g2 symmetric)
+    assert(out("g1") == ((3L, 0.25)) && out("g2") == ((3L, 0.25)))
+    val top1 = Stats.tCloseness(df, Seq("qi"), "lvl", topK = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "g1") // tie -> qi asc
+  }
+
+  test("bhFdrWelch: BH q equals the suffix-min rule over the returned battery") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 3).flatMap { g =>
+      val shift = if (g == 1) 10.0 else 0.0
+      (1 to 200).map(i => (s"g$g", shift + (i % 17) + rnd.nextGaussian()))
+    }.toDF("grp", "v")
+    val rows = Stats.bhFdrWelch(df, "grp", col("v")).orderBy("rank").collect()
+    assert(rows.length == 3)
+    val m = rows.length
+    val ps = rows.map(_.getDouble(4))
+    assert(ps.sorted.sameElements(ps)) // rank order = ascending p
+    rows.zipWithIndex.foreach { case (r, i0) =>
+      val i = i0 + 1
+      val expQ = math.min(1.0, (i to m).map(j => ps(j - 1) * m / j).min)
+      assert(math.abs(r.getDouble(6) - expQ) < 1e-6)
+      assert(r.getBoolean(7) == (r.getDouble(6) <= 0.05))
+    }
+    // the shifted group must be the most significant
+    assert(rows.head.getString(0) == "g1" && rows.head.getBoolean(7))
+  }
 }
