@@ -1109,6 +1109,48 @@ object SparkEntry {
     // EXT bigram LM score (the perplexity-proxy upgrade over
     // unigram_logprob): see bigramLogprobFrame for the plan shape
     "bigram_logprob" -> ((s, dir) => bigramLogprobFrame(s, dir).orderBy("doc_id")),
+    // EXT DoReMi-lite domain reweighting (Xie et al. '23 shape): per
+    // source, loss = mean bigram-LM negative logprob (exact DECIMAL sum
+    // of the round(6) per-doc scores — order-free), then ONE
+    // exponentiated-gradient step from uniform: w_s ∝ exp(eta·loss_s),
+    // normalized by an ordered fold over the |sources| battery. The
+    // domain-mixture knob a training-data pipeline turns
+    "doremi_weights" -> ((s, dir) => {
+      val lp = bigramLogprobFrame(s, dir)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val agg0 = lp.join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("logprob").cast("decimal(20,6)")).as("_slp"))
+        .select(col("source"), col("n_docs"),
+          (lit(0.0) - col("_slp").cast("double") /
+            col("n_docs").cast("double")).as("_loss"))
+      val packed = agg0.agg(sort_array(collect_list(struct(col("source"),
+        col("n_docs"), col("_loss")))).as("_l"))
+      val zNorm = aggregate(transform(col("_l"),
+        x => exp(lit(0.1) * x.getField("_loss"))), lit(0.0), (a, x) => a + x)
+      packed.select(explode(col("_l")).as("_e"), zNorm.as("_z"))
+        .select(col("_e").getField("source").as("source"),
+          col("_e").getField("n_docs").as("n_docs"),
+          round(col("_e").getField("_loss"), 6).as("loss"),
+          round(exp(lit(0.1) * col("_e").getField("_loss")) / col("_z"), 6)
+            .as("weight"))
+        .orderBy("source")
+    }),
+    // EXT word2vec-style negative sampling (Mikolov '13): unigram
+    // popularity tempered by the classic 0.75 exponent (lw =
+    // 0.75·ln(cnt)), drawn WITHOUT replacement via the deterministic
+    // Gumbel top-k — the negatives table a contrastive trainer feeds on
+    "negative_sample_tokens" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      Sampling.gumbelTopK(
+          tok.withColumn("lw", lit(0.75) * log(col("cnt").cast("double"))),
+          "token", "lw", k = 64, seed = "neg")
+        .select(col("token"), col("cnt"), col("gumbel_key"))
+        .orderBy(col("gumbel_key").desc, col("token"))
+    }),
     // EXT CCNet-style quality bucketing (Wenzek et al. 2020): rank the
     // corpus by the bigram-LM doc score and cut equal-population
     // head/middle/tail thirds (CCNet's perplexity buckets; low logprob
@@ -3021,6 +3063,57 @@ object SparkEntry {
       Stats.madOutliers(t(s, dir, "events"),
           "event_type", "value", "event_id", cutoff = 3.5)
         .orderBy("event_type", "event_id")),
+    // EXT seasonal-ESD-style anomaly days (composition): classical
+    // decomposition strips trend+weekly seasonality, then the MAD
+    // robust z (cutoff 2.0 — the 120-day series is short) flags days — the "which days were REALLY odd
+    // after accounting for the weekly cycle" monitor that a plain
+    // value outlier scan gets wrong every weekend
+    "seasonal_esd_anomalies" -> ((s, dir) => {
+      val dec = Events.classicalDecomposition(t(s, dir, "events"),
+        "event_type", "ts", m = 7)
+      Stats.madOutliers(dec.filter(col("residual").isNotNull),
+          "event_type", "residual", "day", cutoff = 2.0)
+        .orderBy("event_type", "day")
+    }),
+    // EXT split-conformal prediction intervals (Vovk; Lei et al. '18):
+    // md5-split calibration/test halves, per-type calibration means as
+    // the point predictor, q-hat = exact ceil((n+1)(1-alpha))-th
+    // smallest nonconformity (integer rank over round(6) score CELLS),
+    // then finite-sample coverage measured on the held-out half
+    "conformal_intervals" -> ((s, dir) => {
+      val arm = graft.functions.TextFunctions.md5Bits64(
+        concat(lit("cf:"), col("event_id").cast("string")))
+        .bitwiseAND(lit(1L))
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("_y"),
+          arm.as("_arm"))
+      val cal = ev.filter(col("_arm") === 0L)
+      val test = ev.filter(col("_arm") =!= 0L)
+      val means = cal.groupBy("event_type")
+        .agg((sum(col("_y").cast("decimal(15,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("_mu"))
+      val calCells = cal.join(means, Seq("event_type"))
+        .select(round(abs(col("_y") - col("_mu")), 6).as("_s"))
+        .groupBy("_s").agg(count(lit(1)).as("_c"))
+      val nCal = calCells.agg(sum(col("_c")).as("_n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_s"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      // exact integer rank: r = ceil((n+1)*0.95) without float ceil
+      val qhat = calCells.crossJoin(broadcast(nCal))
+        .withColumn("_cum", sum(col("_c")).over(w))
+        .filter(col("_cum") >= expr("((_n + 1) * 950 + 999) div 1000"))
+        .agg(min(col("_s")).as("qhat"), max(col("_n")).as("n_cal"))
+      val testScored = test.join(means, Seq("event_type"))
+        .select(round(abs(col("_y") - col("_mu")), 6).as("_s"))
+      testScored.crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+          max(col("qhat")).as("_q"),
+          sum(when(col("_s") <= col("qhat"), 1L).otherwise(0L)).as("_cov"))
+        .select(col("n_cal"), col("n_test"), col("_q").as("qhat"),
+          round(col("_cov").cast("double") / col("n_test").cast("double"), 6)
+            .as("coverage"))
+    }),
     // EXT contingency analysis (Stats.contingencyAnalysis): MI, NMI,
     // chi-squared and Cramér's V between event_type and day-of-week —
     // ONE corpus shuffle (the cell groupBy); chi² via the
@@ -5152,6 +5245,40 @@ object SparkEntry {
         | bcp AS (SELECT *, CAST(SUM(cb) OVER (PARTITION BY prev) AS BIGINT) AS cp FROM bc)
         |SELECT doc_id, ROUND(AVG(LN(CAST(cb AS DOUBLE) / cp)), 6) AS logprob
         |FROM pairs JOIN bcp USING (prev, cur) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DoReMi mirror: the bigram-logprob CTEs, exact DECIMAL per-source
+    // loss, EG weights normalized by the source-ordered exp fold
+    "doremi_weights" ->
+      """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        | pairs AS (SELECT doc_id, w[j] AS prev, w[j + 1] AS cur
+        |           FROM docs, LATERAL unnest(range(1, len(w))) AS t(j)
+        |           WHERE len(w) >= 2),
+        | bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY 1, 2),
+        | bcp AS (SELECT *, CAST(SUM(cb) OVER (PARTITION BY prev) AS BIGINT) AS cp FROM bc),
+        | lp AS (SELECT doc_id, ROUND(AVG(LN(CAST(cb AS DOUBLE) / cp)), 6) AS logprob
+        |        FROM pairs JOIN bcp USING (prev, cur) GROUP BY doc_id),
+        | ag AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        0e0 - CAST(SUM(CAST(lp.logprob AS DECIMAL(20,6))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS loss
+        |       FROM lp JOIN documents d USING (doc_id) GROUP BY 1),
+        | pk AS (SELECT list(struct_pack(source := source, n_docs := n_docs, loss := loss)
+        |          ORDER BY source) AS l FROM ag),
+        | zz AS (SELECT l, list_sum(list_transform(l, x -> exp(0.1 * x.loss))) AS z FROM pk),
+        | ex AS (SELECT unnest(l) AS e, z FROM zz)
+        |SELECT e.source AS source, e.n_docs AS n_docs,
+        |  ROUND(e.loss, 6) AS loss, ROUND(exp(0.1 * e.loss) / z, 6) AS weight
+        |FROM ex ORDER BY source""".stripMargin,
+    // negative-sampling mirror: raw token counts, 0.75*ln tempering,
+    // the md5 'neg:' gumbel idiom, top-64 by (key desc, token)
+    "negative_sample_tokens" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        | tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        | g AS (SELECT token, cnt,
+        |        ROUND(0.75 * LN(CAST(cnt AS DOUBLE)) - LN(-LN(
+        |          CAST(list_sum([(instr('0123456789abcdef', substr(md5('neg:' || token), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
+        |          / power(2, 48))), 6) AS gumbel_key
+        |       FROM tc)
+        |SELECT token, cnt, gumbel_key FROM g
+        |ORDER BY gumbel_key DESC, token LIMIT 64""".stripMargin,
     // ccnet mirror: the bigram-logprob CTEs + a global (logprob, doc_id)
     // rank — integer thirds over the quantized score, so bucket edges
     // replay exactly (the oracle may use a plain ROW_NUMBER; Spark's
@@ -7729,6 +7856,65 @@ object SparkEntry {
         |       FROM d JOIN mad USING (event_type) WHERE mad.mad > 0)
         |SELECT event_type, event_id, value, med, mad, mz FROM z
         |WHERE ABS(mz) > 3.5 ORDER BY event_type, event_id""".stripMargin,
+    // seasonal-ESD mirror: the classical-decomposition CTEs feed the
+    // mad_outliers CTEs on (event_type, day, residual)
+    "seasonal_esd_anomalies" ->
+      """WITH dc AS (SELECT event_type,
+        |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        | tr AS (SELECT event_type, d, cnt,
+        |        CAST(SUM(cnt) OVER w AS BIGINT) AS ws,
+        |        COUNT(*) OVER w AS wn
+        |       FROM dc WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | tt AS (SELECT event_type, d, cnt,
+        |        CASE WHEN wn = 7 THEN CAST(ws AS DOUBLE) / 7e0 END AS trend FROM tr),
+        | dd AS (SELECT event_type, d, cnt, trend,
+        |        CAST(cnt AS DOUBLE) - trend AS det, d % 7 AS pos FROM tt),
+        | se AS (SELECT event_type, pos,
+        |        list_sum(list(det ORDER BY d)) / CAST(COUNT(*) AS DOUBLE) AS seas
+        |       FROM dd WHERE det IS NOT NULL GROUP BY 1, 2),
+        | v AS (SELECT dd.event_type, DATE '1970-01-01' + CAST(dd.d AS INT) AS day,
+        |        ROUND(det - seas, 6) + 0e0 AS residual
+        |       FROM dd LEFT JOIN se ON se.event_type = dd.event_type AND se.pos = dd.pos
+        |       WHERE det IS NOT NULL AND seas IS NOT NULL),
+        | r1 AS (SELECT event_type, residual,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY residual) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),
+        | med AS (SELECT event_type, residual AS med FROM r1
+        |         WHERE rn * 2 >= n AND (rn - 1) * 2 < n),
+        | dv AS (SELECT v.event_type, day, residual, med,
+        |        ABS(residual - med) AS dev FROM v JOIN med USING (event_type)),
+        | r2 AS (SELECT event_type, dev,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM dv),
+        | mad AS (SELECT event_type, dev AS mad FROM r2
+        |         WHERE rn * 2 >= n AND (rn - 1) * 2 < n),
+        | z AS (SELECT dv.event_type, day, residual, med, mad.mad,
+        |        (6.745e-1 * (residual - med)) / mad.mad AS mz
+        |       FROM dv JOIN mad USING (event_type) WHERE mad.mad > 0)
+        |SELECT event_type, day, residual, med, mad, mz FROM z
+        |WHERE ABS(mz) > 2.0 ORDER BY event_type, day""".stripMargin,
+    // conformal mirror: md5-parity split, decimal calibration means,
+    // round(6) nonconformity cells, integer ceil rank pick, coverage
+    "conformal_intervals" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS y,
+        |        (instr('0123456789abcdef', substr(md5('cf:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2 AS arm
+        |       FROM events WHERE value IS NOT NULL),
+        | mu AS (SELECT event_type,
+        |        CAST(SUM(CAST(y AS DECIMAL(15,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+        |       FROM ev WHERE arm = 0 GROUP BY 1),
+        | cs AS (SELECT ROUND(ABS(y - mu), 6) AS s FROM ev JOIN mu USING (event_type) WHERE arm = 0),
+        | cells AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM cs GROUP BY 1),
+        | nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        | cum AS (SELECT s, CAST(SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM cells),
+        | q AS (SELECT MIN(s) AS qhat, MAX(n) AS n_cal FROM cum, nn
+        |       WHERE cum >= ((n + 1) * 950 + 999) // 1000),
+        | ts2 AS (SELECT ROUND(ABS(y - mu), 6) AS s FROM ev JOIN mu USING (event_type) WHERE arm <> 0)
+        |SELECT q.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, q.qhat,
+        |  ROUND(CAST(SUM(CASE WHEN s <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        |FROM ts2, q GROUP BY q.n_cal, q.qhat""".stripMargin,
     "event_transitions" ->
       """WITH p AS (SELECT event_type AS f,
         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t

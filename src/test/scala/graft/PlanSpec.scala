@@ -133,12 +133,15 @@ class PlanSpec extends SparkSpec {
     // — NTILE geometry is replayed over cell spans, never a row sort
     // log_rank_purchase's prefix-sum window rides the OBSERVATION-
     // WINDOW time-grid bucket aggregate (the kaplan_meier grid class)
+    // conformal_intervals' cumulative window rides the round(6)
+    // nonconformity CELL aggregate — bounded by the 2-decimal value
+    // grid (the mann_whitney class), never row cardinality
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
       "quantiles_binned_chars", "token_budget_select", "mann_whitney_value",
       "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
       "gini_customer_spend", "classifier_auc", "theil_sen_daily",
       "pareto_parts", "rolling_corr_7d", "lift_gain_deciles",
-      "log_rank_purchase")
+      "log_rank_purchase", "conformal_intervals")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = allQe(name).executedPlan
       val bad = collectBad(plan)
