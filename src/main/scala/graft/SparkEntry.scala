@@ -2114,6 +2114,14 @@ object SparkEntry {
     // EXT calibration (reliability) table: decile score bins vs
     // observed clean rate — avg_p from an exact DECIMAL(20,6) sum of
     // the round(6) scores (order-free), obs_rate one exact division
+    // EXT isotonic score calibration (Stats.isotonicCalibration): the
+    // PAV monotone fit of the learned classifier's per-bin hit rate —
+    // computed by the minimax identity over exact prefix-sum quotients
+    // so the fit replays bit-for-bit (PAV's merge loop would not)
+    "isotonic_calibration" -> ((s, dir) =>
+      Stats.isotonicCalibration(qcScored(s, dir), col("p_clean"),
+          col("is_clean"), bins = 100)
+        .orderBy("bin")),
     "classifier_calibration" -> ((s, dir) =>
       qcScored(s, dir)
         .select(least(floor(col("p_clean") * 10), lit(9L)).cast("long").as("bin"),
@@ -6315,6 +6323,35 @@ object SparkEntry {
          |  CASE WHEN 2 * tp + fp + fn > 0 THEN ROUND(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1,
          |  CASE WHEN tp + fp + fn + tn > 0 THEN ROUND(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) END AS accuracy
          |FROM a""".stripMargin,
+    // isotonic mirror: the qc CTEs, (bin, label) cells, BIGINT prefix
+    // lists, and the same minimax over IEEE quotients (list_min /
+    // list_max are order-free; nested-lambda capture is the PqSqlBits
+    // proven idiom)
+    "isotonic_calibration" ->
+      s"""WITH $qcScoredSql,
+         | mr AS (SELECT LEAST(CAST(FLOOR(p_clean * 100) AS BIGINT), 99) AS b,
+         |        CASE WHEN doc_id < 400000 THEN 1 ELSE 0 END AS y FROM s),
+         | cells AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(y) AS BIGINT) AS p FROM mr GROUP BY 1),
+         | pk AS (SELECT list(struct_pack(b := b, n := n, p := p) ORDER BY b) AS l FROM cells),
+         | pp AS (SELECT l, len(l) AS m,
+         |        list_transform(range(0, len(l) + 1), i ->
+         |          CAST(COALESCE(list_sum(list_transform(list_slice(l, 1, CAST(i AS INT)), x -> x.n)), 0) AS BIGINT)) AS pn,
+         |        list_transform(range(0, len(l) + 1), i ->
+         |          CAST(COALESCE(list_sum(list_transform(list_slice(l, 1, CAST(i AS INT)), x -> x.p)), 0) AS BIGINT)) AS ppv
+         |       FROM pk),
+         | ex AS (SELECT unnest(range(1, CAST(m AS INT) + 1)) AS k, l, m, pn, ppv FROM pp),
+         | iso AS (SELECT k, l,
+         |        list_max(list_transform(range(1, k + 1), i ->
+         |          list_min(list_transform(range(k, m + 1), j ->
+         |            CAST(ppv[CAST(j + 1 AS INT)] - ppv[CAST(i AS INT)] AS DOUBLE)
+         |              / CAST(pn[CAST(j + 1 AS INT)] - pn[CAST(i AS INT)] AS DOUBLE))))) AS iso
+         |       FROM ex)
+         |SELECT l[CAST(k AS INT)].b AS bin, l[CAST(k AS INT)].n AS n,
+         |  l[CAST(k AS INT)].p AS n_pos,
+         |  ROUND(CAST(l[CAST(k AS INT)].p AS DOUBLE) / CAST(l[CAST(k AS INT)].n AS DOUBLE), 6) AS raw_rate,
+         |  ROUND(iso, 6) AS iso_rate
+         |FROM iso ORDER BY bin""".stripMargin,
     "classifier_calibration" ->
       s"""WITH $qcScoredSql,
          | m AS (SELECT LEAST(CAST(FLOOR(p_clean * 10) AS BIGINT), 9) AS bin,

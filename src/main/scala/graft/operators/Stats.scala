@@ -1266,6 +1266,61 @@ object Stats {
       .withColumn("significant", col("q") <= lit(alpha))
   }
 
+  /** Isotonic calibration (pool-adjacent-violators) of a classifier
+    * score — the nonparametric companion to the reliability diagram:
+    * the monotone step function closest (L2) to the per-bin observed
+    * rates. Computed by the MINIMAX identity rather than the stack
+    * algorithm: iso_k = max_{i<=k} min_{j>=k} mean(pos)/mean(n) over
+    * the cell span [i..j] — PAV's sequential merge loop has a
+    * data-dependent float path no SQL engine replays, while minimax is
+    * min/max (order-free, exact comparisons) over IEEE quotients of
+    * exact BIGINT prefix-sum differences: both engines see the
+    * identical value set, so the fit is bit-portable. O(m³) over
+    * m <= `bins` score cells — the fold rides the GRID, never rows.
+    *
+    * Output per occupied bin: (bin, n, n_pos, raw_rate, iso_rate),
+    * iso_rate monotone non-decreasing in bin.
+    *
+    * Scale shape (100 TB): ONE (bin, label) cell aggregate; everything
+    * after is arithmetic on a <= bins-length array in one row.
+    */
+  def isotonicCalibration(df: DataFrame, score: Column, label: Column,
+      bins: Int = 100): DataFrame = {
+    require(bins >= 2 && bins <= 512,
+      s"isotonicCalibration: need 2<=bins<=512 (O(bins^3) fold), got $bins")
+    val cells = df.select(
+        least(floor(score * bins), lit((bins - 1).toLong)).cast("long").as("_b"),
+        label.cast("long").as("_y"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_p"))
+    val packed = cells
+      .agg(sort_array(collect_list(struct(col("_b"), col("_n"), col("_p"))))
+        .as("_l"))
+    val m = size(col("_l"))
+    // prefix-sum arrays, entry t = sum of the first t-1 cells (exact)
+    def pref(field: String) = transform(sequence(lit(0), m), i =>
+      aggregate(slice(col("_l"), lit(1), i), lit(0L),
+        (a, x) => a + x.getField(field)))
+    val withP = packed.withColumn("_pn", pref("_n")).withColumn("_pp", pref("_p"))
+    def avgD(i: Column, j: Column): Column =
+      (element_at(col("_pp"), (j + 1).cast("int")) -
+        element_at(col("_pp"), i.cast("int"))).cast("double") /
+        (element_at(col("_pn"), (j + 1).cast("int")) -
+          element_at(col("_pn"), i.cast("int"))).cast("double")
+    val isoArr = transform(sequence(lit(1), m), k =>
+      aggregate(sequence(lit(1), k), lit(-1.0), (best, i) =>
+        greatest(best, aggregate(sequence(k, m), lit(2.0), (mn, j) =>
+          least(mn, avgD(i, j))))))
+    withP.select(posexplode(col("_l")).as(Seq("_i0", "_e")), isoArr.as("_iso"))
+      .select(col("_e").getField("_b").as("bin"),
+        col("_e").getField("_n").as("n"),
+        col("_e").getField("_p").as("n_pos"),
+        round(col("_e").getField("_p").cast("double") /
+          col("_e").getField("_n").cast("double"), 6).as("raw_rate"),
+        round(element_at(col("_iso"), (col("_i0") + 1).cast("int")), 6)
+          .as("iso_rate"))
+  }
+
   /** Fisher's exact test, one-sided greater (the 2×2 companion the
     * asymptotic chi2/z tests can't replace at small or skewed cells):
     * P[X >= a] for X ~ Hypergeom(n, r1, c1). All counts come from ONE

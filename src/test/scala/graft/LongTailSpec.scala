@@ -335,4 +335,18 @@ class LongTailSpec extends SparkSpec {
     assert(GridUtils.gridSize(7, maxCols = 2) == (4, 2))
     assert(GridUtils.gridPositions(5).toSet.size == 5)
   }
+
+  test("hits: past the retention window, iteration caches stay O(1), not O(iterations)") {
+    import spark.implicits._
+    val edges = (1 to 40).map(i => (s"u$i", s"v${i % 7}")).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 12 > CacheRetainRounds (8): trailing rounds must be released, so
+    // net-new persisted RDDs stay bounded by edges + nodes + the last
+    // round's two frames (vs 2 per iteration when leaking)
+    val out = Graph.hits(edges, "src", "dst", iterations = 12)
+    assert(out.count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 6,
+      s"hits leaked iteration caches: $before -> $after persisted RDDs")
+  }
 }

@@ -559,4 +559,30 @@ class StatsSpec extends SparkSpec {
     // the shifted group must be the most significant
     assert(rows.head.getString(0) == "g1" && rows.head.getBoolean(7))
   }
+
+  test("isotonicCalibration: violating adjacent bins pool to their weighted mean; monotone input unchanged") {
+    // bin0 rate 0.8 over 5, bin1 rate 0.2 over 5 -> pooled 0.5/0.5
+    val viol = (Seq.fill(4)((0.05, 1L)) ++ Seq.fill(1)((0.05, 0L)) ++
+      Seq.fill(1)((0.15, 1L)) ++ Seq.fill(4)((0.15, 0L))).toDF("p", "y")
+    val out = Stats.isotonicCalibration(viol, col("p"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.8, 0.2)) // raw rates
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.5, 0.5)) // pooled
+    // already-monotone input is a fixed point
+    val mono = (Seq.fill(1)((0.05, 1L)) ++ Seq.fill(4)((0.05, 0L)) ++
+      Seq.fill(4)((0.15, 1L)) ++ Seq.fill(1)((0.15, 0L))).toDF("p", "y")
+    val out2 = Stats.isotonicCalibration(mono, col("p"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+    assert(out2.map(_.getDouble(4)).toSeq == Seq(0.2, 0.8))
+    // three-bin cascade: 0.9, 0.1, 0.5 -> first two pool to 0.5, stays <= 0.5
+    val casc = (Seq.fill(9)((0.05, 1L)) ++ Seq.fill(1)((0.05, 0L)) ++
+      Seq.fill(1)((0.15, 1L)) ++ Seq.fill(9)((0.15, 0L)) ++
+      Seq.fill(5)((0.25, 1L)) ++ Seq.fill(5)((0.25, 0L))).toDF("p", "y")
+    val out3 = Stats.isotonicCalibration(casc, col("p"), col("y"), bins = 10)
+      .orderBy("bin").collect().map(_.getDouble(4)).toSeq
+    assert(out3 == Seq(0.5, 0.5, 0.5))
+    // monotone non-decreasing invariant
+    assert(out3.sliding(2).forall(w => w(0) <= w(1)))
+  }
 }

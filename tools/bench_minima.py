@@ -15,7 +15,7 @@ out_path, ins = sys.argv[1], sys.argv[2:]
 best = {}          # name -> (sec, steal_at_min, run)
 for path in ins:
     try:
-        d = json.load(open(path))
+        d = json.loads(open(path).readline())
     except Exception:
         continue
     st = d.get("steal_cores", {})

@@ -43,7 +43,7 @@ for i in $(seq 1 "$MAX"); do
   rm -f "$PREFIX.running"
   verdict=$(python3 - "$PREFIX.$i.json" <<'EOF'
 import json,sys
-try: d=json.load(open(sys.argv[1]))
+try: d=json.loads(open(sys.argv[1]).readline())
 except Exception: print("badjson"); raise SystemExit
 qs=d.get("queries",{})
 dnf=[k for k,v in qs.items() if v<0]
