@@ -102,28 +102,27 @@ object Graph {
     // any engine computing it from the same count
     val n = nodes.count()
     val init = round(lit(1.0) / n, quantize)
-    // same cache-retention policy as [[hits]]: keep all rounds cached at
-    // declared iteration counts, release trailing rounds past the window
+    // same cache-retention policy as [[hits]]: all rounds persisted at
+    // declared iteration counts (CacheManager reuse); past the window,
+    // eager localCheckpoint per round truncates the nested-plan blowup
+    // and lets the ContextCleaner reclaim trailing rounds' blocks
     val release = iterations > CacheRetainRounds
+    def pin(df: DataFrame): DataFrame =
+      if (release) df.localCheckpoint()
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("_id"), init.as("_r"))
     var it = 0
     while (it < iterations) {
-      val prevRanks = if (it > 0) ranks else null
       val contribs = e.join(ranks.withColumnRenamed("_id", "_src"), Seq("_src"))
         .join(outDeg, Seq("_src"))
         .select(col("_dst").as("_id"),
           round(col("_r") / col("_deg"), 12).cast("decimal(30,12)").as("_c"))
       val summed = contribs.groupBy(col("_id"))
         .agg(sum(col("_c")).cast("double").as("_in"))
-      ranks = nodes.join(summed, Seq("_id"), "left")
+      ranks = pin(nodes.join(summed, Seq("_id"), "left")
         .select(col("_id"),
           round(lit((1.0 - damping)) / n +
-            lit(damping) * coalesce(col("_in"), lit(0.0)), quantize).as("_r"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (release) {
-        ranks.count()
-        if (prevRanks != null) prevRanks.unpersist(false)
-      }
+            lit(damping) * coalesce(col("_in"), lit(0.0)), quantize).as("_r")))
       it += 1
     }
     ranks.select(col("_id").as("node"), col("_r").as("rank"))
@@ -153,40 +152,37 @@ object Graph {
     def dsum12(c: Column): Column =
       sum(round(c, 12).cast("decimal(30,12)")).cast("double")
     // Cache retention: at small iteration counts (every declared query)
-    // ALL rounds stay cached — a session re-running the operator reuses
-    // them via CacheManager plan-matching, which is most of the repeat
-    // cost. Past the retention window the previous round is eagerly
-    // materialized (count) and the trailing one released, so a
-    // 20-iteration call holds O(1) frames instead of leaking two per
-    // round (LongTailSpec asserts the bound).
+    // ALL rounds stay persisted — a session re-running the operator
+    // reuses them via CacheManager plan-matching, which is most of the
+    // repeat cost. Past the retention window each round is instead
+    // localCheckpoint'ed (eager): the LOGICAL plan truncates to a
+    // LogicalRDD — without it the nested-round plan tree grows
+    // exponentially and a 12-iteration explainString alone OOMs — and
+    // trailing rounds' blocks are reclaimed by the ContextCleaner when
+    // their frames drop out of scope (unlike CacheManager entries,
+    // which pin their plans until an explicit unpersist).
     val release = iterations > CacheRetainRounds
+    def pin(df: DataFrame): DataFrame =
+      if (release) df.localCheckpoint()
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var hubs = nodes.select(col("_id"), lit(1.0).as("_hub"))
     var auths: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val prevHubs = if (it > 0) hubs else null
-      val prevAuths = auths
       val ar = e.join(hubs.withColumnRenamed("_id", "_src"), Seq("_src"))
         .groupBy(col("_dst").as("_id")).agg(dsum12(col("_hub")).as("_ar"))
       val at = ar.agg(dsum12(col("_ar")).as("_t"))
-      auths = nodes.join(ar, Seq("_id"), "left")
+      auths = pin(nodes.join(ar, Seq("_id"), "left")
         .crossJoin(broadcast(at))
         .select(col("_id"),
-          round(coalesce(col("_ar"), lit(0.0)) / col("_t"), quantize).as("_auth"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          round(coalesce(col("_ar"), lit(0.0)) / col("_t"), quantize).as("_auth")))
       val hr = e.join(auths.withColumnRenamed("_id", "_dst"), Seq("_dst"))
         .groupBy(col("_src").as("_id")).agg(dsum12(col("_auth")).as("_hr"))
       val ht = hr.agg(dsum12(col("_hr")).as("_t"))
-      hubs = nodes.join(hr, Seq("_id"), "left")
+      hubs = pin(nodes.join(hr, Seq("_id"), "left")
         .crossJoin(broadcast(ht))
         .select(col("_id"),
-          round(coalesce(col("_hr"), lit(0.0)) / col("_t"), quantize).as("_hub"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (release) {
-        hubs.count()
-        if (prevHubs != null) prevHubs.unpersist(false)
-        if (prevAuths != null) prevAuths.unpersist(false)
-      }
+          round(coalesce(col("_hr"), lit(0.0)) / col("_t"), quantize).as("_hub")))
       it += 1
     }
     hubs.join(auths, Seq("_id"))

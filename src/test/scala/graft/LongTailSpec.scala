@@ -336,17 +336,20 @@ class LongTailSpec extends SparkSpec {
     assert(GridUtils.gridPositions(5).toSet.size == 5)
   }
 
-  test("hits: past the retention window, iteration caches stay O(1), not O(iterations)") {
+  test("hits: past the retention window, the plan is truncated per round (no nested-plan blowup)") {
     import spark.implicits._
     val edges = (1 to 40).map(i => (s"u$i", s"v${i % 7}")).toDF("src", "dst")
-    val before = spark.sparkContext.getPersistentRDDs.size
-    // 12 > CacheRetainRounds (8): trailing rounds must be released, so
-    // net-new persisted RDDs stay bounded by edges + nodes + the last
-    // round's two frames (vs 2 per iteration when leaking)
+    // 12 > CacheRetainRounds (8): each round localCheckpoints, so the
+    // RESULT plan is a tiny join of two LogicalRDDs — without the
+    // truncation the nested-round tree grows exponentially and a
+    // 12-iteration explainString alone OOMs the driver
     val out = Graph.hits(edges, "src", "dst", iterations = 12)
+    val planNodes = out.queryExecution.logical.collect { case p => p }.size
+    assert(planNodes < 30, s"hits plan not truncated: $planNodes nodes")
     assert(out.count() > 0)
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before <= 6,
-      s"hits leaked iteration caches: $before -> $after persisted RDDs")
+    // scores still L1-normalized after 12 rounds (sanity on the long path)
+    val s = out.agg(sum("hub"), sum("authority")).head()
+    assert(math.abs(s.getDouble(0) - 1.0) < 1e-6 &&
+      math.abs(s.getDouble(1) - 1.0) < 1e-6)
   }
 }
