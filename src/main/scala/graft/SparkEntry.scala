@@ -2992,6 +2992,13 @@ object SparkEntry {
       Events.kaplanMeier(t(s, dir, "events"), "user_id", "ts",
           col("event_type") === "purchase")
         .orderBy("t")),
+    // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
+    // (Events.nelsonAalen): KM's additive sibling — hazard increments
+    // d/n folded in t order, exp at the readout
+    "nelson_aalen_purchase" -> ((s, dir) =>
+      Events.nelsonAalen(t(s, dir, "events"), "user_id", "ts",
+          col("event_type") === "purchase")
+        .orderBy("t")),
     // EXT interpolated percentiles (Stats.percentileBandsCont, the
     // PERCENTILE_CONT twin of latency_bands): bracket row by exact
     // integer rank arithmetic, fraction as an exact remainder, v_hi
@@ -8295,6 +8302,30 @@ object SparkEntry {
     },
     // recursive-CTE mirror of the KM fold: rn-chained steps carrying
     // (nr, s); first step's 1.0 * x == x bitwise, so the shapes agree
+    // Nelson-Aalen mirror: the KM bucket CTEs with the additive hazard
+    // recursion h += d/nr, exp(0 - h) at the readout
+    "nelson_aalen_purchase" ->
+      """WITH RECURSIVE u AS (SELECT user_id, MIN(epoch_us(ts)) AS start,
+        |        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS dus
+        |      FROM events GROUP BY 1),
+        | m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+        | o AS (SELECT CASE WHEN dus IS NOT NULL THEN (dus - start) // 3600000000
+        |              ELSE (mx - start) // 3600000000 END AS t,
+        |        CASE WHEN dus IS NOT NULL THEN 1 ELSE 0 END AS death FROM u, m),
+        | tb AS (SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+        |        CAST(SUM(1 - death) AS BIGINT) AS c FROM o GROUP BY 1),
+        | r0 AS (SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM tb),
+        | tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM tb),
+        | na AS (SELECT r0.t, r0.d, r0.c, r0.rn, tot.n AS nr,
+        |         (0e0 + CAST(r0.d AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS h
+        |        FROM r0, tot WHERE rn = 1
+        |        UNION ALL
+        |        SELECT r0.t, r0.d, r0.c, r0.rn, na.nr - na.d - na.c,
+        |         na.h + CAST(r0.d AS DOUBLE) / CAST(na.nr - na.d - na.c AS DOUBLE)
+        |        FROM na JOIN r0 ON r0.rn = na.rn + 1)
+        |SELECT t, nr AS n_risk, d AS deaths, ROUND(h, 6) AS cum_hazard,
+        |  ROUND(EXP(0e0 - h), 6) AS survival_fh
+        |FROM na WHERE d > 0 ORDER BY t""".stripMargin,
     "kaplan_meier_purchase" ->
       """WITH RECURSIVE u AS (SELECT user_id, MIN(epoch_us(ts)) AS start,
         |        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS dus

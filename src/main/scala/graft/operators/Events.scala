@@ -594,6 +594,64 @@ object Events {
         col("cnt"), col("trend"), col("seasonal"), col("residual"))
   }
 
+  /** Nelson-Aalen cumulative hazard (Nelson '72, Aalen '78) — the
+    * additive companion to [[kaplanMeier]]'s multiplicative survival:
+    * H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ over event-time buckets, plus the
+    * Fleming-Harrington survival estimate S̃ = exp(−H) (a better
+    * small-sample estimator than KM and the standard input to hazard
+    * plots). Identical scale shape and float discipline as KM: one
+    * per-user min pass, one bucket aggregate, a t-ordered fold over the
+    * |buckets| list with exact BIGINT risk counts — hazard increments
+    * d/n are IEEE-exact divisions accumulated in t order, exp at the
+    * round(6) readout only.
+    *
+    * Output: (t, n_risk, deaths, cum_hazard, survival_fh) per bucket
+    * with deaths > 0.
+    */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+      deathCond: Column, unitMicros: Long = 3600000000L): DataFrame = {
+    require(unitMicros >= 1, s"nelsonAalen: need unitMicros>=1, got $unitMicros")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(us).as("_start"),
+        min(when(deathCond, us)).as("_dus"))
+    val maxTs = events.agg(max(us).as("_mx"))
+    val obs = perUser.crossJoin(broadcast(maxTs))
+      .select(
+        when(col("_dus").isNotNull,
+          floor((col("_dus") - col("_start")) / unitMicros))
+          .otherwise(floor((col("_mx") - col("_start")) / unitMicros))
+          .cast("long").as("_t"),
+        col("_dus").isNotNull.cast("long").as("_death"))
+    val buckets = obs.groupBy(col("_t"))
+      .agg(sum(col("_death")).as("_d"),
+        sum(lit(1L) - col("_death")).as("_c"))
+    val pathT = "array<struct<t:bigint,nr:bigint,d:bigint,h:double>>"
+    buckets
+      .agg(sort_array(collect_list(struct(col("_t"), col("_d"), col("_c")))).as("_l"),
+        (sum(col("_d")) + sum(col("_c"))).as("_n"))
+      .select(aggregate(col("_l"),
+        struct(col("_n").as("rem"), lit(0.0).as("h"),
+          array().cast(pathT).as("path")),
+        (acc, x) => {
+          val nr = acc.getField("rem")
+          val h2 = acc.getField("h") +
+            x.getField("_d").cast("double") / nr.cast("double")
+          struct(
+            (nr - x.getField("_d") - x.getField("_c")).as("rem"),
+            h2.as("h"),
+            concat(acc.getField("path"),
+              array(struct(x.getField("_t").as("t"), nr.as("nr"),
+                x.getField("_d").as("d"), h2.as("h")))).as("path"))
+        }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .filter(col("_e.d") > 0)
+      .select(col("_e.t").as("t"), col("_e.nr").as("n_risk"),
+        col("_e.d").as("deaths"), round(col("_e.h"), 6).as("cum_hazard"),
+        round(exp(lit(0.0) - col("_e.h")), 6).as("survival_fh"))
+  }
+
   /** Two-group log-rank test (Mantel '66) — the significance companion
     * to [[kaplanMeier]]: are the two arms' time-to-event curves the
     * same? Per death-time bucket t, group 1 is expected to carry

@@ -182,6 +182,20 @@ class EventsSpec extends SparkSpec {
     // S(1) = 1 - 1/4 = 0.75 ; S(2) = 0.75 * (1 - 2/3) = 0.25;
     // the censored-only bucket t=4 emits no step
     assert(out.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 2L, 0.25)))
+    // Nelson-Aalen on the same data: H(1) = 1/4, H(2) = 1/4 + 2/3;
+    // Fleming-Harrington survival = exp(-H) — always >= the KM step
+    val na = Events.nelsonAalen(ev, "user_id", "ts",
+        col("event_type") === "purchase")
+      .orderBy("t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val h2 = 0.25 + 2.0 / 3.0
+    assert(na.toSeq == Seq(
+      (1L, 4L, 1L, 0.25, q6(math.exp(-0.25))),
+      (2L, 3L, 2L, q6(h2), q6(math.exp(-h2)))))
+    // S_FH dominates KM at every step (the known estimator relation)
+    assert(na(0)._5 >= 0.75 && na(1)._5 >= 0.25)
   }
 
   test("dowAdjustedAnomalies: spike flagged within its weekday cell, constant series silent") {
