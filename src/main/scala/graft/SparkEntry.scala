@@ -966,6 +966,23 @@ object SparkEntry {
             .as("bpe_cnt"))
         .orderBy("doc_id")
     }),
+    // EXT tokenizer-efficiency eval (the "how many chars does a token
+    // buy per domain" table a tokenizer choice is judged by): per
+    // source, exact char and learned-BPE token sums, chars/token —
+    // ONE map-side fold per doc, one aggregate
+    "bpe_compression_eval" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), length(col("text")).cast("long").as("_ch"),
+          graft.functions.TextFunctions.bpeCount(col("text"), bpeMergeTable)
+            .cast("long").as("_tk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_ch")).as("n_chars"),
+          sum(col("_tk")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+          when(col("n_tokens") > 0L,
+            round(col("n_chars").cast("double") /
+              col("n_tokens").cast("double"), 6)).as("chars_per_token"))
+        .orderBy("source")),
     // EXT GPT-2-style PRE-TOKENIZED BPE: class runs (letters/digits/
     // punct) first, merges applied within runs only — merges can never
     // cross a class boundary, and punctuation runs are counted
@@ -5181,6 +5198,26 @@ object SparkEntry {
          |   regexp_split_to_array(trim(text), '\\s+'),
          |   w -> len(string_split($fold, '$sep')) - 1)) AS INT) END AS bpe_cnt
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // compression-eval mirror: the same generated replace fold, per-doc
+    // char/token counts aggregated by source
+    "bpe_compression_eval" -> {
+      val sep = "␟"
+      val fold = bpeMergeTable.foldLeft(s"regexp_replace(w, '(?s)(.)', '\\1$sep', 'g')") {
+        case (acc, (a, b)) => s"replace($acc, '$a$sep$b', '$a$b')"
+      }
+      s"""WITH b AS (SELECT source, CAST(length(text) AS BIGINT) AS ch,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE CAST(list_sum(list_transform(
+         |    regexp_split_to_array(trim(text), '\\s+'),
+         |    w -> len(string_split($fold, '$sep')) - 1)) AS BIGINT) END AS tk
+         |  FROM documents),
+         | a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(ch) AS BIGINT) AS n_chars,
+         |        CAST(SUM(tk) AS BIGINT) AS n_tokens FROM b GROUP BY 1)
+         |SELECT source, n_docs, n_chars, n_tokens,
+         |  CASE WHEN n_tokens > 0
+         |    THEN ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS chars_per_token
+         |FROM a ORDER BY source""".stripMargin
     },
     "dedup_last" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
