@@ -2139,6 +2139,30 @@ object SparkEntry {
       Stats.isotonicCalibration(qcScored(s, dir), col("p_clean"),
           col("is_clean"), bins = 100)
         .orderBy("bin")),
+    // EXT Expected Calibration Error (Naeini '15): the one-number
+    // summary of the reliability diagram — Σ n_b/N·|acc_b − conf_b|
+    // over the same 10 bins; confidence sums ride exact DECIMALs, the
+    // weighted fold runs in bin order
+    "calibration_ece" -> ((s, dir) => {
+      val cells = qcScored(s, dir)
+        .select(least(floor(col("p_clean") * 10), lit(9L)).cast("long").as("_b"),
+          col("p_clean").cast("decimal(20,6)").as("_p"),
+          col("is_clean").cast("long").as("_y"))
+        .groupBy(col("_b"))
+        .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_sp"),
+          sum(col("_y")).as("_np"))
+      cells
+        .agg(sort_array(collect_list(struct(col("_b"), col("_n"),
+            col("_sp"), col("_np")))).as("_l"),
+          sum(col("_n")).as("n"))
+        .select(col("n"), size(col("_l")).cast("long").as("n_bins"),
+          round(aggregate(col("_l"), lit(0.0), (acc, x) => {
+            val nb = x.getField("_n").cast("double")
+            val acc0 = x.getField("_np").cast("double") / nb
+            val conf = x.getField("_sp").cast("double") / nb
+            acc + nb / col("n").cast("double") * abs(acc0 - conf)
+          }), 6).as("ece"))
+    }),
     "classifier_calibration" -> ((s, dir) =>
       qcScored(s, dir)
         .select(least(floor(col("p_clean") * 10), lit(9L)).cast("long").as("bin"),
@@ -6396,6 +6420,25 @@ object SparkEntry {
          |  ROUND(CAST(l[CAST(k AS INT)].p AS DOUBLE) / CAST(l[CAST(k AS INT)].n AS DOUBLE), 6) AS raw_rate,
          |  ROUND(iso, 6) AS iso_rate
          |FROM iso ORDER BY bin""".stripMargin,
+    // ECE mirror: same bins/decimal sums, the weighted |acc - conf|
+    // fold in bin order via list_sum(list(... ORDER BY bin))
+    "calibration_ece" ->
+      s"""WITH $qcScoredSql,
+         | m AS (SELECT LEAST(CAST(FLOOR(p_clean * 10) AS BIGINT), 9) AS bin,
+         |        CAST(p_clean AS DECIMAL(20,6)) AS p,
+         |        CASE WHEN doc_id < 400000 THEN 1 ELSE 0 END AS pos FROM s),
+         | a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+         |        SUM(p) AS sp, CAST(SUM(pos) AS BIGINT) AS np
+         |       FROM m GROUP BY 1),
+         | t2 AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_bins FROM a),
+         | terms AS (SELECT bin,
+         |        CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)
+         |          * abs(CAST(np AS DOUBLE) / CAST(nb AS DOUBLE)
+         |            - CAST(sp AS DOUBLE) / CAST(nb AS DOUBLE)) AS term
+         |       FROM a, t2)
+         |SELECT t2.n, t2.n_bins,
+         |  ROUND((SELECT list_sum(list(term ORDER BY bin)) FROM terms), 6) AS ece
+         |FROM t2""".stripMargin,
     "classifier_calibration" ->
       s"""WITH $qcScoredSql,
          | m AS (SELECT LEAST(CAST(FLOOR(p_clean * 10) AS BIGINT), 9) AS bin,
