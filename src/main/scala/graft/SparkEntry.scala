@@ -3033,6 +3033,15 @@ object SparkEntry {
       Events.kaplanMeier(t(s, dir, "events"), "user_id", "ts",
           col("event_type") === "purchase")
         .orderBy("t")),
+    // EXT Wald SPRT early-stopping monitor (Events.sprtDaily): daily
+    // Bernoulli LLR of the user conversion rate, H0 p=0.35 vs H1
+    // p=0.40, alpha=beta=0.05 — rows stop AT the first boundary
+    // crossing, the sequential-analysis contract a fixed-horizon z
+    // test can't give
+    "sprt_daily" -> ((s, dir) =>
+      Events.sprtDaily(t(s, dir, "events"), "user_id", "ts",
+          col("event_type") === "purchase", p0 = 0.35, p1 = 0.40)
+        .orderBy("day")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -8382,6 +8391,35 @@ object SparkEntry {
     },
     // recursive-CTE mirror of the KM fold: rn-chained steps carrying
     // (nr, s); first step's 1.0 * x == x bitwise, so the shapes agree
+    // SPRT mirror: same (day, user)-distinct counts, the Scala-computed
+    // log coefficients/boundaries as shared literals, prefix list folds
+    // for the day-ordered LLR, rows cut at the first decision
+    "sprt_daily" -> {
+      val p0 = 0.35; val p1 = 0.40; val alpha = 0.05; val beta = 0.05
+      val lc1 = math.log(p1 / p0)
+      val lc2 = math.log((1.0 - p1) / (1.0 - p0))
+      val hi = math.log((1.0 - beta) / alpha)
+      val lo = math.log(beta / (1.0 - alpha))
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+         |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+         |        CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS x
+         |       FROM events GROUP BY 1),
+         | pk AS (SELECT list(struct_pack(day := day, n := n, x := x) ORDER BY day) AS l FROM d),
+         | ex AS (SELECT unnest(range(1, CAST(len(l) AS INT) + 1)) AS i, l FROM pk),
+         | ll AS (SELECT i, l[CAST(i AS INT)].day AS day, l[CAST(i AS INT)].n AS n,
+         |        l[CAST(i AS INT)].x AS x,
+         |        list_sum(list_transform(list_slice(l, 1, CAST(i AS INT)), e ->
+         |          CAST(e.x AS DOUBLE) * $lc1 + CAST(e.n - e.x AS DOUBLE) * $lc2)) AS llr
+         |       FROM ex),
+         | dd AS (SELECT i, day, n, x, llr,
+         |        CASE WHEN llr >= $hi THEN 'accept_h1'
+         |             WHEN llr <= $lo THEN 'accept_h0'
+         |             ELSE 'continue' END AS decision FROM ll),
+         | cut AS (SELECT COALESCE(MIN(i), 2147483647) AS stop_i FROM dd
+         |         WHERE decision <> 'continue')
+         |SELECT day, n, x, ROUND(llr, 6) AS llr, decision
+         |FROM dd, cut WHERE i <= stop_i ORDER BY day""".stripMargin
+    },
     // Nelson-Aalen mirror: the KM bucket CTEs with the additive hazard
     // recursion h += d/nr, exp(0 - h) at the readout
     "nelson_aalen_purchase" ->

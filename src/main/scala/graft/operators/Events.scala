@@ -594,6 +594,67 @@ object Events {
         col("cnt"), col("trend"), col("seasonal"), col("residual"))
   }
 
+  /** Wald's SPRT (Sequential Probability Ratio Test, '45) over the
+    * DAILY conversion series — the "can we stop the experiment early"
+    * readout fixed-horizon z tests can't give: per day, the Bernoulli
+    * log-likelihood-ratio increment x·ln(p1/p0) + (n−x)·ln((1−p1)/
+    * (1−p0)) accumulates in day order until it crosses ln((1−β)/α)
+    * (accept H1) or ln(β/(1−α)) (accept H0). The two log coefficients
+    * and both boundaries are Scala-computed double literals embedded
+    * on both engines (Double.toString round-trips), the fold is
+    * day-ordered, and rows stop AT the first decision day — exactly
+    * the sequential-analysis contract.
+    *
+    * Output: (day, n, x, llr, decision) for every day up to and
+    * including the first decision (decision ∈ accept_h1 / accept_h0 /
+    * continue).
+    *
+    * Scale shape (100 TB): ONE (day, user) distinct pass; the fold
+    * rides the |days| list.
+    */
+  def sprtDaily(events: DataFrame, userCol: String, tsCol: String,
+      convCond: Column, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"sprtDaily: need distinct p0,p1 in (0,1), got $p0/$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"sprtDaily: need alpha,beta in (0,1)")
+    val lc1 = math.log(p1 / p0)
+    val lc2 = math.log((1.0 - p1) / (1.0 - p0))
+    val hi = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    val day = col(tsCol).cast("date")
+    val daily = events
+      .groupBy(day.as("_day"))
+      .agg(count_distinct(col(userCol)).as("_n"),
+        count_distinct(when(convCond, col(userCol))).as("_x"))
+    val pathT =
+      "array<struct<day:date,n:bigint,x:bigint,llr:double,decision:string>>"
+    val zero = struct(lit(0.0).as("llr"), lit(false).as("stop"),
+      array().cast(pathT).as("path"))
+    daily
+      .agg(sort_array(collect_list(struct(col("_day"), col("_n"), col("_x"))))
+        .as("_l"))
+      .select(aggregate(col("_l"), zero, (acc, e) => {
+        val inc = e.getField("_x").cast("double") * lit(lc1) +
+          (e.getField("_n") - e.getField("_x")).cast("double") * lit(lc2)
+        val llr2 = acc.getField("llr") + inc
+        val dec = when(llr2 >= lit(hi), lit("accept_h1"))
+          .when(llr2 <= lit(lo), lit("accept_h0"))
+          .otherwise(lit("continue"))
+        val appended = concat(acc.getField("path"),
+          array(struct(e.getField("_day").as("day"), e.getField("_n").as("n"),
+            e.getField("_x").as("x"), llr2.as("llr"), dec.as("decision"))))
+        when(acc.getField("stop"), acc).otherwise(
+          struct(llr2.as("llr"), (dec =!= "continue").as("stop"),
+            appended.as("path")))
+      }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .select(col("_e.day").as("day"), col("_e.n").as("n"),
+        col("_e.x").as("x"), round(col("_e.llr"), 6).as("llr"),
+        col("_e.decision").as("decision"))
+  }
+
   /** Nelson-Aalen cumulative hazard (Nelson '72, Aalen '78) — the
     * additive companion to [[kaplanMeier]]'s multiplicative survival:
     * H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ over event-time buckets, plus the

@@ -198,6 +198,33 @@ class EventsSpec extends SparkSpec {
     assert(na(0)._5 >= 0.75 && na(1)._5 >= 0.25)
   }
 
+  test("sprtDaily: hand LLR walk crosses the H1 boundary and stops emitting") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // 4 users purchase every day at p0=0.25 vs p1=0.5:
+    // inc/day = 4*ln2 = 2.7726 -> day1 continue, day2 crosses ln19,
+    // day3 exists but must NOT be emitted (sequential stop)
+    val ev = (1 to 3).flatMap(d => (1 to 4).map(u =>
+      (u.toLong, t(f"2024-04-0$d%d 10:00:00"), "purchase")))
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.sprtDaily(ev, "user_id", "ts",
+        col("event_type") === "purchase", p0 = 0.25, p1 = 0.5)
+      .orderBy("day").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(4)).toSeq == Seq("continue", "accept_h1"))
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0).getDouble(3) == q6(4 * math.log(2.0)))
+    assert(out(1).getDouble(3) == q6(8 * math.log(2.0)))
+    // all-miss days walk toward H0
+    val ev0 = (1 to 9).flatMap(d => (1 to 4).map(u =>
+      (u.toLong, t(f"2024-04-0$d%d 10:00:00"), "view")))
+      .toDF("user_id", "ts", "event_type")
+    val out0 = Events.sprtDaily(ev0, "user_id", "ts",
+        col("event_type") === "purchase", p0 = 0.25, p1 = 0.5)
+      .orderBy("day").collect()
+    assert(out0.last.getString(4) == "accept_h0")
+    assert(out0.length < 9) // stopped before the series ended
+  }
+
   test("dowAdjustedAnomalies: spike flagged within its weekday cell, constant series silent") {
     // five Mondays, counts 2,2,2,2,12: residual 5x-20 = 40 vs MAD 10
     def mon(d: Int, n: Int) = (1 to n).map(_ => ("e", ts(d)))
