@@ -56,7 +56,28 @@ Test / testGrouping := {
         Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
     }
 }
+// Concurrent forked groups each inherit the full -Xmx; cap the
+// parallelism by what the host can actually hold (5 x 8g = 40 GB peak
+// would thrash an 8-16 GB host that ran the old single-JVM suite).
+// SPARK_GRAFT_TEST_FORKS overrides the derived value.
+val testForkLimit: Int = sys.env.get("SPARK_GRAFT_TEST_FORKS")
+  .flatMap(s => scala.util.Try(s.trim.toInt).toOption) getOrElse {
+    val heapGb = {
+      val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+      scala.util.Try {
+        if (m.endsWith("g")) m.dropRight(1).toDouble
+        else if (m.endsWith("m")) m.dropRight(1).toDouble / 1024.0
+        else m.toDouble / (1L << 30)
+      }.getOrElse(8.0)
+    }
+    val hostGb = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getTotalMemorySize.toDouble / (1L << 30)
+      case _ => 16.0
+    }
+    math.max(1, math.min(5, (hostGb * 0.8 / heapGb).toInt))
+  }
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 5),
+  Tags.limit(Tags.ForkedTestGroup, testForkLimit),
   Tags.limitAll(16),
 )

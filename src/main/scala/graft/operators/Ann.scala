@@ -896,6 +896,153 @@ object Ann {
     * while |Σq| stays under ~3e9 per dim (10⁹ vectors at default
     * scale); beyond that, quantize coarser.
     */
+  /** Deterministic NSW neighbor graph (the HNSW level-0 layer): each
+    * node keeps its `m` best neighbors by exact cosine among its
+    * sign-LSH bucket peers, then edges are symmetrized. Candidate
+    * generation is the bucketed kind (never all-pairs): a node only
+    * meets the peers of its `nTables` buckets, and buckets above
+    * `maxBucket` members are dropped whole before the self-join (the
+    * minhash skew posture — a 10^6-member hot bucket is a 10^12-pair
+    * stage at crawl scale; its members still meet through their OTHER
+    * tables). Output: (src, dst) directed both ways, <= 2·n·m edges.
+    *
+    * Scale shape (100 TB): one corpus scan to bucket, one equi-join on
+    * (table, bucket) capped by maxBucket, one top-m window partitioned
+    * by src — every shuffle carries ids + one double, never vectors
+    * (vectors join back per bucket side from the base scan).
+    */
+  /** Skew-capped sign-LSH bucket membership: (_t, _b, _nid) rows for
+    * `cv` = (_nid, _v), with buckets above `maxBucket` members dropped
+    * whole (their members still meet through their OTHER tables). */
+  private def signBucketFrame(cv: DataFrame,
+      planes: Array[Array[Array[Double]]], maxBucket: Int): DataFrame = {
+    val bk = cv.select(col("_nid"),
+      posexplode(VectorFunctions.signBuckets(col("_v"), planes))
+        .as(Seq("_t", "_b")))
+    val ok = bk.groupBy(col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+      .select(col("_t"), col("_b"))
+    bk.join(ok, Seq("_t", "_b"))
+  }
+
+  /** Graph build from a pre-bucketed corpus: each unordered bucket pair
+    * is scored ONCE (cosine is exactly symmetric — same ascending fold
+    * both directions), mirrored, top-m per src, then symmetrized. */
+  private def nswAdjFromBuckets(cv: DataFrame, kept: DataFrame,
+      m: Int): DataFrame = {
+    val pairs = kept.select(col("_t"), col("_b"), col("_nid").as("_src"))
+      .join(kept.select(col("_t"), col("_b"), col("_nid").as("_dst")),
+        Seq("_t", "_b"))
+      .filter(col("_src") < col("_dst"))
+      .select(col("_src"), col("_dst"))
+      .dropDuplicates("_src", "_dst")
+    val scoredOnce = pairs
+      .join(cv.select(col("_nid").as("_src"), col("_v").as("_sv")), Seq("_src"))
+      .join(cv.select(col("_nid").as("_dst"), col("_v").as("_dv")), Seq("_dst"))
+      .select(col("_src"), col("_dst"),
+        VectorFunctions.cosine(col("_sv"), col("_dv")).as("_cos"))
+    val scored = scoredOnce.union(scoredOnce.select(col("_dst").as("_src"),
+      col("_src").as("_dst"), col("_cos")))
+    val w = Window.partitionBy("_src").orderBy(col("_cos").desc, col("_dst").asc)
+    val directed = scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= m).select(col("_src"), col("_dst"))
+    directed.union(directed.select(col("_dst").as("_src"), col("_src").as("_dst")))
+      .distinct()
+      .select(col("_src").as("src"), col("_dst").as("dst"))
+  }
+
+  def nswAdjacency(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, planes: Array[Array[Array[Double]]],
+      maxBucket: Int = 256): DataFrame = {
+    require(m >= 1, s"nswAdjacency: need m>=1, got $m")
+    val cv = corpus.select(col(idCol).as("_nid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    nswAdjFromBuckets(cv, signBucketFrame(cv, planes, maxBucket), m)
+  }
+
+  /** HNSW-lite graph ANN (Malkov-Yashunin '16, flattened to the level-0
+    * NSW layer with LSH seeding and a fixed hop budget): greedy beam
+    * search over [[nswAdjacency]]. Unlike the priority-queue original —
+    * whose visit order is data-dependent and replays on no other
+    * engine — each hop here is a SET step, so the whole search is
+    * oracle-portable:
+    *
+    *   V_0 = query's (skew-capped) sign-LSH bucket peers, scored
+    *   F_0 = top-`ef` of V_0 by (cos desc, id asc)
+    *   C_h = neighbors(F_{h-1}) \ V_{h-1}      (per query, distinct)
+    *   F_h = top-`ef` of C_h
+    *   V_h = V_{h-1} ∪ C_h
+    *
+    * and the answer is top-k of V_H (self excluded) with the brute-force
+    * tie-break. Exact-cosine comparisons over identical IEEE doubles are
+    * order-free, so both engines walk the identical beam. LSH seeding
+    * replaces the original's upper layers: a fixed global entry point
+    * needs O(diameter) hops to reach a far query's neighborhood (recall
+    * measured 0.28 at 2000 nodes), while bucket seeds start the walk
+    * already near the query at any corpus size (0.96 same data).
+    *
+    * Scale shape (100 TB): seeding is bucket-bounded (maxBucket caps the
+    * hot ones); per hop, ONE equi-join of the (|q|·ef)-row frontier
+    * against the adjacency (partitioned by src) plus a top-ef window
+    * over <= |q|·ef·m rows — query cost is independent of corpus size
+    * once the graph is built, the property that makes graph indexes the
+    * industry default. `hops` is a small constant (plan depth is
+    * bounded); at hops > ~8 localCheckpoint the frontier per round like
+    * Graph.bfsHops.
+    *
+    * Output: (query_id, neighbor_id, cos, rank) — the ann_*_topk shape.
+    */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, ef: Int = 16, hops: Int = 3,
+      planes: Array[Array[Array[Double]]],
+      maxBucket: Int = 256): DataFrame = {
+    require(k >= 1 && ef >= 1 && hops >= 1,
+      s"hnswTopK: need k,ef,hops>=1, got $k/$ef/$hops")
+    val cv = corpus.select(col(idCol).as("_nid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val kept = signBucketFrame(cv, planes, maxBucket)
+    val adj = nswAdjFromBuckets(cv, kept, m)
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    // V_0: the query's bucket peers (self excluded), exact-scored
+    val qbk = queries.select(col(idCol).as("query_id"),
+      posexplode(VectorFunctions.signBuckets(
+        col(vecCol).cast("array<double>"), planes)).as(Seq("_t", "_b")))
+    val c0 = qbk.join(kept, Seq("_t", "_b"))
+      .filter(col("_nid") =!= col("query_id"))
+      .select(col("query_id"), col("_nid").as("node"))
+      .distinct()
+    val v0 = c0
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, col("node") === col("_nid"))
+      .select(col("query_id"), col("node"),
+        VectorFunctions.cosine(col("_qv"), col("_v")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node").asc)
+    var visited = v0
+    var frontier = v0.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= ef).select(col("query_id"), col("node"))
+    for (_ <- 1 to hops) {
+      val cand = frontier.join(adj, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .distinct()
+        .join(visited.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+      val scored = cand
+        .join(broadcast(qv), Seq("query_id"))
+        .join(cv, col("node") === col("_nid"))
+        .select(col("query_id"), col("node"),
+          VectorFunctions.cosine(col("_qv"), col("_v")).as("cos"))
+      frontier = scored.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= ef).select(col("query_id"), col("node"))
+      visited = visited.union(scored)
+    }
+    visited.filter(col("query_id") =!= col("node"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("cos"),
+        col("_rk").as("rank"))
+  }
+
   def meanVectorDrift(vecs: DataFrame, vecCol: String, splitCond: Column,
       scale: Int = 4096): DataFrame = {
     require(scale >= 1, s"meanVectorDrift: need scale>=1, got $scale")

@@ -651,7 +651,7 @@ object Events {
       }).getField("path").as("_p"))
       .select(explode(col("_p")).as("_e"))
       .select(col("_e.day").as("day"), col("_e.n").as("n"),
-        col("_e.x").as("x"), round(col("_e.llr"), 6).as("llr"),
+        col("_e.x").as("x"), (round(col("_e.llr"), 6) + lit(0.0)).as("llr"),
         col("_e.decision").as("decision"))
   }
 

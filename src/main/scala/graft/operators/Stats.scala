@@ -1242,9 +1242,12 @@ object Stats {
     val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
       lit(1.781477937)) * tt + lit(-0.356563782)) * tt + lit(0.319381530)) * tt
     val p2 = lit(2.0) * (exp(lit(-0.5) * az * az) / lit(Sqrt2Pi)) * poly
-    val scored = j.filter(col("_n") >= 2L)
+    // both sides need >= 2 rows or the Welch variance divides by
+    // (n-1) <= 0; z and mean are subtraction-derived → signed-zero
+    // normalization on the round(6) grid (invariant #47)
+    val scored = j.filter(col("_n") >= 2L && col("_tn") - col("_n") >= 2L)
       .select(col("_g"), col("_n"),
-        round(ma, 6).as("_mean"), round(z, 6).as("_z"),
+        (round(ma, 6) + lit(0.0)).as("_mean"), (round(z, 6) + lit(0.0)).as("_z"),
         round(p2, 6).as("_p"))
     val packed = scored
       .agg(sort_array(collect_list(struct(col("_p"), col("_g"), col("_n"),
@@ -1288,8 +1291,11 @@ object Stats {
       bins: Int = 100): DataFrame = {
     require(bins >= 2 && bins <= 512,
       s"isotonicCalibration: need 2<=bins<=512 (O(bins^3) fold), got $bins")
+    // clamp BOTH ends: scores outside [0,1] must land in bin 0 or
+    // bins-1, never a negative bin
     val cells = df.select(
-        least(floor(score * bins), lit((bins - 1).toLong)).cast("long").as("_b"),
+        greatest(lit(0L),
+          least(floor(score * bins), lit((bins - 1).toLong))).cast("long").as("_b"),
         label.cast("long").as("_y"))
       .groupBy(col("_b"))
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_p"))

@@ -236,6 +236,55 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("nswAdjacency: symmetric, self-loop-free, deterministic") {
+    val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planes = graft.functions.VectorFunctions.md5SignPlanes(8, 6, 64)
+    val adj = Ann.nswAdjacency(sfEmb, "vec_id", "embedding", m = 16,
+        planes = planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adj.nonEmpty)
+    assert(adj.forall { case (s0, d0) => s0 != d0 }, "self loop")
+    val set = adj.toSet
+    assert(set.size == adj.length, "duplicate edge")
+    assert(set.forall { case (s0, d0) => set.contains((d0, s0)) },
+      "adjacency not symmetric")
+    val again = Ann.nswAdjacency(sfEmb, "vec_id", "embedding", m = 16,
+        planes = planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == set)
+  }
+
+  test("hnswTopK: every query answered, deterministic, recall beats raw LSH seeds") {
+    val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = sfEmb.filter(col("vec_id") < 5)
+    val planes = graft.functions.VectorFunctions.md5SignPlanes(8, 6, 64)
+    val exact = Ann.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      (exact & pairs).size.toDouble / exact.size
+    val hnsw = Ann.hnswTopK(sfEmb, q, "vec_id", "embedding", k = 5,
+        m = 16, ef = 16, hops = 3, planes = planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(hnsw.map(_._1).distinct.length == 5, "a query went unanswered")
+    // ranks are 1..k contiguous per query
+    hnsw.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    val r = recallOf(hnsw.map(t => (t._1, t._2)).toSet)
+    assert(r >= 0.8, s"hnsw recall collapsed: $r")
+    // the graph walk must not LOSE recall vs its own seed stage (the
+    // pure LSH candidates with the same planes): V_0 is a subset of V_H
+    val seeds = Ann.lshTopK(sfEmb, q, "vec_id", "embedding", 5,
+        planes = Some(planes))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(r >= recallOf(seeds) - 1e-9,
+      s"beam lost recall vs seeds: $r vs ${recallOf(seeds)}")
+    val again = Ann.hnswTopK(sfEmb, q, "vec_id", "embedding", k = 5,
+        m = 16, ef = 16, hops = 3, planes = planes)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(3))).toSet
+    assert(again == hnsw.toSet)
+  }
+
   test("lshTopK probeDepth: per-query recall is monotone in probing depth") {
     val sfEmb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = sfEmb.filter(col("vec_id") < 8)
