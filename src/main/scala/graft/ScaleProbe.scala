@@ -536,6 +536,27 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("bpetrainx")) {
+      // train the EXPANDED-vocab merge table (bpeMergeTableX) over the
+      // SparkEntry.expandedTokens view — hex-suffixed tokens give the
+      // trainer real merge competition the ~31-word raw vocab cannot:
+      // runMain graft.ScaleProbe bpetrainx <sfDir> [nMerges]
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+      val n = args.drop(2).headOption.map(_.toInt).getOrElse(32)
+      val toks = graft.SparkEntry.expandedTokens(spark, dir)
+      val merges = graft.functions.TextFunctions.learnBpeMerges(toks, "token", n)
+      println(merges.map { case (a, b) => s"""("$a", "$b")""" }.mkString(",\n"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpetrain")) {
       // train the merge table the declared bpe query embeds as a literal:
       // runMain graft.ScaleProbe bpetrain <sfDir> [nMerges]

@@ -87,6 +87,48 @@ object SparkEntry {
       .agg(round(avg(log(col("cb").cast("double") / col("cp"))), 6).as("logprob"))
   }
 
+  /** Expanded-vocab token view: the synthetic corpus has only ~31
+    * distinct words, so token-level queries (negative sampling at k=64,
+    * Zipf fits over top-1000) ran in degenerate regimes. Each word
+    * OCCURRENCE deterministically grows an md5 suffix — nibble n of
+    * md5(doc_id:pos:word): n<8 bare word, n<12 one hex char, else two —
+    * yielding a ~5-8k-token vocabulary with a heavy head (half of all
+    * occurrences keep the bare word) and a long hash-shard tail, the
+    * shape the real queries operate on. Pure per-row expressions (no
+    * shuffle, no state); positions are 1-based on BOTH engines and
+    * empty split artifacts are filtered AFTER position assignment so
+    * the md5 inputs agree. Mirrored by [[expandedTokensSql]] — a recipe
+    * change here must change that CTE in lockstep.
+    */
+  private[graft] def expandedTokens(s: SparkSession, dir: String): DataFrame = {
+    val dw = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("_p0", "word")))
+      .filter(col("word") =!= "")
+    val h = md5(concat(col("doc_id").cast("string"), lit(":"),
+      (col("_p0") + 1).cast("string"), lit(":"), col("word")))
+    val n = conv(substring(h, 1, 1), 16, 10).cast("int")
+    dw.select(col("doc_id"), (col("_p0") + 1).as("pos"),
+      when(n < 8, col("word"))
+        .when(n < 12, concat(col("word"), lit("_"), substring(h, 2, 1)))
+        .otherwise(concat(col("word"), lit("_"), substring(h, 2, 2)))
+        .as("token"))
+  }
+
+  /** DuckDB mirror of [[expandedTokens]]: CTEs `dw`/`xt`/`et`, et =
+    * (doc_id, pos, token). */
+  private val expandedTokensSql: String =
+    """dw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      | xt AS (SELECT doc_id, j AS pos, w[j] AS word,
+      |         md5(CAST(doc_id AS VARCHAR) || ':' || j || ':' || w[j]) AS h
+      |        FROM dw, LATERAL unnest(range(1, len(w) + 1)) AS t(j)
+      |        WHERE w[j] <> ''),
+      | et AS (SELECT doc_id, pos,
+      |         CASE WHEN (instr('0123456789abcdef', substr(h, 1, 1)) - 1) < 8 THEN word
+      |              WHEN (instr('0123456789abcdef', substr(h, 1, 1)) - 1) < 12 THEN word || '_' || substr(h, 2, 1)
+      |              ELSE word || '_' || substr(h, 2, 2) END AS token
+      |        FROM xt)""".stripMargin
+
   private[graft] def injectedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val dups = docs.filter(col("doc_id") % 7 === 0)
@@ -111,6 +153,22 @@ object SparkEntry {
     ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
     ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** Merge table trained on the EXPANDED-vocab view (~5-8k hex-suffixed
+    * tokens — see [[expandedTokens]]) where the trainer faces real
+    * merge competition: suffix boundaries ("e_", "ow_", "er_") now
+    * compete with in-word pairs, which the ~31-word raw vocabulary
+    * never exhibited. 32 merges,
+    * `runMain graft.ScaleProbe bpetrainx /root/testdata/sf0.01 32`.
+    */
+  private val bpeMergeTableX: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("e", "_"), ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"),
+    ("p", "ar"), ("ow", "_"), ("h", "_"), ("c", "a"), ("j", "o"),
+    ("jo", "in"), ("a", "s"), ("h", "as"), ("at", "c"), ("b", "atc"),
+    ("ca", "n"), ("s", "can"), ("a", "b"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("er", "_"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1008,6 +1066,20 @@ object SparkEntry {
             .as("bpe_cnt"))
         .orderBy("doc_id")
     }),
+    // EXT learned BPE over the EXPANDED-vocab view: per-doc token count
+    // under bpeMergeTableX (trained on the ~5-8k hex-suffixed vocab,
+    // where suffix-boundary merges compete with in-word merges — the
+    // non-degenerate regime the raw ~31-word corpus can't produce).
+    // Same codegen'd per-word fold, summed per doc; docs with no
+    // tokens drop out on both engines
+    "bpe_tokens_expanded" -> ((s, dir) => {
+      expandedTokens(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.bpeCount(col("token"), bpeMergeTableX)
+            .cast("long").as("_c"))
+        .groupBy("doc_id").agg(sum(col("_c")).as("bpe_cnt"))
+        .orderBy("doc_id")
+    }),
     // #9 keep=last (utils.py:352-372)
     "dedup_last" -> ((s, dir) => {
       Relational
@@ -1171,10 +1243,11 @@ object SparkEntry {
     // EXT word2vec-style negative sampling (Mikolov '13): unigram
     // popularity tempered by the classic 0.75 exponent (lw =
     // 0.75·ln(cnt)), drawn WITHOUT replacement via the deterministic
-    // Gumbel top-k — the negatives table a contrastive trainer feeds on
+    // Gumbel top-k — the negatives table a contrastive trainer feeds
+    // on. Over the expanded-vocab view (vocab ~5-8k) so k=64 is a real
+    // sample, not the whole vocabulary
     "negative_sample_tokens" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val tok = expandedTokens(s, dir)
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       Sampling.gumbelTopK(
           tok.withColumn("lw", lit(0.75) * log(col("cnt").cast("double"))),
@@ -2117,9 +2190,8 @@ object SparkEntry {
     // TakeOrderedAndProject over the vocab-bounded frequency table,
     // never a corpus sort
     "zipf_slope_tokens" -> ((s, dir) => {
-      val freq = t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .filter(col("tok") =!= "")
+      val freq = expandedTokens(s, dir)
+        .select(col("token").as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("freq"))
       val top = freq.orderBy(col("freq").desc, col("tok")).limit(1000)
         .withColumn("rank", row_number().over(
@@ -5341,6 +5413,19 @@ object SparkEntry {
          |    THEN ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS chars_per_token
          |FROM a ORDER BY source""".stripMargin
     },
+    // expanded-BPE mirror: the same generated replace fold from the
+    // bpeMergeTableX literal, applied to the et view's single-word
+    // tokens and summed per doc
+    "bpe_tokens_expanded" -> {
+      val sep = "␟"
+      val fold = bpeMergeTableX.foldLeft(s"regexp_replace(token, '(?s)(.)', '\\1$sep', 'g')") {
+        case (acc, (a, b)) => s"replace($acc, '$a$sep$b', '$a$b')"
+      }
+      s"""WITH $expandedTokensSql,
+         | c AS (SELECT doc_id, len(string_split($fold, '$sep')) - 1 AS c FROM et)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bpe_cnt
+         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     "dedup_last" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
@@ -5444,8 +5529,8 @@ object SparkEntry {
     // negative-sampling mirror: raw token counts, 0.75*ln tempering,
     // the md5 'neg:' gumbel idiom, top-64 by (key desc, token)
     "negative_sample_tokens" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
-        | tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+      s"""WITH $expandedTokensSql,
+        | tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM et GROUP BY 1),
         | g AS (SELECT token, cnt,
         |        ROUND(0.75 * LN(CAST(cnt AS DOUBLE)) - LN(-LN(
         |          CAST(list_sum([(instr('0123456789abcdef', substr(md5('neg:' || token), k, 1)) - 1) * power(16, 12 - k) for k in range(1, 13)]) AS BIGINT)
@@ -8436,9 +8521,9 @@ object SparkEntry {
         |  n_events
         |FROM i ORDER BY user_id, valid_from, event_type""".stripMargin,
     "zipf_slope_tokens" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
-        | f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
-        |       WHERE tok <> '' GROUP BY 1),
+      s"""WITH $expandedTokensSql,
+        | f AS (SELECT token AS tok, CAST(COUNT(*) AS BIGINT) AS freq FROM et
+        |       GROUP BY 1),
         | r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM f),
         | k AS (SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
         |        CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
