@@ -202,6 +202,24 @@ object SparkEntry {
         .upsert(orders, delta, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    // EXT partition-pruned upsert (Relational.upsertPruned — the Delta
+    // MERGE shape SURVEY §2.1 #12 calls for at scale): updates land in
+    // ONE order-year partition, so the wide-key anti-join runs over
+    // that year only; untouched years stream through a broadcast
+    // partition anti-join with no key shuffle. Same result set as the
+    // plain upsert — PlanSpec pins the pruned plan shape
+    "upsert_pruned_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+          col("o_orderpriority"))
+      val delta = orders
+        .filter(col("o_year") === 1995 && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_year"),
+          lit("0-UPDATED").as("o_orderpriority"))
+      Relational
+        .upsertPruned(orders, delta, Seq("o_orderkey"), "o_year")
+        .orderBy("o_orderkey", "o_year", "o_orderpriority")
+    }),
     // #9 drop_duplicates_by_index keep=first (utils.py:352-372)
     "dedup_first" -> ((s, dir) => {
       Relational
@@ -5987,6 +6005,16 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
         |UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM delta
         |ORDER BY o_orderkey""".stripMargin,
+    // pruned-upsert mirror: plain upsert SQL — the pruning is execution
+    // strategy (which partitions the anti-join touches), not semantics
+    "upsert_pruned_orders" ->
+      """WITH o AS (SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, o_orderpriority FROM orders),
+        | delta AS (SELECT o_orderkey, o_year, '0-UPDATED' AS o_orderpriority FROM o
+        |           WHERE o_year = 1995 AND o_orderkey % 10 = 0),
+        | m AS (SELECT * FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |       UNION ALL SELECT * FROM delta)
+        |SELECT o_orderkey, o_year, o_orderpriority FROM m
+        |ORDER BY o_orderkey, o_year, o_orderpriority""".stripMargin,
     "dedup_first" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

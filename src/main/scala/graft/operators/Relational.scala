@@ -126,6 +126,32 @@ object Relational {
       .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
 
+  /** Partition-pruned upsert — the Delta-MERGE shape (SURVEY §2.1 #12
+    * "at scale: Delta MERGE", `utils.py:469-489`): same result set as
+    * [[upsert]], but the key anti-join runs ONLY over partitions that
+    * actually contain updates. `updates`' distinct partition values are
+    * a broadcast (they are few by construction — that's why partCol is
+    * a partition column), untouched partitions stream through a
+    * map-side broadcast anti-join with no key shuffle, and the
+    * expensive wide-key anti-join input shrinks from |orig| to
+    * |touched partitions|. Over storage partitioned by `partCol` the
+    * same semi-join is what lets the engine skip untouched files
+    * entirely (dynamic partition pruning); a Delta/Iceberg writer
+    * would then rewrite only the touched partitions.
+    */
+  def upsertPruned(orig: DataFrame, updates: DataFrame, keys: Seq[String],
+      partCol: String): DataFrame = {
+    val parts = updates.select(col(partCol)).distinct()
+    val untouched = orig.join(broadcast(parts), Seq(partCol), "left_anti")
+    val touched = orig.join(broadcast(parts), Seq(partCol), "left_semi")
+    untouched
+      .unionByName(touched
+        .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      .unionByName(updates)
+      // the USING-joins moved partCol first; restore orig's column order
+      .select(orig.columns.map(col).toIndexedSeq: _*)
+  }
+
   sealed trait Keep
   object Keep {
     case object First extends Keep

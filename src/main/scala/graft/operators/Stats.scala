@@ -1142,17 +1142,25 @@ object Stats {
     *
     * Scale shape (100 TB): ONE map-side-combinable cell aggregate; the
     * partition-less windows ride the score-GRID-bounded cell list and
-    * the B-row decile frame, never rows.
+    * the B-row decile frame, never rows. CONTRACT: `score` must be
+    * quantized to a bounded grid (e.g. round(score, 6) over a bounded
+    * range — <= ~2M cells x 2 labels); a continuous raw score makes
+    * the cell list row-sized and the partition-less window a
+    * single-task sort. Enforced at execution: the plan raises once the
+    * cell count (a 1-row aggregate already in the plan) exceeds
+    * `maxCells` — fail-fast, not a silent mega-task.
     */
   def liftGain(df: DataFrame, score: Column, label: Column,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10, maxCells: Long = 4000000L): DataFrame = {
     require(buckets >= 2, s"liftGain: need buckets>=2, got $buckets")
+    require(maxCells >= 1, s"liftGain: need maxCells>=1, got $maxCells")
     val cells = df.select(score.as("_s"), label.cast("boolean").as("_y"))
       .groupBy("_s", "_y").agg(count(lit(1)).as("_c"))
     val cw = Window.orderBy(col("_s").desc, col("_y").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = cells.agg(sum(col("_c")).as("_n"),
-      sum(when(col("_y"), col("_c")).otherwise(0L)).as("_tp"))
+      sum(when(col("_y"), col("_c")).otherwise(0L)).as("_tp"),
+      count(lit(1)).as("_m"))
     // NTILE geometry from the 1-row total: q = n div B, r = n mod B;
     // bucket b covers positions ((b-1)q + min(b-1,r), bq + min(b,r)]
     val q = col("_q")
@@ -1164,7 +1172,14 @@ object Stats {
       .withColumn("_end", sum(col("_c")).over(cw))
       .withColumn("_start", col("_end") - col("_c") + 1L)
       .crossJoin(broadcast(tot))
-      .withColumn("_q", expr(s"_n div ${buckets}L"))
+      // assert_true is null when it passes, so the coalesce adds an
+      // exact 0 — the guard rides a column the plan needs (pruning
+      // can't drop it) and costs one broadcast comparison per cell row
+      .withColumn("_q", expr(s"_n div ${buckets}L") +
+        coalesce(assert_true(col("_m") <= lit(maxCells),
+          lit(s"liftGain: score cells exceed maxCells=$maxCells -- " +
+            "quantize the score (e.g. round(score, 6) on a bounded " +
+            "range) or raise maxCells")).cast("long"), lit(0L)))
       .withColumn("_r", col("_n") % lit(buckets.toLong))
       .withColumn("decile", explode(sequence(bucketOf(col("_start")),
         bucketOf(col("_end")))))

@@ -150,6 +150,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("upsert_pruned_orders: partition semi/anti joins broadcast; the key anti-join is partition-scoped") {
+    val plan = planOf("upsert_pruned_orders")
+    // the distinct update-partition set is tiny and broadcast: untouched
+    // years stream through a broadcast LeftAnti (no key shuffle), the
+    // touched-year scan is a broadcast LeftSemi — over partitioned
+    // storage this is the dynamic-partition-pruning shape that skips
+    // untouched files before the wide-key anti-join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("asof_join_events: the as-of lookup compiles join-free (union + keyed window)") {
     val plan = SparkEntry.queries("asof_join_events")(spark, sf)
       .queryExecution.executedPlan.toString

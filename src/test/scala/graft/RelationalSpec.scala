@@ -36,6 +36,39 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1 -> "old1", 2 -> "new2", 3 -> "new3"))
   }
 
+  test("upsertPruned: same result set as plain upsert; CDC changes compose") {
+    val orig = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"), (4L, 30, "d"))
+      .toDF("k", "part", "v")
+    val upd = Seq((2L, 10, "B"), (5L, 10, "e")).toDF("k", "part", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val pruned = rows(Relational.upsertPruned(orig, upd, Seq("k"), "part"))
+    assert(pruned == rows(Relational.upsert(orig, upd, Seq("k"))))
+    // untouched partitions (20, 30) pass through verbatim
+    assert(pruned.contains((3L, 20, "c")) && pruned.contains((4L, 30, "d")))
+    assert(pruned((2L, 10, "B")) && pruned((5L, 10, "e")))
+
+    // CDC composition: snapshotDiff's added+changed rows applied via
+    // upsertPruned reproduce the new snapshot (removals excluded — an
+    // upsert never deletes; filter them from the base first)
+    val base = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "x"), (2L, "y v2"), (4L, "w")).toDF("doc_id", "text")
+    val diff = graft.operators.Corpus.snapshotDiff(base, v2, "doc_id", "text")
+    val changes = v2.join(
+      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"))
+    val kept = base.join(
+      diff.filter(col("status") === "removed").select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val applied = Relational.upsertPruned(
+        kept.withColumn("part", col("doc_id") % 2),
+        changes.withColumn("part", col("doc_id") % 2),
+        Seq("doc_id"), "part")
+      .select("doc_id", "text")
+    assert(applied.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      v2.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("dropDuplicatesByKey keep laws (utils.py:352-372)") {
     val df = Seq((1, 10, "a"), (1, 20, "b"), (2, 30, "c")).toDF("k", "ord", "v")
     def vals(keep: Relational.Keep) =

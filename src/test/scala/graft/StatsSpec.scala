@@ -454,6 +454,25 @@ class StatsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 4L, 3L, 1.0, 1.0)))
   }
 
+  test("liftGain: maxCells guard fails fast on an unbounded score grid") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 0.9, true), (2L, 0.8, true), (3L, 0.2, false),
+      (4L, 0.1, true)).toDF("id", "p", "y")
+    // 4 distinct (score, label) cells > maxCells=2 -> the plan raises
+    // instead of funneling a row-sized cell list through one window task
+    val e = intercept[Exception] {
+      Stats.liftGain(df, col("p"), col("y"), buckets = 2, maxCells = 2L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxCells")), msgs(e).mkString(" | "))
+    // and the guard is invisible when the contract holds
+    val ok = Stats.liftGain(df, col("p"), col("y"), buckets = 2, maxCells = 4L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(ok(1L) == 0.666667 && ok(2L) == 1.0)
+  }
+
   test("welchUplift: hand Welch z per segment, degenerate arm null") {
     import org.apache.spark.sql.functions.col
     // seg X: arm0 {1,3} (m=2, s2=2), arm1 {5,9} (m=7, s2=8):
