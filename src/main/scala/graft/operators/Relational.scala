@@ -101,10 +101,15 @@ object Relational {
       .filter(col(c).isNotNull)
       .crossJoin(broadcast(mm))
       .withColumn("bucket", bucket)
+    // the grouped frame is <= bins rows but derives from a full scan and
+    // is read twice (rows + grand total): an EAGER localCheckpoint runs
+    // the scan once and stores only the tiny result, released by the
+    // ContextCleaner when the frame is collected — no persist, so no
+    // caller-side clearCache contract
     val counts = binned
       .groupBy(col("bucket"), col("_lo"), col("_hi"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
       .withColumn("lo", col("_lo") + (col("_hi") - col("_lo")) / bins * col("bucket"))
       .withColumn("hi", col("_lo") + (col("_hi") - col("_lo")) / bins * (col("bucket") + 1))
     val tot = counts.agg(sum("cnt").as("_grand"))

@@ -31,6 +31,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("windowedCounts: out-of-order late data is dropped by the watermark, accounted, and the survivors match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.windowedCounts(mem.toDF(), "ts", "10 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // batch 1: on-time events; max event time 00:25 -> watermark 00:15
+    val onTime1 = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 00:12:00"), "view", 2.0),
+      Ev(Timestamp.valueOf("2024-01-01 00:25:00"), "click", 3.0))
+    mem.addData(onTime1: _*)
+    q.processAllAvailable()
+    // batch 2: one LATE row (00:02 < watermark 00:15, its window is
+    // closed -> dropped) and one on-time row pushing the watermark to
+    // 00:31, which finalizes every window this test reads back
+    val late = Ev(Timestamp.valueOf("2024-01-01 00:02:00"), "view", 10.0)
+    val onTime2 = Ev(Timestamp.valueOf("2024-01-01 00:41:00"), "click", 4.0)
+    mem.addData(late, onTime2)
+    q.processAllAvailable()
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val streamed = spark.table("late_out")
+      .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+    // dropped-late accounting: exactly the one late row
+    assert(dropped == 1L, s"expected 1 watermark-dropped row, got $dropped")
+    // the streamed result equals a batch recomputation WITHOUT the late
+    // row, over the windows the final watermark (00:31) finalized
+    val finalized = Timestamp.valueOf("2024-01-01 00:31:00")
+    def batchOf(rows: Seq[Ev]) =
+      StreamOps.windowedCounts(rows.toDF(), "ts", "10 minutes")
+        .filter(col("win_end") <= lit(finalized))
+        .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batchOf(onTime1 :+ onTime2))
+    assert(streamed.nonEmpty)
+    // and differs from the batch over ALL rows — the drop was real
+    assert(streamed != batchOf(onTime1 ++ Seq(late, onTime2)))
+  }
+
   test("windowedCounts: sliding windows produce overlapping assignment") {
     val out = StreamOps.windowedCounts(evs.toDF(), "ts", "10 minutes", Some("5 minutes"))
     val perRowWindows = out.agg(sum("cnt")).head().getLong(0)
