@@ -735,6 +735,26 @@ object SparkEntry {
           planes = graft.functions.VectorFunctions.md5SignPlanes(8, 6, 64))
         .orderBy("query_id", "rank")
     }),
+    // EXT hnsw recall eval: beam top-10 vs brute top-10 — completes the
+    // LSH/IVF/PQ/HNSW recall-eval family (same left-join shape)
+    "ann_recall_hnsw" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hnsw = Ann.hnswTopK(emb, q, "vec_id", "embedding", k = 10,
+          m = 16, ef = 16, hops = 3,
+          planes = graft.functions.VectorFunctions.md5SignPlanes(8, 6, 64))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+      brute.join(hnsw, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+        .orderBy("query_id")
+    }),
     // EXT multimodal plumbing, oracle-checked: documents' bytes ride as
     // an opaque binary column; frame sampling (explode + byte-slice)
     // emits every 2nd 64-byte frame, fingerprinted. The ASCII guard
@@ -4457,8 +4477,10 @@ object SparkEntry {
     * per hop, so the SQL IS the set-step recurrence. Reuses the proven
     * md5 sign-plane bucket CTEs and the ordered-fold cosine.
     */
-  private def hnswSql(k: Int, m: Int, ef: Int, hops: Int,
-      maxBucket: Int): String = {
+  /** The graph-build + unrolled-beam CTE chain (no WITH, no final
+    * select) — shared by the ann_hnsw_topk mirror and the recall eval.
+    * Ends at CTE `v<hops>` (the visited union). */
+  private def hnswCtes(m: Int, ef: Int, hops: Int, maxBucket: Int): String = {
     // every CTE the hop chain references repeatedly is MATERIALIZED —
     // DuckDB otherwise re-inlines the whole upstream pipeline per
     // reference and the unrolled beam goes exponential (140 s -> 2.8 s
@@ -4477,7 +4499,7 @@ object SparkEntry {
          |          FROM s$h) WHERE rk <= $ef),
          | v$h AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT * FROM s$h)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${lshBucketCtes(8, 6, mat = true)},
+    s"""${lshBucketCtes(8, 6, mat = true)},
        | okb AS (SELECT t, bucket FROM bk GROUP BY t, bucket HAVING COUNT(*) <= $maxBucket),
        | kept AS MATERIALIZED (SELECT a.vec_id, a.t, a.bucket FROM bk a
        |        JOIN okb ON okb.t = a.t AND okb.bucket = a.bucket),
@@ -4504,13 +4526,39 @@ object SparkEntry {
        | f0 AS (SELECT query_id, node FROM (SELECT query_id, node,
        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rk
        |          FROM v0) WHERE rk <= $ef),
-       |$hopCtes,
+       |$hopCtes""".stripMargin
+  }
+
+  private def hnswSql(k: Int, m: Int, ef: Int, hops: Int,
+      maxBucket: Int): String =
+    s"""WITH ${hnswCtes(m, ef, hops, maxBucket)},
        | fin AS (SELECT query_id, node, cos,
        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rk
        |         FROM v$hops WHERE node <> query_id)
        |SELECT query_id, node AS neighbor_id, cos, CAST(rk AS INT) AS rank
        |FROM fin WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Recall@k of the hnsw beam vs brute force — the hnsw member of the
+    * ann_recall_* family, generated from the same CTE chain. */
+  private def hnswRecallSql(k: Int, m: Int, ef: Int, hops: Int,
+      maxBucket: Int): String =
+    s"""WITH ${hnswCtes(m, ef, hops, maxBucket)},
+       | fin AS (SELECT query_id, node,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rk
+       |         FROM v$hops WHERE node <> query_id),
+       | hn AS (SELECT query_id, node AS neighbor_id FROM fin WHERE rk <= $k),
+       | sb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ${cosSql("q.v", "c.v")} AS cos
+       |       FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       | rb AS (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sb),
+       | brute AS (SELECT query_id, neighbor_id FROM rb WHERE rank <= $k)
+       |SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_hits,
+       |  ROUND(CAST(COUNT(h.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       |FROM brute b LEFT JOIN hn h
+       |  ON h.query_id = b.query_id AND h.neighbor_id = b.neighbor_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
   /** The ngram-Jaccard pair pipeline CTEs (documents + %7 dup injection
     * -> word 3-shingles -> df<=128-capped candidate self-join -> exact
@@ -5289,6 +5337,7 @@ object SparkEntry {
          |        FROM s)
          |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "ann_hnsw_topk" -> hnswSql(k = 5, m = 16, ef = 16, hops = 3, maxBucket = 256),
+    "ann_recall_hnsw" -> hnswRecallSql(k = 10, m = 16, ef = 16, hops = 3, maxBucket = 256),
     "running_total_user" ->
       """SELECT user_id, event_id,
         | CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
