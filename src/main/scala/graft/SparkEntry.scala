@@ -2311,6 +2311,18 @@ object SparkEntry {
             to_date(lit("1970-01-01"))).as("d"))
           .agg(count(lit(1)).as("x")),
         "d", "x")),
+    // EXT grid quantile regression (Stats.quantileRegressionGrid,
+    // Koenker-Bassett pinball loss): τ∈{0.5,0.9} trend lines of the
+    // daily event-count series over a data-derived intercept×slope
+    // grid — candidate losses are exact DECIMAL sums of quantized
+    // pinball terms, argmin under a total (loss, j, k) order
+    "quantile_regression_daily" -> ((s, dir) =>
+      Stats.quantileRegressionGrid(
+        t(s, dir, "events")
+          .groupBy(datediff(col("ts").cast("date"),
+            to_date(lit("1970-01-01"))).as("d"))
+          .agg(count(lit(1)).as("x")),
+        "d", "x")),
     // EXT RAKE keyword extraction (Corpus.rakeKeywords, Rose 2010):
     // corpus-level candidate phrases split on stopwords+punctuation,
     // word deg/freq scores round(9)-quantized to exact DECIMAL so the
@@ -3223,6 +3235,38 @@ object SparkEntry {
       graft.streaming.StreamOps.cusumStream(points)
         .toDF("event_type", "day", "s")
         .orderBy("event_type", "day")
+    }),
+    // EXT adaptive conformal monitoring applied to a batch frame (the
+    // suite strategy for stream lambdas): per-type daily |count − ref|
+    // nonconformity (ref = the cusum family's exact integer ceil-mean,
+    // so every score is integer-exact), judged test-then-train against
+    // the exact-rank q-hat of a 30-score sliding window while the
+    // Gibbs-Candès step αₜ₊₁ = αₜ + γ(α − errₜ) widens after misses;
+    // the oracle replays the same fold as an rn-chained recursive CTE
+    // carrying (α, window-list) state
+    "conformal_stream_daily" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("key"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val refs = daily.groupBy(col("key"))
+        .agg(sum(col("cnt")).as("_tot"), count(lit(1)).as("_nd"))
+        .select(col("key"),
+          floor((col("_tot") + col("_nd") - 1) / col("_nd")).cast("long").as("ref"))
+      val points = daily.join(refs, Seq("key"))
+        .select(col("key"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("long").as("seq"),
+          abs(col("cnt") - col("ref")).cast("double").as("score"))
+        .as[graft.streaming.ConformalPoint]
+      graft.streaming.StreamOps.adaptiveConformalStream(points,
+          alpha = 0.2, gamma = 0.1, calWindow = 30, minCal = 5)
+        .toDF()
+        .select(col("key").as("event_type"), col("seq").as("d"),
+          when(isnan(col("qhat")), lit(null)).otherwise(col("qhat")).as("qhat"),
+          col("covered").cast("int").as("covered"),
+          (round(col("alpha"), 6) + lit(0.0)).as("alpha"))
+        .orderBy("event_type", "d")
     }),
     // EXT streaming transition edges applied to a batch frame (the
     // suite strategy for stream lambdas — the same
@@ -6710,6 +6754,31 @@ object SparkEntry {
          |SELECT bin, n, ROUND(sp / CAST(n AS DOUBLE), 6) AS avg_p,
          |  ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate
          |FROM a ORDER BY bin""".stripMargin,
+    "quantile_regression_daily" ->
+      """WITH dc AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS x,
+        |        CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        | ext AS (SELECT CAST(MIN(x) AS BIGINT) AS xmin, CAST(MAX(x) AS BIGINT) AS xmax,
+        |        CAST(MIN(y) AS BIGINT) AS ymin, CAST(MAX(y) AS BIGINT) AS ymax FROM dc),
+        | jj AS (SELECT CAST(unnest(range(0, 11)) AS BIGINT) AS j),
+        | kk AS (SELECT CAST(unnest(range(0, 21)) AS BIGINT) AS k),
+        | tt AS (SELECT CAST(tau AS DOUBLE) AS tau FROM (VALUES (0.5), (0.9)) v(tau)),
+        | g AS (SELECT tau, j, k,
+        |        CAST(ymin AS DOUBLE)
+        |          + CAST(ymax - ymin AS DOUBLE) * (CAST(j AS DOUBLE) / 10.0) AS a,
+        |        (CAST(ymax - ymin AS DOUBLE) / CAST(xmax - xmin AS DOUBLE))
+        |          * (CAST(k - 10 AS DOUBLE) / 10.0) AS b
+        |       FROM ext, jj, kk, tt),
+        | sc AS (SELECT tau, j, k, a, b,
+        |        SUM(CAST(ROUND(GREATEST(
+        |            tau * (CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE)),
+        |            (tau - 1.0) * (CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))), 6)
+        |          AS DECIMAL(28,6))) AS loss
+        |       FROM dc, g GROUP BY 1, 2, 3, 4, 5),
+        | r AS (SELECT tau, j, k, a, b, loss,
+        |        ROW_NUMBER() OVER (PARTITION BY tau ORDER BY loss, j, k) AS rn FROM sc)
+        |SELECT tau, ROUND(a, 6) + 0e0 AS a, ROUND(b, 6) + 0e0 AS b,
+        |  ROUND(CAST(loss AS DOUBLE), 6) + 0e0 AS loss
+        |FROM r WHERE rn = 1 ORDER BY tau""".stripMargin,
     "theil_sen_daily" ->
       """WITH dc AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS d,
         |        CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
@@ -8398,7 +8467,7 @@ object SparkEntry {
         |       FROM c),
         | a AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
         |        SUM(CAST(na AS DOUBLE) * (CAST(cb AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2)) AS ra,
-        |        CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM w)
+        |        SUM(CAST(t AS HUGEINT) * t * t - t) AS tt FROM w)
         |SELECT n_a, n_b,
         |  ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2 AS u_a,
         |  ROUND((ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
@@ -8440,11 +8509,11 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |          + m + 1 AS r2y FROM my),
         | a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
-        |        CAST(SUM(c * r2x) AS BIGINT) AS sx,
-        |        CAST(SUM(c * r2y) AS BIGINT) AS sy,
-        |        CAST(SUM(c * r2x * r2y) AS BIGINT) AS sxy,
-        |        CAST(SUM(c * r2x * r2x) AS BIGINT) AS sxx,
-        |        CAST(SUM(c * r2y * r2y) AS BIGINT) AS syy
+        |        SUM(CAST(c AS HUGEINT) * r2x) AS sx,
+        |        SUM(CAST(c AS HUGEINT) * r2y) AS sy,
+        |        SUM(CAST(c AS HUGEINT) * r2x * r2y) AS sxy,
+        |        SUM(CAST(c AS HUGEINT) * r2x * r2x) AS sxx,
+        |        SUM(CAST(c AS HUGEINT) * r2y * r2y) AS syy
         |       FROM p JOIN rx USING (x) JOIN ry USING (y))
         |SELECT n,
         |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
@@ -8501,9 +8570,9 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |          + t + 1 AS r2 FROM vm),
         | grp AS (SELECT g, CAST(SUM(c.c) AS BIGINT) AS ng,
-        |        CAST(SUM(c.c * r.r2) AS BIGINT) AS r2g
+        |        SUM(CAST(c.c AS HUGEINT) * r.r2) AS r2g
         |       FROM c JOIN r USING (v) GROUP BY 1),
-        | tt AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM r),
+        | tt AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tt FROM r),
         | f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
         |        list_sum(list(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) / 4e0
         |          / CAST(ng AS DOUBLE) ORDER BY g)) AS rr FROM grp)
@@ -8734,6 +8803,43 @@ object SparkEntry {
          |FROM s ORDER BY event_type, q""".stripMargin
     },
     // the stream lambda walks the identical path -> identical oracle
+    // rn-chained recursive replay of the ACI fold: state = (alpha,
+    // 30-deep score list); q-hat = exact ceil-rank pick from the sorted
+    // window, judged BEFORE the point joins it (test-then-train)
+    "conformal_stream_daily" ->
+      """WITH RECURSIVE dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        | st AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+        |        CAST(COUNT(*) AS BIGINT) AS nd FROM dc GROUP BY 1),
+        | p AS (SELECT event_type, (tot + nd - 1) // nd AS ref FROM st),
+        | r AS (SELECT dc.event_type,
+        |        CAST(day - DATE '1970-01-01' AS BIGINT) AS d,
+        |        CAST(ABS(cnt - ref) AS DOUBLE) AS score,
+        |        ROW_NUMBER() OVER (PARTITION BY dc.event_type ORDER BY day) AS rn
+        |       FROM dc JOIN p USING (event_type)),
+        | c AS (SELECT event_type, d, rn, score,
+        |        CAST(NULL AS DOUBLE) AS qhat, 1 AS covered,
+        |        CAST(0.2e0 AS DOUBLE) AS alpha, [score] AS win
+        |       FROM r WHERE rn = 1
+        |       UNION ALL
+        |       SELECT r.event_type, r.d, r.rn, r.score,
+        |        CASE WHEN len(c.win) < 5 THEN NULL
+        |             WHEN CAST(CEIL((len(c.win) + 1) * (1e0 - c.alpha)) AS BIGINT) > len(c.win) THEN NULL
+        |             ELSE list_sort(c.win)[CAST(CEIL((len(c.win) + 1) * (1e0 - c.alpha)) AS BIGINT)]
+        |        END AS qhat,
+        |        CASE WHEN len(c.win) >= 5
+        |              AND CAST(CEIL((len(c.win) + 1) * (1e0 - c.alpha)) AS BIGINT) <= len(c.win)
+        |              AND r.score > list_sort(c.win)[CAST(CEIL((len(c.win) + 1) * (1e0 - c.alpha)) AS BIGINT)]
+        |             THEN 0 ELSE 1 END AS covered,
+        |        CASE WHEN len(c.win) < 5 THEN c.alpha
+        |             ELSE LEAST(0.999e0, GREATEST(1e-6, c.alpha + 0.1e0 * (0.2e0 -
+        |               (CASE WHEN CAST(CEIL((len(c.win) + 1) * (1e0 - c.alpha)) AS BIGINT) <= len(c.win)
+        |                      AND r.score > list_sort(c.win)[CAST(CEIL((len(c.win) + 1) * (1e0 - c.alpha)) AS BIGINT)]
+        |                     THEN 1e0 ELSE 0e0 END)))) END AS alpha,
+        |        list_prepend(r.score, c.win)[1:30] AS win
+        |       FROM c JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1)
+        |SELECT event_type, d, qhat, covered, ROUND(alpha, 6) + 0e0 AS alpha
+        |FROM c ORDER BY event_type, d""".stripMargin,
     "cusum_stream_shift" ->
       """WITH RECURSIVE u AS (SELECT event_type, ts FROM events
         |   UNION ALL

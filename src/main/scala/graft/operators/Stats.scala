@@ -271,7 +271,10 @@ object Stats {
     * table, and R_a = Σ na_i·midrank_i sums terms that are all exact
     * dyadic doubles (integers and half-integers far below 2^52), so
     * the float sum is EXACT and order-independent — no ordered-fold
-    * machinery needed. The tie term Σ(t³−t) is pure integer. z uses
+    * machinery needed. The tie term Σ(t³−t) is pure integer, carried
+    * as DECIMAL(38,0) (int128 in the mirror — N³ breaks BIGINT past
+    * N ≈ 2.1e6, the spearman sf1 overflow class; decimal is exact to
+    * N ≈ 2.9e12). z uses
     * the tie-corrected variance (n_a·n_b/12)·((N+1) − T/(N(N−1))).
     * Output one row: (n_a, n_b, u_a, z), z round(6).
     *
@@ -296,7 +299,10 @@ object Stats {
       sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
       sum(col("_na").cast("double") *
         (col("_cb").cast("double") + (col("_t").cast("double") + 1) / 2)).as("_ra"),
-      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tt"))
+      // decimal tie term: Σ(t³−t) ≤ N³ overflows BIGINT past N ≈ 2.1e6
+      // (the spearman sf1 lesson); internal only — z casts it to double
+      sum(col("_t").cast("decimal(13,0)") * col("_t") * col("_t")
+        - col("_t")).as("_tt"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val nn = (col("n_a") + col("n_b")).cast("double")
@@ -475,10 +481,16 @@ object Stats {
     * over the (x,y) CELL table (one row per distinct pair — bounded by
     * the measurement grid, not the row count); doubles appear only in
     * the final fixed-operand-order combination, exactly the
-    * [[olsSimple]] discipline. BIGINT bound: Σc·r2² ≤ 4n³, safe to
-    * n ≈ 1.3e6 rows; past that, coarsen the value grid (quantize)
-    * before ranking — the estimator is rank-based, so any
-    * order-preserving quantization that keeps ties distinct is exact.
+    * [[olsSimple]] discipline. The moment sums are DECIMAL(38,0) —
+    * Σc·r2² ≤ 4n³ needs exact integers past BIGINT's n ≈ 1.3e6 (the
+    * sf1 sweep caught the overflow at 6M rows), and scale-0 decimals
+    * stay exact to 4n³ < 10³⁸, i.e. n ≈ 2.9e12 rows; past that,
+    * coarsen the value grid (quantize) before ranking — the estimator
+    * is rank-based, so any order-preserving quantization that keeps
+    * ties distinct is exact. Only (n, rho) are emitted, so the
+    * engine-side integer representation (decimal here, int128 in the
+    * mirror) never touches the hash: both cast the same exact integer
+    * to the same nearest double.
     *
     * Output one row: (n, rho), rho round(6), null when either margin
     * is constant (zero rank variance).
@@ -498,13 +510,20 @@ object Stats {
     }
     val rx = rank2(pairs.groupBy("_x").agg(sum("_c").as("_m")), "_x", "_r2x")
     val ry = rank2(pairs.groupBy("_y").agg(sum("_c").as("_m")), "_y", "_r2y")
+    // decimal(13,0) operands: products reach (38,0) with scale intact,
+    // so c·r2x·r2y stays EXACT to 4n³ < 10³⁸ where the long product
+    // overflowed at n = 6M (ANSI kills the query; legacy silently
+    // corrupts rho)
+    val cD = col("_c").cast("decimal(13,0)")
+    val rxD = col("_r2x").cast("decimal(13,0)")
+    val ryD = col("_r2y").cast("decimal(13,0)")
     val agg0 = pairs.join(rx, Seq("_x")).join(ry, Seq("_y"))
       .agg(sum(col("_c")).as("n"),
-        sum(col("_c") * col("_r2x")).as("_sx"),
-        sum(col("_c") * col("_r2y")).as("_sy"),
-        sum(col("_c") * col("_r2x") * col("_r2y")).as("_sxy"),
-        sum(col("_c") * col("_r2x") * col("_r2x")).as("_sxx"),
-        sum(col("_c") * col("_r2y") * col("_r2y")).as("_syy"))
+        sum(cD * rxD).as("_sx"),
+        sum(cD * ryD).as("_sy"),
+        sum(cD * rxD * ryD).as("_sxy"),
+        sum(cD * rxD * rxD).as("_sxx"),
+        sum(cD * ryD * ryD).as("_syy"))
     val nD = col("n").cast("double")
     val sx = col("_sx").cast("double")
     val sy = col("_sy").cast("double")
@@ -752,6 +771,79 @@ object Stats {
       .select(col("_n").as("n_pairs"), round(col("_s"), 6).as("sen_slope"))
   }
 
+  /** Grid quantile regression (Koenker-Bassett '78 pinball loss) of an
+    * integer series: for each requested quantile τ, the line
+    * y = a + b·x minimizing Σᵢ pinball_τ(yᵢ − a − b·xᵢ) over a
+    * data-derived (intercept × slope) grid — the distribution-EDGE
+    * complement of [[theilSen]]'s median trend (τ=0.9 tracks the
+    * busy-day envelope, τ=0.5 the robust center). Intercepts span
+    * [ymin, ymax] in `aSteps` steps; slopes span ±(yspan/xspan) in
+    * `bSteps` steps — every grid value is ≤2 correctly-rounded IEEE
+    * ops from the series' EXACT integer extremes, so an engine
+    * replaying the same formulas lands on bit-identical candidates.
+    * Each candidate's loss is the exact DECIMAL sum of
+    * round(6)-quantized per-point pinball terms (order-free where a
+    * double SUM is not), and the argmin is picked under the TOTAL
+    * (loss, j, k) order so grid ties are deterministic.
+    *
+    * Output |taus| rows: (tau, a, b, loss), round(6).
+    *
+    * Scale shape (100 TB): the caller aggregates raw rows to the
+    * series grid first (one map-side roll-up — enforced by the same
+    * count guard as [[theilSen]]); the search rides a broadcast
+    * nested loop of |series| × |grid|×|taus| rows — 31 days × 2 τ
+    * × 231 cells is 14k rows, trivial forever.
+    */
+  def quantileRegressionGrid(series: DataFrame, xCol: String, yCol: String,
+      taus: Seq[Double] = Seq(0.5, 0.9), aSteps: Int = 10, bSteps: Int = 20,
+      maxGrid: Int = 100000): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t0 => t0 > 0.0 && t0 < 1.0),
+      s"quantileRegressionGrid: taus must lie in (0,1), got $taus")
+    require(aSteps >= 1 && bSteps >= 2 && bSteps % 2 == 0,
+      s"quantileRegressionGrid: need aSteps>=1 and even bSteps>=2, got $aSteps/$bSteps")
+    val n = series.count()
+    require(n <= maxGrid,
+      s"quantileRegressionGrid: series has $n rows — aggregate to the grid first (max $maxGrid)")
+    val s0 = series.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    val ext = s0.agg(min("_x").as("_xmin"), max("_x").as("_xmax"),
+      min("_y").as("_ymin"), max("_y").as("_ymax"))
+    val e = ext.head()
+    require(e.getLong(1) > e.getLong(0),
+      "quantileRegressionGrid: need at least two distinct x positions")
+    val bHalf = bSteps / 2
+    val yspanD = (col("_ymax") - col("_ymin")).cast("double")
+    val xspanD = (col("_xmax") - col("_xmin")).cast("double")
+    // a_j = ymin + yspan·(j/aSteps); b_k = (yspan/xspan)·((k−bHalf)/bHalf)
+    // — written operation-for-operation like the SQL mirror
+    val grid = ext
+      .withColumn("_j", explode(sequence(lit(0), lit(aSteps))))
+      .withColumn("_k", explode(sequence(lit(0), lit(bSteps))))
+      .withColumn("_tau", explode(array(taus.map(lit(_)): _*)))
+      .select(col("_tau"), col("_j").cast("long").as("_j"),
+        col("_k").cast("long").as("_k"),
+        (col("_ymin").cast("double") +
+          yspanD * (col("_j").cast("double") / lit(aSteps.toDouble))).as("_a"),
+        ((yspanD / xspanD) *
+          ((col("_k") - lit(bHalf)).cast("double") / lit(bHalf.toDouble))).as("_b"))
+    val r = col("_y").cast("double") - col("_a") - col("_b") * col("_x").cast("double")
+    val pin = greatest(col("_tau") * r, (col("_tau") - lit(1.0)) * r)
+    val scored = s0.crossJoin(broadcast(grid))
+      .select(col("_tau"), col("_j"), col("_k"), col("_a"), col("_b"),
+        round(pin, 6).cast("decimal(28,6)").as("_p"))
+      .groupBy("_tau", "_j", "_k", "_a", "_b")
+      .agg(sum(col("_p")).as("_loss"))
+    val w = Window.partitionBy(col("_tau"))
+      .orderBy(col("_loss"), col("_j"), col("_k"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_tau").as("tau"),
+        (round(col("_a"), 6) + lit(0.0)).as("a"),
+        (round(col("_b"), 6) + lit(0.0)).as("b"),
+        (round(col("_loss").cast("double"), 6) + lit(0.0)).as("loss"))
+      .orderBy("tau")
+  }
+
   /** Kruskal-Wallis one-way rank ANOVA across k groups, with midrank
     * ties and the tie correction — the k-sample extension of
     * [[mannWhitney]]. Per-group rank sums are carried as the exact
@@ -761,8 +853,10 @@ object Stats {
     * list (engine-portable bitwise, the [[contingencyAnalysis]]
     * idiom; k is bounded by the category count, so the fold list is
     * tiny). H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1), then divided by
-    * the tie factor 1 − Σ(t³−t)/(N³−N). BIGINT bound: N³ < 9.2e18 →
-    * N ≤ 2.1e6; past that the tie term needs DECIMAL(38).
+    * the tie factor 1 − Σ(t³−t)/(N³−N). The tie term and rank sums
+    * carry as DECIMAL(38,0) (int128 in the mirror): N³ breaks BIGINT
+    * past N ≈ 2.1e6 — the spearman sf1 overflow class — and scale-0
+    * decimals stay exact to N ≈ 2.9e12.
     *
     * Output one row: (k, n, h), h round(6), null when every value is
     * tied (tie factor 0).
@@ -782,9 +876,11 @@ object Stats {
         col("_t"))
     val grp = cells.join(ranked.select("_v", "_r2"), Seq("_v"))
       .groupBy("_g")
-      .agg(sum(col("_c")).as("_ng"), sum(col("_c") * col("_r2")).as("_r2g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c").cast("decimal(13,0)") * col("_r2")).as("_r2g"))
     val ties = ranked.agg(
-      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tt"))
+      sum(col("_t").cast("decimal(13,0)") * col("_t") * col("_t")
+        - col("_t")).as("_tt"))
     // per-group term (R2g/2)²/ng = R2g²/(4·ng), folded in group order
     val term = (col("_r2g").cast("double") * col("_r2g").cast("double"))
       ./(lit(4.0))./(col("_ng").cast("double"))

@@ -37,6 +37,25 @@ case class TypedEvent(user_id: Long, event_id: Long, tsMicros: Long,
   */
 case class CusumPoint(key: String, day: java.sql.Date, cnt: Long,
     ref: Long, h: Long)
+
+/** One keyed prequential observation for [[StreamOps.adaptiveConformalStream]]:
+  * `seq` is the per-key arrival order (ties broken by it), `score` the
+  * point's nonconformity (e.g. |y − ŷ| against a frozen predictor).
+  */
+case class ConformalPoint(key: String, seq: Long, score: Double)
+
+/** The prequential verdict for one point: `qhat` is the interval
+  * half-width IN FORCE when the point arrived (NaN while the
+  * calibration window is still warming up / when the adjusted rank
+  * exceeds the window — no finite-sample guarantee exists yet),
+  * `covered` whether the point fell inside it, `alpha` the miscoverage
+  * target AFTER the adaptive update.
+  */
+case class ConformalVerdict(key: String, seq: Long, qhat: Double,
+    covered: Boolean, alpha: Double)
+
+case class ConformalState(alpha: Double, window: List[Double])
+
 /** An alarm: the reflected running sum s exceeded h on `day`. */
 case class CusumAlarm(key: String, day: java.sql.Date, s: Long)
 /** Per-user carry state: the latest event seen (total (ts, id) order). */
@@ -859,6 +878,70 @@ object StreamOps {
             if (s > p.h) Some(CusumAlarm(key, p.day, s)) else None
           }
           state.update(s)
+          out.iterator
+        })
+  }
+
+  /** Adaptive conformal prediction over a keyed stream (split
+    * conformal's prequential form with the Gibbs-Candès ACI update):
+    * per key the state is a sliding window of the last `calWindow`
+    * nonconformity scores plus the current miscoverage target αₜ. Each
+    * arriving point is FIRST judged against the q-hat in force — the
+    * exact ceil((n+1)(1−αₜ))-th smallest score in the window, the same
+    * integer-rank rule as the batch `conformal_intervals` query — and
+    * only THEN admitted into the window (test-then-train, so no point
+    * scores itself). The target then steps αₜ₊₁ = clamp(αₜ + γ(α −
+    * errₜ)): misses widen the next interval, covers tighten it, which
+    * keeps long-run coverage at 1−α even when the score distribution
+    * drifts (stationary calibration would silently decay).
+    *
+    * Scale shape (100 TB/day): state per key is O(calWindow) doubles
+    * and the per-point work O(calWindow) — flat forever; keys
+    * partition the stream so the state store shards like any keyed
+    * aggregation. Within a batch points sort by `seq`; across batches
+    * the keyed-log monotone-delivery contract applies (the
+    * [[cusumStream]]/[[transitionsStream]] discipline).
+    */
+  def adaptiveConformalStream(points: Dataset[ConformalPoint],
+      alpha: Double = 0.1, gamma: Double = 0.05, calWindow: Int = 100,
+      minCal: Int = 10): Dataset[ConformalVerdict] = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    require(gamma >= 0.0 && gamma < 1.0, s"gamma in [0,1), got $gamma")
+    require(calWindow >= minCal && minCal >= 1,
+      s"need calWindow >= minCal >= 1, got $calWindow/$minCal")
+    val sess = points.sparkSession
+    import sess.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[ConformalPoint], state: GroupState[ConformalState]) => {
+          val sorted = it.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(ConformalState(alpha, Nil))
+          val out = sorted.map { p =>
+            val n = st.window.length
+            val warmup = n < minCal
+            val qhat =
+              if (warmup) Double.NaN
+              else {
+                // repeated misses can pull αₜ under 1/(n+1): the
+                // adjusted rank passes the window and the interval is
+                // infinite for this point (still a judgment — err 0
+                // steps αₜ back up)
+                val a = st.alpha
+                val r = math.ceil((n + 1) * (1.0 - a)).toLong
+                if (r > n || r < 1L) Double.NaN
+                else st.window.sorted.apply(r.toInt - 1)
+              }
+            // an infinite interval covers by definition; warmup points
+            // are not judgments, so αₜ only steps once calibrated
+            val err = if (!qhat.isNaN && p.score > qhat) 1.0 else 0.0
+            val a2 =
+              if (warmup) st.alpha
+              else math.min(0.999, math.max(1e-6,
+                st.alpha + gamma * (alpha - err)))
+            st = ConformalState(a2, (p.score :: st.window).take(calWindow))
+            ConformalVerdict(key, p.seq, qhat, err == 0.0, a2)
+          }
+          state.update(st)
           out.iterator
         })
   }

@@ -309,6 +309,29 @@ class StatsSpec extends SparkSpec {
     assert(Stats.theilSen(outlier, "x", "y").head().getDouble(1) == 2.0)
   }
 
+  test("quantileRegressionGrid: exact fit lands on the grid; tau 0.9 rides above an asymmetric cloud") {
+    // y = 2x + 3 on x=0..10: ymin=3, yspan=20, xspan=10 put a=3 (j=0)
+    // and b=2 (k=20) EXACTLY on the derived grid -> loss 0 at every tau
+    val line = (0L to 10L).map(x => (x, 2 * x + 3)).toDF("x", "y")
+    val fit = Stats.quantileRegressionGrid(line, "x", "y").collect()
+    assert(fit.length == 2)
+    fit.foreach { r =>
+      assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0 &&
+        r.getDouble(3) == 0.0, r.toString)
+    }
+    // flat series with upward spikes: the 0.9 line must sit at or above
+    // the 0.5 line (pinball tilts the fit toward the upper envelope)
+    val spiky = (0L to 19L).map(x => (x, if (x % 5 == 4) 30L else 10L)).toDF("x", "y")
+    val rs = Stats.quantileRegressionGrid(spiky, "x", "y").collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val mid = rs(0.5); val hi = rs(0.9)
+    val at = (ab: (Double, Double), x: Double) => ab._1 + ab._2 * x
+    assert(at(hi, 10.0) >= at(mid, 10.0), s"mid=$mid hi=$hi")
+    intercept[IllegalArgumentException] {
+      Stats.quantileRegressionGrid(Seq((1L, 1L)).toDF("x", "y"), "x", "y")
+    }
+  }
+
   test("anovaF: hand case F=13.5; zero within-variance null") {
     // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5
     val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),

@@ -847,4 +847,62 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSeq
     assert(batch == streamed)
   }
+
+  test("adaptiveConformalStream: matches the sequential ACI model across batch splits; coverage tracks the target under drift") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ConformalPoint, ConformalVerdict}
+    val alpha = 0.1; val gamma = 0.05; val calWindow = 50; val minCal = 10
+    // deterministic drifting scores: unit scale for 100 points, then a
+    // 3x scale shift (the regime ACI exists for)
+    def score(i: Int): Double = {
+      val base = ((i * 2654435761L) % 1000).toDouble / 1000.0
+      if (i < 100) base else 3.0 * base
+    }
+    val pts = (0 until 200).map(i => ConformalPoint("k", i.toLong, score(i)))
+    // the pure sequential reference: test-then-train, exact rank
+    var a = alpha; var win = List.empty[Double]
+    val expect = pts.map { p =>
+      val n = win.length
+      val warmup = n < minCal
+      val qhat =
+        if (warmup) Double.NaN
+        else {
+          val r = math.ceil((n + 1) * (1.0 - a)).toLong
+          if (r > n || r < 1L) Double.NaN else win.sorted.apply(r.toInt - 1)
+        }
+      val err = if (!qhat.isNaN && p.score > qhat) 1.0 else 0.0
+      if (!warmup) a = math.min(0.999, math.max(1e-6, a + gamma * (alpha - err)))
+      win = (p.score :: win).take(calWindow)
+      ConformalVerdict("k", p.seq, qhat, err == 0.0, a)
+    }
+    val mem = MemoryStream[ConformalPoint]
+    val q = StreamOps.adaptiveConformalStream(mem.toDS(), alpha, gamma,
+        calWindow, minCal)
+      .writeStream.format("memory").queryName("aci_out").outputMode("append").start()
+    // split mid-drift so both the window and alpha must carry over
+    val (b1, rest) = pts.splitAt(60)
+    val (b2, b3) = rest.splitAt(60)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("aci_out").collect()
+      .map(r => ConformalVerdict(r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3), r.getDouble(4)))
+      .sortBy(_.seq)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      val qEq = (g.qhat.isNaN && e.qhat.isNaN) || g.qhat == e.qhat
+      assert(qEq && g.covered == e.covered && g.alpha == e.alpha,
+        s"seq=${g.seq}: got $g expected $e")
+    }
+    // long-run empirical coverage stays near 1 - alpha despite the shift
+    val judged = expect.filter(!_.qhat.isNaN)
+    val cov = judged.count(_.covered).toDouble / judged.length
+    assert(cov > 0.82 && cov < 0.98, s"coverage $cov drifted off 0.9")
+    // and alpha reacted to the drift: it dipped (wider intervals) after
+    // the scale shift before recovering
+    val minAlphaAfterShift = got.filter(_.seq >= 100).map(_.alpha).min
+    assert(minAlphaAfterShift < alpha, s"ACI never widened: $minAlphaAfterShift")
+  }
 }
