@@ -916,13 +916,19 @@ object Ann {
     * whole (their members still meet through their OTHER tables). */
   private def signBucketFrame(cv: DataFrame,
       planes: Array[Array[Array[Double]]], maxBucket: Int): DataFrame = {
+    // the membership frame feeds its own cap aggregate, BOTH sides of
+    // the pair self-join, and the query seeding — localCheckpoint
+    // collapses those plan copies to one computed RDD (Spark re-executes
+    // repeated subtrees; the bfsHops discipline, and the engine twin of
+    // the oracle's MATERIALIZEd CTEs)
     val bk = cv.select(col("_nid"),
       posexplode(VectorFunctions.signBuckets(col("_v"), planes))
         .as(Seq("_t", "_b")))
+      .localCheckpoint()
     val ok = bk.groupBy(col("_t"), col("_b"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
       .select(col("_t"), col("_b"))
-    bk.join(ok, Seq("_t", "_b"))
+    bk.join(ok, Seq("_t", "_b")).localCheckpoint()
   }
 
   /** Graph build from a pre-bucketed corpus: each unordered bucket pair
@@ -949,6 +955,9 @@ object Ann {
     directed.union(directed.select(col("_dst").as("_src"), col("_src").as("_dst")))
       .distinct()
       .select(col("_src").as("src"), col("_dst").as("dst"))
+      // every search hop equi-joins the frontier against this frame:
+      // without a checkpoint each hop re-runs the whole graph build
+      .localCheckpoint()
   }
 
   def nswAdjacency(corpus: DataFrame, idCol: String, vecCol: String,
@@ -1012,11 +1021,16 @@ object Ann {
       .filter(col("_nid") =!= col("query_id"))
       .select(col("query_id"), col("_nid").as("node"))
       .distinct()
+    // v0 and each hop's scored frame are referenced by the frontier
+    // window, the next hop's anti-join, AND the final union — checkpoint
+    // each (they are <= |q|·ef·m rows) so the beam walks forward instead
+    // of re-deriving every earlier hop per reference
     val v0 = c0
       .join(broadcast(qv), Seq("query_id"))
       .join(cv, col("node") === col("_nid"))
       .select(col("query_id"), col("node"),
         VectorFunctions.cosine(col("_qv"), col("_v")).as("cos"))
+      .localCheckpoint()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node").asc)
     var visited = v0
     var frontier = v0.withColumn("_rk", row_number().over(w))
@@ -1032,6 +1046,7 @@ object Ann {
         .join(cv, col("node") === col("_nid"))
         .select(col("query_id"), col("node"),
           VectorFunctions.cosine(col("_qv"), col("_v")).as("cos"))
+        .localCheckpoint()
       frontier = scored.withColumn("_rk", row_number().over(w))
         .filter(col("_rk") <= ef).select(col("query_id"), col("node"))
       visited = visited.union(scored)
