@@ -1786,7 +1786,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       val stats = daily.groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("_s1"),
-          sum(col("cnt") * col("cnt")).as("_s2"),
+          sum(col("cnt").cast("decimal(19,0)") * col("cnt")).as("_s2"),
           count(lit(1)).as("_n"))
       daily.join(stats, Seq("event_type"))
         .withColumn("_mean", col("_s1").cast("double") / col("_n"))
@@ -2051,7 +2051,10 @@ object SparkEntry {
       val fb = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
         .agg(count(lit(1)).as("fb"))
       val exact = fa.join(fb, Seq("k"))
-        .agg(sum(col("fa") * col("fb")).as("exact_size"))
+        // internal sum is exact decimal; the emission contract stays
+        // BIGINT (ANSI faults loudly if a corpus ever exceeds it)
+        .agg(sum(col("fa").cast("decimal(19,0)") * col("fb"))
+          .cast("long").as("exact_size"))
       est.crossJoin(broadcast(exact))
     }),
     // EXT AMS tug-of-war F2 (Sketches.amsF2): the self-join size of
@@ -2063,7 +2066,8 @@ object SparkEntry {
       val est = Sketches.amsF2(t(s, dir, "events"), "user_id", d = 5)
       val exact = t(s, dir, "events").groupBy("user_id")
         .agg(count(lit(1)).as("_c"))
-        .agg(sum(col("_c") * col("_c")).as("exact_size"))
+        .agg(sum(col("_c").cast("decimal(19,0)") * col("_c"))
+          .cast("long").as("exact_size"))
       est.crossJoin(broadcast(exact))
     }),
     // EXT Markov event-transition matrix (Events.eventTransitions):
@@ -6024,7 +6028,7 @@ object SparkEntry {
         |        CAST(COUNT(*) AS BIGINT) AS cnt
         |       FROM events GROUP BY 1, 2),
         | st AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS s1,
-        |         CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
+        |         SUM(CAST(cnt AS HUGEINT) * cnt) AS s2,
         |         CAST(COUNT(*) AS BIGINT) AS n
         |        FROM daily GROUP BY 1),
         | z AS (SELECT d.event_type, d.day, d.cnt,
@@ -7026,9 +7030,9 @@ object SparkEntry {
         | m AS (SELECT d, x, y,
         |        CAST(COUNT(*) OVER w AS BIGINT) AS n,
         |        CAST(SUM(x) OVER w AS BIGINT) AS sx, CAST(SUM(y) OVER w AS BIGINT) AS sy,
-        |        CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
-        |        CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
-        |        CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+        |        SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+        |        SUM(CAST(y AS HUGEINT) * y) OVER w AS syy,
+        |        SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy
         |       FROM dc WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT DATE '1970-01-01' + CAST(d AS INT) AS day, x, y, n AS n_days,
         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
@@ -7875,7 +7879,7 @@ object SparkEntry {
          |   FROM rep),
          | ww AS (SELECT g, b, x, $wSql AS w FROM uw),
          | mb AS (SELECT g, b, CAST(SUM(w) AS BIGINT) AS sw,
-         |        CAST(SUM(w * x) AS BIGINT) AS swx FROM ww GROUP BY 1, 2),
+         |        SUM(CAST(w AS HUGEINT) * x) AS swx FROM ww GROUP BY 1, 2),
          | mm AS (SELECT g, b, CAST(swx AS DOUBLE) / sw AS m FROM mb WHERE sw > 0),
          | rk AS (SELECT g, b, m,
          |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, b) AS rn,
@@ -8202,13 +8206,13 @@ object SparkEntry {
          | cb AS (SELECT j.row, ${b("md5(CAST(j.row AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR))")} AS bucket,
          |          CAST(COUNT(*) AS BIGINT) AS cnt
          |        FROM lineitem, j GROUP BY 1, 2),
-         | ip AS (SELECT ca.row, SUM(ca.cnt * cb.cnt) AS ip
+         | ip AS (SELECT ca.row, SUM(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS ip
          |        FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
          |        GROUP BY 1),
          | e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
          | fa AS (SELECT o_orderkey AS k, COUNT(*) AS fa FROM orders GROUP BY 1),
          | fb AS (SELECT l_orderkey AS k, COUNT(*) AS fb FROM lineitem GROUP BY 1),
-         | x AS (SELECT CAST(SUM(fa * fb) AS BIGINT) AS exact_size
+         | x AS (SELECT CAST(SUM(CAST(fa AS HUGEINT) * fb) AS BIGINT) AS exact_size
          |       FROM fa JOIN fb USING (k))
          |SELECT est, exact_size FROM e, x""".stripMargin
     },
@@ -8218,7 +8222,7 @@ object SparkEntry {
       s"""WITH j AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS row),
          | s AS (SELECT j.row, SUM($sg) AS sj FROM events, j GROUP BY 1),
          | e AS (SELECT CAST(MEDIAN(sj * sj) AS BIGINT) AS est FROM s),
-         | x AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size
+         | x AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_size
          |       FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
          |SELECT est, exact_size FROM e, x""".stripMargin
     },
@@ -8386,9 +8390,9 @@ object SparkEntry {
         |        CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
         | j AS (SELECT a.s AS sa, b.s AS sb, a.c AS ca, b.c AS cb
         |       FROM s a JOIN s b ON a.d = b.d AND a.g = 1 AND b.g = 0),
-        | f AS (SELECT CAST(SUM(sa * sb) AS BIGINT) AS dot,
-        |        CAST(SUM(sa * sa) AS BIGINT) AS na,
-        |        CAST(SUM(sb * sb) AS BIGINT) AS nb,
+        | f AS (SELECT SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+        |        SUM(CAST(sa AS HUGEINT) * sa) AS na,
+        |        SUM(CAST(sb AS HUGEINT) * sb) AS nb,
         |        MAX(ca) AS n_a, MAX(cb) AS n_b FROM j)
         |SELECT n_a, n_b,
         |  ROUND(CAST(dot AS DOUBLE)
@@ -8448,9 +8452,9 @@ object SparkEntry {
         |       FROM events GROUP BY 1),
         | t0 AS (SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM dc),
         | c AS (SELECT (day - DATE '1970-01-01') AS d, n * x - s AS c FROM dc, t0),
-        | den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM c),
+        | den AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS den FROM c),
         | l AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
-        | num AS (SELECT lag, CAST(SUM(a.c * b.c) AS BIGINT) AS num
+        | num AS (SELECT lag, SUM(CAST(a.c AS HUGEINT) * b.c) AS num
         |         FROM c a CROSS JOIN l JOIN c b ON b.d = a.d + l.lag
         |         GROUP BY 1)
         |SELECT lag, ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r
@@ -8481,9 +8485,9 @@ object SparkEntry {
         |        CAST(ROUND(value * 100) AS BIGINT) AS y FROM events),
         | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |        CAST(SUM(y * y) AS BIGINT) AS syy FROM o)
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy FROM o)
         |SELECT n,
         |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
@@ -8554,7 +8558,8 @@ object SparkEntry {
         |       FROM c),
         | a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
         |        CAST(SUM(v * c) AS BIGINT) AS total,
-        |        CAST(SUM(v * (c * cb + (c * (c + 1)) // 2)) AS BIGINT) AS sr FROM r)
+        |        SUM(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * cb
+        |          + (CAST(c AS HUGEINT) * (c + 1)) // 2)) AS sr FROM r)
         |SELECT n, total,
         |  CASE WHEN total > 0
         |       THEN ROUND((2e0 * CAST(sr AS DOUBLE)
@@ -8621,7 +8626,7 @@ object SparkEntry {
       """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |        CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
         | a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
-        |        CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q
+        |        CAST(SUM(x) AS BIGINT) AS s, SUM(CAST(x AS HUGEINT) * x) AS q
         |       FROM dc GROUP BY 1)
         |SELECT event_type, days,
         |  CASE WHEN s > 0 THEN ROUND(CAST(s AS DOUBLE) / CAST(days AS DOUBLE), 6) END AS mean,
@@ -8676,9 +8681,9 @@ object SparkEntry {
         |       FROM r WHERE rank <= 1000),
         | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |        CAST(SUM(y * y) AS BIGINT) AS syy FROM k)
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy FROM k)
         |SELECT n,
         |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
@@ -9005,7 +9010,7 @@ object SparkEntry {
         | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
         |         CAST(SUM(c) AS BIGINT) AS total,
         |         CAST(MAX(c) AS BIGINT) AS max_cnt,
-        |         CAST(SUM(r * c) AS BIGINT) AS s1 FROM r)
+        |         SUM(CAST(r AS HUGEINT) * c) AS s1 FROM r)
         |SELECT n_keys, total, max_cnt,
         |  CAST(max_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS top1_share,
         |  (2.0 * CAST(s1 AS DOUBLE)) /

@@ -1073,9 +1073,11 @@ object Ann {
     val b = sums.filter(col("_g") === 0)
       .select(col("_d"), col("_s").as("_sb"), col("_c").as("_cb"))
     a.join(b, Seq("_d"))
-      .agg(sum(col("_sa") * col("_sb")).as("_dot"),
-        sum(col("_sa") * col("_sa")).as("_na"),
-        sum(col("_sb") * col("_sb")).as("_nb"),
+      // per-dimension sums reach 4096·n: their products pass BIGINT at
+      // ~1M rows (adversarial vectors) — DECIMAL keeps the drift exact
+      .agg(sum(col("_sa").cast("decimal(19,0)") * col("_sb")).as("_dot"),
+        sum(col("_sa").cast("decimal(19,0)") * col("_sa")).as("_na"),
+        sum(col("_sb").cast("decimal(19,0)") * col("_sb")).as("_nb"),
         max(col("_ca")).as("n_a"), max(col("_cb")).as("n_b"))
       .select(col("n_a"), col("n_b"),
         round(col("_dot").cast("double") /

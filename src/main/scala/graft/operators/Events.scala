@@ -224,14 +224,17 @@ object Events {
     val centered = daily.crossJoin(broadcast(tot))
       .select(datediff(col("_day"), lit("1970-01-01").cast("date")).as("_d"),
         (col("_n") * col("_x") - col("_s")).as("_c"))
-    val den = centered.agg(sum(col("_c") * col("_c")).as("_den"))
+    // centered products reach (|days|·total)² — DECIMAL keeps them
+    // exact past BIGINT's ~1e8 daily-total bound (the spearman class)
+    val den = centered.agg(sum(col("_c").cast("decimal(19,0)") * col("_c"))
+      .as("_den"))
     val lags = daily.sparkSession.range(1, maxLag + 1)
       .select(col("id").cast("int").as("lag"))
     val rhs = centered.select(col("_d").as("_d2"), col("_c").as("_c2"))
     centered.crossJoin(broadcast(lags))
       .join(rhs, col("_d2") === col("_d") + col("lag"))
       .groupBy(col("lag"))
-      .agg(sum(col("_c") * col("_c2")).as("_num"))
+      .agg(sum(col("_c").cast("decimal(19,0)") * col("_c2")).as("_num"))
       .crossJoin(broadcast(den))
       .select(col("lag"),
         round(col("_num").cast("double") / col("_den").cast("double"), 6).as("r"))
@@ -1168,9 +1171,10 @@ object Events {
     * one shared RANGE frame; r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²)·
     * √(nΣy²−Σy²)) is a fixed-order double expression at the readout
     * (sqrt and division are IEEE-exact on identical operands),
-    * round(6), null when either variance is 0. BIGINT bound:
-    * n·Σx² needs x ≤ ~3e7 per day at a 7-day frame; past that, cast
-    * the moment sums to DECIMAL(38).
+    * round(6), null when either variance is 0. The squared-moment
+    * window sums carry as DECIMAL(38,0) — BIGINT passes at ~3e7
+    * events/day (the spearman sf1 overflow class); decimal is exact
+    * to ~10¹⁸ per day.
     *
     * Output: (day, x, y, n_days, corr).
     *
@@ -1190,9 +1194,9 @@ object Events {
     val m = daily.select(col("_d"), col("x"), col("y"),
       count(lit(1)).over(w).as("_n"),
       sum(col("x")).over(w).as("_sx"), sum(col("y")).over(w).as("_sy"),
-      sum(col("x") * col("x")).over(w).as("_sxx"),
-      sum(col("y") * col("y")).over(w).as("_syy"),
-      sum(col("x") * col("y")).over(w).as("_sxy"))
+      sum(col("x").cast("decimal(19,0)") * col("x")).over(w).as("_sxx"),
+      sum(col("y").cast("decimal(19,0)") * col("y")).over(w).as("_syy"),
+      sum(col("x").cast("decimal(19,0)") * col("y")).over(w).as("_sxy"))
     val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
     val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
     val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
@@ -1379,7 +1383,7 @@ object Events {
       .agg(count(lit(1)).as("_x"))
     val agg0 = daily.groupBy(col("_t"))
       .agg(count(lit(1)).as("days"), sum(col("_x")).as("_s"),
-        sum(col("_x") * col("_x")).as("_q"))
+        sum(col("_x").cast("decimal(19,0)") * col("_x")).as("_q"))
     val nD = col("days").cast("double")
     val sD = col("_s").cast("double")
     agg0.select(col("_t").as(typeCol), col("days"),

@@ -545,8 +545,10 @@ object Sketches {
       .withColumnRenamed("cnt", "cntb")
     ca.join(cb, Seq("row", "bucket"))
       .groupBy(col("row"))
-      .agg(sum(col("cnt") * col("cntb")).as("_ip"))
-      .agg(min(col("_ip")).as("est"))
+      .agg(sum(col("cnt").cast("decimal(19,0)") * col("cntb")).as("_ip"))
+      // internal inner products are exact decimal; the emission contract
+      // stays BIGINT (ANSI faults loudly past 9.2e18)
+      .agg(min(col("_ip")).cast("long").as("est"))
   }
 
   /** AMS (tug-of-war) F2 sketch: d independent ±1 sign functions from

@@ -122,7 +122,8 @@ object Stats {
     val ranked = Relational.twoPhaseDenseIds(counts, Seq("_c", "_k"), as = "_r")
     ranked
       .agg(count(lit(1)).as("n_keys"), sum("_c").as("total"),
-        max("_c").as("max_cnt"), sum(col("_r") * col("_c")).as("_s1"))
+        max("_c").as("max_cnt"),
+        sum(col("_r").cast("decimal(19,0)") * col("_c")).as("_s1"))
       .select(col("n_keys"), col("total"), col("max_cnt"),
         (col("max_cnt").cast("double") / col("total").cast("double"))
           .as("top1_share"),
@@ -319,18 +320,21 @@ object Stats {
     * and slope/intercept/r² combine the five sums in doubles at the
     * END in fixed operand order — the moment sums are
     * order-independent integers, so there is no float-aggregation
-    *-order hazard anywhere. The n·Σxy − Σx·Σy numerators are formed
-    * AFTER the double cast (BIGINT products would overflow ~10⁶ rows
-    * earlier). Output one row: (n, slope, intercept, r2), round(6).
+    *-order hazard anywhere. The second-moment sums carry as
+    * DECIMAL(38,0) (Σx² ≤ n·x_max² passes BIGINT at ~10⁶ rows of
+    * 1e7-unit values — the spearman sf1 overflow class), and the
+    * n·Σxy − Σx·Σy numerators are formed AFTER the double cast.
+    * Output one row: (n, slope, intercept, r2), round(6).
     *
     * Scale shape (100 TB): one global aggregate, nothing else.
     */
   def olsSimple(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val agg0 = df.select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
       .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
-        sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
-        sum(col("_x") * col("_x")).as("_sxx"),
-        sum(col("_y") * col("_y")).as("_syy"))
+        sum(col("_y")).as("_sy"),
+        sum(col("_x").cast("decimal(19,0)") * col("_y")).as("_sxy"),
+        sum(col("_x").cast("decimal(19,0)") * col("_x")).as("_sxx"),
+        sum(col("_y").cast("decimal(19,0)") * col("_y")).as("_syy"))
     val nD = col("n").cast("double")
     val sx = col("_sx").cast("double")
     val sy = col("_sy").cast("double")
@@ -589,9 +593,10 @@ object Stats {
     * from the VALUE-CELL table. A cell (v, c) whose c ties occupy
     * ranks cb+1 … cb+c contributes v·(c·cb + c(c+1)/2) to Σ i·x₍ᵢ₎
     * (c(c+1) is always even — the shift is exact). Only the final
-    * G readout divides. BIGINT bound: Σ i·x ≤ n²·v̄ — safe while
-    * n²·total_amount ≤ 9.2e18 per partition of the ledger; shard by
-    * entity class and Gini-decompose past that.
+    * G readout divides. The rank-weighted sum reaches n²·v̄ and is
+    * carried as DECIMAL(38,0) (int128 in the mirror) — exact to
+    * n²·total ≈ 10³⁸; `total` itself stays BIGINT (a ledger past
+    * 9.2e18 cents faults loudly at the emission cast).
     *
     * Output one row: (n, total, gini), gini round(6), null when the
     * total is 0 (all-zero amounts have no Lorenz curve).
@@ -605,11 +610,18 @@ object Stats {
       .groupBy("_v").agg(count(lit(1)).as("_c"))
     val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = cells.withColumn("_cb", coalesce(sum(col("_c")).over(w), lit(0L)))
+    // the rank-weighted sum reaches v·n² — DECIMAL keeps it exact past
+    // BIGINT's n²·v̄ ≈ 9.2e18 bound (the spearman sf1 overflow class);
+    // the tie block c(c+1)/2 halves the even factor BEFORE multiplying
+    // so no long product ever forms
+    val cD = col("_c").cast("decimal(19,0)")
     val agg0 = ranked.agg(
       sum(col("_c")).as("n"),
       sum(col("_v") * col("_c")).as("total"),
-      sum(col("_v") * (col("_c") * col("_cb") +
-        shiftright(col("_c") * (col("_c") + 1L), 1))).as("_sr"))
+      sum(col("_v").cast("decimal(19,0)") * (cD * col("_cb") +
+        when(col("_c").bitwiseAND(lit(1L)) === 0L,
+          shiftright(col("_c"), 1).cast("decimal(19,0)") * (col("_c") + 1L))
+          .otherwise(cD * shiftright(col("_c") + 1L, 1)))).as("_sr"))
     val nD = col("n").cast("double")
     val sD = col("total").cast("double")
     agg0.select(col("n"), col("total"),
@@ -1189,7 +1201,8 @@ object Stats {
       .withColumn("_b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("_w", w)
       .groupBy(col("_g"), col("_b"))
-      .agg(sum(col("_w")).as("_sw"), sum(col("_w") * col("_x")).as("_swx"))
+      .agg(sum(col("_w")).as("_sw"),
+        sum(col("_w").cast("decimal(19,0)") * col("_x")).as("_swx"))
       .filter(col("_sw") > 0L)
       .select(col("_g"),
         (col("_swx").cast("double") / col("_sw").cast("double")).as("_mb"),
