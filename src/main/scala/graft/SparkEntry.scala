@@ -2148,6 +2148,25 @@ object SparkEntry {
     "ab_test_value" -> ((s, dir) =>
       Stats.abTestProportions(t(s, dir, "events"), "event_id",
         col("value") > 100)),
+    // EXT CUPED variance reduction (Stats.cuped, Deng et al. '13):
+    // per-user pre-period activity (x, event count before Jan 16)
+    // adjusts the post-period spend metric (y, value cents after) —
+    // θ from pooled exact DECIMAL moments, the adjusted diff via
+    // linearity so no per-unit float is ever summed; md5-parity arms
+    // make this an A/A calibration readout with a real ρ²
+    "cuped_adjustment" -> ((s, dir) => {
+      val cut = lit("2024-01-16").cast("date")
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts").cast("date") < cut, 1L).otherwise(0L)).as("x"),
+          sum(when(col("ts").cast("date") >= cut,
+            round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", graft.functions.TextFunctions.md5Bits64(
+          concat(lit("cu:"), col("user_id").cast("string")))
+          .bitwiseAND(lit(1L)))
+      Stats.cuped(units, "x", "y", "arm")
+    }),
     // EXT Spearman rank correlation (Stats.spearman): quantity vs
     // price-cents over lineitem — exact integer 2·midranks from the
     // (x,y) CELL table, five BIGINT moment sums, doubles only in the
@@ -8696,6 +8715,50 @@ object SparkEntry {
         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         |FROM a""".stripMargin,
+    // CUPED mirror: same per-user roll-up, HUGEINT pooled moments,
+    // the identical fixed-order double readout
+    "cuped_adjustment" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |                  THEN CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS y,
+        |    (instr('0123456789abcdef', substr(md5('cu:' || CAST(user_id AS VARCHAR)), 16, 1)) - 1) % 2 AS arm
+        |   FROM events GROUP BY 1),
+        | a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS xc,
+        |    CAST(SUM(CASE WHEN arm <> 0 THEN x ELSE 0 END) AS BIGINT) AS xt,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS yc,
+        |    CAST(SUM(CASE WHEN arm <> 0 THEN y ELSE 0 END) AS BIGINT) AS yt,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy FROM u),
+        | r AS (SELECT n_c, n_t,
+        |    CAST(n_c + n_t AS DOUBLE) AS nd,
+        |    CAST(xc + xt AS DOUBLE) AS sx, CAST(yc + yt AS DOUBLE) AS sy,
+        |    CAST(yt AS DOUBLE) / CAST(n_t AS DOUBLE) AS myt,
+        |    CAST(yc AS DOUBLE) / CAST(n_c AS DOUBLE) AS myc,
+        |    CAST(xt AS DOUBLE) / CAST(n_t AS DOUBLE) AS mxt,
+        |    CAST(xc AS DOUBLE) / CAST(n_c AS DOUBLE) AS mxc,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM a),
+        | f AS (SELECT n_c, n_t, myt, myc, mxt, mxc,
+        |    nd * sxyd - sx * sy AS covn,
+        |    nd * sxxd - sx * sx AS varxn,
+        |    nd * syyd - sy * sy AS varyn FROM r)
+        |SELECT n_c, n_t,
+        |  ROUND(myt - myc, 6) + 0e0 AS diff_raw,
+        |  CASE WHEN varxn > 0 THEN ROUND(covn / varxn, 6) + 0e0 END AS theta,
+        |  CASE WHEN varxn > 0
+        |       THEN ROUND((myt - myc) - (covn / varxn) * (mxt - mxc), 6) + 0e0
+        |  END AS diff_cuped,
+        |  CASE WHEN varxn > 0 AND varyn > 0
+        |       THEN ROUND(covn * covn / (varxn * varyn), 6)
+        |  END AS rho2
+        |FROM f""".stripMargin,
     "ab_test_value" -> {
       val parity = "(instr('0123456789abcdef', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2"
       s"""WITH o AS (SELECT $parity AS b,

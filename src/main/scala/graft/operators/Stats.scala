@@ -387,6 +387,62 @@ object Stats {
       round((pa - pb) / se, 6).as("z"))
   }
 
+  /** CUPED variance reduction (Deng et al. WSDM'13 — the standard
+    * pre-experiment covariate adjustment next to [[abTestProportions]]):
+    * given one INTEGER-valued pre-period covariate x and post-period
+    * metric y per experiment unit plus a 0/1 arm, θ = cov(x,y)/var(x)
+    * from POOLED exact moments and the adjusted effect via linearity —
+    * mean_arm(y_adj) = mean_arm(y) − θ·(mean_arm(x) − mean(x)), so
+    * diff_cuped = (ȳ₁−ȳ₀) − θ·(x̄₁−x̄₀). No per-unit float is ever
+    * summed: everything reduces to per-arm integer sums plus the five
+    * pooled moment sums (DECIMAL(38,0), the spearman discipline),
+    * combined in fixed operand order at the 1-row readout. The
+    * achieved variance reduction is ρ²(x,y) — reported so an A/A run
+    * shows how much a real experiment would save.
+    *
+    * Output one row: (n_c, n_t, diff_raw, theta, diff_cuped, rho2),
+    * doubles round(6); theta/diff_cuped/rho2 null when var(x) or
+    * var(y) is 0.
+    *
+    * Scale shape (100 TB): the caller's per-unit roll-up is the only
+    * corpus-sized stage (map-side combinable); this operator is ONE
+    * global aggregate over it — no join, no window.
+    */
+  def cuped(units: DataFrame, xCol: String, yCol: String,
+      armCol: String): DataFrame = {
+    val u = units.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"), col(armCol).cast("long").as("_b"))
+    val xD = col("_x").cast("decimal(19,0)")
+    val yD = col("_y").cast("decimal(19,0)")
+    val agg0 = u.agg(
+      sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("_b") === 0L, col("_x")).otherwise(0L)).as("_xc"),
+      sum(when(col("_b") =!= 0L, col("_x")).otherwise(0L)).as("_xt"),
+      sum(when(col("_b") === 0L, col("_y")).otherwise(0L)).as("_yc"),
+      sum(when(col("_b") =!= 0L, col("_y")).otherwise(0L)).as("_yt"),
+      sum(xD * yD).as("_sxy"), sum(xD * xD).as("_sxx"),
+      sum(yD * yD).as("_syy"))
+    val nD = (col("n_c") + col("n_t")).cast("double")
+    val sx = (col("_xc") + col("_xt")).cast("double")
+    val sy = (col("_yc") + col("_yt")).cast("double")
+    val covN = nD * col("_sxy").cast("double") - sx * sy
+    val varXN = nD * col("_sxx").cast("double") - sx * sx
+    val varYN = nD * col("_syy").cast("double") - sy * sy
+    val mYt = col("_yt").cast("double") / col("n_t").cast("double")
+    val mYc = col("_yc").cast("double") / col("n_c").cast("double")
+    val mXt = col("_xt").cast("double") / col("n_t").cast("double")
+    val mXc = col("_xc").cast("double") / col("n_c").cast("double")
+    val theta = covN / varXN
+    agg0.select(col("n_c"), col("n_t"),
+      (round(mYt - mYc, 6) + lit(0.0)).as("diff_raw"),
+      when(varXN > 0, round(theta, 6) + lit(0.0)).as("theta"),
+      when(varXN > 0,
+        round((mYt - mYc) - theta * (mXt - mXc), 6) + lit(0.0)).as("diff_cuped"),
+      when(varXN > 0 && varYN > 0,
+        round(covN * covN / (varXN * varYN), 6)).as("rho2"))
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
     * standard forensic-accounting screen): observed leading-digit
     * shares of a positive amount column vs the Benford expectation

@@ -332,6 +332,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cuped: hand moments; adjustment strips the covariate share of the diff") {
+    // arm0: y = 10x, arm1: y = 10x + 5 with x interleaved across arms:
+    // pooled theta = 1095/105, raw diff 15, cuped diff 15 - theta*1
+    val units = Seq((1L, 10L, 0L), (3L, 30L, 0L), (5L, 50L, 0L),
+      (2L, 25L, 1L), (4L, 45L, 1L), (6L, 65L, 1L)).toDF("x", "y", "arm")
+    val r = Stats.cuped(units, "x", "y", "arm").head()
+    val theta = 1095.0 / 105.0
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 15.0)
+    assert(r.getDouble(3) == math.round(theta * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.round((15.0 - theta) * 1e6) / 1e6)
+    // rho2 = covN^2/(varXN*varYN) = 1095^2/(105*11625)
+    assert(r.getDouble(5) ==
+      math.round(1095.0 * 1095.0 / (105.0 * 11625.0) * 1e6) / 1e6)
+    // constant covariate -> theta undefined, raw diff still reported
+    val flat = Seq((2L, 10L, 0L), (2L, 30L, 1L)).toDF("x", "y", "arm")
+    val f = Stats.cuped(flat, "x", "y", "arm").head()
+    assert(f.getDouble(2) == 20.0 && f.isNullAt(3) && f.isNullAt(4))
+  }
+
   test("anovaF: hand case F=13.5; zero within-variance null") {
     // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5
     val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
