@@ -3201,6 +3201,16 @@ object SparkEntry {
       Events.sprtDaily(t(s, dir, "events"), "user_id", "ts",
           col("event_type") === "purchase", p0 = 0.35, p1 = 0.40)
         .orderBy("day")),
+    // EXT O'Brien-Fleming group-sequential monitor
+    // (Events.groupSequentialObf): 5 equally-spaced looks over the
+    // md5-parity A/A split, pooled two-proportion z per look vs the
+    // OBF boundary c·sqrt(K/k) — strict early, fixed-horizon late;
+    // rows stop at the first crossing (A/A: expect all 5 looks,
+    // continue)
+    "group_sequential_obf" -> ((s, dir) =>
+      Events.groupSequentialObf(t(s, dir, "events"), "event_id", "ts",
+          col("value") > 100)
+        .orderBy("look")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -8782,6 +8792,49 @@ object SparkEntry {
     // SPRT mirror: same (day, user)-distinct counts, the Scala-computed
     // log coefficients/boundaries as shared literals, prefix list folds
     // for the day-ordered LLR, rows cut at the first decision
+    // OBF mirror: look grid + exact integer cumulative windows (the
+    // grid is K rows — integer cumulations are engine-exact), the same
+    // fixed-order z and c·sqrt(K/k) boundary, stop at first crossing
+    "group_sequential_obf" ->
+      """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        | a AS (SELECT LEAST(CAST((CAST(ts AS DATE) - d0) // 6 AS BIGINT) + 1, 5) AS k,
+        |        (instr('0123456789abcdef', substr(md5('gs:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+        |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS c
+        |       FROM events, d0),
+        | g AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS k),
+        | pl AS (SELECT k,
+        |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |        CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS BIGINT) AS xc,
+        |        CAST(SUM(CASE WHEN b <> 0 THEN c ELSE 0 END) AS BIGINT) AS xt
+        |       FROM a GROUP BY 1),
+        | f AS (SELECT g.k, COALESCE(nc, 0) AS nc, COALESCE(nt, 0) AS nt,
+        |        COALESCE(xc, 0) AS xc, COALESCE(xt, 0) AS xt
+        |       FROM g LEFT JOIN pl USING (k)),
+        | cum AS (SELECT k,
+        |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+        |        CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt
+        |       FROM f WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | zt AS (SELECT k, nc, nt, xc, xt,
+        |        CASE WHEN nc > 0 AND nt > 0 AND
+        |          sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |            * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |            * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE))) > 0e0
+        |          THEN (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |              - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |            / sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |                * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |                * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)))
+        |        END AS z,
+        |        2.04e0 * sqrt(5e0 / CAST(k AS DOUBLE)) AS bound
+        |       FROM cum),
+        | de AS (SELECT k, nc, nt, xc, xt, z, bound,
+        |        CASE WHEN z IS NOT NULL AND ABS(z) > bound THEN 'reject'
+        |             ELSE 'continue' END AS decision FROM zt),
+        | fc AS (SELECT MIN(k) AS mk FROM de WHERE decision = 'reject')
+        |SELECT de.k AS look, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+        |  ROUND(z, 6) + 0e0 AS z, ROUND(bound, 6) AS bound, decision
+        |FROM de, fc WHERE de.k <= COALESCE(fc.mk, 5) ORDER BY look""".stripMargin,
     "sprt_daily" -> {
       val p0 = 0.35; val p1 = 0.40; val alpha = 0.05; val beta = 0.05
       val lc1 = math.log(p1 / p0)

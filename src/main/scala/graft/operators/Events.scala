@@ -658,6 +658,94 @@ object Events {
         col("_e.decision").as("decision"))
   }
 
+  /** O'Brien-Fleming group-sequential monitor (O'Brien & Fleming '79)
+    * — the K-look interim-analysis complement of [[sprtDaily]]'s
+    * fully-sequential walk, and the boundary shape clinical trials and
+    * large A/B platforms actually ship: the experiment is examined at
+    * K equally-spaced looks, and at look k the pooled two-proportion z
+    * between md5-parity arms is compared against u_k = c_K·√(K/k) —
+    * near-unspendable early (u_1 ≈ 4.56 at K=5), ≈ fixed-horizon at
+    * the final look, so the overall size stays α. Look assignment
+    * derives from the corpus' min day (1-row broadcast); cumulative
+    * counts stay exact integers inside a fold over the K-row look
+    * grid (no data-sized window); z rides the [[abTestProportions]]
+    * fixed-order formula and the boundary is written
+    * operation-for-operation on both engines. Rows stop AT the first
+    * |z| > u_k — the sequential contract, like sprtDaily.
+    *
+    * Output: (look, n_c, n_t, x_c, x_t, z, bound, decision) per look
+    * up to and including the first crossing; decision ∈ reject /
+    * continue; z null while either arm is empty or the pooled rate is
+    * degenerate (never a rejection).
+    *
+    * Scale shape (100 TB): ONE map-side-combinable grouped aggregate
+    * over (look, arm); everything after rides the K-row grid.
+    */
+  def groupSequentialObf(events: DataFrame, idCol: String, tsCol: String,
+      convCond: Column, looks: Int = 5, lookDays: Int = 6,
+      cK: Double = 2.04, seed: String = "gs"): DataFrame = {
+    require(looks >= 2 && lookDays >= 1 && cK > 0,
+      s"groupSequentialObf: need looks>=2, lookDays>=1, cK>0, got $looks/$lookDays/$cK")
+    val arm = graft.functions.TextFunctions.md5Bits64(
+      concat(lit(seed + ":"), col(idCol).cast("string"))).bitwiseAND(lit(1L))
+    val day = col(tsCol).cast("date")
+    val minD = events.agg(min(day).as("_d0"))
+    val assigned = events.crossJoin(broadcast(minD))
+      .select(
+        least(floor(datediff(day, col("_d0")) / lit(lookDays)) + 1,
+          lit(looks.toLong)).cast("int").as("_k"),
+        arm.as("_b"), convCond.cast("long").as("_c"))
+    val perLook = assigned.groupBy(col("_k"))
+      .agg(sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_b") === 0L, col("_c")).otherwise(0L)).as("_xc"),
+        sum(when(col("_b") =!= 0L, col("_c")).otherwise(0L)).as("_xt"))
+    val grid = events.sparkSession.range(1, looks + 1)
+      .select(col("id").cast("int").as("_k"))
+    val filled = grid.join(perLook, Seq("_k"), "left")
+      .select(col("_k"), coalesce(col("_nc"), lit(0L)).as("_nc"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"),
+        coalesce(col("_xc"), lit(0L)).as("_xc"),
+        coalesce(col("_xt"), lit(0L)).as("_xt"))
+    val pathT = "array<struct<look:int,n_c:bigint,n_t:bigint,x_c:bigint," +
+      "x_t:bigint,z:double,bound:double,decision:string>>"
+    val zero = struct(lit(0L).as("nc"), lit(0L).as("nt"), lit(0L).as("xc"),
+      lit(0L).as("xt"), lit(false).as("stop"), array().cast(pathT).as("path"))
+    filled
+      .agg(sort_array(collect_list(struct(col("_k"), col("_nc"), col("_nt"),
+        col("_xc"), col("_xt")))).as("_l"))
+      .select(aggregate(col("_l"), zero, (acc, e) => {
+        val nc = acc.getField("nc") + e.getField("_nc")
+        val nt = acc.getField("nt") + e.getField("_nt")
+        val xc = acc.getField("xc") + e.getField("_xc")
+        val xt = acc.getField("xt") + e.getField("_xt")
+        val ncD = nc.cast("double"); val ntD = nt.cast("double")
+        val pc = xc.cast("double") / ncD
+        val pt = xt.cast("double") / ntD
+        val pp = (xc + xt).cast("double") / (nc + nt).cast("double")
+        val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD))
+        val z = when(nc > 0L && nt > 0L && se > lit(0.0), (pt - pc) / se)
+        val bound = lit(cK) *
+          sqrt(lit(looks.toDouble) / e.getField("_k").cast("double"))
+        val dec = when(z.isNotNull && abs(z) > bound, lit("reject"))
+          .otherwise(lit("continue"))
+        val appended = concat(acc.getField("path"),
+          array(struct(e.getField("_k").as("look"), nc.as("n_c"), nt.as("n_t"),
+            xc.as("x_c"), xt.as("x_t"), z.as("z"), bound.as("bound"),
+            dec.as("decision"))))
+        when(acc.getField("stop"), acc).otherwise(
+          struct(nc.as("nc"), nt.as("nt"), xc.as("xc"), xt.as("xt"),
+            (dec === "reject").as("stop"), appended.as("path")))
+      }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .select(col("_e.look").as("look"), col("_e.n_c").as("n_c"),
+        col("_e.n_t").as("n_t"), col("_e.x_c").as("x_c"),
+        col("_e.x_t").as("x_t"),
+        (round(col("_e.z"), 6) + lit(0.0)).as("z"),
+        round(col("_e.bound"), 6).as("bound"),
+        col("_e.decision").as("decision"))
+  }
+
   /** Nelson-Aalen cumulative hazard (Nelson '72, Aalen '78) — the
     * additive companion to [[kaplanMeier]]'s multiplicative survival:
     * H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ over event-time buckets, plus the

@@ -602,4 +602,30 @@ class EventsSpec extends SparkSpec {
     // smape = (2*2/4 + 2*3/7)/2 = 0.928571
     assert(r.getDouble(5) == 0.928571)
   }
+
+  test("groupSequentialObf: A/A continues through all looks; an arm-aligned effect rejects at look 1 and stops") {
+    // 600 events over 30 days, ids 0..599 -> looks 1..5 all populated
+    val ev = (0 until 600)
+      .map(i => (i.toLong, ts(1 + i / 20, i % 24), i % 7 == 0))
+      .toDF("event_id", "ts", "conv")
+    val aa = Events.groupSequentialObf(ev, "event_id", "ts", col("conv"))
+      .orderBy("look").collect()
+    // A/A with an arm-independent conversion: no boundary crossing
+    assert(aa.length == 5 && aa.forall(_.getString(7) == "continue"))
+    // the OBF shape: bound_k = 2.04*sqrt(5/k), descending to 2.04
+    val bounds = aa.map(_.getDouble(6))
+    assert(bounds(0) == math.round(2.04 * math.sqrt(5.0) * 1e6) / 1e6)
+    assert(bounds(4) == 2.04 && bounds.sameElements(bounds.sorted.reverse))
+    // cumulative counts: last look covers all 600 events
+    assert(aa.last.getLong(1) + aa.last.getLong(2) == 600L)
+    // conversion == the treatment arm itself -> p_t=1, p_c=0, huge z:
+    // reject at the FIRST look and emit nothing after (stop contract)
+    val armConv = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("gs:"), col("event_id").cast("string")))
+      .bitwiseAND(lit(1L)) === 1L
+    val eff = Events.groupSequentialObf(ev, "event_id", "ts", armConv)
+      .orderBy("look").collect()
+    assert(eff.length == 1 && eff.head.getInt(0) == 1 &&
+      eff.head.getString(7) == "reject")
+  }
 }
