@@ -1996,6 +1996,27 @@ object SparkEntry {
     "quantiles_binned_chars" -> ((s, dir) =>
       Sketches.binnedQuantiles(t(s, dir, "documents"), "n_chars",
         Seq(25 -> 100, 50 -> 100, 75 -> 100, 90 -> 100, 99 -> 100))),
+    // EXT STREAMING binned quantiles applied to a batch frame (the
+    // suite strategy for stream lambdas): per-SOURCE doc-length
+    // percentiles from 256-long histogram state under the corpus'
+    // frozen [min,max] grid — the incremental twin of
+    // quantiles_binned_chars, same exact bin/rank/interpolation math
+    "binned_quantiles_stream" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val docs = t(s, dir, "documents")
+      val mm = docs.agg(min(col("n_chars").cast("long")),
+        max(col("n_chars").cast("long"))).head()
+      val pts = docs.select(col("source").as("key"),
+          col("n_chars").cast("long").as("x"))
+        .as[graft.streaming.BinnedPoint]
+      graft.streaming.StreamOps.binnedQuantilesStream(pts,
+          mm.getLong(0), mm.getLong(1),
+          Seq(25 -> 100, 50 -> 100, 75 -> 100, 90 -> 100, 99 -> 100))
+        .toDF()
+        .select(col("key").as("source"), col("n"), col("q"), col("est"))
+        .orderBy("source", "q")
+    }),
     // EXT Z-order (Morton) clustering key (Sketches.zOrderValue) on
     // (user_id, event day) — the multi-dimensional data-skipping layout
     // [writeZOrdered]; row-group pruning proven from parquet footers in
@@ -8192,6 +8213,33 @@ object SparkEntry {
     "quantiles_binned_chars" ->
       Sketches.binnedQuantilesOracleSql("documents", "n_chars",
         Seq(25 -> 100, 50 -> 100, 75 -> 100, 90 -> 100, 99 -> 100)),
+    // per-source replay of the streaming histogram under the GLOBAL
+    // frozen grid — same exact bins, ceil ranks, interpolation
+    "binned_quantiles_stream" ->
+      """WITH mm AS (SELECT MIN(CAST(n_chars AS BIGINT)) AS mn,
+        |        MAX(CAST(n_chars AS BIGINT)) AS mx FROM documents),
+        | h0 AS (SELECT source,
+        |        (CAST(n_chars AS BIGINT) - mn) * 256 // (mx - mn + 1) AS bin,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM documents, mm GROUP BY 1, 2),
+        | ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM h0 GROUP BY 1),
+        | h AS (SELECT source, bin, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM h0),
+        | t(qn, qd) AS (VALUES (25, 100), (50, 100), (75, 100), (90, 100), (99, 100)),
+        | tr AS (SELECT source, n, CAST(qn AS DOUBLE) / qd AS q,
+        |        (qn * n + qd - 1) // qd AS r FROM ns, t),
+        | c AS (SELECT tr.source, tr.n, tr.q, tr.r, MIN(h.bin) AS bin
+        |       FROM tr JOIN h ON h.source = tr.source AND h.cum >= tr.r
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT c.source, c.n, c.q,
+        |  CAST((SELECT mn FROM mm) AS DOUBLE) +
+        |    (CAST(c.bin AS DOUBLE)
+        |      + CAST(c.r - (h.cum - h.cnt) AS DOUBLE) / CAST(h.cnt AS DOUBLE)) *
+        |    (CAST((SELECT mx FROM mm) - (SELECT mn FROM mm) + 1 AS DOUBLE) / 256) AS est
+        |FROM c JOIN h ON h.source = c.source AND h.bin = c.bin
+        |ORDER BY c.source, c.q""".stripMargin,
     "zorder_events" ->
       s"""WITH d AS (SELECT event_id,
          |      user_id & ${(1L << 21) - 1} AS x,

@@ -56,6 +56,16 @@ case class ConformalVerdict(key: String, seq: Long, qhat: Double,
 
 case class ConformalState(alpha: Double, window: List[Double])
 
+/** One keyed integer observation for [[StreamOps.binnedQuantilesStream]]. */
+case class BinnedPoint(key: String, x: Long)
+
+/** One quantile of the data a key has seen SO FAR: after each batch the
+  * stream emits a fresh (n, q, est) snapshot per declared quantile.
+  */
+case class BinnedQuantileRow(key: String, n: Long, q: Double, est: Double)
+
+case class BinState(counts: Seq[Long])
+
 /** An alarm: the reflected running sum s exceeded h on `day`. */
 case class CusumAlarm(key: String, day: java.sql.Date, s: Long)
 /** Per-user carry state: the latest event seen (total (ts, id) order). */
@@ -943,6 +953,62 @@ object StreamOps {
           }
           state.update(st)
           out.iterator
+        })
+  }
+
+  /** Streaming quantiles over the FIXED integer grid of
+    * [[graft.operators.Sketches.binnedQuantiles]]: per key the state is
+    * one 256-long histogram under a FROZEN [lo, hi] range (streams
+    * cannot rescan for min/max — the range rides in like the
+    * against-family's frozen indexes; out-of-range points clamp to the
+    * edge bins), and after each micro-batch the operator emits a fresh
+    * (n, q, est) snapshot per declared quantile over everything the key
+    * has seen. Binning, ceil-rank selection and the two-division
+    * interpolation are written operation-for-operation like the batch
+    * operator, so when the frozen range equals the data's true extremes
+    * the final snapshot is BIT-IDENTICAL to batch binnedQuantiles —
+    * StreamingSpec asserts exactly that across a batch split.
+    *
+    * Scale shape (100 TB/day): state per key is 256 longs forever; the
+    * per-batch work is one pass over the batch's points plus a 256-bin
+    * walk per quantile. Keys shard the state store like any keyed
+    * aggregation.
+    */
+  def binnedQuantilesStream(points: Dataset[BinnedPoint], lo: Long, hi: Long,
+      qs: Seq[(Int, Int)]): Dataset[BinnedQuantileRow] = {
+    require(hi >= lo, s"binnedQuantilesStream: need hi>=lo, got $lo/$hi")
+    require(qs.nonEmpty && qs.forall { case (qn, qd) => qn > 0 && qn <= qd },
+      s"binnedQuantilesStream: quantiles must be rationals in (0,1], got $qs")
+    val bins = graft.operators.Sketches.QuantileBins
+    val span = hi - lo + 1
+    val sess = points.sparkSession
+    import sess.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[BinnedPoint], state: GroupState[BinState]) => {
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(Array.fill(bins)(0L))
+          it.foreach { p =>
+            val raw = (p.x - lo) * bins / span
+            counts(math.min(bins - 1L, math.max(0L, raw)).toInt) += 1L
+          }
+          state.update(BinState(counts.toSeq))
+          val n = counts.sum
+          if (n == 0L) Iterator.empty
+          else qs.iterator.map { case (qn, qd) =>
+            val r = (qn * n + qd - 1) / qd
+            var cum = 0L; var i = 0; var bin = 0; var cnt = 0L; var below = 0L
+            var found = false
+            while (i < bins && !found) {
+              cum += counts(i)
+              if (cum >= r) { bin = i; cnt = counts(i); below = cum - counts(i); found = true }
+              i += 1
+            }
+            val est = lo.toDouble +
+              (bin.toDouble + (r - below).toDouble / cnt.toDouble) *
+                (span.toDouble / bins)
+            BinnedQuantileRow(key, n, qn.toDouble / qd, est)
+          }
         })
   }
 

@@ -905,4 +905,45 @@ class StreamingSpec extends SparkSpec {
     val minAlphaAfterShift = got.filter(_.seq >= 100).map(_.alpha).min
     assert(minAlphaAfterShift < alpha, s"ACI never widened: $minAlphaAfterShift")
   }
+
+  test("binnedQuantilesStream: final snapshot across a batch split is bit-identical to batch binnedQuantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BinnedPoint
+    import graft.operators.Sketches
+    val qs = Seq(25 -> 100, 50 -> 100, 75 -> 100, 99 -> 100)
+    // deterministic skewed lengths over one key
+    val xs = (0 until 500).map(i => ((i * 2654435761L) % 9973) + 7L)
+    val pts = xs.map(x => BinnedPoint("k", x))
+    val mem = MemoryStream[BinnedPoint]
+    val q = StreamOps.binnedQuantilesStream(mem.toDS(), xs.min, xs.max, qs)
+      .writeStream.format("memory").queryName("bq_out").outputMode("append").start()
+    val (b1, b2) = pts.splitAt(200)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // per-batch snapshots: one row per quantile per batch
+    val rows = spark.table("bq_out").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.count(_._1 == 200L) == qs.length &&
+      rows.count(_._1 == 500L) == qs.length)
+    val streamed = rows.filter(_._1 == 500L).map(t => t._2 -> t._3).toMap
+    // batch twin derives the SAME grid (min/max of the full data)
+    val batch = Sketches.binnedQuantiles(xs.toDF("v"), "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the mid-stream snapshot equals the batch op run on the prefix
+    val mid = rows.filter(_._1 == 200L).map(t => t._2 -> t._3).toMap
+    val lo = xs.min; val hi = xs.max
+    val prefix = b1.map(_.x)
+    // prefix under the FROZEN full grid: replicate via the stream op in
+    // one batch (the batch operator would re-derive a narrower grid)
+    val mem2 = MemoryStream[BinnedPoint]
+    val q2 = StreamOps.binnedQuantilesStream(mem2.toDS(), lo, hi, qs)
+      .writeStream.format("memory").queryName("bq_out2").outputMode("append").start()
+    mem2.addData(b1: _*); q2.processAllAvailable()
+    q2.stop()
+    val oneShot = spark.table("bq_out2").collect()
+      .map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    assert(mid == oneShot, "incremental state diverged from a one-batch run")
+  }
 }
