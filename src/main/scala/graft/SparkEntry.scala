@@ -3232,6 +3232,13 @@ object SparkEntry {
       Events.groupSequentialObf(t(s, dir, "events"), "event_id", "ts",
           col("value") > 100)
         .orderBy("look")),
+    // EXT Pocock boundary — the OTHER textbook group-sequential shape:
+    // a FLAT c_5(0.05)=2.413 at every look (equal alpha spend; easier
+    // early stops, a pricier final look than OBF's c·sqrt(K/k))
+    "group_sequential_pocock" -> ((s, dir) =>
+      Events.groupSequentialObf(t(s, dir, "events"), "event_id", "ts",
+          col("value") > 100, cK = 2.413, pocock = true)
+        .orderBy("look")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -8875,6 +8882,47 @@ object SparkEntry {
         |                * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)))
         |        END AS z,
         |        2.04e0 * sqrt(5e0 / CAST(k AS DOUBLE)) AS bound
+        |       FROM cum),
+        | de AS (SELECT k, nc, nt, xc, xt, z, bound,
+        |        CASE WHEN z IS NOT NULL AND ABS(z) > bound THEN 'reject'
+        |             ELSE 'continue' END AS decision FROM zt),
+        | fc AS (SELECT MIN(k) AS mk FROM de WHERE decision = 'reject')
+        |SELECT de.k AS look, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+        |  ROUND(z, 6) + 0e0 AS z, ROUND(bound, 6) AS bound, decision
+        |FROM de, fc WHERE de.k <= COALESCE(fc.mk, 5) ORDER BY look""".stripMargin,
+    // Pocock mirror: the same grid/z replay with the flat boundary
+    "group_sequential_pocock" ->
+      """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        | a AS (SELECT LEAST(CAST((CAST(ts AS DATE) - d0) // 6 AS BIGINT) + 1, 5) AS k,
+        |        (instr('0123456789abcdef', substr(md5('gs:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+        |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS c
+        |       FROM events, d0),
+        | g AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS k),
+        | pl AS (SELECT k,
+        |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |        CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS BIGINT) AS xc,
+        |        CAST(SUM(CASE WHEN b <> 0 THEN c ELSE 0 END) AS BIGINT) AS xt
+        |       FROM a GROUP BY 1),
+        | f AS (SELECT g.k, COALESCE(nc, 0) AS nc, COALESCE(nt, 0) AS nt,
+        |        COALESCE(xc, 0) AS xc, COALESCE(xt, 0) AS xt
+        |       FROM g LEFT JOIN pl USING (k)),
+        | cum AS (SELECT k,
+        |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+        |        CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt
+        |       FROM f WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | zt AS (SELECT k, nc, nt, xc, xt,
+        |        CASE WHEN nc > 0 AND nt > 0 AND
+        |          sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |            * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |            * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE))) > 0e0
+        |          THEN (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |              - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |            / sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |                * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+        |                * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)))
+        |        END AS z,
+        |        CAST(2.413e0 AS DOUBLE) AS bound
         |       FROM cum),
         | de AS (SELECT k, nc, nt, xc, xt, z, bound,
         |        CASE WHEN z IS NOT NULL AND ABS(z) > bound THEN 'reject'

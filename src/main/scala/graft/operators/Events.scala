@@ -683,7 +683,11 @@ object Events {
     */
   def groupSequentialObf(events: DataFrame, idCol: String, tsCol: String,
       convCond: Column, looks: Int = 5, lookDays: Int = 6,
-      cK: Double = 2.04, seed: String = "gs"): DataFrame = {
+      cK: Double = 2.04, seed: String = "gs",
+      pocock: Boolean = false): DataFrame = {
+    // pocock=true flattens the boundary to the constant c_K (Pocock
+    // '77 — equal spend at every look, the OTHER textbook shape;
+    // c_5(0.05) = 2.413): easier early stops, a pricier final look
     require(looks >= 2 && lookDays >= 1 && cK > 0,
       s"groupSequentialObf: need looks>=2, lookDays>=1, cK>0, got $looks/$lookDays/$cK")
     val arm = graft.functions.TextFunctions.md5Bits64(
@@ -725,8 +729,10 @@ object Events {
         val pp = (xc + xt).cast("double") / (nc + nt).cast("double")
         val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD))
         val z = when(nc > 0L && nt > 0L && se > lit(0.0), (pt - pc) / se)
-        val bound = lit(cK) *
-          sqrt(lit(looks.toDouble) / e.getField("_k").cast("double"))
+        val bound =
+          if (pocock) lit(cK)
+          else lit(cK) *
+            sqrt(lit(looks.toDouble) / e.getField("_k").cast("double"))
         val dec = when(z.isNotNull && abs(z) > bound, lit("reject"))
           .otherwise(lit("continue"))
         val appended = concat(acc.getField("path"),

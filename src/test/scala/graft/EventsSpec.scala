@@ -627,5 +627,9 @@ class EventsSpec extends SparkSpec {
       .orderBy("look").collect()
     assert(eff.length == 1 && eff.head.getInt(0) == 1 &&
       eff.head.getString(7) == "reject")
+    // Pocock: the boundary is FLAT at c_K for every look
+    val poc = Events.groupSequentialObf(ev, "event_id", "ts", col("conv"),
+      cK = 2.413, pocock = true).orderBy("look").collect()
+    assert(poc.length == 5 && poc.forall(_.getDouble(6) == 2.413))
   }
 }
