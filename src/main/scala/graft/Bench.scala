@@ -21,8 +21,10 @@ import org.apache.spark.sql.SparkSession
   *   1. The entire per-query loop body (including the storage sample) sits
   *      inside the catch; any per-query failure reports -1 and moves on.
   *   2. Each timed iteration runs under a wall-clock deadline
-  *      (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 120 s — the slowest
-  *      healthy sf0.1 query is ~4 s, so this only fires on pathology).
+  *      (SPARK_GRAFT_BENCH_DEADLINE_SEC; default scales linearly with
+  *      the data dir's trailing sf — 120 s at sf0.1, 1200 s at sf1,
+  *      capped 3600 s — the slowest healthy sf0.1 query is ~6 s, so
+  *      this only fires on pathology).
   *      On expiry the query's Spark job group is cancelled, the query
   *      reports -1, and the suite continues.
   *   3. Results accumulate as they land (each median also printed to
@@ -45,7 +47,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "120").toLong
+    // Per-query deadline scales with the data size: 120 s is calibrated
+    // to sf0.1 (slowest healthy query ~6 s); a fixed 120 s would DNF
+    // honest 40 s queries inside a polluted sf1+ sweep. The default
+    // derives a linear multiplier from the trailing "sf<N>" of the data
+    // dir (sf0.1 → 120 s, sf1 → 1200 s, capped at 3600 s); the env var
+    // always wins.
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC").map(_.toLong)
+      .getOrElse {
+        val sf = "sf([0-9.]+)$".r.findFirstMatchIn(new java.io.File(sfDir).getName)
+          .map(_.group(1).toDouble).getOrElse(0.1)
+        math.min(3600L, math.max(120L, math.round(120.0 * sf / 0.1)))
+      }
     // cache lifecycle: Bench deliberately keeps the session's cache
     // ACROSS queries — Spark's CacheManager matches persisted plans by
     // logical equality, so the dedup family legitimately shares its

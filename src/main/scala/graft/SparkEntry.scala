@@ -7092,9 +7092,11 @@ object SparkEntry {
         |        SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy
         |       FROM dc WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT DATE '1970-01-01' + CAST(d AS INT) AS day, x, y, n AS n_days,
-        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-        |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |         AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+        |    THEN ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / (SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |         * SQRT(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
         |  END AS corr
         |FROM m ORDER BY day""".stripMargin,
     "lang_chi2_sources" ->

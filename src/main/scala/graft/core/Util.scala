@@ -27,6 +27,23 @@ object Util {
   def dropna(df: DataFrame, how: String = "any", cols: Seq[String] = Nil): DataFrame =
     if (cols.isEmpty) df.na.drop(how) else df.na.drop(how, cols)
 
+  /** Hard-bounded driver collect: rides a limit(cap+1) so the driver
+    * read is provably at most cap+1 rows no matter what the frame turns
+    * out to contain, then fails loudly (with the caller's context) if
+    * the sentinel row arrived. The guard for every "metadata-sized
+    * aggregate read driver-side" site (stratified allocation, Markov
+    * transition matrix) — a 100 TB misuse (stratifying on an id column)
+    * raises instead of OOMing the driver.
+    */
+  def boundedCollect(df: DataFrame, cap: Int, what: String): Array[Row] = {
+    require(cap >= 1, s"boundedCollect: need cap>=1, got $cap")
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: driver-side read exceeded $cap rows — " +
+        "the key is not metadata-sized; fix the key or raise the cap deliberately")
+    rows
+  }
+
   /** dropna columns (`numpy.py:146-153` axis=columns): drop columns whose
     * null-fraction exceeds `maxNullFrac` — one aggregation pass for all
     * columns, then a driver-side schema prune (SURVEY #31 mapping).

@@ -920,7 +920,12 @@ object Ann {
     // the pair self-join, and the query seeding — localCheckpoint
     // collapses those plan copies to one computed RDD (Spark re-executes
     // repeated subtrees; the bfsHops discipline, and the engine twin of
-    // the oracle's MATERIALIZEd CTEs)
+    // the oracle's MATERIALIZEd CTEs). Cluster caveat: localCheckpoint
+    // stores UNREPLICATED executor-local blocks and truncates lineage —
+    // losing an executor (failure or dynamic-allocation reclaim)
+    // mid-build fails the job instead of recomputing. On a real cluster
+    // with dynamic allocation, swap for persist(MEMORY_AND_DISK) + an
+    // eager count() (keeps lineage, survives executor loss).
     val bk = cv.select(col("_nid"),
       posexplode(VectorFunctions.signBuckets(col("_v"), planes))
         .as(Seq("_t", "_b")))

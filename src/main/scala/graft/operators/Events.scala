@@ -941,9 +941,17 @@ object Events {
       .select(lit("START").as("_from"),
         when(col("_cts").isNotNull, lit("CONV")).otherwise(lit("NULL"))
           .as("_to"))
-    val counts = chTrans.unionByName(startTrans).unionByName(bare)
-      .groupBy("_from", "_to").agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    // the transition key space is structurally (n+2)² — channels plus
+    // {START, CONV, NULL} — because every _from/_to rides the isin
+    // filter; the limit+require makes that bound a HARD driver-read
+    // guarantee a refactor can't silently lose (100 TB misuse fails
+    // loudly instead of collecting a data-sized map)
+    val maxCells = (n + 2) * (n + 2)
+    val counts = graft.core.Util.boundedCollect(
+        chTrans.unionByName(startTrans).unionByName(bare)
+          .groupBy("_from", "_to").agg(count(lit(1)).as("_c")),
+        maxCells, "markovRemovalAttribution transition matrix")
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     // driver-side: row-normalize, absorption via (I - M) a = pConv
     val states = "START" +: channels
@@ -1266,9 +1274,12 @@ object Events {
     * √(nΣy²−Σy²)) is a fixed-order double expression at the readout
     * (sqrt and division are IEEE-exact on identical operands),
     * round(6), null when either variance is 0. The squared-moment
-    * window sums carry as DECIMAL(38,0) — BIGINT passes at ~3e7
-    * events/day (the spearman sf1 overflow class); decimal is exact
-    * to ~10¹⁸ per day.
+    * window sums carry as DECIMAL(38,0), and the readout's cross
+    * products (n·Σx² − (Σx)² etc.) form over DECIMAL operands too —
+    * a bare Σx·Σx stays BIGINT and overflows once a 7-day window sum
+    * passes ~3e9 (~4e8 events/day), far below the moment sums' own
+    * bound. With both hardened the pipeline is exact to ~10¹⁸ of
+    * window mass.
     *
     * Output: (day, x, y, n_days, corr).
     *
@@ -1291,9 +1302,11 @@ object Events {
       sum(col("x").cast("decimal(19,0)") * col("x")).over(w).as("_sxx"),
       sum(col("y").cast("decimal(19,0)") * col("y")).over(w).as("_syy"),
       sum(col("x").cast("decimal(19,0)") * col("y")).over(w).as("_sxy"))
-    val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
-    val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
-    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val sxd = col("_sx").cast("decimal(19,0)")
+    val syd = col("_sy").cast("decimal(19,0)")
+    val vx = col("_n") * col("_sxx") - sxd * sxd
+    val vy = col("_n") * col("_syy") - syd * syd
+    val num = (col("_n") * col("_sxy") - sxd * syd).cast("double")
     m.select(
       date_add(to_date(lit("1970-01-01")), col("_d").cast("int")).as("day"),
       col("x"), col("y"), col("_n").as("n_days"),

@@ -82,7 +82,12 @@ object Sampling {
     * Scale shape: per-stratum counts are a groupBy agg collected to the
     * driver (#strata rows — the reference holds the same dict in memory);
     * the draw itself is one window shuffle partitioned by stratum. Skewed
-    * strata are handled by AQE; there is no global sort.
+    * strata are handled by AQE; there is no global sort. The driver read
+    * is HARD-BOUNDED at `maxStrata` (default 10,000): the collect rides a
+    * limit(maxStrata+1) so stratifying on a high-cardinality key (a
+    * mis-typed id column at 100 TB) fails loudly with the count, never
+    * OOMs the driver. Raise `maxStrata` deliberately if a genuine
+    * enum-like population legitimately exceeds it.
     */
   /** `orderCol`, when given, replaces the RNG draw order with a caller-
     * supplied deterministic key (e.g. `md5(seed:id)`) — same allocation,
@@ -95,10 +100,15 @@ object Sampling {
       distribution: Option[Map[String, Double]] = None,
       seed: Long = 42L,
       tieBreak: Seq[String] = Nil,
-      orderCol: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      orderCol: Option[org.apache.spark.sql.Column] = None,
+      maxStrata: Int = 10000): DataFrame = {
+    require(maxStrata >= 1, s"sampleWithDistribution: need maxStrata>=1, got $maxStrata")
     val base = df.filter(col(popCol).isNotNull)
-    val countsRows: Array[Row] =
-      base.groupBy(col(popCol).cast("string").as("k")).agg(count(lit(1)).as("c")).collect()
+    // limit(maxStrata+1) bounds the driver read BEFORE materializing it;
+    // the +1 row is the loud-failure sentinel for over-cardinality keys
+    val countsRows: Array[Row] = graft.core.Util.boundedCollect(
+      base.groupBy(col(popCol).cast("string").as("k")).agg(count(lit(1)).as("c")),
+      maxStrata, s"sampleWithDistribution(popCol='$popCol')")
     val counts: Map[String, Long] =
       countsRows.map(r => r.getString(0) -> r.getLong(1)).toMap
 

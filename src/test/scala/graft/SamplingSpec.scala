@@ -44,6 +44,29 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall(r => orig(r.getLong(0)) == r.getInt(1)))
   }
 
+  test("stratified: over-cardinality population key fails loudly (maxStrata guard)") {
+    // stratifying on the id column is the 100 TB misuse the guard exists
+    // for: with maxStrata=5 and 10 distinct rids the bounded collect
+    // raises instead of materializing the counts driver-side
+    val e = intercept[IllegalArgumentException] {
+      Sampling.sampleWithDistribution(a1, "rid", Some(2L), None,
+        seed = 42L, maxStrata = 5)
+    }
+    assert(e.getMessage.contains("exceeded 5 rows"))
+    // at the default cap the same call is legal (10 strata is enum-like)
+    assert(Sampling.sampleWithDistribution(a1, "rid", Some(10L), None,
+      seed = 42L).count() == 10)
+  }
+
+  test("boundedCollect: cap+1 sentinel raises; at-cap passes through") {
+    val df = spark.range(10).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Util.boundedCollect(df, 9, "spec probe")
+    }
+    assert(e.getMessage.contains("spec probe") && e.getMessage.contains("exceeded 9"))
+    assert(graft.core.Util.boundedCollect(df, 10, "spec probe").length == 10)
+  }
+
   test("sampleNAtMost clamps beyond population (utils.py:603-607)") {
     assert(Sampling.sampleNAtMost(a1, 100, seed = 1L).count() == 10)
     assert(Sampling.sampleNAtMost(a1, 3, seed = 1L).count() == 3)

@@ -14,8 +14,10 @@ import sys
 
 
 def load(p):
+    # whole-file json.load: handles both the one-line Bench stdout
+    # contract and pretty-printed/multi-line records
     with open(p) as f:
-        d = json.loads(f.readline())
+        d = json.load(f)
     return d.get("queries", {})
 
 
