@@ -255,8 +255,18 @@ object Corpus {
     val feats = unis.unionByName(bis)
       .select(col("_id"), col("_tgt"),
         conv(substring(md5(col("_ng")), 1, hexDigits), 16, 10).cast("int").as("_b"))
+    // persist the (doc, bucket) counts: this frame feeds BOTH the
+    // bucket-distribution aggregate and the per-doc weight join inside
+    // dsirLogWeights (Spark re-executes repeated subtrees — invariant
+    // of the bfsHops/NSW class), and its plan is IDENTICAL across
+    // dsirLogWeights / dsirDistTable / gumbelTopK-over-weights calls
+    // with the same arguments, so CacheManager's plan-equality lookup
+    // shares ONE token-explode scan across the whole DSIR family in a
+    // long-lived session. (_id, _b, n) is ~1% of corpus bytes —
+    // MEMORY_AND_DISK, the Dedup-family discipline.
     feats.groupBy("_id", "_b")
       .agg(count(lit(1)).as("_n"), first(col("_tgt")).as("_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The smoothed log-ratio table over the fixed bucket space:
@@ -780,20 +790,80 @@ object Corpus {
         i => textCol.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
+  /** Per-document (gram, cnt) pairs appended as a `_pairs` column, all
+    * map-side: sort the doc's n-grams, find the run boundaries, and emit
+    * a struct<g,cnt> per distinct gram (run-length encoding). This is the
+    * shuffle-free front half of the whole language-ID family — the
+    * per-(doc, gram) groupBy AND the per-doc rank window it replaces
+    * both moved corpus-gram-sized rows through the exchange, and at
+    * 10× data that pair of wide shuffles was the suite's worst honest
+    * scaling tail (8.4 s isolated at sf1). O(L log L) per doc, inside
+    * whole-stage codegen. The when-guards keep every element_at index
+    * in range (ANSI-safe) and dodge sequence(1,0)'s negative-step [1,0].
+    */
+  private def withDocGramCounts(df: DataFrame, textCol: Column,
+      n: Int): DataFrame = {
+    // STAGED projections, not one nested Column: higher-order-function
+    // lambdas evaluate interpreted, and a repeated non-attribute subtree
+    // re-executes at EVERY reference — nesting gs/bounds directly made
+    // the encode O(L^3) per doc (observed as a hang on the spec corpus).
+    // As attributes each array computes once per row; CollapseProject
+    // keeps multi-referenced non-cheap aliases materialized (the
+    // pqEncode discipline, Ann.scala:444).
+    val gs = df.withColumn("_gs", array_sort(charNgrams(lower(textCol), n)))
+    val bounds = gs.withColumn("_bounds",
+      // 1-based positions that START a run of equal grams
+      filter(
+        when(size(col("_gs")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("_gs")))),
+        i => when(i === 1, lit(true))
+          .otherwise(element_at(col("_gs"), i) =!= element_at(col("_gs"), i - 1))))
+    bounds.withColumn("_pairs",
+        when(size(col("_bounds")) === 0,
+          array().cast("array<struct<g:string,cnt:int>>"))
+          .otherwise(transform(sequence(lit(1), size(col("_bounds"))), j =>
+            struct(
+              element_at(col("_gs"), element_at(col("_bounds"), j)).as("g"),
+              (when(j < size(col("_bounds")), element_at(col("_bounds"), j + 1))
+                .otherwise(size(col("_gs")) + 1)
+                - element_at(col("_bounds"), j)).as("cnt")))))
+      .drop("_gs", "_bounds")
+  }
+
+  /** Top-`top` grams of a docGramCounts array by (cnt desc, g asc),
+    * as (g, 1-based rank) structs — the per-doc rank WINDOW collapsed
+    * into a map-side struct sort (struct natural order on (-cnt, g)). */
+  private def topGramRanks(pairs: Column, top: Int): Column =
+    slice(array_sort(transform(pairs,
+      p => struct((-p.getField("cnt")).as("nc"), p.getField("g").as("g")))),
+      1, top)
+
+  /** Explode topGramRanks into (_id, g, dr) rows — dr from posexplode,
+    * so no window touches the corpus. */
+  private def docRanksFrom(pairsDf: DataFrame, top: Int): DataFrame =
+    pairsDf.select(col("_id"),
+        posexplode(topGramRanks(col("_pairs"), top)).as(Seq("_p0", "_s")))
+      .select(col("_id"), col("_s.g").as("g"),
+        (col("_p0") + 1).cast("int").as("dr"))
+
   /** Cavnar-Trenkle n-gram language profiles ("N-Gram-Based Text
     * Categorization", 1994), TRAINED from labeled rows: per language,
     * the `top` most frequent character n-grams with their 1-based rank
     * (ties broken by gram text — a total order, so the profile is
     * deterministic on any cluster). The profile is `|langs| * top` rows
     * — broadcast-sized by construction regardless of corpus scale.
+    * Gram counting is the map-side run-length encode ([[docGramCounts]]);
+    * the only shuffle is the (lang, gram) aggregate, whose map-side
+    * partial combine ships at most the distinct-gram space per task.
     */
   def langProfiles(docs: DataFrame, langCol: String, textCol: String,
       n: Int = 3, top: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
-      .select(col(langCol).as("lang"),
-        explode(charNgrams(lower(col(textCol)), n)).as("g"))
-      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+    withDocGramCounts(docs.select(col(langCol).as("lang"), col(textCol)),
+        col(textCol), n)
+      .select(col("lang"), explode(col("_pairs")).as("_p"))
+      .groupBy(col("lang"), col("_p.g").as("g"))
+      .agg(sum(col("_p.cnt").cast("long")).as("cnt"))
       .withColumn("r", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))))
       .filter(col("r") <= top)
@@ -814,33 +884,34 @@ object Corpus {
     * handles at most `top * |langs|` rows per doc.
     */
   /** Train-on-self composition of [[langProfiles]] + [[langClassifyNgram]]
-    * with ONE tokenization: the per-(doc, gram) counts are computed once
-    * and persisted, the language profiles aggregate them (summing doc
-    * counts per lang — identical totals to a direct count), and the doc
-    * ranks window the same frame. Halves the corpus scans of the naive
-    * two-call composition (measured 6.1 s -> see BENCH_NOTES r9 on the
-    * declared `lang_id_ngram`).
+    * with ONE tokenization: the per-doc (gram, cnt) arrays are computed
+    * once MAP-SIDE ([[docGramCounts]]) and persisted; the language
+    * profiles aggregate them (summing doc counts per lang — identical
+    * totals to a direct count), and the per-doc ranks come from a
+    * map-side struct sort ([[topGramRanks]]) — no corpus-sized window
+    * and no per-(doc, gram) groupBy shuffle remain (the r10 sf1 sweep's
+    * worst honest scaling tail; see BENCH_NOTES r11).
     */
   def langIdSelfTrain(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, n: Int = 3, top: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
-      .select(col(idCol).as("_id"), col(langCol).as("_lang"),
-        explode(charNgrams(lower(col(textCol)), n)).as("g"))
-      .groupBy("_id", "_lang", "g").agg(count(lit(1)).as("cnt"))
+    // one map-side tokenize+count per doc; persisted because it feeds
+    // BOTH the profile aggregate and the doc-rank explode
+    val pairs = withDocGramCounts(
+        docs.select(col(idCol).as("_id"), col(langCol).as("_lang"),
+          col(textCol)),
+        col(textCol), n)
+      .select("_id", "_lang", "_pairs")
       .persist()
-    val profiles = counts
-      .groupBy(col("_lang").as("lang"), col("g"))
-      .agg(sum("cnt").as("cnt"))
+    val profiles = pairs
+      .select(col("_lang").as("lang"), explode(col("_pairs")).as("_p"))
+      .groupBy(col("lang"), col("_p.g").as("g"))
+      .agg(sum(col("_p.cnt").cast("long")).as("cnt"))
       .withColumn("r", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))))
       .filter(col("r") <= top)
       .select("lang", "g", "r")
-    val docRanks = counts
-      .withColumn("dr", row_number().over(
-        Window.partitionBy("_id").orderBy(col("cnt").desc, col("g"))))
-      .filter(col("dr") <= top)
-      .select("_id", "g", "dr")
+    val docRanks = docRanksFrom(pairs, top)
     classifyRanks(docRanks, profiles, top)
       .withColumnRenamed("_id", idCol)
   }
@@ -875,15 +946,10 @@ object Corpus {
 
   def langClassifyNgram(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame, n: Int = 3, top: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docRanks = docs
-      .select(col(idCol).as("_id"),
-        explode(charNgrams(lower(col(textCol)), n)).as("g"))
-      .groupBy("_id", "g").agg(count(lit(1)).as("cnt"))
-      .withColumn("dr", row_number().over(
-        Window.partitionBy("_id").orderBy(col("cnt").desc, col("g"))))
-      .filter(col("dr") <= top)
-      .select("_id", "g", "dr")
+    val docRanks = docRanksFrom(
+      withDocGramCounts(docs.select(col(idCol).as("_id"), col(textCol)),
+          col(textCol), n)
+        .select("_id", "_pairs"), top)
     classifyRanks(docRanks, profiles, top)
       .withColumnRenamed("_id", idCol)
   }
