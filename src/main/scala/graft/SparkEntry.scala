@@ -3239,6 +3239,24 @@ object SparkEntry {
       Events.groupSequentialObf(t(s, dir, "events"), "event_id", "ts",
           col("value") > 100, cK = 2.413, pocock = true)
         .orderBy("look")),
+    // EXT Lan-DeMets alpha-spending boundaries (AlphaSpending
+    // .ldBoundaries, Lan & DeMets '83): the spending-function
+    // generalization of the fixed OBF/Pocock shapes — per-look critical
+    // values solved by the Armitage recursion driver-side (matches the
+    // published K=5 α=.05 tables to 4 decimals) and embedded as frozen
+    // literals on BOTH engines (the PQ-codebook discipline). Same data
+    // path as group_sequential_obf; only the boundary column differs.
+    "group_sequential_ld_obf" -> ((s, dir) =>
+      Events.groupSequentialLanDeMets(t(s, dir, "events"), "event_id",
+          "ts", col("value") > 100, spending = "obf")
+        .orderBy("look")),
+    // EXT Lan-DeMets with the Pocock-like near-linear spending
+    // α·ln(1+(e−1)t) — spends earlier than OBF-like, so the two LD
+    // variants can genuinely disagree on the same data
+    "group_sequential_ld_pocock" -> ((s, dir) =>
+      Events.groupSequentialLanDeMets(t(s, dir, "events"), "event_id",
+          "ts", col("value") > 100, spending = "pocock")
+        .orderBy("look")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -3328,6 +3346,41 @@ object SparkEntry {
           col("covered").cast("int").as("covered"),
           (round(col("alpha"), 6) + lit(0.0)).as("alpha"))
         .orderBy("event_type", "d")
+    }),
+    // EXT streaming CUPED (StreamOps.cupedStream), repeated-measures
+    // form: units are (user, post-period day) observations — y = that
+    // day's spend cents, x = the user's FROZEN pre-period activity
+    // (Deng et al.'s user-day-metric variant) — arriving day by day;
+    // the lambda runs batch-style (the flatMapGroupsWithState suite
+    // strategy) and emits one snapshot per day with the refreshed
+    // theta and adjusted lift over the cumulative arms, a genuine
+    // ~15-look trajectory on the synthetic month
+    "cuped_stream_daily" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val cut = lit("2024-01-16").cast("date")
+      val ev = t(s, dir, "events")
+      val pre = ev.groupBy(col("user_id").as("_u"))
+        .agg(sum(when(col("ts").cast("date") < cut, 1L).otherwise(0L)).as("x"))
+      val units = ev.filter(col("ts").cast("date") >= cut)
+        .groupBy(col("user_id"), col("ts").cast("date").as("_d"))
+        .agg(sum(round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+          .as("y"))
+        .join(pre, col("user_id") === col("_u"))
+        .select(lit("all").as("key"),
+          datediff(col("_d"), to_date(lit("1970-01-01"))).cast("long").as("day"),
+          graft.functions.TextFunctions.md5Bits64(
+            concat(lit("cu:"), col("user_id").cast("string")))
+            .bitwiseAND(lit(1L)).as("arm"),
+          col("x"), col("y"))
+        .as[graft.streaming.CupedPoint]
+      graft.streaming.StreamOps.cupedStream(units)
+        .toDF()
+        .select(col("day").as("d"), col("n_c"), col("n_t"),
+          (round(col("diff_raw"), 6) + lit(0.0)).as("diff_raw"),
+          (round(col("theta"), 6) + lit(0.0)).as("theta"),
+          (round(col("diff_cuped"), 6) + lit(0.0)).as("diff_cuped"))
+        .orderBy("d")
     }),
     // EXT streaming transition edges applied to a batch frame (the
     // suite strategy for stream lambdas — the same
@@ -4895,6 +4948,55 @@ object SparkEntry {
       s"($d, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
     }.mkString(", ")
 
+
+  /** SQL mirror for the Lan-DeMets monitors: the group_sequential
+    * grid/z replay with the boundary as a frozen CASE over the
+    * driver-computed per-look literals. */
+  private def ldOracleSql(spending: String): String = {
+    val bs = graft.operators.AlphaSpending.ldBoundaries(5, 0.05, spending)
+    val boundCase = bs.zipWithIndex
+      .map { case (u, i) => s"WHEN ${i + 1} THEN CAST($u AS DOUBLE)" }
+      .mkString("CASE k ", " ", " END")
+    s"""WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+       | a AS (SELECT LEAST(CAST((CAST(ts AS DATE) - d0) // 6 AS BIGINT) + 1, 5) AS k,
+       |        (instr('0123456789abcdef', substr(md5('gs:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+       |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS c
+       |       FROM events, d0),
+       | g AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS k),
+       | pl AS (SELECT k,
+       |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |        CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS BIGINT) AS xc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN c ELSE 0 END) AS BIGINT) AS xt
+       |       FROM a GROUP BY 1),
+       | f AS (SELECT g.k, COALESCE(nc, 0) AS nc, COALESCE(nt, 0) AS nt,
+       |        COALESCE(xc, 0) AS xc, COALESCE(xt, 0) AS xt
+       |       FROM g LEFT JOIN pl USING (k)),
+       | cum AS (SELECT k,
+       |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+       |        CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt
+       |       FROM f WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | zt AS (SELECT k, nc, nt, xc, xt,
+       |        CASE WHEN nc > 0 AND nt > 0 AND
+       |          sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE))) > 0e0
+       |          THEN (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+       |              - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+       |            / sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)))
+       |        END AS z,
+       |        $boundCase AS bound
+       |       FROM cum),
+       | de AS (SELECT k, nc, nt, xc, xt, z, bound,
+       |        CASE WHEN z IS NOT NULL AND ABS(z) > bound THEN 'reject'
+       |             ELSE 'continue' END AS decision FROM zt),
+       | fc AS (SELECT MIN(k) AS mk FROM de WHERE decision = 'reject')
+       |SELECT de.k AS look, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+       |  ROUND(z, 6) + 0e0 AS z, ROUND(bound, 6) AS bound, decision
+       |FROM de, fc WHERE de.k <= COALESCE(fc.mk, 5) ORDER BY look""".stripMargin
+  }
   def oracleSql: Map[String, String] = Map(
     "chunk_retrieval" ->
       s"""WITH w0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
@@ -8826,6 +8928,58 @@ object SparkEntry {
         |       THEN ROUND(covn * covn / (varxn * varyn), 6)
         |  END AS rho2
         |FROM f""".stripMargin,
+    // streaming-CUPED mirror (repeated measures): frozen per-user
+    // pre-period x joined onto per-(user, day) outcomes; per-day
+    // integer sums (HUGEINT cross moments), cumulative windows in day
+    // order, the SAME fixed-order double readout per day — the
+    // stream's moment state is additive, so plain cumulative windows
+    // replay it with no recursion
+    "cuped_stream_daily" ->
+      """WITH pre AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    (instr('0123456789abcdef', substr(md5('cu:' || CAST(user_id AS VARCHAR)), 16, 1)) - 1) % 2 AS arm
+        |   FROM events GROUP BY 1),
+        | ud AS (SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS BIGINT) AS y
+        |   FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16' GROUP BY 1, 2),
+        | u AS (SELECT d, arm, x, y FROM ud JOIN pre USING (user_id)),
+        | g AS (SELECT d,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS xc,
+        |    CAST(SUM(CASE WHEN arm <> 0 THEN x ELSE 0 END) AS BIGINT) AS xt,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS yc,
+        |    CAST(SUM(CASE WHEN arm <> 0 THEN y ELSE 0 END) AS BIGINT) AS yt,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |   FROM u GROUP BY 1),
+        | c AS (SELECT d,
+        |    CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+        |    CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt,
+        |    CAST(SUM(yc) OVER w AS BIGINT) AS yc, CAST(SUM(yt) OVER w AS BIGINT) AS yt,
+        |    SUM(sxy) OVER w AS sxy, SUM(sxx) OVER w AS sxx, SUM(syy) OVER w AS syy
+        |   FROM g WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | r AS (SELECT d, nc, nt,
+        |    CAST(nc + nt AS DOUBLE) AS nd,
+        |    CAST(xc + xt AS DOUBLE) AS sx, CAST(yc + yt AS DOUBLE) AS sy,
+        |    CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) AS myt,
+        |    CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE) AS myc,
+        |    CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) AS mxt,
+        |    CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) AS mxc,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM c),
+        | f AS (SELECT d, nc, nt, myt, myc, mxt, mxc,
+        |    nd * sxyd - sx * sy AS covn,
+        |    nd * sxxd - sx * sx AS varxn FROM r)
+        |SELECT d, nc AS n_c, nt AS n_t,
+        |  CASE WHEN nc > 0 AND nt > 0 THEN ROUND(myt - myc, 6) + 0e0 END AS diff_raw,
+        |  CASE WHEN varxn > 0 THEN ROUND(covn / varxn, 6) + 0e0 END AS theta,
+        |  CASE WHEN nc > 0 AND nt > 0 AND varxn > 0
+        |       THEN ROUND((myt - myc) - (covn / varxn) * (mxt - mxc), 6) + 0e0
+        |  END AS diff_cuped
+        |FROM f ORDER BY d""".stripMargin,
     "ab_test_value" -> {
       val parity = "(instr('0123456789abcdef', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2"
       s"""WITH o AS (SELECT $parity AS b,
@@ -8933,6 +9087,11 @@ object SparkEntry {
         |SELECT de.k AS look, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
         |  ROUND(z, 6) + 0e0 AS z, ROUND(bound, 6) AS bound, decision
         |FROM de, fc WHERE de.k <= COALESCE(fc.mk, 5) ORDER BY look""".stripMargin,
+    // Lan-DeMets mirrors: identical grid/z replay; the boundary is the
+    // frozen per-look literal list (Double.toString round-trips, DuckDB
+    // parses the decimal digits exactly and CASTs to the same double)
+    "group_sequential_ld_obf" -> ldOracleSql("obf"),
+    "group_sequential_ld_pocock" -> ldOracleSql("pocock"),
     "sprt_daily" -> {
       val p0 = 0.35; val p1 = 0.40; val alpha = 0.05; val beta = 0.05
       val lc1 = math.log(p1 / p0)

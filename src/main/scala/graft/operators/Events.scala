@@ -684,12 +684,18 @@ object Events {
   def groupSequentialObf(events: DataFrame, idCol: String, tsCol: String,
       convCond: Column, looks: Int = 5, lookDays: Int = 6,
       cK: Double = 2.04, seed: String = "gs",
-      pocock: Boolean = false): DataFrame = {
+      pocock: Boolean = false,
+      bounds: Option[Seq[Double]] = None): DataFrame = {
     // pocock=true flattens the boundary to the constant c_K (Pocock
     // '77 — equal spend at every look, the OTHER textbook shape;
-    // c_5(0.05) = 2.413): easier early stops, a pricier final look
+    // c_5(0.05) = 2.413): easier early stops, a pricier final look.
+    // bounds=Some(u_1..u_K) overrides the boundary SHAPE entirely with
+    // per-look literals — the Lan-DeMets spending path
+    // ([[groupSequentialLanDeMets]]).
     require(looks >= 2 && lookDays >= 1 && cK > 0,
       s"groupSequentialObf: need looks>=2, lookDays>=1, cK>0, got $looks/$lookDays/$cK")
+    require(bounds.forall(_.length == looks),
+      s"groupSequentialObf: bounds must have one entry per look")
     val arm = graft.functions.TextFunctions.md5Bits64(
       concat(lit(seed + ":"), col(idCol).cast("string"))).bitwiseAND(lit(1L))
     val day = col(tsCol).cast("date")
@@ -729,10 +735,12 @@ object Events {
         val pp = (xc + xt).cast("double") / (nc + nt).cast("double")
         val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD))
         val z = when(nc > 0L && nt > 0L && se > lit(0.0), (pt - pc) / se)
-        val bound =
-          if (pocock) lit(cK)
-          else lit(cK) *
+        val bound = bounds match {
+          case Some(bs) => element_at(lit(bs.toArray), e.getField("_k"))
+          case None if pocock => lit(cK)
+          case None => lit(cK) *
             sqrt(lit(looks.toDouble) / e.getField("_k").cast("double"))
+        }
         val dec = when(z.isNotNull && abs(z) > bound, lit("reject"))
           .otherwise(lit("continue"))
         val appended = concat(acc.getField("path"),
@@ -751,6 +759,22 @@ object Events {
         round(col("_e.bound"), 6).as("bound"),
         col("_e.decision").as("decision"))
   }
+
+  /** Lan-DeMets alpha-spending group-sequential monitor — the
+    * spending-function generalization of the OBF/Pocock pair: the
+    * per-look critical values come from [[AlphaSpending.ldBoundaries]]
+    * (OBF-like or Pocock-like spending at overall level `alpha`),
+    * computed driver-side as frozen deterministic literals, and the
+    * data path is exactly [[groupSequentialObf]]'s one (look, arm)
+    * aggregate + K-row grid fold with stop-at-first-crossing.
+    */
+  def groupSequentialLanDeMets(events: DataFrame, idCol: String,
+      tsCol: String, convCond: Column, looks: Int = 5, lookDays: Int = 6,
+      alpha: Double = 0.05, spending: String = "obf",
+      seed: String = "gs"): DataFrame =
+    groupSequentialObf(events, idCol, tsCol, convCond, looks, lookDays,
+      seed = seed,
+      bounds = Some(AlphaSpending.ldBoundaries(looks, alpha, spending).toSeq))
 
   /** Nelson-Aalen cumulative hazard (Nelson '72, Aalen '78) — the
     * additive companion to [[kaplanMeier]]'s multiplicative survival:

@@ -56,6 +56,31 @@ case class ConformalVerdict(key: String, seq: Long, qhat: Double,
 
 case class ConformalState(alpha: Double, window: List[Double])
 
+/** One experiment unit for [[StreamOps.cupedStream]]: `day` is the
+  * unit's arrival day (per-key monotone across batches — the keyed-log
+  * delivery contract), `arm` 0=control / else treatment, `x` the
+  * FROZEN pre-period covariate, `y` the outcome. Integer metrics keep
+  * every moment exact.
+  */
+case class CupedPoint(key: String, day: Long, arm: Long, x: Long, y: Long)
+
+/** Exact cumulative CUPED moments carried across batches: linear sums
+  * as BIGINTs (exact to ~9e18 of metric mass), the three cross-moment
+  * sums as DECIMAL(38,18) — integer-valued, exact to ~1e20 of x·y
+  * mass. */
+case class CupedMoments(nc: Long, nt: Long, xc: Long, xt: Long,
+    yc: Long, yt: Long, sxy: BigDecimal, sxx: BigDecimal, syy: BigDecimal)
+
+/** One per-day CUPED snapshot: the θ in force AFTER folding the day in
+  * (per-day refresh), with diff_raw/diff_cuped over the cumulative
+  * arms; None while an arm is empty (no diff exists) or Var(x)=0 (no
+  * adjustment exists). Raw IEEE doubles — the declared query rounds at
+  * the readout like every batch twin.
+  */
+case class CupedSnapshot(key: String, day: Long, n_c: Long, n_t: Long,
+    diff_raw: Option[Double], theta: Option[Double],
+    diff_cuped: Option[Double])
+
 /** One keyed integer observation for [[StreamOps.binnedQuantilesStream]]. */
 case class BinnedPoint(key: String, x: Long)
 
@@ -1009,6 +1034,77 @@ object StreamOps {
                 (span.toDouble / bins)
             BinnedQuantileRow(key, n, qn.toDouble / qd, est)
           }
+        })
+  }
+
+  /** Streaming CUPED (the prequential form of
+    * [[graft.operators.Stats.cuped]], Deng et al. '13): experiment
+    * units arrive day by day with a FROZEN pre-period covariate x and
+    * an outcome y; per key the state is the nine exact cumulative
+    * moments (arm counts, arm sums, Σxy/Σx²/Σy²), and after each day
+    * folds in the operator emits a snapshot with the refreshed
+    * θ = cov(x,y)/var(x) and the adjusted lift diff_cuped =
+    * (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c) — the same linearity identity as the
+    * batch operator, so no per-unit float is ever summed and the final
+    * snapshot replays batch `cuped` bit for bit (the double readout is
+    * written operation-for-operation identically; StreamingSpec
+    * asserts equality across a batch split).
+    *
+    * Days inside one micro-batch emit one snapshot each, in day order;
+    * state carries across batches (per-key day-monotone delivery — the
+    * [[cusumStream]] keyed-log contract; a day split across batches
+    * emits one snapshot per fragment, each over everything seen).
+    *
+    * Scale shape (100 TB/day): state per key is 6 longs + 3 decimals
+    * FOREVER — no window, no per-unit retention; per-batch work is one
+    * pass over the batch's units. Keys shard the state store like any
+    * keyed aggregation.
+    */
+  def cupedStream(units: Dataset[CupedPoint]): Dataset[CupedSnapshot] = {
+    val sess = units.sparkSession
+    import sess.implicits._
+    val zeroB = BigDecimal(0)
+    units.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[CupedPoint], state: GroupState[CupedMoments]) => {
+          var m = state.getOption.getOrElse(
+            CupedMoments(0L, 0L, 0L, 0L, 0L, 0L, zeroB, zeroB, zeroB))
+          val byDay = it.toSeq.groupBy(_.day).toSeq.sortBy(_._1)
+          val out = byDay.map { case (day, pts) =>
+            pts.foreach { p =>
+              val xB = BigDecimal(p.x); val yB = BigDecimal(p.y)
+              m =
+                if (p.arm == 0L)
+                  m.copy(nc = m.nc + 1L, xc = m.xc + p.x, yc = m.yc + p.y,
+                    sxy = m.sxy + xB * yB, sxx = m.sxx + xB * xB,
+                    syy = m.syy + yB * yB)
+                else
+                  m.copy(nt = m.nt + 1L, xt = m.xt + p.x, yt = m.yt + p.y,
+                    sxy = m.sxy + xB * yB, sxx = m.sxx + xB * xB,
+                    syy = m.syy + yB * yB)
+            }
+            // the batch cuped readout, operation for operation
+            val nD = (m.nc + m.nt).toDouble
+            val sx = (m.xc + m.xt).toDouble
+            val sy = (m.yc + m.yt).toDouble
+            val covN = nD * m.sxy.toDouble - sx * sy
+            val varXN = nD * m.sxx.toDouble - sx * sx
+            val bothArms = m.nc > 0L && m.nt > 0L
+            val diffRaw =
+              if (bothArms)
+                Some(m.yt.toDouble / m.nt.toDouble - m.yc.toDouble / m.nc.toDouble)
+              else None
+            val theta = if (varXN > 0.0) Some(covN / varXN) else None
+            val diffCuped =
+              if (bothArms && varXN > 0.0)
+                Some((m.yt.toDouble / m.nt.toDouble - m.yc.toDouble / m.nc.toDouble)
+                  - (covN / varXN)
+                  * (m.xt.toDouble / m.nt.toDouble - m.xc.toDouble / m.nc.toDouble))
+              else None
+            CupedSnapshot(key, day, m.nc, m.nt, diffRaw, theta, diffCuped)
+          }
+          state.update(m)
+          out.iterator
         })
   }
 

@@ -632,4 +632,50 @@ class EventsSpec extends SparkSpec {
       cK = 2.413, pocock = true).orderBy("look").collect()
     assert(poc.length == 5 && poc.forall(_.getDouble(6) == 2.413))
   }
+
+  test("AlphaSpending.ldBoundaries reproduces the published Lan-DeMets tables; grid-invariant") {
+    import graft.operators.AlphaSpending
+    // K=5, two-sided alpha=0.05 — the canonical published values
+    // (Lan & DeMets '83 / the ldbounds reference implementation)
+    val obf = AlphaSpending.ldBoundaries(5, 0.05, "obf")
+    val obfTable = Seq(4.8769, 3.3570, 2.6803, 2.2898, 2.0310)
+    obf.zip(obfTable).foreach { case (u, ref) =>
+      assert(math.abs(u - ref) < 2e-3, s"obf bound $u vs table $ref") }
+    val poc = AlphaSpending.ldBoundaries(5, 0.05, "pocock")
+    assert(math.abs(poc(0) - 2.4380) < 2e-3)
+    // near-linear spend: near-flat, strictly decreasing boundaries
+    assert(poc.sliding(2).forall(p => p(0) > p(1)))
+    assert(poc.last > 2.37 && poc.last < poc.head)
+    // the quadrature is converged: half/double grids agree to 1e-3
+    val coarse = AlphaSpending.ldBoundaries(5, 0.05, "obf", gridN = 301)
+    obf.zip(coarse).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    intercept[IllegalArgumentException] {
+      AlphaSpending.ldBoundaries(5, 0.05, "hwang-shih-decani")
+    }
+  }
+
+  test("groupSequentialLanDeMets: LD-OBF is near-unspendable early; arm-aligned effect still rejects at look 1") {
+    val ev = (0 until 600)
+      .map(i => (i.toLong, ts(1 + i / 20, i % 24), i % 7 == 0))
+      .toDF("event_id", "ts", "conv")
+    val aa = Events.groupSequentialLanDeMets(ev, "event_id", "ts", col("conv"))
+      .orderBy("look").collect()
+    assert(aa.length == 5 && aa.forall(_.getString(7) == "continue"))
+    // the LD-OBF first-look bound (4.8769) is HIGHER than plain OBF's
+    // 2.04*sqrt(5) = 4.5617 — spending makes the early look stricter
+    assert(aa.head.getDouble(6) > 4.87 && aa.head.getDouble(6) < 4.89)
+    assert(aa.last.getDouble(6) > 2.02 && aa.last.getDouble(6) < 2.04)
+    // a perfectly arm-aligned effect crosses even the 4.88 wall
+    val armConv = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("gs:"), col("event_id").cast("string")))
+      .bitwiseAND(lit(1L)) === 1L
+    val eff = Events.groupSequentialLanDeMets(ev, "event_id", "ts", armConv)
+      .orderBy("look").collect()
+    assert(eff.length == 1 && eff.head.getString(7) == "reject")
+    // pocock-like spending: near-flat boundary around 2.38-2.44
+    val pk = Events.groupSequentialLanDeMets(ev, "event_id", "ts",
+      col("conv"), spending = "pocock").orderBy("look").collect()
+    assert(pk.length == 5 &&
+      pk.forall(r => r.getDouble(6) > 2.37 && r.getDouble(6) < 2.44))
+  }
 }

@@ -946,4 +946,64 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getDouble(2) -> r.getDouble(3)).toMap
     assert(mid == oneShot, "incremental state diverged from a one-batch run")
   }
+  test("cupedStream: matches batch cuped at the final snapshot and a sequential model across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CupedPoint, CupedSnapshot}
+    import graft.operators.Stats
+    // deterministic units over 6 days: x correlated with y plus an
+    // arm-independent offset, so theta is real and diff_cuped != diff_raw
+    val pts = (0 until 120).map { i =>
+      val day = (i / 20).toLong
+      val arm = (i % 2).toLong
+      val x = ((i * 2654435761L) % 50).toLong
+      val y = 3L * x + ((i * 40503L) % 17) + arm * 2L
+      CupedPoint("k", day, arm, x, y)
+    }
+    // sequential reference: fold day by day with exact moments
+    var (nc, nt, xc, xt, yc, yt) = (0L, 0L, 0L, 0L, 0L, 0L)
+    var (sxy, sxx) = (BigDecimal(0), BigDecimal(0))
+    val expect = pts.groupBy(_.day).toSeq.sortBy(_._1).map { case (d, ps) =>
+      ps.foreach { p =>
+        if (p.arm == 0L) { nc += 1; xc += p.x; yc += p.y }
+        else { nt += 1; xt += p.x; yt += p.y }
+        sxy += BigDecimal(p.x) * BigDecimal(p.y)
+        sxx += BigDecimal(p.x) * BigDecimal(p.x)
+      }
+      val nD = (nc + nt).toDouble; val sx = (xc + xt).toDouble
+      val sy = (yc + yt).toDouble
+      val covN = nD * sxy.toDouble - sx * sy
+      val varXN = nD * sxx.toDouble - sx * sx
+      val dr = yt.toDouble / nt - yc.toDouble / nc
+      val th = covN / varXN
+      (d, nc, nt, dr, th,
+        dr - th * (xt.toDouble / nt - xc.toDouble / nc))
+    }
+    val mem = MemoryStream[CupedPoint]
+    val q = StreamOps.cupedStream(mem.toDS())
+      .writeStream.format("memory").queryName("cuped_out")
+      .outputMode("append").start()
+    // day-aligned split: days 0-2 then 3-5, so the moments must carry
+    val (b1, b2) = pts.partition(_.day <= 2L)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cuped_out").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+        g._4 == e._4 && g._5 == e._5 && g._6 == e._6,
+        s"day ${g._1}: got $g expected $e")
+    }
+    // the final snapshot replays batch cuped (raw vs round(6) grid)
+    val units = pts.toDF()
+    val batch = Stats.cuped(units, "x", "y", "arm").collect().head
+    val last = got.last
+    assert(math.rint(last._4 * 1e6) / 1e6 == batch.getDouble(2) ||
+      math.abs(last._4 - batch.getDouble(2)) < 1e-6)
+    assert(math.abs(last._5 - batch.getDouble(3)) < 1e-6 &&
+      math.abs(last._6 - batch.getDouble(4)) < 1e-6)
+  }
+
 }
