@@ -34,6 +34,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // list mode: print every declared query name and exit — lets the
+    // chunked-bench tooling audit its chunk partition against the real
+    // suite without parsing Scala source
+    if (sys.env.get("SPARK_GRAFT_BENCH_LIST").contains("1")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
