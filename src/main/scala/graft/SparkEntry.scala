@@ -1990,6 +1990,15 @@ object SparkEntry {
       Sketches.heavyHitters(toks, "item", 200)
         .withColumnRenamed("item", "token")
     }),
+    // EXT static t-digest (Sketches.tdigestCentroids, Dunning-Ertl
+    // '19): value cells -> midpoint quantiles -> tail-concentrating
+    // cubic k-scale centroid assignment (polynomial, not asin/log:
+    // libm last-ulp drift at a centroid boundary would flip a bucket
+    // between engines); <=64 centroids over value cents with exact
+    // weights and DECIMAL means
+    "tdigest_value" -> ((s, dir) =>
+      Sketches.tdigestCentroids(t(s, dir, "events"),
+        round(coalesce(col("value"), lit(0.0)) * 100), delta = 64)),
     // EXT fixed-grid binned quantiles (Sketches.binnedQuantiles): the
     // 100 TB percentile path — two scans, a 256-row exchange, exact
     // integer bins/ranks, mirrored two-division interpolation
@@ -8321,6 +8330,24 @@ object SparkEntry {
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
         |HAVING COUNT(*) * 200 > (SELECT c FROM n)
         |ORDER BY cnt DESC, token""".stripMargin,
+    // t-digest mirror: same cells, same exact midpoint rationals, the
+    // SAME cubic scale polynomial in the same operation order
+    "tdigest_value" ->
+      """WITH c AS (SELECT CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS v,
+        |        CAST(COUNT(*) AS BIGINT) AS m FROM events GROUP BY 1),
+        | t AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM c),
+        | w AS (SELECT v, m, COALESCE(SUM(m) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM c),
+        | q AS (SELECT v, m,
+        |        CAST(2 * cb + m AS DOUBLE) / CAST(2 * n AS DOUBLE) AS q FROM w, t),
+        | b AS (SELECT v, m, LEAST(63, CAST(FLOOR(
+        |        ((q * q * q + 1e0 - (1e0 - q) * (1e0 - q) * (1e0 - q)) / 2e0)
+        |          * 64e0) AS INT)) AS centroid FROM q)
+        |SELECT centroid, CAST(SUM(m) AS BIGINT) AS weight,
+        |  ROUND(CAST(SUM(CAST(v AS HUGEINT) * m) AS DOUBLE)
+        |    / CAST(SUM(m) AS DOUBLE), 6) AS mean,
+        |  MIN(v) AS v_min, MAX(v) AS v_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "quantiles_binned_chars" ->
       Sketches.binnedQuantilesOracleSql("documents", "n_chars",
         Seq(25 -> 100, 50 -> 100, 75 -> 100, 90 -> 100, 99 -> 100)),

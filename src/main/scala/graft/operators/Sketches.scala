@@ -402,6 +402,65 @@ object Sketches {
     * `qs` are (numerator, denominator) rationals to keep rank math
     * exact. Output: q (double), est (interpolated value), n.
     */
+  /** Static t-digest (Dunning & Ertl, "Computing extremely accurate
+    * quantiles using t-digests", 2019): cluster a value column into at
+    * most `delta` centroids whose WIDTH follows a tail-concentrating
+    * scale function, so quantile reads are sharp at the tails (p99,
+    * p999) where fixed-width histograms ([[binnedQuantiles]]) blur.
+    * Here the digest is built by the direct k-scale assignment: each
+    * distinct value cell gets its midpoint quantile q = (2·below +
+    * m) / (2n), and lands in centroid floor(K(q)·δ) where K is the
+    * scale function — the "clustering by quantile bands" the merging
+    * construction converges to, computed in one pass.
+    *
+    * PORTABILITY is why K is the cubic two-sided polynomial
+    * K(q) = (q³ + 1 − (1−q)³)/2 rather than Dunning's asin/log k₁-k₃:
+    * asin/log route through libm, whose last-ulp behavior differs
+    * between engines, and one ulp at a centroid boundary flips a
+    * bucket; the cubic uses only IEEE-exact +,·,/ on a q that is itself
+    * one exact division of integers, so BOTH engines assign every cell
+    * to the same centroid bit-for-bit. K′(q) = 3(q² + (1−q)²)/2 is
+    * 2× larger at the tails than at the median — the same
+    * tail-concentration property (k-size bound ~ 1/K′ inverted),
+    * giving ~2× finer centroids at the extremes.
+    *
+    * Output: (centroid, weight, mean, v_min, v_max) per non-empty
+    * centroid, centroid-ordered; weights sum to n; means are exact
+    * DECIMAL sums divided once at the readout (round 6).
+    *
+    * Scale shape (100 TB): one map-side-combinable value-cell
+    * aggregate; the rank window rides the value-DOMAIN-bounded cell
+    * table (the spearman/KS grid discipline), and the centroid roll-up
+    * is a ≤δ-group aggregate. Client-side quantile reads interpolate
+    * the ≤δ-row result — driver-sized forever.
+    */
+  def tdigestCentroids(df: DataFrame, valueCol: Column,
+      delta: Int = 64): DataFrame = {
+    require(delta >= 2 && delta <= 4096,
+      s"tdigestCentroids: need 2<=delta<=4096, got $delta")
+    val cells = df.select(valueCol.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("_v").agg(count(lit(1)).as("_m"))
+    val n1 = cells.agg(sum(col("_m")).as("_n"))
+    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+    val q = cells
+      .withColumn("_cb", coalesce(sum(col("_m")).over(w), lit(0L)))
+      .crossJoin(broadcast(n1))
+      .withColumn("_q", (lit(2L) * col("_cb") + col("_m")).cast("double") /
+        (lit(2L) * col("_n")).cast("double"))
+    val oneMq = lit(1.0) - col("_q")
+    val k = (col("_q") * col("_q") * col("_q") + lit(1.0)
+      - oneMq * oneMq * oneMq) / lit(2.0)
+    q.withColumn("centroid",
+        least(lit(delta - 1), floor(k * lit(delta.toDouble)).cast("int")))
+      .groupBy("centroid")
+      .agg(sum(col("_m")).as("weight"),
+        round(sum(col("_v").cast("decimal(19,0)") * col("_m").cast("decimal(13,0)"))
+          .cast("double") / sum(col("_m")).cast("double"), 6).as("mean"),
+        min(col("_v")).as("v_min"), max(col("_v")).as("v_max"))
+      .orderBy("centroid")
+  }
+
   val QuantileBins = 256
 
   def binnedQuantiles(df: DataFrame, colName: String,

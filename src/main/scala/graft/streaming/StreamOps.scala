@@ -1058,7 +1058,13 @@ object StreamOps {
     * Scale shape (100 TB/day): state per key is 6 longs + 3 decimals
     * FOREVER — no window, no per-unit retention; per-batch work is one
     * pass over the batch's units. Keys shard the state store like any
-    * keyed aggregation.
+    * keyed aggregation — the key is the EXPERIMENT, so a deployment's
+    * parallelism is its experiment count; one experiment's batch flows
+    * through one task (the flatMapGroupsWithState contract). If a
+    * single experiment's per-batch unit volume outgrows a task,
+    * pre-reduce upstream: the nine moments are additive, so per-shard
+    * partial moments can be folded into the same state by a thin
+    * delta-shaped wrapper — never feed a hot key raw at that scale.
     */
   def cupedStream(units: Dataset[CupedPoint]): Dataset[CupedSnapshot] = {
     val sess = units.sparkSession

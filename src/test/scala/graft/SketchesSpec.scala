@@ -169,6 +169,55 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("tdigestCentroids: weights partition n, means monotone, tails finer, quantile reads sharp") {
+    val df = (1 to 10000).map(i => Tuple1(i.toLong)).toDF("x")
+    val cents = Sketches.tdigestCentroids(df, col("x"), delta = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    // a partition of the data: weights sum to n, value ranges disjoint
+    assert(cents.map(_._2).sum == 10000L)
+    assert(cents.length <= 64)
+    assert(cents.map(_._1).toSeq == cents.map(_._1).sorted.toSeq)
+    cents.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 < b._4 && a._3 < b._3) // v_max < next v_min; means rise
+      case _ => ()
+    }
+    // tail concentration: the cubic k-scale makes edge centroids cover
+    // ~half the quantile mass of central ones on uniform data
+    val wMid = cents(cents.length / 2)._2.toDouble
+    assert(cents.head._2 < wMid && cents.last._2 < wMid,
+      s"head=${cents.head._2} mid=$wMid last=${cents.last._2}")
+    // client-side quantile read: cumulative-weight bracket + centroid
+    // mean is within one centroid span of exact, and TIGHTER at p99
+    def read(q: Double): Double = {
+      val target = q * 10000
+      var cum = 0L
+      val it = cents.iterator
+      var res = cents.last._3
+      var found = false
+      while (it.hasNext && !found) {
+        val c = it.next()
+        if (cum + c._2 >= target) { res = c._3; found = true }
+        cum += c._2
+      }
+      res
+    }
+    val p99span = {
+      val c = cents.reverseIterator.find(c => c._4 <= 9900 && 9900 <= c._5)
+        .getOrElse(cents.last)
+      (c._5 - c._4).toDouble
+    }
+    assert(math.abs(read(0.99) - 9900.0) <= p99span + 1)
+    assert(math.abs(read(0.5) - 5000.0) <= 10000.0 / 64 * 2)
+    // p99's centroid is finer than the median's
+    val medSpan = {
+      val c = cents.find(c => c._4 <= 5000 && 5000 <= c._5).get
+      (c._5 - c._4).toDouble
+    }
+    assert(p99span < medSpan, s"p99 span $p99span !< median span $medSpan")
+  }
+
   test("CMS estimates never undercount and are partition-invariant") {
     val items = (1 to 120).flatMap(i => Seq.fill(i)(s"tok$i"))
     val df = scala.util.Random.shuffle(items).toDF("item")
