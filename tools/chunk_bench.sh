@@ -19,6 +19,16 @@ PREFIX=${1:-/tmp/cbench}
 TRIES=${2:-20}
 SF_DIR=${SF_DIR:-/root/testdata/sf0.1}
 export SF_DIR
+# steal acceptance gates (cores). Defaults are the r10 sf0.1 record
+# discipline; on a day the co-tenant never grants a clean 3-minute
+# window they can be relaxed EXPLICITLY (the record keeps per-query
+# steal evidence either way, and 3-iter medians bound the residual
+# inflation) — the failure mode being excluded is the 10-70x
+# position-noise tail, which needs sustained saturation, not a
+# fractional-core burst.
+STEAL_Q=${STEAL_Q:-0.75}
+STEAL_SUITE=${STEAL_SUITE:-0.8}
+export STEAL_Q STEAL_SUITE
 cd /root/repo
 ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"; done)
 
@@ -76,8 +86,10 @@ try: d=json.loads(open(sys.argv[1]).readline())
 except Exception: print("badjson"); raise SystemExit
 qs=d.get("queries",{}); st=d.get("steal_cores",{})
 dnf=[k for k,v in qs.items() if v<0]
-hot=[k for k,v in st.items() if v>0.75]
-ok=d.get("status")=="complete" and qs and not dnf and float(d.get("suite_steal_cores",99))<=0.8 and not hot
+import os
+qthr=float(os.environ.get("STEAL_Q","0.75")); sthr=float(os.environ.get("STEAL_SUITE","0.8"))
+hot=[k for k,v in st.items() if v>qthr]
+ok=d.get("status")=="complete" and qs and not dnf and float(d.get("suite_steal_cores",99))<=sthr and not hot
 print("clean" if ok else f"dirty dnf={dnf} hot={hot} suite={d.get('suite_steal_cores')}")
 EOF
 )
