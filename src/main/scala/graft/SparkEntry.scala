@@ -3266,6 +3266,13 @@ object SparkEntry {
       Events.groupSequentialLanDeMets(t(s, dir, "events"), "event_id",
           "ts", col("value") > 100, spending = "pocock")
         .orderBy("look")),
+    // EXT Hwang-Shih-DeCani γ=−4 spending (the exponential family's
+    // textbook conservative member) — a boundary BETWEEN the obf and
+    // pocock shapes, same Armitage recursion and frozen-literal path
+    "group_sequential_ld_hsd" -> ((s, dir) =>
+      Events.groupSequentialLanDeMets(t(s, dir, "events"), "event_id",
+          "ts", col("value") > 100, spending = "hsd")
+        .orderBy("look")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -9119,6 +9126,7 @@ object SparkEntry {
     // parses the decimal digits exactly and CASTs to the same double)
     "group_sequential_ld_obf" -> ldOracleSql("obf"),
     "group_sequential_ld_pocock" -> ldOracleSql("pocock"),
+    "group_sequential_ld_hsd" -> ldOracleSql("hsd"),
     "sprt_daily" -> {
       val p0 = 0.35; val p1 = 0.40; val alpha = 0.05; val beta = 0.05
       val lc1 = math.log(p1 / p0)

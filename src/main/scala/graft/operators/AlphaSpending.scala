@@ -43,7 +43,10 @@ package graft.operators
   *     2.6803, 2.2898, 2.0310);
   *   - "pocock": α*(t) = α·ln(1 + (e−1)·t) — near-linear spend,
   *     ≈ Pocock's flat boundary (K=5, α=.05: 2.4380, 2.4268, 2.4102,
-  *     2.3966, 2.3860).
+  *     2.3966, 2.3860);
+  *   - "hsd": the Hwang-Shih-DeCani γ family at γ=−4,
+  *     α*(t) = α·(1−e^{−γt})/(1−e^{−γ}) — exponential back-loaded
+  *     spend between the two shapes.
   *
   * Scale shape (100 TB): boundary computation touches no data at all —
   * O(K · gridN²) driver-side doubles; the monitor itself keeps the
@@ -66,9 +69,17 @@ object AlphaSpending {
         2.0 * (2.0 - 2.0 * Phi(zc / math.sqrt(t)))
       case "pocock" =>
         alpha * math.log(1.0 + (math.E - 1.0) * t)
+      case "hsd" =>
+        // Hwang-Shih-DeCani '90 gamma family at gamma = -4: the
+        // textbook "conservative, OBF-like" member — exponential spend
+        // alpha * (1 - e^{-gamma t}) / (1 - e^{-gamma}); gamma -> 0 is
+        // linear (Pocock-like), NEGATIVE gamma back-loads the spend
+        // (t=0.2 spends 2.3% of alpha vs pocock's 44%)
+        val gamma = -4.0
+        alpha * (1.0 - math.exp(-gamma * t)) / (1.0 - math.exp(-gamma))
       case other =>
         throw new IllegalArgumentException(
-          s"AlphaSpending: spending must be 'obf' or 'pocock', got '$other'")
+          s"AlphaSpending: spending must be 'obf', 'pocock' or 'hsd', got '$other'")
     }
 
   /** Two-sided symmetric Lan-DeMets boundaries u_1..u_K (z-scale) for

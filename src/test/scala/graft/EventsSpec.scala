@@ -649,8 +649,15 @@ class EventsSpec extends SparkSpec {
     // the quadrature is converged: half/double grids agree to 1e-3
     val coarse = AlphaSpending.ldBoundaries(5, 0.05, "obf", gridN = 301)
     obf.zip(coarse).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    // HSD gamma=-4 sits BETWEEN the two shapes at every look: spends
+    // more than OBF-like early (lower first bound), less than
+    // Pocock-like (higher first bound), and all three converge late
+    val hsd = AlphaSpending.ldBoundaries(5, 0.05, "hsd")
+    assert(hsd(0) < obf(0) && hsd(0) > poc(0), s"hsd first ${hsd(0)}")
+    assert(hsd.sliding(2).forall(p => p(0) > p(1)))
+    assert(hsd.last > 1.9 && hsd.last < 2.3)
     intercept[IllegalArgumentException] {
-      AlphaSpending.ldBoundaries(5, 0.05, "hwang-shih-decani")
+      AlphaSpending.ldBoundaries(5, 0.05, "wang-tsiatis")
     }
   }
 
