@@ -62,8 +62,10 @@ object Bench {
     // always wins.
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC").map(_.toLong)
       .getOrElse {
-        val sf = "sf([0-9.]+)$".r.findFirstMatchIn(new java.io.File(sfDir).getName)
-          .map(_.group(1).toDouble).getOrElse(0.1)
+        val sf = "sf([0-9]+(?:\\.[0-9]+)?)$".r
+          .findFirstMatchIn(new java.io.File(sfDir).getName)
+          .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+          .getOrElse(0.1)
         math.min(3600L, math.max(120L, math.round(120.0 * sf / 0.1)))
       }
     // cache lifecycle: Bench deliberately keeps the session's cache

@@ -545,14 +545,19 @@ object SparkEntry {
     // sign-LSH candidates + exact-cosine verify. Planes are AUTO-SIZED
     // from COUNT(*) (planesForOccupancy, targetBucket=128 — the
     // recall-lean end of the declared occupancy spectrum; _lsh below is
-    // the precision-lean end, _auto the balanced default), so candidate
-    // cost per bucket is constant at any corpus size. Fixed-plane
+    // the precision-lean end, _auto the balanced default), PLUS the
+    // scale-bend term (shrinkAnchorBits=11): one extra plane per two
+    // doublings of n beyond 2^12 vectors, so verify work grows ~√n
+    // instead of the constant-occupancy Θ(n) that pays the full 10x at
+    // 10x data on fixed cores (r11 verdict: 10.1x at sf1). Below 4097
+    // vectors the term is 0 — all three verify SFs (500/500/2000) are
+    // bit-identical to the constant-occupancy config. Fixed-plane
     // configs were measured Θ(n²/2^p) at sf1 (99-271x at 10x rows,
     // BENCH_NOTES r5/r6) and survive only as spec-only recall probes,
     // like the O(n^2) all-pairs baseline (Dedup.embeddingNearDup).
     "embedding_near_dup" -> ((s, dir) => {
       Dedup.embeddingNearDupLshAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
-          0.3, nTables = 8, targetBucket = 128)
+          0.3, nTables = 8, targetBucket = 128, shrinkAnchorBits = Some(11))
         .select(col("id_a"), col("id_b"), col("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -3273,6 +3278,17 @@ object SparkEntry {
       Events.groupSequentialLanDeMets(t(s, dir, "events"), "event_id",
           "ts", col("value") > 100, spending = "hsd")
         .orderBy("look")),
+    // EXT non-binding beta-spending FUTILITY design (Pampallona-Tsiatis
+    // shape, gsDesign test.type=4 convention): one-sided efficacy
+    // bounds spend α=.025 under H0 ignoring futility; futility bounds
+    // spend β=.10 under the solved drift (boundaries meet at look K);
+    // both embedded as frozen literals on both engines. The A/A split
+    // drifts near z≈0, below the rising futility bound by mid-trial —
+    // the monitor stops a null effect early, the futility side's point.
+    "group_sequential_futility" -> ((s, dir) =>
+      Events.groupSequentialFutility(t(s, dir, "events"), "event_id",
+          "ts", col("value") > 100)
+        .orderBy("look")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -4637,13 +4653,25 @@ object SparkEntry {
     * 64 - numberOfLeadingZeros(cells - 1); float LOG2 would risk a
     * cross-engine off-by-one at exact powers of two).
     */
-  private def lshBucketCtesAuto(nTables: Int, targetBucket: Int): String =
+  private def lshBucketCtesAuto(nTables: Int, targetBucket: Int,
+      shrinkAnchorBits: Option[Int] = None): String = {
+    // mirror of Dedup.embeddingNearDupLshAuto's scale-bend term: extra
+    // planes = max(0, (bitLength(n-1) - anchor) // 2), exact on both
+    // engines (// only ever applied to a non-negative operand after
+    // the GREATEST clamp — and when negative, both engines' results
+    // are clamped to 0 anyway)
+    val extraSql = shrinkAnchorBits.fold("") { anchor =>
+      s"""
+         |     + GREATEST(0, ((CASE WHEN n <= 1 THEN 0 ELSE LENGTH(bin(n - 1)) END) - $anchor) // 2)""".stripMargin
+    }
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        | pp AS (SELECT GREATEST(1, LEAST(20,
-       |     CASE WHEN cells <= 1 THEN 1 ELSE LENGTH(bin(cells - 1)) END)) AS p
-       |   FROM (SELECT (COUNT(*) + ${targetBucket - 1}) // $targetBucket AS cells FROM embeddings)),
+       |     (CASE WHEN cells <= 1 THEN 1 ELSE LENGTH(bin(cells - 1)) END)$extraSql)) AS p
+       |   FROM (SELECT (COUNT(*) + ${targetBucket - 1}) // $targetBucket AS cells,
+       |         COUNT(*) AS n FROM embeddings)),
        | ${signPlanesCte(nTables, "(SELECT p FROM pp)")},
        | ${signBucketCtes("e")}""".stripMargin
+  }
 
   /** Full HNSW-lite mirror (graph build + unrolled beam), generated by
     * the same (k, m, ef, hops, maxBucket) the declared query passes to
@@ -5013,6 +5041,60 @@ object SparkEntry {
        |  ROUND(z, 6) + 0e0 AS z, ROUND(bound, 6) AS bound, decision
        |FROM de, fc WHERE de.k <= COALESCE(fc.mk, 5) ORDER BY look""".stripMargin
   }
+  // futility mirror of ldOracleSql: the same (look, arm) aggregate and
+  // stop-at-first-crossing replay, ONE-SIDED z against the frozen
+  // efficacy/futility literal pair from AlphaSpending.futilityBoundaries
+  private def futilityOracleSql: String = {
+    val (us, ls, _) = graft.operators.AlphaSpending.futilityBoundaries(
+      5, 0.025, 0.1, "obf", "hsd")
+    val upCase = us.zipWithIndex
+      .map { case (u, i) => s"WHEN ${i + 1} THEN CAST($u AS DOUBLE)" }
+      .mkString("CASE k ", " ", " END")
+    val loCase = ls.zipWithIndex
+      .map { case (l, i) => s"WHEN ${i + 1} THEN CAST($l AS DOUBLE)" }
+      .mkString("CASE k ", " ", " END")
+    s"""WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+       | a AS (SELECT LEAST(CAST((CAST(ts AS DATE) - d0) // 6 AS BIGINT) + 1, 5) AS k,
+       |        (instr('0123456789abcdef', substr(md5('gs:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+       |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS c
+       |       FROM events, d0),
+       | g AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS k),
+       | pl AS (SELECT k,
+       |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |        CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS BIGINT) AS xc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN c ELSE 0 END) AS BIGINT) AS xt
+       |       FROM a GROUP BY 1),
+       | f AS (SELECT g.k, COALESCE(nc, 0) AS nc, COALESCE(nt, 0) AS nt,
+       |        COALESCE(xc, 0) AS xc, COALESCE(xt, 0) AS xt
+       |       FROM g LEFT JOIN pl USING (k)),
+       | cum AS (SELECT k,
+       |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+       |        CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt
+       |       FROM f WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | zt AS (SELECT k, nc, nt, xc, xt,
+       |        CASE WHEN nc > 0 AND nt > 0 AND
+       |          sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE))) > 0e0
+       |          THEN (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+       |              - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+       |            / sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)))
+       |        END AS z,
+       |        $upCase AS up, $loCase AS lo
+       |       FROM cum),
+       | de AS (SELECT k, nc, nt, xc, xt, z, up, lo,
+       |        CASE WHEN z IS NOT NULL AND z >= up THEN 'stop_efficacy'
+       |             WHEN z IS NOT NULL AND z < lo THEN 'stop_futility'
+       |             ELSE 'continue' END AS decision FROM zt),
+       | fc AS (SELECT MIN(k) AS mk FROM de WHERE decision <> 'continue')
+       |SELECT de.k AS look, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+       |  ROUND(z, 6) + 0e0 AS z, ROUND(up, 6) AS upper,
+       |  ROUND(lo, 6) + 0e0 AS lower, decision
+       |FROM de, fc WHERE de.k <= COALESCE(fc.mk, 5) ORDER BY look""".stripMargin
+  }
   def oracleSql: Map[String, String] = Map(
     "chunk_retrieval" ->
       s"""WITH w0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
@@ -5203,7 +5285,7 @@ object SparkEntry {
          |    / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1) / 2), 9) AS reduction_ratio
          |FROM nd, np, nt, nf""".stripMargin,
     "embedding_near_dup" ->
-      s"""WITH ${lshBucketCtesAuto(8, 128)},
+      s"""WITH ${lshBucketCtesAuto(8, 128, shrinkAnchorBits = Some(11))},
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |          FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          | s AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
@@ -8352,7 +8434,7 @@ object SparkEntry {
         |          * 64e0) AS INT)) AS centroid FROM q)
         |SELECT centroid, CAST(SUM(m) AS BIGINT) AS weight,
         |  ROUND(CAST(SUM(CAST(v AS HUGEINT) * m) AS DOUBLE)
-        |    / CAST(SUM(m) AS DOUBLE), 6) AS mean,
+        |    / CAST(SUM(m) AS DOUBLE), 6) + 0e0 AS mean,
         |  MIN(v) AS v_min, MAX(v) AS v_max
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "quantiles_binned_chars" ->
@@ -9125,6 +9207,7 @@ object SparkEntry {
     // frozen per-look literal list (Double.toString round-trips, DuckDB
     // parses the decimal digits exactly and CASTs to the same double)
     "group_sequential_ld_obf" -> ldOracleSql("obf"),
+    "group_sequential_futility" -> futilityOracleSql,
     "group_sequential_ld_pocock" -> ldOracleSql("pocock"),
     "group_sequential_ld_hsd" -> ldOracleSql("hsd"),
     "sprt_daily" -> {

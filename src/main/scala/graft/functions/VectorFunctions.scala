@@ -285,4 +285,19 @@ object VectorFunctions {
     val p = if (cells <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
     math.max(1, math.min(20, p))
   }
+
+  /** Scale-bend plane count: extra planes beyond the constant-occupancy
+    * sizing, one per TWO doublings of the corpus past 2^anchor-ish —
+    * max(0, (bitLength(n−1) − anchor) / 2). Same integer bit-length
+    * discipline as [[planesForOccupancy]] (oracle mirror:
+    * `GREATEST(0, (LENGTH(bin(n - 1)) - anchor) // 2)`); halving bucket
+    * occupancy every two doublings bends the bucketed near-dup verify
+    * from Θ(n) to ~Θ(√n) at a documented recall taper.
+    */
+  def extraPlanesForScale(n: Long, anchorBits: Int): Int = {
+    require(n > 0 && anchorBits >= 1,
+      s"need n > 0, anchorBits >= 1 (got $n, $anchorBits)")
+    val bitLen = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(0, (bitLen - anchorBits) / 2)
+  }
 }

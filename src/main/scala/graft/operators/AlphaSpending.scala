@@ -151,4 +151,195 @@ object AlphaSpending {
     }
     us
   }
+
+  /** Cumulative ONE-SIDED spend at information fraction t, level a —
+    * the same three published shapes in their one-sided convention
+    * (Lan-DeMets OBF-like f(t) = 2 − 2Φ(Φ⁻¹(1−a/2)/√t); Pocock-like
+    * a·ln(1+(e−1)t); Hwang-Shih-DeCani a·(1−e^{−γt})/(1−e^{−γ})).
+    * Used for both the alpha (efficacy) and beta (futility) sides.
+    */
+  private def spendOneSided(t: Double, a: Double, spending: String,
+      hsdGamma: Double = -4.0): Double = spending match {
+    case "obf" =>
+      2.0 - 2.0 * Phi(PhiInv(1.0 - a / 2.0) / math.sqrt(t))
+    case "pocock" =>
+      a * math.log(1.0 + (math.E - 1.0) * t)
+    case "hsd" =>
+      a * (1.0 - math.exp(-hsdGamma * t)) / (1.0 - math.exp(-hsdGamma))
+    case other =>
+      throw new IllegalArgumentException(
+        s"AlphaSpending: spending must be 'obf', 'pocock' or 'hsd', got '$other'")
+  }
+
+  /** ONE-SIDED Lan-DeMets efficacy boundaries u_1..u_K (z-scale) at
+    * overall one-sided level `alpha` — the NON-BINDING convention:
+    * computed ignoring any futility boundary, so type I error holds
+    * even when a futility stop is overridden. Same Armitage recursion
+    * as [[ldBoundaries]], continuation region truncated below at
+    * −8√t_k (the sub-density mass beyond is < 1e-15 — a fixed,
+    * deterministic truncation, not a tolerance).
+    */
+  def oneSidedBoundaries(looks: Int, alpha: Double, spending: String,
+      gridN: Int = 601): Array[Double] = {
+    require(looks >= 2, s"oneSidedBoundaries: need looks>=2, got $looks")
+    require(alpha > 0 && alpha < 0.5,
+      s"oneSidedBoundaries: need alpha in (0,0.5), got $alpha")
+    require(gridN >= 51 && gridN % 2 == 1,
+      s"oneSidedBoundaries: need odd gridN>=51, got $gridN")
+    val dt = 1.0 / looks
+    val sig = math.sqrt(dt)
+    val us = new Array[Double](looks)
+    val a1 = sig * PhiInv(1.0 - spendOneSided(dt, alpha, spending))
+    us(0) = a1 / sig
+    var a = a1
+    var lo = -8.0 * sig
+    var xs = Array.tabulate(gridN)(i => lo + (a - lo) * i / (gridN - 1))
+    var f = xs.map(x => phi(x / sig) / sig)
+    var h = xs(1) - xs(0)
+    var k = 2
+    while (k <= looks) {
+      val t = k * dt
+      val targetInc = spendOneSided(t, alpha, spending) -
+        spendOneSided((k - 1) * dt, alpha, spending)
+      def crossProb(b: Double): Double = {
+        var tot = 0.0; var i = 0
+        while (i < gridN) {
+          val w = if (i == 0 || i == gridN - 1) 0.5 else 1.0
+          tot += w * f(i) * (1.0 - Phi((b - xs(i)) / sig))
+          i += 1
+        }
+        tot * h
+      }
+      var blo = 0.0; var bhi = 10.0; var it = 0
+      while (it < 100) {
+        val mid = (blo + bhi) / 2.0
+        if (crossProb(mid) > targetInc) blo = mid else bhi = mid
+        it += 1
+      }
+      a = (blo + bhi) / 2.0
+      us(k - 1) = a / math.sqrt(t)
+      if (k < looks) {
+        val nlo = -8.0 * math.sqrt(t)
+        val nxs = Array.tabulate(gridN)(i => nlo + (a - nlo) * i / (gridN - 1))
+        val nf = nxs.map { s =>
+          var tot = 0.0; var i = 0
+          while (i < gridN) {
+            val w = if (i == 0 || i == gridN - 1) 0.5 else 1.0
+            tot += w * f(i) * phi((s - xs(i)) / sig) / sig
+            i += 1
+          }
+          tot * h
+        }
+        xs = nxs; f = nf; h = xs(1) - xs(0)
+      }
+      k += 1
+    }
+    us
+  }
+
+  /** One-sided group-sequential design with NON-BINDING beta-spending
+    * FUTILITY bounds (Pampallona & Tsiatis '94 shape in the spending-
+    * function formulation that gsDesign's test.type=4 made the
+    * production standard): efficacy bounds u_k spend α*(t) under H0
+    * ignoring futility ([[oneSidedBoundaries]]); futility bounds l_k
+    * spend β*(t) under the H1 drift — P_{H1}(S_k < b_k, l_j ≤ S_j <
+    * a_j ∀ j<k) = Δβ_k, via the same Armitage recursion carried on the
+    * two-sided continuation region [b_{k-1}, a_{k-1}] with N(δΔt, Δt)
+    * increments. The drift δ (the S-scale mean at t=1, = z_stat the
+    * design is powered for) is solved by fixed-count bisection so the
+    * two boundaries MEET at the final look (l_K = u_K — the defining
+    * closure of the design: at full information every outcome is a
+    * decision), which makes the achieved power exactly 1−β at δ.
+    *
+    * Deterministic: fixed grids, fixed 100-step inner and 60-step
+    * outer bisections — the emitted doubles are frozen literals for
+    * the declared query and its oracle (the ldBoundaries discipline).
+    *
+    * Returns (upper z-bounds, lower z-bounds, delta); lower(K-1) is
+    * set to upper(K-1) exactly.
+    *
+    * Scale shape (100 TB): touches no data — O(60·K·gridN²) driver
+    * doubles; the monitor rides the groupSequentialObf aggregate.
+    */
+  def futilityBoundaries(looks: Int, alpha: Double, beta: Double,
+      spendingU: String, spendingL: String,
+      gridN: Int = 601): (Array[Double], Array[Double], Double) = {
+    require(looks >= 2, s"futilityBoundaries: need looks>=2, got $looks")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"futilityBoundaries: need alpha,beta in (0,0.5), got $alpha/$beta")
+    require(gridN >= 51 && gridN % 2 == 1,
+      s"futilityBoundaries: need odd gridN>=51, got $gridN")
+    val us = oneSidedBoundaries(looks, alpha, spendingU, gridN)
+    val dt = 1.0 / looks
+    val sig = math.sqrt(dt)
+    val aS = Array.tabulate(looks)(k => us(k) * math.sqrt((k + 1) * dt))
+
+    // futility S-scale bounds b_1..b_K under drift `delta`; returns the
+    // array (b_K left UNCLAMPED — the outer solve matches it to a_K)
+    def futilityPass(delta: Double): Array[Double] = {
+      val mu = delta * dt
+      val bs = new Array[Double](looks)
+      val b1 = delta * dt + sig * PhiInv(spendOneSided(dt, beta, spendingL))
+      bs(0) = b1
+      var xs = Array.tabulate(gridN)(i => b1 + (aS(0) - b1) * i / (gridN - 1))
+      var f = xs.map(x => phi((x - delta * dt) / sig) / sig)
+      var h = xs(1) - xs(0)
+      var k = 2
+      while (k <= looks) {
+        val targetInc = spendOneSided(k * dt, beta, spendingL) -
+          spendOneSided((k - 1) * dt, beta, spendingL)
+        def futProb(b: Double): Double = {
+          var tot = 0.0; var i = 0
+          while (i < gridN) {
+            val w = if (i == 0 || i == gridN - 1) 0.5 else 1.0
+            tot += w * f(i) * Phi((b - xs(i) - mu) / sig)
+            i += 1
+          }
+          tot * h
+        }
+        var blo = -10.0; var bhi = aS(k - 1) + 2.0; var it = 0
+        while (it < 100) {
+          val mid = (blo + bhi) / 2.0
+          if (futProb(mid) < targetInc) blo = mid else bhi = mid
+          it += 1
+        }
+        val b = (blo + bhi) / 2.0
+        bs(k - 1) = b
+        if (k < looks) {
+          // extreme outer-bisection drifts can push b above a_k; a
+          // collapsed [a_k, a_k] region keeps the recursion finite and
+          // the outer solve's monotone signal intact (b_K lands high ⇒
+          // "drift too large" ⇒ bisect down)
+          val bG = math.min(b, aS(k - 1))
+          val nxs = Array.tabulate(gridN)(i => bG + (aS(k - 1) - bG) * i / (gridN - 1))
+          val nf = nxs.map { s =>
+            var tot = 0.0; var i = 0
+            while (i < gridN) {
+              val w = if (i == 0 || i == gridN - 1) 0.5 else 1.0
+              tot += w * f(i) * phi((s - xs(i) - mu) / sig) / sig
+              i += 1
+            }
+            tot * h
+          }
+          xs = nxs; f = nf; h = xs(1) - xs(0)
+        }
+        k += 1
+      }
+      bs
+    }
+
+    // outer solve: delta such that the final futility bound meets the
+    // final efficacy bound (b_K(delta) is increasing in delta)
+    var dlo = 0.0; var dhi = 8.0; var it = 0
+    while (it < 60) {
+      val mid = (dlo + dhi) / 2.0
+      if (futilityPass(mid)(looks - 1) < aS(looks - 1)) dlo = mid else dhi = mid
+      it += 1
+    }
+    val delta = (dlo + dhi) / 2.0
+    val bs = futilityPass(delta)
+    val ls = Array.tabulate(looks)(k =>
+      if (k == looks - 1) us(k) else bs(k) / math.sqrt((k + 1) * dt))
+    (us, ls, delta)
+  }
 }

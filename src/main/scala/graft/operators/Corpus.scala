@@ -263,7 +263,12 @@ object Corpus {
     // with the same arguments, so CacheManager's plan-equality lookup
     // shares ONE token-explode scan across the whole DSIR family in a
     // long-lived session. (_id, _b, n) is ~1% of corpus bytes —
-    // MEMORY_AND_DISK, the Dedup-family discipline.
+    // MEMORY_AND_DISK, the Dedup-family discipline. LIFETIME: distinct
+    // (corpus, args) calls each pin their own entry for the session —
+    // suite runners clear per query, the LRU store evicts under memory
+    // pressure, and long-lived sessions that sweep MANY corpora through
+    // the DSIR family should spark.catalog.clearCache() (or unpersist
+    // the returned frame) once a corpus's DSIR work completes.
     feats.groupBy("_id", "_b")
       .agg(count(lit(1)).as("_n"), first(col("_tgt")).as("_tgt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

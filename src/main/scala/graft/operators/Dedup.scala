@@ -956,8 +956,23 @@ object Dedup {
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** `shrinkAnchorBits`: when set, bucket OCCUPANCY shrinks as the
+    * corpus grows past 2^(anchor+1) vectors — one extra plane per two
+    * doublings of n beyond the anchor (extra = max(0,
+    * (bitLength(n−1) − anchor) / 2), integer-exact and mirrored by the
+    * oracle's LENGTH(bin(n−1)) arithmetic). Constant occupancy makes
+    * candidate-verify work Θ(n) — honest linear, but a fixed-core
+    * bench pays the full 10x at 10x data; halving occupancy every two
+    * doublings bends verify work to Θ(n·√(n₀/n)·c) ≈ Θ(√n) per unit
+    * occupancy while sign-LSH recall at the near-dup end (cos ≥ 0.9)
+    * decays only by the per-table collision factor (1−θ/π) per extra
+    * plane, compensated by the table count. The trade is explicit:
+    * None = constant occupancy (maximum recall, linear cost); Some(a)
+    * = scale-bent cost for a documented recall taper.
+    */
   def embeddingNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nTables: Int = 8, targetBucket: Int = 64): DataFrame = {
+      threshold: Double, nTables: Int = 8, targetBucket: Int = 64,
+      shrinkAnchorBits: Option[Int] = None): DataFrame = {
     // ONE action answers corpus size and dimensionality (count + head
     // would scan the upstream plan twice), and empty/null-vector inputs
     // get a clean message instead of a NoSuchElementException from head()
@@ -966,7 +981,10 @@ object Dedup {
     require(n > 0, "embeddingNearDupLshAuto: empty corpus (no vectors to size planes from)")
     require(!agg.isNullAt(1), s"embeddingNearDupLshAuto: every $vecCol value is null")
     val dim = agg.getInt(1)
-    val p = graft.functions.VectorFunctions.planesForOccupancy(n, targetBucket)
+    val base = graft.functions.VectorFunctions.planesForOccupancy(n, targetBucket)
+    val extra = shrinkAnchorBits.fold(0)(
+      graft.functions.VectorFunctions.extraPlanesForScale(n, _))
+    val p = math.min(20, base + extra)
     embeddingNearDupLsh(emb, idCol, vecCol, threshold,
       nTables = nTables, planesPerTable = p, dim = dim,
       planes = Some(graft.functions.VectorFunctions.md5SignPlanes(nTables, p, dim)))

@@ -776,6 +776,98 @@ object Events {
       seed = seed,
       bounds = Some(AlphaSpending.ldBoundaries(looks, alpha, spending).toSeq))
 
+  /** Group-sequential monitor with NON-BINDING FUTILITY — the
+    * one-sided completion of [[groupSequentialLanDeMets]]: per look k
+    * the pooled two-proportion z (treatment minus control, ONE-SIDED —
+    * the design asks "is treatment better", so only an upper efficacy
+    * crossing rejects) is compared against BOTH boundaries from
+    * [[AlphaSpending.futilityBoundaries]]: z ≥ upper_k stops for
+    * efficacy, z < lower_k stops for futility (the trial cannot win —
+    * beta-spending under the powered-for drift), otherwise continue.
+    * Rows stop at the first crossing of either bound. Boundaries are
+    * driver-side frozen literals (the ldBoundaries discipline); an A/A
+    * split drifts near z≈0, which sits below the rising futility bound
+    * by mid-trial — the monitor demonstrably stops a null effect EARLY
+    * without spending the full horizon, the operational point of the
+    * futility side.
+    *
+    * Output: (look, n_c, n_t, x_c, x_t, z, upper, lower, decision)
+    * with decision ∈ stop_efficacy | stop_futility | continue.
+    *
+    * Scale shape (100 TB): identical to groupSequentialObf — one
+    * map-side-combinable (look, arm) aggregate, a K-row grid fold.
+    */
+  def groupSequentialFutility(events: DataFrame, idCol: String,
+      tsCol: String, convCond: Column, looks: Int = 5, lookDays: Int = 6,
+      alpha: Double = 0.025, beta: Double = 0.1,
+      spendingU: String = "obf", spendingL: String = "hsd",
+      seed: String = "gs"): DataFrame = {
+    require(looks >= 2 && lookDays >= 1,
+      s"groupSequentialFutility: need looks>=2, lookDays>=1, got $looks/$lookDays")
+    val (us, ls, _) = AlphaSpending.futilityBoundaries(
+      looks, alpha, beta, spendingU, spendingL)
+    val arm = graft.functions.TextFunctions.md5Bits64(
+      concat(lit(seed + ":"), col(idCol).cast("string"))).bitwiseAND(lit(1L))
+    val day = col(tsCol).cast("date")
+    val minD = events.agg(min(day).as("_d0"))
+    val assigned = events.crossJoin(broadcast(minD))
+      .select(
+        least(floor(datediff(day, col("_d0")) / lit(lookDays)) + 1,
+          lit(looks.toLong)).cast("int").as("_k"),
+        arm.as("_b"), convCond.cast("long").as("_c"))
+    val perLook = assigned.groupBy(col("_k"))
+      .agg(sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_b") === 0L, col("_c")).otherwise(0L)).as("_xc"),
+        sum(when(col("_b") =!= 0L, col("_c")).otherwise(0L)).as("_xt"))
+    val grid = events.sparkSession.range(1, looks + 1)
+      .select(col("id").cast("int").as("_k"))
+    val filled = grid.join(perLook, Seq("_k"), "left")
+      .select(col("_k"), coalesce(col("_nc"), lit(0L)).as("_nc"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"),
+        coalesce(col("_xc"), lit(0L)).as("_xc"),
+        coalesce(col("_xt"), lit(0L)).as("_xt"))
+    val pathT = "array<struct<look:int,n_c:bigint,n_t:bigint,x_c:bigint," +
+      "x_t:bigint,z:double,upper:double,lower:double,decision:string>>"
+    val zero = struct(lit(0L).as("nc"), lit(0L).as("nt"), lit(0L).as("xc"),
+      lit(0L).as("xt"), lit(false).as("stop"), array().cast(pathT).as("path"))
+    filled
+      .agg(sort_array(collect_list(struct(col("_k"), col("_nc"), col("_nt"),
+        col("_xc"), col("_xt")))).as("_l"))
+      .select(aggregate(col("_l"), zero, (acc, e) => {
+        val nc = acc.getField("nc") + e.getField("_nc")
+        val nt = acc.getField("nt") + e.getField("_nt")
+        val xc = acc.getField("xc") + e.getField("_xc")
+        val xt = acc.getField("xt") + e.getField("_xt")
+        val ncD = nc.cast("double"); val ntD = nt.cast("double")
+        val pc = xc.cast("double") / ncD
+        val pt = xt.cast("double") / ntD
+        val pp = (xc + xt).cast("double") / (nc + nt).cast("double")
+        val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD))
+        val z = when(nc > 0L && nt > 0L && se > lit(0.0), (pt - pc) / se)
+        val up = element_at(lit(us), e.getField("_k"))
+        val lo = element_at(lit(ls), e.getField("_k"))
+        val dec = when(z.isNotNull && z >= up, lit("stop_efficacy"))
+          .when(z.isNotNull && z < lo, lit("stop_futility"))
+          .otherwise(lit("continue"))
+        val appended = concat(acc.getField("path"),
+          array(struct(e.getField("_k").as("look"), nc.as("n_c"), nt.as("n_t"),
+            xc.as("x_c"), xt.as("x_t"), z.as("z"), up.as("upper"),
+            lo.as("lower"), dec.as("decision"))))
+        when(acc.getField("stop"), acc).otherwise(
+          struct(nc.as("nc"), nt.as("nt"), xc.as("xc"), xt.as("xt"),
+            (dec =!= "continue").as("stop"), appended.as("path")))
+      }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .select(col("_e.look").as("look"), col("_e.n_c").as("n_c"),
+        col("_e.n_t").as("n_t"), col("_e.x_c").as("x_c"),
+        col("_e.x_t").as("x_t"),
+        (round(col("_e.z"), 6) + lit(0.0)).as("z"),
+        round(col("_e.upper"), 6).as("upper"),
+        (round(col("_e.lower"), 6) + lit(0.0)).as("lower"),
+        col("_e.decision").as("decision"))
+  }
+
   /** Nelson-Aalen cumulative hazard (Nelson '72, Aalen '78) — the
     * additive companion to [[kaplanMeier]]'s multiplicative survival:
     * H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ over event-time buckets, plus the

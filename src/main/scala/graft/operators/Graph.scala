@@ -378,11 +378,18 @@ object Graph {
     * Output: (node, dist) for reached nodes, dist round(6) at emission
     * (intermediate state stays raw so path sums never requantize).
     *
-    * Scale shape (100 TB): per sweep ONE dist-edge equi-join + a min
-    * groupBy, localCheckpoint per round (the kCore/bfsHops iteration
-    * discipline). Unlike bfsHops there is no frontier cut — a weighted
-    * relaxation can improve settled nodes, so every sweep streams the
-    * full dist set (still |V|-bounded rows).
+    * Scale shape (100 TB): per sweep ONE frontier-edge equi-join + a
+    * min groupBy + a full-outer merge against the settled dist set,
+    * localCheckpoint per round (the kCore/bfsHops iteration
+    * discipline). The FRONTIER CUT is exact here too, not just for
+    * hop counts: dist_k(v) = min(dist_{k-1}(v), min over in-edges of
+    * dist_{k-1}(u) + w), and any u whose distance did NOT change at
+    * sweep k-1 contributed the bit-identical candidate dist_{k-2}(u)+w
+    * one sweep earlier — distances are monotone nonincreasing, so
+    * re-offering it cannot improve anything. Only edges out of nodes
+    * whose distance changed last sweep are relaxed; on near-dup
+    * cluster graphs (diameter 2-4) the frontier collapses after the
+    * cluster radius while the settled set stays out of the join.
     */
   def bellmanFordHops(edges: DataFrame, srcCol: String, dstCol: String,
       weight: Column, seed: Column, sweeps: Int = 3): DataFrame = {
@@ -399,12 +406,24 @@ object Graph {
     var dist = nodes.filter(seed)
       .select(col("node"), lit(0.0).as("dist"))
       .localCheckpoint()
+    // frontier = nodes whose dist changed last sweep (sweep 0: seeds)
+    var frontier = dist
     for (_ <- 1 to sweeps) {
-      val relaxed = dist.join(und, dist("node") === und("src"))
-        .select(und("dst").as("node"), (dist("dist") + und("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val relaxed = frontier.join(und, frontier("node") === und("src"))
+        .select(und("dst").as("node"),
+          (frontier("dist") + und("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("_nd"))
+      val merged = dist.withColumnRenamed("dist", "_od")
+        .join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          when(col("_od").isNull ||
+            (col("_nd").isNotNull && col("_nd") < col("_od")),
+            col("_nd")).otherwise(col("_od")).as("dist"),
+          (col("_od").isNull ||
+            (col("_nd").isNotNull && col("_nd") < col("_od"))).as("_chg"))
         .localCheckpoint()
+      dist = merged.select(col("node"), col("dist"))
+      frontier = merged.filter(col("_chg")).select(col("node"), col("dist"))
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
   }

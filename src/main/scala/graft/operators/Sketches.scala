@@ -426,13 +426,23 @@ object Sketches {
     *
     * Output: (centroid, weight, mean, v_min, v_max) per non-empty
     * centroid, centroid-ordered; weights sum to n; means are exact
-    * DECIMAL sums divided once at the readout (round 6).
+    * DECIMAL sums divided once at the readout (round 6, `+ 0.0` to
+    * normalize a -0.0 that Spark's BigDecimal round would never emit
+    * but DuckDB's ROUND preserves — both readouts add it).
     *
     * Scale shape (100 TB): one map-side-combinable value-cell
-    * aggregate; the rank window rides the value-DOMAIN-bounded cell
-    * table (the spearman/KS grid discipline), and the centroid roll-up
-    * is a ≤δ-group aggregate. Client-side quantile reads interpolate
-    * the ≤δ-row result — driver-sized forever.
+    * aggregate; the rank-below-each-cell is the MERGEABLE two-phase
+    * formulation (the unique_row_ids discipline, Relational.scala):
+    * value-range-partitioned per-partition prefix sums, merged by
+    * adding per-partition totals in ascending partition order — an
+    * O(#partitions) bounded collect, never a global single-task sort,
+    * so an unbounded value domain (ids, epoch-micros) keeps every
+    * partition's window local and parallel. The centroid roll-up is a
+    * ≤δ-group aggregate. Client-side quantile reads interpolate the
+    * ≤δ-row result — driver-sized forever. The merge order is
+    * deterministic (partition ranges are value-ordered) and the merged
+    * rank is partition-invariant, so the output is bit-identical to
+    * the single-sort formulation the oracle replays.
     */
   def tdigestCentroids(df: DataFrame, valueCol: Column,
       delta: Int = 64): DataFrame = {
@@ -442,9 +452,28 @@ object Sketches {
       .filter(col("_v").isNotNull)
       .groupBy("_v").agg(count(lit(1)).as("_m"))
     val n1 = cells.agg(sum(col("_m")).as("_n"))
-    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
-    val q = cells
-      .withColumn("_cb", coalesce(sum(col("_m")).over(w), lit(0L)))
+    // --- two-phase distributed rank (cumulative count strictly below
+    // each cell). Range partitioning samples boundaries afresh per
+    // execution, so the local prefix sums and the collected offsets
+    // MUST come from one materialization: localCheckpoint severs the
+    // lineage so a lost block fails loudly instead of silently
+    // re-ranking under new boundaries (unique_row_ids, Relational
+    // .scala:255 — the same failure mode, the same cure).
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = cells.repartitionByRange(nParts, col("_v"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcb", coalesce(
+        sum(col("_m")).over(Window.partitionBy(col("_pid")).orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true)
+    // one row per non-empty partition — O(#shuffle-partitions) metadata
+    val partTotals = local.groupBy(col("_pid")).agg(sum(col("_m")).as("_pt"))
+      .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val cum = partTotals.scanLeft(0L)(_ + _._2)
+    val offsets = partTotals.indices.map(i => (partTotals(i)._1, cum(i)))
+    val offsetDf = df.sparkSession.createDataFrame(offsets).toDF("_pid", "_off")
+    val q = local.join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn("_cb", col("_lcb") + col("_off"))
       .crossJoin(broadcast(n1))
       .withColumn("_q", (lit(2L) * col("_cb") + col("_m")).cast("double") /
         (lit(2L) * col("_n")).cast("double"))
@@ -455,8 +484,8 @@ object Sketches {
         least(lit(delta - 1), floor(k * lit(delta.toDouble)).cast("int")))
       .groupBy("centroid")
       .agg(sum(col("_m")).as("weight"),
-        round(sum(col("_v").cast("decimal(19,0)") * col("_m").cast("decimal(13,0)"))
-          .cast("double") / sum(col("_m")).cast("double"), 6).as("mean"),
+        (round(sum(col("_v").cast("decimal(19,0)") * col("_m").cast("decimal(13,0)"))
+          .cast("double") / sum(col("_m")).cast("double"), 6) + lit(0.0)).as("mean"),
         min(col("_v")).as("v_min"), max(col("_v")).as("v_max"))
       .orderBy("centroid")
   }

@@ -411,6 +411,16 @@ class DedupAnnSpec extends SparkSpec {
     assert(planesForOccupancy(50000, 50) == 10)
     assert(planesForOccupancy(10, 64) == 1) // clamped low
     assert(planesForOccupancy(Long.MaxValue, 1) == 20) // clamped high
+    // the scale-bend term: zero through 2^12 vectors (all verify SFs),
+    // one extra plane per TWO doublings beyond — 20k vectors (sf1) get
+    // +2, a billion get +9
+    import graft.functions.VectorFunctions.extraPlanesForScale
+    assert(extraPlanesForScale(500, 11) == 0)
+    assert(extraPlanesForScale(2000, 11) == 0)
+    assert(extraPlanesForScale(4096, 11) == 0) // bitLength(4095)=12
+    assert(extraPlanesForScale(4097, 11) == 1) // bitLength(4096)=13
+    assert(extraPlanesForScale(20000, 11) == 2) // bitLength(19999)=15
+    assert(extraPlanesForScale(1000000000L, 11) == 9) // bitLength=30
     // degenerate inputs fail with clean messages, not head()/NPE noise
     val empty = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 0)
     val eEmpty = intercept[IllegalArgumentException] {

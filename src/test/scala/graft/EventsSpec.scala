@@ -685,4 +685,61 @@ class EventsSpec extends SparkSpec {
     assert(pk.length == 5 &&
       pk.forall(r => r.getDouble(6) > 2.37 && r.getDouble(6) < 2.44))
   }
+
+  test("AlphaSpending.futilityBoundaries: efficacy matches published tables, boundaries meet, grid-invariant") {
+    import graft.operators.AlphaSpending
+    // one-sided alpha=0.025 OBF-like spending = the published TWO-SIDED
+    // alpha=0.05 symmetric bounds (opposite-tail crossing under H0 is
+    // < 1e-6 at these levels, so the published Lan-DeMets table anchors
+    // the one-sided recursion too)
+    val u1 = AlphaSpending.oneSidedBoundaries(5, 0.025, "obf")
+    val obfTable = Seq(4.8769, 3.3570, 2.6803, 2.2898, 2.0310)
+    u1.zip(obfTable).foreach { case (u, ref) =>
+      assert(math.abs(u - ref) < 2e-3, s"one-sided obf bound $u vs table $ref") }
+    val (us, ls, delta) =
+      AlphaSpending.futilityBoundaries(5, 0.025, 0.1, "obf", "hsd")
+    // NON-BINDING: efficacy side is exactly the futility-ignoring bounds
+    us.zip(u1).foreach { case (a, b) => assert(a == b) }
+    // structural closure: boundaries meet at the final look, futility
+    // bounds rise toward it and never cross the efficacy side
+    assert(ls.last == us.last)
+    assert(ls.sliding(2).forall(p => p(0) < p(1)), ls.mkString(","))
+    ls.zip(us).foreach { case (l, u) => assert(l <= u) }
+    // the solved drift ~ fixed-design z_.025 + z_.10 = 3.2416 plus the
+    // group-sequential inflation (a few percent for OBF-like spending)
+    assert(delta > 3.24 && delta < 3.6, s"delta $delta")
+    // independent-discretization verification: a 301-point grid solves
+    // the same recursions to 2e-3 on every bound and 5e-3 on the drift
+    val (usC, lsC, deltaC) =
+      AlphaSpending.futilityBoundaries(5, 0.025, 0.1, "obf", "hsd", gridN = 301)
+    us.zip(usC).foreach { case (a, b) => assert(math.abs(a - b) < 2e-3) }
+    ls.zip(lsC).foreach { case (a, b) => assert(math.abs(a - b) < 2e-3) }
+    assert(math.abs(delta - deltaC) < 5e-3)
+    // an aggressive early beta spend (pocock-like) starts its futility
+    // bound HIGHER at look 1 than the back-loaded hsd
+    val (_, lsPoc, _) =
+      AlphaSpending.futilityBoundaries(5, 0.025, 0.1, "obf", "pocock")
+    assert(lsPoc(0) > ls(0), s"pocock l1 ${lsPoc(0)} !> hsd l1 ${ls(0)}")
+  }
+
+  test("groupSequentialFutility: A/A stops for futility mid-trial; arm-aligned effect stops for efficacy at look 1") {
+    val ev = (0 until 600)
+      .map(i => (i.toLong, ts(1 + i / 20, i % 24), i % 7 == 0))
+      .toDF("event_id", "ts", "conv")
+    val aa = Events.groupSequentialFutility(ev, "event_id", "ts", col("conv"))
+      .orderBy("look").collect()
+    // z ~ 0 on an A/A split sits below the rising futility bound before
+    // the horizon: the path ends at the first stop_futility row
+    assert(aa.length < 5, s"A/A ran ${aa.length} looks without stopping")
+    assert(aa.last.getString(8) == "stop_futility")
+    assert(aa.init.forall(_.getString(8) == "continue"))
+    // bounds in the rows are the frozen design literals
+    assert(aa.head.getDouble(6) > 4.87 && aa.head.getDouble(6) < 4.89)
+    val armConv = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("gs:"), col("event_id").cast("string")))
+      .bitwiseAND(lit(1L)) === 1L
+    val eff = Events.groupSequentialFutility(ev, "event_id", "ts", armConv)
+      .orderBy("look").collect()
+    assert(eff.length == 1 && eff.head.getString(8) == "stop_efficacy")
+  }
 }

@@ -112,6 +112,25 @@ class LongTailSpec extends SparkSpec {
     assert(d1(3L) == 0.5)
   }
 
+  test("Graph.bellmanFordHops: frontier cut still improves a settled node via a longer path") {
+    // 4 settles at the direct 3.5 in sweep 1, leaves the frontier at
+    // sweep 2 (nothing improves it), and must STILL improve to 3.0 at
+    // sweep 3 when the path frontier (node 3) reaches it — the case a
+    // buggy frontier cut (filtering candidates by target-settledness)
+    // would get wrong.
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (1L, 4L, 3.5)).toDF("src", "dst", "w")
+    val d3 = Graph.bellmanFordHops(edges, "src", "dst", col("w"),
+        col("node") === 1L, sweeps = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d3 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0))
+    // at 2 sweeps the shortcut still stands
+    val d2 = Graph.bellmanFordHops(edges, "src", "dst", col("w"),
+        col("node") === 1L, sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d2(4L) == 3.5)
+  }
+
   test("Graph.clusteringCoefficient: clique 1, cycle 0, pendant null, T and d from the same capped graph") {
     // K4 on 1-4 + pendant 5 on node 1 + 4-cycle 6-7-8-9
     val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)

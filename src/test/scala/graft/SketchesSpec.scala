@@ -218,6 +218,36 @@ class SketchesSpec extends SparkSpec {
     assert(p99span < medSpan, s"p99 span $p99span !< median span $medSpan")
   }
 
+  test("tdigestCentroids: high-cardinality unbounded domain matches a driver-side replay") {
+    // 50k DISTINCT values over an id-like domain (the case the verdict
+    // flagged for the old global-order window): the two-phase range
+    // rank must reproduce the single-sort semantics exactly —
+    // brute-force the centroid assignment driver-side and compare.
+    val vals = (0 until 50000).map(i => i.toLong * 1000003L + (i % 7))
+    val df = vals.map(Tuple1(_)).toDF("x").repartition(13)
+    val cents = Sketches.tdigestCentroids(df, col("x"), delta = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    val n = vals.size.toLong
+    val expected = vals.sorted.zipWithIndex.map { case (v, rank) =>
+      val q = (2.0 * rank + 1.0) / (2.0 * n) // each value unique: m=1
+      val k = (q * q * q + 1.0 - (1.0 - q) * (1.0 - q) * (1.0 - q)) / 2.0
+      (math.min(63, math.floor(k * 64.0).toInt), v)
+    }.groupBy(_._1).map { case (c, xs) =>
+      val vs = xs.map(_._2)
+      (c, vs.size.toLong,
+        BigDecimal(vs.map(BigInt(_)).sum) / vs.size, vs.min, vs.max)
+    }.toSeq.sortBy(_._1)
+    assert(cents.length == expected.length)
+    cents.zip(expected).foreach { case ((c, w, m, lo, hi), (ec, ew, em, elo, ehi)) =>
+      assert(c == ec && w == ew && lo == elo && hi == ehi,
+        s"centroid $c: got ($w,$lo,$hi) want ($ew,$elo,$ehi)")
+      assert(math.abs(m - em.toDouble) <= math.abs(em.toDouble) * 1e-12 + 1e-6,
+        s"centroid $c mean $m vs $em")
+    }
+    assert(cents.map(_._2).sum == n)
+  }
+
   test("CMS estimates never undercount and are partition-invariant") {
     val items = (1 to 120).flatMap(i => Seq.fill(i)(s"tok$i"))
     val df = scala.util.Random.shuffle(items).toDF("item")
