@@ -3289,6 +3289,17 @@ object SparkEntry {
       Events.groupSequentialFutility(t(s, dir, "events"), "event_id",
           "ts", col("value") > 100)
         .orderBy("look")),
+    // EXT conditional power / B-values (Lan-Wittes; Proschan-
+    // Hunsberger): per look, B_k = z_k*sqrt(t_k) and the probability of
+    // finishing above the final efficacy bound under the current trend
+    // and under H0 — the trial-trending readout next to the stopping
+    // monitors. Phi on data-dependent arguments is the fixed-order
+    // A&S 26.2.17 polynomial (functions/Normal.scala), mirrored
+    // verbatim in the oracle; u_K is the frozen one-sided literal.
+    "conditional_power" -> ((s, dir) =>
+      Events.conditionalPower(t(s, dir, "events"), "event_id",
+          "ts", col("value") > 100)
+        .orderBy("look")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -5094,6 +5105,58 @@ object SparkEntry {
        |  ROUND(z, 6) + 0e0 AS z, ROUND(up, 6) AS upper,
        |  ROUND(lo, 6) + 0e0 AS lower, decision
        |FROM de, fc WHERE de.k <= COALESCE(fc.mk, 5) ORDER BY look""".stripMargin
+  }
+  // conditional-power mirror: the same cumulative (look, arm) replay,
+  // B-values and the A&S-26.2.17 Phi (Normal.cdfSql) on staged args
+  private def conditionalPowerOracleSql: String = {
+    val uK = graft.operators.AlphaSpending.oneSidedBoundaries(5, 0.025, "obf").last
+    val phiTrend = graft.functions.Normal.cdfSql("a_trend")
+    val phiNull = graft.functions.Normal.cdfSql("a_null")
+    s"""WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+       | a AS (SELECT LEAST(CAST((CAST(ts AS DATE) - d0) // 6 AS BIGINT) + 1, 5) AS k,
+       |        (instr('0123456789abcdef', substr(md5('gs:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+       |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS c
+       |       FROM events, d0),
+       | g AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS k),
+       | pl AS (SELECT k,
+       |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |        CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS BIGINT) AS xc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN c ELSE 0 END) AS BIGINT) AS xt
+       |       FROM a GROUP BY 1),
+       | f AS (SELECT g.k, COALESCE(nc, 0) AS nc, COALESCE(nt, 0) AS nt,
+       |        COALESCE(xc, 0) AS xc, COALESCE(xt, 0) AS xt
+       |       FROM g LEFT JOIN pl USING (k)),
+       | cum AS (SELECT k,
+       |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+       |        CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt
+       |       FROM f WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | zt AS (SELECT k, nc, nt, xc, xt,
+       |        CASE WHEN nc > 0 AND nt > 0 AND
+       |          sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE))) > 0e0
+       |          THEN (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+       |              - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+       |            / sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)))
+       |        END AS z
+       |       FROM cum),
+       | bb AS (SELECT k, nc, nt, xc, xt, z,
+       |        CAST(k AS DOUBLE) / 5e0 AS tk,
+       |        z * sqrt(CAST(k AS DOUBLE) / 5e0) AS b FROM zt),
+       | ar AS (SELECT k, nc, nt, xc, xt, z, b,
+       |        (CAST($uK AS DOUBLE) - b) / sqrt(1e0 - tk) AS a_null,
+       |        (CAST($uK AS DOUBLE) - b - (b / tk) * (1e0 - tk)) / sqrt(1e0 - tk) AS a_trend
+       |       FROM bb)
+       |SELECT k AS look, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+       |  ROUND(z, 6) + 0e0 AS z, ROUND(b, 6) + 0e0 AS b_value,
+       |  ROUND(CASE WHEN k = 5 THEN (CASE WHEN z >= CAST($uK AS DOUBLE) THEN 1e0 ELSE 0e0 END)
+       |        ELSE 1e0 - $phiTrend END, 6) + 0e0 AS cp_trend,
+       |  ROUND(CASE WHEN k = 5 THEN (CASE WHEN z >= CAST($uK AS DOUBLE) THEN 1e0 ELSE 0e0 END)
+       |        ELSE 1e0 - $phiNull END, 6) + 0e0 AS cp_null
+       |FROM ar ORDER BY look""".stripMargin
   }
   def oracleSql: Map[String, String] = Map(
     "chunk_retrieval" ->
@@ -9208,6 +9271,7 @@ object SparkEntry {
     // parses the decimal digits exactly and CASTs to the same double)
     "group_sequential_ld_obf" -> ldOracleSql("obf"),
     "group_sequential_futility" -> futilityOracleSql,
+    "conditional_power" -> conditionalPowerOracleSql,
     "group_sequential_ld_pocock" -> ldOracleSql("pocock"),
     "group_sequential_ld_hsd" -> ldOracleSql("hsd"),
     "sprt_daily" -> {

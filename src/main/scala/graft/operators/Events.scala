@@ -868,6 +868,94 @@ object Events {
         col("_e.decision").as("decision"))
   }
 
+  /** Conditional power / B-value monitor (Lan & Wittes '88 B-values;
+    * Proschan-Hunsberger conditional power; gsDesign ssrCP's readout) —
+    * the "how is the trial trending" companion the stopping monitors
+    * above don't answer: at look k with information fraction t_k and
+    * one-sided z_k, the B-value B_k = z_k·√t_k walks a Brownian path
+    * whose endpoint decides the trial, and conditional power is the
+    * probability of finishing above the final efficacy bound u_K:
+    *
+    *   CP(θ) = 1 − Φ( (u_K − B_k − θ·(1−t_k)) / √(1−t_k) ),
+    *
+    * reported under the CURRENT TREND θ̂ = B_k/t_k (`cp_trend` — the
+    * sample-size-re-estimation input) and under H0 θ=0 (`cp_null` —
+    * the curtailment readout). At the final look the conditioning
+    * collapses: CP = 1 if z_K ≥ u_K else 0.
+    *
+    * Φ on these DATA-DEPENDENT arguments is [[graft.functions.Normal]]
+    * (A&S 26.2.17 — fixed-order IEEE arithmetic + the one exp the
+    * suite already trusts cross-engine), NOT libm erf; u_K is the
+    * frozen [[AlphaSpending.oneSidedBoundaries]] literal. No stopping
+    * fold — all K looks are emitted (a monitoring readout, not a
+    * decision rule; pair with [[groupSequentialFutility]] to act).
+    *
+    * Output: (look, n_c, n_t, x_c, x_t, z, b_value, cp_trend, cp_null).
+    *
+    * Scale shape (100 TB): the same ONE map-side-combinable (look, arm)
+    * aggregate as every monitor here; the cumulative pass rides the
+    * K-row grid (bounded window by construction).
+    */
+  def conditionalPower(events: DataFrame, idCol: String, tsCol: String,
+      convCond: Column, looks: Int = 5, lookDays: Int = 6,
+      alpha: Double = 0.025, spendingU: String = "obf",
+      seed: String = "gs"): DataFrame = {
+    require(looks >= 2 && lookDays >= 1,
+      s"conditionalPower: need looks>=2, lookDays>=1, got $looks/$lookDays")
+    val uK = AlphaSpending.oneSidedBoundaries(looks, alpha, spendingU).last
+    val arm = graft.functions.TextFunctions.md5Bits64(
+      concat(lit(seed + ":"), col(idCol).cast("string"))).bitwiseAND(lit(1L))
+    val day = col(tsCol).cast("date")
+    val minD = events.agg(min(day).as("_d0"))
+    val assigned = events.crossJoin(broadcast(minD))
+      .select(
+        least(floor(datediff(day, col("_d0")) / lit(lookDays)) + 1,
+          lit(looks.toLong)).cast("int").as("_k"),
+        arm.as("_b"), convCond.cast("long").as("_c"))
+    val perLook = assigned.groupBy(col("_k"))
+      .agg(sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_b") === 0L, col("_c")).otherwise(0L)).as("_xc"),
+        sum(when(col("_b") =!= 0L, col("_c")).otherwise(0L)).as("_xt"))
+    val grid = events.sparkSession.range(1, looks + 1)
+      .select(col("id").cast("int").as("_k"))
+    val filled = grid.join(perLook, Seq("_k"), "left")
+      .select(col("_k"), coalesce(col("_nc"), lit(0L)).as("_nc"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"),
+        coalesce(col("_xc"), lit(0L)).as("_xc"),
+        coalesce(col("_xt"), lit(0L)).as("_xt"))
+    // K-row cumulative window — bounded by construction (the grid IS K rows)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = filled.select(col("_k"),
+      sum(col("_nc")).over(w).as("nc"), sum(col("_nt")).over(w).as("nt"),
+      sum(col("_xc")).over(w).as("xc"), sum(col("_xt")).over(w).as("xt"))
+    val ncD = col("nc").cast("double"); val ntD = col("nt").cast("double")
+    val pc = col("xc").cast("double") / ncD
+    val pt = col("xt").cast("double") / ntD
+    val pp = (col("xc") + col("xt")).cast("double") /
+      (col("nc") + col("nt")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD))
+    val z = when(col("nc") > 0L && col("nt") > 0L && se > lit(0.0),
+      (pt - pc) / se)
+    val tk = col("_k").cast("double") / lit(looks.toDouble)
+    val b = z * sqrt(tk)
+    val rem = lit(1.0) - tk
+    val sr = sqrt(rem)
+    val cpNull = lit(1.0) - graft.functions.Normal.cdf((lit(uK) - b) / sr)
+    val cpTrend = lit(1.0) -
+      graft.functions.Normal.cdf((lit(uK) - b - (b / tk) * rem) / sr)
+    val atEnd = col("_k") === looks
+    val endCp = when(z >= lit(uK), lit(1.0)).otherwise(lit(0.0))
+    cum.select(col("_k").as("look"), col("nc").as("n_c"), col("nt").as("n_t"),
+        col("xc").as("x_c"), col("xt").as("x_t"),
+        (round(z, 6) + lit(0.0)).as("z"),
+        (round(b, 6) + lit(0.0)).as("b_value"),
+        (round(when(atEnd, endCp).otherwise(cpTrend), 6) + lit(0.0)).as("cp_trend"),
+        (round(when(atEnd, endCp).otherwise(cpNull), 6) + lit(0.0)).as("cp_null"))
+      .orderBy("look")
+  }
+
   /** Nelson-Aalen cumulative hazard (Nelson '72, Aalen '78) — the
     * additive companion to [[kaplanMeier]]'s multiplicative survival:
     * H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ over event-time buckets, plus the

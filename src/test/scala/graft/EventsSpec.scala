@@ -742,4 +742,46 @@ class EventsSpec extends SparkSpec {
       .orderBy("look").collect()
     assert(eff.length == 1 && eff.head.getString(8) == "stop_efficacy")
   }
+
+  test("Normal.cdf matches commons-math to the A&S 7.5e-8 bound; conditionalPower is coherent") {
+    // independent accuracy check of the engine-portable Phi: evaluate
+    // the Column expression over a grid and compare against the
+    // commons-math reference CDF
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+    val grid = (-80 to 80).map(i => Tuple1(i / 10.0)).toDF("x")
+    val got = grid.select(col("x"), graft.functions.Normal.cdf(col("x")).as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    got.foreach { case (x, p) =>
+      assert(math.abs(p - nd.cumulativeProbability(x)) < 7.5e-8,
+        s"Phi($x)=$p vs ${nd.cumulativeProbability(x)}") }
+    val ev = (0 until 600)
+      .map(i => (i.toLong, ts(1 + i / 20, i % 24), i % 7 == 0))
+      .toDF("event_id", "ts", "conv")
+    val cp = Events.conditionalPower(ev, "event_id", "ts", col("conv"))
+      .orderBy("look").collect()
+    assert(cp.length == 5) // no stopping: every look reported
+    cp.foreach { r =>
+      val z = r.getDouble(5); val b = r.getDouble(6)
+      val tk = r.getInt(0) / 5.0
+      // B-value identity (round(6) both readouts)
+      assert(math.abs(b - BigDecimal(z * math.sqrt(tk))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+      val ct = r.getDouble(7); val cn = r.getDouble(8)
+      assert(ct >= 0.0 && ct <= 1.0 && cn >= 0.0 && cn <= 1.0)
+      // under a positive trend finishing is MORE likely than under H0
+      if (r.getInt(0) < 5 && z > 0) assert(ct >= cn, s"look ${r.getInt(0)}: $ct < $cn")
+      if (r.getInt(0) < 5 && z < 0) assert(ct <= cn)
+    }
+    // final look collapses to the decision indicator
+    val last = cp.last
+    assert(last.getDouble(7) == 0.0 || last.getDouble(7) == 1.0)
+    assert(last.getDouble(7) == last.getDouble(8))
+    // an arm-aligned effect trends to certainty before the horizon
+    val armConv = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("gs:"), col("event_id").cast("string")))
+      .bitwiseAND(lit(1L)) === 1L
+    val hot = Events.conditionalPower(ev, "event_id", "ts", armConv)
+      .orderBy("look").collect()
+    assert(hot.head.getDouble(7) > 0.999, s"trend CP ${hot.head.getDouble(7)}")
+  }
 }
