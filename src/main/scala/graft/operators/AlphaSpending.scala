@@ -54,6 +54,19 @@ package graft.operators
   * aggregate, a K-row grid fold).
   */
 object AlphaSpending {
+  // The solvers are pure functions of their (few, enumerable) argument
+  // tuples, but NOT cheap: futilityBoundaries runs a 60-step outer
+  // bisection over a K-look Armitage recursion (~10^7 Phi calls, ~5 s
+  // driver-side — measured as the whole cost of the declared futility
+  // query at sf0.1). Every monitor construction re-solved it (Bench
+  // re-builds the plan per iteration). Memoize per argument tuple —
+  // driver-side, a handful of entries, synchronized because Verify/
+  // Bench may build plans from multiple threads.
+  private val memo =
+    scala.collection.mutable.HashMap.empty[(String, Seq[Any]), Any]
+  private def memoized[T](key: (String, Seq[Any]))(body: => T): T =
+    memo.synchronized(memo.getOrElseUpdate(key, body)).asInstanceOf[T]
+
   private val stdNormal =
     new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
   private def Phi(x: Double): Double = stdNormal.cumulativeProbability(x)
@@ -87,7 +100,8 @@ object AlphaSpending {
     * fixed grid size, fixed 100-step bisections.
     */
   def ldBoundaries(looks: Int, alpha: Double, spending: String,
-      gridN: Int = 601): Array[Double] = {
+      gridN: Int = 601): Array[Double] =
+      memoized(("ld", Seq(looks, alpha, spending, gridN))) {
     require(looks >= 2, s"ldBoundaries: need looks>=2, got $looks")
     require(alpha > 0 && alpha < 1, s"ldBoundaries: need alpha in (0,1), got $alpha")
     require(gridN >= 51 && gridN % 2 == 1,
@@ -180,7 +194,8 @@ object AlphaSpending {
     * deterministic truncation, not a tolerance).
     */
   def oneSidedBoundaries(looks: Int, alpha: Double, spending: String,
-      gridN: Int = 601): Array[Double] = {
+      gridN: Int = 601): Array[Double] =
+      memoized(("os", Seq(looks, alpha, spending, gridN))) {
     require(looks >= 2, s"oneSidedBoundaries: need looks>=2, got $looks")
     require(alpha > 0 && alpha < 0.5,
       s"oneSidedBoundaries: need alpha in (0,0.5), got $alpha")
@@ -263,7 +278,8 @@ object AlphaSpending {
     */
   def futilityBoundaries(looks: Int, alpha: Double, beta: Double,
       spendingU: String, spendingL: String,
-      gridN: Int = 601): (Array[Double], Array[Double], Double) = {
+      gridN: Int = 601): (Array[Double], Array[Double], Double) =
+      memoized(("fut", Seq(looks, alpha, beta, spendingU, spendingL, gridN))) {
     require(looks >= 2, s"futilityBoundaries: need looks>=2, got $looks")
     require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
       s"futilityBoundaries: need alpha,beta in (0,0.5), got $alpha/$beta")

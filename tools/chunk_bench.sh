@@ -6,11 +6,14 @@
 # selects the data scale — the sf1 record rides the same machinery.
 # Before launching, the chunk partition is AUDITED against the live
 # suite (Bench list mode): a declared query missing from every chunk,
-# or a chunk entry that no longer exists, aborts the run loudly. The 76 queries are partitioned into 7
-# family-aligned chunks (cache-sharing families — the md5-minhash frame
-# consumers, the shingle families — stay together so the session-cache
-# reuse the full suite legitimately gets is preserved within each
-# chunk), each chunk is launched behind a 40 s sustained-quiet gate and
+# or a chunk entry that no longer exists, aborts the run loudly. The
+# suite is partitioned into family-aligned chunks (cache-sharing
+# families — the md5-minhash frame consumers, the shingle families —
+# stay together so the session-cache reuse the full suite legitimately
+# gets is preserved within each chunk; the old 60-query dedup chunk is
+# split at the shingle/classifier family boundary since r12 — a ~4.5 min
+# exposure window never landed burst-free on a busy co-tenant day, a
+# ~2 min one does), each chunk is launched behind a 40 s sustained-quiet gate and
 # retried until ITS OWN record is steal-clean (every per-query steal
 # <= 0.75 cores, chunk-wide <= 0.8, no DNF), and the clean chunk records
 # merge into one BENCH-shaped JSON with per-query steal evidence.
@@ -34,7 +37,8 @@ ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.ne
 
 CHUNKS=(
 "minhash_pairs,blocking_quality,fellegi_sunter_weights,fs_score_separation,minhash_against,minhash_against_stream,dedup_canonical,dedup_clusters,decontaminate_fuzzy,cluster_best_quality,split_leakage_safe"
-"ngram_jaccard_pairs,rouge_overlap_pairs,dup_triangles,dup_clustering_coef,kcore_dup_graph,bfs_hops_dup_graph,bellman_ford_dup,dup_spans,dedup_exact_docs,dedup_savings,dedup_first,dedup_last,dedup_none,dup_rate_by_source,contamination_sources,pipeline_clean_corpus,doc_length_quartiles,containment_pairs,winnow_fingerprints,winnow_overlap_pairs,novelty_docs,decontaminate_docs,corpus_diff,contrastive_triplets,top_ngrams,phrase_hits,vocab_growth,pmi_pairs,dedup_exact_normalized,fuzzy_part_match,fuzzy_match_stream,cdc_classify_stream,source_cap,lang_temperature_sample,quality_classifier,quality_quantile_norm,lpa_modularity,graph_assortativity,classifier_auc,classifier_prf,classifier_calibration,isotonic_calibration,calibration_ece,lift_gain_deciles,classifier_brier,lpa_communities,hapax_ratio_sources,cohen_kappa_docs,simpson_diversity_sources,lang_chi2_sources,feature_mi_rank,ttr_docs,rake_keywords,textrank_keywords,zipf_slope_tokens,line_dedup,line_dedup_stream,line_collapse,source_similarity"
+"ngram_jaccard_pairs,rouge_overlap_pairs,dup_triangles,dup_clustering_coef,kcore_dup_graph,bfs_hops_dup_graph,bellman_ford_dup,dup_spans,dedup_exact_docs,dedup_savings,dedup_first,dedup_last,dedup_none,dup_rate_by_source,contamination_sources,pipeline_clean_corpus,doc_length_quartiles,containment_pairs,winnow_fingerprints,winnow_overlap_pairs,novelty_docs,decontaminate_docs,corpus_diff,contrastive_triplets,dedup_exact_normalized,fuzzy_part_match,fuzzy_match_stream,cdc_classify_stream,lpa_modularity,graph_assortativity,lpa_communities,line_dedup,line_dedup_stream,line_collapse,source_similarity"
+"top_ngrams,phrase_hits,vocab_growth,pmi_pairs,source_cap,lang_temperature_sample,quality_classifier,quality_quantile_norm,classifier_auc,classifier_prf,classifier_calibration,isotonic_calibration,calibration_ece,lift_gain_deciles,classifier_brier,hapax_ratio_sources,cohen_kappa_docs,simpson_diversity_sources,lang_chi2_sources,feature_mi_rank,ttr_docs,rake_keywords,textrank_keywords,zipf_slope_tokens"
 "ann_hnsw_topk,ann_recall_hnsw,chunk_documents,chunk_retrieval,ann_jl_topk,embedding_against,embedding_near_dup,embedding_near_dup_auto,embedding_near_dup_lsh,semantic_dedup,ann_cosine_topk,ann_recall_eval,ann_recall_ivf,ann_recall_pq,ann_ivf_kmeans_topk,ann_ivf_topk,ann_lsh_multiprobe,ann_lsh_topk,ann_pq_adc_topk,ann_ivf_pq_topk,ann_sq_topk,pq_code_dups,pq_subcode_pairs,hybrid_rrf_topk,mmr_topk,centroid_assign,kmeans_assign,text_cluster_assign,cluster_top_terms,kmeans_silhouette,embedding_drift,ann_rq_topk"
 "trigram_backoff,bigram_logprob,doremi_weights,negative_sample_tokens,bpe_tokens,bpe_tokens_expanded,bpe_tokens_learned,bpe_tokens_pretok,bpe_compression_eval,entropy_docs,fingerprint_docs,gopher_filter,kl_en_de,js_divergence_en_de,source_jsd_matrix,redact_docs,readability_docs,repetition_docs,text_profile,tfidf_top_terms,unigram_logprob,simhash_docs,split_assign,pack_sequences,token_budget_select,ccnet_buckets,dsir_weights,dsir_sample,gumbel_sample_sources,gumbel_sample_stream,hll_set_diff,bm25_topk,bm25_prf_topk,retrieval_eval,inverted_index,heavy_hitter_tokens,quantiles_binned_chars,shard_sizes,cms_token_counts,lang_id_ngram,lang_confusion,hll_vocab_overlap,maxsim_topk"
 "partition_fingerprints,alignable,key_skew_orders,q3_shipping_priority,column_stats_customer,k_anonymity_audit,l_diversity_audit,t_closeness_audit,concat_aligned,coo_density,coo_todense,corr_qty_price,diag_coo,graph_color_groups,graph_degrees,identity_series,reindex_join,unique_row_ids,upsert_orders,upsert_pruned_orders,cube_revenue,yoy_revenue_growth,priority_chi2_years,rollup_nation_revenue,grouping_sets_revenue,cms_join_size,assoc_rules_parts,item_similarity_parts,mutual_nn_parts,dq_orders,ri_audit,spearman_qty_price,gini_customer_spend,link_pred_suppliers,pareto_parts,target_encode_segment"
@@ -67,6 +71,13 @@ fi
 ci=0
 for chunk in "${CHUNKS[@]}"; do
   ci=$((ci+1))
+  # resume: a clean record from an interrupted run of the SAME prefix
+  # (and therefore the same binary — the classes snapshot is copied
+  # once per prefix) still counts
+  if [ -s "$PREFIX.c$ci.clean.json" ]; then
+    echo "$(date -u +%F_%T) chunk $ci: clean record exists, skipping" >> "$PREFIX.log"
+    continue
+  fi
   done_chunk=0
   for try in $(seq 1 "$TRIES"); do
     quiet=0
