@@ -406,24 +406,28 @@ object Graph {
     var dist = nodes.filter(seed)
       .select(col("node"), lit(0.0).as("dist"))
       .localCheckpoint()
-    // frontier = nodes whose dist changed last sweep (sweep 0: seeds)
+    // frontier = nodes whose dist changed last sweep (sweep 0: seeds).
+    // The merge keeps the original SINGLE-exchange shape — settled and
+    // relaxed rows union into one min groupBy, with the old distance
+    // carried as a min-over-flagged-rows side aggregate so change
+    // detection costs no second shuffle: changed = no old row (newly
+    // reached) or new min strictly below the old.
     var frontier = dist
     for (_ <- 1 to sweeps) {
       val relaxed = frontier.join(und, frontier("node") === und("src"))
         .select(und("dst").as("node"),
-          (frontier("dist") + und("w")).as("dist"))
-        .groupBy(col("node")).agg(min(col("dist")).as("_nd"))
-      val merged = dist.withColumnRenamed("dist", "_od")
-        .join(relaxed, Seq("node"), "full_outer")
-        .select(col("node"),
-          when(col("_od").isNull ||
-            (col("_nd").isNotNull && col("_nd") < col("_od")),
-            col("_nd")).otherwise(col("_od")).as("dist"),
-          (col("_od").isNull ||
-            (col("_nd").isNotNull && col("_nd") < col("_od"))).as("_chg"))
+          (frontier("dist") + und("w")).as("dist"), lit(false).as("_old"))
+      val merged = dist
+        .select(col("node"), col("dist"), lit(true).as("_old"))
+        .unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"),
+          min(when(col("_old"), col("dist"))).as("_od"))
         .localCheckpoint()
       dist = merged.select(col("node"), col("dist"))
-      frontier = merged.filter(col("_chg")).select(col("node"), col("dist"))
+      frontier = merged
+        .filter(col("_od").isNull || col("dist") < col("_od"))
+        .select(col("node"), col("dist"))
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
   }

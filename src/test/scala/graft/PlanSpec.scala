@@ -136,14 +136,20 @@ class PlanSpec extends SparkSpec {
     // conformal_intervals' cumulative window rides the round(6)
     // nonconformity CELL aggregate — bounded by the 2-decimal value
     // grid (the mann_whitney class), never row cardinality
-    // tdigest_value's rank window rides the value-cents CELL aggregate
-    // (the mann_whitney class — measurement-grid bounded)
+    // conditional_power's cumulative window rides the K-row LOOK GRID
+    // (spark.range(1, K+1) — K=5 rows by construction, the smallest
+    // bounded frame in the suite; the sibling monitors use the
+    // collect_list fold for their stop-at-crossing semantics, which CP
+    // doesn't have)
+    // tdigest_value came OFF this list in r12: the two-phase range
+    // rank replaced its global-order cell window with a partitioned
+    // one + an O(#partitions) offset collect
     val allow = Set("smooth_gaussian", "vocab_growth", "rolling_revenue_7d",
       "quantiles_binned_chars", "token_budget_select", "mann_whitney_value",
       "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
       "gini_customer_spend", "classifier_auc", "theil_sen_daily",
       "pareto_parts", "rolling_corr_7d", "lift_gain_deciles",
-      "log_rank_purchase", "conformal_intervals", "tdigest_value")
+      "log_rank_purchase", "conformal_intervals", "conditional_power")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = allQe(name).executedPlan
       val bad = collectBad(plan)
