@@ -3300,6 +3300,18 @@ object SparkEntry {
       Events.conditionalPower(t(s, dir, "events"), "event_id",
           "ts", col("value") > 100)
         .orderBy("look")),
+    // EXT sample-size re-estimation on conditional power (Events.ssrCP;
+    // Mehta-Pocock '11 promising zone, CHW-weighted closed-form
+    // inflation): per look, the trend CP classifies the trial into
+    // favorable/promising/unfavorable, and inside the promising zone
+    // the second-stage inflation r* restoring CP to 1-beta is emitted
+    // (clamped at the n_max cap) with the re-weighted CP at r. Same
+    // (look, arm) aggregate + A&S-26.2.17 Phi as conditional_power;
+    // u_K and z_{1-beta} are frozen driver literals.
+    "ssr_cp" -> ((s, dir) =>
+      Events.ssrCP(t(s, dir, "events"), "event_id",
+          "ts", col("value") > 100)
+        .orderBy("look")),
     // EXT Nelson-Aalen cumulative hazard + Fleming-Harrington survival
     // (Events.nelsonAalen): KM's additive sibling — hazard increments
     // d/n folded in t order, exp at the readout
@@ -3418,6 +3430,42 @@ object SparkEntry {
           col("x"), col("y"))
         .as[graft.streaming.CupedPoint]
       graft.streaming.StreamOps.cupedStream(units)
+        .toDF()
+        .select(col("day").as("d"), col("n_c"), col("n_t"),
+          (round(col("diff_raw"), 6) + lit(0.0)).as("diff_raw"),
+          (round(col("theta"), 6) + lit(0.0)).as("theta"),
+          (round(col("diff_cuped"), 6) + lit(0.0)).as("diff_cuped"))
+        .orderBy("d")
+    }),
+    // EXT weighted/keyed streaming CUPED for hot experiment keys
+    // (StreamOps.cupedWeightedDeltas -> cupedDeltaStream): the same
+    // repeated-measures units as cuped_stream_daily but FREQUENCY-
+    // WEIGHTED by the unit's event count, map-side pre-reduced into
+    // per-(key, day) moment deltas (a stateless narrow pass — no
+    // shuffle) before the keyed state folds them; snapshots carry the
+    // weighted arm masses and the weighted theta/lift
+    "cuped_stream_weighted" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val cut = lit("2024-01-16").cast("date")
+      val ev = t(s, dir, "events")
+      val pre = ev.groupBy(col("user_id").as("_u"))
+        .agg(sum(when(col("ts").cast("date") < cut, 1L).otherwise(0L)).as("x"))
+      val units = ev.filter(col("ts").cast("date") >= cut)
+        .groupBy(col("user_id"), col("ts").cast("date").as("_d"))
+        .agg(count(lit(1)).as("w"),
+          sum(round(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+            .as("y"))
+        .join(pre, col("user_id") === col("_u"))
+        .select(lit("all").as("key"),
+          datediff(col("_d"), to_date(lit("1970-01-01"))).cast("long").as("day"),
+          graft.functions.TextFunctions.md5Bits64(
+            concat(lit("cu:"), col("user_id").cast("string")))
+            .bitwiseAND(lit(1L)).as("arm"),
+          col("w"), col("x"), col("y"))
+        .as[graft.streaming.CupedWPoint]
+      graft.streaming.StreamOps.cupedDeltaStream(
+          graft.streaming.StreamOps.cupedWeightedDeltas(units))
         .toDF()
         .select(col("day").as("d"), col("n_c"), col("n_t"),
           (round(col("diff_raw"), 6) + lit(0.0)).as("diff_raw"),
@@ -5157,6 +5205,89 @@ object SparkEntry {
        |  ROUND(CASE WHEN k = 5 THEN (CASE WHEN z >= CAST($uK AS DOUBLE) THEN 1e0 ELSE 0e0 END)
        |        ELSE 1e0 - $phiNull END, 6) + 0e0 AS cp_null
        |FROM ar ORDER BY look""".stripMargin
+  }
+  // ssrCP mirror: conditionalPowerOracleSql's replay plus the
+  // Mehta-Pocock zone CASE and the CHW closed-form inflation — every
+  // double op in the SAME order as Events.ssrCP (base^2 spelled
+  // base*base, clamp via LEAST(GREATEST(..)), Phi = Normal.cdfSql on
+  // staged args); u_K and z_{1-beta} are the same frozen literals
+  private def ssrCpOracleSql: String = {
+    val uK = graft.operators.AlphaSpending.oneSidedBoundaries(5, 0.025, "obf").last
+    val beta = 0.1; val cpMin = 0.365; val maxTotal = 2.0
+    val oneMinusBeta = 1.0 - beta
+    val zPow = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+      .inverseCumulativeProbability(1.0 - beta)
+    val phiTrend = graft.functions.Normal.cdfSql("a_trend")
+    val phiAdj = graft.functions.Normal.cdfSql("a_adj")
+    s"""WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+       | a AS (SELECT LEAST(CAST((CAST(ts AS DATE) - d0) // 6 AS BIGINT) + 1, 5) AS k,
+       |        (instr('0123456789abcdef', substr(md5('gs:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+       |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS c
+       |       FROM events, d0),
+       | g AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS k),
+       | pl AS (SELECT k,
+       |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |        CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS BIGINT) AS xc,
+       |        CAST(SUM(CASE WHEN b <> 0 THEN c ELSE 0 END) AS BIGINT) AS xt
+       |       FROM a GROUP BY 1),
+       | f AS (SELECT g.k, COALESCE(nc, 0) AS nc, COALESCE(nt, 0) AS nt,
+       |        COALESCE(xc, 0) AS xc, COALESCE(xt, 0) AS xt
+       |       FROM g LEFT JOIN pl USING (k)),
+       | cum AS (SELECT k,
+       |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+       |        CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt
+       |       FROM f WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | zt AS (SELECT k, nc, nt, xc, xt,
+       |        CASE WHEN nc > 0 AND nt > 0 AND
+       |          sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |            * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE))) > 0e0
+       |          THEN (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+       |              - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+       |            / sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+       |                * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)))
+       |        END AS z
+       |       FROM cum),
+       | bb AS (SELECT k, nc, nt, xc, xt, z,
+       |        CAST(k AS DOUBLE) / 5e0 AS tk,
+       |        z * sqrt(CAST(k AS DOUBLE) / 5e0) AS b FROM zt),
+       | th AS (SELECT *, b / tk AS theta,
+       |        (CAST($uK AS DOUBLE) - b - (b / tk) * (1e0 - tk)) / sqrt(1e0 - tk) AS a_trend
+       |       FROM bb),
+       | cpt AS (SELECT k, nc, nt, xc, xt, z, tk, b, theta,
+       |        1e0 - $phiTrend AS cp_t FROM th),
+       | rz AS (SELECT *,
+       |        (cp_t >= CAST($cpMin AS DOUBLE) AND cp_t < CAST($oneMinusBeta AS DOUBLE)
+       |         AND theta > 0e0) AS promising,
+       |        CASE WHEN (cp_t >= CAST($cpMin AS DOUBLE) AND cp_t < CAST($oneMinusBeta AS DOUBLE)
+       |                   AND theta > 0e0)
+       |             THEN LEAST(GREATEST(
+       |               ((CAST($uK AS DOUBLE) - b) / (1e0 - tk) + CAST($zPow AS DOUBLE) / sqrt(1e0 - tk))
+       |               * ((CAST($uK AS DOUBLE) - b) / (1e0 - tk) + CAST($zPow AS DOUBLE) / sqrt(1e0 - tk))
+       |               / (theta * theta), 1e0),
+       |               (CAST($maxTotal AS DOUBLE) - tk) / (1e0 - tk))
+       |             ELSE 1e0 END AS r
+       |       FROM cpt),
+       | ad AS (SELECT *,
+       |        (CAST($uK AS DOUBLE) - b) / sqrt(1e0 - tk)
+       |          - theta * sqrt(r * (1e0 - tk)) AS a_adj
+       |       FROM rz)
+       |SELECT k AS look, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+       |  ROUND(z, 6) + 0e0 AS z, ROUND(b, 6) + 0e0 AS b_value,
+       |  ROUND(CASE WHEN k = 5 THEN (CASE WHEN z >= CAST($uK AS DOUBLE) THEN 1e0 ELSE 0e0 END)
+       |        ELSE cp_t END, 6) + 0e0 AS cp_trend,
+       |  CASE WHEN z IS NULL THEN NULL WHEN k = 5 THEN 'final'
+       |       WHEN cp_t >= CAST($oneMinusBeta AS DOUBLE) THEN 'favorable'
+       |       WHEN promising THEN 'promising'
+       |       ELSE 'unfavorable' END AS zone,
+       |  ROUND(CASE WHEN z IS NULL THEN NULL WHEN k = 5 THEN 1e0 ELSE r END, 6) + 0e0 AS inflation,
+       |  ROUND(CASE WHEN z IS NULL THEN NULL WHEN k = 5 THEN 1e0
+       |        ELSE tk + r * (1e0 - tk) END, 6) + 0e0 AS t_new,
+       |  ROUND(CASE WHEN k = 5 THEN (CASE WHEN z >= CAST($uK AS DOUBLE) THEN 1e0 ELSE 0e0 END)
+       |        ELSE 1e0 - $phiAdj END, 6) + 0e0 AS cp_adj
+       |FROM ad ORDER BY look""".stripMargin
   }
   def oracleSql: Map[String, String] = Map(
     "chunk_retrieval" ->
@@ -9159,6 +9290,57 @@ object SparkEntry {
         |       THEN ROUND((myt - myc) - (covn / varxn) * (mxt - mxc), 6) + 0e0
         |  END AS diff_cuped
         |FROM f ORDER BY d""".stripMargin,
+    // weighted streaming-CUPED mirror: the same replay with per-unit
+    // frequency weights w (HUGEINT weighted cross moments) — means are
+    // SUM(w*y)/SUM(w) per arm, theta the weighted cov/var, all in the
+    // engine's fixed double order
+    "cuped_stream_weighted" ->
+      """WITH pre AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    (instr('0123456789abcdef', substr(md5('cu:' || CAST(user_id AS VARCHAR)), 16, 1)) - 1) % 2 AS arm
+        |   FROM events GROUP BY 1),
+        | ud AS (SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS w,
+        |    CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS BIGINT) AS y
+        |   FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16' GROUP BY 1, 2),
+        | u AS (SELECT d, arm, w, x, y FROM ud JOIN pre USING (user_id)),
+        | g AS (SELECT d,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT) AS wc,
+        |    CAST(SUM(CASE WHEN arm <> 0 THEN w ELSE 0 END) AS BIGINT) AS wt,
+        |    SUM(CASE WHEN arm = 0 THEN CAST(w AS HUGEINT) * x ELSE 0 END) AS sxc,
+        |    SUM(CASE WHEN arm <> 0 THEN CAST(w AS HUGEINT) * x ELSE 0 END) AS sxt,
+        |    SUM(CASE WHEN arm = 0 THEN CAST(w AS HUGEINT) * y ELSE 0 END) AS syc,
+        |    SUM(CASE WHEN arm <> 0 THEN CAST(w AS HUGEINT) * y ELSE 0 END) AS syt,
+        |    SUM(CAST(w AS HUGEINT) * x * y) AS sxy,
+        |    SUM(CAST(w AS HUGEINT) * x * x) AS sxx,
+        |    SUM(CAST(w AS HUGEINT) * y * y) AS syy
+        |   FROM u GROUP BY 1),
+        | c AS (SELECT d,
+        |    CAST(SUM(wc) OVER w AS BIGINT) AS wc, CAST(SUM(wt) OVER w AS BIGINT) AS wt,
+        |    SUM(sxc) OVER w AS sxc, SUM(sxt) OVER w AS sxt,
+        |    SUM(syc) OVER w AS syc, SUM(syt) OVER w AS syt,
+        |    SUM(sxy) OVER w AS sxy, SUM(sxx) OVER w AS sxx, SUM(syy) OVER w AS syy
+        |   FROM g WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | r AS (SELECT d, wc, wt,
+        |    CAST(wc + wt AS DOUBLE) AS nd,
+        |    CAST(sxc + sxt AS DOUBLE) AS sx, CAST(syc + syt AS DOUBLE) AS sy,
+        |    CAST(syt AS DOUBLE) / CAST(wt AS DOUBLE) AS myt,
+        |    CAST(syc AS DOUBLE) / CAST(wc AS DOUBLE) AS myc,
+        |    CAST(sxt AS DOUBLE) / CAST(wt AS DOUBLE) AS mxt,
+        |    CAST(sxc AS DOUBLE) / CAST(wc AS DOUBLE) AS mxc,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM c),
+        | f AS (SELECT d, wc, wt, myt, myc, mxt, mxc,
+        |    nd * sxyd - sx * sy AS covn,
+        |    nd * sxxd - sx * sx AS varxn FROM r)
+        |SELECT d, wc AS n_c, wt AS n_t,
+        |  CASE WHEN wc > 0 AND wt > 0 THEN ROUND(myt - myc, 6) + 0e0 END AS diff_raw,
+        |  CASE WHEN varxn > 0 THEN ROUND(covn / varxn, 6) + 0e0 END AS theta,
+        |  CASE WHEN wc > 0 AND wt > 0 AND varxn > 0
+        |       THEN ROUND((myt - myc) - (covn / varxn) * (mxt - mxc), 6) + 0e0
+        |  END AS diff_cuped
+        |FROM f ORDER BY d""".stripMargin,
     "ab_test_value" -> {
       val parity = "(instr('0123456789abcdef', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 16, 1)) - 1) % 2"
       s"""WITH o AS (SELECT $parity AS b,
@@ -9272,6 +9454,7 @@ object SparkEntry {
     "group_sequential_ld_obf" -> ldOracleSql("obf"),
     "group_sequential_futility" -> futilityOracleSql,
     "conditional_power" -> conditionalPowerOracleSql,
+    "ssr_cp" -> ssrCpOracleSql,
     "group_sequential_ld_pocock" -> ldOracleSql("pocock"),
     "group_sequential_ld_hsd" -> ldOracleSql("hsd"),
     "sprt_daily" -> {

@@ -60,12 +60,20 @@ object AlphaSpending {
   // driver-side — measured as the whole cost of the declared futility
   // query at sf0.1). Every monitor construction re-solved it (Bench
   // re-builds the plan per iteration). Memoize per argument tuple —
-  // driver-side, a handful of entries, synchronized because Verify/
-  // Bench may build plans from multiple threads.
+  // driver-side, a handful of entries; computeIfAbsent gives per-key
+  // locking (one slow futility solve must not serialize unrelated
+  // lookups from Verify/Bench plan-builder threads), and the cached
+  // value is deep-copied on the way out so a caller mutating a
+  // returned Array cannot corrupt the cache.
   private val memo =
-    scala.collection.mutable.HashMap.empty[(String, Seq[Any]), Any]
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Any]), Any]
+  private def defensiveCopy(v: Any): Any = v match {
+    case a: Array[Double] => a.clone()
+    case (u: Array[Double], l: Array[Double], d: Double) => (u.clone(), l.clone(), d)
+    case other => other
+  }
   private def memoized[T](key: (String, Seq[Any]))(body: => T): T =
-    memo.synchronized(memo.getOrElseUpdate(key, body)).asInstanceOf[T]
+    defensiveCopy(memo.computeIfAbsent(key, _ => body)).asInstanceOf[T]
 
   private val stdNormal =
     new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)

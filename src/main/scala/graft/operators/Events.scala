@@ -956,6 +956,143 @@ object Events {
       .orderBy("look")
   }
 
+  /** Sample-size re-estimation on conditional power (Mehta & Pocock
+    * '11 "promising zone", Cui-Hung-Wang '99 weighting; gsDesign's
+    * ssrCP) — the DECISION layer on top of [[conditionalPower]]'s
+    * readout: at each interim look the trial is classified by its
+    * conditional power under the current trend θ̂ = B_k/t_k into
+    *
+    *   favorable    CP ≥ 1−β            — on track, no change;
+    *   promising    cpMin ≤ CP < 1−β    — underpowered but salvageable:
+    *                re-estimate the remaining information so CP returns
+    *                to 1−β;
+    *   unfavorable  CP < cpMin          — re-estimation would demand an
+    *                unrealistic inflation; leave the design alone.
+    *
+    * In the promising zone the second-stage inflation has a CLOSED
+    * FORM under CHW weighting (the final statistic keeps the original
+    * weights √t_k, √(1−t_k), so the type-I error is preserved without
+    * re-solving the boundary): the re-weighted conditional power at
+    * second-stage inflation r is
+    *
+    *   CP(r) = 1 − Φ( (u_K − B_k)/√(1−t_k) − θ̂·√(r·(1−t_k)) ),
+    *
+    * and CP(r) = 1−β solves to
+    *
+    *   r* = ( (u_K − B_k)/(1−t_k) + z_{1−β}/√(1−t_k) )² / θ̂²,
+    *
+    * clamped into [1, (maxTotal − t_k)/(1−t_k)] — the Mehta-Pocock
+    * n_max cap (default: at most double the planned total
+    * information). r = 1 outside the promising zone; at r = 1 the CHW
+    * statistic is the ordinary one and CP(1) is exactly
+    * [[conditionalPower]]'s cp_trend (the identity EventsSpec pins).
+    *
+    * Emits all K looks (a monitoring readout, not a stopping rule —
+    * pair with [[groupSequentialFutility]] to act): (look, n_c, n_t,
+    * x_c, x_t, z, b_value, cp_trend, zone, inflation, t_new, cp_adj)
+    * where t_new = t_k + r·(1−t_k) is the re-estimated total
+    * information fraction and cp_adj = CP(r) (≈ 1−β inside the zone
+    * unless the cap bound it). At the final look the conditioning
+    * collapses (zone 'final', r = 1, cp = 1 if z_K ≥ u_K else 0).
+    *
+    * Φ on data-dependent arguments is [[graft.functions.Normal]]
+    * (A&S 26.2.17, mirrored verbatim in the oracle); u_K and z_{1−β}
+    * are FROZEN driver-side literals (the ldBoundaries discipline).
+    *
+    * Scale shape (100 TB): identical to [[conditionalPower]] — ONE
+    * map-side-combinable (look, arm) aggregate, a K-row grid window,
+    * then per-row arithmetic; the re-estimation itself touches no
+    * data.
+    */
+  def ssrCP(events: DataFrame, idCol: String, tsCol: String,
+      convCond: Column, looks: Int = 5, lookDays: Int = 6,
+      alpha: Double = 0.025, spendingU: String = "obf",
+      beta: Double = 0.1, cpMin: Double = 0.365, maxTotal: Double = 2.0,
+      seed: String = "gs"): DataFrame = {
+    require(looks >= 2 && lookDays >= 1,
+      s"ssrCP: need looks>=2, lookDays>=1, got $looks/$lookDays")
+    require(beta > 0 && beta < 0.5, s"ssrCP: need beta in (0,0.5), got $beta")
+    require(cpMin > 0 && cpMin < 1 - beta,
+      s"ssrCP: need 0 < cpMin < 1-beta, got $cpMin vs ${1 - beta}")
+    require(maxTotal > 1.0, s"ssrCP: need maxTotal > 1, got $maxTotal")
+    val uK = AlphaSpending.oneSidedBoundaries(looks, alpha, spendingU).last
+    // frozen driver-side literal: z_{1-beta} via the same commons-math
+    // quantile the boundary solvers use — embedded as a Double literal
+    // in both engines, so its last ulp cannot split hashes
+    val zPow = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+      .inverseCumulativeProbability(1.0 - beta)
+    val arm = graft.functions.TextFunctions.md5Bits64(
+      concat(lit(seed + ":"), col(idCol).cast("string"))).bitwiseAND(lit(1L))
+    val day = col(tsCol).cast("date")
+    val minD = events.agg(min(day).as("_d0"))
+    val assigned = events.crossJoin(broadcast(minD))
+      .select(
+        least(floor(datediff(day, col("_d0")) / lit(lookDays)) + 1,
+          lit(looks.toLong)).cast("int").as("_k"),
+        arm.as("_b"), convCond.cast("long").as("_c"))
+    val perLook = assigned.groupBy(col("_k"))
+      .agg(sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_b") === 0L, col("_c")).otherwise(0L)).as("_xc"),
+        sum(when(col("_b") =!= 0L, col("_c")).otherwise(0L)).as("_xt"))
+    val grid = events.sparkSession.range(1, looks + 1)
+      .select(col("id").cast("int").as("_k"))
+    val filled = grid.join(perLook, Seq("_k"), "left")
+      .select(col("_k"), coalesce(col("_nc"), lit(0L)).as("_nc"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"),
+        coalesce(col("_xc"), lit(0L)).as("_xc"),
+        coalesce(col("_xt"), lit(0L)).as("_xt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = filled.select(col("_k"),
+      sum(col("_nc")).over(w).as("nc"), sum(col("_nt")).over(w).as("nt"),
+      sum(col("_xc")).over(w).as("xc"), sum(col("_xt")).over(w).as("xt"))
+    val ncD = col("nc").cast("double"); val ntD = col("nt").cast("double")
+    val pc = col("xc").cast("double") / ncD
+    val pt = col("xt").cast("double") / ntD
+    val pp = (col("xc") + col("xt")).cast("double") /
+      (col("nc") + col("nt")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD))
+    val z = when(col("nc") > 0L && col("nt") > 0L && se > lit(0.0),
+      (pt - pc) / se)
+    val tk = col("_k").cast("double") / lit(looks.toDouble)
+    val b = z * sqrt(tk)
+    val rem = lit(1.0) - tk
+    val sr = sqrt(rem)
+    val thetaHat = b / tk
+    val cpTrend = lit(1.0) -
+      graft.functions.Normal.cdf((lit(uK) - b - thetaHat * rem) / sr)
+    val rCap = (lit(maxTotal) - tk) / rem
+    val rStar = {
+      val base = (lit(uK) - b) / rem + lit(zPow) / sr
+      (base * base) / (thetaHat * thetaHat)
+    }
+    val rClamped = least(greatest(rStar, lit(1.0)), rCap)
+    val promising = cpTrend >= lit(cpMin) && cpTrend < lit(1.0 - beta) &&
+      thetaHat > lit(0.0)
+    val zone = when(cpTrend >= lit(1.0 - beta), lit("favorable"))
+      .when(promising, lit("promising"))
+      .otherwise(lit("unfavorable"))
+    val r = when(promising, rClamped).otherwise(lit(1.0))
+    val cpAdj = lit(1.0) -
+      graft.functions.Normal.cdf((lit(uK) - b) / sr - thetaHat * sqrt(r * rem))
+    val atEnd = col("_k") === looks
+    val endCp = when(z >= lit(uK), lit(1.0)).otherwise(lit(0.0))
+    cum.select(col("_k").as("look"), col("nc").as("n_c"), col("nt").as("n_t"),
+        col("xc").as("x_c"), col("xt").as("x_t"),
+        (round(z, 6) + lit(0.0)).as("z"),
+        (round(b, 6) + lit(0.0)).as("b_value"),
+        (round(when(atEnd, endCp).otherwise(cpTrend), 6) + lit(0.0)).as("cp_trend"),
+        when(z.isNull, lit(null).cast("string"))
+          .when(atEnd, lit("final")).otherwise(zone).as("zone"),
+        (round(when(z.isNull, lit(null).cast("double"))
+          .when(atEnd, lit(1.0)).otherwise(r), 6) + lit(0.0)).as("inflation"),
+        (round(when(z.isNull, lit(null).cast("double")).when(atEnd, lit(1.0))
+          .otherwise(tk + r * rem), 6) + lit(0.0)).as("t_new"),
+        (round(when(atEnd, endCp).otherwise(cpAdj), 6) + lit(0.0)).as("cp_adj"))
+      .orderBy("look")
+  }
+
   /** Nelson-Aalen cumulative hazard (Nelson '72, Aalen '78) — the
     * additive companion to [[kaplanMeier]]'s multiplicative survival:
     * H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ over event-time buckets, plus the

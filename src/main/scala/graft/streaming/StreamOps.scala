@@ -81,6 +81,27 @@ case class CupedSnapshot(key: String, day: Long, n_c: Long, n_t: Long,
     diff_raw: Option[Double], theta: Option[Double],
     diff_cuped: Option[Double])
 
+/** One WEIGHTED experiment unit for the hot-key CUPED path
+  * ([[StreamOps.cupedWeightedDeltas]] → [[StreamOps.cupedDeltaStream]]):
+  * `w` is an integer frequency/replication weight (w = 1 recovers the
+  * unweighted stream bit for bit). */
+case class CupedWPoint(key: String, day: Long, arm: Long, w: Long,
+    x: Long, y: Long)
+
+/** A pre-reduced per-(key, day) weighted-moment delta: Σw per arm,
+  * Σw·x / Σw·y per arm, pooled Σw·xy / Σw·x² / Σw·y². All moments are
+  * ADDITIVE, so any partition of the unit stream into deltas folds to
+  * the same state — the property that lets a hot experiment key be
+  * map-side pre-reduced before the keyed state ever sees it. */
+case class CupedDelta(key: String, day: Long, wc: Long, wt: Long,
+    sxc: BigDecimal, sxt: BigDecimal, syc: BigDecimal, syt: BigDecimal,
+    sxy: BigDecimal, sxx: BigDecimal, syy: BigDecimal)
+
+/** Exact cumulative WEIGHTED CUPED moments carried across batches. */
+case class CupedWMoments(wc: Long, wt: Long, sxc: BigDecimal,
+    sxt: BigDecimal, syc: BigDecimal, syt: BigDecimal,
+    sxy: BigDecimal, sxx: BigDecimal, syy: BigDecimal)
+
 /** One keyed integer observation for [[StreamOps.binnedQuantilesStream]]. */
 case class BinnedPoint(key: String, x: Long)
 
@@ -1108,6 +1129,113 @@ object StreamOps {
                   * (m.xt.toDouble / m.nt.toDouble - m.xc.toDouble / m.nc.toDouble))
               else None
             CupedSnapshot(key, day, m.nc, m.nt, diffRaw, theta, diffCuped)
+          }
+          state.update(m)
+          out.iterator
+        })
+  }
+
+  /** Map-side pre-reduce for the hot-key CUPED path: folds each
+    * PARTITION's units into per-(key, day) [[CupedDelta]] moment rows
+    * — a stateless narrow op (no shuffle, works unchanged on a batch
+    * frame or inside a streaming plan) whose output is what
+    * [[cupedDeltaStream]]'s keyed state consumes. This is the "never
+    * feed a hot key raw" wrapper [[cupedStream]]'s scaladoc promises:
+    * a single experiment with 10⁹ units/batch still parallelizes
+    * across all input partitions, and the keyed task folds
+    * #partitions·#days delta rows instead of the units themselves.
+    *
+    * Memory per task is O(distinct (key, day) in the partition) — day
+    * count is bounded (a batch spans at most a few days), key count
+    * is the experiment count.
+    */
+  def cupedWeightedDeltas(units: Dataset[CupedWPoint]): Dataset[CupedDelta] = {
+    val sess = units.sparkSession
+    import sess.implicits._
+    units.mapPartitions { it =>
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(String, Long), Array[Any]]
+      it.foreach { p =>
+        val a = acc.getOrElseUpdate((p.key, p.day),
+          Array[Any](0L, 0L, BigDecimal(0), BigDecimal(0), BigDecimal(0),
+            BigDecimal(0), BigDecimal(0), BigDecimal(0), BigDecimal(0)))
+        val wB = BigDecimal(p.w); val xB = BigDecimal(p.x); val yB = BigDecimal(p.y)
+        if (p.arm == 0L) {
+          a(0) = a(0).asInstanceOf[Long] + p.w
+          a(2) = a(2).asInstanceOf[BigDecimal] + wB * xB
+          a(4) = a(4).asInstanceOf[BigDecimal] + wB * yB
+        } else {
+          a(1) = a(1).asInstanceOf[Long] + p.w
+          a(3) = a(3).asInstanceOf[BigDecimal] + wB * xB
+          a(5) = a(5).asInstanceOf[BigDecimal] + wB * yB
+        }
+        a(6) = a(6).asInstanceOf[BigDecimal] + wB * xB * yB
+        a(7) = a(7).asInstanceOf[BigDecimal] + wB * xB * xB
+        a(8) = a(8).asInstanceOf[BigDecimal] + wB * yB * yB
+      }
+      acc.iterator.map { case ((key, day), a) =>
+        CupedDelta(key, day, a(0).asInstanceOf[Long], a(1).asInstanceOf[Long],
+          a(2).asInstanceOf[BigDecimal], a(3).asInstanceOf[BigDecimal],
+          a(4).asInstanceOf[BigDecimal], a(5).asInstanceOf[BigDecimal],
+          a(6).asInstanceOf[BigDecimal], a(7).asInstanceOf[BigDecimal],
+          a(8).asInstanceOf[BigDecimal])
+      }
+    }
+  }
+
+  /** Weighted/keyed streaming CUPED over PRE-REDUCED deltas — the
+    * hot-key twin of [[cupedStream]]: per key the state is the nine
+    * exact cumulative WEIGHTED moments, folded from [[CupedDelta]]
+    * rows (additive, so any shard split of a day reaches the same
+    * state); after each day folds in, one [[CupedSnapshot]] is emitted
+    * with the weighted readout — means are Σw·y/Σw per arm, θ the
+    * weighted cov/var — in the SAME fixed double order as
+    * [[cupedStream]], so at w ≡ 1 the two streams agree bit for bit
+    * (StreamingSpec pins the identity).
+    *
+    * n_c/n_t in the snapshot are the WEIGHTED arm masses Σw.
+    *
+    * Scale shape (100 TB/day): state per key is 2 longs + 7 decimals
+    * forever; the keyed task's per-batch work is O(#partitions·#days)
+    * delta rows regardless of unit volume — the hot-single-experiment
+    * deployment [[cupedStream]] cannot serve.
+    */
+  def cupedDeltaStream(deltas: Dataset[CupedDelta]): Dataset[CupedSnapshot] = {
+    val sess = deltas.sparkSession
+    import sess.implicits._
+    val zeroB = BigDecimal(0)
+    deltas.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[CupedDelta], state: GroupState[CupedWMoments]) => {
+          var m = state.getOption.getOrElse(CupedWMoments(0L, 0L, zeroB, zeroB,
+            zeroB, zeroB, zeroB, zeroB, zeroB))
+          val byDay = it.toSeq.groupBy(_.day).toSeq.sortBy(_._1)
+          val out = byDay.map { case (day, ds) =>
+            ds.foreach { d =>
+              m = CupedWMoments(m.wc + d.wc, m.wt + d.wt, m.sxc + d.sxc,
+                m.sxt + d.sxt, m.syc + d.syc, m.syt + d.syt,
+                m.sxy + d.sxy, m.sxx + d.sxx, m.syy + d.syy)
+            }
+            // the cupedStream readout, operation for operation, on the
+            // weighted moments
+            val nD = (m.wc + m.wt).toDouble
+            val sx = (m.sxc + m.sxt).toDouble
+            val sy = (m.syc + m.syt).toDouble
+            val covN = nD * m.sxy.toDouble - sx * sy
+            val varXN = nD * m.sxx.toDouble - sx * sx
+            val bothArms = m.wc > 0L && m.wt > 0L
+            val diffRaw =
+              if (bothArms)
+                Some(m.syt.toDouble / m.wt.toDouble - m.syc.toDouble / m.wc.toDouble)
+              else None
+            val theta = if (varXN > 0.0) Some(covN / varXN) else None
+            val diffCuped =
+              if (bothArms && varXN > 0.0)
+                Some((m.syt.toDouble / m.wt.toDouble - m.syc.toDouble / m.wc.toDouble)
+                  - (covN / varXN)
+                  * (m.sxt.toDouble / m.wt.toDouble - m.sxc.toDouble / m.wc.toDouble))
+              else None
+            CupedSnapshot(key, day, m.wc, m.wt, diffRaw, theta, diffCuped)
           }
           state.update(m)
           out.iterator

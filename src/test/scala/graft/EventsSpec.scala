@@ -784,4 +784,82 @@ class EventsSpec extends SparkSpec {
       .orderBy("look").collect()
     assert(hot.head.getDouble(7) > 0.999, s"trend CP ${hot.head.getDouble(7)}")
   }
+
+  test("ssrCP: zones and CHW closed-form inflation match an independent bisection solve") {
+    // Anchor: Mehta-Pocock '11 promising zone with the CHW-weighted
+    // conditional power CP(r) = 1 - Phi((u_K - B)/sqrt(1-t) -
+    // theta*sqrt(r(1-t))). The operator emits the CLOSED-FORM r*;
+    // here r* is re-derived INDEPENDENTLY by bisection on CP(r) = 1-beta
+    // with the commons-math Phi (a different formula path and a
+    // different CDF implementation), per emitted look.
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+    val uK = graft.operators.AlphaSpending.oneSidedBoundaries(5, 0.025, "obf").last
+    val beta = 0.1; val cpMin = 0.365; val maxTotal = 2.0
+    def cpAt(bv: Double, t: Double, r: Double): Double =
+      1.0 - nd.cumulativeProbability(
+        (uK - bv) / math.sqrt(1.0 - t) - (bv / t) * math.sqrt(r * (1.0 - t)))
+    // a mild arm-aligned effect: treatment converts ~2x control so the
+    // early looks sit between the zones rather than at certainty
+    val arm1 = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("gs:"), col("event_id").cast("string")))
+      .bitwiseAND(lit(1L)) === 1L
+    val ev = (0 until 600)
+      .map(i => (i.toLong, ts(1 + i / 20, i % 24), i % 9))
+      .toDF("event_id", "ts", "m")
+    val conv = (arm1 && col("m") < 2) || (!arm1 && col("m") === 0)
+    val rows = Events.ssrCP(ev, "event_id", "ts", conv).orderBy("look").collect()
+    assert(rows.length == 5)
+    var promisingSeen = 0
+    rows.foreach { r =>
+      val k = r.getInt(0); val t = k / 5.0
+      val z = r.getDouble(5); val b = r.getDouble(6)
+      val zone = r.getString(8); val infl = r.getDouble(9)
+      val tNew = r.getDouble(10); val cpAdj = r.getDouble(11)
+      if (k == 5) {
+        assert(zone == "final" && infl == 1.0 && tNew == 1.0)
+        assert(cpAdj == (if (z >= uK) 1.0 else 0.0))
+      } else {
+        // independent zone classification from the emitted B-value
+        val cpT = cpAt(b, t, 1.0)
+        val expZone =
+          if (cpT >= 1 - beta) "favorable"
+          else if (cpT >= cpMin && b > 0) "promising" else "unfavorable"
+        assert(zone == expZone, s"look $k: zone $zone vs $expZone (cp $cpT)")
+        assert(math.abs(r.getDouble(7) - cpT) < 2e-6, s"look $k cp_trend")
+        if (zone == "promising") {
+          promisingSeen += 1
+          val rCap = (maxTotal - t) / (1.0 - t)
+          // independent bisection for CP(r) = 1 - beta
+          var lo = 1e-9; var hi = 1e6
+          (0 until 200).foreach { _ =>
+            val mid = (lo + hi) / 2
+            if (cpAt(b, t, mid) < 1 - beta) lo = mid else hi = mid
+          }
+          val rSolved = math.min(math.max((lo + hi) / 2, 1.0), rCap)
+          assert(math.abs(infl - rSolved) < 1e-4,
+            s"look $k: inflation $infl vs bisection $rSolved")
+          assert(math.abs(tNew - (t + infl * (1.0 - t))) < 2e-6)
+          // restored power, unless the cap bound it
+          if (infl < rCap - 1e-9)
+            assert(math.abs(cpAdj - (1 - beta)) < 2e-6,
+              s"look $k: cp_adj $cpAdj not restored to ${1 - beta}")
+          else assert(cpAdj < 1 - beta + 1e-9)
+        } else {
+          // outside the promising zone the design is untouched and the
+          // CHW statistic at r=1 is the ordinary one: cp_adj == cp_trend
+          assert(infl == 1.0 && math.abs(tNew - 1.0) < 2e-6)
+          assert(math.abs(cpAdj - r.getDouble(7)) < 2e-6)
+        }
+      }
+    }
+    assert(promisingSeen >= 1,
+      s"fixture never hit the promising zone: ${rows.map(_.getString(8)).mkString(",")}")
+    // the n_max cap binds when maxTotal barely exceeds t_k
+    val capped = Events.ssrCP(ev, "event_id", "ts", conv, maxTotal = 1.1)
+      .orderBy("look").collect()
+    capped.filter(r => r.getString(8) == "promising").foreach { r =>
+      val t = r.getInt(0) / 5.0
+      assert(r.getDouble(9) <= (1.1 - t) / (1.0 - t) + 1e-9)
+    }
+  }
 }

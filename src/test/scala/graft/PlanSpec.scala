@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
     // (spark.range(1, K+1) — K=5 rows by construction, the smallest
     // bounded frame in the suite; the sibling monitors use the
     // collect_list fold for their stop-at-crossing semantics, which CP
-    // doesn't have)
+    // doesn't have); ssr_cp is the same grid window with the
+    // promising-zone arithmetic layered on the same K rows
     // tdigest_value came OFF this list in r12: the two-phase range
     // rank replaced its global-order cell window with a partitioned
     // one + an O(#partitions) offset collect
@@ -149,7 +150,8 @@ class PlanSpec extends SparkSpec {
       "ks_value_click_error", "kruskal_value_types", "spearman_qty_price",
       "gini_customer_spend", "classifier_auc", "theil_sen_daily",
       "pareto_parts", "rolling_corr_7d", "lift_gain_deciles",
-      "log_rank_purchase", "conformal_intervals", "conditional_power")
+      "log_rank_purchase", "conformal_intervals", "conditional_power",
+      "ssr_cp")
     (SparkEntry.queries.keySet -- allow).toSeq.sorted.foreach { name =>
       val plan = allQe(name).executedPlan
       val bad = collectBad(plan)

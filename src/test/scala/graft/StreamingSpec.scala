@@ -1006,4 +1006,91 @@ class StreamingSpec extends SparkSpec {
       math.abs(last._6 - batch.getDouble(4)) < 1e-6)
   }
 
+  test("cupedDeltaStream: w=1 replays cupedStream bit for bit; weights = replication; late shards fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CupedPoint, CupedWPoint}
+    val pts = (0 until 120).map { i =>
+      val day = (i / 20).toLong
+      val arm = (i % 2).toLong
+      val x = ((i * 2654435761L) % 50).toLong
+      val y = 3L * x + ((i * 40503L) % 17) + arm * 2L
+      CupedPoint("k", day, arm, x, y)
+    }
+    // reference: the unweighted stream over the same units
+    val memU = MemoryStream[CupedPoint]
+    val qU = StreamOps.cupedStream(memU.toDS())
+      .writeStream.format("memory").queryName("cdw_ref")
+      .outputMode("append").start()
+    memU.addData(pts: _*); qU.processAllAvailable(); qU.stop()
+    val ref = spark.table("cdw_ref").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+
+    // w = 1 through the delta path, split across two day-aligned
+    // batches so the weighted state must carry
+    val wpts = pts.map(p => CupedWPoint(p.key, p.day, p.arm, 1L, p.x, p.y))
+    val memW = MemoryStream[CupedWPoint]
+    val qW = StreamOps.cupedDeltaStream(
+        StreamOps.cupedWeightedDeltas(memW.toDS()))
+      .writeStream.format("memory").queryName("cdw_got")
+      .outputMode("append").start()
+    val (b1, b2) = wpts.partition(_.day <= 2L)
+    memW.addData(b1: _*); qW.processAllAvailable()
+    memW.addData(b2: _*); qW.processAllAvailable()
+    qW.stop()
+    val got = spark.table("cdw_got").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case (g, e) =>
+      assert(g == e, s"day ${g._1}: delta path $g vs unweighted $e")
+    }
+
+    // frequency weights ARE replication: w=3 on one unit == the unit
+    // appearing 3 times unweighted
+    val rep = pts.flatMap(p => Seq.fill(3)(p))
+    val memR = MemoryStream[CupedPoint]
+    val qR = StreamOps.cupedStream(memR.toDS())
+      .writeStream.format("memory").queryName("cdw_rep")
+      .outputMode("append").start()
+    memR.addData(rep: _*); qR.processAllAvailable(); qR.stop()
+    val repRef = spark.table("cdw_rep").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    val w3 = pts.map(p => CupedWPoint(p.key, p.day, p.arm, 3L, p.x, p.y))
+    val memR3 = MemoryStream[CupedWPoint]
+    val qR3 = StreamOps.cupedDeltaStream(
+        StreamOps.cupedWeightedDeltas(memR3.toDS()))
+      .writeStream.format("memory").queryName("cdw_w3")
+      .outputMode("append").start()
+    memR3.addData(w3: _*); qR3.processAllAvailable(); qR3.stop()
+    val gotW3 = spark.table("cdw_w3").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    assert(gotW3.toSeq == repRef.toSeq,
+      "w=3 deltas diverged from 3x replicated unweighted units")
+
+    // a LATE shard of an already-snapshotted day folds into the state:
+    // the next day's snapshot includes it (the additive-moments
+    // contract — same as a day split across batches in cupedStream)
+    val d0 = wpts.filter(_.day == 0L)
+    val d1 = wpts.filter(_.day == 1L)
+    val (d0a, d0b) = d0.splitAt(d0.length / 2)
+    val memL = MemoryStream[CupedWPoint]
+    val qL = StreamOps.cupedDeltaStream(
+        StreamOps.cupedWeightedDeltas(memL.toDS()))
+      .writeStream.format("memory").queryName("cdw_late")
+      .outputMode("append").start()
+    memL.addData(d0a: _*); qL.processAllAvailable()
+    memL.addData(d0b: _*); qL.processAllAvailable() // late day-0 shard
+    memL.addData(d1: _*); qL.processAllAvailable()
+    qL.stop()
+    val lateRows = spark.table("cdw_late").collect().map(r =>
+      (r.getLong(1), r.getLong(2) + r.getLong(3))).sortBy(_._1)
+    // two day-0 fragment snapshots (half then full mass), then day 1
+    val day0 = d0.map(_.w).sum
+    assert(lateRows.count(_._1 == 0L) == 2)
+    assert(lateRows.filter(_._1 == 0L).map(_._2).max == day0)
+    assert(lateRows.filter(_._1 == 1L).head._2 == day0 + d1.map(_.w).sum)
+  }
 }

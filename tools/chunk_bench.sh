@@ -35,18 +35,6 @@ export STEAL_Q STEAL_SUITE
 cd /root/repo
 ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"; done)
 
-CHUNKS=(
-"minhash_pairs,blocking_quality,fellegi_sunter_weights,fs_score_separation,minhash_against,minhash_against_stream,dedup_canonical,dedup_clusters,decontaminate_fuzzy,cluster_best_quality,split_leakage_safe"
-"ngram_jaccard_pairs,rouge_overlap_pairs,dup_triangles,dup_clustering_coef,kcore_dup_graph,bfs_hops_dup_graph,bellman_ford_dup,dup_spans,dedup_exact_docs,dedup_savings,dedup_first,dedup_last,dedup_none,dup_rate_by_source,contamination_sources,pipeline_clean_corpus,doc_length_quartiles,containment_pairs,winnow_fingerprints,winnow_overlap_pairs,novelty_docs,decontaminate_docs,corpus_diff,contrastive_triplets,dedup_exact_normalized,fuzzy_part_match,fuzzy_match_stream,cdc_classify_stream,lpa_modularity,graph_assortativity,lpa_communities,line_dedup,line_dedup_stream,line_collapse,source_similarity"
-"top_ngrams,phrase_hits,vocab_growth,pmi_pairs,source_cap,lang_temperature_sample,quality_classifier,quality_quantile_norm,classifier_auc,classifier_prf,classifier_calibration,isotonic_calibration,calibration_ece,lift_gain_deciles,classifier_brier,hapax_ratio_sources,cohen_kappa_docs,simpson_diversity_sources,lang_chi2_sources,feature_mi_rank,ttr_docs,rake_keywords,textrank_keywords,zipf_slope_tokens"
-"ann_hnsw_topk,ann_recall_hnsw,chunk_documents,chunk_retrieval,ann_jl_topk,embedding_against,embedding_near_dup,embedding_near_dup_auto,embedding_near_dup_lsh,semantic_dedup,ann_cosine_topk,ann_recall_eval,ann_recall_ivf,ann_recall_pq,ann_ivf_kmeans_topk,ann_ivf_topk,ann_lsh_multiprobe,ann_lsh_topk,ann_pq_adc_topk,ann_ivf_pq_topk,ann_sq_topk,pq_code_dups,pq_subcode_pairs,hybrid_rrf_topk,mmr_topk,centroid_assign,kmeans_assign,text_cluster_assign,cluster_top_terms,kmeans_silhouette,embedding_drift,ann_rq_topk"
-"trigram_backoff,bigram_logprob,doremi_weights,negative_sample_tokens,bpe_tokens,bpe_tokens_expanded,bpe_tokens_learned,bpe_tokens_pretok,bpe_compression_eval,entropy_docs,fingerprint_docs,gopher_filter,kl_en_de,js_divergence_en_de,source_jsd_matrix,redact_docs,readability_docs,repetition_docs,text_profile,tfidf_top_terms,unigram_logprob,simhash_docs,split_assign,pack_sequences,token_budget_select,ccnet_buckets,dsir_weights,dsir_sample,gumbel_sample_sources,gumbel_sample_stream,hll_set_diff,bm25_topk,bm25_prf_topk,retrieval_eval,inverted_index,heavy_hitter_tokens,quantiles_binned_chars,shard_sizes,cms_token_counts,lang_id_ngram,lang_confusion,hll_vocab_overlap,maxsim_topk"
-"partition_fingerprints,alignable,key_skew_orders,q3_shipping_priority,column_stats_customer,k_anonymity_audit,l_diversity_audit,t_closeness_audit,concat_aligned,coo_density,coo_todense,corr_qty_price,diag_coo,graph_color_groups,graph_degrees,identity_series,reindex_join,unique_row_ids,upsert_orders,upsert_pruned_orders,cube_revenue,yoy_revenue_growth,priority_chi2_years,rollup_nation_revenue,grouping_sets_revenue,cms_join_size,assoc_rules_parts,item_similarity_parts,mutual_nn_parts,dq_orders,ri_audit,spearman_qty_price,gini_customer_spend,link_pred_suppliers,pareto_parts,target_encode_segment"
-"pagerank_suppliers,hits_suppliers,q5_nation_revenue,rolling_revenue_7d,acctbal_deciles,rfm_segments,q1_pricing_summary,q10_returned_items,q18_large_orders,q19_disjunctive_revenue,q4_order_priority,q6_forecast_revenue"
-"group_bar_hist,group_hist_price,hist2d_qty_price,human_readable,pie_log10_orders,two_level_pie,pivot_status,smooth_gaussian,topk_orders,topk_per_segment,vc_quantity_bins,vc_returnflag,weighted_avg,media_frames"
-"q7_region_volume,q8_market_share,q9_product_profit,q11_important_parts,q12_priority_lag,q13_customer_distribution,q14_promo_revenue,q15_top_supplier,q16_supplier_cnt,q17_small_qty_revenue,q20_red_part_suppliers,q21_waiting_supplier,q22_global_sales,q2_min_cost_supp"
-"json_events,running_total_user,sessions_user,session_window_stats,rolling_corr_7d,attribution_position,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace,dsir_score_stream,asof_join_events,range_join_events,event_anomalies,mad_outliers,contingency_events,benford_totalprice,retention_cohorts,cohort_ltv,churn_labels,funnel_stages,funnel_times,dau_wau,hll_distinct_events,zorder_events,concurrency_daily,latency_bands,latency_bands_cont,latency_daily_p95,wilson_ci_types,topk_stream,hll_sliding_users,attribution_join,shapley_attribution,markov_removal,diff_in_diff_daily,bootstrap_ci_daily,kmv_sample_users,kmv_distinct_events,ams_f2_events,event_transitions,event_transitions_stream,cusum_error_shift,cusum_stream_shift,kaplan_meier_purchase,nelson_aalen_purchase,log_rank_purchase,log_rank_stratified,ab_test_value,uplift_by_segment,bh_fdr_welch,fisher_exact,sprt_daily,holt_daily_counts,croston_sparse_demand,seq_triples_events,winsorized_mean_status,ols_value_trend,mann_whitney_value,acf_daily_events,ks_value_click_error,kruskal_value_types,anova_value_types,ewma_daily_counts,fano_event_types,scd2_user_type,holt_winters_daily,classical_decomposition,seasonal_esd_anomalies,conformal_intervals,conformal_stream_daily,tdigest_value,binned_quantiles_stream,cuped_adjustment,cuped_stream_daily,group_sequential_obf,group_sequential_pocock,group_sequential_ld_obf,group_sequential_ld_pocock,group_sequential_ld_hsd,group_sequential_futility,conditional_power,quantile_regression_daily,theil_sen_daily,dow_anomalies,psi_value_drift,cond_entropy_transitions,forecast_eval_mase"
-)
 
 steal_sample() { # 5-second steal-cores + load1 sample
   local s1 t1 s2 t2
@@ -57,7 +45,33 @@ steal_sample() { # 5-second steal-cores + load1 sample
     'BEGIN{printf "%.2f %s\n", (b>0)? a/b*32 : 99, l}'
 }
 
-rm -rf "$PREFIX.classes"; cp -r target/scala-2.13/classes "$PREFIX.classes"
+# Build stamp: resumed clean records are only valid against the SAME
+# binary. Hash the current build once; if clean records exist under
+# this prefix from a DIFFERENT build, abort loudly instead of silently
+# merging measurements from two binaries (and only refresh the classes
+# snapshot when we are NOT resuming, so the snapshot always matches
+# the stamp the existing clean records were taken under).
+CUR_SHA=$(find target/scala-2.13/classes -type f -name '*.class' -printf '%P %s %T@\n' | sort | sha256sum | cut -c1-16)
+if ls "$PREFIX".c*.clean.json >/dev/null 2>&1; then
+  if [ ! -s "$PREFIX.buildsha" ] || [ "$(cat "$PREFIX.buildsha")" != "$CUR_SHA" ]; then
+    echo "clean records exist under $PREFIX but the build changed (stamp $(cat "$PREFIX.buildsha" 2>/dev/null || echo none) vs $CUR_SHA)." >&2
+    echo "Use a fresh PREFIX, or delete $PREFIX.c*.clean.json to re-measure on the new binary." >&2
+    exit 1
+  fi
+  echo "$(date -u +%F_%T) resuming prefix $PREFIX on build $CUR_SHA (snapshot kept)" >> "$PREFIX.log"
+else
+  rm -rf "$PREFIX.classes"; cp -r target/scala-2.13/classes "$PREFIX.classes"
+  echo "$CUR_SHA" > "$PREFIX.buildsha"
+fi
+
+# The canonical family partition lives in graft.Bench (FAMILIES list
+# mode) — build CHUNKS from the snapshot binary so the shell partition
+# can never drift from the suite.
+mapfile -t CHUNKS < <(SPARK_GRAFT_BENCH_FAMILIES=1 java $ADDOPENS -cp "$PREFIX.classes:/opt/spark/jars/*" graft.Bench 2>/dev/null)
+if [ ${#CHUNKS[@]} -lt 2 ]; then
+  echo "FAMILIES list mode returned ${#CHUNKS[@]} lines — binary too old or broken" >&2
+  exit 1
+fi
 
 # coverage audit: chunks must partition the live suite exactly
 SPARK_GRAFT_BENCH_LIST=1 java $ADDOPENS -cp "$PREFIX.classes:/opt/spark/jars/*" graft.Bench 2>/dev/null | sort > "$PREFIX.declared"
@@ -72,11 +86,23 @@ ci=0
 for chunk in "${CHUNKS[@]}"; do
   ci=$((ci+1))
   # resume: a clean record from an interrupted run of the SAME prefix
-  # (and therefore the same binary — the classes snapshot is copied
-  # once per prefix) still counts
+  # still counts — the build stamp was checked above, and here the
+  # record's query set must equal the CURRENT chunk's (a chunk
+  # re-partition between runs otherwise merges a stale query set)
   if [ -s "$PREFIX.c$ci.clean.json" ]; then
-    echo "$(date -u +%F_%T) chunk $ci: clean record exists, skipping" >> "$PREFIX.log"
-    continue
+    same=$(python3 - "$PREFIX.c$ci.clean.json" "$chunk" <<'EOF'
+import json, sys
+try: d = json.loads(open(sys.argv[1]).readline())
+except Exception: print(0); raise SystemExit
+print(1 if set(d.get("queries", {})) == set(sys.argv[2].split(",")) else 0)
+EOF
+)
+    if [ "$same" = 1 ]; then
+      echo "$(date -u +%F_%T) chunk $ci: clean record exists (same query set), skipping" >> "$PREFIX.log"
+      continue
+    fi
+    echo "$(date -u +%F_%T) chunk $ci: clean record is for a DIFFERENT query set, re-measuring" >> "$PREFIX.log"
+    rm -f "$PREFIX.c$ci.clean.json"
   fi
   done_chunk=0
   for try in $(seq 1 "$TRIES"); do
@@ -113,6 +139,7 @@ EOF
   [ $done_chunk = 1 ] || echo "$(date -u +%F_%T) chunk $ci EXHAUSTED" >> "$PREFIX.log"
 done
 
+export CUR_SHA
 python3 - "$PREFIX" <<'EOF'
 import glob, json, sys
 prefix = sys.argv[1]
@@ -131,6 +158,7 @@ rec = {"metric": "total", "value": sum(v for v in qs.values() if v >= 0),
        "iters": 3, "clear_cache": False,
        "status": f"complete_chunked({len(chunks)} chunks)",
        "sf": os.environ.get("SF_DIR", "/root/testdata/sf0.1"),
+       "build_sha": os.environ.get("CUR_SHA", ""),
        "steal_gate_query_cores": float(steal_q),
        "steal_gate_suite_cores": float(steal_suite),
        "note": "family-aligned chunks, each measured in its own "
