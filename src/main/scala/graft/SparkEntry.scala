@@ -3236,6 +3236,15 @@ object SparkEntry {
       Events.sprtDaily(t(s, dir, "events"), "user_id", "ts",
           col("event_type") === "purchase", p0 = 0.35, p1 = 0.40)
         .orderBy("day")),
+    // EXT always-valid p-values via the mixture SPRT
+    // (Events.msprtDaily; Johari-Koomen-Pekelis-Walsh): normal-mixture
+    // likelihood ratio of the md5-parity arm difference with running
+    // min 1/Lambda — the peek-proof monitor; all days emitted, exact
+    // cumulative counts, sqrt/exp-only readout (no Phi)
+    "msprt_daily" -> ((s, dir) =>
+      Events.msprtDaily(t(s, dir, "events"), "user_id", "ts",
+          col("value") > 100)
+        .orderBy("day")),
     // EXT O'Brien-Fleming group-sequential monitor
     // (Events.groupSequentialObf): 5 equally-spaced looks over the
     // md5-parity A/A split, pooled two-proportion z per look vs the
@@ -9482,6 +9491,50 @@ object SparkEntry {
          |         WHERE decision <> 'continue')
          |SELECT day, n, x, ROUND(llr, 6) + 0e0 AS llr, decision
          |FROM dd, cut WHERE i <= stop_i ORDER BY day""".stripMargin
+    },
+    // mSPRT mirror: cumulative (day, arm) BIGINT sums in day order,
+    // the closed-form mixture likelihood ratio in the engine's exact
+    // double op order, and the always-valid p as a running window MIN
+    // of LEAST(1, 1/lambda) over the valid days (no recursion — every
+    // day's lambda depends only on the cumulative integer counts)
+    "msprt_daily" -> {
+      val tau = 0.05; val alpha = 0.05
+      val t2 = tau * tau
+      s"""WITH o AS (SELECT CAST(ts AS DATE) AS day,
+         |        (instr('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+         |        CASE WHEN value > 100 THEN 1 ELSE 0 END AS c FROM events),
+         | g AS (SELECT day,
+         |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |        CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS BIGINT) AS xc,
+         |        CAST(SUM(CASE WHEN b <> 0 THEN c ELSE 0 END) AS BIGINT) AS xt
+         |       FROM o GROUP BY 1),
+         | cum AS (SELECT day,
+         |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+         |        CAST(SUM(xc) OVER w AS BIGINT) AS xc, CAST(SUM(xt) OVER w AS BIGINT) AS xt
+         |       FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         | vv AS (SELECT day, nc, nt, xc, xt,
+         |        CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+         |          - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) AS delta,
+         |        (CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+         |          * (1e0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+         |          * (1e0 / CAST(nc AS DOUBLE) + 1e0 / CAST(nt AS DOUBLE)) AS var
+         |       FROM cum),
+         | lm AS (SELECT day, nc, nt, xc, xt,
+         |        (nc > 0 AND nt > 0 AND var > 0e0) AS valid,
+         |        sqrt(var / (var + $t2))
+         |          * exp(delta * delta * $t2 / (2e0 * var * (var + $t2))) AS lam
+         |       FROM vv),
+         | pm AS (SELECT day, nc, nt, xc, xt, valid, lam,
+         |        COALESCE(MIN(CASE WHEN valid THEN LEAST(1e0, 1e0 / lam) END)
+         |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |          1e0) AS pmin
+         |       FROM lm)
+         |SELECT day, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+         |  ROUND(CASE WHEN valid THEN lam END, 6) + 0e0 AS lambda,
+         |  ROUND(pmin, 6) + 0e0 AS p_av,
+         |  CASE WHEN pmin <= $alpha THEN 'reject' ELSE 'continue' END AS decision
+         |FROM pm ORDER BY day""".stripMargin
     },
     // Nelson-Aalen mirror: the KM bucket CTEs with the additive hazard
     // recursion h += d/nr, exp(0 - h) at the readout

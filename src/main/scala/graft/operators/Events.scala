@@ -658,6 +658,91 @@ object Events {
         col("_e.decision").as("decision"))
   }
 
+  /** Always-valid inference via the mixture SPRT (Johari, Koomen,
+    * Pekelis & Walsh '17/'22, "Peeking at A/B tests"; Robbins '70) —
+    * the monitor that made continuous dashboard peeking safe and the
+    * modern complement of [[sprtDaily]]'s simple-vs-simple walk: with
+    * a normal mixing prior N(0, τ²) over the effect, the mixture
+    * likelihood ratio against H0: δ = 0 has the closed form
+    *
+    *   Λ_n = √(V_n/(V_n+τ²)) · exp( δ̂_n²·τ² / (2·V_n·(V_n+τ²)) ),
+    *
+    * where δ̂_n is the cumulative two-proportion arm difference and
+    * V_n its pooled variance, and p_n = min(p_{n-1}, 1/Λ_n) is an
+    * ALWAYS-VALID p-value: P(∃n: p_n ≤ α) ≤ α under H0, at any
+    * stopping rule whatsoever. Arms are the md5-parity assignment of
+    * the sibling monitors; days fold in order with exact cumulative
+    * BIGINT counts (the [[sprtDaily]] fold — no data-sized window),
+    * the double readout fixed-order on both engines (sqrt/exp ride
+    * the Nelson-Aalen precedent; no Φ is needed at all). All days are
+    * emitted — the always-valid guarantee is exactly what makes a
+    * no-stop readout sound.
+    *
+    * Output: (day, n_c, n_t, x_c, x_t, lambda, p_av, decision) with
+    * decision ∈ reject/continue at level `alpha`; lambda/p_av carry
+    * (null, running min) while an arm is empty or V = 0.
+    *
+    * Scale shape (100 TB): one (day, arm) map-side-combinable
+    * aggregate, then a fold over the |days| list — bounded by the
+    * calendar, never row cardinality.
+    */
+  def msprtDaily(events: DataFrame, userCol: String, tsCol: String,
+      convCond: Column, tau: Double = 0.05,
+      alpha: Double = 0.05): DataFrame = {
+    require(tau > 0, s"msprtDaily: need tau > 0, got $tau")
+    require(alpha > 0 && alpha < 1, s"msprtDaily: need alpha in (0,1), got $alpha")
+    val t2 = tau * tau
+    val arm = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("ab:"), col(userCol).cast("string"))).bitwiseAND(lit(1L))
+    val day = col(tsCol).cast("date")
+    val daily = events
+      .select(day.as("_day"), arm.as("_b"), convCond.cast("long").as("_c"))
+      .groupBy(col("_day"))
+      .agg(sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_b") === 0L, col("_c")).otherwise(0L)).as("_xc"),
+        sum(when(col("_b") =!= 0L, col("_c")).otherwise(0L)).as("_xt"))
+    val pathT = "array<struct<day:date,n_c:bigint,n_t:bigint,x_c:bigint," +
+      "x_t:bigint,lambda:double,p_av:double,decision:string>>"
+    val zero = struct(lit(0L).as("nc"), lit(0L).as("nt"), lit(0L).as("xc"),
+      lit(0L).as("xt"), lit(1.0).as("pmin"), array().cast(pathT).as("path"))
+    daily
+      .agg(sort_array(collect_list(struct(col("_day"), col("_nc"), col("_nt"),
+        col("_xc"), col("_xt")))).as("_l"))
+      .select(aggregate(col("_l"), zero, (acc, e) => {
+        val nc = acc.getField("nc") + e.getField("_nc")
+        val nt = acc.getField("nt") + e.getField("_nt")
+        val xc = acc.getField("xc") + e.getField("_xc")
+        val xt = acc.getField("xt") + e.getField("_xt")
+        val ncD = nc.cast("double"); val ntD = nt.cast("double")
+        val delta = xt.cast("double") / ntD - xc.cast("double") / ncD
+        val pp = (xc + xt).cast("double") / (nc + nt).cast("double")
+        val v = pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD)
+        val valid = nc > 0L && nt > 0L && v > lit(0.0)
+        val lam = sqrt(v / (v + lit(t2))) *
+          exp(delta * delta * lit(t2) / (lit(2.0) * v * (v + lit(t2))))
+        val pRaw = least(lit(1.0), lit(1.0) / lam)
+        val pmin = when(valid, least(acc.getField("pmin"), pRaw))
+          .otherwise(acc.getField("pmin"))
+        val lamOut = when(valid, lam)
+        val dec = when(pmin <= lit(alpha), lit("reject"))
+          .otherwise(lit("continue"))
+        val appended = concat(acc.getField("path"),
+          array(struct(e.getField("_day").as("day"), nc.as("n_c"),
+            nt.as("n_t"), xc.as("x_c"), xt.as("x_t"), lamOut.as("lambda"),
+            pmin.as("p_av"), dec.as("decision"))))
+        struct(nc.as("nc"), nt.as("nt"), xc.as("xc"), xt.as("xt"),
+          pmin.as("pmin"), appended.as("path"))
+      }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .select(col("_e.day").as("day"), col("_e.n_c").as("n_c"),
+        col("_e.n_t").as("n_t"), col("_e.x_c").as("x_c"),
+        col("_e.x_t").as("x_t"),
+        (round(col("_e.lambda"), 6) + lit(0.0)).as("lambda"),
+        (round(col("_e.p_av"), 6) + lit(0.0)).as("p_av"),
+        col("_e.decision").as("decision"))
+  }
+
   /** O'Brien-Fleming group-sequential monitor (O'Brien & Fleming '79)
     * — the K-look interim-analysis complement of [[sprtDaily]]'s
     * fully-sequential walk, and the boundary shape clinical trials and

@@ -785,6 +785,62 @@ class EventsSpec extends SparkSpec {
     assert(hot.head.getDouble(7) > 0.999, s"trend CP ${hot.head.getDouble(7)}")
   }
 
+  test("msprtDaily: matches an independent sequential model; p is monotone and always-valid-shaped") {
+    // independent model: cumulative integer counts, the closed-form
+    // mixture LR recomputed with plain scala math, running min p
+    val tau = 0.05; val t2 = tau * tau
+    def armOf(s: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (d(7) & 1) == 1 // bit 0 of md5Bits64 = LSB of digest byte 7
+    }
+    def model(evs: Seq[(Long, Timestamp, Boolean)]) = {
+      val byDay = evs.groupBy(_._2.toLocalDateTime.toLocalDate.toString)
+        .toSeq.sortBy(_._1)
+      var (nc, nt, xc, xt) = (0L, 0L, 0L, 0L); var pmin = 1.0
+      byDay.map { case (d, es) =>
+        es.foreach { case (u, _, c) =>
+          val armT = armOf("ab:" + u)
+          if (armT) { nt += 1; if (c) xt += 1 } else { nc += 1; if (c) xc += 1 }
+        }
+        val delta = xt.toDouble / nt - xc.toDouble / nc
+        val pp = (xc + xt).toDouble / (nc + nt)
+        val v = pp * (1.0 - pp) * (1.0 / nc + 1.0 / nt)
+        val lam = math.sqrt(v / (v + t2)) *
+          math.exp(delta * delta * t2 / (2.0 * v * (v + t2)))
+        if (v > 0) pmin = math.min(pmin, math.min(1.0, 1.0 / lam))
+        (d, nc, nt, xc, xt, if (v > 0) Some(lam) else None, pmin)
+      }
+    }
+    // A/A-ish fixture: conversion independent of the arm
+    val evs = (0 until 400).map(i =>
+      (i.toLong % 37, ts(1 + i / 40, i % 24), i % 5 == 0))
+    val df = evs.toDF("user_id", "ts", "conv")
+    val got = Events.msprtDaily(df, "user_id", "ts", col("conv"))
+      .orderBy("day").collect()
+    val exp = model(evs)
+    assert(got.length == exp.length)
+    var prevP = 1.0
+    got.zip(exp).foreach { case (r, e) =>
+      assert(r.getDate(0).toString == e._1)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((e._2, e._3, e._4, e._5)), s"day ${e._1} counts")
+      e._6.foreach(l => assert(math.abs(r.getDouble(5) - l) < 1e-6,
+        s"day ${e._1}: lambda ${r.getDouble(5)} vs $l"))
+      assert(math.abs(r.getDouble(6) - e._7) < 1e-6, s"day ${e._1} p")
+      assert(r.getDouble(6) <= prevP + 1e-9, "p must be nonincreasing")
+      prevP = r.getDouble(6)
+    }
+    // a real arm-aligned effect drives the always-valid p to rejection
+    val armConv = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("ab:"), col("user_id").cast("string")))
+      .bitwiseAND(lit(1L)) === 1L
+    val hot = Events.msprtDaily(df, "user_id", "ts", armConv)
+      .orderBy("day").collect()
+    assert(hot.last.getDouble(6) < 0.05 && hot.last.getString(7) == "reject",
+      s"perfect effect never rejected: p=${hot.last.getDouble(6)}")
+  }
+
   test("ssrCP: zones and CHW closed-form inflation match an independent bisection solve") {
     // Anchor: Mehta-Pocock '11 promising zone with the CHW-weighted
     // conditional power CP(r) = 1 - Phi((u_K - B)/sqrt(1-t) -
