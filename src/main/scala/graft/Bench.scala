@@ -222,10 +222,11 @@ object Bench {
     val fams0 = familyPartition()
       .map(_.filter(n => only.forall(_.contains(n))))
       .filter(_.nonEmpty)
-    val fams = sys.env.get("SPARK_GRAFT_BENCH_ORDER") match {
-      case Some("desc")  => fams0.reverse.map(_.reverse)
-      case Some("alpha") => Seq(fams0.flatten.sorted)
-      case _             => fams0
+    val runOrder = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "family")
+    val fams = runOrder match {
+      case "desc"  => fams0.reverse.map(_.reverse)
+      case "alpha" => Seq(fams0.flatten.sorted)
+      case _       => fams0
     }
     val names = fams.flatten
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
@@ -246,7 +247,7 @@ object Bench {
       val done = names.flatMap(n => Option(results.get(n)))
       val total = done.filter(_ >= 0).sum
       val suiteSteal = f"${stealCores(suiteTicks0, cpuTicks())}%.2f"
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_cores":$st,"suite_steal_cores":$suiteSteal,"iters":$iters,"storage_peak_bytes":$storagePeak,"clear_cache":$clearCache,"run_order":"family","family_clear":$familyClear,"status":"$status","sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_cores":$st,"suite_steal_cores":$suiteSteal,"iters":$iters,"storage_peak_bytes":$storagePeak,"clear_cache":$clearCache,"run_order":"$runOrder","family_clear":$familyClear,"status":"$status","sf":"$sfDir"}"""
       // The r8 record was lost to tail truncation: 278 per-query entries
       // in one stdout line overflowed the capture and parsed as null.
       // Two-channel emission instead: the FULL record goes to a file

@@ -1140,41 +1140,64 @@ object Events {
     val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD))
     val z = when(col("nc") > 0L && col("nt") > 0L && se > lit(0.0),
       (pt - pc) / se)
-    val tk = col("_k").cast("double") / lit(looks.toDouble)
-    val b = z * sqrt(tk)
-    val rem = lit(1.0) - tk
-    val sr = sqrt(rem)
-    val thetaHat = b / tk
-    val cpTrend = lit(1.0) -
-      graft.functions.Normal.cdf((lit(uK) - b - thetaHat * rem) / sr)
-    val rCap = (lit(maxTotal) - tk) / rem
-    val rStar = {
-      val base = (lit(uK) - b) / rem + lit(zPow) / sr
-      (base * base) / (thetaHat * thetaHat)
-    }
-    val rClamped = least(greatest(rStar, lit(1.0)), rCap)
-    val promising = cpTrend >= lit(cpMin) && cpTrend < lit(1.0 - beta) &&
-      thetaHat > lit(0.0)
-    val zone = when(cpTrend >= lit(1.0 - beta), lit("favorable"))
-      .when(promising, lit("promising"))
+    // The CHW cascade is STAGED through projections (the pqEncode
+    // discipline): z → B/t → θ̂ → CP(trend) → r* → r → CP(r) each
+    // materialize as a multi-referenced non-cheap alias, which
+    // CollapseProject keeps — inlining them as nested Column trees
+    // made the ANALYZED plan copy the whole cascade once per
+    // reference (two Φ polynomials deep) and plan compilation alone
+    // cost ~20 s per build (measured; 13 MiB task binaries).
+    val st1 = cum
+      .withColumn("_z", z)
+      .withColumn("_tk", col("_k").cast("double") / lit(looks.toDouble))
+    val st2 = st1
+      .withColumn("_b", col("_z") * sqrt(col("_tk")))
+      .withColumn("_rem", lit(1.0) - col("_tk"))
+    // every staged division that hits rem = 0 at the final look (or
+    // θ̂ = 0 on an exact tie) is when()-guarded — ANSI double division
+    // by zero THROWS, and a staged column evaluates unconditionally
+    // where the old nested form rode the CaseWhen short-circuit
+    val st3 = st2
+      .withColumn("_sr", sqrt(col("_rem")))
+      .withColumn("_th", col("_b") / col("_tk"))
+      .withColumn("_mid", col("_k") < looks)
+    val st4 = st3
+      .withColumn("_cpt", when(col("_mid"), lit(1.0) -
+        graft.functions.Normal.cdf(
+          (lit(uK) - col("_b") - col("_th") * col("_rem")) / col("_sr"))))
+      .withColumn("_base", when(col("_mid"),
+        (lit(uK) - col("_b")) / col("_rem") + lit(zPow) / col("_sr")))
+    val st5 = st4
+      .withColumn("_prom", col("_cpt") >= lit(cpMin) &&
+        col("_cpt") < lit(1.0 - beta) && col("_th") > lit(0.0))
+      .withColumn("_rstar", when(col("_th") > lit(0.0) && col("_mid"),
+        (col("_base") * col("_base")) / (col("_th") * col("_th"))))
+    val st6 = st5
+      .withColumn("_r", when(col("_prom"),
+        least(greatest(col("_rstar"), lit(1.0)),
+          (lit(maxTotal) - col("_tk")) / col("_rem"))).otherwise(lit(1.0)))
+    val st7 = st6
+      .withColumn("_cpadj", when(col("_mid"), lit(1.0) -
+        graft.functions.Normal.cdf(
+          (lit(uK) - col("_b")) / col("_sr") -
+            col("_th") * sqrt(col("_r") * col("_rem")))))
+    val zone = when(col("_cpt") >= lit(1.0 - beta), lit("favorable"))
+      .when(col("_prom"), lit("promising"))
       .otherwise(lit("unfavorable"))
-    val r = when(promising, rClamped).otherwise(lit(1.0))
-    val cpAdj = lit(1.0) -
-      graft.functions.Normal.cdf((lit(uK) - b) / sr - thetaHat * sqrt(r * rem))
     val atEnd = col("_k") === looks
-    val endCp = when(z >= lit(uK), lit(1.0)).otherwise(lit(0.0))
-    cum.select(col("_k").as("look"), col("nc").as("n_c"), col("nt").as("n_t"),
+    val endCp = when(col("_z") >= lit(uK), lit(1.0)).otherwise(lit(0.0))
+    st7.select(col("_k").as("look"), col("nc").as("n_c"), col("nt").as("n_t"),
         col("xc").as("x_c"), col("xt").as("x_t"),
-        (round(z, 6) + lit(0.0)).as("z"),
-        (round(b, 6) + lit(0.0)).as("b_value"),
-        (round(when(atEnd, endCp).otherwise(cpTrend), 6) + lit(0.0)).as("cp_trend"),
-        when(z.isNull, lit(null).cast("string"))
+        (round(col("_z"), 6) + lit(0.0)).as("z"),
+        (round(col("_b"), 6) + lit(0.0)).as("b_value"),
+        (round(when(atEnd, endCp).otherwise(col("_cpt")), 6) + lit(0.0)).as("cp_trend"),
+        when(col("_z").isNull, lit(null).cast("string"))
           .when(atEnd, lit("final")).otherwise(zone).as("zone"),
-        (round(when(z.isNull, lit(null).cast("double"))
-          .when(atEnd, lit(1.0)).otherwise(r), 6) + lit(0.0)).as("inflation"),
-        (round(when(z.isNull, lit(null).cast("double")).when(atEnd, lit(1.0))
-          .otherwise(tk + r * rem), 6) + lit(0.0)).as("t_new"),
-        (round(when(atEnd, endCp).otherwise(cpAdj), 6) + lit(0.0)).as("cp_adj"))
+        (round(when(col("_z").isNull, lit(null).cast("double"))
+          .when(atEnd, lit(1.0)).otherwise(col("_r")), 6) + lit(0.0)).as("inflation"),
+        (round(when(col("_z").isNull, lit(null).cast("double")).when(atEnd, lit(1.0))
+          .otherwise(col("_tk") + col("_r") * col("_rem")), 6) + lit(0.0)).as("t_new"),
+        (round(when(atEnd, endCp).otherwise(col("_cpadj")), 6) + lit(0.0)).as("cp_adj"))
       .orderBy("look")
   }
 
