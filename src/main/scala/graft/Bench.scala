@@ -57,7 +57,7 @@ object Bench {
     "pagerank_suppliers,hits_suppliers,q5_nation_revenue,rolling_revenue_7d,acctbal_deciles,rfm_segments,q1_pricing_summary,q10_returned_items,q18_large_orders,q19_disjunctive_revenue,q4_order_priority,q6_forecast_revenue",
     "group_bar_hist,group_hist_price,hist2d_qty_price,human_readable,pie_log10_orders,two_level_pie,pivot_status,smooth_gaussian,topk_orders,topk_per_segment,vc_quantity_bins,vc_returnflag,weighted_avg,media_frames",
     "q7_region_volume,q8_market_share,q9_product_profit,q11_important_parts,q12_priority_lag,q13_customer_distribution,q14_promo_revenue,q15_top_supplier,q16_supplier_cnt,q17_small_qty_revenue,q20_red_part_suppliers,q21_waiting_supplier,q22_global_sales,q2_min_cost_supp",
-    "json_events,running_total_user,sessions_user,session_window_stats,rolling_corr_7d,attribution_position,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace,dsir_score_stream,asof_join_events,range_join_events,event_anomalies,mad_outliers,contingency_events,benford_totalprice,retention_cohorts,cohort_ltv,churn_labels,funnel_stages,funnel_times,dau_wau,hll_distinct_events,zorder_events,concurrency_daily,latency_bands,latency_bands_cont,latency_daily_p95,wilson_ci_types,topk_stream,hll_sliding_users,attribution_join,shapley_attribution,markov_removal,diff_in_diff_daily,bootstrap_ci_daily,kmv_sample_users,kmv_distinct_events,ams_f2_events,event_transitions,event_transitions_stream,cusum_error_shift,cusum_stream_shift,kaplan_meier_purchase,nelson_aalen_purchase,log_rank_purchase,log_rank_stratified,ab_test_value,uplift_by_segment,bh_fdr_welch,fisher_exact,sprt_daily,msprt_daily,holt_daily_counts,croston_sparse_demand,seq_triples_events,winsorized_mean_status,ols_value_trend,mann_whitney_value,acf_daily_events,ks_value_click_error,kruskal_value_types,anova_value_types,ewma_daily_counts,fano_event_types,scd2_user_type,holt_winters_daily,classical_decomposition,seasonal_esd_anomalies,conformal_intervals,conformal_stream_daily,tdigest_value,binned_quantiles_stream,cuped_adjustment,cuped_stream_daily,cuped_stream_weighted,group_sequential_obf,group_sequential_pocock,group_sequential_ld_obf,group_sequential_ld_pocock,group_sequential_ld_hsd,group_sequential_futility,conditional_power,ssr_cp,quantile_regression_daily,theil_sen_daily,dow_anomalies,psi_value_drift,cond_entropy_transitions,forecast_eval_mase"
+    "json_events,running_total_user,sessions_user,session_window_stats,rolling_corr_7d,attribution_position,split_overlap,stream_window_counts,time_window_daily,sample_at_most,sample_stratified,sample_weighted_replace,dsir_score_stream,asof_join_events,range_join_events,event_anomalies,mad_outliers,contingency_events,benford_totalprice,retention_cohorts,cohort_ltv,churn_labels,funnel_stages,funnel_times,dau_wau,hll_distinct_events,zorder_events,concurrency_daily,latency_bands,latency_bands_cont,latency_daily_p95,wilson_ci_types,topk_stream,hll_sliding_users,attribution_join,shapley_attribution,markov_removal,diff_in_diff_daily,bootstrap_ci_daily,kmv_sample_users,kmv_distinct_events,ams_f2_events,event_transitions,event_transitions_stream,cusum_error_shift,cusum_stream_shift,kaplan_meier_purchase,nelson_aalen_purchase,log_rank_purchase,log_rank_stratified,ab_test_value,uplift_by_segment,bh_fdr_welch,fisher_exact,sprt_daily,msprt_daily,msprt_value_daily,rake_weights,eb_shrink_rates,holt_daily_counts,croston_sparse_demand,seq_triples_events,winsorized_mean_status,ols_value_trend,mann_whitney_value,acf_daily_events,ks_value_click_error,kruskal_value_types,anova_value_types,ewma_daily_counts,fano_event_types,scd2_user_type,holt_winters_daily,classical_decomposition,seasonal_esd_anomalies,conformal_intervals,conformal_stream_daily,tdigest_value,binned_quantiles_stream,cuped_adjustment,cuped_stream_daily,cuped_stream_weighted,group_sequential_obf,group_sequential_pocock,group_sequential_ld_obf,group_sequential_ld_pocock,group_sequential_ld_hsd,group_sequential_futility,conditional_power,ssr_cp,quantile_regression_daily,theil_sen_daily,dow_anomalies,psi_value_drift,cond_entropy_transitions,forecast_eval_mase"
   ).map(_.split(",").toSeq)
 
   /** Declared-query partition derived from [[families]]: stale entries

@@ -2438,6 +2438,23 @@ object SparkEntry {
     // floored-cents BIGINTs; customers with no orders count as 0),
     // shrunk toward the global mean with m=50 — the leakage-averse
     // categorical feature for tabular training pipelines
+    // EXT survey raking / IPF (Stats.rakeWeights; Deming-Stephan):
+    // rake the high-value sub-population's (event_type x day-of-week)
+    // cells to the full population's margins — 8 deterministic sweeps,
+    // ordered float folds both engines; the post-stratification
+    // weighting move
+    "rake_weights" -> ((s, dir) =>
+      Stats.rakeWeights(t(s, dir, "events"), col("event_type"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))),
+          lit(7)),
+        col("value") > 100)),
+    // EXT empirical-Bayes rate shrinkage (Stats.ebShrinkRates;
+    // beta-binomial method of moments): per-user-bucket conversion
+    // rates shrunk toward the cross-bucket mean with strength kappa
+    // from the noise-vs-signal variance split
+    "eb_shrink_rates" -> ((s, dir) =>
+      Stats.ebShrinkRates(t(s, dir, "events"),
+        col("user_id") % 97, col("value") > 100)),
     "target_encode_segment" -> ((s, dir) => {
       val spend = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
@@ -3244,6 +3261,14 @@ object SparkEntry {
     "msprt_daily" -> ((s, dir) =>
       Events.msprtDaily(t(s, dir, "events"), "user_id", "ts",
           col("value") > 100)
+        .orderBy("day")),
+    // EXT always-valid mSPRT for a MEAN metric (Events.msprtValueDaily):
+    // the revenue-per-event twin of msprt_daily — integer-cents exact
+    // moments, pooled-variance standard error, the same closed-form
+    // mixture Lambda and running-min p; tau on the cents scale
+    "msprt_value_daily" -> ((s, dir) =>
+      Events.msprtValueDaily(t(s, dir, "events"), "user_id", "ts",
+          col("value"))
         .orderBy("day")),
     // EXT O'Brien-Fleming group-sequential monitor
     // (Events.groupSequentialObf): 5 equally-spaced looks over the
@@ -5297,6 +5322,41 @@ object SparkEntry {
        |  ROUND(CASE WHEN k = 5 THEN (CASE WHEN z >= CAST($uK AS DOUBLE) THEN 1e0 ELSE 0e0 END)
        |        ELSE 1e0 - $phiAdj END, 6) + 0e0 AS cp_adj
        |FROM ad ORDER BY look""".stripMargin
+  }
+  // IPF raking mirror: the population cell/margin CTEs, then 8
+  // unrolled row+column scaling sweeps — each group sum is a
+  // list_sum(list(m ORDER BY ...)) so the float fold order matches the
+  // engine's sorted-array aggregate exactly
+  private def rakeOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH cells AS MATERIALIZED (SELECT CAST(event_type AS VARCHAR) AS i,
+        |        CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS VARCHAR) AS j,
+        |        CAST(COUNT(*) AS BIGINT) AS np,
+        |        CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |       FROM events GROUP BY 1, 2),
+        | rt AS MATERIALIZED (SELECT i, CAST(SUM(np) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        | ct AS MATERIALIZED (SELECT j, CAST(SUM(np) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        | it0 AS MATERIALIZED (SELECT c.i, c.j, c.ns, rt.rt, ct.ct, CAST(c.ns AS DOUBLE) AS m
+        |        FROM cells c JOIN rt USING (i) JOIN ct USING (j) WHERE c.ns > 0)""".stripMargin)
+    (1 to 8).foreach { t =>
+      sb.append(s""",
+        | it${t}rs AS MATERIALIZED (SELECT i, list_sum(list(m ORDER BY j)) AS s FROM it${t - 1} GROUP BY 1),
+        | it${t}ra AS MATERIALIZED (SELECT c.i, c.j, c.ns, c.rt, c.ct,
+        |        c.m * (CASE WHEN s > 0e0 THEN CAST(c.rt AS DOUBLE) / s ELSE 1e0 END) AS m
+        |        FROM it${t - 1} c JOIN it${t}rs USING (i)),
+        | it${t}cs AS MATERIALIZED (SELECT j, list_sum(list(m ORDER BY i)) AS s FROM it${t}ra GROUP BY 1),
+        | it$t AS MATERIALIZED (SELECT c.i, c.j, c.ns, c.rt, c.ct,
+        |        c.m * (CASE WHEN s > 0e0 THEN CAST(c.ct AS DOUBLE) / s ELSE 1e0 END) AS m
+        |        FROM it${t}ra c JOIN it${t}cs USING (j))""".stripMargin)
+    }
+    sb.append(
+      """
+        |SELECT i AS row_key, j AS col_key, ns AS n_sample,
+        |  ROUND(m, 6) + 0e0 AS weighted_n,
+        |  ROUND(m / CAST(ns AS DOUBLE), 6) + 0e0 AS weight
+        |FROM it8 ORDER BY row_key, col_key""".stripMargin)
+    sb.toString
   }
   def oracleSql: Map[String, String] = Map(
     "chunk_retrieval" ->
@@ -9464,6 +9524,35 @@ object SparkEntry {
     "group_sequential_futility" -> futilityOracleSql,
     "conditional_power" -> conditionalPowerOracleSql,
     "ssr_cp" -> ssrCpOracleSql,
+    "rake_weights" -> rakeOracleSql,
+    // EB shrinkage mirror: segment aggregate, ordered moment folds
+    // over the s-sorted segment list, the same kappa guard and
+    // posterior-mean op order
+    "eb_shrink_rates" ->
+      """WITH seg AS (SELECT CAST(user_id % 97 AS VARCHAR) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |       FROM events GROUP BY 1),
+        | sp AS (SELECT s, n, x, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM seg),
+        | mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+        |        list_sum(list(p ORDER BY s)) AS sump FROM sp),
+        | pb AS (SELECT k, sump / k AS pbar FROM mo),
+        | s2 AS (SELECT k, pbar,
+        |        CASE WHEN k > 1e0 THEN
+        |          (SELECT list_sum(list((p - pbar) * (p - pbar) ORDER BY s)) FROM sp)
+        |          / (k - 1e0) END AS s2
+        |       FROM pb),
+        | kap AS (SELECT pbar,
+        |        CASE WHEN s2 > 0e0 AND s2 < pbar * (1e0 - pbar)
+        |             THEN pbar * (1e0 - pbar) / s2 - 1e0 END AS kap
+        |       FROM s2)
+        |SELECT s AS segment, n, x,
+        |  ROUND(p, 6) + 0e0 AS p_raw,
+        |  ROUND(CASE WHEN kap IS NOT NULL
+        |        THEN (CAST(x AS DOUBLE) + pbar * kap) / (CAST(n AS DOUBLE) + kap)
+        |        ELSE p END, 6) + 0e0 AS p_shrunk,
+        |  ROUND(kap, 6) + 0e0 AS kappa
+        |FROM sp, kap ORDER BY segment""".stripMargin,
     "group_sequential_ld_pocock" -> ldOracleSql("pocock"),
     "group_sequential_ld_hsd" -> ldOracleSql("hsd"),
     "sprt_daily" -> {
@@ -9531,6 +9620,58 @@ object SparkEntry {
          |          1e0) AS pmin
          |       FROM lm)
          |SELECT day, nc AS n_c, nt AS n_t, xc AS x_c, xt AS x_t,
+         |  ROUND(CASE WHEN valid THEN lam END, 6) + 0e0 AS lambda,
+         |  ROUND(pmin, 6) + 0e0 AS p_av,
+         |  CASE WHEN pmin <= $alpha THEN 'reject' ELSE 'continue' END AS decision
+         |FROM pm ORDER BY day""".stripMargin
+    },
+    // mean-metric mSPRT mirror: integer-cents day aggregate with
+    // HUGEINT squared sums, cumulative windows, the pooled-variance
+    // readout and mixture Lambda in the engine's double op order
+    "msprt_value_daily" -> {
+      val tau = 100.0; val alpha = 0.05
+      val t2 = tau * tau
+      s"""WITH o AS (SELECT CAST(ts AS DATE) AS day,
+         |        (instr('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 16, 1)) - 1) % 2 AS b,
+         |        CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS v FROM events),
+         | g AS (SELECT day,
+         |        CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |        CAST(SUM(CASE WHEN b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |        CAST(SUM(CASE WHEN b = 0 THEN v ELSE 0 END) AS BIGINT) AS sc,
+         |        CAST(SUM(CASE WHEN b <> 0 THEN v ELSE 0 END) AS BIGINT) AS st,
+         |        SUM(CASE WHEN b = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qc,
+         |        SUM(CASE WHEN b <> 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qt
+         |       FROM o GROUP BY 1),
+         | cum AS (SELECT day,
+         |        CAST(SUM(nc) OVER w AS BIGINT) AS nc, CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+         |        CAST(SUM(sc) OVER w AS BIGINT) AS sc, CAST(SUM(st) OVER w AS BIGINT) AS st,
+         |        SUM(qc) OVER w AS qc, SUM(qt) OVER w AS qt
+         |       FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         | r AS (SELECT day, nc, nt,
+         |        CAST(nc AS DOUBLE) AS ncd, CAST(nt AS DOUBLE) AS ntd,
+         |        CAST(sc AS DOUBLE) AS scd, CAST(st AS DOUBLE) AS std,
+         |        CAST(qc AS DOUBLE) AS qcd, CAST(qt AS DOUBLE) AS qtd FROM cum),
+         | m AS (SELECT day, nc, nt, ncd, ntd,
+         |        scd / ncd AS mc, std / ntd AS mt,
+         |        std / ntd - scd / ncd AS delta,
+         |        qcd - scd * scd / ncd AS ssc,
+         |        qtd - std * std / ntd AS sst FROM r),
+         | vv AS (SELECT day, nc, nt, ncd, ntd, mc, mt, delta,
+         |        ((ssc + sst) / (ncd + ntd - 2e0)) * (1e0 / ncd + 1e0 / ntd) AS var
+         |       FROM m),
+         | lm AS (SELECT day, nc, nt, mc, mt,
+         |        (nc > 1 AND nt > 1 AND var > 0e0) AS valid,
+         |        sqrt(var / (var + $t2))
+         |          * exp(delta * delta * $t2 / (2e0 * var * (var + $t2))) AS lam
+         |       FROM vv),
+         | pm AS (SELECT day, nc, nt, mc, mt, valid, lam,
+         |        COALESCE(MIN(CASE WHEN valid THEN LEAST(1e0, 1e0 / lam) END)
+         |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |          1e0) AS pmin
+         |       FROM lm)
+         |SELECT day, nc AS n_c, nt AS n_t,
+         |  ROUND(CASE WHEN nc > 0 THEN mc END, 6) + 0e0 AS mean_c,
+         |  ROUND(CASE WHEN nt > 0 THEN mt END, 6) + 0e0 AS mean_t,
          |  ROUND(CASE WHEN valid THEN lam END, 6) + 0e0 AS lambda,
          |  ROUND(pmin, 6) + 0e0 AS p_av,
          |  CASE WHEN pmin <= $alpha THEN 'reject' ELSE 'continue' END AS decision

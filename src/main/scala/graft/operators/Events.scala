@@ -718,7 +718,10 @@ object Events {
         val delta = xt.cast("double") / ntD - xc.cast("double") / ncD
         val pp = (xc + xt).cast("double") / (nc + nt).cast("double")
         val v = pp * (lit(1.0) - pp) * (lit(1.0) / ncD + lit(1.0) / ntD)
-        val valid = nc > 0L && nt > 0L && v > lit(0.0)
+        // nested when, NOT a 3-way && — && does not short-circuit and
+        // v's 1/ncD throws under ANSI while an arm is empty
+        // (invariant 68)
+        val valid = when(nc > 0L && nt > 0L, v > lit(0.0)).otherwise(lit(false))
         val lam = sqrt(v / (v + lit(t2))) *
           exp(delta * delta * lit(t2) / (lit(2.0) * v * (v + lit(t2))))
         val pRaw = least(lit(1.0), lit(1.0) / lam)
@@ -738,6 +741,101 @@ object Events {
       .select(col("_e.day").as("day"), col("_e.n_c").as("n_c"),
         col("_e.n_t").as("n_t"), col("_e.x_c").as("x_c"),
         col("_e.x_t").as("x_t"),
+        (round(col("_e.lambda"), 6) + lit(0.0)).as("lambda"),
+        (round(col("_e.p_av"), 6) + lit(0.0)).as("p_av"),
+        col("_e.decision").as("decision"))
+  }
+
+  /** [[msprtDaily]] for a MEAN metric (the common case: revenue per
+    * unit, latency, tokens) — the same normal-mixture likelihood ratio
+    * with δ̂_n the cumulative arm difference of means and V_n its
+    * pooled-variance standard error. Exactness discipline: the metric
+    * is quantized to integer cents up front, so the cumulative
+    * Σv and Σv² fold as EXACT integers (BIGINT / DECIMAL(38,0) —
+    * HUGEINT on the oracle side) and every double appears only in the
+    * final fixed-order readout:
+    *
+    *   s²_pooled = (ssd_c + ssd_t) / (n_c + n_t − 2),
+    *   ssd_a = Σv²_a − (Σv_a)²/n_a (computed in doubles, same order
+    *   both engines), V = s²_pooled·(1/n_c + 1/n_t),
+    *
+    * and Λ, p as in [[msprtDaily]]. τ is on the cents scale.
+    *
+    * Output: (day, n_c, n_t, mean_c, mean_t, lambda, p_av, decision);
+    * lambda/p carry while either arm has < 2 units or V = 0.
+    */
+  def msprtValueDaily(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: Column, tau: Double = 100.0,
+      alpha: Double = 0.05): DataFrame = {
+    require(tau > 0, s"msprtValueDaily: need tau > 0, got $tau")
+    require(alpha > 0 && alpha < 1, s"msprtValueDaily: need alpha in (0,1), got $alpha")
+    val t2 = tau * tau
+    val arm = graft.functions.TextFunctions.md5Bits64(
+      concat(lit("ab:"), col(userCol).cast("string"))).bitwiseAND(lit(1L))
+    val day = col(tsCol).cast("date")
+    val cents = round(coalesce(valueCol, lit(0.0)) * 100).cast("long")
+    val daily = events
+      .select(day.as("_day"), arm.as("_b"), cents.as("_v"))
+      .groupBy(col("_day"))
+      .agg(sum(when(col("_b") === 0L, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_b") =!= 0L, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_b") === 0L, col("_v")).otherwise(0L)).as("_sc"),
+        sum(when(col("_b") =!= 0L, col("_v")).otherwise(0L)).as("_st"),
+        sum(when(col("_b") === 0L,
+          col("_v").cast("decimal(19,0)") * col("_v").cast("decimal(19,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_qc"),
+        sum(when(col("_b") =!= 0L,
+          col("_v").cast("decimal(19,0)") * col("_v").cast("decimal(19,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_qt"))
+    val pathT = "array<struct<day:date,n_c:bigint,n_t:bigint,mean_c:double," +
+      "mean_t:double,lambda:double,p_av:double,decision:string>>"
+    val zero = struct(lit(0L).as("nc"), lit(0L).as("nt"),
+      lit(0L).as("sc"), lit(0L).as("st"),
+      lit(0).cast("decimal(38,0)").as("qc"), lit(0).cast("decimal(38,0)").as("qt"),
+      lit(1.0).as("pmin"), array().cast(pathT).as("path"))
+    daily
+      .agg(sort_array(collect_list(struct(col("_day"), col("_nc"), col("_nt"),
+        col("_sc"), col("_st"), col("_qc"), col("_qt")))).as("_l"))
+      .select(aggregate(col("_l"), zero, (acc, e) => {
+        val nc = acc.getField("nc") + e.getField("_nc")
+        val nt = acc.getField("nt") + e.getField("_nt")
+        val sc = acc.getField("sc") + e.getField("_sc")
+        val st = acc.getField("st") + e.getField("_st")
+        val qc = (acc.getField("qc") + e.getField("_qc")).cast("decimal(38,0)")
+        val qt = (acc.getField("qt") + e.getField("_qt")).cast("decimal(38,0)")
+        val ncD = nc.cast("double"); val ntD = nt.cast("double")
+        val scD = sc.cast("double"); val stD = st.cast("double")
+        val mc = scD / ncD; val mt = stD / ntD
+        val delta = mt - mc
+        val ssc = qc.cast("double") - scD * scD / ncD
+        val sst = qt.cast("double") - stD * stD / ntD
+        val s2p = (ssc + sst) / (ncD + ntD - lit(2.0))
+        val v = s2p * (lit(1.0) / ncD + lit(1.0) / ntD)
+        // nested when, NOT a 3-way && — the conjunction does not
+        // short-circuit and v's divisions throw under ANSI while an
+        // arm is empty/singleton (invariant 68)
+        val valid = when(nc > 1L && nt > 1L, v > lit(0.0)).otherwise(lit(false))
+        val lam = sqrt(v / (v + lit(t2))) *
+          exp(delta * delta * lit(t2) / (lit(2.0) * v * (v + lit(t2))))
+        val pRaw = least(lit(1.0), lit(1.0) / lam)
+        val pmin = when(valid, least(acc.getField("pmin"), pRaw))
+          .otherwise(acc.getField("pmin"))
+        val lamOut = when(valid, lam)
+        val dec = when(pmin <= lit(alpha), lit("reject"))
+          .otherwise(lit("continue"))
+        val appended = concat(acc.getField("path"),
+          array(struct(e.getField("_day").as("day"), nc.as("n_c"),
+            nt.as("n_t"),
+            when(nc > 0L, mc).as("mean_c"), when(nt > 0L, mt).as("mean_t"),
+            lamOut.as("lambda"), pmin.as("p_av"), dec.as("decision"))))
+        struct(nc.as("nc"), nt.as("nt"), sc.as("sc"), st.as("st"),
+          qc.as("qc"), qt.as("qt"), pmin.as("pmin"), appended.as("path"))
+      }).getField("path").as("_p"))
+      .select(explode(col("_p")).as("_e"))
+      .select(col("_e.day").as("day"), col("_e.n_c").as("n_c"),
+        col("_e.n_t").as("n_t"),
+        (round(col("_e.mean_c"), 6) + lit(0.0)).as("mean_c"),
+        (round(col("_e.mean_t"), 6) + lit(0.0)).as("mean_t"),
         (round(col("_e.lambda"), 6) + lit(0.0)).as("lambda"),
         (round(col("_e.p_av"), 6) + lit(0.0)).as("p_av"),
         col("_e.decision").as("decision"))

@@ -246,6 +246,140 @@ object Stats {
     aggregate(transform(sort_array(structs), x => x.getField(field)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Survey raking / iterative proportional fitting (Deming & Stephan
+    * '40; the post-stratification weighting behind every weighted
+    * survey estimate): given a POPULATION cell grid over two
+    * categorical keys and a SAMPLE sub-population, find per-cell
+    * weights whose weighted sample margins match the population
+    * margins on both keys. The classical algorithm alternates row and
+    * column scaling of the weighted cell masses m_ij:
+    *
+    *   row pass: m_ij *= R_i / Σ_j m_ij;  col pass: m_ij *= C_j / Σ_i m_ij
+    *
+    * run here for a FIXED `iters` sweeps (deterministic — convergence
+    * on a 2-way grid is geometric, 8 sweeps ≈ machine precision), with
+    * a scale factor of 1 wherever a margin has no sample mass (the
+    * non-response guard; ANSI division stays clean).
+    *
+    * Float discipline: cells iterate in ascending (i, j) string order;
+    * row sums fold ascending j inside i, column sums ascending i
+    * inside j — the same sequential order as the DuckDB mirror's
+    * `list_sum(list(m ORDER BY ...))`, so 16 multiplicative passes
+    * stay bitwise-identical across engines.
+    *
+    * Output: (row_key, col_key, n_sample, weighted_n, weight) for
+    * cells with sample mass; weight = m_ij / n_sample_ij, the per-unit
+    * raked weight.
+    *
+    * Scale shape (100 TB): ONE map-side-combinable cell aggregate;
+    * margins are tiny aggregates joined back (AQE broadcast); the IPF
+    * sweeps themselves run DRIVER-SIDE on the boundedCollect'ed cell
+    * grid (category cardinality, never row cardinality — the
+    * stratified-allocation / Markov-matrix discipline; a misuse on an
+    * id-like key raises instead of OOMing). An in-engine formulation
+    * was tried and rejected: 16 chained higher-order-function
+    * projections blew the driver heap at optimization time for a
+    * 35-cell grid — a metadata-sized solve does not belong in the
+    * plan.
+    */
+  def rakeWeights(df: DataFrame, rowKey: Column, colKey: Column,
+      sampleCond: Column, iters: Int = 8, maxCells: Int = 65536): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"rakeWeights: need 1<=iters<=32, got $iters")
+    val spark = df.sparkSession
+    val cells = df
+      .groupBy(rowKey.cast("string").as("_i"), colKey.cast("string").as("_j"))
+      .agg(count(lit(1)).as("_np"),
+        sum(when(sampleCond, 1L).otherwise(0L)).as("_ns"))
+    val rt = cells.groupBy(col("_i")).agg(sum(col("_np")).as("_rt"))
+    val ct = cells.groupBy(col("_j")).agg(sum(col("_np")).as("_ct"))
+    val seeded = cells.join(rt, Seq("_i")).join(ct, Seq("_j"))
+      .filter(col("_ns") > 0L)
+      .select(col("_i"), col("_j"), col("_ns"), col("_rt"), col("_ct"))
+      .orderBy(col("_i"), col("_j"))
+    val collected = graft.core.Util.boundedCollect(seeded, maxCells, "rakeWeights")
+    val is = collected.map(_.getString(0))
+    val js = collected.map(_.getString(1))
+    val ns = collected.map(_.getLong(2))
+    val rtA = collected.map(_.getLong(3))
+    val ctA = collected.map(_.getLong(4))
+    val m = ns.map(_.toDouble)
+    val n = m.length
+    def scale(key: Array[String], tgt: Array[Long]): Unit = {
+      // sequential fold in array order == ascending (i, j): rows sum
+      // ascending j inside i, columns ascending i inside j — the
+      // oracle's list_sum order
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      var k = 0
+      while (k < n) { sums(key(k)) = sums.getOrElse(key(k), 0.0) + m(k); k += 1 }
+      k = 0
+      while (k < n) {
+        val s = sums(key(k))
+        if (s > 0.0) m(k) = m(k) * (tgt(k).toDouble / s)
+        k += 1
+      }
+    }
+    (1 to iters).foreach { _ => scale(is, rtA); scale(js, ctA) }
+    val out = (0 until n).map(k => (is(k), js(k), ns(k), m(k)))
+    spark.createDataFrame(out)
+      .toDF("row_key", "col_key", "n_sample", "_m")
+      .select(col("row_key"), col("col_key"), col("n_sample"),
+        (round(col("_m"), 6) + lit(0.0)).as("weighted_n"),
+        (round(col("_m") / col("n_sample").cast("double"), 6) + lit(0.0))
+          .as("weight"))
+      .orderBy("row_key", "col_key")
+  }
+
+  /** Empirical-Bayes shrinkage of per-segment rates (Robbins '56 /
+    * beta-binomial method of moments; the James-Stein move every
+    * per-segment conversion dashboard needs): small segments' raw
+    * rates are noisy, so each rate is shrunk toward the cross-segment
+    * mean with strength set by how much of the observed cross-segment
+    * variance is sampling noise. With p̄ and s² the (equally-weighted,
+    * ordered-fold) mean and variance of the segment rates, the
+    * beta-binomial prior strength is
+    *
+    *   κ = p̄(1−p̄)/s² − 1,  α = p̄·κ,  β = (1−p̄)·κ,
+    *
+    * and the posterior-mean rate for a segment with x of n is
+    * (x + α)/(n + κ). Degenerate cases (s² = 0 — identical rates; or
+    * s² ≥ p̄(1−p̄) — variance beyond Bernoulli, κ ≤ 0) emit the raw
+    * rate with null κ.
+    *
+    * Output: (segment, n, x, p_raw, p_shrunk, kappa), round(6).
+    *
+    * Scale shape (100 TB): one segment aggregate; the moment fold
+    * rides a |segments|-bounded sorted list on one row.
+    */
+  def ebShrinkRates(df: DataFrame, segCol: Column, convCond: Column): DataFrame = {
+    val seg = df.groupBy(segCol.cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(convCond, 1L).otherwise(0L)).as("_x"))
+      .select(struct(col("_s").as("s"), col("_n").as("n"), col("_x").as("x"),
+        (col("_x").cast("double") / col("_n").cast("double")).as("p")).as("_c"))
+    val st = seg.agg(sort_array(collect_list(col("_c"))).as("_l"))
+      .withColumn("_k", size(col("_l")).cast("double"))
+      .withColumn("_pbar",
+        aggregate(transform(col("_l"), _.getField("p")), lit(0.0),
+          (a, x) => a + x) / col("_k"))
+      .withColumn("_s2", when(col("_k") > lit(1.0),
+        aggregate(transform(col("_l"),
+          e => (e.getField("p") - col("_pbar")) * (e.getField("p") - col("_pbar"))),
+          lit(0.0), (a, x) => a + x) / (col("_k") - lit(1.0))))
+      .withColumn("_pq", col("_pbar") * (lit(1.0) - col("_pbar")))
+      .withColumn("_kap", when(col("_s2") > lit(0.0) && col("_s2") < col("_pq"),
+        col("_pq") / col("_s2") - lit(1.0)))
+    st.select(explode(col("_l")).as("_e"), col("_pbar"), col("_kap"))
+      .select(col("_e.s").as("segment"), col("_e.n").as("n"),
+        col("_e.x").as("x"),
+        (round(col("_e.p"), 6) + lit(0.0)).as("p_raw"),
+        (round(when(col("_kap").isNotNull,
+          (col("_e.x").cast("double") + col("_pbar") * col("_kap")) /
+            (col("_e.n").cast("double") + col("_kap")))
+          .otherwise(col("_e.p")), 6) + lit(0.0)).as("p_shrunk"),
+        (round(col("_kap"), 6) + lit(0.0)).as("kappa"))
+      .orderBy("segment")
+  }
+
   /** Contingency-table analysis of two categorical columns: mutual
     * information, normalized MI, the chi-squared independence statistic
     * and Cramér's V, from EXACT cell/margin counts. χ² uses the

@@ -841,6 +841,66 @@ class EventsSpec extends SparkSpec {
       s"perfect effect never rejected: p=${hot.last.getDouble(6)}")
   }
 
+  test("msprtValueDaily: matches an independent model on exact cents moments; effect rejects") {
+    val tau = 100.0; val t2 = tau * tau
+    def armOf(s: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (d(7) & 1) == 1
+    }
+    val evs = (0 until 400).map { i =>
+      val u = i.toLong % 37
+      // arm-aligned revenue lift on top of a deterministic base
+      val lift = if (armOf("ab:" + u)) 40.0 else 0.0
+      (u, ts(1 + i / 40, i % 24), (i % 23).toDouble * 3.25 + lift)
+    }
+    val df = evs.toDF("user_id", "ts", "value")
+    val got = Events.msprtValueDaily(df, "user_id", "ts", col("value"))
+      .orderBy("day").collect()
+    // independent model on exact integer cents
+    var (nc, nt, sc, st) = (0L, 0L, 0L, 0L)
+    var (qc, qt) = (BigInt(0), BigInt(0)); var pmin = 1.0
+    val byDay = evs.groupBy(_._2.toLocalDateTime.toLocalDate.toString)
+      .toSeq.sortBy(_._1)
+    val exp = byDay.map { case (d, es) =>
+      es.foreach { case (u, _, value) =>
+        val v = math.round(value * 100)
+        if (armOf("ab:" + u)) { nt += 1; st += v; qt += BigInt(v) * BigInt(v) }
+        else { nc += 1; sc += v; qc += BigInt(v) * BigInt(v) }
+      }
+      val (ncD, ntD) = (nc.toDouble, nt.toDouble)
+      val (scD, stD) = (sc.toDouble, st.toDouble)
+      val mc = scD / ncD; val mt = stD / ntD
+      val delta = mt - mc
+      val ssc = qc.toDouble - scD * scD / ncD
+      val sst = qt.toDouble - stD * stD / ntD
+      val v = ((ssc + sst) / (ncD + ntD - 2.0)) * (1.0 / ncD + 1.0 / ntD)
+      val lam = math.sqrt(v / (v + t2)) *
+        math.exp(delta * delta * t2 / (2.0 * v * (v + t2)))
+      val valid = nc > 1 && nt > 1 && v > 0
+      if (valid) pmin = math.min(pmin, math.min(1.0, 1.0 / lam))
+      (d, nc, nt, mc, mt, if (valid) Some(lam) else None, pmin)
+    }
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (r, e) =>
+      assert(r.getDate(0).toString == e._1)
+      assert(r.getLong(1) == e._2 && r.getLong(2) == e._3)
+      assert(math.abs(r.getDouble(3) - e._4) < 1e-6 &&
+        math.abs(r.getDouble(4) - e._5) < 1e-6)
+      // the emitted lambda is round(6): small lambdas carry up to
+      // 5e-7 absolute truncation; late-day lambdas reach e^30+ where
+      // only a relative epsilon makes sense
+      e._6.foreach(l => assert(
+        math.abs(r.getDouble(5) - l) < 5.1e-7 ||
+          math.abs(r.getDouble(5) - l) / math.abs(l) < 1e-9,
+        s"day ${e._1}: lambda ${r.getDouble(5)} vs $l"))
+      assert(math.abs(r.getDouble(6) - e._7) < 1e-6)
+    }
+    // the $40 arm lift must reject by the horizon
+    assert(got.last.getString(7) == "reject",
+      s"lift never rejected: p=${got.last.getDouble(6)}")
+  }
+
   test("ssrCP: zones and CHW closed-form inflation match an independent bisection solve") {
     // Anchor: Mehta-Pocock '11 promising zone with the CHW-weighted
     // conditional power CP(r) = 1 - Phi((u_K - B)/sqrt(1-t) -

@@ -647,4 +647,86 @@ class StatsSpec extends SparkSpec {
     // monotone non-decreasing invariant
     assert(out3.sliding(2).forall(w => w(0) <= w(1)))
   }
+
+  test("rakeWeights: matches a direct IPF reimplementation; margins converge; no-mass guard") {
+    // population: cells (A,0)=40 (A,1)=60 (B,0)=30 (B,1)=70 (C,0)=10;
+    // sample: biased toward col 1 and row B
+    val rows = Seq(("A", 0, 40, 10), ("A", 1, 60, 30), ("B", 0, 30, 15),
+      ("B", 1, 70, 60), ("C", 0, 10, 5))
+    val df = rows.flatMap { case (i, j, np, ns) =>
+      (0 until np).map(u => (i, j, u < ns))
+    }.toDF("rk", "ck", "samp")
+    val got = Stats.rakeWeights(df, col("rk"), col("ck"), col("samp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // direct reimplementation
+    val cells = rows.map { case (i, j, np, ns) => ((i, j.toString), np, ns) }
+    val rT = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val cT = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    var m = cells.filter(_._3 > 0).map(c => c._1 -> c._3.toDouble)
+      .sortBy(_._1).toArray
+    (1 to 8).foreach { _ =>
+      val rs = m.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+      m = m.map { case (k, v) =>
+        k -> (if (rs(k._1) > 0) v * (rT(k._1).toDouble / rs(k._1)) else v) }
+      val cs = m.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+      m = m.map { case (k, v) =>
+        k -> (if (cs(k._2) > 0) v * (cT(k._2).toDouble / cs(k._2)) else v) }
+    }
+    assert(got.size == 5)
+    m.foreach { case ((i, j), v) =>
+      val (ns, wn, w) = got((i, j))
+      assert(math.abs(wn - v) < 1e-6, s"cell ($i,$j): $wn vs $v")
+      assert(math.abs(w - v / ns) < 1e-6)
+    }
+    // raked sample margins match the population margins (IPF converged)
+    val rowM = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    rowM.foreach { case (i, s) =>
+      assert(math.abs(s - rT(i)) < 1e-3, s"row $i margin $s vs ${rT(i)}") }
+    val colM = got.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2._2).sum)
+    colM.foreach { case (j, s) =>
+      assert(math.abs(s - cT(j)) < 1e-3, s"col $j margin $s vs ${cT(j)}") }
+    // a row with NO sample mass drops out without poisoning the rest
+    val df2 = df.withColumn("samp", col("samp") && col("rk") =!= "C")
+    val got2 = Stats.rakeWeights(df2, col("rk"), col("ck"), col("samp"))
+      .collect()
+    assert(got2.length == 4 && got2.forall(r => r.getString(0) != "C"))
+    assert(got2.forall(r => !r.getDouble(4).isNaN && r.getDouble(4) > 0))
+  }
+
+  test("ebShrinkRates: beta-binomial MoM shrinkage pulls rates toward the mean; degenerate guard") {
+    // 4 segments, 50 units each, rates 0.1/0.3/0.5/0.7
+    val df = (0 until 200).map { i =>
+      val s = i / 50
+      (s.toLong, (i % 50) < (5 + s * 10))
+    }.toDF("seg", "conv")
+    val got = Stats.ebShrinkRates(df, col("seg"), col("conv"))
+      .orderBy("segment").collect()
+    assert(got.length == 4)
+    val ps = Seq(0.1, 0.3, 0.5, 0.7)
+    val pbar = ps.sum / 4
+    val s2 = ps.map(p => (p - pbar) * (p - pbar)).sum / 3
+    val kap = pbar * (1 - pbar) / s2 - 1
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getLong(1) == 50L && math.abs(r.getDouble(3) - ps(k)) < 1e-9)
+      val expect = (ps(k) * 50 + pbar * kap) / (50 + kap)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-6,
+        s"seg $k: ${r.getDouble(4)} vs $expect")
+      assert(math.abs(r.getDouble(5) - kap) < 1e-4)
+      // shrinkage moves strictly toward the mean
+      if (ps(k) != pbar)
+        assert(math.abs(r.getDouble(4) - pbar) < math.abs(ps(k) - pbar))
+    }
+    // identical rates -> zero variance -> no shrinkage, null kappa
+    // (0.25 is binary-exact, so the mean equals every rate EXACTLY and
+    // s2 is a true 0.0, not a last-ulp residual)
+    val flat = (0 until 128).map(i => ((i / 32).toLong, i % 32 < 8))
+      .toDF("seg", "conv")
+    val g2 = Stats.ebShrinkRates(flat, col("seg"), col("conv"))
+      .orderBy("segment").collect()
+    g2.foreach { r =>
+      assert(r.isNullAt(5) && r.getDouble(4) == r.getDouble(3))
+    }
+  }
 }
