@@ -30,7 +30,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     case class JobRec(id: Int, desc: String, start: Long, var end: Long = 0L,
-      var stages: Int = 0, var tasks: Int = 0, var taskTimeMs: Long = 0L)
+      var stages: Int = 0, var tasks: Int = 0, var taskTimeMs: Long = 0L,
+      var names: List[String] = Nil)
     val jobs = mutable.LinkedHashMap[Int, JobRec]()
     val stageToJob = mutable.HashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -50,6 +51,7 @@ object Profile {
             j.stages += 1
             j.tasks += si.numTasks
             j.taskTimeMs += si.taskMetrics.executorRunTime
+            j.names ::= si.name.take(80)
           }
         }
     })
@@ -76,7 +78,8 @@ object Profile {
           jobs.values.foreach { j =>
             val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
             println(f"  job ${j.id}%3d ${dur}%7.3f s  stages=${j.stages}%2d " +
-              f"tasks=${j.tasks}%4d taskTime=${j.taskTimeMs / 1e3}%7.2f s  ${j.desc.take(60)}")
+              f"tasks=${j.tasks}%4d taskTime=${j.taskTimeMs / 1e3}%7.2f s  " +
+              f"${j.names.reverse.mkString(" | ").take(110)}")
           }
         }
       }

@@ -302,6 +302,16 @@ object Dedup {
           .distinct()
         val sets = shAll.groupBy("jid")
           .agg(collect_list(col("sh")).as("_set"), count(lit(1)).as("sz"))
+        // The RESULT is persisted too (r13 optimization): the verified
+        // pair set is duplicate-density-bounded (249 rows at sf0.1 —
+        // thousandths of the corpus at any scale), while re-deriving it
+        // costs the cands self-join + the array_intersect verify. 14
+        // declared queries consume this exact frame (the dup-graph
+        // family), several referencing it TWICE (both directions of an
+        // undirected edge union) — profiled at 2×~1.9 s per query at
+        // sf0.1 before the persist. CacheManager plan-equality shares
+        // one verify across the whole family within a session; Verify's
+        // per-query clearCache keeps the correctness gate flat.
         return cands
           .join(sets.select(col("jid").as("id_a"), col("_set").as("_sa"),
             col("sz").as("sz_a")), Seq("id_a"))
@@ -312,6 +322,7 @@ object Dedup {
             col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= threshold)
           .select("id_a", "id_b", "jaccard")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => // exact single-stage path below
     }
     // 64-bit hashed shingles: same counts as string shingles up to a

@@ -343,10 +343,15 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seed: Column, sweeps: Int = 3): DataFrame = {
     require(sweeps >= 1, s"bfsHops: need sweeps>=1, got $sweeps")
-    val und = edges
+    // materialize the (possibly expensive) edge derivation ONCE before
+    // the bidirectional union references it twice — profiled at sf0.1
+    // the duplicated subtree was ~2× the whole query's task time
+    val e0 = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val und = e0
       .filter(col("src") =!= col("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     val nodes = und.select(col("src").as("node")).distinct()
@@ -394,12 +399,17 @@ object Graph {
   def bellmanFordHops(edges: DataFrame, srcCol: String, dstCol: String,
       weight: Column, seed: Column, sweeps: Int = 3): DataFrame = {
     require(sweeps >= 1, s"bellmanFordHops: need sweeps>=1, got $sweeps")
-    val und = edges
+    // one materialization of the edge derivation before the two-direction
+    // union (the bfsHops discipline — the duplicated subtree dominated
+    // the profile)
+    val e0 = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         weight.cast("double").as("w"))
+      .localCheckpoint()
+    val und = e0
       .filter(col("src") =!= col("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"),
-        weight.cast("double").as("w")))
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .localCheckpoint()
     val nodes = und.select(col("src").as("node")).distinct()
