@@ -506,7 +506,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = md5BandedSigs(sh, k, bands)
     val cands = selfJoinBuckets(banded, "jid", Seq("band", "bsig"), maxBucket)
+    // result persisted (r13 optimization, the ngramJaccardPairs
+    // discipline): duplicate-density-bounded pair set; consumers
+    // (blocking_quality's four 1-row grading aggregates, the session's
+    // family reuse) re-read instead of re-running the band join +
+    // verify per reference
     verifyJaccardOnCandidates(cands, sh, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Corpus-level MinHash similarity matrix: ONE signature per GROUP

@@ -110,22 +110,35 @@ object Graph {
     def pin(df: DataFrame): DataFrame =
       if (release) df.localCheckpoint()
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.select(col("_id"), init.as("_r"))
+    // SPARSE iteration state (r13 optimization, the [[hits]] discipline):
+    // ranks are carried only for in-edge endpoints — any other node's
+    // rank is the CONSTANT round((1-d)/n + d·0, q) at every sweep (its
+    // in-sum is always empty), re-attached via coalesce where the dense
+    // form materialized it: on the contribution join (sweep >= 2) and at
+    // the readout. Every per-sweep re-join onto the full node list is
+    // gone; the DECIMAL contribution sums are bit-identical because the
+    // coalesced default is the exact same rounded double the dense rank
+    // row carried.
+    val rdef = round(lit(1.0 - damping) / n + lit(damping) * lit(0.0), quantize)
+    var sparse: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val contribs = e.join(ranks.withColumnRenamed("_id", "_src"), Seq("_src"))
-        .join(outDeg, Seq("_src"))
+      val withR =
+        if (sparse == null) e.withColumn("_r", init)
+        else e.join(sparse.withColumnRenamed("_id", "_src"), Seq("_src"), "left")
+          .withColumn("_r", coalesce(col("_r"), rdef))
+      val contribs = withR.join(outDeg, Seq("_src"))
         .select(col("_dst").as("_id"),
           round(col("_r") / col("_deg"), 12).cast("decimal(30,12)").as("_c"))
       val summed = contribs.groupBy(col("_id"))
         .agg(sum(col("_c")).cast("double").as("_in"))
-      ranks = pin(nodes.join(summed, Seq("_id"), "left")
-        .select(col("_id"),
-          round(lit((1.0 - damping)) / n +
-            lit(damping) * coalesce(col("_in"), lit(0.0)), quantize).as("_r")))
+      sparse = pin(summed.select(col("_id"),
+        round(lit((1.0 - damping)) / n +
+          lit(damping) * col("_in"), quantize).as("_r")))
       it += 1
     }
-    ranks.select(col("_id").as("node"), col("_r").as("rank"))
+    nodes.join(sparse, Seq("_id"), "left")
+      .select(col("_id").as("node"), coalesce(col("_r"), rdef).as("rank"))
   }
 
   /** Fixed-iteration HITS (Kleinberg'99) hubs & authorities — the
@@ -165,29 +178,40 @@ object Graph {
     def pin(df: DataFrame): DataFrame =
       if (release) df.localCheckpoint()
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var hubs = nodes.select(col("_id"), lit(1.0).as("_hub"))
+    // SPARSE iteration state (r13 optimization): scores are carried only
+    // for nodes that can ever be nonzero — auths over in-edge endpoints
+    // (= every `_dst` of `e`, the groupBy key set), hubs over out-edge
+    // endpoints. Each sweep's equi-join against `e` then matches EVERY
+    // edge row exactly as the dense form did (a dense score row that is
+    // not an edge endpoint never matched the join; a zero-score endpoint
+    // cannot exist — groupBy produces a row per endpoint), so all
+    // DECIMAL(30,12) sums are bit-identical, and the two per-sweep
+    // re-joins onto the full node list are gone (half the per-sweep plan
+    // depth, measured ~2x wall at sf0.1 under AQE's per-stage
+    // replanning). Zeros for no-out-edge hubs / no-in-edge authorities
+    // are re-attached ONCE at the readout, where the dense form produced
+    // round(0/t) = 0.0 exactly.
+    var hubs = e.select(col("_src").as("_id")).distinct()
+      .select(col("_id"), lit(1.0).as("_hub"))
     var auths: DataFrame = null
     var it = 0
     while (it < iterations) {
       val ar = e.join(hubs.withColumnRenamed("_id", "_src"), Seq("_src"))
         .groupBy(col("_dst").as("_id")).agg(dsum12(col("_hub")).as("_ar"))
       val at = ar.agg(dsum12(col("_ar")).as("_t"))
-      auths = pin(nodes.join(ar, Seq("_id"), "left")
-        .crossJoin(broadcast(at))
-        .select(col("_id"),
-          round(coalesce(col("_ar"), lit(0.0)) / col("_t"), quantize).as("_auth")))
+      auths = pin(ar.crossJoin(broadcast(at))
+        .select(col("_id"), round(col("_ar") / col("_t"), quantize).as("_auth")))
       val hr = e.join(auths.withColumnRenamed("_id", "_dst"), Seq("_dst"))
         .groupBy(col("_src").as("_id")).agg(dsum12(col("_auth")).as("_hr"))
       val ht = hr.agg(dsum12(col("_hr")).as("_t"))
-      hubs = pin(nodes.join(hr, Seq("_id"), "left")
-        .crossJoin(broadcast(ht))
-        .select(col("_id"),
-          round(coalesce(col("_hr"), lit(0.0)) / col("_t"), quantize).as("_hub")))
+      hubs = pin(hr.crossJoin(broadcast(ht))
+        .select(col("_id"), round(col("_hr") / col("_t"), quantize).as("_hub")))
       it += 1
     }
-    hubs.join(auths, Seq("_id"))
-      .select(col("_id").as("node"), col("_hub").as("hub"),
-        col("_auth").as("authority"))
+    nodes.join(hubs, Seq("_id"), "left").join(auths, Seq("_id"), "left")
+      .select(col("_id").as("node"),
+        coalesce(col("_hub"), lit(0.0)).as("hub"),
+        coalesce(col("_auth"), lit(0.0)).as("authority"))
   }
 
   /** Per-node triangle participation counts (EXT — on a near-dup pair
