@@ -97,6 +97,178 @@ object VectorFunctions {
   def signedProject(a: Column, signs: Array[Array[Double]]): Column =
     ColumnOps.toColumn(SignedProjection(_, signs))(a.cast(ArrayType(DoubleType)))
 
+  // ---------------------------------------------------------------- r13
+  // Native kernels for the PQ/ANN hot path (optimization guide §4:
+  // higher-order builtins are CodegenFallback — every element pays a
+  // lambda invocation plus boxing; profiled ~0.2 ms/row on the PQ
+  // encode). Each kernel accumulates in the EXACT element order of the
+  // HOF form it replaces (ascending-index left folds), so every double
+  // is bit-identical to the composed expression and to the DuckDB
+  // oracle's list_sum-over-comprehension replay.
+
+  /** L2-normalize kernel: n = sqrt(fold x*x ascending); all-zero vectors
+    * pass through unchanged (same `when(n > 0)` guard as the HOF form). */
+  def l2NormalizeOf(v: ArrayData): ArrayData = {
+    val x = v.toDoubleArray()
+    var n2 = 0.0
+    var i = 0
+    while (i < x.length) { n2 += x(i) * x(i); i += 1 }
+    val n = math.sqrt(n2)
+    if (!(n > 0.0)) return v
+    val out = new Array[Any](x.length)
+    i = 0
+    while (i < x.length) { out(i) = x(i) / n; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class L2Normalize(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = l2NormalizeOf(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorFunctions.l2NormalizeOf($c)")
+    override protected def withNewChildInternal(c: Expression): L2Normalize = copy(child = c)
+  }
+
+  def l2Normalize(v: Column): Column =
+    ColumnOps.toColumn(L2Normalize(_))(v.cast(ArrayType(DoubleType)))
+
+  /** Squared-L2 between a subvector [off, off+ds) of x and centroid c,
+    * accumulated in ascending element order (the sqDist fold). */
+  private def sqDistAt(x: Array[Double], off: Int, c: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    // same length semantics as slice + zip_with: a short tail zips to
+    // the shorter length
+    val len = math.min(c.length, math.max(0, x.length - off))
+    while (j < len) { val d = x(off + j) - c(j); acc += d * d; j += 1 }
+    acc
+  }
+
+  /** PQ encode kernel: per subspace the 1-BASED index of the first
+    * minimum-distance centroid (array_position(dists, array_min) —
+    * first-match tie-break). */
+  def pqCodesOf(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val x = v.toDoubleArray()
+    val out = new Array[Any](cb.length)
+    var i = 0
+    while (i < cb.length) {
+      val cents = cb(i)
+      val off = i * cents(0).length
+      var best = Double.PositiveInfinity
+      var idx = 0
+      var k = 0
+      while (k < cents.length) {
+        val d = sqDistAt(x, off, cents(k))
+        if (d < best) { best = d; idx = k + 1 }
+        k += 1
+      }
+      out(i) = idx
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      pqCodesOf(v.asInstanceOf[ArrayData], codebook)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", codebook, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorFunctions.pqCodesOf($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqCodes = copy(child = c)
+  }
+
+  def pqCodes(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    ColumnOps.toColumn(PqCodes(_, codebook))(v.cast(ArrayType(DoubleType)))
+
+  /** ADC distance-table kernel: subspace i's row holds sqDist to each of
+    * its centroids, centroid order preserved. */
+  def pqDistTablesOf(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val x = v.toDoubleArray()
+    val out = new Array[Any](cb.length)
+    var i = 0
+    while (i < cb.length) {
+      val cents = cb(i)
+      val off = i * cents(0).length
+      val row = new Array[Any](cents.length)
+      var k = 0
+      while (k < cents.length) { row(k) = sqDistAt(x, off, cents(k)); k += 1 }
+      out(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class PqDistTables(child: Expression, codebook: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      pqDistTablesOf(v.asInstanceOf[ArrayData], codebook)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", codebook, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorFunctions.pqDistTablesOf($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqDistTables = copy(child = c)
+  }
+
+  def pqDistTables(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    ColumnOps.toColumn(PqDistTables(_, codebook))(v.cast(ArrayType(DoubleType)))
+
+  /** ADC lookup-sum kernel: fold of dt[i][codes[i]-1] in subspace order
+    * (the aggregate(zip_with(codes, dt, element_at)) fold). */
+  def adcSumOf(codes: ArrayData, dt: ArrayData): Double = {
+    val m = math.min(codes.numElements(), dt.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += dt.getArray(i).getDouble(codes.getInt(i) - 1)
+      i += 1
+    }
+    acc
+  }
+
+  case class AdcSum(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(c: Any, t: Any): Any =
+      adcSumOf(c.asInstanceOf[ArrayData], t.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (c, t) => s"graft.functions.VectorFunctions.adcSumOf($c, $t)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcSum =
+      copy(left = l, right = r)
+  }
+
+  def adcSum(codes: Column, dt: Column): Column =
+    ColumnOps.toColumn2(AdcSum(_, _))(codes, dt)
+
+  /** Element-wise difference kernel (the residual zip_with(x - c)). */
+  def arraySubOf(l: ArrayData, r: ArrayData): ArrayData = {
+    val a = l.toDoubleArray()
+    val b = r.toDoubleArray()
+    val n = math.min(a.length, b.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = a(i) - b(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class ArraySub(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(l: Any, r: Any): Any =
+      arraySubOf(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorFunctions.arraySubOf($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArraySub =
+      copy(left = l, right = r)
+  }
+
+  def arraySub(a: Column, b: Column): Column =
+    ColumnOps.toColumn2(ArraySub(_, _))(
+      a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
+
   /** Builtin-HOF dot product: `aggregate(zip_with(a,b,*), 0d, +)`. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

@@ -290,17 +290,7 @@ object Ann {
   /** L2-normalize an array<double> column; all-zero vectors pass
     * through unchanged (they rank last under ADC just as they score 0
     * under cosine). */
-  private def l2norm(v: Column): Column = {
-    val n = sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
-    when(n > lit(0.0d), transform(v, x => x / n)).otherwise(v)
-  }
-
-  /** Squared-L2 fold between an array column and one literal centroid —
-    * zip_with + ordered aggregate, the same left-fold DuckDB's
-    * list_sum-over-comprehension replays bitwise. */
-  private def sqDist(sub: Column, cent: Column): Column =
-    aggregate(zip_with(sub, cent, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (a, d) => a + d)
+  private def l2norm(v: Column): Column = VectorFunctions.l2Normalize(v)
 
   /** Train a PQ codebook: split the l2-normalized corpus into `m`
     * contiguous subspaces and fit `k` euclidean k-means centroids per
@@ -341,26 +331,14 @@ object Ann {
   /** PQ codes for a normalized vector: per subspace, the 1-based index
     * of the nearest centroid (first-match tie-break — the same rule as
     * DuckDB's list_position). Expression-only, whole-stage codegen. */
-  private def pqCodes(nv: Column, codebook: Array[Array[Array[Double]]]): Column = {
-    val ds = codebook(0)(0).length
-    array(codebook.indices.map { i =>
-      val sub = slice(nv, i * ds + 1, ds)
-      val dists = transform(typedLit(codebook(i).map(_.toSeq).toSeq),
-        c => sqDist(sub, c))
-      array_position(dists, array_min(dists)).cast("int")
-    }: _*)
-  }
+  private def pqCodes(nv: Column, codebook: Array[Array[Array[Double]]]): Column =
+    VectorFunctions.pqCodes(nv, codebook)
 
   /** Per-query ADC distance tables: subspace i's table holds the
     * squared-L2 from the query's subvector to each of subspace i's
     * centroids. array<array<double>>, m x k. */
-  private def pqDistTables(nv: Column, codebook: Array[Array[Array[Double]]]): Column = {
-    val ds = codebook(0)(0).length
-    array(codebook.indices.map { i =>
-      val sub = slice(nv, i * ds + 1, ds)
-      transform(typedLit(codebook(i).map(_.toSeq).toSeq), c => sqDist(sub, c))
-    }: _*)
-  }
+  private def pqDistTables(nv: Column, codebook: Array[Array[Array[Double]]]): Column =
+    VectorFunctions.pqDistTables(nv, codebook)
 
   /** Asymmetric-distance (ADC) top-k with a frozen PQ codebook: encode
     * the corpus to m small-int codes per row, broadcast each query's
@@ -388,8 +366,7 @@ object Ann {
       .select(col("query_id"), pqDistTables(col("qv"), codebook).as("dt"))
     val scored = enc.join(broadcast(qt), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
-          lit(0.0d), (a, x) => a + x).as("_ad"))
+        VectorFunctions.adcSum(col("codes"), col("dt")).as("_ad"))
     // round(6) BEFORE ranking — the suite-wide float discipline: the two
     // engines' fold orders agree to ~1 ulp but not always bitwise, so
     // both rank (and emit) the identical quantized value, with the
@@ -490,8 +467,7 @@ object Ann {
       .select("query_id", "neighbor_id", "codes")
     val scored = cands.join(broadcast(qt), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
-          lit(0.0d), (a, x) => a + x).as("_ad"))
+        VectorFunctions.adcSum(col("codes"), col("dt")).as("_ad"))
     // round(6) BEFORE ranking — the suite-wide float discipline: the two
     // engines' fold orders agree to ~1 ulp but not always bitwise, so
     // both rank (and emit) the identical quantized value, with the
@@ -529,7 +505,7 @@ object Ann {
     val assigned = nearestCells(nvf, cents, "_rid", "nv", 1, keep = Seq(col("nv")))
     val res = assigned.join(broadcast(cents), Seq("cid"))
       .select(col("_rid"), col("cid"),
-        zip_with(col("nv"), col("cvec"), (x, c) => x - c).as("rv"))
+        VectorFunctions.arraySub(col("nv"), col("cvec")).as("rv"))
     (res, cents)
   }
 
@@ -570,14 +546,13 @@ object Ann {
       keep = Seq(col("qnv"), col("cvec")))
     val qt = probed
       .select(col("query_id"), col("cid"),
-        zip_with(col("qnv"), col("cvec"), (x, c) => x - c).as("_qr"))
+        VectorFunctions.arraySub(col("qnv"), col("cvec")).as("_qr"))
       .select(col("query_id"), col("cid"),
         pqDistTables(col("_qr"), codebook).as("dt"))
     val scored = enc.join(broadcast(qt), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("codes"), col("dt"), (c, t) => element_at(t, c)),
-          lit(0.0d), (a, x) => a + x).as("_ad"))
+        VectorFunctions.adcSum(col("codes"), col("dt")).as("_ad"))
     // round(6) before ranking — suite-wide quantize-before-rank
     val quant = scored.withColumn("adist", round(col("_ad"), 6)).drop("_ad")
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
