@@ -299,6 +299,71 @@ object TextFunctions {
 
   def md5Bits64(c: Column): Column = ColumnOps.toColumn(Md5Bits64(_))(c)
 
+  /** SymSpell deletion-neighborhood signature HASHES (r13 optimization,
+    * guide §4 + §2.3): 64-bit xxhash of the string itself plus every
+    * single-character deletion, deduplicated (the array_union semantics
+    * of [[graft.operators.Dedup.deletionSignatures]]). The HOF + md5
+    * form materialized every deletion substring and shuffled 32-char
+    * hex keys; this kernel hashes each deletion's UTF-16 chars from a
+    * reused buffer (no substring allocation) and the join keys shrink
+    * to 8 bytes. The hash VALUE is internal blocking state on BOTH the
+    * index and probe sides — never compared against an oracle — so any
+    * injective-modulo-collisions hash preserves results (the suite's
+    * standard ~n²/2⁶⁴ collision tolerance).
+    */
+  def deletionSigHashesOf(v: UTF8String): GenericArrayData = {
+    val str = v.toString
+    val n = str.length
+    val hashes = new Array[Long](n + 1)
+    val buf = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      buf(2 * i) = (c & 0xff).toByte
+      buf(2 * i + 1) = ((c >> 8) & 0xff).toByte
+      i += 1
+    }
+    hashes(0) = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        2 * n, 42L)
+    val del = new Array[Byte](2 * math.max(0, n - 1))
+    var d = 0
+    while (d < n) {
+      // deletion d = chars [0, d) ++ [d+1, n): two arraycopies of the
+      // prebuilt UTF-16LE bytes
+      System.arraycopy(buf, 0, del, 0, 2 * d)
+      System.arraycopy(buf, 2 * (d + 1), del, 2 * d, 2 * (n - d - 1))
+      hashes(d + 1) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(del, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          2 * (n - 1), 42L)
+      d += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var uniq = if (hashes.length > 0) 1 else 0
+    i = 1
+    while (i < hashes.length) {
+      if (hashes(i) != hashes(i - 1)) { hashes(uniq) = hashes(i); uniq += 1 }
+      i += 1
+    }
+    val out = new Array[Any](uniq)
+    i = 0
+    while (i < uniq) { out(i) = hashes(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class DeletionSigHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      deletionSigHashesOf(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.deletionSigHashesOf($c)")
+    override protected def withNewChildInternal(c: Expression): DeletionSigHashes = copy(c)
+  }
+
+  def deletionSigHashes(c: Column): Column =
+    ColumnOps.toColumn(DeletionSigHashes(_))(c)
+
   /** 64-bit polynomial rolling-hash fingerprint (xxhash64-based) — the
     * scalable non-cryptographic variant; not SQL-portable (rows-only
     * oracle).

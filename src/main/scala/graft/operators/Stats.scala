@@ -694,16 +694,55 @@ object Stats {
     * marginal tables; one global aggregate. No per-row sort anywhere.
     */
   def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    // cells persisted (r13): the frame feeds BOTH marginal roll-ups and
+    // the moment join — exchange reuse shares only the shuffle, not the
+    // final aggregation above it, so without the persist the cell
+    // aggregate ran 3x per execution (profiled at sf0.1)
     val pairs = df.select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
       .groupBy("_x", "_y").agg(count(lit(1)).as("_c"))
-    def rank2(marg: DataFrame, key: String, out: String): DataFrame = {
-      val w = Window.orderBy(col(key)).rowsBetween(Window.unboundedPreceding, -1)
-      marg.withColumn("_cb", coalesce(sum(col("_m")).over(w), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2·midrank over a marginal. twoPhase = the mergeable range-
+    // partitioned rank (the tdigestCentroids discipline, r12): local
+    // prefix sums per value-range partition + an O(#partitions) offset
+    // collect — used for the UNBOUNDED marginal (e.g. price cents, which
+    // grows with the measurement range), where a global-order window
+    // would funnel every cell through one task. The caller's bounded
+    // marginal (quantity, a <=50-value grid) keeps the single tiny
+    // window. Merged rank is partition-invariant: range partitioning is
+    // globally key-ordered, so local-cum + offset = global cum, and the
+    // emitted integer is bit-identical to the windowed form.
+    def rank2(marg: DataFrame, key: String, out: String,
+        twoPhase: Boolean): DataFrame = {
+      if (!twoPhase) {
+        val w = Window.orderBy(col(key)).rowsBetween(Window.unboundedPreceding, -1)
+        return marg.withColumn("_cb", coalesce(sum(col("_m")).over(w), lit(0L)))
+          .select(col(key),
+            (lit(2L) * col("_cb") + col("_m") + lit(1L)).as(out))
+      }
+      val s = marg.sparkSession
+      val nParts = s.sessionState.conf.numShufflePartitions
+      // one materialization pins the sampled range boundaries
+      // (Relational.scala:255 — a lost block must fail loudly, not
+      // silently re-rank under fresh boundaries)
+      val local = marg.repartitionByRange(nParts, col(key))
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_cb", coalesce(
+          sum(col("_m")).over(Window.partitionBy(col("_pid")).orderBy(col(key))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .localCheckpoint(true)
+      val partTotals = local.groupBy(col("_pid")).agg(sum(col("_m")).as("_pt"))
+        .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+      val cum = partTotals.scanLeft(0L)(_ + _._2)
+      val offsets = partTotals.indices.map(i => (partTotals(i)._1, cum(i)))
+      val offsetDf = s.createDataFrame(offsets).toDF("_pid", "_off")
+      local.join(broadcast(offsetDf), Seq("_pid"))
         .select(col(key),
-          (lit(2L) * col("_cb") + col("_m") + lit(1L)).as(out))
+          (lit(2L) * (col("_cb") + col("_off")) + col("_m") + lit(1L)).as(out))
     }
-    val rx = rank2(pairs.groupBy("_x").agg(sum("_c").as("_m")), "_x", "_r2x")
-    val ry = rank2(pairs.groupBy("_y").agg(sum("_c").as("_m")), "_y", "_r2y")
+    val rx = rank2(pairs.groupBy("_x").agg(sum("_c").as("_m")), "_x", "_r2x",
+      twoPhase = false)
+    val ry = rank2(pairs.groupBy("_y").agg(sum("_c").as("_m")), "_y", "_r2y",
+      twoPhase = true)
     // decimal(13,0) operands: products reach (38,0) with scale intact,
     // so c·r2x·r2y stays EXACT to 4n³ < 10³⁸ where the long product
     // overflowed at n = 6M (ANSI kills the query; legacy silently

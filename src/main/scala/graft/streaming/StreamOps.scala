@@ -767,9 +767,9 @@ object StreamOps {
 
   /** Ingest-time fuzzy record linkage: each incoming string probes the
     * build-once [[graft.operators.Dedup.fuzzyIndex]] with its own
-    * deletion signatures (row-local, expression-only — the SAME
-    * [[graft.operators.Dedup.deletionSignatures]] kernel as the batch
-    * pair join, so the blocking contract cannot drift) and every
+    * deletion-signature hashes (row-local, expression-only — the SAME
+    * [[graft.functions.TextFunctions.deletionSigHashes]] kernel as the
+    * batch pair join, so the blocking contract cannot drift) and every
     * corpus entity within Levenshtein distance `maxDist` comes back
     * with the exact distance. Stateless stream-static join —
     * append-legal; a pair sharing several signatures surfaces once per
@@ -782,8 +782,8 @@ object StreamOps {
     require(maxDist == 1,
       "fuzzyMatchAgainstStream: deletion-neighborhood blocking guarantees maxDist=1 only")
     val probe = docs.select(col(idCol), col(strCol),
-        explode(graft.operators.Dedup.deletionSignatures(col(strCol))).as("_sig"))
-      .withColumn("_pk", md5(col("_sig").cast("binary")))
+        explode(graft.functions.TextFunctions.deletionSigHashes(col(strCol)))
+          .as("_pk"))
     probe.join(index, probe("_pk") === index("_fz_k"))
       .withColumn("dist", levenshtein(col(strCol), col("_fz_s")))
       .filter(col("dist") <= maxDist)
