@@ -364,6 +364,67 @@ object TextFunctions {
   def deletionSigHashes(c: Column): Column =
     ColumnOps.toColumn(DeletionSigHashes(_))(c)
 
+  /** Run-length-encoded character n-gram counts (r13 optimization,
+    * guide §4): lowercase, slide an n-char window, sort, count runs —
+    * one fused loop replacing the staged charNgrams/array_sort/filter/
+    * transform HOF cascade (interpreted lambdas + per-element
+    * UTF8String allocation; profiled ~0.8 ms/doc). Semantics identical
+    * on BMP text: UTF8String.toLowerCase is the same locale-independent
+    * lowering `lower()` applies, Java char order equals UTF8 byte order
+    * for BMP code points (the corpus contract), and output is the same
+    * ascending-gram array<struct<g,cnt>>. Texts shorter than n yield [].
+    */
+  def docGramCountsOf(v: UTF8String, n: Int): GenericArrayData = {
+    val str = v.toLowerCase.toString
+    val L = str.length
+    if (L < n) return new GenericArrayData(new Array[Any](0))
+    val m = L - n + 1
+    val grams = new Array[String](m)
+    var i = 0
+    while (i < m) { grams(i) = str.substring(i, i + n); i += 1 }
+    java.util.Arrays.sort(grams, new java.util.Comparator[String] {
+      // UTF8 byte order == char order on BMP-only strings; comparing
+      // chars avoids re-encoding every gram
+      override def compare(a: String, b: String): Int = a.compareTo(b)
+    })
+    var runs = 1
+    i = 1
+    while (i < m) { if (grams(i) != grams(i - 1)) runs += 1; i += 1 }
+    val out = new Array[Any](runs)
+    var r = 0
+    var start = 0
+    i = 1
+    while (i <= m) {
+      if (i == m || grams(i) != grams(start)) {
+        out(r) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(grams(start)), i - start)
+        r += 1
+        start = i
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  val GramCountType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", IntegerType,
+        nullable = false))), containsNull = false)
+
+  case class DocGramCounts(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = GramCountType
+    override def nullSafeEval(v: Any): Any =
+      docGramCountsOf(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.docGramCountsOf($c, $n)")
+    override protected def withNewChildInternal(c: Expression): DocGramCounts = copy(child = c)
+  }
+
+  def docGramCounts(c: Column, n: Int): Column =
+    ColumnOps.toColumn(DocGramCounts(_, n))(c)
+
   /** 64-bit polynomial rolling-hash fingerprint (xxhash64-based) — the
     * scalable non-cryptographic variant; not SQL-portable (rows-only
     * oracle).
@@ -487,13 +548,74 @@ object TextFunctions {
 
   /** BPE token count for a whole text column: whitespace words, each
     * segmented under `merges`, counts summed. 0 for blank/empty text.
+    *
+    * r13: evaluated by a native kernel ([[bpeCountOf]]) instead of the
+    * HOF fold — the builtin form re-entered an interpreted lambda per
+    * word and allocated every intermediate replace result as UTF8String;
+    * the kernel replays the IDENTICAL pipeline (space-only trim, \s+
+    * split, per-code-point separator interspersion, the same literal
+    * leftmost non-overlapping `String.replace` per merge in table order,
+    * separator count = split-size-minus-one), so counts are equal by
+    * construction and the oracle's replace-fold mirror is untouched.
     */
-  def bpeCount(c: Column, merges: Seq[(String, String)]): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(aggregate(
-        transform(split(trim(c), "\\s+"),
-          w => size(split(bpeSegment(w, merges), SEP)) - 1),
-        lit(0), (acc, n) => acc + n))
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val SEPC = '␟'
+
+  private def bpeWordTokenCount(word: String, pats: Array[String],
+      reps: Array[String]): Int = {
+    if (word.isEmpty) return 0
+    val sb = new java.lang.StringBuilder(word.length * 2)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp)
+      sb.append(SEPC)
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    var m = 0
+    while (m < pats.length) { s = s.replace(pats(m), reps(m)); m += 1 }
+    var cnt = 0
+    i = 0
+    while (i < s.length) { if (s.charAt(i) == SEPC) cnt += 1; i += 1 }
+    cnt
+  }
+
+  def bpeCountOf(v: UTF8String, pats: Array[String], reps: Array[String]): Int = {
+    val t = v.trim().toString // UTF8String.trim = the space-only `trim()` builtin
+    if (t.isEmpty) return 0
+    val words = WsPattern.split(t, -1)
+    var total = 0
+    var i = 0
+    while (i < words.length) {
+      total += bpeWordTokenCount(words(i), pats, reps)
+      i += 1
+    }
+    total
+  }
+
+  case class BpeCount(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    private val pats = merges.map { case (a, b) => a + SEP + b }.toArray
+    private val reps = merges.map { case (a, b) => a + b }.toArray
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      bpeCountOf(v.asInstanceOf[UTF8String], pats, reps)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("bpePats", pats, "java.lang.String[]")
+      val rRef = ctx.addReferenceObj("bpeReps", reps, "java.lang.String[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.bpeCountOf($c, $pRef, $rRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+  }
+
+  def bpeCount(c: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) =>
+      !a.contains(SEP) && !b.contains(SEP) && a.nonEmpty && b.nonEmpty },
+      "merge operands must be non-empty and must not contain the separator")
+    ColumnOps.toColumn(BpeCount(_, merges))(c)
+  }
 
   /** BPE token ARRAY per word of a text column (the segmentation the
     * count above collapses — what a pipeline inspecting its tokenizer
@@ -516,12 +638,43 @@ object TextFunctions {
     * Empty/blank text yields 0 with no special case (no matches).
     * Still all codegen'd builtins, mirrored verbatim by the oracle.
     */
-  def bpeCountPretok(c: Column, merges: Seq[(String, String)]): Column =
-    aggregate(
-      transform(
-        regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"), lit(0)),
-        w => size(split(bpeSegment(w, merges), SEP)) - 1),
-      lit(0), (acc, n) => acc + n)
+  private val PretokPattern =
+    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+")
+
+  def bpeCountPretokOf(v: UTF8String, pats: Array[String],
+      reps: Array[String]): Int = {
+    val m = PretokPattern.matcher(v.toString)
+    var total = 0
+    while (m.find()) total += bpeWordTokenCount(m.group(0), pats, reps)
+    total
+  }
+
+  case class BpeCountPretok(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    private val pats = merges.map { case (a, b) => a + SEP + b }.toArray
+    private val reps = merges.map { case (a, b) => a + b }.toArray
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      bpeCountPretokOf(v.asInstanceOf[UTF8String], pats, reps)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("bpePats", pats, "java.lang.String[]")
+      val rRef = ctx.addReferenceObj("bpeReps", reps, "java.lang.String[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextFunctions.bpeCountPretokOf($c, $pRef, $rRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeCountPretok =
+      copy(child = c)
+  }
+
+  /** Same kernel discipline as [[bpeCount]]: the pre-tokenizer regex is
+    * the identical java.util.regex pattern `regexp_extract_all` compiled,
+    * matched in the same left-to-right order. */
+  def bpeCountPretok(c: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) =>
+      !a.contains(SEP) && !b.contains(SEP) && a.nonEmpty && b.nonEmpty },
+      "merge operands must be non-empty and must not contain the separator")
+    ColumnOps.toColumn(BpeCountPretok(_, merges))(c)
+  }
 
   /** VOCAB-SIZE-driven trainer stop: each merge adds exactly one token
     * to the vocabulary, so the merge budget is `vocabSize` minus the

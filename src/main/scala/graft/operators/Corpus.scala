@@ -784,17 +784,6 @@ object Corpus {
         col("clean_text"))
   }
 
-  /** Character n-grams of `textCol` (lowercased upstream by the caller
-    * if wanted): positions are 1-based, empty array when the text is
-    * shorter than n — the guard matters because Spark's `sequence(1, 0)`
-    * infers a NEGATIVE step and yields [1, 0], not [].
-    */
-  private def charNgrams(textCol: Column, n: Int): Column =
-    when(length(textCol) >= n,
-      transform(sequence(lit(1), length(textCol) - (n - 1)),
-        i => textCol.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-
   /** Per-document (gram, cnt) pairs appended as a `_pairs` column, all
     * map-side: sort the doc's n-grams, find the run boundaries, and emit
     * a struct<g,cnt> per distinct gram (run-length encoding). This is the
@@ -807,33 +796,14 @@ object Corpus {
     * in range (ANSI-safe) and dodge sequence(1,0)'s negative-step [1,0].
     */
   private def withDocGramCounts(df: DataFrame, textCol: Column,
-      n: Int): DataFrame = {
-    // STAGED projections, not one nested Column: higher-order-function
-    // lambdas evaluate interpreted, and a repeated non-attribute subtree
-    // re-executes at EVERY reference — nesting gs/bounds directly made
-    // the encode O(L^3) per doc (observed as a hang on the spec corpus).
-    // As attributes each array computes once per row; CollapseProject
-    // keeps multi-referenced non-cheap aliases materialized (the
-    // pqEncode discipline, Ann.scala:444).
-    val gs = df.withColumn("_gs", array_sort(charNgrams(lower(textCol), n)))
-    val bounds = gs.withColumn("_bounds",
-      // 1-based positions that START a run of equal grams
-      filter(
-        when(size(col("_gs")) === 0, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), size(col("_gs")))),
-        i => when(i === 1, lit(true))
-          .otherwise(element_at(col("_gs"), i) =!= element_at(col("_gs"), i - 1))))
-    bounds.withColumn("_pairs",
-        when(size(col("_bounds")) === 0,
-          array().cast("array<struct<g:string,cnt:int>>"))
-          .otherwise(transform(sequence(lit(1), size(col("_bounds"))), j =>
-            struct(
-              element_at(col("_gs"), element_at(col("_bounds"), j)).as("g"),
-              (when(j < size(col("_bounds")), element_at(col("_bounds"), j + 1))
-                .otherwise(size(col("_gs")) + 1)
-                - element_at(col("_bounds"), j)).as("cnt")))))
-      .drop("_gs", "_bounds")
-  }
+      n: Int): DataFrame =
+    // r13: one fused native kernel (TextFunctions.docGramCounts) —
+    // the previous staged HOF cascade (charNgrams/array_sort/filter/
+    // transform, see git history) evaluated interpreted lambdas with a
+    // per-element allocation; ~0.8 ms/doc profiled on the single-task
+    // sf0.1 scan. Output array (ascending grams, run counts) and
+    // lowering semantics are identical.
+    df.withColumn("_pairs", graft.functions.TextFunctions.docGramCounts(textCol, n))
 
   /** Top-`top` grams of a docGramCounts array by (cnt desc, g asc),
     * as (g, 1-based rank) structs — the per-doc rank WINDOW collapsed
